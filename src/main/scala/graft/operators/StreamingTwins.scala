@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic batch twins of the ST-series streaming operators
+  * (SURVEY.md §2.9). Each declares the *result semantics* of a streaming
+  * computation as a batch query over the `events` table, so the DuckDB
+  * oracle can check it exactly; the live Structured Streaming versions of
+  * the same semantics live in [[graft.streaming]] and are asserted
+  * equivalent to these twins in the test suite.
+  *
+  * Epoch math is integer ns/ms arithmetic throughout (`ts` is epoch-nanos;
+  * reference epoch-day = floor(unix_ms/86400000),
+  * reputation-prover-impl.ts:143). ST3 ≡ `a3_epoch_agg`, ST5 ≡
+  * `so2_dedup_keyed` (declared in Relational).
+  */
+object StreamingTwins {
+
+  private def T(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** ST1 deadline-window tally with late-data rejection (kamiyo
+    * fast-voting lib.rs:93-176): votes land in 1-hour windows; the
+    * tally's deadline is window_start + 45 min — later rows are rejected
+    * as the on-chain `VotingEnded` path does (lib.rs:103). Quorum ≥ 2 and
+    * integer approval pct (lib.rs:145-149). */
+  val st1DeadlineTally = QueryDef(
+    "st1_deadline_tally",
+    (s, dir) => T(s, dir).events
+      .filter(col("event_type").isin("purchase", "error"))
+      .withColumn("window_hour", expr("ts_ms div 3600000"))
+      .withColumn("late", expr("(ts_ms % 3600000) >= 2700000"))
+      .groupBy(col("window_hour"))
+      .agg(
+        count_if(!col("late") && col("event_type") === lit("purchase")).as("votes_for"),
+        count_if(!col("late") && col("event_type") === lit("error")).as("votes_against"),
+        count_if(col("late")).as("late_dropped"))
+      .withColumn("total", col("votes_for") + col("votes_against"))
+      .withColumn("approval_pct",
+        when(col("total") > lit(0L), expr("(votes_for * 100) div total"))
+          .otherwise(lit(0L)))
+      .withColumn("passed", col("total") >= lit(2L) && col("approval_pct") >= lit(50L))
+      .orderBy(col("window_hour")),
+    oracle = Some("""
+      WITH v AS (
+        SELECT epoch_ms(ts) // 3600000 AS window_hour,
+          epoch_ms(ts) % 3600000 >= 2700000 AS late, event_type
+        FROM events WHERE event_type IN ('purchase','error')),
+      t AS (
+        SELECT window_hour,
+          COUNT(*) FILTER (WHERE NOT late AND event_type = 'purchase') AS votes_for,
+          COUNT(*) FILTER (WHERE NOT late AND event_type = 'error') AS votes_against,
+          COUNT(*) FILTER (WHERE late) AS late_dropped
+        FROM v GROUP BY 1)
+      SELECT window_hour, votes_for, votes_against, late_dropped,
+        votes_for + votes_against AS total,
+        CASE WHEN votes_for + votes_against > 0
+          THEN (votes_for * 100) // (votes_for + votes_against) ELSE 0 END AS approval_pct,
+        votes_for + votes_against >= 2 AND
+          (CASE WHEN votes_for + votes_against > 0
+            THEN (votes_for * 100) // (votes_for + votes_against) ELSE 0 END) >= 50 AS passed
+      FROM t ORDER BY window_hour"""),
+    headline = true)
+
+  /** ST2 commit-reveal session result (swarm-types.ts:104-136): per key,
+    * commit phase counts `view` events, reveal phase takes the max-value
+    * `purchase` as the winning bid (argmax, ties → lowest event_id —
+    * the running-max semantics of swarm-types.ts:118-119). */
+  val st2CommitReveal = QueryDef(
+    "st2_commit_reveal",
+    (s, dir) => T(s, dir).events
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        count_if(col("event_type") === lit("view")).as("n_commits"),
+        count_if(col("event_type") === lit("purchase")).as("n_reveals"),
+        max(when(col("event_type") === lit("purchase"), col("value"))).as("winning_bid"),
+        min(when(col("event_type") === lit("purchase"), col("event_id")))
+          .as("first_reveal_event"))
+      .withColumn("has_winner", col("n_reveals") > lit(0L))
+      .orderBy(col("user_id")),
+    oracle = Some("""
+      SELECT user_id,
+        COUNT(*) FILTER (WHERE event_type = 'view') AS n_commits,
+        COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_reveals,
+        MAX(value) FILTER (WHERE event_type = 'purchase') AS winning_bid,
+        MIN(event_id) FILTER (WHERE event_type = 'purchase') AS first_reveal_event,
+        COUNT(*) FILTER (WHERE event_type = 'purchase') > 0 AS has_winner
+      FROM events WHERE event_type IN ('view','purchase')
+      GROUP BY user_id ORDER BY user_id"""))
+
+  /** ST4 sliding activity window (useHiveVizState.ts:37-50, burns24h
+    * swarm-types.ts:429-437): activity in the trailing 24h before the
+    * as-of instant 2024-01-30T00:00Z; members with ≥1 event are active. */
+  val st4SlidingActivity = QueryDef(
+    "st4_sliding_activity",
+    (s, dir) => T(s, dir).events
+      .filter(col("ts_ms") >= lit(1706486400000L) && // 2024-01-29T00:00Z
+        col("ts_ms") < lit(1706572800000L)) // 2024-01-30T00:00Z
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("events_24h"),
+        max(col("ts_ms")).as("last_seen_ms"))
+      .withColumn("active", col("events_24h") > lit(0L))
+      .orderBy(col("user_id")),
+    oracle = Some("""
+      SELECT user_id, COUNT(*) AS events_24h, MAX(epoch_ms(ts)) AS last_seen_ms,
+        COUNT(*) > 0 AS active
+      FROM events
+      WHERE epoch_ms(ts) >= 1706486400000 AND epoch_ms(ts) < 1706572800000
+      GROUP BY user_id ORDER BY user_id"""))
+
+  /** ST6 bounded replay buffer (useAgentStream.ts:8,45-48 cap 500;
+    * message-store.ts:25-27 cap 1000): per-key buffer capped at 3 here —
+    * report kept vs evicted counts and the retained ids oldest-first. */
+  val st6BoundedBuffer = QueryDef(
+    "st6_bounded_buffer",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      T(s, dir).events
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_seen"),
+          count_if(col("rn") <= lit(3)).as("n_kept"),
+          count_if(col("rn") > lit(3)).as("n_evicted"),
+          sort_array(collect_list(when(col("rn") <= lit(3), col("event_id"))))
+            .as("buffer_ids"))
+        .orderBy(col("user_id"))
+    },
+    oracle = Some("""
+      WITH r AS (
+        SELECT user_id, event_id,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, COUNT(*) AS n_seen,
+        COUNT(*) FILTER (WHERE rn <= 3) AS n_kept,
+        COUNT(*) FILTER (WHERE rn > 3) AS n_evicted,
+        list_sort(list(event_id) FILTER (WHERE rn <= 3)) AS buffer_ids
+      FROM r GROUP BY user_id ORDER BY user_id"""))
+
+  /** ST7 TTL retention / prune (message-store.ts:47-64, 7-day TTL): cutoff
+    * = global max ts − 7 days; report kept vs pruned per event type. */
+  val st7TtlRetention = QueryDef(
+    "st7_ttl_retention",
+    (s, dir) => {
+      val ev = T(s, dir).events
+      val cutoff = ev.agg(max(col("ts_ms")).as("max_ms"))
+        .select((col("max_ms") - lit(7L * 86400000L)).as("cutoff_ms"))
+      ev.crossJoin(broadcast(cutoff))
+        .groupBy(col("event_type"))
+        .agg(
+          count_if(col("ts_ms") >= col("cutoff_ms")).as("n_kept"),
+          count_if(col("ts_ms") < col("cutoff_ms")).as("n_pruned"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some("""
+      SELECT event_type,
+        COUNT(*) FILTER (WHERE epoch_ms(ts) >=
+          (SELECT MAX(epoch_ms(ts)) - 604800000 FROM events)) AS n_kept,
+        COUNT(*) FILTER (WHERE epoch_ms(ts) <
+          (SELECT MAX(epoch_ms(ts)) - 604800000 FROM events)) AS n_pruned
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** ST9 daily running spend vs limit (lib/hive-api.ts:44-62): per
+    * (user, epoch-day) purchase spend in integer cents against a 500.00
+    * daily limit; spendPct = min(100, spend*100 div limit) as the
+    * reference's `Math.min(100, ...)` clamp. */
+  val st9DailyLimit = QueryDef(
+    "st9_daily_limit",
+    (s, dir) => T(s, dir).events
+      .filter(col("event_type") === lit("purchase"))
+      .withColumn("epoch_day", expr("ts div 86400000000000"))
+      .withColumn("cents", round(col("value") * lit(100), 0).cast("long"))
+      .groupBy(col("user_id"), col("epoch_day"))
+      .agg(sum(col("cents")).as("spend_c"), count(lit(1)).as("n_draws"))
+      .withColumn("spend_pct", least(lit(100L), expr("(spend_c * 100) div 50000")))
+      .withColumn("over_limit", col("spend_c") > lit(50000L))
+      .orderBy(col("user_id"), col("epoch_day")),
+    oracle = Some("""
+      SELECT user_id, epoch_ms(ts) // 86400000 AS epoch_day,
+        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS spend_c,
+        COUNT(*) AS n_draws,
+        CAST(LEAST(100, (SUM(CAST(ROUND(value * 100) AS BIGINT)) * 100) // 50000) AS BIGINT) AS spend_pct,
+        SUM(CAST(ROUND(value * 100) AS BIGINT)) > 50000 AS over_limit
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2 ORDER BY user_id, epoch_day"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    st1DeadlineTally, st2CommitReveal, st4SlidingActivity,
+    st6BoundedBuffer, st7TtlRetention, st9DailyLimit)
+}

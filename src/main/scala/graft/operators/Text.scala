@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline operators over the `documents` table: dedup, similarity
+  * scoring, language-ID, quality scoring, token counting, fingerprinting.
+  *
+  * Grounding: the reference's quality oracle is a token-overlap similarity
+  * scorer (packages/hive-sdk/src/oracle.ts:146-175) — tokenize to lowercase
+  * words >3 chars, distinct sets, overlap ratio vs the spec set, blended
+  * with a length ratio. The rest is the large-scale training-data surface
+  * the driver asks for, built from the same primitives.
+  *
+  * Scale posture: everything here is per-row projection or hash-keyed
+  * aggregation (shuffle on md5/fingerprint keys, never on raw text);
+  * pairwise ops join on a derived key (adjacent ids / hash buckets), never
+  * via an unconstrained cross join.
+  */
+object Text {
+
+  private def T(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** oracle.ts:151-152 tokenizer: lowercase words, length > 3, distinct. */
+  private def tokens(c: Column): Column =
+    array_distinct(filter(split(lower(c), " "), w => length(w) > lit(3)))
+
+  /** Exact dedup by content hash (driver-requested; SO2 keyed-dedup shape).
+    * Keeper = lowest doc_id per distinct text. */
+  val ddExact = QueryDef(
+    "dd_exact",
+    (s, dir) => T(s, dir).documents
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc"), count(lit(1)).as("n_copies"))
+      .orderBy(col("text_hash")),
+    oracle = Some("""
+      SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc,
+        COUNT(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY text_hash"""),
+    headline = true)
+
+  /** A12 text-overlap similarity score (oracle.ts:146-175), evaluated over
+    * adjacent doc pairs: overlap = |spec∩deliv| / |spec|;
+    * score = round((0.6*overlap + 0.4*min(1, len_ratio)) * 100). */
+  val a12OverlapScore = QueryDef(
+    "a12_overlap_score",
+    (s, dir) => {
+      val d = T(s, dir).documents.select(
+        col("doc_id"), tokens(col("text")).as("toks"),
+        length(col("text")).cast("long").as("len"))
+      val spec = d.select(col("doc_id").as("spec_id"), col("toks").as("spec_toks"),
+        col("len").as("spec_len"))
+      val deliv = d.select(col("doc_id").as("deliv_id"), col("toks").as("deliv_toks"),
+        col("len").as("deliv_len"))
+      spec
+        .join(deliv, col("deliv_id") === col("spec_id") + lit(1))
+        .filter(size(col("spec_toks")) > lit(0) && col("spec_len") > lit(0L))
+        .select(
+          col("spec_id"), col("deliv_id"),
+          round((lit(0.6) *
+            (size(array_intersect(col("spec_toks"), col("deliv_toks"))).cast("double") /
+              size(col("spec_toks")).cast("double")) +
+            lit(0.4) * least(lit(1.0), col("deliv_len").cast("double") / col("spec_len").cast("double"))) * lit(100), 0)
+            .cast("long").as("score"))
+        .orderBy(col("spec_id"))
+    },
+    oracle = Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          list_distinct(list_filter(string_split(lower(text), ' '), x -> length(x) > 3)) AS toks,
+          CAST(length(text) AS BIGINT) AS len
+        FROM documents)
+      SELECT a.doc_id AS spec_id, b.doc_id AS deliv_id,
+        CAST(ROUND((0.6 * (CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(length(a.toks) AS DOUBLE))
+          + 0.4 * LEAST(1.0, CAST(b.len AS DOUBLE) / CAST(a.len AS DOUBLE))) * 100) AS BIGINT) AS score
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1
+      WHERE length(a.toks) > 0 AND a.len > 0
+      ORDER BY spec_id"""))
+
+  /** N-gram (word) Jaccard near-dup over adjacent pairs, integer pct via
+    * truncating division so the check is float-free. */
+  val ddJaccard = QueryDef(
+    "dd_jaccard",
+    (s, dir) => {
+      val d = T(s, dir).documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+      val a = d.select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
+      val b = d.select(col("doc_id").as("b_id"), col("toks").as("b_toks"))
+      a.join(b, col("b_id") === col("a_id") + lit(1))
+        .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))).cast("long"))
+        .withColumn("uni", size(array_union(col("a_toks"), col("b_toks"))).cast("long"))
+        .filter(col("uni") > lit(0L))
+        .select(col("a_id"), col("b_id"),
+          expr("(inter * 100) div uni").as("jaccard_pct"))
+        .orderBy(col("a_id"))
+    },
+    oracle = Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          list_distinct(list_filter(string_split(lower(text), ' '), x -> length(x) > 3)) AS toks
+        FROM documents)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        (CAST(length(list_intersect(a.toks, b.toks)) AS BIGINT) * 100)
+          // CAST(length(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT) AS jaccard_pct
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1
+      WHERE length(list_distinct(list_concat(a.toks, b.toks))) > 0
+      ORDER BY a_id"""),
+    headline = true)
+
+  /** Language-ID n-gram/stopword heuristic (driver-requested; deterministic). */
+  val txtLangId = QueryDef(
+    "txt_langid",
+    (s, dir) => {
+      val words = split(lower(col("text")), " ")
+      val en = Seq("the", "and", "of", "to", "a", "in", "is", "for")
+      val enHits = size(filter(words, w => w.isin(en.map(x => x: Any): _*))).cast("long")
+      T(s, dir).documents
+        .select(col("doc_id"), enHits.as("en_hits"),
+          when(enHits >= lit(2L), lit("en")).otherwise(lit("unk")).as("guessed_lang"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      SELECT doc_id,
+        CAST(length(list_filter(string_split(lower(text), ' '),
+          x -> x IN ('the','and','of','to','a','in','is','for'))) AS BIGINT) AS en_hits,
+        CASE WHEN length(list_filter(string_split(lower(text), ' '),
+          x -> x IN ('the','and','of','to','a','in','is','for'))) >= 2
+          THEN 'en' ELSE 'unk' END AS guessed_lang
+      FROM documents ORDER BY doc_id"""))
+
+  /** Quality scoring: length / word-count / stopword-ratio features, integer
+    * score (driver-requested; ratios as truncating int pct for exactness). */
+  val txtQuality = QueryDef(
+    "txt_quality",
+    (s, dir) => {
+      val words = filter(split(col("text"), " "), w => length(w) > lit(0))
+      val nWords = size(words).cast("long")
+      val stops = Seq("the", "a", "and", "of", "to", "in", "is")
+      val stopCnt = size(filter(split(lower(col("text")), " "),
+        w => w.isin(stops.map(x => x: Any): _*))).cast("long")
+      T(s, dir).documents
+        .withColumn("n_words", nWords)
+        .withColumn("stop_cnt", stopCnt)
+        .filter(col("n_words") > lit(0L))
+        .select(
+          col("doc_id"), col("n_words"), col("stop_cnt"),
+          expr("(stop_cnt * 100) div n_words").as("stop_pct"),
+          expr("n_chars div n_words").as("avg_word_len_floor"),
+          (least(lit(100L), col("n_words") * lit(2L)) +
+            least(lit(50L), col("stop_cnt") * lit(5L))).as("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH f AS (
+        SELECT doc_id, n_chars,
+          CAST(length(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS BIGINT) AS n_words,
+          CAST(length(list_filter(string_split(lower(text), ' '),
+            x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS stop_cnt
+        FROM documents)
+      SELECT doc_id, n_words, stop_cnt,
+        (stop_cnt * 100) // n_words AS stop_pct,
+        n_chars // n_words AS avg_word_len_floor,
+        LEAST(100, n_words * 2) + LEAST(50, stop_cnt * 5) AS quality_score
+      FROM f WHERE n_words > 0 ORDER BY doc_id"""))
+
+  /** Token counting: whitespace tokens + BPE-ish regex token count
+    * (driver-requested). */
+  val txtTokens = QueryDef(
+    "txt_tokens",
+    (s, dir) => T(s, dir).documents
+      .select(
+        col("doc_id"),
+        size(filter(split(col("text"), " "), w => length(w) > lit(0)))
+          .cast("long").as("tok_ws"),
+        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+          .cast("long").as("tok_re"))
+      .orderBy(col("doc_id")),
+    oracle = Some("""
+      SELECT doc_id,
+        CAST(length(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS BIGINT) AS tok_ws,
+        CAST(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS tok_re
+      FROM documents ORDER BY doc_id"""))
+
+  /** Document fingerprint: first-8-hex of md5 as a bucket key + per-bucket
+    * counts (driver-requested fingerprinting; grouping tests the shuffle
+    * key). The reference's 31-based rolling hash lives in
+    * [[graft.functions.Udfs.specHashBase36]] (exact 32-bit wrap) and is
+    * exercised by `txt_fingerprint_rolling` (rows-only check). */
+  val txtFingerprint = QueryDef(
+    "txt_fingerprint",
+    (s, dir) => T(s, dir).documents
+      .select(col("doc_id"), substring(md5(col("text")), 1, 8).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("fp")),
+    oracle = Some("""
+      SELECT substring(md5(text), 1, 8) AS fp, COUNT(*) AS n,
+        MIN(doc_id) AS first_doc
+      FROM documents GROUP BY 1 ORDER BY fp"""))
+
+  /** Reference rolling hash (escrow.ts:222-231): 31-based 32-bit-wrap hash
+    * rendered base36. Exact-wrap semantics live in a UDF; no SQL oracle
+    * (DuckDB lacks the wrap), driver does the rows-only check. */
+  val txtFingerprintRolling = QueryDef(
+    "txt_fingerprint_rolling",
+    (s, dir) => {
+      val f = graft.functions.Udfs.specHashBase36(s)
+      T(s, dir).documents
+        .select(col("doc_id"), f(col("text")).as("spec_hash"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = None)
+
+  val defs: Seq[QueryDef] = Seq(
+    ddExact, a12OverlapScore, ddJaccard, txtLangId, txtQuality, txtTokens,
+    txtFingerprint, txtFingerprintRolling)
+}

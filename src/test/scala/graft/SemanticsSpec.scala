@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Operator semantics pinned on tiny hand-computed frames — the unit-level
+  * mirror of the reference's per-instruction tests (SURVEY §5.1): exact
+  * integer division, quorum gates, tier cascades, keeper election. */
+class SemanticsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("A2 quorum+threshold uses truncating integer division (lib.rs:145-149)") {
+    // 2 for / 3 total = 66.67% → int div = 66, fails a 67 threshold
+    val df = Seq(
+      ("a1", true), ("a1", true), ("a1", false), // 66%
+      ("a2", true), ("a2", true),                // 100%
+      ("a3", true))                              // quorum not met
+      .toDF("action", "vote")
+      .groupBy($"action")
+      .agg(count_if($"vote").as("votes_for"), count(lit(1)).as("total"))
+      .withColumn("approval_pct", expr("(votes_for * 100) div total"))
+      .withColumn("passed", $"total" >= 2 && $"approval_pct" >= 67)
+    val m = df.collect().map(r => r.getString(0) ->
+      (r.getAs[Long]("approval_pct"), r.getAs[Boolean]("passed"))).toMap
+    assert(m("a1") === (66L, false)) // NOT 67: truncation, not rounding
+    assert(m("a2") === (100L, true))
+    assert(m("a3") === (100L, false)) // quorum gate
+  }
+
+  test("W6 stake-duration multiplier cascade (stake/page.tsx:143-149)") {
+    val df = Seq(0L, 29L, 30L, 89L, 90L, 179L, 180L, 400L).toDF("days")
+      .withColumn("bps",
+        when($"days" >= 180L, 20000L)
+          .when($"days" >= 90L, 15000L)
+          .when($"days" >= 30L, 12000L)
+          .otherwise(10000L))
+    val got = df.orderBy($"days").collect().map(_.getLong(1)).toSeq
+    assert(got === Seq(10000L, 10000L, 12000L, 12000L, 15000L, 15000L, 20000L, 20000L))
+  }
+
+  test("A9 bps burn math is integer-exact (burn.ts:65-72)") {
+    val df = Seq(10001L, 3L, 0L).toDF("fee_c")
+      .withColumn("burn_c", expr("(fee_c * 5000) div 10000"))
+      .withColumn("treasury_c", $"fee_c" - $"burn_c")
+    val rows = df.orderBy($"fee_c".desc).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((10001L, 5000L, 5001L), (3L, 1L, 2L), (0L, 0L, 0L)))
+  }
+
+  test("A11 success-rate zero-guard and clamp (keiro-client.ts:192-196)") {
+    val df = Seq((0L, 0L), (10L, 0L), (10L, 10L), (10L, 3L)).toDF("tasks", "disputes")
+      .withColumn("pct",
+        when($"tasks" === 0L, 100L)
+          .otherwise(least(lit(100L), greatest(lit(0L),
+            round((lit(1.0) - $"disputes".cast("double") / $"tasks".cast("double")) * 100, 0)
+              .cast("long")))))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((0L, 0L)) === 100L)   // no tasks → perfect score
+    assert(got((10L, 0L)) === 100L)
+    assert(got((10L, 10L)) === 0L)
+    assert(got((10L, 3L)) === 70L)
+  }
+
+  test("minhash keeper election: identical docs share a keeper, distinct docs don't") {
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel"), // exact dup of 1
+      (3L, "alpha bravo charlie delta echo foxtrot golf india"), // near dup of 1
+      (4L, "zulu yankee xray whiskey victor uniform tango sierra")) // unrelated
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Similarity.ddMinhash.run(spark, dir).collect()
+    val keepers = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper")).toMap
+    assert(keepers.get(2L) === Some(1L)) // exact dup → keeper is doc 1
+    assert(keepers.get(3L) === Some(1L)) // near dup (7/9 jaccard = 77%)
+    assert(!keepers.contains(4L))        // unrelated doc survives
+    assert(!keepers.contains(1L))        // keeper itself is not emitted
+  }
+
+  test("S2 fixed-offset decode round-trips through the binary record") {
+    val out = graft.operators.BinaryOps.s2DecodeFixed.run(spark, sf001)
+      .limit(5).collect()
+    assert(out.nonEmpty)
+    val src = spark.read.parquet(s"$sf001/orders.parquet")
+      .orderBy($"o_orderkey").limit(5)
+      .select($"o_orderkey", $"o_custkey").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      src.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+}
