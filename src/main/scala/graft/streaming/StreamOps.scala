@@ -1,0 +1,153 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Typed event row for the stateful streaming operators. Mirrors the
+  * `events` table (ts in epoch-millis for exact integer window math). */
+final case class Ev(
+    event_id: Long,
+    user_id: Long,
+    event_type: String,
+    value: Double,
+    ts_ms: Long)
+
+/** Commit-reveal session state (ST2): commit phase counts, reveal phase
+  * running argmax — the incremental maintenance the reference does
+  * on-chain per event (swarm-types.ts:104-136). */
+final case class CommitRevealState(
+    nCommits: Long,
+    nReveals: Long,
+    winningBid: Double,
+    firstRevealEvent: Long)
+
+final case class CommitRevealResult(
+    user_id: Long,
+    n_commits: Long,
+    n_reveals: Long,
+    winning_bid: Option[Double],
+    first_reveal_event: Option[Long],
+    has_winner: Boolean)
+
+final case class BufferResult(
+    user_id: Long,
+    n_seen: Long,
+    n_kept: Long,
+    n_evicted: Long,
+    buffer_ids: Seq[Long])
+
+/** Structured Streaming implementations of the ST-series operators
+  * (SURVEY.md §2.9). Each takes a *streaming* DataFrame with the events
+  * schema and returns a streaming result whose final state equals the
+  * corresponding batch twin in [[graft.operators.StreamingTwins]] — the
+  * test suite asserts that equivalence by replaying the test events
+  * through a MemoryStream.
+  *
+  * Scale posture: all state is keyed (per action / per user), bounded
+  * (explicit caps, watermark eviction), and incremental — partial
+  * aggregation per micro-batch, never a recompute. This is the same
+  * incremental-maintenance shape the reference uses on-chain
+  * (lib.rs:115-120: counters updated per vote, never re-scanned).
+  */
+object StreamOps {
+
+  /** ST1: deadline-window vote tally (lib.rs:93-176). 1-hour tumbling
+    * windows on event time; rows after the window's deadline
+    * (start + 45 min) are rejected like the on-chain `VotingEnded` error;
+    * the watermark bounds state and drops stragglers entirely. */
+  def deadlineTally(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", watermark)
+      .filter(col("event_type").isin("purchase", "error"))
+      .filter(expr("(ts_ms % 3600000) < 2700000")) // deadline gate
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(
+        count_if(col("event_type") === lit("purchase")).as("votes_for"),
+        count_if(col("event_type") === lit("error")).as("votes_against"))
+      .withColumn("total", col("votes_for") + col("votes_against"))
+      .withColumn("approval_pct",
+        when(col("total") > lit(0L), expr("(votes_for * 100) div total"))
+          .otherwise(lit(0L)))
+      .withColumn("passed",
+        col("total") >= lit(2L) && col("approval_pct") >= lit(50L))
+      .withColumn("window_hour",
+        expr("unix_millis(window.start) div 3600000"))
+      .drop("window")
+
+  /** ST2: two-phase commit-reveal session keyed by user (action analog).
+    * `view` = commitment, `purchase` = reveal bid; running argmax with
+    * first-reveal tiebreak (swarm-types.ts:118-119). Emits the updated
+    * session result every micro-batch (update semantics). */
+  def commitReveal(events: Dataset[Ev]): Dataset[CommitRevealResult] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CommitRevealState, CommitRevealResult](
+        GroupStateTimeout.NoTimeout) {
+        case (userId, evs, state: GroupState[CommitRevealState]) =>
+          var s = state.getOption.getOrElse(CommitRevealState(0L, 0L, Double.MinValue, Long.MaxValue))
+          evs.foreach { e =>
+            if (e.event_type == "view") s = s.copy(nCommits = s.nCommits + 1)
+            else {
+              val better = e.value > s.winningBid
+              s = s.copy(
+                nReveals = s.nReveals + 1,
+                winningBid = if (better) e.value else s.winningBid,
+                firstRevealEvent = math.min(s.firstRevealEvent, e.event_id))
+            }
+          }
+          state.update(s)
+          CommitRevealResult(
+            userId, s.nCommits, s.nReveals,
+            if (s.nReveals > 0) Some(s.winningBid) else None,
+            if (s.nReveals > 0) Some(s.firstRevealEvent) else None,
+            s.nReveals > 0)
+      }
+  }
+
+  /** ST5: streaming dedup by event id within the watermark horizon
+    * (nullifier replay prevention, client.ts:1753-1762). */
+  def dedup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** ST6: bounded replay buffer — last `cap` events per key, oldest
+    * evicted (useAgentStream.ts:8,45-48; message-store.ts:25-27). State
+    * per key is exactly `cap` ids — bounded regardless of stream length. */
+  def boundedBuffer(events: Dataset[Ev], cap: Int = 3): Dataset[BufferResult] = {
+    import events.sparkSession.implicits._
+    // state: (n_seen, buffer of (ts_ms, event_id) kept sorted, newest-first)
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Seq[(Long, Long)]), BufferResult](
+        GroupStateTimeout.NoTimeout) {
+        case (userId, evs, state) =>
+          var (seen, buf) = state.getOption.getOrElse((0L, Seq.empty[(Long, Long)]))
+          evs.foreach { e =>
+            seen += 1
+            buf = ((e.ts_ms, e.event_id) +: buf)
+              .sortBy { case (ts, id) => (-ts, -id) }
+              .take(cap)
+          }
+          state.update((seen, buf))
+          BufferResult(userId, seen, buf.size.toLong, seen - buf.size,
+            buf.map(_._2).sorted)
+      }
+  }
+
+  /** Convenience: the driver test `events` parquet as a typed stream via
+    * a file source — replay = initial batch, increments = new files
+    * (useAgentStream.ts replay∪live, S4). */
+  def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts_ms", expr("ts div 1000000"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.streaming.{Ev, StreamOps}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.functions._
+
+/** Streaming ⇔ batch-twin equivalence: replay the sf0.001 events through
+  * MemoryStream in several micro-batches and assert the streaming result
+  * converges to exactly what the batch twin computes over the same rows
+  * (SURVEY §5.2 streaming tests). */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** sf0.001 events as typed rows, ordered by ts (arrival order). */
+  private lazy val allEvents: Seq[Ev] = Tables(spark, sf001).events
+    .select($"event_id", $"user_id", $"event_type", $"value", $"ts_ms")
+    .orderBy($"ts_ms")
+    .as[Ev].collect().toSeq
+
+  private def runStream[T](
+      name: String,
+      batches: Seq[Seq[Ev]],
+      build: org.apache.spark.sql.Dataset[Ev] => org.apache.spark.sql.DataFrame,
+      mode: OutputMode): org.apache.spark.sql.DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = build(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  private val batches = allEvents.grouped(400).toSeq
+
+  test("ST1 streaming deadline tally converges to the batch twin") {
+    val got = runStream("st1_stream", batches,
+      ds => StreamOps.deadlineTally(ds.toDF()), OutputMode.Complete)
+      .select($"window_hour", $"votes_for", $"votes_against", $"total",
+        $"approval_pct", $"passed")
+      .orderBy($"window_hour")
+    val want = graft.operators.StreamingTwins.st1DeadlineTally
+      .run(spark, sf001)
+      .filter($"votes_for" + $"votes_against" > 0) // twin also reports all-late windows
+      .select($"window_hour", $"votes_for", $"votes_against", $"total",
+        $"approval_pct", $"passed")
+      .orderBy($"window_hour")
+    assert(got.collect().toSeq === want.collect().toSeq)
+  }
+
+  test("ST2 streaming commit-reveal converges to the batch twin") {
+    val got = runStream("st2_stream", batches,
+      ds => StreamOps.commitReveal(ds).toDF(), OutputMode.Update)
+    // update mode: take the last emitted row per key
+    val latest = got.withColumn("ord", monotonically_increasing_id())
+      .orderBy($"ord".desc).dropDuplicates("user_id")
+      .select($"user_id", $"n_commits", $"n_reveals", $"winning_bid",
+        $"first_reveal_event", $"has_winner")
+      .orderBy($"user_id")
+    val want = graft.operators.StreamingTwins.st2CommitReveal.run(spark, sf001)
+      .select($"user_id", $"n_commits", $"n_reveals", $"winning_bid",
+        $"first_reveal_event", $"has_winner")
+      .orderBy($"user_id")
+    assert(latest.collect().toSeq === want.collect().toSeq)
+  }
+
+  test("ST5 streaming dedup drops replayed ids") {
+    val dup = batches.head ++ batches.head // replay the first batch twice
+    val got = runStream("st5_stream", Seq(dup),
+      ds => StreamOps.dedup(ds.toDF()).select($"event_id"), OutputMode.Append)
+    assert(got.count() === batches.head.size)
+    assert(got.select($"event_id").distinct().count() === batches.head.size)
+  }
+
+  test("ST6 streaming bounded buffer matches the batch twin") {
+    val got = runStream("st6_stream", batches,
+      ds => StreamOps.boundedBuffer(ds, cap = 3).toDF(), OutputMode.Update)
+    val latest = got.withColumn("ord", monotonically_increasing_id())
+      .orderBy($"ord".desc).dropDuplicates("user_id")
+      .select($"user_id", $"n_seen", $"n_kept", $"n_evicted", $"buffer_ids")
+      .orderBy($"user_id")
+    val want = graft.operators.StreamingTwins.st6BoundedBuffer.run(spark, sf001)
+      .select($"user_id", $"n_seen", $"n_kept", $"n_evicted", $"buffer_ids")
+      .orderBy($"user_id")
+    assert(latest.collect().map(_.toSeq).toSeq === want.collect().map(_.toSeq).toSeq)
+  }
+}
