@@ -22,8 +22,10 @@ object QueryDef {
   /** All operator catalogs, merged for SparkEntry / Bench / Verify. */
   def catalogs: Seq[QueryDef] =
     graft.operators.Relational.defs ++
+      graft.operators.Relational2.defs ++
       graft.operators.Text.defs ++
       graft.operators.Similarity.defs ++
       graft.operators.BinaryOps.defs ++
+      graft.operators.Multimodal.defs ++
       graft.operators.StreamingTwins.defs
 }

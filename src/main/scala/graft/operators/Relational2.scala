@@ -1,0 +1,231 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second tranche of SURVEY §2 coverage: the join/agg shapes not in
+  * [[Relational]] (J3/J5/J8, A4/A7/A8/A13), the generator/UDTF surface,
+  * and typed-JSON projection. Same oracle-parity conventions as
+  * [[Relational]]. */
+object Relational2 {
+
+  private def T(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** J3 stream→dim join, batch twin (useHiveVizState.ts:52-69: new draw
+    * events matched to member dim by agentId). The live streaming version
+    * is [[graft.streaming.StreamOps]]-composable: events stream ⋈ static
+    * customer dim — Spark broadcasts the static side per micro-batch. */
+  val j3StreamStatic = QueryDef(
+    "j3_stream_static",
+    (s, dir) => {
+      val t = T(s, dir)
+      t.events
+        .join(broadcast(t.customer), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_members"))
+        .orderBy(col("c_mktsegment"))
+    },
+    oracle = Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_events,
+        COUNT(DISTINCT user_id) AS n_members
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** J5 identity-link 1:1 bridge join with multiplier
+    * (swarm-types.ts:170-179, client.ts:1426-1490): two entity spaces
+    * linked by equal ids; linked weight = own stake + 2× linked stake,
+    * in integer cents. */
+  val j5IdentityLink = QueryDef(
+    "j5_identity_link",
+    (s, dir) => {
+      val t = T(s, dir)
+      t.customer.select(col("c_custkey"),
+        round(col("c_acctbal") * lit(100), 0).cast("long").as("c_bal_c"))
+        .join(t.supplier.select(col("s_suppkey"),
+          round(col("s_acctbal") * lit(100), 0).cast("long").as("s_bal_c")),
+          col("c_custkey") === col("s_suppkey"))
+        .select(col("c_custkey").as("link_id"),
+          (col("c_bal_c") + col("s_bal_c") * lit(2L)).as("weighted_stake_c"))
+        .orderBy(col("link_id"))
+    },
+    oracle = Some("""
+      SELECT c_custkey AS link_id,
+        CAST(ROUND(c_acctbal * 100) AS BIGINT)
+          + CAST(ROUND(s_acctbal * 100) AS BIGINT) * 2 AS weighted_stake_c
+      FROM customer JOIN supplier ON c_custkey = s_suppkey
+      ORDER BY link_id"""))
+
+  /** J8 scan-lookup by secondary (non-key) column (registry.ts:190-204
+    * getByAddress linear scan): predicate on a non-indexed attribute. */
+  val j8SecondaryLookup = QueryDef(
+    "j8_secondary_lookup",
+    (s, dir) => T(s, dir).part
+      .filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      .orderBy(col("p_partkey")),
+    oracle = Some("""
+      SELECT p_partkey, p_name, p_brand FROM part
+      WHERE p_name LIKE '%widget%' ORDER BY p_partkey"""))
+
+  /** A4 group-count by category + global average (TrustGraphScene.tsx:
+    * 146-170: node count per tier; avgTrust = round(avg(weight))). */
+  val a4GroupCountAvg = QueryDef(
+    "a4_group_count_avg",
+    (s, dir) => {
+      val t = T(s, dir)
+      t.supplier
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_nodes"),
+          round(avg(col("s_acctbal")), 0).cast("long").as("avg_trust"))
+        .orderBy(col("n_name"))
+    },
+    oracle = Some("""
+      SELECT n_name, COUNT(*) AS n_nodes,
+        CAST(ROUND(AVG(s_acctbal)) AS BIGINT) AS avg_trust
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""))
+
+  /** A7 pool totals: totalStaked + duration-weighted total in bps integer
+    * math (stake/page.tsx:92-102 with the W6 multiplier cascade). */
+  val a7PoolTotals = QueryDef(
+    "a7_pool_totals",
+    (s, dir) => T(s, dir).orders
+      .withColumn("stake_c", round(col("o_totalprice") * lit(100), 0).cast("long"))
+      .withColumn("age_days",
+        datediff(lit("2001-12-31").cast("date"), col("o_orderdate").cast("date")).cast("long"))
+      .withColumn("mult_bps",
+        when(col("age_days") >= lit(180L), lit(20000L))
+          .when(col("age_days") >= lit(90L), lit(15000L))
+          .when(col("age_days") >= lit(30L), lit(12000L))
+          .otherwise(lit(10000L)))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(col("stake_c")).cast("long").as("total_staked_c"),
+        sum(expr("(stake_c * mult_bps) div 10000")).cast("long").as("total_weighted_c"))
+      .orderBy(col("o_orderpriority")),
+    oracle = Some("""
+      WITH s AS (
+        SELECT o_orderpriority,
+          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS stake_c,
+          CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-12-31') >= 180 THEN 20000
+               WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-12-31') >= 90 THEN 15000
+               WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-12-31') >= 30 THEN 12000
+               ELSE 10000 END AS mult_bps
+        FROM orders)
+      SELECT o_orderpriority,
+        CAST(SUM(stake_c) AS BIGINT) AS total_staked_c,
+        CAST(SUM((stake_c * mult_bps) // 10000) AS BIGINT) AS total_weighted_c
+      FROM s GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** A8 monotonic entity counters (swarm-types.ts:15-17 agentCount /
+    * signalCount / actionCount): per-nation registry counters maintained
+    * from two entity relations. */
+  val a8Counters = QueryDef(
+    "a8_counters",
+    (s, dir) => {
+      val t = T(s, dir)
+      val c = t.customer.select(col("c_nationkey").as("nk")).withColumn("kind", lit("customer"))
+      val su = t.supplier.select(col("s_nationkey").as("nk")).withColumn("kind", lit("supplier"))
+      c.unionByName(su)
+        .groupBy(col("nk"))
+        .agg(
+          count_if(col("kind") === lit("customer")).as("customer_count"),
+          count_if(col("kind") === lit("supplier")).as("supplier_count"),
+          count(lit(1)).as("entity_count"))
+        .orderBy(col("nk"))
+    },
+    oracle = Some("""
+      SELECT nk,
+        COUNT(*) FILTER (WHERE kind = 'customer') AS customer_count,
+        COUNT(*) FILTER (WHERE kind = 'supplier') AS supplier_count,
+        COUNT(*) AS entity_count
+      FROM (SELECT c_nationkey AS nk, 'customer' AS kind FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nk, 'supplier' AS kind FROM supplier)
+      GROUP BY nk ORDER BY nk"""))
+
+  /** A13 count + pagination envelope (hive-api.ts:203-215 {draws, total}):
+    * page slice carrying the unpaginated total as a column. */
+  val a13PageEnvelope = QueryDef(
+    "a13_page_envelope",
+    (s, dir) => {
+      val t = T(s, dir)
+      val total = t.orders.agg(count(lit(1)).as("total"))
+      t.orders
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .crossJoin(broadcast(total))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    },
+    oracle = Some("""
+      SELECT o_orderkey, o_totalprice, (SELECT COUNT(*) FROM orders) AS total
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""))
+
+  /** Generator/UDTF surface (plan/route.ts:47-126: 1 mission → N step
+    * rows, capped 12): explode first 12 tokens with ordinality. */
+  val udtfExplodeSteps = QueryDef(
+    "udtf_explode_steps",
+    (s, dir) => T(s, dir).documents
+      .filter(col("doc_id") < lit(50L))
+      .select(col("doc_id"),
+        posexplode(slice(split(col("text"), " "), 1, 12)))
+      .select(col("doc_id"), (col("pos") + lit(1)).cast("long").as("step_idx"),
+        col("col").as("step_word"))
+      .orderBy(col("doc_id"), col("step_idx")),
+    oracle = Some("""
+      SELECT doc_id,
+        CAST(generate_subscripts(l, 1) AS BIGINT) AS step_idx,
+        unnest(l) AS step_word
+      FROM (SELECT doc_id, list_slice(string_split(text, ' '), 1, 12) AS l
+            FROM documents WHERE doc_id < 50)
+      ORDER BY doc_id, step_idx"""))
+
+  /** Typed JSON parse with per-field defaults (critique/route.ts:50-85;
+    * from_json into a declared struct, defaulted when absent/invalid). */
+  val fJsonStruct = QueryDef(
+    "f_json_struct",
+    (s, dir) => T(s, dir).events
+      .withColumn("j", from_json(col("props"), lit("struct<k: bigint>")))
+      .select(col("event_id"),
+        coalesce(col("j.k"), lit(-1L)).as("k_or_default"))
+      .orderBy(col("event_id")),
+    oracle = Some("""
+      SELECT event_id,
+        COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k_or_default
+      FROM events ORDER BY event_id"""))
+
+  /** Countdown decomposition d/h/m (governance/[id]/page.tsx:18-25):
+    * remaining time to a fixed deadline, split by integer division. */
+  val fCountdown = QueryDef(
+    "f_countdown",
+    (s, dir) => T(s, dir).events
+      .withColumn("remaining_s",
+        greatest(lit(0L), expr("(1706659200000 - ts_ms) div 1000")))
+      .select(
+        col("event_id"),
+        expr("remaining_s div 86400").as("days"),
+        expr("(remaining_s % 86400) div 3600").as("hours"),
+        expr("(remaining_s % 3600) div 60").as("minutes"))
+      .orderBy(col("event_id")),
+    oracle = Some("""
+      WITH r AS (
+        SELECT event_id,
+          GREATEST(0, (1706659200000 - epoch_ms(ts)) // 1000) AS remaining_s
+        FROM events)
+      SELECT event_id,
+        remaining_s // 86400 AS days,
+        (remaining_s % 86400) // 3600 AS hours,
+        (remaining_s % 3600) // 60 AS minutes
+      FROM r ORDER BY event_id"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    j3StreamStatic, j5IdentityLink, j8SecondaryLookup,
+    a4GroupCountAvg, a7PoolTotals, a8Counters, a13PageEnvelope,
+    udtfExplodeSteps, fJsonStruct, fCountdown)
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.sources.Sinks
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Sink semantics against temp dirs: append cap, partitioned fan-out,
+  * keyed upsert last-writer-wins, cached-source TTL. */
+class SinksSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-sink").resolve("t").toString
+
+  test("S5 append sink caps each batch and accumulates") {
+    val path = tmp()
+    val ev = Tables(spark, sf001).events.select($"event_id", $"user_id")
+    Sinks.appendEvents(ev, path, cap = 100)
+    Sinks.appendEvents(ev.withColumn("event_id", $"event_id" + 100000L), path, cap = 50)
+    assert(spark.read.parquet(path).count() === 150)
+  }
+
+  test("ST8 partitioned sink prunes to one key's partition") {
+    val path = tmp()
+    val ev = Tables(spark, sf001).events
+      .select($"event_id", $"event_type", $"user_id")
+    Sinks.partitionedSink(ev, path, "event_type")
+    val one = spark.read.parquet(path).filter($"event_type" === "purchase")
+    // partition pruning visible in the scan: only one directory read
+    val scanned = one.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(one.count() ===
+      Tables(spark, sf001).events.filter($"event_type" === "purchase").count())
+    assert(Files.list(java.nio.file.Paths.get(path)).toArray
+      .map(_.toString).count(_.contains("event_type=")) === 5)
+  }
+
+  test("S6 upsert is last-writer-wins by version and idempotent") {
+    val path = tmp()
+    val v1 = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "payload", "version")
+    Sinks.upsertByKey(spark, path, v1, "id", "version")
+    val v2 = Seq((2L, "b2", 2L), (3L, "c", 1L)).toDF("id", "payload", "version")
+    Sinks.upsertByKey(spark, path, v2, "id", "version")
+    Sinks.upsertByKey(spark, path, v2, "id", "version") // replay: no change
+    val got = spark.read.parquet(path).orderBy($"id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"))).toSeq
+    assert(got === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("S7 cached source reloads only after TTL") {
+    var loads = 0
+    val src = new Sinks.CachedSource(
+      () => { loads += 1; Seq((1L, "x")).toDF("id", "v") }, ttlMs = 1000L)
+    src.get(nowMs = 0L); src.get(nowMs = 500L)
+    assert(loads === 1) // within TTL: memoized
+    src.get(nowMs = 1500L)
+    assert(loads === 2) // expired: reloaded
+  }
+}
