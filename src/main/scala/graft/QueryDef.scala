@@ -27,5 +27,6 @@ object QueryDef {
       graft.operators.Similarity.defs ++
       graft.operators.BinaryOps.defs ++
       graft.operators.Multimodal.defs ++
+      graft.operators.Crypto.defs ++
       graft.operators.StreamingTwins.defs
 }

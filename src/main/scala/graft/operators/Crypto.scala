@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Crypto/commitment operators (SURVEY §2.8 crypto, §2.10): Poseidon
+  * commitments, nullifier derivation + replay dedup, Merkle root +
+  * membership. Deterministic pure-JVM kernels → rows-only checks (DuckDB
+  * has no Poseidon); the structural/algebraic properties are pinned by
+  * CryptoSpec instead. */
+object Crypto {
+
+  private def T(s: SparkSession, dir: String) = Tables(s, dir)
+
+  private def poseidon2Udf = udf((a: Array[Byte], b: Array[Byte]) =>
+    graft.functions.Poseidon.toBytes32(graft.functions.Poseidon.hash2(
+      graft.functions.Poseidon.fromBytes32(a), graft.functions.Poseidon.fromBytes32(b))))
+
+  /** Poseidon commitment per row (client.ts:147-173 commitment =
+    * Poseidon(owner, agent, …)): commit customer ids with an md5-derived
+    * blinding factor; emitted as hex. */
+  val cryptoCommitment = QueryDef(
+    "crypto_commitment",
+    (s, dir) => {
+      val f = poseidon2Udf
+      T(s, dir).customer
+        .select(col("c_custkey"),
+          lower(hex(f(
+            unhex(lpad(hex(col("c_custkey")), 64, "0")),
+            unhex(md5(col("c_name")))))).as("commitment"))
+        .orderBy(col("c_custkey"))
+    },
+    oracle = None)
+
+  /** Nullifier one-use-per-epoch dedup (client.ts:1753-1762,
+    * agent_reputation.circom:105-113): nullifier = Poseidon(user, epoch);
+    * first event per nullifier wins, replays counted. */
+  val cryptoNullifierDedup = QueryDef(
+    "crypto_nullifier_dedup",
+    (s, dir) => {
+      val f = poseidon2Udf
+      T(s, dir).events
+        .withColumn("epoch_day", expr("ts div 86400000000000"))
+        .withColumn("nullifier", lower(hex(f(
+          unhex(lpad(hex(col("user_id")), 64, "0")),
+          unhex(lpad(hex(col("epoch_day")), 64, "0"))))))
+        .groupBy(col("nullifier"))
+        .agg(min(col("event_id")).as("first_use"),
+          (count(lit(1)) - lit(1)).as("replays_rejected"))
+        .orderBy(col("nullifier"))
+    },
+    oracle = None)
+
+  /** Merkle root over commitment leaves (merkle.ts:84-110), via the
+    * distributed block-aligned fold. One row: depth, n_leaves, root hex. */
+  val cryptoMerkleRoot = QueryDef(
+    "crypto_merkle_root",
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val depth = 12
+      val leaves = T(s, dir).customer
+        .select((col("c_custkey") - 1).cast("long").as("leaf_index"),
+          unhex(md5(col("c_name"))).as("leaf"))
+      val root = graft.functions.Merkle.rootDistributed(s, leaves, depth, blockDepth = 6)
+      val n = leaves.count()
+      Seq((depth, n, graft.functions.Poseidon.toBytes32(root)
+        .map("%02x".format(_)).mkString))
+        .toDF("depth", "n_leaves", "root_hex")
+    },
+    oracle = None)
+
+  val defs: Seq[QueryDef] = Seq(cryptoCommitment, cryptoNullifierDedup, cryptoMerkleRoot)
+}

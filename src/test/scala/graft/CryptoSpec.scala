@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.{Merkle, Poseidon}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Structural/algebraic pins for the crypto kernels (the offline stand-in
+  * for circomlib vector cross-checks — see Poseidon scaladoc). */
+class CryptoSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("poseidon hash2 is deterministic, field-closed, and input-sensitive") {
+    val a = Poseidon.hash2(BigInt(1), BigInt(2))
+    assert(a === Poseidon.hash2(BigInt(1), BigInt(2)))
+    assert(a >= 0 && a < Poseidon.P)
+    assert(a !== Poseidon.hash2(BigInt(2), BigInt(1))) // order matters
+    assert(a !== Poseidon.hash2(BigInt(1), BigInt(3)))
+    // inputs reduced mod P (merkle.ts:25 semantics)
+    assert(Poseidon.hash2(Poseidon.P + 1, BigInt(2)) === Poseidon.hash2(BigInt(1), BigInt(2)))
+  }
+
+  test("bytes32 round-trip is exact") {
+    val vals = Seq(BigInt(0), BigInt(1), Poseidon.P - 1, BigInt("123456789012345678901234567890"))
+    vals.foreach { v =>
+      assert(Poseidon.fromBytes32(Poseidon.toBytes32(v)) === v)
+      assert(Poseidon.toBytes32(v).length === 32)
+    }
+  }
+
+  test("empty-tree root equals the depth-level zero hash") {
+    val z = Merkle.zeroHashes(20)
+    assert(Merkle.rootLocal(Nil, 20) === z(20))
+    // zero chain is the reference recurrence (merkle.ts:68-79)
+    assert(z(1) === Poseidon.hash2(BigInt(0), BigInt(0)))
+    assert(z(2) === Poseidon.hash2(z(1), z(1)))
+  }
+
+  test("singleton tree folds against zero siblings (agent_identity.test.js:47)") {
+    val leaf = BigInt(42)
+    val z = Merkle.zeroHashes(4)
+    var h = leaf
+    (0 until 4).foreach(d => h = Poseidon.hash2(h, z(d)))
+    assert(Merkle.rootLocal(Seq(leaf), 4) === h)
+  }
+
+  test("distributed block-aligned root equals the local reference root") {
+    val rng = new scala.util.Random(7L)
+    for (n <- Seq(1, 5, 64, 200, 1000)) {
+      val leaves = Seq.fill(n)(BigInt(250, rng).mod(Poseidon.P))
+      val df = leaves.zipWithIndex
+        .map { case (l, i) => (i.toLong, Poseidon.toBytes32(l)) }
+        .toDF("leaf_index", "leaf")
+        .repartition(8) // scattered across tasks: alignment must not depend on layout
+      val dist = Merkle.rootDistributed(spark, df, depth = 12, blockDepth = 6)
+      assert(dist === Merkle.rootLocal(leaves, 12), s"n=$n")
+    }
+  }
+
+  test("proof generate/verify round-trips; wrong leaf rejected") {
+    val leaves = (1 to 37).map(BigInt(_))
+    val root = Merkle.rootLocal(leaves, 8)
+    for (idx <- Seq(0, 1, 17, 36)) {
+      val (sibs, bits) = Merkle.proof(leaves, idx, 8)
+      assert(Merkle.verify(leaves(idx), sibs, bits, root), s"idx=$idx")
+      assert(!Merkle.verify(leaves(idx) + 1, sibs, bits, root))
+    }
+  }
+}
