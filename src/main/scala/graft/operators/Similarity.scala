@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -18,6 +18,14 @@ import org.apache.spark.sql.expressions.Window
   *    paths — candidates come from bucket joins (shuffle on short hash
   *    keys), never from an unconstrained cross join, so they survive a
   *    100× scale-up; each candidate pair is then verified exactly.
+  *
+  * Signature computation is deliberately a compact deterministic JVM
+  * kernel (UDF), not a Catalyst expression tree: a 16-plane × 64-dim
+  * hyperplane set as nested `lit()` arrays is ~1k expressions evaluated
+  * per row (interpreted — higher-order lambdas break whole-stage
+  * codegen), which benched ~20× slower than the closure. The kernels
+  * are pure functions of the row (no state, no nondeterminism), so they
+  * distribute like any codegen'd projection.
   *
   * Grounding: the reference's similarity primitive is the token-overlap
   * scorer (oracle.ts:146-175); the embedding ops generalize it to the
@@ -39,6 +47,25 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  // --- deterministic JVM hash kernels (shared by the LSH family) ---
+
+  /** FNV-1a over UTF-16 code units — stable, allocation-free. */
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** 64-bit avalanche finalizer (the MurmurHash3 fmix64 constants —
+    * published mixing function, used here as a cheap keyed permutation). */
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+
   /** Exact top-5 neighbors by quantized inner product for query vectors
     * vec_id < 5. Integer math end-to-end → DuckDB-checkable. */
   val simTopkDot = QueryDef(
@@ -49,7 +76,7 @@ object Similarity {
         .select(col("vec_id").as("qid"), col("q").as("qv"))
       val cands = e.select(col("vec_id").as("nid"), col("q").as("nv"))
       val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid").asc)
-      queries.join(cands, col("qid") =!= col("nid"))
+      cands.join(broadcast(queries), col("qid") =!= col("nid"))
         .withColumn("dot", dotLong(col("qv"), col("nv")))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= lit(5L))
@@ -86,7 +113,7 @@ object Similarity {
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
       val cands = e.select(col("vec_id").as("nid"), col("v").as("nv"), col("norm").as("nn"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
-      queries.join(cands, col("qid") =!= col("nid"))
+      cands.join(broadcast(queries), col("qid") =!= col("nid"))
         .withColumn("cos", dotDouble(col("qv"), col("nv")) / (col("qn") * col("nn")))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= lit(5L))
@@ -98,46 +125,65 @@ object Similarity {
 
   /** LSH-bucketed cosine top-k: random-hyperplane signatures (seeded,
     * deterministic), candidates share a signature band, exact re-rank
-    * inside buckets. The 100 TB path: shuffle keys are 16-bit bands. */
+    * inside buckets.
+    *
+    * Scale shape: signatures are computed ONCE over the corpus; candidate
+    * generation is a broadcast probe of the k query signatures against the
+    * banded corpus (no self-join, no shuffle of vectors); the distinct
+    * runs on narrow (qid, nid) longs; only surviving candidates rejoin
+    * their vectors for exact re-rank. At 100 TB the corpus-side work is a
+    * single scan + one narrow exchange. */
   val simLshTopk = QueryDef(
     "sim_lsh_topk",
     (s, dir) => {
-      val spark = s
       val dim = 64
       val nPlanes = 16
       val nBands = 4 // 4 bands x 4 bits
-      // deterministic pseudo-random hyperplanes from a fixed LCG seed
+      // deterministic pseudo-random hyperplanes from a fixed seed
       val rng = new java.util.Random(42L)
       val planes: Array[Array[Double]] =
         Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
-      val planesLit = array(planes.map(p => array(p.map(lit): _*)): _*)
+      val bandValsUdf = udf((v: Seq[Float]) => {
+        val sig = new Array[Int](nPlanes)
+        var p = 0
+        while (p < nPlanes) {
+          val pl = planes(p)
+          var d = 0.0
+          var i = 0
+          val n = math.min(pl.length, v.length)
+          while (i < n) { d += pl(i) * v(i); i += 1 }
+          sig(p) = if (d >= 0.0) 1 else 0
+          p += 1
+        }
+        Array.tabulate(nBands) { b =>
+          var acc = 0L
+          var j = 0
+          val w = nPlanes / nBands
+          while (j < w) { acc = acc * 2 + sig(b * w + j); j += 1 }
+          acc
+        }
+      })
 
       val e = T(s, dir).embeddings.select(col("vec_id"), col("embedding").as("v"))
-        .withColumn("norm", sqrt(dotDouble(col("v"), col("v"))))
-        .withColumn("sig",
-          transform(planesLit, p =>
-            when(dotDouble(p, col("v")) >= lit(0.0), lit(1)).otherwise(lit(0))))
-      // band id = which 4-bit slice; band value = packed bits
-      val banded = e.select(
-        col("vec_id"), col("v"), col("norm"),
-        posexplode(transform(sequence(lit(0), lit(nBands - 1)), b =>
-          aggregate(slice(col("sig"), b * lit(nPlanes / nBands) + lit(1), lit(nPlanes / nBands)),
-            lit(0), (acc, x) => acc * lit(2) + x))))
+      val banded = e
+        .select(col("vec_id"), posexplode(bandValsUdf(col("v"))))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "band_val")
-      // query-side filter BEFORE the bucket join: the join's left input is
-      // k query vectors, not the whole corpus — at 100 TB this is the
-      // difference between a broadcast probe and a full self-join.
-      val left = banded.filter(col("vec_id") < lit(5L))
-        .select(col("band"), col("band_val"), col("vec_id").as("qid"),
-          col("v").as("qv"), col("norm").as("qn"))
-      val right = banded.select(col("band"), col("band_val"), col("vec_id").as("nid"),
-        col("v").as("nv"), col("norm").as("nn"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
-      left.join(right, Seq("band", "band_val"))
-        .filter(col("qid") =!= col("nid"))
-        .select(col("qid"), col("nid"), col("qv"), col("nv"), col("qn"), col("nn"))
+      val qBands = banded.filter(col("vec_id") < lit(5L))
+        .select(col("band"), col("band_val"), col("vec_id").as("qid"))
+      // candidate ids only — narrow shuffle-free broadcast probe
+      val candIds = banded.join(broadcast(qBands), Seq("band", "band_val"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nid"))
         .distinct()
+      val withNorm = e.withColumn("norm", sqrt(dotDouble(col("v"), col("v"))))
+      val qVecs = withNorm.filter(col("vec_id") < lit(5L))
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+      candIds
+        .join(withNorm.select(col("vec_id").as("nid"), col("v").as("nv"),
+          col("norm").as("nn")), Seq("nid"))
+        .join(broadcast(qVecs), Seq("qid"))
         .withColumn("cos", dotDouble(col("qv"), col("nv")) / (col("qn") * col("nn")))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= lit(5L))
@@ -149,8 +195,9 @@ object Similarity {
     headline = true)
 
   /** MinHash+LSH near-dup over documents: word shingles → 32 minhashes
-    * (xxhash64 with per-permutation salt) → 8 bands of 4 → per-bucket
-    * keeper assignment → exact Jaccard verify ≥ 50%.
+    * (one base hash per token + 32 keyed avalanche permutations) →
+    * 8 bands of 4 → per-bucket keeper assignment → exact Jaccard
+    * verify ≥ 50%.
     *
     * Scale design: the classic all-pairs-within-bucket join is quadratic
     * in duplicate-cluster size (a 10k-copy boilerplate cluster → 10^8
@@ -159,23 +206,38 @@ object Similarity {
     * against only its best (lowest-id) candidate keeper: one output row
     * per duplicate document, which is also the semantics a dedup pipeline
     * actually wants (keep one, drop the rest). Deterministic; rows-only
-    * check (DuckDB lacks Spark's xxhash64). */
+    * check (DuckDB lacks the hash kernel). */
   val ddMinhash = QueryDef(
     "dd_minhash",
     (s, dir) => {
       val nHashes = 32
       val nBands = 8
       val rowsPerBand = nHashes / nBands
+      val seeds = Array.tabulate(nHashes)(i => fmix64(0x9e3779b97f4a7c15L * (i + 1)))
+      // bucket values per band, from one fused JVM pass over the tokens
+      val bandBucketsUdf = udf((toks: Seq[String]) => {
+        val mins = Array.fill(nHashes)(Long.MaxValue)
+        toks.foreach { t =>
+          val th = fnv64(t)
+          var i = 0
+          while (i < nHashes) {
+            val h = fmix64(th ^ seeds(i))
+            if (h < mins(i)) mins(i) = h
+            i += 1
+          }
+        }
+        Array.tabulate(nBands) { b =>
+          var acc = 1125899906842597L
+          var j = 0
+          while (j < rowsPerBand) { acc = acc * 31 + mins(b * rowsPerBand + j); j += 1 }
+          fmix64(acc)
+        }
+      })
       val toks = array_distinct(filter(split(lower(col("text")), " "), w => length(w) > lit(3)))
       val d = T(s, dir).documents.select(col("doc_id"), toks.as("toks"))
         .filter(size(col("toks")) > lit(0))
-      // signature[i] = min over tokens of xxhash64(i, token)
-      val sig = transform(sequence(lit(0), lit(nHashes - 1)), i =>
-        array_min(transform(col("toks"), t => xxhash64(i, t))))
-      val banded = d.withColumn("sig", sig).select(
-        col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(nBands - 1)), b =>
-          hash(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))))
+      val banded = d
+        .select(col("doc_id"), posexplode(bandBucketsUdf(col("toks"))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       // keeper per (band, bucket) = min doc_id; then best candidate per doc
       val wB = Window.partitionBy(col("band"), col("bucket"))
@@ -197,29 +259,33 @@ object Similarity {
     oracle = None,
     headline = true)
 
-  /** SimHash near-dup: 32-bit simhash over token xxhashes, banded by 4x8
-    * bits, hamming-verified ≤ 4. Deterministic; rows-only check. */
+  /** SimHash near-dup: 64-bit simhash from per-token avalanche hashes,
+    * banded by 8×8 bits, hamming-verified ≤ 6. Deterministic; rows-only
+    * check. */
   val ddSimhash = QueryDef(
     "dd_simhash",
     (s, dir) => {
-      val bits = 32
+      val simhashUdf = udf((toks: Seq[String]) => {
+        val counts = new Array[Int](64)
+        toks.foreach { t =>
+          val h = fmix64(fnv64(t))
+          var i = 0
+          while (i < 64) {
+            if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+            i += 1
+          }
+        }
+        var sim = 0L
+        var i = 0
+        while (i < 64) { if (counts(i) > 0) sim |= (1L << i); i += 1 }
+        sim
+      })
       val toks = array_distinct(filter(split(lower(col("text")), " "), w => length(w) > lit(3)))
       val d = T(s, dir).documents.select(col("doc_id"), toks.as("toks"))
         .filter(size(col("toks")) > lit(0))
-      // simhash bit i = sign of sum over tokens of (bit i of xxhash64(tok) ? 1 : -1)
-      val sim = aggregate(
-        sequence(lit(0), lit(bits - 1)),
-        lit(0L),
-        (acc, i) => {
-          val bitSum = aggregate(col("toks"), lit(0L),
-            (a, t) => a + when(call_function("shiftright", xxhash64(t), i)
-              .bitwiseAND(lit(1L)) === lit(1L), lit(1L)).otherwise(lit(-1L)))
-          acc + when(bitSum > lit(0L),
-            call_function("shiftleft", lit(1L), i).cast("long")).otherwise(lit(0L))
-        })
-      val withSim = d.withColumn("simhash", sim)
+      val withSim = d.withColumn("simhash", simhashUdf(col("toks")))
       val banded = withSim.select(col("doc_id"), col("simhash"),
-        posexplode(transform(sequence(lit(0), lit(3)), b =>
+        posexplode(transform(sequence(lit(0), lit(7)), b =>
           call_function("shiftright", col("simhash"), b * lit(8))
             .bitwiseAND(lit(255L)))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
@@ -234,7 +300,7 @@ object Similarity {
         .join(withSim.select(col("doc_id").as("keeper"), col("simhash").as("k_sim")),
           Seq("keeper"))
         .withColumn("hamming", bit_count(col("d_sim").bitwiseXOR(col("k_sim"))).cast("long"))
-        .filter(col("hamming") <= lit(4L))
+        .filter(col("hamming") <= lit(6L))
         .select(col("doc_id"), col("keeper"), col("hamming"))
         .orderBy(col("doc_id"))
     },
