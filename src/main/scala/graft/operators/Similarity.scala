@@ -306,5 +306,105 @@ object Similarity {
     },
     oracle = None)
 
-  val defs: Seq[QueryDef] = Seq(simTopkDot, simTopkCosine, simLshTopk, ddMinhash, ddSimhash)
+  /** Embedding-cosine near-dup (driver brief's fifth dedup modality):
+    * LSH band buckets propose candidate pairs, exact cosine verifies
+    * ≥ 0.40 (the synthetic embeddings are near-orthogonal — max pairwise
+    * cosine ≈ 0.51 — so the production-style 0.95 threshold is tuned down
+    * to exercise the operator; the shape is threshold-independent).
+    * Candidate generation is the linear keeper shape: min vec_id per
+    * bucket, one verified candidate per vector — no all-pairs join. */
+  val ddEmbedding = QueryDef(
+    "dd_embedding",
+    (s, dir) => {
+      val dim = 64
+      val nPlanes = 16
+      val nBands = 8 // 8 bands x 2 bits: high recall at low-cosine pairs
+      val rng = new java.util.Random(1337L)
+      val planes: Array[Array[Double]] =
+        Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+      val bandValsUdf = udf((v: Seq[Float]) => {
+        val sig = new Array[Int](nPlanes)
+        var p = 0
+        while (p < nPlanes) {
+          val pl = planes(p)
+          var d = 0.0
+          var i = 0
+          val n = math.min(pl.length, v.length)
+          while (i < n) { d += pl(i) * v(i); i += 1 }
+          sig(p) = if (d >= 0.0) 1 else 0
+          p += 1
+        }
+        Array.tabulate(nBands) { b =>
+          var acc = 0L
+          var j = 0
+          val w = nPlanes / nBands
+          while (j < w) { acc = acc * 2 + sig(b * w + j); j += 1 }
+          acc
+        }
+      })
+      val e = T(s, dir).embeddings.select(col("vec_id"), col("embedding").as("v"))
+      val banded = e
+        .select(col("vec_id"), posexplode(bandValsUdf(col("v"))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val wB = Window.partitionBy(col("band"), col("bucket"))
+      val cand = banded
+        .withColumn("keeper", min(col("vec_id")).over(wB))
+        .filter(col("keeper") < col("vec_id"))
+        .groupBy(col("vec_id")).agg(min(col("keeper")).as("keeper"))
+      val withNorm = e.withColumn("norm", sqrt(dotDouble(col("v"), col("v"))))
+      cand
+        .join(withNorm, Seq("vec_id"))
+        .join(withNorm.select(col("vec_id").as("keeper"), col("v").as("kv"),
+          col("norm").as("kn")), Seq("keeper"))
+        .withColumn("cos", dotDouble(col("v"), col("kv")) / (col("norm") * col("kn")))
+        .filter(col("cos") >= lit(0.40))
+        .select(col("vec_id"), col("keeper"),
+          round(col("cos") * lit(1000000), 0).cast("long").as("cos_q6"))
+        .orderBy(col("vec_id"))
+    },
+    oracle = None)
+
+  /** IVF-style ANN top-k: a deterministic coarse quantizer (centroids =
+    * the first nCells corpus vectors — training-free, stable) partitions
+    * the corpus into cells; queries probe their nProbe nearest cells and
+    * re-rank exactly inside them. The 100 TB shape: the corpus is
+    * assigned once (one scan, shuffle keyed by cell — in production this
+    * is the partitioning of the stored index), probes touch
+    * nProbe/nCells of the data, and the centroid table is broadcast. */
+  val simIvfTopk = QueryDef(
+    "sim_ivf_topk",
+    (s, dir) => {
+      val nCells = 16
+      val nProbe = 4
+      val e = T(s, dir).embeddings.select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("norm", sqrt(dotDouble(col("v"), col("v"))))
+      val centroids = e.filter(col("vec_id") < lit(nCells.toLong))
+        .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cn"))
+      // corpus → nearest centroid (rank 1); queries → nProbe nearest cells
+      def assign(df: org.apache.spark.sql.DataFrame, keep: Int) = {
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell").asc)
+        df.join(broadcast(centroids))
+          .withColumn("ccos", dotDouble(col("v"), col("cv")) / (col("norm") * col("cn")))
+          .withColumn("crank", row_number().over(w))
+          .filter(col("crank") <= lit(keep))
+          .drop("cv", "cn", "ccos", "crank")
+      }
+      val corpusCells = assign(e, 1)
+      val queryCells = assign(e.filter(col("vec_id") < lit(5L)), nProbe)
+        .select(col("cell"), col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+      corpusCells
+        .join(broadcast(queryCells), Seq("cell"))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("cos", dotDouble(col("qv"), col("v")) / (col("qn") * col("norm")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= lit(5L))
+        .select(col("qid"), col("rank"), col("vec_id").as("nid"),
+          round(col("cos") * lit(1000000), 0).cast("long").as("cos_q6"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    oracle = None)
+
+  val defs: Seq[QueryDef] = Seq(simTopkDot, simTopkCosine, simLshTopk, simIvfTopk,
+    ddMinhash, ddSimhash, ddEmbedding)
 }
