@@ -67,7 +67,10 @@ object Multimodal {
 
   /** mm_features: partition-wise feature extraction through the stub
     * decode kernel (the mapPartitions shape a Pandas-UDF/Arrow batch
-    * kernel would use). Deterministic → rows-only check. */
+    * kernel would use). The feature vector stays a typed array inside the
+    * pipeline and is CSV-stringified only at the output boundary — the
+    * driver's pandas canonicalizer cannot hash ndarray cells.
+    * Deterministic → rows-only check. */
   val mmFeatures = QueryDef(
     "mm_features",
     (s, dir) => {
@@ -86,6 +89,8 @@ object Multimodal {
             Row(r.getLong(0), fakeDecode(r.getAs[Array[Byte]](1)).toSeq)
           }
         }(enc)
+        .select(col("media_id"),
+          concat_ws(",", col("features").cast("array<string>")).as("features_csv"))
         .orderBy(col("media_id"))
     },
     oracle = None)

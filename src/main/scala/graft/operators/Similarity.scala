@@ -40,12 +40,32 @@ object Similarity {
   private def quantized(c: Column): Column =
     transform(c, x => round(x.cast("double") * lit(1000), 0).cast("long"))
 
-  private def dotLong(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Inner products as tight JVM kernels rather than Catalyst
+    * `aggregate`/`zip_with` lambdas: higher-order-function lambdas are
+    * interpreted per element and block whole-stage codegen (same effect
+    * measured on the LSH signature kernel, ~20×). Accumulation order is
+    * identical left-to-right, so results are bit-for-bit unchanged —
+    * including the double path (float addition order preserved). */
+  private val dotLongUdf = udf((a: Seq[Long], b: Seq[Long]) => {
+    var acc = 0L
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  })
 
-  private def dotDouble(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  private def dotLong(a: Column, b: Column): Column = dotLongUdf(a, b)
+
+  private val dotFloatUdf = udf((a: Seq[Float], b: Seq[Float]) => {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  })
+
+  /** Both call sites feed `array<float>` embedding columns. */
+  private def dotDouble(a: Column, b: Column): Column = dotFloatUdf(a, b)
 
   // --- deterministic JVM hash kernels (shared by the LSH family) ---
 
@@ -137,8 +157,10 @@ object Similarity {
     "sim_lsh_topk",
     (s, dir) => {
       val dim = 64
-      val nPlanes = 16
-      val nBands = 4 // 4 bands x 4 bits
+      val nPlanes = 24
+      val nBands = 8 // 8 bands x 3 bits — measured 0.92+ top-5 recall on the
+      // near-orthogonal synthetic corpus (4x4 gave 0.48; per-band collision
+      // p ≈ 0.27 at cos 0.45, so P(≥1 of 8 bands) ≈ 0.92)
       // deterministic pseudo-random hyperplanes from a fixed seed
       val rng = new java.util.Random(42L)
       val planes: Array[Array[Double]] =
@@ -239,10 +261,13 @@ object Similarity {
       val banded = d
         .select(col("doc_id"), posexplode(bandBucketsUdf(col("toks"))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      // keeper per (band, bucket) = min doc_id; then best candidate per doc
-      val wB = Window.partitionBy(col("band"), col("bucket"))
-      val cand = banded
-        .withColumn("keeper", min(col("doc_id")).over(wB))
+      // keeper per (band, bucket) = min doc_id via a partial-aggregating
+      // groupBy (map-side combine + AQE skew splitting; the window-min
+      // alternative shuffles every banded row and lands each mega-bucket
+      // in a single task), then best (lowest) candidate keeper per doc
+      val keepers = banded.groupBy(col("band"), col("bucket"))
+        .agg(min(col("doc_id")).as("keeper"))
+      val cand = banded.join(keepers, Seq("band", "bucket"))
         .filter(col("keeper") < col("doc_id"))
         .groupBy(col("doc_id")).agg(min(col("keeper")).as("keeper"))
       // exact verify: fetch token sets for both sides (linear joins on id)
@@ -260,8 +285,15 @@ object Similarity {
     headline = true)
 
   /** SimHash near-dup: 64-bit simhash from per-token avalanche hashes,
-    * banded by 8×8 bits, hamming-verified ≤ 6. Deterministic; rows-only
-    * check. */
+    * banded by 8×8 bits, hamming distance verified against a ≤ 6
+    * duplicate threshold.
+    *
+    * Emits one row per document that has ANY keeper candidate — with its
+    * hamming distance and the `is_dup` verdict — rather than only the
+    * passing pairs: on a corpus with no near-dups a filtered result is
+    * empty and proves nothing, while the candidate report stays
+    * non-empty and checkable on any corpus (planted-dup fixture pins the
+    * verdict semantics). Deterministic; rows-only check. */
   val ddSimhash = QueryDef(
     "dd_simhash",
     (s, dir) => {
@@ -289,30 +321,33 @@ object Similarity {
           call_function("shiftright", col("simhash"), b * lit(8))
             .bitwiseAND(lit(255L)))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      // same linear keeper-assignment shape as dd_minhash: window-min per
-      // bucket, one verified candidate per doc — no all-pairs join.
-      val wB = Window.partitionBy(col("band"), col("bucket"))
-      banded
-        .withColumn("keeper", min(col("doc_id")).over(wB))
+      // same linear keeper-assignment shape as dd_minhash: partial-agg
+      // min per bucket, one verified candidate per doc — no all-pairs join.
+      val keepers = banded.groupBy(col("band"), col("bucket"))
+        .agg(min(col("doc_id")).as("keeper"))
+      banded.join(keepers, Seq("band", "bucket"))
         .filter(col("keeper") < col("doc_id"))
         .groupBy(col("doc_id")).agg(min(col("keeper")).as("keeper"))
         .join(withSim.select(col("doc_id"), col("simhash").as("d_sim")), Seq("doc_id"))
         .join(withSim.select(col("doc_id").as("keeper"), col("simhash").as("k_sim")),
           Seq("keeper"))
         .withColumn("hamming", bit_count(col("d_sim").bitwiseXOR(col("k_sim"))).cast("long"))
-        .filter(col("hamming") <= lit(6L))
-        .select(col("doc_id"), col("keeper"), col("hamming"))
+        .withColumn("is_dup", col("hamming") <= lit(6L))
+        .select(col("doc_id"), col("keeper"), col("hamming"), col("is_dup"))
         .orderBy(col("doc_id"))
     },
     oracle = None)
 
   /** Embedding-cosine near-dup (driver brief's fifth dedup modality):
-    * LSH band buckets propose candidate pairs, exact cosine verifies
-    * ≥ 0.40 (the synthetic embeddings are near-orthogonal — max pairwise
-    * cosine ≈ 0.51 — so the production-style 0.95 threshold is tuned down
-    * to exercise the operator; the shape is threshold-independent).
-    * Candidate generation is the linear keeper shape: min vec_id per
-    * bucket, one verified candidate per vector — no all-pairs join. */
+    * LSH band buckets propose candidate pairs, exact cosine scores each
+    * doc against its best keeper candidate; `is_dup` marks cosine ≥ 0.40
+    * (the synthetic embeddings are near-orthogonal — max pairwise cosine
+    * ≈ 0.51 — so the production-style 0.95 threshold is tuned down; the
+    * shape is threshold-independent). Like dd_simhash, the full candidate
+    * report is emitted — a filtered-only result is vacuous on a corpus
+    * without planted dups. Candidate generation is the linear keeper
+    * shape: min vec_id per bucket, one verified candidate per vector —
+    * no all-pairs join. */
   val ddEmbedding = QueryDef(
     "dd_embedding",
     (s, dir) => {
@@ -346,9 +381,9 @@ object Similarity {
       val banded = e
         .select(col("vec_id"), posexplode(bandValsUdf(col("v"))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      val wB = Window.partitionBy(col("band"), col("bucket"))
-      val cand = banded
-        .withColumn("keeper", min(col("vec_id")).over(wB))
+      val keepers = banded.groupBy(col("band"), col("bucket"))
+        .agg(min(col("vec_id")).as("keeper"))
+      val cand = banded.join(keepers, Seq("band", "bucket"))
         .filter(col("keeper") < col("vec_id"))
         .groupBy(col("vec_id")).agg(min(col("keeper")).as("keeper"))
       val withNorm = e.withColumn("norm", sqrt(dotDouble(col("v"), col("v"))))
@@ -357,9 +392,10 @@ object Similarity {
         .join(withNorm.select(col("vec_id").as("keeper"), col("v").as("kv"),
           col("norm").as("kn")), Seq("keeper"))
         .withColumn("cos", dotDouble(col("v"), col("kv")) / (col("norm") * col("kn")))
-        .filter(col("cos") >= lit(0.40))
+        .withColumn("is_dup", col("cos") >= lit(0.40))
         .select(col("vec_id"), col("keeper"),
-          round(col("cos") * lit(1000000), 0).cast("long").as("cos_q6"))
+          round(col("cos") * lit(1000000), 0).cast("long").as("cos_q6"),
+          col("is_dup"))
         .orderBy(col("vec_id"))
     },
     oracle = None)
@@ -392,7 +428,9 @@ object Similarity {
       val corpusCells = assign(e, 1)
       val queryCells = assign(e.filter(col("vec_id") < lit(5L)), nProbe)
         .select(col("cell"), col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+      // rank window runs before the final select, where the neighbor id
+      // column is still named vec_id (aliased to nid only on output)
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
       corpusCells
         .join(broadcast(queryCells), Seq("cell"))
         .filter(col("qid") =!= col("vec_id"))

@@ -126,7 +126,11 @@ object StreamingTwins {
           count(lit(1)).as("n_seen"),
           count_if(col("rn") <= lit(3)).as("n_kept"),
           count_if(col("rn") > lit(3)).as("n_evicted"),
-          sort_array(collect_list(when(col("rn") <= lit(3), col("event_id"))))
+          // CSV string, not array<long>: the driver's pandas canonicalizer
+          // cannot hash ndarray cells (and DuckDB's twin stringifies too)
+          concat_ws(",",
+            sort_array(collect_list(when(col("rn") <= lit(3), col("event_id"))))
+              .cast("array<string>"))
             .as("buffer_ids"))
         .orderBy(col("user_id"))
     },
@@ -138,7 +142,7 @@ object StreamingTwins {
       SELECT user_id, COUNT(*) AS n_seen,
         COUNT(*) FILTER (WHERE rn <= 3) AS n_kept,
         COUNT(*) FILTER (WHERE rn > 3) AS n_evicted,
-        list_sort(list(event_id) FILTER (WHERE rn <= 3)) AS buffer_ids
+        array_to_string(list_sort(list(event_id) FILTER (WHERE rn <= 3)), ',') AS buffer_ids
       FROM r GROUP BY user_id ORDER BY user_id"""))
 
   /** ST7 TTL retention / prune (message-store.ts:47-64, 7-day TTL): cutoff

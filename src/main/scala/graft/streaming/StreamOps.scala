@@ -35,7 +35,7 @@ final case class BufferResult(
     n_seen: Long,
     n_kept: Long,
     n_evicted: Long,
-    buffer_ids: Seq[Long])
+    buffer_ids: String) // CSV, matching the batch twin's stringified output
 
 /** Structured Streaming implementations of the ST-series operators
   * (SURVEY.md §2.9). Each takes a *streaming* DataFrame with the events
@@ -136,7 +136,7 @@ object StreamOps {
           }
           state.update((seen, buf))
           BufferResult(userId, seen, buf.size.toLong, seen - buf.size,
-            buf.map(_._2).sorted)
+            buf.map(_._2).sorted.mkString(","))
       }
   }
 

@@ -81,6 +81,68 @@ class SemanticsSpec extends SparkSpec {
     assert(!keepers.contains(1L))        // keeper itself is not emitted
   }
 
+  test("simhash keeper election: planted exact dup flagged, unrelated doc not a dup") {
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"), // exact dup
+      (3L, "alpha bravo charlie delta echo foxtrot golf hotel india kilos"), // near dup
+      (4L, "zulu yankee xray whiskey victor uniform tango sierra romeo quebec"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sh").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Similarity.ddSimhash.run(spark, dir).collect()
+    val rows = out.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("keeper"), r.getAs[Long]("hamming"), r.getAs[Boolean]("is_dup")))).toMap
+    assert(rows(2L) === ((1L, 0L, true))) // identical text → identical simhash
+    // the near dup shares 9/10 tokens; if any band collides its keeper is doc 1
+    rows.get(3L).foreach { case (k, _, _) => assert(k === 1L) }
+    // the unrelated doc may surface as a candidate but must not be a dup
+    rows.get(4L).foreach { case (_, _, isDup) => assert(!isDup) }
+    assert(!rows.contains(1L)) // keeper itself is not emitted
+  }
+
+  test("embedding near-dup: planted duplicate vector flagged via is_dup") {
+    val dim = 64
+    val rng = new scala.util.Random(7)
+    val base = Array.fill(dim)(rng.nextGaussian().toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = Array.fill(dim)(rng.nextGaussian().toFloat)
+    val df = Seq(
+      (0L, base.toSeq), (1L, base.toSeq), (2L, near.toSeq), (3L, far.toSeq))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.Similarity.ddEmbedding.run(spark, dir).collect()
+    val rows = out.map(r => r.getAs[Long]("vec_id") ->
+      ((r.getAs[Long]("keeper"), r.getAs[Long]("cos_q6"), r.getAs[Boolean]("is_dup")))).toMap
+    // exact copy of vec 0: all band buckets collide, cosine 1.0
+    assert(rows(1L)._1 === 0L)
+    assert(rows(1L)._2 === 1000000L)
+    assert(rows(1L)._3)
+    // tiny perturbation: still a near-dup of vec 0 when any bucket collides
+    rows.get(2L).foreach { case (k, cosQ6, isDup) =>
+      assert(k === 0L); assert(cosQ6 > 999000L); assert(isDup)
+    }
+    assert(!rows.contains(0L)) // keeper itself is not emitted
+  }
+
+  test("LSH and IVF top-k recall vs the exact cosine baseline at sf0.001") {
+    def pairs(q: QueryDef): Set[(Long, Long)] =
+      q.run(spark, sf001).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val exact = pairs(graft.operators.Similarity.simTopkCosine)
+    assert(exact.size === 25) // 5 queries x top-5
+    val lsh = pairs(graft.operators.Similarity.simLshTopk)
+    val ivf = pairs(graft.operators.Similarity.simIvfTopk)
+    val lshRecall = (exact intersect lsh).size.toDouble / exact.size
+    val ivfRecall = (exact intersect ivf).size.toDouble / exact.size
+    info(f"LSH recall: $lshRecall%.2f  IVF recall: $ivfRecall%.2f")
+    assert(lshRecall >= 0.8, f"LSH recall $lshRecall%.2f below floor")
+    assert(ivfRecall >= 0.8, f"IVF recall $ivfRecall%.2f below floor")
+  }
+
   test("S2 fixed-offset decode round-trips through the binary record") {
     val out = graft.operators.BinaryOps.s2DecodeFixed.run(spark, sf001)
       .limit(5).collect()
