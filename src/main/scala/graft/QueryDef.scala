@@ -26,6 +26,7 @@ object QueryDef {
       graft.operators.Text.defs ++
       graft.operators.Similarity.defs ++
       graft.operators.BinaryOps.defs ++
+      graft.operators.Governance.defs ++
       graft.operators.Multimodal.defs ++
       graft.operators.Crypto.defs ++
       graft.operators.StreamingTwins.defs

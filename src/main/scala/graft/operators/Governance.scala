@@ -1,0 +1,376 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Governance/account surface: typed little-endian account decoders for the
+  * reference's real record layouts, the Groth16 *structural* verify_proof,
+  * and the composed vote_weight operator.
+  *
+  * Layouts (all offsets after the 8-byte Anchor discriminator):
+  *  - FastAction, 145 bytes — programs/kamiyo-fast-voting/src/lib.rs:194-213:
+  *    action_id u64 | action_hash [32] | description_hash [32] | creator [32]
+  *    | threshold u8 | votes_for u32 | votes_against u32 | vote_count u32
+  *    | created_slot u64 | deadline_slot u64 | executed bool | result u8
+  *    | padding u8 | bump u8 — integers little-endian, as the SDK parsers
+  *    read them (client.ts:539-602 readUInt32LE/readBigUInt64LE).
+  *  - FastVote, 114 bytes — lib.rs:215-227: fast_action [32] | voter [32]
+  *    | voter_commitment [32] | vote_value bool | voted_slot u64 | bump u8.
+  *  - AgentRegistry — client.ts:539-602 parseRegistryManually: authority [32]
+  *    | agents_root [32] | agent_count u32 | signal_count u32
+  *    | swarm_action_count u32 | epoch u64 | min_stake u64
+  *    | min_signal_confidence u8 | bump u8 | paused u8.
+  *
+  * The test tables carry no binary columns, so each decode query constructs
+  * the record from typed columns (exact layout, LE ints, real 32-byte
+  * digests for hash/pubkey fields), then decodes it back at fixed offsets;
+  * the DuckDB oracle selects the original values, so any encode/decode
+  * asymmetry — wrong offset, wrong endianness, wrong width — fails the
+  * hash check. Encode and decode are all codegen'd builtins
+  * (`hex`/`unhex`/`conv`/`substring`/`concat`) — no UDF, so at 100 TB the
+  * decode stage fuses into whole-stage codegen over the scan.
+  */
+object Governance {
+
+  private def T(s: SparkSession, dir: String) = Tables(s, dir)
+
+  // --- little-endian fixed-width codec (expression-level, codegen'd) ---
+
+  /** Encode a non-negative long as `nBytes` little-endian bytes. */
+  private def encLE(colExpr: String, nBytes: Int): String = {
+    val hexE = s"lpad(hex($colExpr), ${2 * nBytes}, '0')"
+    // BE hex pairs emitted in reverse order = LE byte sequence
+    val pairs = (nBytes - 1) to 0 by -1 map (i => s"substring($hexE, ${2 * i + 1}, 2)")
+    s"unhex(concat(${pairs.mkString(",")}))"
+  }
+
+  /** Decode `nBytes` little-endian bytes at 1-based `off` into a long. */
+  private def decLE(recCol: String, off: Int, nBytes: Int): Column = {
+    val bytes = (nBytes - 1) to 0 by -1 map (i => s"substring($recCol, ${off + i}, 1)")
+    conv(hex(expr(s"concat(${bytes.mkString(",")})")), 16, 10).cast("long")
+  }
+
+  /** 32-byte field at `off`, rendered lowercase hex for comparison. */
+  private def dec32hex(recCol: String, off: Int): Column =
+    lower(hex(expr(s"substring($recCol, $off, 32)")))
+
+  /** 32-byte digest of a string expression (sha2 hex → bytes). */
+  private def digest32(e: String): String = s"unhex(sha2($e, 256))"
+
+  /** Decode-side field list for a FastAction record column — used by the
+    * catalog query and driven directly (with ByteBuffer-LE-built records)
+    * by the round-trip spec, which pins the endianness independently. */
+  def fastActionFields(rec: String): Seq[Column] = Seq(
+    length(col(rec)).cast("long").as("rec_len"), // pinned 145 (lib.rs LEN)
+    decLE(rec, 9, 8).as("action_id"),
+    dec32hex(rec, 17).as("action_hash_hex"),
+    dec32hex(rec, 49).as("description_hash_hex"),
+    dec32hex(rec, 81).as("creator_hex"),
+    decLE(rec, 113, 1).as("threshold"),
+    decLE(rec, 114, 4).as("votes_for"),
+    decLE(rec, 118, 4).as("votes_against"),
+    decLE(rec, 122, 4).as("vote_count"),
+    decLE(rec, 126, 8).as("created_slot"),
+    decLE(rec, 134, 8).as("deadline_slot"),
+    (decLE(rec, 142, 1) === lit(1L)).as("executed"),
+    decLE(rec, 143, 1).as("result"),
+    decLE(rec, 145, 1).as("bump"))
+
+  def fastVoteFields(rec: String): Seq[Column] = Seq(
+    length(col(rec)).cast("long").as("rec_len"), // pinned 114 (lib.rs LEN)
+    dec32hex(rec, 9).as("fast_action_hex"),
+    dec32hex(rec, 41).as("voter_hex"),
+    dec32hex(rec, 73).as("voter_commitment_hex"),
+    (decLE(rec, 105, 1) === lit(1L)).as("vote_value"),
+    decLE(rec, 106, 8).as("voted_slot"),
+    decLE(rec, 114, 1).as("bump"))
+
+  def registryFields(rec: String): Seq[Column] = Seq(
+    dec32hex(rec, 9).as("authority_hex"),
+    dec32hex(rec, 41).as("agents_root_hex"),
+    decLE(rec, 73, 4).as("agent_count"),
+    decLE(rec, 77, 4).as("signal_count"),
+    decLE(rec, 81, 4).as("swarm_action_count"),
+    decLE(rec, 85, 8).as("epoch"),
+    decLE(rec, 93, 8).as("min_stake"),
+    decLE(rec, 101, 1).as("min_signal_confidence"),
+    decLE(rec, 102, 1).as("bump"),
+    (decLE(rec, 103, 1) =!= lit(0L)).as("paused"))
+
+  /** S2 typed decode: FastAction 145-byte record (lib.rs:194-213).
+    * Synthesized per order, decoded field-by-field at the exact offsets. */
+  val decodeFastAction = QueryDef(
+    "s2_decode_fast_action",
+    (s, dir) => T(s, dir).orders
+      .withColumn("threshold_u8", pmod(col("o_orderkey"), lit(100L)) + lit(1L))
+      .withColumn("vfor_u32", pmod(col("o_custkey"), lit(1000L)))
+      .withColumn("vagainst_u32", pmod(col("o_orderkey"), lit(997L)))
+      .withColumn("created_u64", col("o_orderkey") * lit(7L))
+      .withColumn("executed_u8", pmod(col("o_orderkey"), lit(2L)))
+      .withColumn("result_u8", pmod(col("o_orderkey"), lit(3L)))
+      .withColumn("bump_u8", pmod(col("o_orderkey"), lit(256L)))
+      .withColumn("rec", expr(s"""concat(
+        unhex('6772616674464163'),
+        ${encLE("o_orderkey", 8)},
+        ${digest32("cast(o_orderkey as string)")},
+        ${digest32("o_orderpriority")},
+        ${digest32("cast(o_custkey as string)")},
+        ${encLE("threshold_u8", 1)},
+        ${encLE("vfor_u32", 4)},
+        ${encLE("vagainst_u32", 4)},
+        ${encLE("vfor_u32 + vagainst_u32", 4)},
+        ${encLE("created_u64", 8)},
+        ${encLE("created_u64 + 75", 8)},
+        ${encLE("executed_u8", 1)},
+        ${encLE("result_u8", 1)},
+        unhex('00'),
+        ${encLE("bump_u8", 1)})"""))
+      .select(fastActionFields("rec"): _*)
+      .orderBy(col("action_id")),
+    oracle = Some("""
+      SELECT CAST(145 AS BIGINT) AS rec_len,
+        o_orderkey AS action_id,
+        sha256(CAST(o_orderkey AS VARCHAR)) AS action_hash_hex,
+        sha256(o_orderpriority) AS description_hash_hex,
+        sha256(CAST(o_custkey AS VARCHAR)) AS creator_hex,
+        o_orderkey % 100 + 1 AS threshold,
+        o_custkey % 1000 AS votes_for,
+        o_orderkey % 997 AS votes_against,
+        o_custkey % 1000 + o_orderkey % 997 AS vote_count,
+        o_orderkey * 7 AS created_slot,
+        o_orderkey * 7 + 75 AS deadline_slot,
+        o_orderkey % 2 = 1 AS executed,
+        o_orderkey % 3 AS result,
+        o_orderkey % 256 AS bump
+      FROM orders ORDER BY action_id"""))
+
+  /** S2 typed decode: FastVote 114-byte record (lib.rs:215-227). */
+  val decodeFastVote = QueryDef(
+    "s2_decode_fast_vote",
+    (s, dir) => T(s, dir).customer
+      .withColumn("vote_u8", pmod(col("c_custkey"), lit(2L)))
+      .withColumn("slot_u64", col("c_custkey") * lit(11L) + lit(5L))
+      .withColumn("bump_u8", pmod(col("c_custkey") * lit(3L), lit(256L)))
+      .withColumn("rec", expr(s"""concat(
+        unhex('6772616674465674'),
+        ${digest32("cast(c_custkey as string)")},
+        ${digest32("c_name")},
+        ${digest32("c_mktsegment")},
+        ${encLE("vote_u8", 1)},
+        ${encLE("slot_u64", 8)},
+        ${encLE("bump_u8", 1)})"""))
+      .select(fastVoteFields("rec") :+ col("c_custkey"): _*)
+      .orderBy(col("c_custkey")),
+    oracle = Some("""
+      SELECT CAST(114 AS BIGINT) AS rec_len,
+        sha256(CAST(c_custkey AS VARCHAR)) AS fast_action_hex,
+        sha256(c_name) AS voter_hex,
+        sha256(c_mktsegment) AS voter_commitment_hex,
+        c_custkey % 2 = 1 AS vote_value,
+        c_custkey * 11 + 5 AS voted_slot,
+        (c_custkey * 3) % 256 AS bump,
+        c_custkey
+      FROM customer ORDER BY c_custkey"""))
+
+  /** S2 typed decode: AgentRegistry record (client.ts:539-602 manual
+    * parse: u32 counters, u64 epoch/min_stake, u8 tail flags). */
+  val decodeRegistry = QueryDef(
+    "s2_decode_registry",
+    (s, dir) => T(s, dir).nation
+      .withColumn("agent_cnt", col("n_nationkey") * lit(3L))
+      .withColumn("signal_cnt", col("n_nationkey") * lit(5L))
+      .withColumn("action_cnt", col("n_nationkey") * lit(7L))
+      .withColumn("epoch_u64", lit(19000L) + col("n_nationkey"))
+      .withColumn("min_stake_u64", (col("n_nationkey") + lit(1L)) * lit(1000000L))
+      .withColumn("conf_u8", pmod(col("n_nationkey"), lit(100L)))
+      .withColumn("bump_u8", lit(255L) - col("n_nationkey"))
+      .withColumn("paused_u8", pmod(col("n_nationkey"), lit(2L)))
+      .withColumn("rec", expr(s"""concat(
+        unhex('6772616674526567'),
+        ${digest32("n_name")},
+        ${digest32("cast(n_regionkey as string)")},
+        ${encLE("agent_cnt", 4)},
+        ${encLE("signal_cnt", 4)},
+        ${encLE("action_cnt", 4)},
+        ${encLE("epoch_u64", 8)},
+        ${encLE("min_stake_u64", 8)},
+        ${encLE("conf_u8", 1)},
+        ${encLE("bump_u8", 1)},
+        ${encLE("paused_u8", 1)})"""))
+      .select(col("n_nationkey").as("registry_id") +: registryFields("rec"): _*)
+      .orderBy(col("registry_id")),
+    oracle = Some("""
+      SELECT n_nationkey AS registry_id,
+        sha256(n_name) AS authority_hex,
+        sha256(CAST(n_regionkey AS VARCHAR)) AS agents_root_hex,
+        n_nationkey * 3 AS agent_count,
+        n_nationkey * 5 AS signal_count,
+        n_nationkey * 7 AS swarm_action_count,
+        19000 + n_nationkey AS epoch,
+        (n_nationkey + 1) * 1000000 AS min_stake,
+        n_nationkey % 100 AS min_signal_confidence,
+        255 - n_nationkey AS bump,
+        n_nationkey % 2 <> 0 AS paused
+      FROM nation ORDER BY registry_id"""))
+
+  /** Groth16 structural verify_proof (shadow-id-gate.ts:127-156): the
+    * check cascade the reference applies before handing off to a real ZK
+    * verifier —
+    *   1. commitment must match ^[a-f0-9]{64}$ else 'Invalid commitment format'
+    *   2. proof must be exactly 256 bytes else 'Invalid proof length'
+    *   3. marker-prefixed structural proofs: rejected when require_crypto
+    *      (production), accepted-with-warning otherwise
+    *   4. non-structural proofs need the (absent offline) ZK verifier.
+    * Result struct {valid, threshold, cryptographic, error} flattened to
+    * columns. Proof fixtures are synthesized per document to cover every
+    * branch; both engines build identical bytes, so the cascade — byte
+    * lengths, marker comparison, regex — is what the oracle checks. */
+  val verifyProof = QueryDef(
+    "crypto_verify_proof",
+    (s, dir) => {
+      val marker = "STRUCTURAL_PROOF_NOT_CRYPTOGRAPHIC"
+      T(s, dir).documents
+        .withColumn("commitment",
+          when(pmod(col("doc_id"), lit(5L)) === lit(0L),
+            upper(concat(md5(col("text")), md5(col("text"))))) // fails the regex
+            .otherwise(concat(md5(col("text")), md5(col("text")))))
+        .withColumn("proof",
+          when(pmod(col("doc_id"), lit(4L)) === lit(0L),
+            expr("substring(unhex(repeat(sha2(text, 256), 8)), 1, 100)")) // short
+            .when(pmod(col("doc_id"), lit(4L)) === lit(1L),
+              encode(rpad(lit(marker), 256, "X"), "UTF-8")) // structural
+            .otherwise(expr("unhex(repeat(sha2(text, 256), 8))"))) // "crypto"
+        .withColumn("threshold", pmod(col("doc_id"), lit(100L)))
+        .withColumn("require_crypto", pmod(col("doc_id"), lit(3L)) === lit(0L))
+        .withColumn("is_structural",
+          expr("substring(proof, 1, 34)") === encode(lit(marker), "UTF-8"))
+        .select(
+          col("doc_id"),
+          when(!col("commitment").rlike("^[a-f0-9]{64}$"), lit(false))
+            .when(length(col("proof")) =!= lit(256), lit(false))
+            .when(col("is_structural") && col("require_crypto"), lit(false))
+            .when(col("is_structural"), lit(true))
+            .otherwise(lit(false)).as("valid"),
+          when(!col("commitment").rlike("^[a-f0-9]{64}$"), lit(0L))
+            .when(length(col("proof")) =!= lit(256), lit(0L))
+            .otherwise(col("threshold")).as("threshold_out"),
+          lit(false).as("cryptographic"), // offline: no ZK verifier available
+          when(!col("commitment").rlike("^[a-f0-9]{64}$"), lit("Invalid commitment format"))
+            .when(length(col("proof")) =!= lit(256), lit("Invalid proof length"))
+            .when(col("is_structural") && col("require_crypto"),
+              lit("Structural proofs not accepted in production mode"))
+            .when(col("is_structural"),
+              lit("Warning: structural proof accepted (development mode only)"))
+            .otherwise(lit("Cryptographic verification unavailable")).as("error"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH p AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN upper(md5(text) || md5(text))
+               ELSE md5(text) || md5(text) END AS commitment,
+          CASE WHEN doc_id % 4 = 0
+                 THEN from_hex(substring(repeat(sha256(text), 8), 1, 200))
+               WHEN doc_id % 4 = 1
+                 THEN encode(rpad('STRUCTURAL_PROOF_NOT_CRYPTOGRAPHIC', 256, 'X'))
+               ELSE from_hex(repeat(sha256(text), 8)) END AS proof,
+          doc_id % 100 AS threshold,
+          doc_id % 3 = 0 AS require_crypto
+        FROM documents),
+      c AS (
+        SELECT doc_id, threshold, require_crypto,
+          regexp_matches(commitment, '^[a-f0-9]{64}$') AS fmt_ok,
+          octet_length(proof) = 256 AS len_ok,
+          substring(hex(proof), 1, 68) =
+            hex(encode('STRUCTURAL_PROOF_NOT_CRYPTOGRAPHIC')) AS is_structural
+        FROM p)
+      SELECT doc_id,
+        CASE WHEN NOT fmt_ok THEN FALSE
+             WHEN NOT len_ok THEN FALSE
+             WHEN is_structural AND require_crypto THEN FALSE
+             WHEN is_structural THEN TRUE
+             ELSE FALSE END AS valid,
+        CASE WHEN NOT fmt_ok THEN 0
+             WHEN NOT len_ok THEN 0
+             ELSE threshold END AS threshold_out,
+        FALSE AS cryptographic,
+        CASE WHEN NOT fmt_ok THEN 'Invalid commitment format'
+             WHEN NOT len_ok THEN 'Invalid proof length'
+             WHEN is_structural AND require_crypto
+               THEN 'Structural proofs not accepted in production mode'
+             WHEN is_structural
+               THEN 'Warning: structural proof accepted (development mode only)'
+             ELSE 'Cryptographic verification unavailable' END AS error
+      FROM c ORDER BY doc_id"""))
+
+  /** vote_weight composed operator (lib/governance.ts:282-302): token
+    * balance left-outer stake position; weight = balance +
+    * staked × duration-tier bps / 10000, all integer math; an absent
+    * stake position means balance-only (the `:290` guard). Stake
+    * positions are each customer's earliest order (staked = cents of
+    * o_totalprice, stake start = o_orderdate), duration measured to a
+    * fixed as-of date; tier thresholds 30/90/180 days as
+    * stake/page.tsx:143-149. */
+  val voteWeight = QueryDef(
+    "f_vote_weight",
+    (s, dir) => {
+      val t = T(s, dir)
+      val balances = t.customer.select(
+        col("c_custkey").as("address"),
+        // round before the long cast: Spark's double->long cast truncates
+        // while DuckDB's rounds, so 123.45*100 = 12344.999... would diverge
+        round(col("c_acctbal") * lit(100), 0).cast("long").as("balance_c"))
+      val stakes = t.orders
+        .groupBy(col("o_custkey"))
+        .agg(min_by(
+          struct(round(col("o_totalprice") * lit(100), 0).cast("long").as("staked_c"),
+            col("o_orderdate").cast("date").as("start")),
+          col("o_orderkey")).as("pos"))
+        .select(col("o_custkey").as("address"),
+          col("pos.staked_c").as("staked_c"), col("pos.start").as("start"))
+      balances.join(stakes, Seq("address"), "left_outer")
+        .withColumn("duration_days",
+          datediff(lit("1998-12-31").cast("date"), col("start")).cast("long"))
+        .withColumn("mult_bps",
+          when(col("duration_days") >= lit(180L), lit(20000L))
+            .when(col("duration_days") >= lit(90L), lit(15000L))
+            .when(col("duration_days") >= lit(30L), lit(12000L))
+            .otherwise(lit(10000L)))
+        .withColumn("weight",
+          col("balance_c") + coalesce(
+            expr("(staked_c * mult_bps) div 10000"), lit(0L)))
+        .select(col("address"), col("balance_c"),
+          coalesce(col("staked_c"), lit(0L)).as("staked_c"),
+          coalesce(col("mult_bps"), lit(10000L)).as("mult_bps"),
+          col("weight"))
+        .orderBy(col("address"))
+    },
+    oracle = Some("""
+      WITH stakes AS (
+        SELECT o_custkey AS address,
+          arg_min(CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderkey) AS staked_c,
+          arg_min(CAST(o_orderdate AS DATE), o_orderkey) AS start
+        FROM orders GROUP BY 1),
+      j AS (
+        SELECT c.c_custkey AS address,
+          CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS balance_c,
+          s.staked_c,
+          date_diff('day', s.start, DATE '1998-12-31') AS duration_days
+        FROM customer c LEFT JOIN stakes s ON s.address = c.c_custkey)
+      SELECT address, balance_c,
+        COALESCE(staked_c, 0) AS staked_c,
+        CAST(COALESCE(CASE WHEN duration_days >= 180 THEN 20000
+                  WHEN duration_days >= 90 THEN 15000
+                  WHEN duration_days >= 30 THEN 12000
+                  ELSE 10000 END, 10000) AS BIGINT) AS mult_bps,
+        balance_c + COALESCE(
+          (staked_c * (CASE WHEN duration_days >= 180 THEN 20000
+                            WHEN duration_days >= 90 THEN 15000
+                            WHEN duration_days >= 30 THEN 12000
+                            ELSE 10000 END)) // 10000, 0) AS weight
+      FROM j ORDER BY address"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    decodeFastAction, decodeFastVote, decodeRegistry, verifyProof, voteWeight)
+}
