@@ -224,8 +224,37 @@ object Relational2 {
         (remaining_s % 3600) // 60 AS minutes
       FROM r ORDER BY event_id"""))
 
+  /** A5 cube variant (lib/hive-api.ts:365-373): the type×day earnings
+    * matrix as a real CUBE — cell values, row totals, column totals and
+    * the grand total in one pass with partial aggregation (SURVEY §2.4
+    * names `cube` as the natural form of the reference's hand-rolled
+    * conditional-sum matrix). Rolled-up dimensions are labelled 'ALL'. */
+  val a5CubeMatrix = QueryDef(
+    "a5_cube_matrix",
+    (s, dir) => T(s, dir).events
+      .withColumn("epoch_day", expr("ts div 86400000000000"))
+      .cube(col("event_type"), col("epoch_day"))
+      .agg(
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("epoch_day").cast("string"), lit("ALL")).as("epoch_day"),
+        col("sum_value"), col("n"))
+      .orderBy(col("event_type"), col("epoch_day")),
+    oracle = Some("""
+      WITH e AS (
+        SELECT event_type, epoch_ms(ts) // 86400000 AS epoch_day, value
+        FROM events)
+      SELECT COALESCE(event_type, 'ALL') AS event_type,
+        COALESCE(CAST(epoch_day AS VARCHAR), 'ALL') AS epoch_day,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        COUNT(*) AS n
+      FROM e GROUP BY CUBE(event_type, epoch_day)
+      ORDER BY event_type, epoch_day"""))
+
   val defs: Seq[QueryDef] = Seq(
     j3StreamStatic, j5IdentityLink, j8SecondaryLookup,
     a4GroupCountAvg, a7PoolTotals, a8Counters, a13PageEnvelope,
-    udtfExplodeSteps, fJsonStruct, fCountdown)
+    udtfExplodeSteps, fJsonStruct, fCountdown, a5CubeMatrix)
 }

@@ -140,6 +140,42 @@ object StreamOps {
       }
   }
 
+  /** ST3: per-epoch tumbling aggregation, the live version of
+    * `a3_epoch_agg` (signal aggregator keyed by epoch-day,
+    * client.ts:1262-1291; epoch = floor(unix_ms/86400000)). Update-mode
+    * streaming agg — partial aggregation per micro-batch, exactly the
+    * incremental maintenance the reference does per on-chain event. */
+  def epochAgg(events: DataFrame, watermark: String = "2 days"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "1 day"))
+      .agg(
+        count(lit(1)).as("total_signals"),
+        count_if(col("event_type") === lit("purchase")).as("long_count"),
+        count_if(col("event_type") === lit("error")).as("short_count"),
+        count_if(!col("event_type").isin("purchase", "error")).as("neutral_count"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        max(col("ts_ms")).as("last_updated_ms"))
+      .withColumn("epoch_day", expr("unix_millis(window.start) div 86400000"))
+      .drop("window")
+
+  /** ST9: daily spend vs limit running sum, the live version of
+    * `st9_daily_limit` (lib/hive-api.ts:44-62): per (user, epoch-day)
+    * purchase cents against a 500.00 daily cap, integer pct clamp. */
+  def dailyLimit(events: DataFrame, watermark: String = "2 days"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", watermark)
+      .filter(col("event_type") === lit("purchase"))
+      .withColumn("cents", round(col("value") * lit(100), 0).cast("long"))
+      .groupBy(window(col("event_time"), "1 day"), col("user_id"))
+      .agg(sum(col("cents")).as("spend_c"), count(lit(1)).as("n_draws"))
+      .withColumn("spend_pct", least(lit(100L), expr("(spend_c * 100) div 50000")))
+      .withColumn("over_limit", col("spend_c") > lit(50000L))
+      .withColumn("epoch_day", expr("unix_millis(window.start) div 86400000"))
+      .drop("window")
+
   /** Convenience: the driver test `events` parquet as a typed stream via
     * a file source — replay = initial batch, increments = new files
     * (useAgentStream.ts replay∪live, S4). */

@@ -75,6 +75,77 @@ class StreamingSpec extends SparkSpec {
     assert(got.select($"event_id").distinct().count() === batches.head.size)
   }
 
+  test("ST3 streaming epoch agg converges to the batch twin") {
+    val cols = Seq($"epoch_day", $"total_signals", $"long_count", $"short_count",
+      $"neutral_count", $"sum_value", $"last_updated_ms")
+    val got = runStream("st3_stream", batches,
+      ds => StreamOps.epochAgg(ds.toDF()), OutputMode.Update)
+    val latest = got.withColumn("ord", monotonically_increasing_id())
+      .orderBy($"ord".desc).dropDuplicates("epoch_day")
+      .select(cols: _*).orderBy($"epoch_day")
+    val want = QueryDef.catalogs.find(_.name == "a3_epoch_agg").get
+      .run(spark, sf001).select(cols: _*).orderBy($"epoch_day")
+    assert(latest.collect().toSeq === want.collect().toSeq)
+  }
+
+  test("ST9 streaming daily-limit running sum converges to the batch twin") {
+    val cols = Seq($"user_id", $"epoch_day", $"spend_c", $"n_draws",
+      $"spend_pct", $"over_limit")
+    val got = runStream("st9_stream", batches,
+      ds => StreamOps.dailyLimit(ds.toDF()), OutputMode.Update)
+    val latest = got.withColumn("ord", monotonically_increasing_id())
+      .orderBy($"ord".desc).dropDuplicates("user_id", "epoch_day")
+      .select(cols: _*).orderBy($"user_id", $"epoch_day")
+    val want = graft.operators.StreamingTwins.st9DailyLimit.run(spark, sf001)
+      .select(cols: _*).orderBy($"user_id", $"epoch_day")
+    assert(latest.collect().toSeq === want.collect().toSeq)
+  }
+
+  test("S4 events file stream: replay batch then live increments (useAgentStream.ts:16-56)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-s4").toString
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val replay = ev.filter($"event_id" % 2 === 0)
+    val live = ev.filter($"event_id" % 2 === 1)
+    replay.write.parquet(s"$dir/events.parquet")
+    val q = StreamOps.eventsFileStream(spark, dir)
+      .select($"event_id", $"ts_ms")
+      .writeStream.format("memory").queryName("s4_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("s4_stream").count() === replay.count()) // replay snapshot
+      live.write.mode("append").parquet(s"$dir/events.parquet") // live increment
+      q.processAllAvailable()
+      assert(spark.table("s4_stream").count() === ev.count()) // replay ∪ live
+      assert(spark.table("s4_stream").select($"event_id").distinct().count() === ev.count())
+    } finally q.stop()
+  }
+
+  test("ST10 checkpoint recovery: restart resumes exactly-once (client.ts:174-232 analog)") {
+    val in = java.nio.file.Files.createTempDirectory("graft-st10-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-st10-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-st10-ck").toString
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val first = ev.filter($"event_id" % 2 === 0)
+    val second = ev.filter($"event_id" % 2 === 1)
+    first.write.parquet(s"$in/events.parquet")
+    def start() = StreamOps.eventsFileStream(spark, in)
+      .select($"event_id")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // simulated crash/stop
+    assert(spark.read.parquet(out).count() === first.count())
+    second.write.mode("append").parquet(s"$in/events.parquet")
+    val q2 = start() // restart from the same checkpoint
+    try q2.processAllAvailable() finally q2.stop()
+    val res = spark.read.parquet(out).select($"event_id")
+    // exactly-once: every event appears, none re-emitted after restart
+    assert(res.count() === ev.count())
+    assert(res.distinct().count() === ev.count())
+  }
+
   test("ST6 streaming bounded buffer matches the batch twin") {
     val got = runStream("st6_stream", batches,
       ds => StreamOps.boundedBuffer(ds, cap = 3).toDF(), OutputMode.Update)
