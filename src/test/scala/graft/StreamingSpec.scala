@@ -88,6 +88,22 @@ class StreamingSpec extends SparkSpec {
     assert(latest.collect().toSeq === want.collect().toSeq)
   }
 
+  test("ST4 streaming sliding activity window covers the as-of 24h slice") {
+    val got = runStream("st4_stream", batches,
+      ds => StreamOps.slidingActivity(ds.toDF()), OutputMode.Update)
+    // the batch twin is the single 24h window ending 2024-01-30T00:00Z —
+    // pick exactly that slide out of the streaming result
+    val latest = got.filter($"window_start_ms" === 1706486400000L)
+      .withColumn("ord", monotonically_increasing_id())
+      .orderBy($"ord".desc).dropDuplicates("user_id")
+      .select($"user_id", $"events_24h", $"last_seen_ms", $"active")
+      .orderBy($"user_id")
+    val want = graft.operators.StreamingTwins.st4SlidingActivity.run(spark, sf001)
+      .select($"user_id", $"events_24h", $"last_seen_ms", $"active")
+      .orderBy($"user_id")
+    assert(latest.collect().toSeq === want.collect().toSeq)
+  }
+
   test("ST9 streaming daily-limit running sum converges to the batch twin") {
     val cols = Seq($"user_id", $"epoch_day", $"spend_c", $"n_draws",
       $"spend_pct", $"over_limit")
