@@ -107,6 +107,48 @@ object Text {
       ORDER BY a_id"""),
     headline = true)
 
+  /** True n-gram (3-token shingle) Jaccard near-dup — the classic
+    * shingling formulation (the basis dd_minhash approximates): contiguous
+    * 3-token windows, distinct shingle sets, adjacent-pair integer-pct
+    * Jaccard. Fully SQL-expressible, so unlike the hashed variants this
+    * one gets an exact DuckDB oracle. */
+  val ddShingleJaccard = QueryDef(
+    "dd_shingle_jaccard",
+    (s, dir) => {
+      val toksAll = filter(split(lower(col("text")), " "), w => length(w) > lit(0))
+      val d = T(s, dir).documents
+        .select(col("doc_id"), toksAll.as("toks"))
+        .filter(size(col("toks")) >= lit(3))
+        .withColumn("sh", array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - lit(2)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(3))))))
+      val a = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      val b = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      a.join(b, col("b_id") === col("a_id") + lit(1))
+        .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("long"))
+        .withColumn("uni", size(array_union(col("a_sh"), col("b_sh"))).cast("long"))
+        .filter(col("uni") > lit(0L))
+        .select(col("a_id"), col("b_id"),
+          expr("(inter * 100) div uni").as("jaccard_pct"))
+        .orderBy(col("a_id"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM t WHERE len(toks) >= 3)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        (CAST(length(list_intersect(a.sh, b.sh)) AS BIGINT) * 100)
+          // CAST(length(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS jaccard_pct
+      FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+      WHERE length(list_distinct(list_concat(a.sh, b.sh))) > 0
+      ORDER BY a_id"""))
+
   /** Language-ID n-gram/stopword heuristic (driver-requested; deterministic). */
   val txtLangId = QueryDef(
     "txt_langid",
@@ -212,6 +254,6 @@ object Text {
     oracle = None)
 
   val defs: Seq[QueryDef] = Seq(
-    ddExact, a12OverlapScore, ddJaccard, txtLangId, txtQuality, txtTokens,
-    txtFingerprint, txtFingerprintRolling)
+    ddExact, a12OverlapScore, ddJaccard, ddShingleJaccard, txtLangId,
+    txtQuality, txtTokens, txtFingerprint, txtFingerprintRolling)
 }
