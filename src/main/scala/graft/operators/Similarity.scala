@@ -236,19 +236,27 @@ object Similarity {
       val nBands = 8
       val rowsPerBand = nHashes / nBands
       val seeds = Array.tabulate(nHashes)(i => fmix64(0x9e3779b97f4a7c15L * (i + 1)))
-      // bucket values per band, from one fused JVM pass over the tokens
-      val bandBucketsUdf = udf((toks: Seq[String]) => {
+      // bucket values per band from one fused JVM pass over the raw text:
+      // tokenize (lower, split on space, len>3 — same rule as the builtin
+      // `tokens` used by the verify join; duplicates don't move a min, so
+      // no distinct needed) then 32 keyed minhashes. Taking the string
+      // instead of a token array keeps the interpreted higher-order
+      // filter/transform lambdas out of the per-row hot path entirely.
+      val bandBucketsUdf = udf((text: String) => {
         val mins = Array.fill(nHashes)(Long.MaxValue)
-        toks.foreach { t =>
-          val th = fnv64(t)
-          var i = 0
-          while (i < nHashes) {
-            val h = fmix64(th ^ seeds(i))
-            if (h < mins(i)) mins(i) = h
-            i += 1
+        text.toLowerCase(java.util.Locale.ROOT).split(" ").foreach { t =>
+          if (t.length > 3) {
+            val th = fnv64(t)
+            var i = 0
+            while (i < nHashes) {
+              val h = fmix64(th ^ seeds(i))
+              if (h < mins(i)) mins(i) = h
+              i += 1
+            }
           }
         }
-        Array.tabulate(nBands) { b =>
+        if (mins(0) == Long.MaxValue) Array.empty[Long] // no tokens → no bands
+        else Array.tabulate(nBands) { b =>
           var acc = 1125899906842597L
           var j = 0
           while (j < rowsPerBand) { acc = acc * 31 + mins(b * rowsPerBand + j); j += 1 }
@@ -258,8 +266,8 @@ object Similarity {
       val toks = array_distinct(filter(split(lower(col("text")), " "), w => length(w) > lit(3)))
       val d = T(s, dir).documents.select(col("doc_id"), toks.as("toks"))
         .filter(size(col("toks")) > lit(0))
-      val banded = d
-        .select(col("doc_id"), posexplode(bandBucketsUdf(col("toks"))))
+      val banded = T(s, dir).documents
+        .select(col("doc_id"), posexplode(bandBucketsUdf(col("text"))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       // keeper per (band, bucket) = min doc_id via a partial-aggregating
       // groupBy (map-side combine + AQE skew splitting; the window-min
@@ -297,25 +305,38 @@ object Similarity {
   val ddSimhash = QueryDef(
     "dd_simhash",
     (s, dir) => {
-      val simhashUdf = udf((toks: Seq[String]) => {
+      // fused JVM kernel from raw text (tokenize + set-dedupe + 64-bit
+      // majority vote) — simhash bit counts DO depend on multiplicity, so
+      // unlike minhash the distinct step is kept (hash set). Returns null
+      // for token-free docs, which the isNotNull filter drops like the
+      // old size(toks)>0 guard.
+      val simhashUdf = udf((text: String) => {
+        val seen = new java.util.HashSet[String]()
         val counts = new Array[Int](64)
-        toks.foreach { t =>
-          val h = fmix64(fnv64(t))
-          var i = 0
-          while (i < 64) {
-            if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
-            i += 1
+        var any = false
+        text.toLowerCase(java.util.Locale.ROOT).split(" ").foreach { t =>
+          if (t.length > 3 && seen.add(t)) {
+            any = true
+            val h = fmix64(fnv64(t))
+            var i = 0
+            while (i < 64) {
+              if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+              i += 1
+            }
           }
         }
-        var sim = 0L
-        var i = 0
-        while (i < 64) { if (counts(i) > 0) sim |= (1L << i); i += 1 }
-        sim
+        if (!any) Option.empty[Long]
+        else {
+          var sim = 0L
+          var i = 0
+          while (i < 64) { if (counts(i) > 0) sim |= (1L << i); i += 1 }
+          Some(sim)
+        }
       })
-      val toks = array_distinct(filter(split(lower(col("text")), " "), w => length(w) > lit(3)))
-      val d = T(s, dir).documents.select(col("doc_id"), toks.as("toks"))
-        .filter(size(col("toks")) > lit(0))
-      val withSim = d.withColumn("simhash", simhashUdf(col("toks")))
+      val withSim = T(s, dir).documents
+        .withColumn("simhash", simhashUdf(col("text")))
+        .filter(col("simhash").isNotNull)
+        .select(col("doc_id"), col("simhash"))
       val banded = withSim.select(col("doc_id"), col("simhash"),
         posexplode(transform(sequence(lit(0), lit(7)), b =>
           call_function("shiftright", col("simhash"), b * lit(8))
