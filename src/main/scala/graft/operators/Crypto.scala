@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Crypto/commitment operators (SURVEY §2.8 crypto, §2.10): Poseidon
@@ -71,5 +71,43 @@ object Crypto {
     },
     oracle = None)
 
-  val defs: Seq[QueryDef] = Seq(cryptoCommitment, cryptoNullifierDedup, cryptoMerkleRoot)
+  /** SHA-256 fallback commitment scheme (private-escrow.ts:95-121): the
+    * reference's non-Poseidon path — commitment = '0x' +
+    * sha256("commitment:<amount_lamports>:<blinding>"), verified by
+    * regenerate-and-compare. Unlike the Poseidon ops this is fully
+    * SQL-expressible, so the crypto family gets one exact oracle row;
+    * `verify_tampered` pins that a shifted amount breaks the binding. */
+  val cryptoShaCommitment = QueryDef(
+    "crypto_sha_commitment",
+    (s, dir) => {
+      def commit(amount: Column, blinding: Column): Column =
+        concat(lit("0x"), sha2(concat_ws("",
+          lit("commitment:"), amount, lit(":"), blinding), 256))
+      Tables(s, dir).events
+        .withColumn("amt", expr("cast(floor(value * 1e9) as bigint)"))
+        .withColumn("blinding", col("event_id") * lit(2654435761L))
+        .withColumn("commitment", commit(col("amt"), col("blinding")))
+        .select(
+          col("event_id"),
+          col("commitment"),
+          (commit(col("amt"), col("blinding")) === col("commitment")).as("verify_ok"),
+          (commit(col("amt") + lit(1L), col("blinding")) === col("commitment"))
+            .as("verify_tampered"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some("""
+      WITH c AS (
+        SELECT event_id,
+          CAST(FLOOR(value * 1e9) AS BIGINT) AS amt,
+          event_id * 2654435761 AS blinding
+        FROM events)
+      SELECT event_id,
+        '0x' || sha256('commitment:' || amt || ':' || blinding) AS commitment,
+        TRUE AS verify_ok,
+        ('0x' || sha256('commitment:' || (amt + 1) || ':' || blinding)) =
+          ('0x' || sha256('commitment:' || amt || ':' || blinding)) AS verify_tampered
+      FROM c ORDER BY event_id"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    cryptoCommitment, cryptoNullifierDedup, cryptoMerkleRoot, cryptoShaCommitment)
 }

@@ -421,13 +421,18 @@ object Similarity {
     },
     oracle = None)
 
-  /** IVF-style ANN top-k: a deterministic coarse quantizer (centroids =
-    * the first nCells corpus vectors — training-free, stable) partitions
-    * the corpus into cells; queries probe their nProbe nearest cells and
-    * re-rank exactly inside them. The 100 TB shape: the corpus is
-    * assigned once (one scan, shuffle keyed by cell — in production this
-    * is the partitioning of the stored index), probes touch
-    * nProbe/nCells of the data, and the centroid table is broadcast. */
+  /** IVF-style ANN top-k with a one-step Lloyd-refined coarse quantizer:
+    * seed centroids = the first nCells corpus vectors (deterministic),
+    * one assign → per-cell mean → re-assign refinement (the k-means
+    * iteration a real IVF index build runs to convergence; one step is
+    * the bench-scale stand-in with the identical dataflow). Queries probe
+    * their nProbe nearest cells and re-rank exactly inside them.
+    *
+    * The 100 TB shape: centroid training touches only narrow
+    * (cell, pos, component) rows with partial aggregation; the corpus is
+    * assigned by broadcast centroid probe (no shuffle of vectors except
+    * the final cell-keyed exchange — in production that IS the stored
+    * index partitioning); probes touch nProbe/nCells of the data. */
   val simIvfTopk = QueryDef(
     "sim_ivf_topk",
     (s, dir) => {
@@ -435,8 +440,24 @@ object Similarity {
       val nProbe = 4
       val e = T(s, dir).embeddings.select(col("vec_id"), col("embedding").as("v"))
         .withColumn("norm", sqrt(dotDouble(col("v"), col("v"))))
-      val centroids = e.filter(col("vec_id") < lit(nCells.toLong))
+      val seedCentroids = e.filter(col("vec_id") < lit(nCells.toLong))
         .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cn"))
+      // Lloyd step: assign to seed cells, recompute element-wise means
+      val w0 = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell").asc)
+      val assigned0 = e.join(broadcast(seedCentroids))
+        .withColumn("ccos", dotDouble(col("v"), col("cv")) / (col("norm") * col("cn")))
+        .withColumn("crank", row_number().over(w0))
+        .filter(col("crank") === lit(1))
+        .select(col("cell"), col("v"))
+      val centroids = assigned0
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"),
+          transform(col("pm"), x => x.getField("m").cast("float")).as("cv"))
+        .withColumn("cn", sqrt(dotDouble(col("cv"), col("cv"))))
+        .filter(col("cn") > lit(0.0))
       // corpus → nearest centroid (rank 1); queries → nProbe nearest cells
       def assign(df: org.apache.spark.sql.DataFrame, keep: Int) = {
         val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell").asc)
