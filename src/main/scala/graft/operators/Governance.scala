@@ -371,6 +371,64 @@ object Governance {
                             ELSE 10000 END)) // 10000, 0) AS weight
       FROM j ORDER BY address"""))
 
+  /** Escalating slash rate + dispute refund schedule in one settlement
+    * pass. Slash: min(1000 + 500×violations, 5000) bps
+    * (swarm-types.ts:395-397). Refund: quality ≥80 → 0%, ≥65 → 35%,
+    * ≥50 → 75%, else 100% of the escrowed amount
+    * (private-escrow.ts:404-427) — amounts in integer cents with
+    * truncating division so the oracle check is float-free (the
+    * reference computes the split in floating point over the same
+    * percentages). Violations = error events, escrow = purchase cents,
+    * quality score derived deterministically per user. */
+  val slashRefund = QueryDef(
+    "f_slash_refund",
+    (s, dir) => T(s, dir).events
+      .groupBy(col("user_id"))
+      .agg(
+        count_if(col("event_type") === lit("error")).as("violations"),
+        sum(when(col("event_type") === lit("purchase"),
+          round(col("value") * lit(100), 0).cast("long"))).as("amount_c"))
+      .withColumn("amount_c", coalesce(col("amount_c"), lit(0L)))
+      .withColumn("slash_bps",
+        least(lit(5000L), lit(1000L) + lit(500L) * col("violations")))
+      .withColumn("quality_score", pmod(col("user_id") * lit(7L), lit(101L)))
+      .withColumn("refund_pct",
+        when(col("quality_score") >= lit(80L), lit(0L))
+          .when(col("quality_score") >= lit(65L), lit(35L))
+          .when(col("quality_score") >= lit(50L), lit(75L))
+          .otherwise(lit(100L)))
+      .withColumn("agent_refund_c", expr("(amount_c * refund_pct) div 100"))
+      .withColumn("provider_payout_c", col("amount_c") - col("agent_refund_c"))
+      .select(col("user_id"), col("violations"), col("slash_bps"),
+        col("quality_score"), col("refund_pct"),
+        col("amount_c"), col("agent_refund_c"), col("provider_payout_c"))
+      .orderBy(col("user_id")),
+    oracle = Some("""
+      WITH a AS (
+        SELECT user_id,
+          COUNT(*) FILTER (WHERE event_type = 'error') AS violations,
+          CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+            THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT) AS amount_c
+        FROM events GROUP BY user_id),
+      b AS (
+        SELECT *,
+          LEAST(5000, 1000 + 500 * violations) AS slash_bps,
+          (user_id * 7) % 101 AS quality_score
+        FROM a),
+      c AS (
+        SELECT *,
+          CASE WHEN quality_score >= 80 THEN 0
+               WHEN quality_score >= 65 THEN 35
+               WHEN quality_score >= 50 THEN 75
+               ELSE 100 END AS refund_pct
+        FROM b)
+      SELECT user_id, violations, slash_bps, quality_score, refund_pct,
+        amount_c,
+        CAST((amount_c * refund_pct) // 100 AS BIGINT) AS agent_refund_c,
+        CAST(amount_c - ((amount_c * refund_pct) // 100) AS BIGINT) AS provider_payout_c
+      FROM c ORDER BY user_id"""))
+
   val defs: Seq[QueryDef] = Seq(
-    decodeFastAction, decodeFastVote, decodeRegistry, verifyProof, voteWeight)
+    decodeFastAction, decodeFastVote, decodeRegistry, verifyProof, voteWeight,
+    slashRefund)
 }
