@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based mirrors of the reference's constraint-satisfaction tests
+  * (SURVEY §5.2): algebraic invariants checked over ScalaCheck-generated
+  * frames with fixed seeds (deterministic, no flaky sampling) — tally ≡
+  * per-event fold, pagination partitions, dedup idempotence, validation
+  * completeness. */
+class PropertiesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(seed + i)))
+
+  test("A2 tally aggregate equals the reference's per-event incremental fold (lib.rs:115-149)") {
+    val votesGen = Gen.listOfN(40, Gen.zip(Gen.choose(0L, 4L), Gen.oneOf(true, false)))
+    samples(votesGen, 20, seed = 11L).foreach { votes =>
+      // model: the on-chain incremental counters, folded event by event
+      val model = votes.groupBy(_._1).map { case (k, vs) =>
+        val (f, a) = vs.foldLeft((0L, 0L)) { case ((f, a), (_, v)) =>
+          if (v) (f + 1, a) else (f, a + 1) }
+        val total = f + a
+        k -> ((f, a, if (total > 0) f * 100 / total else 0L,
+          total >= 2 && (if (total > 0) f * 100 / total else 0L) >= 67L))
+      }
+      val got = votes.toDF("action", "vote")
+        .groupBy($"action")
+        .agg(count_if($"vote").as("vf"), count_if(!$"vote").as("va"))
+        .withColumn("pct", expr("case when vf + va > 0 then (vf * 100) div (vf + va) else 0 end"))
+        .withColumn("passed", $"vf" + $"va" >= 2L && $"pct" >= 67L)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4)))).toMap
+      assert(got === model)
+    }
+  }
+
+  test("W2 pagination partitions the ordered relation exactly (indexer.ts:64-83)") {
+    val rowsGen = Gen.listOfN(60, Gen.choose(0L, 1000000L)).map(_.distinct)
+    val pageGen = Gen.choose(1, 17)
+    samples(Gen.zip(rowsGen, pageGen), 15, seed = 22L).foreach { case (keys, page) =>
+      val df = keys.toDF("k")
+      val sorted = keys.sorted
+      val pages = (0 until (keys.size + page - 1) / page).flatMap { p =>
+        df.orderBy($"k").offset(p * page).limit(page).collect().map(_.getLong(0)).toSeq
+      }
+      assert(pages === sorted) // concatenated pages = the full ordered set, once
+    }
+  }
+
+  test("SO2 dedup is idempotent and key-unique (client.ts:1753-1762)") {
+    val gen = Gen.listOfN(80, Gen.zip(Gen.choose(0L, 20L), Gen.choose(0L, 5L)))
+    samples(gen, 15, seed = 33L).foreach { rows =>
+      val df = rows.toDF("nullifier", "epoch")
+      val once = df.dropDuplicates("nullifier", "epoch")
+      val twice = once.dropDuplicates("nullifier", "epoch")
+      assert(once.count() === rows.map(r => (r._1, r._2)).distinct.size.toLong)
+      assert(twice.count() === once.count()) // idempotent
+      assert(once.groupBy($"nullifier", $"epoch").count()
+        .filter($"count" > 1).count() === 0L) // key-unique
+    }
+  }
+
+  test("P6 validation splits rows into complementary valid/reject sets (client.ts:90-133)") {
+    // threshold ∈ [1,100] and positive stake, as the reference's checks
+    val gen = Gen.listOfN(60, Gen.zip(Gen.choose(-10L, 120L), Gen.choose(-5L, 50L)))
+    samples(gen, 15, seed = 44L).foreach { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((t, st), i) => (i.toLong, t, st) }
+        .toDF("id", "threshold", "stake")
+      val valid = df.filter($"threshold".between(1L, 100L) && $"stake" > 0L)
+      val rejects = df.filter(!($"threshold".between(1L, 100L) && $"stake" > 0L))
+      assert(valid.count() + rejects.count() === rows.size.toLong)
+      assert(valid.join(rejects, "id").count() === 0L) // disjoint
+      val model = rows.count { case (t, st) => t >= 1 && t <= 100 && st > 0 }
+      assert(valid.count() === model.toLong)
+    }
+  }
+}
