@@ -428,7 +428,66 @@ object Governance {
         CAST(amount_c - ((amount_c * refund_pct) // 100) AS BIGINT) AS provider_payout_c
       FROM c ORDER BY user_id"""))
 
+  /** Shadow-ID reputation gate pipeline (shadow-id-gate.ts): raw account
+    * score renormalized clamp(0,100,(raw+1000)/20) (`:313-314`), tier
+    * cascade none/bronze/silver/gold/platinum (`:42-48,320-326`), and the
+    * effective rate limit floor(baseLimit × tier multiplier) with
+    * lite=1/active=10 bases and 0.5/1/1.5/2/3 multipliers (`:52-63,
+    * 256-270` — ×10 integer form, floors identically since every product
+    * is binary-exact). Raw spans negatives here so every tier branch is
+    * exercised (the reference's u16 input always lands ≥ 50 and relies
+    * on the same clamp). */
+  val repGate = QueryDef(
+    "f_rep_gate",
+    (s, dir) => T(s, dir).customer
+      .withColumn("raw", pmod(col("c_custkey") * lit(137L), lit(3000L)) - lit(1000L))
+      .withColumn("score",
+        least(lit(100.0), greatest(lit(0.0), (col("raw") + lit(1000L)) / lit(20.0))))
+      .withColumn("rep_tier",
+        when(col("score") >= lit(86.0), lit("platinum"))
+          .when(col("score") >= lit(66.0), lit("gold"))
+          .when(col("score") >= lit(41.0), lit("silver"))
+          .when(col("score") >= lit(1.0), lit("bronze"))
+          .otherwise(lit("none")))
+      .withColumn("shadow_tier",
+        when(pmod(col("c_custkey"), lit(2L)) === lit(0L), lit("lite"))
+          .otherwise(lit("active")))
+      .withColumn("base_limit",
+        when(col("shadow_tier") === lit("lite"), lit(1L)).otherwise(lit(10L)))
+      .withColumn("mult_x10",
+        when(col("rep_tier") === lit("none"), lit(5L))
+          .when(col("rep_tier") === lit("bronze"), lit(10L))
+          .when(col("rep_tier") === lit("silver"), lit(15L))
+          .when(col("rep_tier") === lit("gold"), lit(20L))
+          .otherwise(lit(30L)))
+      .withColumn("rate_limit", expr("(base_limit * mult_x10) div 10"))
+      .select(col("c_custkey"), col("raw"), col("score"), col("rep_tier"),
+        col("shadow_tier"), col("rate_limit"))
+      .orderBy(col("c_custkey")),
+    oracle = Some("""
+      WITH a AS (
+        SELECT c_custkey, (c_custkey * 137) % 3000 - 1000 AS raw
+        FROM customer),
+      b AS (
+        SELECT c_custkey, raw,
+          LEAST(100.0, GREATEST(0.0, (raw + 1000) / 20.0)) AS score,
+          CASE WHEN c_custkey % 2 = 0 THEN 'lite' ELSE 'active' END AS shadow_tier
+        FROM a),
+      c AS (
+        SELECT *,
+          CASE WHEN score >= 86 THEN 'platinum'
+               WHEN score >= 66 THEN 'gold'
+               WHEN score >= 41 THEN 'silver'
+               WHEN score >= 1 THEN 'bronze'
+               ELSE 'none' END AS rep_tier,
+          CASE WHEN shadow_tier = 'lite' THEN 1 ELSE 10 END AS base_limit
+        FROM b)
+      SELECT c_custkey, raw, score, rep_tier, shadow_tier,
+        (base_limit * (CASE rep_tier WHEN 'none' THEN 5 WHEN 'bronze' THEN 10
+          WHEN 'silver' THEN 15 WHEN 'gold' THEN 20 ELSE 30 END)) // 10 AS rate_limit
+      FROM c ORDER BY c_custkey"""))
+
   val defs: Seq[QueryDef] = Seq(
     decodeFastAction, decodeFastVote, decodeRegistry, verifyProof, voteWeight,
-    slashRefund)
+    slashRefund, repGate)
 }
