@@ -91,6 +91,61 @@ object StreamingTwins {
       FROM events WHERE event_type IN ('view','purchase')
       GROUP BY user_id ORDER BY user_id"""))
 
+  /** ST2b commit-reveal with DUAL DEADLINES (the full lifecycle of
+    * lib.rs:93-176 + swarm-types.ts:104-136): sessions are (user, hour);
+    * commits (`view`) accepted only in the first 30 min, reveals
+    * (`purchase`) only in [30, 45) — anything else is rejected like the
+    * on-chain `VotingEnded` error; winner = max reveal bid, ties to the
+    * lowest event_id (the running-max semantics of
+    * swarm-types.ts:118-119). */
+  val st2DeadlineWinner = QueryDef(
+    "st2_deadline_winner",
+    (s, dir) => T(s, dir).events
+      .filter(col("event_type").isin("view", "purchase"))
+      .withColumn("window_hour", expr("ts_ms div 3600000"))
+      .withColumn("off_ms", expr("ts_ms % 3600000"))
+      .withColumn("phase",
+        when(col("event_type") === lit("view") && col("off_ms") < lit(1800000L),
+          lit("commit"))
+          .when(col("event_type") === lit("purchase") &&
+            col("off_ms") >= lit(1800000L) && col("off_ms") < lit(2700000L),
+            lit("reveal"))
+          .otherwise(lit("rejected")))
+      .groupBy(col("user_id"), col("window_hour"))
+      .agg(
+        count_if(col("phase") === lit("commit")).as("n_commits"),
+        count_if(col("phase") === lit("reveal")).as("n_reveals"),
+        count_if(col("phase") === lit("rejected")).as("n_rejected"),
+        max(when(col("phase") === lit("reveal"), col("value"))).as("winning_bid"),
+        // winner = lexicographic min over (-bid, event_id): highest bid,
+        // ties to the earliest event — null (non-reveal) rows skipped
+        min(when(col("phase") === lit("reveal"),
+          struct((-col("value")).as("nv"), col("event_id").as("eid"))))
+          .as("ws"))
+      .withColumn("winner_event", col("ws.eid")).drop("ws")
+      .withColumn("revealed", col("n_reveals") > lit(0L))
+      .orderBy(col("user_id"), col("window_hour")),
+    oracle = Some("""
+      WITH p AS (
+        SELECT user_id, epoch_ms(ts) // 3600000 AS window_hour,
+          event_id, value,
+          CASE WHEN event_type = 'view' AND epoch_ms(ts) % 3600000 < 1800000
+                 THEN 'commit'
+               WHEN event_type = 'purchase' AND epoch_ms(ts) % 3600000 >= 1800000
+                AND epoch_ms(ts) % 3600000 < 2700000 THEN 'reveal'
+               ELSE 'rejected' END AS phase
+        FROM events WHERE event_type IN ('view','purchase'))
+      SELECT user_id, window_hour,
+        COUNT(*) FILTER (WHERE phase = 'commit') AS n_commits,
+        COUNT(*) FILTER (WHERE phase = 'reveal') AS n_reveals,
+        COUNT(*) FILTER (WHERE phase = 'rejected') AS n_rejected,
+        MAX(value) FILTER (WHERE phase = 'reveal') AS winning_bid,
+        (MIN(struct_pack(nv := -value, eid := event_id))
+          FILTER (WHERE phase = 'reveal')).eid AS winner_event,
+        COUNT(*) FILTER (WHERE phase = 'reveal') > 0 AS revealed
+      FROM p GROUP BY user_id, window_hour
+      ORDER BY user_id, window_hour"""))
+
   /** ST4 sliding activity window (useHiveVizState.ts:37-50, burns24h
     * swarm-types.ts:429-437): activity in the trailing 24h before the
     * as-of instant 2024-01-30T00:00Z; members with ≥1 event are active. */
@@ -193,6 +248,6 @@ object StreamingTwins {
       GROUP BY 1, 2 ORDER BY user_id, epoch_day"""))
 
   val defs: Seq[QueryDef] = Seq(
-    st1DeadlineTally, st2CommitReveal, st4SlidingActivity,
+    st1DeadlineTally, st2CommitReveal, st2DeadlineWinner, st4SlidingActivity,
     st6BoundedBuffer, st7TtlRetention, st9DailyLimit)
 }

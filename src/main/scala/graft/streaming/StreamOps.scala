@@ -30,6 +30,25 @@ final case class CommitRevealResult(
     first_reveal_event: Option[Long],
     has_winner: Boolean)
 
+/** Dual-deadline commit-reveal session state (ST2b): bounded per-key —
+  * five scalars regardless of stream length. */
+final case class DeadlineSession(
+    nCommits: Long,
+    nReveals: Long,
+    nRejected: Long,
+    winNegBid: Double, // -bid, so lexicographic min = (max bid, min event)
+    winEvent: Long)
+
+final case class DeadlineResult(
+    user_id: Long,
+    window_hour: Long,
+    n_commits: Long,
+    n_reveals: Long,
+    n_rejected: Long,
+    winning_bid: Option[Double],
+    winner_event: Option[Long],
+    revealed: Boolean)
+
 final case class BufferResult(
     user_id: Long,
     n_seen: Long,
@@ -104,6 +123,44 @@ object StreamOps {
             userId, s.nCommits, s.nReveals,
             if (s.nReveals > 0) Some(s.winningBid) else None,
             if (s.nReveals > 0) Some(s.firstRevealEvent) else None,
+            s.nReveals > 0)
+      }
+  }
+
+  /** ST2b: commit-reveal with DUAL DEADLINES inside the stateful op —
+    * the full fast-vote lifecycle (lib.rs:93-176): sessions keyed by
+    * (user, hour); commits accepted in the first 30 min, reveals in
+    * [30, 45), everything else rejected like the on-chain `VotingEnded`
+    * error; running winner = lexicographic min of (-bid, event_id).
+    * Phase classification is pure event-time arithmetic on each row, so
+    * replaying any batch split converges to the batch twin exactly. */
+  def commitRevealDeadline(events: Dataset[Ev]): Dataset[DeadlineResult] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "purchase")
+      .groupByKey(e => (e.user_id, e.ts_ms / 3600000L))
+      .mapGroupsWithState[DeadlineSession, DeadlineResult](
+        GroupStateTimeout.NoTimeout) {
+        case ((uid, hour), evs, state: GroupState[DeadlineSession]) =>
+          var s = state.getOption.getOrElse(
+            DeadlineSession(0L, 0L, 0L, Double.MaxValue, Long.MaxValue))
+          evs.foreach { e =>
+            val off = e.ts_ms % 3600000L
+            if (e.event_type == "view" && off < 1800000L)
+              s = s.copy(nCommits = s.nCommits + 1)
+            else if (e.event_type == "purchase" && off >= 1800000L && off < 2700000L) {
+              val better = -e.value < s.winNegBid ||
+                (-e.value == s.winNegBid && e.event_id < s.winEvent)
+              s = s.copy(
+                nReveals = s.nReveals + 1,
+                winNegBid = if (better) -e.value else s.winNegBid,
+                winEvent = if (better) e.event_id else s.winEvent)
+            } else s = s.copy(nRejected = s.nRejected + 1)
+          }
+          state.update(s)
+          DeadlineResult(uid, hour, s.nCommits, s.nReveals, s.nRejected,
+            if (s.nReveals > 0) Some(-s.winNegBid) else None,
+            if (s.nReveals > 0) Some(s.winEvent) else None,
             s.nReveals > 0)
       }
   }

@@ -75,6 +75,19 @@ class StreamingSpec extends SparkSpec {
     assert(got.select($"event_id").distinct().count() === batches.head.size)
   }
 
+  test("ST2b dual-deadline commit-reveal converges to the batch twin") {
+    val cols = Seq($"user_id", $"window_hour", $"n_commits", $"n_reveals",
+      $"n_rejected", $"winning_bid", $"winner_event", $"revealed")
+    val got = runStream("st2b_stream", batches,
+      ds => StreamOps.commitRevealDeadline(ds).toDF(), OutputMode.Update)
+    val latest = got.withColumn("ord", monotonically_increasing_id())
+      .orderBy($"ord".desc).dropDuplicates("user_id", "window_hour")
+      .select(cols: _*).orderBy($"user_id", $"window_hour")
+    val want = graft.operators.StreamingTwins.st2DeadlineWinner.run(spark, sf001)
+      .select(cols: _*).orderBy($"user_id", $"window_hour")
+    assert(latest.collect().toSeq === want.collect().toSeq)
+  }
+
   test("ST3 streaming epoch agg converges to the batch twin") {
     val cols = Seq($"epoch_day", $"total_signals", $"long_count", $"short_count",
       $"neutral_count", $"sum_value", $"last_updated_ms")
