@@ -49,6 +49,18 @@ final case class DeadlineResult(
     winner_event: Option[Long],
     revealed: Boolean)
 
+final case class TtlResult(user_id: Long, n_events: Long, expired: Boolean)
+
+/** Ev + its watermark column — event-time timeouts require the watermarked
+  * column to survive into the grouped dataset. */
+final case class EvT(
+    event_id: Long,
+    user_id: Long,
+    event_type: String,
+    value: Double,
+    ts_ms: Long,
+    event_time: java.sql.Timestamp)
+
 final case class BufferResult(
     user_id: Long,
     n_seen: Long,
@@ -247,6 +259,38 @@ object StreamOps {
       .withColumn("over_limit", col("spend_c") > lit(50000L))
       .withColumn("epoch_day", expr("unix_millis(window.start) div 86400000"))
       .drop("window")
+
+  /** ST7 live: TTL state eviction (message-store.ts:47-64, 7-day TTL,
+    * hourly prune). Per-user running count with an event-time timeout at
+    * last_seen + ttl: when the watermark passes it, the state is removed
+    * and an `expired` tombstone emitted — the streaming form of the
+    * reference's periodic prune, with state bounded by activity. */
+  def ttlEvict(events: DataFrame, ttlMs: Long = 7L * 86400000L): Dataset[TtlResult] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", "0 seconds")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts_ms"), col("event_time"))
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long), TtlResult](
+        GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, _) = state.get
+            state.remove() // watermark passed last_seen + ttl → prune
+            TtlResult(uid, n, expired = true)
+          } else {
+            var (n, lastTs) = state.getOption.getOrElse((0L, 0L))
+            evs.foreach { e => n += 1; lastTs = math.max(lastTs, e.ts_ms) }
+            state.update((n, lastTs))
+            state.setTimeoutTimestamp(lastTs + ttlMs)
+            TtlResult(uid, n, expired = false)
+          }
+      }
+  }
 
   /** Convenience: the driver test `events` parquet as a typed stream via
     * a file source — replay = initial batch, increments = new files

@@ -175,6 +175,32 @@ class StreamingSpec extends SparkSpec {
     assert(res.distinct().count() === ev.count())
   }
 
+  test("ST7 live TTL eviction: idle key pruned once the watermark passes last_seen + ttl") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.ttlEvict(mem.toDF(), ttlMs = 7L * 86400000L)
+      .toDF()
+      .writeStream.format("memory").queryName("st7_stream")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val t0 = 1706486400000L // 2024-01-29T00:00Z
+      // user 1 is active once, then goes silent
+      mem.addData(Seq(Ev(1L, 1L, "view", 1.0, t0), Ev(2L, 1L, "view", 1.0, t0 + 1000)))
+      q.processAllAvailable()
+      // user 2's much later events push the watermark past user 1's TTL
+      mem.addData(Seq(Ev(3L, 2L, "view", 1.0, t0 + 10L * 86400000L)))
+      q.processAllAvailable()
+      mem.addData(Seq(Ev(4L, 2L, "view", 1.0, t0 + 10L * 86400000L + 1000)))
+      q.processAllAvailable()
+      val rows = spark.table("st7_stream")
+        .select($"user_id", $"n_events", $"expired").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(rows.contains((1L, 2L, true)))  // tombstone: state pruned at eviction
+      assert(rows.contains((1L, 2L, false))) // the pre-eviction live emission
+      assert(!rows.contains((2L, 2L, true))) // active key never evicted
+    } finally q.stop()
+  }
+
   test("ST6 streaming bounded buffer matches the batch twin") {
     val got = runStream("st6_stream", batches,
       ds => StreamOps.boundedBuffer(ds, cap = 3).toDF(), OutputMode.Update)
