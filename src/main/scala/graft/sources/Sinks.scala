@@ -54,6 +54,26 @@ object Sinks {
     fs.rename(new org.apache.hadoop.fs.Path(staging), target)
   }
 
+  /** Bucketed table writer — the 100 TB co-located-join path: both sides
+    * of a recurring fact↔fact equi-join written with the same bucket
+    * count on the join key join WITHOUT an exchange (each bucket pair
+    * joins locally; at cluster scale this removes the dominant shuffle
+    * of repeated large joins). `sortBy` within buckets additionally
+    * removes the join's sort step. SinksSpec asserts the shuffle-free
+    * plan. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      path: String,
+      key: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .saveAsTable(table)
+
   /** S7: cached source snapshot with TTL (discovery.ts:15-37: 60 s memo).
     * The TTL is orchestration, not query semantics — the engine-side part
     * is the cache/unpersist lifecycle. */

@@ -48,6 +48,28 @@ class SinksSpec extends SparkSpec {
     assert(got === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("bucketed co-located join runs without a shuffle exchange") {
+    val wh = tmp()
+    val orders = Tables(spark, sf001).orders.select($"o_orderkey", $"o_custkey")
+    val items = Tables(spark, sf001).lineitem.select($"l_orderkey", $"l_quantity")
+    Sinks.writeBucketed(orders, "b_orders", s"$wh/b_orders", "o_orderkey", 4)
+    Sinks.writeBucketed(items.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_items", s"$wh/b_items", "o_orderkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val joined = spark.table("b_orders").join(spark.table("b_items"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() === items.count()) // every lineitem finds its order
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_items")
+    }
+  }
+
   test("S7 cached source reloads only after TTL") {
     var loads = 0
     val src = new Sinks.CachedSource(
