@@ -143,6 +143,21 @@ class SemanticsSpec extends SparkSpec {
     assert(ivfRecall >= 0.8, f"IVF recall $ivfRecall%.2f below floor")
   }
 
+  test("salted skew join equals the plain join on a hot-keyed input") {
+    // one pathological key (90% of rows) + a uniform tail
+    val hot = (1 to 3000).map(i => (7L, i.toLong))
+    val tail = (1 to 300).map(i => ((i % 20).toLong + 100L, i.toLong))
+    val facts = (hot ++ tail).toDF("k", "payload")
+    val dims = ((7L, "hot") +: (100L to 119L).map(k => (k, s"d$k"))).toDF("k", "name")
+    val plain = facts.join(dims, "k")
+    val salted = graft.operators.SkewJoin.saltedJoin(facts, dims, "k", n = 8)
+    assert(salted.count() === plain.count())
+    val a = salted.orderBy($"k", $"payload").collect().map(_.toSeq).toSeq
+    val b = plain.select(salted.columns.map(col).toIndexedSeq: _*)
+      .orderBy($"k", $"payload").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
   test("S2 fixed-offset decode round-trips through the binary record") {
     val out = graft.operators.BinaryOps.s2DecodeFixed.run(spark, sf001)
       .limit(5).collect()
