@@ -253,7 +253,63 @@ object Text {
     },
     oracle = None)
 
+  /** End-to-end corpus-cleaning pipeline — the composed 100 TB
+    * training-data flow the individual ops feed: language gate (English
+    * stopword hits ≥ 2) → quality gate (score ≥ 60) → exact dedup
+    * (md5 keeper = lowest doc_id) → per-survivor token budget. One
+    * declarative plan: the gates are pushed into the scan, the dedup is
+    * one hash shuffle, and everything else is projection — exactly how
+    * the pieces compose at scale. */
+  val pipeCorpusClean = QueryDef(
+    "pipe_corpus_clean",
+    (s, dir) => {
+      val en = Seq("the", "and", "of", "to", "a", "in", "is", "for")
+      val stops = Seq("the", "a", "and", "of", "to", "in", "is")
+      val loWords = split(lower(col("text")), " ")
+      val enHits = size(filter(loWords, w => w.isin(en.map(x => x: Any): _*))).cast("long")
+      val nWords = size(filter(split(col("text"), " "), w => length(w) > lit(0))).cast("long")
+      val stopCnt = size(filter(loWords, w => w.isin(stops.map(x => x: Any): _*))).cast("long")
+      val gated = T(s, dir).documents
+        .withColumn("en_hits", enHits)
+        .withColumn("n_words", nWords)
+        .withColumn("stop_cnt", stopCnt)
+        .filter(col("en_hits") >= lit(2L) && col("n_words") > lit(0L))
+        .withColumn("quality_score",
+          least(lit(100L), col("n_words") * lit(2L)) +
+            least(lit(50L), col("stop_cnt") * lit(5L)))
+        .filter(col("quality_score") >= lit(60L))
+        .withColumn("fp", md5(col("text")))
+      // keeper per fingerprint via partial-aggregating groupBy + join —
+      // same scale-safe shape as the LSH keeper election (no window over
+      // potentially huge duplicate clusters)
+      val keepers = gated.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      gated.join(keepers, Seq("fp", "doc_id"))
+        .select(col("doc_id"), col("quality_score"),
+          col("n_words").as("tokens"), col("fp"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH g AS (
+        SELECT doc_id, text,
+          CAST(length(list_filter(string_split(lower(text), ' '),
+            x -> x IN ('the','and','of','to','a','in','is','for'))) AS BIGINT) AS en_hits,
+          CAST(length(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS BIGINT) AS n_words,
+          CAST(length(list_filter(string_split(lower(text), ' '),
+            x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS stop_cnt
+        FROM documents),
+      q AS (
+        SELECT doc_id, text, n_words,
+          LEAST(100, n_words * 2) + LEAST(50, stop_cnt * 5) AS quality_score
+        FROM g WHERE en_hits >= 2 AND n_words > 0),
+      d AS (
+        SELECT *, md5(text) AS fp,
+          MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM q WHERE quality_score >= 60)
+      SELECT doc_id, quality_score, n_words AS tokens, fp
+      FROM d WHERE doc_id = keeper ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     ddExact, a12OverlapScore, ddJaccard, ddShingleJaccard, txtLangId,
-    txtQuality, txtTokens, txtFingerprint, txtFingerprintRolling)
+    txtQuality, txtTokens, txtFingerprint, txtFingerprintRolling,
+    pipeCorpusClean)
 }
