@@ -550,6 +550,20 @@ object Relational {
       SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** A14b approximate distinct tier: HyperLogLog++ at 2% target error —
+    * the 100 TB form of A14 (exact COUNT DISTINCT shuffles every distinct
+    * key; HLL ships fixed-size sketches and merges map-side). Approximate
+    * by nature → rows-only check; SemanticsSpec pins the relative error
+    * against the exact count. */
+  val a14ApproxDistinct = QueryDef(
+    "a14_approx_distinct",
+    (s, dir) => T(s, dir).events
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type")),
+    oracle = None)
+
   // ------------------------------------------------------------ windows/sorts
 
   /** W2 sort + limit/offset pagination (indexer.ts:64-83). */
@@ -787,6 +801,7 @@ object Relational {
     j1FkJoin, j2BroadcastLookup, j4DoubleHop, j6Semi, j7Anti, j9LeftOuter,
     a1VoteTally, a2ThresholdDecision, a3EpochAgg, a5TimeBuckets, a6Argmax,
     a9FeeAccounting, a10DiscoveryScore, a11SuccessRate, a14DistinctCount,
+    a14ApproxDistinct,
     w2Pagination, w3RecentPerKey, w5BeforeCursor, w6TierMultiplier,
     so1Except, so2DedupKeyed, so3Union, so4Intersect,
     fSlug, fTier, fJsonExtract, fHash, fDatetime)

@@ -40,6 +40,23 @@ object Text {
       FROM documents GROUP BY 1 ORDER BY text_hash"""),
     headline = true)
 
+  /** Normalized exact dedup: canonicalize before hashing (lowercase,
+    * collapse whitespace runs, trim) — catches the near-trivial dup class
+    * (case/spacing variants) that raw-hash dedup misses; what a real
+    * corpus pipeline keys on. */
+  val ddExactNorm = QueryDef(
+    "dd_exact_norm",
+    (s, dir) => T(s, dir).documents
+      .withColumn("norm_text",
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .groupBy(md5(col("norm_text")).as("norm_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc"), count(lit(1)).as("n_copies"))
+      .orderBy(col("norm_hash")),
+    oracle = Some("""
+      SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash,
+        MIN(doc_id) AS keeper_doc, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY norm_hash"""))
+
   /** A12 text-overlap similarity score (oracle.ts:146-175), evaluated over
     * adjacent doc pairs: overlap = |spec∩deliv| / |spec|;
     * score = round((0.6*overlap + 0.4*min(1, len_ratio)) * 100). */
@@ -309,7 +326,7 @@ object Text {
       FROM d WHERE doc_id = keeper ORDER BY doc_id"""))
 
   val defs: Seq[QueryDef] = Seq(
-    ddExact, a12OverlapScore, ddJaccard, ddShingleJaccard, txtLangId,
-    txtQuality, txtTokens, txtFingerprint, txtFingerprintRolling,
+    ddExact, ddExactNorm, a12OverlapScore, ddJaccard, ddShingleJaccard,
+    txtLangId, txtQuality, txtTokens, txtFingerprint, txtFingerprintRolling,
     pipeCorpusClean)
 }

@@ -143,6 +143,21 @@ class SemanticsSpec extends SparkSpec {
     assert(ivfRecall >= 0.8, f"IVF recall $ivfRecall%.2f below floor")
   }
 
+  test("A14b HLL approx distinct stays within 5% of the exact count") {
+    val exact = QueryDef.catalogs.find(_.name == "a14_distinct_count").get
+      .run(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = QueryDef.catalogs.find(_.name == "a14_approx_distinct").get
+      .run(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / math.max(1L, n) <= 0.05,
+        s"$k: approx $a vs exact $n")
+    }
+  }
+
   test("salted skew join equals the plain join on a hot-keyed input") {
     // one pathological key (90% of rows) + a uniform tail
     val hot = (1 to 3000).map(i => (7L, i.toLong))
