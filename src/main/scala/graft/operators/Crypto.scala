@@ -85,7 +85,7 @@ object Crypto {
           lit("commitment:"), amount, lit(":"), blinding), 256))
       Tables(s, dir).events
         .withColumn("amt", expr("cast(floor(value * 1e9) as bigint)"))
-        .withColumn("blinding", col("event_id") * lit(2654435761L))
+        .withColumn("blinding", pmod(col("event_id"), lit(1000000L)) * lit(2654435761L))
         .withColumn("commitment", commit(col("amt"), col("blinding")))
         .select(
           col("event_id"),
@@ -99,7 +99,7 @@ object Crypto {
       WITH c AS (
         SELECT event_id,
           CAST(FLOOR(value * 1e9) AS BIGINT) AS amt,
-          event_id * 2654435761 AS blinding
+          (event_id % 1000000) * 2654435761 AS blinding
         FROM events)
       SELECT event_id,
         '0x' || sha256('commitment:' || amt || ':' || blinding) AS commitment,

@@ -37,9 +37,15 @@ object Governance {
 
   // --- little-endian fixed-width codec (expression-level, codegen'd) ---
 
-  /** Encode a non-negative long as `nBytes` little-endian bytes. */
+  /** Encode a non-negative long as `nBytes` little-endian bytes. Values
+    * wider than the field wrap to their low bytes (u8/u32 record
+    * semantics) — without the mask, lpad would silently truncate to the
+    * HIGH hex digits, corrupting the record. */
   private def encLE(colExpr: String, nBytes: Int): String = {
-    val hexE = s"lpad(hex($colExpr), ${2 * nBytes}, '0')"
+    val masked =
+      if (nBytes >= 8) colExpr
+      else s"pmod($colExpr, ${1L << (8 * nBytes)}L)"
+    val hexE = s"lpad(hex($masked), ${2 * nBytes}, '0')"
     // BE hex pairs emitted in reverse order = LE byte sequence
     val pairs = (nBytes - 1) to 0 by -1 map (i => s"substring($hexE, ${2 * i + 1}, 2)")
     s"unhex(concat(${pairs.mkString(",")}))"

@@ -46,23 +46,27 @@ object Similarity {
     * measured on the LSH signature kernel, ~20×). Accumulation order is
     * identical left-to-right, so results are bit-for-bit unchanged —
     * including the double path (float addition order preserved). */
-  private val dotLongUdf = udf((a: Seq[Long], b: Seq[Long]) => {
-    var acc = 0L
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { acc += a(i) * b(i); i += 1 }
-    acc
-  })
+  private val dotLongUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+    if (a == null || b == null) Option.empty[Long] // null vector → null, like the
+    else {                                         // Catalyst HOF forms this replaced
+      var acc = 0L
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      Some(acc)
+    })
 
   private def dotLong(a: Column, b: Column): Column = dotLongUdf(a, b)
 
-  private val dotFloatUdf = udf((a: Seq[Float], b: Seq[Float]) => {
-    var acc = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-    acc
-  })
+  private val dotFloatUdf = udf((a: Seq[Float], b: Seq[Float]) =>
+    if (a == null || b == null) Option.empty[Double]
+    else {
+      var acc = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      Some(acc)
+    })
 
   /** Both call sites feed `array<float>` embedding columns. */
   private def dotDouble(a: Column, b: Column): Column = dotFloatUdf(a, b)

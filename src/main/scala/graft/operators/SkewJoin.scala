@@ -10,17 +10,19 @@ import org.apache.spark.sql.functions._
   * and the join runs on (key, salt) so one hot key fans out across n
   * tasks instead of landing in one.
   *
-  * Deterministic: the salt is a hash of the probe row's remaining columns,
-  * not a random draw — identical inputs produce identical task placement
-  * and results survive retries unchanged (a nondeterministic salt breaks
-  * Spark's task-retry model on the map side of a shuffle). */
+  * Deterministic: the salt comes from the row's position
+  * (`monotonically_increasing_id` = partition index ≪ 33 | row offset) —
+  * stable under task retries for a fixed input partitioning, unlike a
+  * random draw, and it fans out even when every hot-key row is
+  * byte-identical (a content-hash salt would send all duplicates to one
+  * task, which is exactly the degenerate case salting exists for). */
 object SkewJoin {
 
   /** Inner equi-join of `skewed` (large, hot-keyed) with `dims`
     * (small per key) on `key`, salted across `n` partitions per key. */
   def saltedJoin(skewed: DataFrame, dims: DataFrame, key: String, n: Int): DataFrame = {
     val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(struct(skewed.columns.map(col).toIndexedSeq: _*)), lit(n.toLong)))
+      pmod(monotonically_increasing_id(), lit(n.toLong)))
     val exploded = dims.withColumn("__salt",
       explode(sequence(lit(0L), lit(n.toLong - 1))))
     salted.join(exploded, Seq(key, "__salt")).drop("__salt")

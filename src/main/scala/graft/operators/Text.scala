@@ -48,12 +48,12 @@ object Text {
     "dd_exact_norm",
     (s, dir) => T(s, dir).documents
       .withColumn("norm_text",
-        trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        trim(regexp_replace(lower(col("text")), "[ \\t\\n\\r\\f]+", " ")))
       .groupBy(md5(col("norm_text")).as("norm_hash"))
       .agg(min(col("doc_id")).as("keeper_doc"), count(lit(1)).as("n_copies"))
       .orderBy(col("norm_hash")),
     oracle = Some("""
-      SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash,
+      SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g'))) AS norm_hash,
         MIN(doc_id) AS keeper_doc, COUNT(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY norm_hash"""))
 

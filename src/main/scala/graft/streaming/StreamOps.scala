@@ -145,35 +145,61 @@ object StreamOps {
     * [30, 45), everything else rejected like the on-chain `VotingEnded`
     * error; running winner = lexicographic min of (-bid, event_id).
     * Phase classification is pure event-time arithmetic on each row, so
-    * replaying any batch split converges to the batch twin exactly. */
-  def commitRevealDeadline(events: Dataset[Ev]): Dataset[DeadlineResult] = {
-    import events.sparkSession.implicits._
+    * replaying any batch split converges to the batch twin exactly.
+    *
+    * State is BOUNDED: sessions are keyed (user, hour), so an event-time
+    * timeout evicts each session once the watermark passes its hour's end
+    * — without it the keyspace (users × hours) grows with stream lifetime
+    * and the state store never shrinks. The timeout emission repeats the
+    * session's final result (same counters), so update-mode consumers see
+    * an identical latest row. */
+  def commitRevealDeadline(
+      events: DataFrame, watermark: String = "2 hours"): Dataset[DeadlineResult] = {
+    val sess = events.sparkSession
+    import sess.implicits._
     events
-      .filter(e => e.event_type == "view" || e.event_type == "purchase")
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", watermark)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts_ms"), col("event_time"))
+      .as[EvT]
       .groupByKey(e => (e.user_id, e.ts_ms / 3600000L))
       .mapGroupsWithState[DeadlineSession, DeadlineResult](
-        GroupStateTimeout.NoTimeout) {
+        GroupStateTimeout.EventTimeTimeout) {
         case ((uid, hour), evs, state: GroupState[DeadlineSession]) =>
-          var s = state.getOption.getOrElse(
-            DeadlineSession(0L, 0L, 0L, Double.MaxValue, Long.MaxValue))
-          evs.foreach { e =>
-            val off = e.ts_ms % 3600000L
-            if (e.event_type == "view" && off < 1800000L)
-              s = s.copy(nCommits = s.nCommits + 1)
-            else if (e.event_type == "purchase" && off >= 1800000L && off < 2700000L) {
-              val better = -e.value < s.winNegBid ||
-                (-e.value == s.winNegBid && e.event_id < s.winEvent)
-              s = s.copy(
-                nReveals = s.nReveals + 1,
-                winNegBid = if (better) -e.value else s.winNegBid,
-                winEvent = if (better) e.event_id else s.winEvent)
-            } else s = s.copy(nRejected = s.nRejected + 1)
+          def result(s: DeadlineSession) =
+            DeadlineResult(uid, hour, s.nCommits, s.nReveals, s.nRejected,
+              if (s.nReveals > 0) Some(-s.winNegBid) else None,
+              if (s.nReveals > 0) Some(s.winEvent) else None,
+              s.nReveals > 0)
+          if (state.hasTimedOut) {
+            val fin = state.get
+            state.remove() // session hour fully past the watermark → evict
+            result(fin)
+          } else {
+            var s = state.getOption.getOrElse(
+              DeadlineSession(0L, 0L, 0L, Double.MaxValue, Long.MaxValue))
+            evs.foreach { e =>
+              val off = e.ts_ms % 3600000L
+              if (e.event_type == "view" && off < 1800000L)
+                s = s.copy(nCommits = s.nCommits + 1)
+              else if (e.event_type == "purchase" && off >= 1800000L && off < 2700000L) {
+                val better = -e.value < s.winNegBid ||
+                  (-e.value == s.winNegBid && e.event_id < s.winEvent)
+                s = s.copy(
+                  nReveals = s.nReveals + 1,
+                  winNegBid = if (better) -e.value else s.winNegBid,
+                  winEvent = if (better) e.event_id else s.winEvent)
+              } else s = s.copy(nRejected = s.nRejected + 1)
+            }
+            state.update(s)
+            // evict when the watermark passes the session hour's end (must
+            // stay ahead of the current watermark or Spark rejects it)
+            state.setTimeoutTimestamp(
+              math.max((hour + 1L) * 3600000L, state.getCurrentWatermarkMs() + 1L))
+            result(s)
           }
-          state.update(s)
-          DeadlineResult(uid, hour, s.nCommits, s.nReveals, s.nRejected,
-            if (s.nReveals > 0) Some(-s.winNegBid) else None,
-            if (s.nReveals > 0) Some(s.winEvent) else None,
-            s.nReveals > 0)
       }
   }
 
@@ -265,12 +291,15 @@ object StreamOps {
     * last_seen + ttl: when the watermark passes it, the state is removed
     * and an `expired` tombstone emitted — the streaming form of the
     * reference's periodic prune, with state bounded by activity. */
-  def ttlEvict(events: DataFrame, ttlMs: Long = 7L * 86400000L): Dataset[TtlResult] = {
+  def ttlEvict(
+      events: DataFrame,
+      ttlMs: Long = 7L * 86400000L,
+      watermark: String = "2 hours"): Dataset[TtlResult] = {
     val s = events.sparkSession
     import s.implicits._
     events
       .withColumn("event_time", timestamp_millis(col("ts_ms")))
-      .withWatermark("event_time", "0 seconds")
+      .withWatermark("event_time", watermark)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("ts_ms"), col("event_time"))
       .as[EvT]

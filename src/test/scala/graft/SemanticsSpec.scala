@@ -159,8 +159,9 @@ class SemanticsSpec extends SparkSpec {
   }
 
   test("salted skew join equals the plain join on a hot-keyed input") {
-    // one pathological key (90% of rows) + a uniform tail
-    val hot = (1 to 3000).map(i => (7L, i.toLong))
+    // one pathological key (90% of rows, including byte-identical rows —
+    // the degenerate case a content-hash salt would NOT fan out) + a tail
+    val hot = (1 to 3000).map(i => (7L, (i % 5).toLong)) // only 5 distinct payloads
     val tail = (1 to 300).map(i => ((i % 20).toLong + 100L, i.toLong))
     val facts = (hot ++ tail).toDF("k", "payload")
     val dims = ((7L, "hot") +: (100L to 119L).map(k => (k, s"d$k"))).toDF("k", "name")

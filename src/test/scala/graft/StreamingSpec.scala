@@ -36,6 +36,20 @@ class StreamingSpec extends SparkSpec {
 
   private val batches = allEvents.grouped(400).toSeq
 
+  /** Deterministic latest-row-per-key extraction for update-mode memory
+    * tables: max_by over the insertion-order id. The tempting
+    * orderBy(desc).dropDuplicates(keys) form is NOT guaranteed — the
+    * dedup's hash exchange destroys the sort and keeps an arbitrary
+    * partial's First(). */
+  private def latestBy(df: org.apache.spark.sql.DataFrame, keys: String*)
+      : org.apache.spark.sql.DataFrame = {
+    val valueCols = df.columns.toSeq
+    df.withColumn("__ord", monotonically_increasing_id())
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(valueCols.map(col): _*), $"__ord").as("__s"))
+      .select($"__s.*")
+  }
+
   test("ST1 streaming deadline tally converges to the batch twin") {
     val got = runStream("st1_stream", batches,
       ds => StreamOps.deadlineTally(ds.toDF()), OutputMode.Complete)
@@ -55,8 +69,7 @@ class StreamingSpec extends SparkSpec {
     val got = runStream("st2_stream", batches,
       ds => StreamOps.commitReveal(ds).toDF(), OutputMode.Update)
     // update mode: take the last emitted row per key
-    val latest = got.withColumn("ord", monotonically_increasing_id())
-      .orderBy($"ord".desc).dropDuplicates("user_id")
+    val latest = latestBy(got, "user_id")
       .select($"user_id", $"n_commits", $"n_reveals", $"winning_bid",
         $"first_reveal_event", $"has_winner")
       .orderBy($"user_id")
@@ -79,9 +92,8 @@ class StreamingSpec extends SparkSpec {
     val cols = Seq($"user_id", $"window_hour", $"n_commits", $"n_reveals",
       $"n_rejected", $"winning_bid", $"winner_event", $"revealed")
     val got = runStream("st2b_stream", batches,
-      ds => StreamOps.commitRevealDeadline(ds).toDF(), OutputMode.Update)
-    val latest = got.withColumn("ord", monotonically_increasing_id())
-      .orderBy($"ord".desc).dropDuplicates("user_id", "window_hour")
+      ds => StreamOps.commitRevealDeadline(ds.toDF()).toDF(), OutputMode.Update)
+    val latest = latestBy(got, "user_id", "window_hour")
       .select(cols: _*).orderBy($"user_id", $"window_hour")
     val want = graft.operators.StreamingTwins.st2DeadlineWinner.run(spark, sf001)
       .select(cols: _*).orderBy($"user_id", $"window_hour")
@@ -93,8 +105,7 @@ class StreamingSpec extends SparkSpec {
       $"neutral_count", $"sum_value", $"last_updated_ms")
     val got = runStream("st3_stream", batches,
       ds => StreamOps.epochAgg(ds.toDF()), OutputMode.Update)
-    val latest = got.withColumn("ord", monotonically_increasing_id())
-      .orderBy($"ord".desc).dropDuplicates("epoch_day")
+    val latest = latestBy(got, "epoch_day")
       .select(cols: _*).orderBy($"epoch_day")
     val want = QueryDef.catalogs.find(_.name == "a3_epoch_agg").get
       .run(spark, sf001).select(cols: _*).orderBy($"epoch_day")
@@ -106,9 +117,7 @@ class StreamingSpec extends SparkSpec {
       ds => StreamOps.slidingActivity(ds.toDF()), OutputMode.Update)
     // the batch twin is the single 24h window ending 2024-01-30T00:00Z —
     // pick exactly that slide out of the streaming result
-    val latest = got.filter($"window_start_ms" === 1706486400000L)
-      .withColumn("ord", monotonically_increasing_id())
-      .orderBy($"ord".desc).dropDuplicates("user_id")
+    val latest = latestBy(got.filter($"window_start_ms" === 1706486400000L), "user_id")
       .select($"user_id", $"events_24h", $"last_seen_ms", $"active")
       .orderBy($"user_id")
     val want = graft.operators.StreamingTwins.st4SlidingActivity.run(spark, sf001)
@@ -122,8 +131,7 @@ class StreamingSpec extends SparkSpec {
       $"spend_pct", $"over_limit")
     val got = runStream("st9_stream", batches,
       ds => StreamOps.dailyLimit(ds.toDF()), OutputMode.Update)
-    val latest = got.withColumn("ord", monotonically_increasing_id())
-      .orderBy($"ord".desc).dropDuplicates("user_id", "epoch_day")
+    val latest = latestBy(got, "user_id", "epoch_day")
       .select(cols: _*).orderBy($"user_id", $"epoch_day")
     val want = graft.operators.StreamingTwins.st9DailyLimit.run(spark, sf001)
       .select(cols: _*).orderBy($"user_id", $"epoch_day")
@@ -178,7 +186,7 @@ class StreamingSpec extends SparkSpec {
   test("ST7 live TTL eviction: idle key pruned once the watermark passes last_seen + ttl") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
-    val q = StreamOps.ttlEvict(mem.toDF(), ttlMs = 7L * 86400000L)
+    val q = StreamOps.ttlEvict(mem.toDF(), ttlMs = 7L * 86400000L, watermark = "0 seconds")
       .toDF()
       .writeStream.format("memory").queryName("st7_stream")
       .outputMode(OutputMode.Update).start()
@@ -204,8 +212,7 @@ class StreamingSpec extends SparkSpec {
   test("ST6 streaming bounded buffer matches the batch twin") {
     val got = runStream("st6_stream", batches,
       ds => StreamOps.boundedBuffer(ds, cap = 3).toDF(), OutputMode.Update)
-    val latest = got.withColumn("ord", monotonically_increasing_id())
-      .orderBy($"ord".desc).dropDuplicates("user_id")
+    val latest = latestBy(got, "user_id")
       .select($"user_id", $"n_seen", $"n_kept", $"n_evicted", $"buffer_ids")
       .orderBy($"user_id")
     val want = graft.operators.StreamingTwins.st6BoundedBuffer.run(spark, sf001)
