@@ -493,7 +493,62 @@ object Governance {
           WHEN 'silver' THEN 15 WHEN 'gold' THEN 20 ELSE 30 END)) // 10 AS rate_limit
       FROM c ORDER BY c_custkey"""))
 
+  /** Proposal pass/fail in BPS form (lib/governance.ts:308-320): quorum
+    * from a config relation (broadcast single-row dim, the decoded
+    * GovernanceConfig analog), then approvalBps = for×10000/total
+    * truncating — the BN.div semantics — against approvalThresholdBps.
+    * A2 covers the on-chain 100-based percentage; this is the SDK's
+    * 10000-based variant with config-driven thresholds and the
+    * failure-reason string. */
+  val proposalPassed = QueryDef(
+    "a2b_approval_bps",
+    (s, dir) => {
+      val votes = T(s, dir).events
+        .filter(col("event_type").isin("purchase", "error"))
+        .groupBy(col("user_id").as("proposal_id"))
+        .agg(
+          count_if(col("event_type") === lit("purchase")).as("votes_for"),
+          count_if(col("event_type") === lit("error")).as("votes_against"))
+      val config = s.range(1).select(
+        lit(40L).as("quorum_threshold"), lit(6000L).as("approval_threshold_bps"))
+      votes.crossJoin(broadcast(config))
+        .withColumn("total", col("votes_for") + col("votes_against"))
+        .withColumn("approval_bps",
+          when(col("total") > lit(0L), expr("(votes_for * 10000) div total"))
+            .otherwise(lit(0L)))
+        .withColumn("passed",
+          col("total") >= col("quorum_threshold") &&
+            col("approval_bps") >= col("approval_threshold_bps"))
+        .withColumn("reason",
+          when(col("total") < col("quorum_threshold"), lit("Quorum not reached"))
+            .when(col("approval_bps") < col("approval_threshold_bps"),
+              lit("Approval threshold not met"))
+            .otherwise(lit("Passed")))
+        .select(col("proposal_id"), col("votes_for"), col("votes_against"),
+          col("total"), col("approval_bps"), col("passed"), col("reason"))
+        .orderBy(col("proposal_id"))
+    },
+    oracle = Some("""
+      WITH v AS (
+        SELECT user_id AS proposal_id,
+          COUNT(*) FILTER (WHERE event_type = 'purchase') AS votes_for,
+          COUNT(*) FILTER (WHERE event_type = 'error') AS votes_against
+        FROM events WHERE event_type IN ('purchase','error')
+        GROUP BY user_id),
+      c AS (
+        SELECT *, votes_for + votes_against AS total,
+          CASE WHEN votes_for + votes_against > 0
+            THEN (votes_for * 10000) // (votes_for + votes_against)
+            ELSE 0 END AS approval_bps
+        FROM v)
+      SELECT proposal_id, votes_for, votes_against, total, approval_bps,
+        total >= 40 AND approval_bps >= 6000 AS passed,
+        CASE WHEN total < 40 THEN 'Quorum not reached'
+             WHEN approval_bps < 6000 THEN 'Approval threshold not met'
+             ELSE 'Passed' END AS reason
+      FROM c ORDER BY proposal_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     decodeFastAction, decodeFastVote, decodeRegistry, verifyProof, voteWeight,
-    slashRefund, repGate)
+    slashRefund, repGate, proposalPassed)
 }
