@@ -108,6 +108,51 @@ object Crypto {
           ('0x' || sha256('commitment:' || amt || ':' || blinding)) AS verify_tampered
       FROM c ORDER BY event_id"""))
 
+  /** Merkle membership proofs, generated once against the tree and
+    * verified DISTRIBUTED per row (merkle.ts:112-195: proof path + verify
+    * fold). Proof generation is a bounded driver-side step over the n=64
+    * leaf set (the same bounded-fold posture as crypto_merkle_root);
+    * verification — the hot path at scale, every gated action runs it —
+    * is a per-row kernel over the proof relation. A tampered sibling per
+    * row pins the negative case. Rows-only (Poseidon). */
+  val cryptoMerkleVerify = QueryDef(
+    "crypto_merkle_verify",
+    (s, dir) => {
+      import s.implicits._
+      val P = graft.functions.Poseidon
+      val M = graft.functions.Merkle
+      val depth = 8
+      val n = 64
+      val leaves = T(s, dir).customer
+        .filter(col("c_custkey") < lit(n.toLong))
+        .select(col("c_custkey"), unhex(md5(col("c_name"))).as("leaf"))
+        .orderBy(col("c_custkey"))
+        .collect()
+        .map(r => P.fromBytes32(r.getAs[Array[Byte]]("leaf")))
+        .toSeq
+      val root = M.rootLocal(leaves, depth)
+      val proofRows = leaves.indices.map { i =>
+        val (sibs, bits) = M.proof(leaves, i, depth)
+        (i.toLong, P.toBytes32(leaves(i)),
+          sibs.map(P.toBytes32).toArray, bits.toArray)
+      }
+      val rootBytes = P.toBytes32(root)
+      val verifyUdf = udf(
+        (leaf: Array[Byte], sibs: Seq[Array[Byte]], bits: Seq[Int], tamper: Boolean) => {
+          val sib0 = if (tamper) sibs.updated(0, Array.fill(32)(0x5a.toByte)) else sibs
+          M.verify(P.fromBytes32(leaf), sib0.map(P.fromBytes32),
+            bits, P.fromBytes32(rootBytes))
+        })
+      proofRows.toDF("leaf_index", "leaf", "sibs", "bits")
+        .withColumn("valid", verifyUdf(col("leaf"), col("sibs"), col("bits"), lit(false)))
+        .withColumn("tampered_valid",
+          verifyUdf(col("leaf"), col("sibs"), col("bits"), lit(true)))
+        .select(col("leaf_index"), col("valid"), col("tampered_valid"))
+        .orderBy(col("leaf_index"))
+    },
+    oracle = None)
+
   val defs: Seq[QueryDef] = Seq(
-    cryptoCommitment, cryptoNullifierDedup, cryptoMerkleRoot, cryptoShaCommitment)
+    cryptoCommitment, cryptoNullifierDedup, cryptoMerkleRoot,
+    cryptoShaCommitment, cryptoMerkleVerify)
 }

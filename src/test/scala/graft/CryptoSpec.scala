@@ -66,4 +66,11 @@ class CryptoSpec extends SparkSpec {
       assert(!Merkle.verify(leaves(idx) + 1, sibs, bits, root))
     }
   }
+  test("crypto_merkle_verify: every proof verifies, every tampered proof rejects") {
+    val rows = graft.operators.Crypto.cryptoMerkleVerify.run(spark, sf001).collect()
+    assert(rows.length === 64)
+    assert(rows.forall(_.getAs[Boolean]("valid")))
+    assert(rows.forall(!_.getAs[Boolean]("tampered_valid")))
+  }
+
 }

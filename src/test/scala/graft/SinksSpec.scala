@@ -70,6 +70,26 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("S6 streaming upsert via foreachBatch converges and survives replays") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp()
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val q = mem.toDF().toDF("id", "payload", "version")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Sinks.upsertByKey(spark, path, batch, "id", "version")
+      }
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, "a", 1L), (2L, "b", 1L)); q.processAllAvailable()
+      mem.addData((2L, "b2", 2L), (3L, "c", 1L)); q.processAllAvailable()
+      mem.addData((2L, "b2", 2L)); q.processAllAvailable() // replayed update
+    } finally q.stop()
+    val got = spark.read.parquet(path).orderBy($"id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"))).toSeq
+    assert(got === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
   test("S7 cached source reloads only after TTL") {
     var loads = 0
     val src = new Sinks.CachedSource(
