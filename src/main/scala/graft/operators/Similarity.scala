@@ -170,6 +170,8 @@ object Similarity {
       val planes: Array[Array[Double]] =
         Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
       val bandValsUdf = udf((v: Seq[Float]) => {
+        if (v == null) Array.empty[Long] // null vector -> no bands, row drops out
+        else {
         val sig = new Array[Int](nPlanes)
         var p = 0
         while (p < nPlanes) {
@@ -187,6 +189,7 @@ object Similarity {
           val w = nPlanes / nBands
           while (j < w) { acc = acc * 2 + sig(b * w + j); j += 1 }
           acc
+        }
         }
       })
 
@@ -247,6 +250,8 @@ object Similarity {
       // instead of a token array keeps the interpreted higher-order
       // filter/transform lambdas out of the per-row hot path entirely.
       val bandBucketsUdf = udf((text: String) => {
+        if (text == null) Array.empty[Long]
+        else {
         val mins = Array.fill(nHashes)(Long.MaxValue)
         text.toLowerCase(java.util.Locale.ROOT).split(" ").foreach { t =>
           if (t.length > 3) {
@@ -265,6 +270,7 @@ object Similarity {
           var j = 0
           while (j < rowsPerBand) { acc = acc * 31 + mins(b * rowsPerBand + j); j += 1 }
           fmix64(acc)
+        }
         }
       })
       val toks = array_distinct(filter(split(lower(col("text")), " "), w => length(w) > lit(3)))
@@ -315,6 +321,8 @@ object Similarity {
       // for token-free docs, which the isNotNull filter drops like the
       // old size(toks)>0 guard.
       val simhashUdf = udf((text: String) => {
+        if (text == null) Option.empty[Long]
+        else {
         val seen = new java.util.HashSet[String]()
         val counts = new Array[Int](64)
         var any = false
@@ -335,6 +343,7 @@ object Similarity {
           var i = 0
           while (i < 64) { if (counts(i) > 0) sim |= (1L << i); i += 1 }
           Some(sim)
+        }
         }
       })
       val withSim = T(s, dir).documents
@@ -383,6 +392,8 @@ object Similarity {
       val planes: Array[Array[Double]] =
         Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
       val bandValsUdf = udf((v: Seq[Float]) => {
+        if (v == null) Array.empty[Long] // null vector -> no bands, row drops out
+        else {
         val sig = new Array[Int](nPlanes)
         var p = 0
         while (p < nPlanes) {
@@ -400,6 +411,7 @@ object Similarity {
           val w = nPlanes / nBands
           while (j < w) { acc = acc * 2 + sig(b * w + j); j += 1 }
           acc
+        }
         }
       })
       val e = T(s, dir).embeddings.select(col("vec_id"), col("embedding").as("v"))
