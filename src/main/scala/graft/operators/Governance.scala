@@ -516,6 +516,10 @@ object Governance {
         .withColumn("approval_bps",
           when(col("total") > lit(0L), expr("(votes_for * 10000) div total"))
             .otherwise(lit(0L)))
+        // quorum progress, clamped (governance/[id]/page.tsx:172-183:
+        // quorumPercent = min(100, total*100/quorum))
+        .withColumn("quorum_pct",
+          least(lit(100L), expr("(total * 100) div quorum_threshold")))
         .withColumn("passed",
           col("total") >= col("quorum_threshold") &&
             col("approval_bps") >= col("approval_threshold_bps"))
@@ -525,7 +529,8 @@ object Governance {
               lit("Approval threshold not met"))
             .otherwise(lit("Passed")))
         .select(col("proposal_id"), col("votes_for"), col("votes_against"),
-          col("total"), col("approval_bps"), col("passed"), col("reason"))
+          col("total"), col("approval_bps"), col("quorum_pct"),
+          col("passed"), col("reason"))
         .orderBy(col("proposal_id"))
     },
     oracle = Some("""
@@ -542,13 +547,37 @@ object Governance {
             ELSE 0 END AS approval_bps
         FROM v)
       SELECT proposal_id, votes_for, votes_against, total, approval_bps,
+        LEAST(100, (total * 100) // 40) AS quorum_pct,
         total >= 40 AND approval_bps >= 6000 AS passed,
         CASE WHEN total < 40 THEN 'Quorum not reached'
              WHEN approval_bps < 6000 THEN 'Approval threshold not met'
              ELSE 'Passed' END AS reason
       FROM c ORDER BY proposal_id"""))
 
+  /** Capability base-price map lookup (index.ts:269-282): a literal
+    * MapType dimension consulted per row with a default for unknown
+    * capabilities — the map-literal form of a broadcast dim lookup
+    * (market segments stand in for capability names). */
+  val priceMap = QueryDef(
+    "f_price_map",
+    (s, dir) => {
+      val prices = map(
+        lit("BUILDING"), lit(120L), lit("AUTOMOBILE"), lit(80L),
+        lit("MACHINERY"), lit(100L), lit("HOUSEHOLD"), lit(60L))
+      T(s, dir).customer
+        .select(col("c_custkey"), col("c_mktsegment"),
+          coalesce(element_at(prices, col("c_mktsegment")), lit(50L))
+            .as("base_price"))
+        .orderBy(col("c_custkey"))
+    },
+    oracle = Some("""
+      SELECT c_custkey, c_mktsegment,
+        CASE c_mktsegment WHEN 'BUILDING' THEN 120 WHEN 'AUTOMOBILE' THEN 80
+          WHEN 'MACHINERY' THEN 100 WHEN 'HOUSEHOLD' THEN 60
+          ELSE 50 END AS base_price
+      FROM customer ORDER BY c_custkey"""))
+
   val defs: Seq[QueryDef] = Seq(
     decodeFastAction, decodeFastVote, decodeRegistry, verifyProof, voteWeight,
-    slashRefund, repGate, proposalPassed)
+    slashRefund, repGate, proposalPassed, priceMap)
 }
