@@ -5,11 +5,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (driver brief): media as opaque `binary`
-  * columns + typed metadata, with decode / feature-extract / frame-sample
-  * stages. The container has no image/audio codecs, so the *decode kernel*
-  * is a clearly-marked deterministic stub ([[fakeDecode]]) — everything
-  * around it (schema, partition-wise batch processing, column plumbing,
-  * explode shapes) is the real Spark pipeline a codec would drop into.
+  * columns + typed metadata, with decode / feature-extract / resize /
+  * frame-sample stages. The container has no image/audio codecs, so the
+  * *decode kernel* is a clearly-marked deterministic stub ([[fakeDecode]])
+  * — everything around it (schema, partition-wise batch processing, column
+  * plumbing, explode shapes) is the real Spark pipeline a codec would drop
+  * into. The batch stage runs as Scala `mapPartitions` — the JVM
+  * equivalent of a `mapInPandas` Pandas-UDF stage (same per-partition
+  * batch shape, same schema contract; this build has no Python runtime,
+  * and a JVM kernel additionally avoids the Arrow serialization hop).
   *
   * The media relation is synthesized deterministically from `documents`
   * (bytes = UTF-8 of text), so every stage is oracle-checkable or at

@@ -90,6 +90,19 @@ class SinksSpec extends SparkSpec {
     assert(got === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("S1b JSON-lines source round-trips the events relation (schema-on-read)") {
+    // the reference's Json columns (schema.prisma:144-163) as a *source*
+    // format: write JSONL, read back with the declared schema, lossless
+    val path = tmp()
+    val ev = Tables(spark, sf001).events
+      .select($"event_id", $"user_id", $"event_type", $"value", $"ts_ms")
+    ev.write.json(path)
+    val back = spark.read.schema(ev.schema).json(path)
+    assert(back.count() === ev.count())
+    assert(back.exceptAll(ev).count() === 0L)
+    assert(ev.exceptAll(back).count() === 0L)
+  }
+
   test("S7 cached source reloads only after TTL") {
     var loads = 0
     val src = new Sinks.CachedSource(
