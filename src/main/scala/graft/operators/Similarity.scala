@@ -147,6 +147,56 @@ object Similarity {
     },
     oracle = None)
 
+  /** Quantized-cosine top-5 with an EXACT oracle: dots and squared norms
+    * are integer (quantized grid), so no float accumulation order exists;
+    * the only float steps are per-pair sqrt/divide/round — single IEEE
+    * operations that both engines compute bit-identically. This makes the
+    * ANN correctness baseline hash-checkable, not just rows-only. */
+  val simTopkCosineQ = QueryDef(
+    "sim_topk_cosine_q",
+    (s, dir) => {
+      val e = T(s, dir).embeddings.select(col("vec_id"), quantized(col("embedding")).as("q"))
+        .withColumn("n2", dotLong(col("q"), col("q")))
+      val queries = e.filter(col("vec_id") < lit(5L))
+        .select(col("vec_id").as("qid"), col("q").as("qv"), col("n2").as("qn2"))
+      val cands = e.select(col("vec_id").as("nid"), col("q").as("nv"), col("n2").as("nn2"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+      cands.join(broadcast(queries), col("qid") =!= col("nid"))
+        .withColumn("dot", dotLong(col("qv"), col("nv")))
+        .withColumn("cos", col("dot").cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("nn2").cast("double"))))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= lit(5L))
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("cos") * lit(1000000), 0).cast("long").as("cos_q6"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    oracle = Some("""
+      WITH e AS (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, q,
+          (SELECT CAST(SUM(z.x * z.x) AS BIGINT) FROM (SELECT unnest(q) AS x) z) AS n2
+        FROM e),
+      pairs AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+          (SELECT CAST(SUM(z.xa * z.xb) AS BIGINT)
+           FROM (SELECT unnest(a.q) AS xa, unnest(b.q) AS xb) z) AS dot,
+          a.n2 AS qn2, b.n2 AS nn2
+        FROM n a JOIN n b ON a.vec_id < 5 AND a.vec_id <> b.vec_id),
+      ranked AS (
+        SELECT qid, nid,
+          CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(nn2 AS DOUBLE))) AS cos,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+            CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(nn2 AS DOUBLE))) DESC,
+            nid ASC) AS rank
+        FROM pairs)
+      SELECT qid, rank, nid,
+        CAST(ROUND(cos * 1000000) AS BIGINT) AS cos_q6
+      FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""))
+
   /** LSH-bucketed cosine top-k: random-hyperplane signatures (seeded,
     * deterministic), candidates share a signature band, exact re-rank
     * inside buckets.
@@ -467,7 +517,13 @@ object Similarity {
         .select(col("cell"), col("v"))
       val centroids = assigned0
         .select(col("cell"), posexplode(col("v")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        // decimal-sum mean, not avg(double): decimal addition is exact and
+        // associative, so the centroid is independent of partition merge
+        // order — float partial-sum order could flip near-tie cell
+        // assignments between runs
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("col").cast("decimal(28,10)")) /
+          count(lit(1))).cast("double").as("m"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"),
@@ -501,6 +557,6 @@ object Similarity {
     },
     oracle = None)
 
-  val defs: Seq[QueryDef] = Seq(simTopkDot, simTopkCosine, simLshTopk, simIvfTopk,
-    ddMinhash, ddSimhash, ddEmbedding)
+  val defs: Seq[QueryDef] = Seq(simTopkDot, simTopkCosine, simTopkCosineQ,
+    simLshTopk, simIvfTopk, ddMinhash, ddSimhash, ddEmbedding)
 }
