@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Second tranche of SURVEY §2 coverage: the join/agg shapes not in
@@ -253,8 +253,96 @@ object Relational2 {
       FROM e GROUP BY CUBE(event_type, epoch_day)
       ORDER BY event_type, epoch_day"""))
 
+  /** Heuristic planner expansion (plan/route.ts:47-126): one mission row
+    * generates its ordered step rows — the deterministic fallback the
+    * reference uses when the LLM planner is unavailable. Faithful to the
+    * reference's structure: the single-member special case, the
+    * per-pattern step templates (pipeline 3, debate 4, red_team 4), the
+    * `?? members[i]` fallback chains for writer/editor/publisher/judge
+    * slots, and the maxSteps slice (`:125`). Missions/patterns/member
+    * counts derive deterministically from documents. */
+  val udtfPlanExpand = QueryDef(
+    "udtf_plan_expand",
+    (s, dir) => {
+      def step(no: Int, title: String, slot: Column) =
+        struct(lit(no).as("no"), lit(title).as("title"), slot.cast("long").as("slot"))
+      val n = col("n_members")
+      val editorSlot = when(n >= 2, lit(1)).otherwise(lit(0))
+      val pubSlot = when(n >= 3, lit(2)).otherwise(n - 1)
+      val judgeSlot = when(n >= 3, lit(2)).otherwise(n - 1)
+      val steps =
+        when(n === 1, array(step(1, "Complete mission", lit(0))))
+          .when(col("pattern") === lit("pipeline"), array(
+            step(1, "Draft", lit(0)),
+            step(2, "Review", editorSlot),
+            step(3, "Finalize", pubSlot)))
+          .when(col("pattern") === lit("debate"), array(
+            step(1, "Proposal A", lit(0)),
+            step(2, "Proposal B", lit(1)),
+            step(3, "Judge", judgeSlot),
+            step(4, "Final", judgeSlot)))
+          .otherwise(array( // red_team
+            step(1, "Draft", lit(0)),
+            step(2, "Red team", lit(1)),
+            step(3, "Patch", lit(0)),
+            step(4, "Finalize", pubSlot)))
+      T(s, dir).documents
+        .select(col("doc_id"),
+          element_at(array(lit("pipeline"), lit("debate"), lit("red_team")),
+            (pmod(col("doc_id"), lit(3)) + lit(1)).cast("int")).as("pattern"),
+          (pmod(col("doc_id"), lit(4)) + lit(1)).cast("int").as("n_members"),
+          when(pmod(col("doc_id"), lit(5)) === lit(0), lit(3))
+            .otherwise(lit(12)).as("max_steps"))
+        .select(col("doc_id"), col("pattern"), col("max_steps"),
+          explode(steps).as("st"))
+        .filter(col("st.no") <= col("max_steps")) // the slice(0, maxSteps)
+        .select(col("doc_id"), col("pattern"),
+          col("st.no").cast("long").as("step_no"),
+          col("st.title").as("title"),
+          col("st.slot").as("assignee_slot"))
+        .orderBy(col("doc_id"), col("step_no"))
+    },
+    oracle = Some("""
+      WITH m AS (
+        SELECT doc_id,
+          ['pipeline','debate','red_team'][CAST(doc_id % 3 AS INT) + 1] AS pattern,
+          CAST(doc_id % 4 AS INT) + 1 AS n_members,
+          CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 12 END AS max_steps
+        FROM documents),
+      s AS (
+        SELECT doc_id, pattern, max_steps,
+          unnest(CASE
+            WHEN n_members = 1 THEN
+              [{'no': 1, 'title': 'Complete mission', 'slot': 0}]
+            WHEN pattern = 'pipeline' THEN [
+              {'no': 1, 'title': 'Draft', 'slot': 0},
+              {'no': 2, 'title': 'Review',
+               'slot': CASE WHEN n_members >= 2 THEN 1 ELSE 0 END},
+              {'no': 3, 'title': 'Finalize',
+               'slot': CASE WHEN n_members >= 3 THEN 2 ELSE n_members - 1 END}]
+            WHEN pattern = 'debate' THEN [
+              {'no': 1, 'title': 'Proposal A', 'slot': 0},
+              {'no': 2, 'title': 'Proposal B', 'slot': 1},
+              {'no': 3, 'title': 'Judge',
+               'slot': CASE WHEN n_members >= 3 THEN 2 ELSE n_members - 1 END},
+              {'no': 4, 'title': 'Final',
+               'slot': CASE WHEN n_members >= 3 THEN 2 ELSE n_members - 1 END}]
+            ELSE [
+              {'no': 1, 'title': 'Draft', 'slot': 0},
+              {'no': 2, 'title': 'Red team', 'slot': 1},
+              {'no': 3, 'title': 'Patch', 'slot': 0},
+              {'no': 4, 'title': 'Finalize',
+               'slot': CASE WHEN n_members >= 3 THEN 2 ELSE n_members - 1 END}]
+          END) AS st
+        FROM m)
+      SELECT doc_id, pattern,
+        CAST(st.no AS BIGINT) AS step_no, st.title AS title,
+        CAST(st.slot AS BIGINT) AS assignee_slot
+      FROM s WHERE st.no <= max_steps
+      ORDER BY doc_id, step_no"""))
+
   val defs: Seq[QueryDef] = Seq(
     j3StreamStatic, j5IdentityLink, j8SecondaryLookup,
     a4GroupCountAvg, a7PoolTotals, a8Counters, a13PageEnvelope,
-    udtfExplodeSteps, fJsonStruct, fCountdown, a5CubeMatrix)
+    udtfExplodeSteps, udtfPlanExpand, fJsonStruct, fCountdown, a5CubeMatrix)
 }
