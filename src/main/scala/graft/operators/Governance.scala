@@ -577,7 +577,54 @@ object Governance {
           ELSE 50 END AS base_price
       FROM customer ORDER BY c_custkey"""))
 
+  /** Critique-loop continuation gate (critique/route.ts:50-85): score
+    * clamp round(min(100, max(0, raw))), the forced-stop rules
+    * (ok ⇒ stop; remaining_steps ≤ 0 ⇒ stop; else the model's own
+    * shouldContinue), and the per-step budget clamp
+    * min(budget, maxBudgetPerStep) for positive budgets — the bounded
+    * continuation that keeps the reference's critique loop finite.
+    * Budgets in integer cents for oracle exactness. */
+  val critiqueGate = QueryDef(
+    "f_critique_gate",
+    (s, dir) => T(s, dir).events
+      .select(col("event_id"),
+        (col("value") * lit(3) - lit(50)).as("score_raw"),
+        (pmod(col("event_id"), lit(5L)) === lit(0L)).as("ok"),
+        (pmod(col("event_id"), lit(2L)) === lit(1L)).as("should_continue_in"),
+        (pmod(col("event_id"), lit(4L)) - lit(1L)).as("remaining_steps"),
+        round(col("value") * lit(100) / lit(7), 0).cast("long").as("budget_raw_c"))
+      .withColumn("score",
+        round(least(lit(100.0), greatest(lit(0.0), col("score_raw"))), 0).cast("long"))
+      .withColumn("should_continue",
+        when(col("ok"), lit(false))
+          .when(col("remaining_steps") <= lit(0L), lit(false))
+          .otherwise(col("should_continue_in")))
+      .withColumn("budget_c",
+        when(col("budget_raw_c") > lit(0L),
+          least(col("budget_raw_c"), lit(1000L))).otherwise(lit(null))) // cap 10.00
+      .select(col("event_id"), col("score"), col("should_continue"),
+        col("remaining_steps"), col("budget_c"))
+      .orderBy(col("event_id")),
+    oracle = Some("""
+      WITH r AS (
+        SELECT event_id,
+          value * 3 - 50 AS score_raw,
+          event_id % 5 = 0 AS ok,
+          event_id % 2 = 1 AS should_continue_in,
+          event_id % 4 - 1 AS remaining_steps,
+          CAST(ROUND(value * 100 / 7) AS BIGINT) AS budget_raw_c
+        FROM events)
+      SELECT event_id,
+        CAST(ROUND(LEAST(100.0, GREATEST(0.0, score_raw))) AS BIGINT) AS score,
+        CASE WHEN ok THEN FALSE
+             WHEN remaining_steps <= 0 THEN FALSE
+             ELSE should_continue_in END AS should_continue,
+        remaining_steps,
+        CASE WHEN budget_raw_c > 0 THEN LEAST(budget_raw_c, 1000)
+             ELSE NULL END AS budget_c
+      FROM r ORDER BY event_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     decodeFastAction, decodeFastVote, decodeRegistry, verifyProof, voteWeight,
-    slashRefund, repGate, proposalPassed, priceMap)
+    slashRefund, repGate, proposalPassed, priceMap, critiqueGate)
 }
