@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One scored candidate flowing into the bounded top-k aggregation:
+  * `score` orders (descending), `id` breaks ties (ascending) and names the
+  * neighbor, `pay` is an opaque integer payload carried through unchanged
+  * (the exact-integer tier threads its Long dot product here so no
+  * double→long round-trip is ever needed on the output path). */
+final case class Scored(score: Double, id: Long, pay: Long)
+
+/** The aggregation buffer/result: at most k candidates, kept sorted by
+  * (score desc, id asc). A case class (not a bare Seq) so the buffer
+  * serializes through `Encoders.product` — array-of-struct column out. */
+final case class TopKBuf(items: Seq[Scored])
+
+/** Bounded top-k as a typed `Aggregator`: the partial-aggregating
+  * replacement for `row_number().over(Window.partitionBy(qid))` ranking.
+  *
+  * Why it exists: a per-qid window sorts EVERY candidate row and
+  * concentrates the whole corpus into (number of queries) tasks — 5
+  * single-task full-corpus sorts at any scale. This aggregator holds a
+  * size-k ordered buffer per group, combines map-side (ObjectHashAggregate
+  * runs it in partial mode before the exchange), and ships only k rows per
+  * (partition, qid) across the shuffle: at 100 TB the exchange carries
+  * O(partitions × queries × k) tiny structs instead of the corpus.
+  *
+  * Ordering matches the windows it replaces exactly — score descending,
+  * id ascending on ties — so ranked output is bit-identical for any total
+  * order (null scores must be filtered by the caller; NaN never wins a
+  * `>` comparison and is effectively excluded, whereas a desc window
+  * sorts NaN first — no catalog input produces NaN).
+  */
+final class TopKAggregator(k: Int)
+    extends Aggregator[Scored, TopKBuf, TopKBuf] with Serializable {
+
+  private def beats(a: Scored, b: Scored): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  /** Insert preserving order, capped at k. O(k) per row with k tiny. */
+  private def insert(items: Seq[Scored], x: Scored): Seq[Scored] =
+    if (items.length >= k && !beats(x, items.last)) items
+    else {
+      val (pre, post) = items.span(beats(_, x))
+      ((pre :+ x) ++ post).take(k)
+    }
+
+  override def zero: TopKBuf = TopKBuf(Vector.empty)
+
+  override def reduce(b: TopKBuf, x: Scored): TopKBuf = TopKBuf(insert(b.items, x))
+
+  override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf =
+    TopKBuf(b2.items.foldLeft(b1.items)(insert))
+
+  override def finish(b: TopKBuf): TopKBuf = b
+
+  override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+}

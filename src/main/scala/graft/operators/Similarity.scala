@@ -1,9 +1,10 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{Column, SparkSession}
+import graft.functions.{Scored, TopKAggregator}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over the `embeddings` table (driver-requested
   * training-data-pipeline surface) plus MinHash/SimHash near-dup over
@@ -18,6 +19,13 @@ import org.apache.spark.sql.expressions.Window
   *    paths — candidates come from bucket joins (shuffle on short hash
   *    keys), never from an unconstrained cross join, so they survive a
   *    100× scale-up; each candidate pair is then verified exactly.
+  *
+  * Ranking everywhere is the bounded top-k aggregator
+  * ([[graft.functions.TopKAggregator]]) under `groupBy(qid)` — partial
+  * aggregation holds a size-k buffer per (partition, query) and the
+  * exchange carries only k rows per partition per query. The per-qid
+  * window it replaced sorted the full candidate set in (number of
+  * queries) single tasks — fine at sf0.1, a wall at 100×.
   *
   * Signature computation is deliberately a compact deterministic JVM
   * kernel (UDF), not a Catalyst expression tree: a 16-plane × 64-dim
@@ -45,13 +53,16 @@ object Similarity {
     * interpreted per element and block whole-stage codegen (same effect
     * measured on the LSH signature kernel, ~20×). Accumulation order is
     * identical left-to-right, so results are bit-for-bit unchanged —
-    * including the double path (float addition order preserved). */
+    * including the double path (float addition order preserved). Null or
+    * ragged (length-mismatched) vector pairs → null, exactly like the
+    * null-padding `zip_with` forms these replaced — a malformed embedding
+    * surfaces as a null score, never as a silently partial dot. */
   private val dotLongUdf = udf((a: Seq[Long], b: Seq[Long]) =>
-    if (a == null || b == null) Option.empty[Long] // null vector → null, like the
-    else {                                         // Catalyst HOF forms this replaced
+    if (a == null || b == null || a.length != b.length) Option.empty[Long]
+    else {
       var acc = 0L
       var i = 0
-      val n = math.min(a.length, b.length)
+      val n = a.length
       while (i < n) { acc += a(i) * b(i); i += 1 }
       Some(acc)
     })
@@ -59,17 +70,36 @@ object Similarity {
   private def dotLong(a: Column, b: Column): Column = dotLongUdf(a, b)
 
   private val dotFloatUdf = udf((a: Seq[Float], b: Seq[Float]) =>
-    if (a == null || b == null) Option.empty[Double]
+    if (a == null || b == null || a.length != b.length) Option.empty[Double]
     else {
       var acc = 0.0
       var i = 0
-      val n = math.min(a.length, b.length)
+      val n = a.length
       while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
       Some(acc)
     })
 
   /** Both call sites feed `array<float>` embedding columns. */
   private def dotDouble(a: Column, b: Column): Column = dotFloatUdf(a, b)
+
+  // --- bounded top-k ranking (the scale-safe window replacement) ---
+
+  private lazy val topk5 = udaf(new TopKAggregator(5), Encoders.product[Scored])
+
+  /** Ranks a scored candidate frame — columns (qid, score, id, pay) — to
+    * the top 5 per qid via the partial-aggregating bounded heap. Output:
+    * (qid, rank, id, score, pay) with rank 1..5 ordered score desc, id
+    * asc — the identical total order the per-qid row_number window
+    * produced, without ever sorting more than 5 rows per task per qid. */
+  private def rankTop5(scored: DataFrame): DataFrame =
+    scored
+      .filter(col("score").isNotNull) // nulls ranked last by the old desc
+      // window; they can never reach a top-5 over a non-degenerate corpus
+      .groupBy(col("qid"))
+      .agg(topk5(col("score"), col("id"), col("pay")).as("top"))
+      .select(col("qid"), posexplode(col("top.items")))
+      .select(col("qid"), (col("pos") + lit(1)).cast("long").as("rank"),
+        col("col.id").as("id"), col("col.score").as("score"), col("col.pay").as("pay"))
 
   // --- deterministic JVM hash kernels (shared by the LSH family) ---
 
@@ -91,7 +121,10 @@ object Similarity {
   }
 
   /** Exact top-5 neighbors by quantized inner product for query vectors
-    * vec_id < 5. Integer math end-to-end → DuckDB-checkable. */
+    * vec_id < 5. Integer math end-to-end → DuckDB-checkable. (The heap
+    * aggregator compares the dot as a double — exact below 2^53, and a
+    * 64-dim grid of ±10^6 components tops out near 2^46 — while the
+    * emitted dot rides through the Long payload untouched.) */
   val simTopkDot = QueryDef(
     "sim_topk_dot",
     (s, dir) => {
@@ -99,12 +132,12 @@ object Similarity {
       val queries = e.filter(col("vec_id") < lit(5L))
         .select(col("vec_id").as("qid"), col("q").as("qv"))
       val cands = e.select(col("vec_id").as("nid"), col("q").as("nv"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid").asc)
-      cands.join(broadcast(queries), col("qid") =!= col("nid"))
+      val scored = cands.join(broadcast(queries), col("qid") =!= col("nid"))
         .withColumn("dot", dotLong(col("qv"), col("nv")))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= lit(5L))
-        .select(col("qid"), col("rank"), col("nid"), col("dot"))
+        .select(col("qid"), col("dot").cast("double").as("score"),
+          col("nid").as("id"), col("dot").as("pay"))
+      rankTop5(scored)
+        .select(col("qid"), col("rank"), col("id").as("nid"), col("pay").as("dot"))
         .orderBy(col("qid"), col("rank"))
     },
     oracle = Some("""
@@ -136,13 +169,12 @@ object Similarity {
       val queries = e.filter(col("vec_id") < lit(5L))
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
       val cands = e.select(col("vec_id").as("nid"), col("v").as("nv"), col("norm").as("nn"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
-      cands.join(broadcast(queries), col("qid") =!= col("nid"))
+      val scored = cands.join(broadcast(queries), col("qid") =!= col("nid"))
         .withColumn("cos", dotDouble(col("qv"), col("nv")) / (col("qn") * col("nn")))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= lit(5L))
-        .select(col("qid"), col("rank"), col("nid"),
-          round(col("cos") * lit(1000000), 0).cast("long").as("cos_q6"))
+        .select(col("qid"), col("cos").as("score"), col("nid").as("id"), lit(0L).as("pay"))
+      rankTop5(scored)
+        .select(col("qid"), col("rank"), col("id").as("nid"),
+          round(col("score") * lit(1000000), 0).cast("long").as("cos_q6"))
         .orderBy(col("qid"), col("rank"))
     },
     oracle = None)
@@ -160,15 +192,14 @@ object Similarity {
       val queries = e.filter(col("vec_id") < lit(5L))
         .select(col("vec_id").as("qid"), col("q").as("qv"), col("n2").as("qn2"))
       val cands = e.select(col("vec_id").as("nid"), col("q").as("nv"), col("n2").as("nn2"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
-      cands.join(broadcast(queries), col("qid") =!= col("nid"))
+      val scored = cands.join(broadcast(queries), col("qid") =!= col("nid"))
         .withColumn("dot", dotLong(col("qv"), col("nv")))
         .withColumn("cos", col("dot").cast("double") /
           (sqrt(col("qn2").cast("double")) * sqrt(col("nn2").cast("double"))))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= lit(5L))
-        .select(col("qid"), col("rank"), col("nid"),
-          round(col("cos") * lit(1000000), 0).cast("long").as("cos_q6"))
+        .select(col("qid"), col("cos").as("score"), col("nid").as("id"), lit(0L).as("pay"))
+      rankTop5(scored)
+        .select(col("qid"), col("rank"), col("id").as("nid"),
+          round(col("score") * lit(1000000), 0).cast("long").as("cos_q6"))
         .orderBy(col("qid"), col("rank"))
     },
     oracle = Some("""
@@ -205,8 +236,9 @@ object Similarity {
     * generation is a broadcast probe of the k query signatures against the
     * banded corpus (no self-join, no shuffle of vectors); the distinct
     * runs on narrow (qid, nid) longs; only surviving candidates rejoin
-    * their vectors for exact re-rank. At 100 TB the corpus-side work is a
-    * single scan + one narrow exchange. */
+    * their vectors for exact re-rank — which partially aggregates through
+    * the bounded top-k heap. At 100 TB the corpus-side work is a single
+    * scan + one narrow exchange. */
   val simLshTopk = QueryDef(
     "sim_lsh_topk",
     (s, dir) => {
@@ -258,16 +290,15 @@ object Similarity {
       val withNorm = e.withColumn("norm", sqrt(dotDouble(col("v"), col("v"))))
       val qVecs = withNorm.filter(col("vec_id") < lit(5L))
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
-      candIds
+      val scored = candIds
         .join(withNorm.select(col("vec_id").as("nid"), col("v").as("nv"),
           col("norm").as("nn")), Seq("nid"))
         .join(broadcast(qVecs), Seq("qid"))
         .withColumn("cos", dotDouble(col("qv"), col("nv")) / (col("qn") * col("nn")))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= lit(5L))
-        .select(col("qid"), col("rank"), col("nid"),
-          round(col("cos") * lit(1000000), 0).cast("long").as("cos_q6"))
+        .select(col("qid"), col("cos").as("score"), col("nid").as("id"), lit(0L).as("pay"))
+      rankTop5(scored)
+        .select(col("qid"), col("rank"), col("id").as("nid"),
+          round(col("score") * lit(1000000), 0).cast("long").as("cos_q6"))
         .orderBy(col("qid"), col("rank"))
     },
     oracle = None,
@@ -281,11 +312,18 @@ object Similarity {
     * Scale design: the classic all-pairs-within-bucket join is quadratic
     * in duplicate-cluster size (a 10k-copy boilerplate cluster → 10^8
     * pairs). Instead each bucket elects a keeper (min doc_id) via a
-    * window min — LINEAR in bucket size — and every doc is verified
-    * against only its best (lowest-id) candidate keeper: one output row
-    * per duplicate document, which is also the semantics a dedup pipeline
-    * actually wants (keep one, drop the rest). Deterministic; rows-only
-    * check (DuckDB lacks the hash kernel). */
+    * partial-aggregating groupBy — LINEAR in bucket size — and every doc
+    * is verified against only its best (lowest-id) candidate keeper: one
+    * output row per duplicate document, which is also the semantics a
+    * dedup pipeline actually wants (keep one, drop the rest).
+    *
+    * The per-doc feature frame (band buckets + token set) is computed in
+    * ONE scan of `documents` and persisted; the banded branch and both
+    * sides of the exact-verify join read the cache instead of re-scanning
+    * and re-tokenizing (Spark shares no subplans across DataFrame
+    * branches — at 100 TB this is the difference between one corpus read
+    * and three). Deterministic; rows-only check (DuckDB lacks the hash
+    * kernel). */
   val ddMinhash = QueryDef(
     "dd_minhash",
     (s, dir) => {
@@ -324,10 +362,16 @@ object Similarity {
         }
       })
       val toks = array_distinct(filter(split(lower(col("text")), " "), w => length(w) > lit(3)))
-      val d = T(s, dir).documents.select(col("doc_id"), toks.as("toks"))
+      // ONE pass over documents: band buckets + token set per doc, cached
+      // for the three consumers below (banding, verify doc side, verify
+      // keeper side).
+      val feat = T(s, dir).documents
+        .select(col("doc_id"), bandBucketsUdf(col("text")).as("bands"), toks.as("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val d = feat.select(col("doc_id"), col("toks"))
         .filter(size(col("toks")) > lit(0))
-      val banded = T(s, dir).documents
-        .select(col("doc_id"), posexplode(bandBucketsUdf(col("text"))))
+      val banded = feat
+        .select(col("doc_id"), posexplode(col("bands")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       // keeper per (band, bucket) = min doc_id via a partial-aggregating
       // groupBy (map-side combine + AQE skew splitting; the window-min
@@ -494,11 +538,13 @@ object Similarity {
     * the bench-scale stand-in with the identical dataflow). Queries probe
     * their nProbe nearest cells and re-rank exactly inside them.
     *
-    * The 100 TB shape: centroid training touches only narrow
-    * (cell, pos, component) rows with partial aggregation; the corpus is
-    * assigned by broadcast centroid probe (no shuffle of vectors except
-    * the final cell-keyed exchange — in production that IS the stored
-    * index partitioning); probes touch nProbe/nCells of the data. */
+    * The 100 TB shape: cell assignment is a PER-ROW argmax kernel over
+    * the centroid array (collected once — bounded at nCells rows — and
+    * closed over like a broadcast variable), so the corpus is never
+    * join-exploded or shuffled to pick its cell; centroid training
+    * touches only narrow (cell, pos, component) rows with partial
+    * aggregation; probes touch nProbe/nCells of the data and re-rank
+    * through the bounded top-k heap. */
   val simIvfTopk = QueryDef(
     "sim_ivf_topk",
     (s, dir) => {
@@ -506,16 +552,43 @@ object Similarity {
       val nProbe = 4
       val e = T(s, dir).embeddings.select(col("vec_id"), col("embedding").as("v"))
         .withColumn("norm", sqrt(dotDouble(col("v"), col("v"))))
-      val seedCentroids = e.filter(col("vec_id") < lit(nCells.toLong))
-        .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cn"))
-      // Lloyd step: assign to seed cells, recompute element-wise means
-      val w0 = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell").asc)
-      val assigned0 = e.join(broadcast(seedCentroids))
-        .withColumn("ccos", dotDouble(col("v"), col("cv")) / (col("norm") * col("cn")))
-        .withColumn("crank", row_number().over(w0))
-        .filter(col("crank") === lit(1))
+
+      // (cell, vector, norm) triples for the kernel closure. The collect
+      // is the index-build step, bounded at nCells (=16) rows; norms are
+      // recomputed driver-side with the same left-to-right accumulation
+      // as dotDouble, so scores are bit-identical to the join form.
+      def collectCentroids(df: DataFrame): Array[(Long, Array[Float], Double)] =
+        df.collect().map { r =>
+          val cv = r.getSeq[Float](1).toArray
+          var acc = 0.0
+          var i = 0
+          while (i < cv.length) { acc += cv(i).toDouble * cv(i).toDouble; i += 1 }
+          (r.getLong(0), cv, math.sqrt(acc))
+        }.filter(_._3 > 0.0).sortBy(_._1)
+
+      // per-row argmax over the broadcast centroid array — no join-explode,
+      // no Exchange: each row ranks all centroids locally and keeps the
+      // `keep` best cells (ccos desc, cell asc — the old window's order).
+      def nearestCells(cents: Array[(Long, Array[Float], Double)], keep: Int) =
+        udf((v: Seq[Float], norm: Double) =>
+          if (v == null || norm <= 0.0) Array.empty[Long]
+          else cents.map { case (cell, cv, cn) =>
+            var acc = 0.0
+            var i = 0
+            val n = math.min(v.length, cv.length)
+            while (i < n) { acc += v(i).toDouble * cv(i).toDouble; i += 1 }
+            (acc / (norm * cn), cell)
+          }.sortBy { case (ccos, cell) => (-ccos, cell) }.take(keep).map(_._2))
+
+      val seeds = collectCentroids(
+        e.filter(col("vec_id") < lit(nCells.toLong)).select(col("vec_id"), col("v")))
+      // Lloyd step: assign to seed cells (kernel, zero shuffle), recompute
+      // element-wise means over narrow (cell, pos) rows
+      val assigned0 = e
+        .withColumn("cell", element_at(nearestCells(seeds, 1)(col("v"), col("norm")), 1))
+        .filter(col("cell").isNotNull)
         .select(col("cell"), col("v"))
-      val centroids = assigned0
+      val centroids = collectCentroids(assigned0
         .select(col("cell"), posexplode(col("v")))
         // decimal-sum mean, not avg(double): decimal addition is exact and
         // associative, so the centroid is independent of partition merge
@@ -527,32 +600,27 @@ object Similarity {
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"),
-          transform(col("pm"), x => x.getField("m").cast("float")).as("cv"))
-        .withColumn("cn", sqrt(dotDouble(col("cv"), col("cv"))))
-        .filter(col("cn") > lit(0.0))
-      // corpus → nearest centroid (rank 1); queries → nProbe nearest cells
-      def assign(df: org.apache.spark.sql.DataFrame, keep: Int) = {
-        val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell").asc)
-        df.join(broadcast(centroids))
-          .withColumn("ccos", dotDouble(col("v"), col("cv")) / (col("norm") * col("cn")))
-          .withColumn("crank", row_number().over(w))
-          .filter(col("crank") <= lit(keep))
-          .drop("cv", "cn", "ccos", "crank")
-      }
-      val corpusCells = assign(e, 1)
-      val queryCells = assign(e.filter(col("vec_id") < lit(5L)), nProbe)
-        .select(col("cell"), col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
-      // rank window runs before the final select, where the neighbor id
-      // column is still named vec_id (aliased to nid only on output)
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
-      corpusCells
+          transform(col("pm"), x => x.getField("m").cast("float")).as("cv")))
+
+      // corpus → nearest refined centroid; queries → nProbe nearest cells
+      val corpusCells = e
+        .withColumn("cell",
+          element_at(nearestCells(centroids, 1)(col("v"), col("norm")), 1))
+        .filter(col("cell").isNotNull)
+      val queryCells = e.filter(col("vec_id") < lit(5L))
+        .withColumn("cell",
+          explode(nearestCells(centroids, nProbe)(col("v"), col("norm"))))
+        .select(col("cell"), col("vec_id").as("qid"),
+          col("v").as("qv"), col("norm").as("qn"))
+      val scored = corpusCells
         .join(broadcast(queryCells), Seq("cell"))
         .filter(col("qid") =!= col("vec_id"))
         .withColumn("cos", dotDouble(col("qv"), col("v")) / (col("qn") * col("norm")))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= lit(5L))
-        .select(col("qid"), col("rank"), col("vec_id").as("nid"),
-          round(col("cos") * lit(1000000), 0).cast("long").as("cos_q6"))
+        .select(col("qid"), col("cos").as("score"),
+          col("vec_id").as("id"), lit(0L).as("pay"))
+      rankTop5(scored)
+        .select(col("qid"), col("rank"), col("id").as("nid"),
+          round(col("score") * lit(1000000), 0).cast("long").as("cos_q6"))
         .orderBy(col("qid"), col("rank"))
     },
     oracle = None)

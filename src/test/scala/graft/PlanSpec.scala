@@ -34,6 +34,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min"))
   }
 
+  test("similarity ranking is a partial top-k aggregation, never a per-query window") {
+    for (n <- Seq("sim_topk_dot", "sim_topk_cosine", "sim_topk_cosine_q",
+        "sim_lsh_topk", "sim_ivf_topk")) {
+      val p = plan(n)
+      // map-side bounded heap before the exchange: the shuffle carries k
+      // rows per (partition, qid) instead of the whole candidate set
+      assert(p.contains("partial_topkaggregator"), s"$n: no partial top-k agg")
+      // the old shape: Window.partitionBy(qid) = full-corpus sort in
+      // (number of queries) single tasks
+      assert(!p.contains("Window"), s"$n: window ranking crept back")
+    }
+  }
+
+  test("sim_ivf_topk: cell assignment is a per-row kernel, not a shuffle on vec_id") {
+    val p = plan("sim_ivf_topk")
+    // the join-explode form shuffled corpus×nCells full-width rows to pick
+    // each vector's argmax cell via a per-vec_id window
+    assert(!p.contains("hashpartitioning(vec_id"), "vec_id exchange crept back")
+  }
+
+  test("dd_minhash: every documents scan reads the cached feature frame") {
+    val p = plan("dd_minhash")
+    // every InMemoryTableScan consumer re-prints the cached plan (whose one
+    // FileScan runs only on first materialization), so a bypassing consumer
+    // shows up as MORE documents FileScan lines than InMemoryRelation lines
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet"))
+    val cached = p.linesIterator.count(_.contains("InMemoryRelation"))
+    assert(cached >= 1, "feature frame no longer cached")
+    assert(scans <= cached,
+      s"$scans documents FileScans vs $cached cached-plan prints — a consumer bypasses the cache")
+  }
+
   test("a5_cube_matrix: cube expands then aggregates partially (map-side combine)") {
     val p = plan("a5_cube_matrix")
     assert(p.contains("Expand"))
