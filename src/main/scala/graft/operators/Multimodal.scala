@@ -6,18 +6,26 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (driver brief): media as opaque `binary`
   * columns + typed metadata, with decode / feature-extract / resize /
-  * frame-sample stages. The container has no image/audio codecs, so the
-  * *decode kernel* is a clearly-marked deterministic stub ([[fakeDecode]])
-  * — everything around it (schema, partition-wise batch processing, column
-  * plumbing, explode shapes) is the real Spark pipeline a codec would drop
-  * into. The batch stage runs as Scala `mapPartitions` — the JVM
+  * frame-sample stages. The container has no image/audio libraries, so the
+  * image fixtures are REAL files in the one raster format a bare JVM can
+  * produce and parse with no codec: binary PPM (P6) — an ASCII
+  * `P6\n<w> <h>\n255\n` header followed by w×h RGB byte triples. The
+  * decode kernel ([[ppmDecode]]) is a genuine parser (magic check,
+  * whitespace-delimited header ints, pixel-payload bounds check), and the
+  * per-channel integer features it emits are recomputed independently by
+  * the DuckDB oracle from the same source bytes — so the whole
+  * encode→decode→extract path is semantically verified, not just
+  * deterministic. The batch stage runs as Scala `mapPartitions` — the JVM
   * equivalent of a `mapInPandas` Pandas-UDF stage (same per-partition
   * batch shape, same schema contract; this build has no Python runtime,
   * and a JVM kernel additionally avoids the Arrow serialization hop).
   *
   * The media relation is synthesized deterministically from `documents`
-  * (bytes = UTF-8 of text), so every stage is oracle-checkable or at
-  * least deterministic across runs. */
+  * (payload bytes = UTF-8 of text), so every stage is oracle-checkable or
+  * at least deterministic across runs. */
+/** Decoded-image features: dimensions + per-channel byte sums. */
+final case class PpmFeatures(w: Int, h: Int, rSum: Long, gSum: Long, bSum: Long)
+
 object Multimodal {
 
   private def T(s: SparkSession, dir: String) = Tables(s, dir)
@@ -35,20 +43,58 @@ object Multimodal {
         (col("n_chars") % lit(640)).cast("int").as("width"),
         (col("n_chars") % lit(480)).cast("int").as("height")).as("meta"))
 
-  /** STUB decode kernel — stands in for an image/audio codec. Maps each
-    * media row's bytes to a fixed-width feature vector: byte histogram
-    * folded to 8 buckets, L1-normalized in integer permille. Deterministic
-    * and partition-local, so the surrounding pipeline (mapPartitions batch
-    * shape, schema) is tested for real even though the "decode" is fake. */
-  def fakeDecode(bytes: Array[Byte]): Array[Long] = {
-    val hist = new Array[Long](8)
-    var i = 0
-    while (i < bytes.length) {
-      hist((bytes(i) & 0xff) % 8) += 1
-      i += 1
+  /** Renders a payload into a real binary-PPM (P6) image file: ASCII
+    * header + w×h RGB triples, pixel byte j cycling the payload (128s for
+    * an empty payload). This is the fixture generator — the file format is
+    * the published netpbm P6 layout, parseable by any image tool. */
+  def ppmEncode(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val n = 3 * w * h
+    val out = new Array[Byte](header.length + n)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var j = 0
+    while (j < n) {
+      out(header.length + j) =
+        if (payload.length == 0) 128.toByte else payload(j % payload.length)
+      j += 1
     }
-    val total = math.max(1L, bytes.length.toLong)
-    hist.map(h => h * 1000L / total)
+    out
+  }
+
+  /** REAL decode kernel: parses a binary-PPM (P6) file — magic check,
+    * whitespace-delimited width/height/maxval, pixel-payload bounds check
+    * — and extracts integer features (per-channel byte sums). Returns null
+    * on any malformed input (wrong magic, non-numeric header, truncated
+    * pixels), like a codec would reject a corrupt file. */
+  def ppmDecode(file: Array[Byte]): PpmFeatures = {
+    var p = 0
+    def ws(): Unit = { while (p < file.length && file(p).toChar.isWhitespace) p += 1 }
+    def int(): Int = {
+      var v = -1
+      while (p < file.length && file(p) >= '0' && file(p) <= '9') {
+        v = (if (v < 0) 0 else v) * 10 + (file(p) - '0'); p += 1
+      }
+      v
+    }
+    if (file.length < 2 || file(0) != 'P' || file(1) != '6') return null
+    p = 2
+    ws(); val w = int(); ws(); val h = int(); ws(); val maxv = int()
+    if (w <= 0 || h <= 0 || maxv != 255 || p >= file.length) return null
+    p += 1 // the single whitespace byte separating header from pixels
+    val n = 3 * w * h
+    if (file.length - p < n) return null // truncated pixel payload
+    var r = 0L; var g = 0L; var b = 0L
+    var j = 0
+    while (j < n) {
+      val v = (file(p + j) & 0xff).toLong
+      (j % 3: @annotation.switch) match {
+        case 0 => r += v
+        case 1 => g += v
+        case _ => b += v
+      }
+      j += 1
+    }
+    PpmFeatures(w, h, r, g, b)
   }
 
   /** mm_ingest: binary ingest + metadata projection — oracle-checkable
@@ -69,35 +115,66 @@ object Multimodal {
         n_chars % 480 AS height
       FROM documents ORDER BY media_id"""))
 
-  /** mm_features: partition-wise feature extraction through the stub
-    * decode kernel (the mapPartitions shape a Pandas-UDF/Arrow batch
-    * kernel would use). The feature vector stays a typed array inside the
-    * pipeline and is CSV-stringified only at the output boundary — the
-    * driver's pandas canonicalizer cannot hash ndarray cells.
-    * Deterministic → rows-only check. */
+  /** mm_features: render each media payload into a REAL binary-PPM image
+    * file ([[ppmEncode]] — small per-id dimensions so fixtures stay tiny),
+    * then run partition-wise feature extraction through the genuine PPM
+    * parser ([[ppmDecode]]) in the mapPartitions shape a
+    * Pandas-UDF/Arrow batch kernel would use. The per-channel integer
+    * sums are recomputed by the DuckDB oracle from the same source bytes
+    * (hex-pair extraction over the cycled payload), so an encoder or
+    * parser bug — wrong header length, channel order, cycling offset —
+    * fails the hash check, not just determinism. */
   val mmFeatures = QueryDef(
     "mm_features",
     (s, dir) => {
-      val m = media(s, dir)
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
       val outSchema = StructType(Seq(
         StructField("media_id", LongType),
-        StructField("features", ArrayType(LongType))))
+        StructField("width", LongType),
+        StructField("height", LongType),
+        StructField("r_sum", LongType),
+        StructField("g_sum", LongType),
+        StructField("b_sum", LongType)))
       val enc = org.apache.spark.sql.Encoders.row(outSchema)
-      m.select(col("media_id"), col("bytes"))
+      media(s, dir)
+        .select(col("media_id"), col("bytes"),
+          // deterministic small dimensions per id: 4..11 × 3..7 px
+          (lit(4) + pmod(col("media_id"), lit(8))).cast("int").as("w"),
+          (lit(3) + pmod(col("media_id"), lit(5))).cast("int").as("h"))
         .mapPartitions { rows =>
-          // batch-shaped: one decode kernel invocation per row, state
-          // (codec context) could be initialized once per partition here
-          rows.map { r =>
-            Row(r.getLong(0), fakeDecode(r.getAs[Array[Byte]](1)).toSeq)
+          // batch-shaped: codec context would be initialized once per
+          // partition here; each row round-trips payload→file→features
+          rows.flatMap { r =>
+            val file = ppmEncode(r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3))
+            Option(ppmDecode(file)).map(f =>
+              Row(r.getLong(0), f.w.toLong, f.h.toLong, f.rSum, f.gSum, f.bSum))
           }
         }(enc)
-        .select(col("media_id"),
-          concat_ws(",", col("features").cast("array<string>")).as("features_csv"))
         .orderBy(col("media_id"))
     },
-    oracle = None)
+    oracle = Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id,
+          hex(encode(text)) AS hx,
+          octet_length(encode(text)) AS len,
+          4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h
+        FROM documents),
+      px AS (
+        SELECT media_id, hx, len, w, h,
+          unnest(range(0, 3 * w * h)) AS j
+        FROM m),
+      v AS (
+        SELECT media_id, w, h, j,
+          CASE WHEN len = 0 THEN 128
+               ELSE ('0x' || substr(hx, 2 * CAST(j % len AS INT) + 1, 2))::INTEGER
+          END AS val
+        FROM px)
+      SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        CAST(SUM(CASE WHEN j % 3 = 0 THEN val ELSE 0 END) AS BIGINT) AS r_sum,
+        CAST(SUM(CASE WHEN j % 3 = 1 THEN val ELSE 0 END) AS BIGINT) AS g_sum,
+        CAST(SUM(CASE WHEN j % 3 = 2 THEN val ELSE 0 END) AS BIGINT) AS b_sum
+      FROM v GROUP BY media_id, w, h ORDER BY media_id"""))
 
   /** mm_resize: the resize planning stage — integer aspect-preserving
     * target dimensions for a 224×224 model input (scale = max over both

@@ -184,4 +184,26 @@ class SemanticsSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
       src.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
+
+  test("PPM codec: encode produces a parseable P6 file, decode rejects corrupt ones") {
+    import graft.operators.Multimodal.{ppmEncode, ppmDecode}
+    // hand-computed: payload [1,2,3,4] cycled over 2x1 px = bytes 1,2,3,4,1,2
+    // → R: 1+4, G: 2+1, B: 3+2
+    val file = ppmEncode(Array[Byte](1, 2, 3, 4), 2, 1)
+    assert(new String(file.take(9), "US-ASCII") === "P6\n2 1\n25")
+    val f = ppmDecode(file)
+    assert(f === graft.operators.PpmFeatures(2, 1, 5L, 3L, 5L))
+    // empty payload → gray 128s
+    val gray = ppmDecode(ppmEncode(Array.empty[Byte], 3, 2))
+    assert(gray === graft.operators.PpmFeatures(3, 2, 6 * 128L, 6 * 128L, 6 * 128L))
+    // high bytes read unsigned: payload 0xFF over 1x1 → 255 per channel
+    val hi = ppmDecode(ppmEncode(Array[Byte](0xff.toByte), 1, 1))
+    assert(hi === graft.operators.PpmFeatures(1, 1, 255L, 255L, 255L))
+    // corrupt inputs a codec must reject, not misparse
+    assert(ppmDecode("P5\n2 1\n255\nxxxxxx".getBytes("US-ASCII")) === null) // wrong magic
+    assert(ppmDecode(file.dropRight(1)) === null)                           // truncated pixels
+    assert(ppmDecode("P6\n2 1\n254\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](6)(0)) === null)                                     // wrong maxval
+    assert(ppmDecode(Array.empty[Byte]) === null)
+  }
 }
