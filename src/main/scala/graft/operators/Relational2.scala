@@ -341,8 +341,72 @@ object Relational2 {
       FROM s WHERE st.no <= max_steps
       ORDER BY doc_id, step_no"""))
 
+  /** Particle/trail generator UDTF (TrustGraphScene.tsx:216-247): one
+    * graph edge generates its interpolated particle rows — count
+    * `max(3, floor(NODES_PER_EDGE × dist/6))` with NODES_PER_EDGE = 6
+    * (`:181,:224`), particle n at `t = n/(N+1)` lerped between the
+    * endpoints (`:226-228`). Re-expressed integer-exact: endpoints live on
+    * a deterministic integer grid derived from supplier keys, the lerp is
+    * ×1000 fixed-point computed as a weighted sum `(a·(N+1−n) + b·n)·1000
+    * div (N+1)` — numerator non-negative, so Spark's truncating `div` and
+    * DuckDB's flooring `//` agree — and the only float op is the
+    * IEEE-correctly-rounded `sqrt` of an exact integer, identical in both
+    * engines. (The reference's per-particle seeded jitter `:230-236` is
+    * display-only noise and intentionally dropped — positions here are the
+    * deterministic base positions.) */
+  val udtfParticles = QueryDef(
+    "udtf_particles",
+    (s, dir) => {
+      val e = T(s, dir).supplier.select(
+        col("s_suppkey").as("edge_id"),
+        pmod(col("s_suppkey") * lit(7L), lit(17L)).as("x0"),
+        pmod(col("s_suppkey") * lit(5L), lit(13L)).as("y0"),
+        pmod(col("s_suppkey") * lit(3L), lit(11L)).as("z0"),
+        pmod(col("s_nationkey") * lit(11L), lit(17L)).as("x1"),
+        pmod(col("s_nationkey") * lit(9L), lit(13L)).as("y1"),
+        pmod(col("s_nationkey") * lit(13L), lit(11L)).as("z1"))
+      e.withColumn("d2",
+          expr("(x1-x0)*(x1-x0) + (y1-y0)*(y1-y0) + (z1-z0)*(z1-z0)"))
+        .withColumn("n_particles",
+          greatest(lit(3L), floor(lit(6.0) * sqrt(col("d2").cast("double")) / lit(6.0))))
+        .select(col("edge_id"), col("x0"), col("y0"), col("z0"),
+          col("x1"), col("y1"), col("z1"), col("n_particles"),
+          explode(sequence(lit(1L), col("n_particles"))).as("particle_no"))
+        .select(col("edge_id"), col("particle_no"),
+          expr("(particle_no * 1000) div (n_particles + 1)").as("t_m"),
+          expr("((x0 * (n_particles + 1 - particle_no) + x1 * particle_no) * 1000) div (n_particles + 1)").as("px_m"),
+          expr("((y0 * (n_particles + 1 - particle_no) + y1 * particle_no) * 1000) div (n_particles + 1)").as("py_m"),
+          expr("((z0 * (n_particles + 1 - particle_no) + z1 * particle_no) * 1000) div (n_particles + 1)").as("pz_m"))
+        .orderBy(col("edge_id"), col("particle_no"))
+    },
+    oracle = Some("""
+      WITH e AS (
+        SELECT s_suppkey AS edge_id,
+          (s_suppkey * 7) % 17 AS x0, (s_suppkey * 5) % 13 AS y0,
+          (s_suppkey * 3) % 11 AS z0,
+          (s_nationkey * 11) % 17 AS x1, (s_nationkey * 9) % 13 AS y1,
+          (s_nationkey * 13) % 11 AS z1
+        FROM supplier),
+      d AS (
+        SELECT *, (x1-x0)*(x1-x0) + (y1-y0)*(y1-y0) + (z1-z0)*(z1-z0) AS d2
+        FROM e),
+      n AS (
+        SELECT *, GREATEST(3, CAST(FLOOR(6 * SQRT(d2) / 6) AS BIGINT)) AS n_particles
+        FROM d),
+      p AS (
+        SELECT edge_id, x0, y0, z0, x1, y1, z1, n_particles,
+          unnest(range(1, n_particles + 1)) AS particle_no
+        FROM n)
+      SELECT edge_id, particle_no,
+        (particle_no * 1000) // (n_particles + 1) AS t_m,
+        ((x0 * (n_particles + 1 - particle_no) + x1 * particle_no) * 1000) // (n_particles + 1) AS px_m,
+        ((y0 * (n_particles + 1 - particle_no) + y1 * particle_no) * 1000) // (n_particles + 1) AS py_m,
+        ((z0 * (n_particles + 1 - particle_no) + z1 * particle_no) * 1000) // (n_particles + 1) AS pz_m
+      FROM p ORDER BY edge_id, particle_no"""))
+
   val defs: Seq[QueryDef] = Seq(
     j3StreamStatic, j5IdentityLink, j8SecondaryLookup,
     a4GroupCountAvg, a7PoolTotals, a8Counters, a13PageEnvelope,
-    udtfExplodeSteps, udtfPlanExpand, fJsonStruct, fCountdown, a5CubeMatrix)
+    udtfExplodeSteps, udtfPlanExpand, udtfParticles, fJsonStruct, fCountdown,
+    a5CubeMatrix)
 }

@@ -152,9 +152,17 @@ object StreamOps {
     * — without it the keyspace (users × hours) grows with stream lifetime
     * and the state store never shrinks. The timeout emission repeats the
     * session's final result (same counters), so update-mode consumers see
-    * an identical latest row. */
+    * an identical latest row.
+    *
+    * Vote-spam DoS bound (lib.rs:21-22,104 `MAX_VOTES_PER_ACTION`): once a
+    * session has accepted `maxVotes` events, every further in-phase event
+    * is rejected (`MaxVotesReached`) instead of accepted — the counters
+    * stop growing and a hot key cannot inflate its session state or skew
+    * the tally past the cap. (The batch twin omits the cap: it is an
+    * ingest-time guard, and no catalog session approaches 10k events.) */
   def commitRevealDeadline(
-      events: DataFrame, watermark: String = "2 hours"): Dataset[DeadlineResult] = {
+      events: DataFrame, watermark: String = "2 hours",
+      maxVotes: Long = 10000L): Dataset[DeadlineResult] = {
     val sess = events.sparkSession
     import sess.implicits._
     events
@@ -182,7 +190,12 @@ object StreamOps {
               DeadlineSession(0L, 0L, 0L, Double.MaxValue, Long.MaxValue))
             evs.foreach { e =>
               val off = e.ts_ms % 3600000L
-              if (e.event_type == "view" && off < 1800000L)
+              // a capped session rejects every further event, in-phase or
+              // not — same counters as the reference's ordered require!s,
+              // since both paths only ever increment the reject count
+              if (s.nCommits + s.nReveals >= maxVotes)
+                s = s.copy(nRejected = s.nRejected + 1)
+              else if (e.event_type == "view" && off < 1800000L)
                 s = s.copy(nCommits = s.nCommits + 1)
               else if (e.event_type == "purchase" && off >= 1800000L && off < 2700000L) {
                 val better = -e.value < s.winNegBid ||

@@ -100,6 +100,39 @@ class StreamingSpec extends SparkSpec {
     assert(latest.collect().toSeq === want.collect().toSeq)
   }
 
+  test("ST2b vote cap: >10k events for one session stay capped, excess rejected (lib.rs:21-22,104)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.commitRevealDeadline(mem.toDF()).toDF()
+      .writeStream.format("memory").queryName("st2b_cap_stream")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val t0 = 1706486400000L // 2024-01-29T00:00Z — hour-aligned
+      def commit(i: Long) = Ev(i, 1L, "view", 1.0, t0 + (i % 1000L)) // off < 30 min
+      def reveal(i: Long, v: Double) = Ev(i, 1L, "purchase", v, t0 + 1800000L + (i % 1000L))
+      // 9,900 commits across two micro-batches (cap must merge across batches)
+      mem.addData((1L to 6000L).map(commit)); q.processAllAvailable()
+      mem.addData((6001L to 9900L).map(commit)); q.processAllAvailable()
+      // 100 reveals fit under the cap — values 1..100, winner = 100
+      mem.addData((1L to 100L).map(i => reveal(20000L + i, i.toDouble)))
+      q.processAllAvailable()
+      // 200 more reveals arrive past the cap: all rejected, even a higher
+      // bid (999) must NOT become the winner (MaxVotesReached, lib.rs:104)
+      mem.addData((1L to 200L).map(i => reveal(30000L + i, 999.0)))
+      q.processAllAvailable()
+      val r = spark.table("st2b_cap_stream")
+        .withColumn("__ord", monotonically_increasing_id())
+        .orderBy($"__ord".desc).limit(1).collect().head
+      assert(r.getAs[Long]("n_commits") === 9900L)
+      assert(r.getAs[Long]("n_reveals") === 100L)   // capped at 10,000 accepted
+      assert(r.getAs[Long]("n_rejected") === 200L)  // the post-cap excess
+      assert(r.getAs[Double]("winning_bid") === 100.0) // 999-bid spam rejected
+      // state store holds exactly the one bounded session row
+      val maxState = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      assert(maxState === 1L)
+    } finally q.stop()
+  }
+
   test("ST3 streaming epoch agg converges to the batch twin") {
     val cols = Seq($"epoch_day", $"total_signals", $"long_count", $"short_count",
       $"neutral_count", $"sum_value", $"last_updated_ms")
