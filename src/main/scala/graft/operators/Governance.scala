@@ -51,10 +51,19 @@ object Governance {
     s"unhex(concat(${pairs.mkString(",")}))"
   }
 
-  /** Decode `nBytes` little-endian bytes at 1-based `off` into a long. */
+  /** Decode `nBytes` little-endian bytes at 1-based `off` into a long.
+    *
+    * Range note: the layouts below declare every 8-byte (u64) field —
+    * slot numbers, ids, counters — below 2^63, so LongType holds them
+    * exactly. A high-bit u64 is unrepresentable in a long; `try_cast`
+    * makes it an explicit null sentinel in ANSI and legacy modes alike
+    * (a plain cast would throw under Spark 4's default ANSI and silently
+    * null under legacy — neither is a stable contract). Full-range
+    * readBigUInt64LE semantics would decode to decimal(20,0); no
+    * reference field uses the high bit. Pinned by AccountsSpec. */
   private def decLE(recCol: String, off: Int, nBytes: Int): Column = {
     val bytes = (nBytes - 1) to 0 by -1 map (i => s"substring($recCol, ${off + i}, 1)")
-    conv(hex(expr(s"concat(${bytes.mkString(",")})")), 16, 10).cast("long")
+    expr(s"try_cast(conv(hex(concat(${bytes.mkString(",")})), 16, 10) AS bigint)")
   }
 
   /** 32-byte field at `off`, rendered lowercase hex for comparison. */

@@ -19,8 +19,13 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join of `skewed` (large, hot-keyed) with `dims`
-    * (small per key) on `key`, salted across `n` partitions per key. */
+    * (small per key) on `key`, salted across `n` partitions per key.
+    * Inputs must not already carry the internal `__salt` column — a
+    * silent overwrite would corrupt caller data, so it's rejected. */
   def saltedJoin(skewed: DataFrame, dims: DataFrame, key: String, n: Int): DataFrame = {
+    require(n > 0, s"salt fan-out must be positive, got $n")
+    require(!skewed.columns.contains("__salt") && !dims.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column; rename it on the input")
     val salted = skewed.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(n.toLong)))
     val exploded = dims.withColumn("__salt",

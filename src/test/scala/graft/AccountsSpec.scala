@@ -57,6 +57,25 @@ class AccountsSpec extends SparkSpec {
     assert(r.getAs[Long]("bump") === 254L)
   }
 
+  test("u64 decode range: 2^63-1 exact, high-bit u64 is an explicit null sentinel") {
+    def rec(actionId: Long): Array[Byte] = {
+      val buf = ByteBuffer.allocate(145).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("graftFAc".getBytes("UTF-8"))
+      buf.putLong(actionId)
+      buf.put(new Array[Byte](145 - buf.position()))
+      buf.array()
+    }
+    val df = Seq(Tuple1(rec(Long.MaxValue)), Tuple1(rec(-1L))) // -1L = 0xFFFF…FF u64
+      .toDF("rec")
+      .select(graft.operators.Governance.fastActionFields("rec"): _*)
+    val ids = df.collect().map(r =>
+      if (r.isNullAt(r.fieldIndex("action_id"))) None
+      else Some(r.getAs[Long]("action_id")))
+    // full LongType range decodes exactly; 2^64-1 (≥ 2^63, unrepresentable)
+    // surfaces as null — never a wrapped negative, never an ANSI throw
+    assert(ids.toSet === Set(Some(Long.MaxValue), None))
+  }
+
   test("FastVote decode: 114-byte ByteBuffer-LE record (lib.rs:215-227)") {
     val buf = ByteBuffer.allocate(114).order(ByteOrder.LITTLE_ENDIAN)
     buf.put("graftFVt".getBytes("UTF-8"))

@@ -20,6 +20,25 @@ class CryptoSpec extends SparkSpec {
     assert(Poseidon.hash2(Poseidon.P + 1, BigInt(2)) === Poseidon.hash2(BigInt(1), BigInt(2)))
   }
 
+  test("poseidon digests match the recorded VECTORS.md values") {
+    // pins the concrete parameterization (Grain LFSR + Cauchy MDS) against
+    // accidental drift; VECTORS.md holds the same values for a future
+    // online circomlibjs diff
+    assert(Poseidon.hash2(BigInt(0), BigInt(0)) === BigInt(
+      "91336413168087014636938515040233027948880448107810542058232819693275462048"))
+    assert(Poseidon.hash2(BigInt(1), BigInt(2)) === BigInt(
+      "7728388660803876315274329558048457297166584094878507719377824818806544777941"))
+    assert(Poseidon.hash2(BigInt(7), BigInt(11)) === BigInt(
+      "20159313765590927531459497752013274633458440882975817383691726478893622564404"))
+    assert(Poseidon.hash2(Poseidon.P - 1, BigInt(1)) === BigInt(
+      "15822823203375570649108699776334145046368829096992387996899872350118820933236"))
+    assert(Poseidon.hash3(BigInt(1), BigInt(2), BigInt(3)) === BigInt(
+      "4284531223070934602678079588575524480716037323063415455389449394059443537071"))
+    assert(Poseidon.toBytes32(Poseidon.hash2(BigInt(1), BigInt(2)))
+      .map("%02x".format(_)).mkString ===
+      "11161ceb8e399d1f1e9bf6b4fef913e08d9ffeb15aca9226f7e3aed870cdc2d5")
+  }
+
   test("bytes32 round-trip is exact") {
     val vals = Seq(BigInt(0), BigInt(1), Poseidon.P - 1, BigInt("123456789012345678901234567890"))
     vals.foreach { v =>
