@@ -28,6 +28,7 @@ object QueryDef {
       graft.operators.BinaryOps.defs ++
       graft.operators.Governance.defs ++
       graft.operators.Multimodal.defs ++
+      graft.operators.RestQueries.defs ++
       graft.operators.Crypto.defs ++
       graft.operators.StreamingTwins.defs
 }

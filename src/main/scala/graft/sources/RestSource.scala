@@ -1,0 +1,325 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S3: REST/indexer source with query pushdown — a real DataSource V2
+  * connector re-expressing the reference's GraphQL read path
+  * (`lib/indexer.ts:45-183`, `lib/hive-api.ts:95-124`: every request
+  * carries `where / orderBy / orderDirection / limit / offset`, and the
+  * INDEXER evaluates them, not the client).
+  *
+  * The Spark-first translation: Catalyst plans the filter/sort/limit/
+  * offset declaratively, and this connector volunteers to evaluate them
+  * "endpoint-side" via the V2 pushdown hooks —
+  * [[SupportsPushDownFilters]] (where), [[SupportsPushDownRequiredColumns]]
+  * (the GraphQL selection set), [[SupportsPushDownTopN]]
+  * (orderBy+limit), [[SupportsPushDownLimit]] and
+  * [[SupportsPushDownOffset]] (paging) — so only the requested page of
+  * the requested fields ever crosses the source boundary, exactly like
+  * the reference's indexer. Filters the endpoint can't evaluate are
+  * declined and Spark applies them client-side (correctness never
+  * depends on the push).
+  *
+  * The "endpoint" is a JSONL snapshot directory (offline container — no
+  * HTTP), which also gives the connector a scale story: an unsorted,
+  * un-paged scan is split into `pageSize`-row page partitions
+  * ([[RestBatch.planInputPartitions]]) and fetched in parallel — the
+  * limit/offset page-walk a real indexer ingest would run, one request
+  * per task. A pushed orderBy/offset/limit collapses to one partition,
+  * because a globally ordered page is a single request.
+  *
+  * Options: `path` (JSONL file or directory of part files), `schema`
+  * (DDL string), `pageSize` (page-partition rows, default 2000).
+  */
+class RestSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StructType.fromDDL(
+      Option(options.get("schema")).getOrElse(
+        throw new IllegalArgumentException("RestSource requires a 'schema' DDL option")))
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new RestTable(schema, properties.asScala.toMap)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object RestSource {
+  /** What the "endpoint" actually received — the spec-visible mirror of
+    * the reference's GraphQL variables. Driver-side only (build() runs on
+    * the driver; local-mode tests read it to assert the push happened). */
+  final case class Pushed(
+      filters: Seq[Filter], columns: Seq[String],
+      sort: Seq[SortKey], offset: Option[Int], limit: Option[Int])
+  @volatile var lastPushed: Pushed = Pushed(Nil, Nil, Nil, None, None)
+
+  /** Deterministic JSONL snapshot of a parquet table — the stand-in for
+    * the remote endpoint's dataset, cached per (sfDir, table). */
+  def snapshot(spark: SparkSession, sfDir: String, table: String): String = {
+    val key = s"$sfDir/$table".replaceAll("[^A-Za-z0-9._-]", "_")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-rest/$key"
+    val marker = new java.io.File(s"$dir/_GRAFT_READY")
+    if (!marker.exists()) {
+      spark.read.parquet(s"$sfDir/$table.parquet")
+        .write.mode("overwrite").json(dir)
+      marker.createNewFile()
+    }
+    dir
+  }
+}
+
+/** Sort key in plain serializable form (connector SortOrder is not). */
+final case class SortKey(field: String, descending: Boolean, nullsFirst: Boolean)
+
+final class RestTable(schema: StructType, props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"rest(${props.getOrElse("path", "?")})"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RestScanBuilder(schema, props ++ options.asScala)
+}
+
+final class RestScanBuilder(fullSchema: StructType, props: Map[String, String])
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownTopN
+    with SupportsPushDownLimit
+    with SupportsPushDownOffset {
+
+  private var pushedF: Array[Filter] = Array.empty
+  private var projected: StructType = fullSchema
+  private var sortKeys: Seq[SortKey] = Nil
+  private var offsetN: Option[Int] = None
+  private var limitN: Option[Int] = None
+
+  /** The endpoint's `where` vocabulary (indexer.ts `where` args): accept
+    * what a key-value indexer can evaluate, decline the rest — Spark
+    * re-applies declined filters above the scan. */
+  private def supported(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: IsNotNull | _: IsNull => true
+    case In(_, vs) => vs != null
+    case _ => false // And/Or/StartsWith/… → client-side
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (push, keep) = filters.partition(supported)
+    pushedF = push
+    keep // residuals Spark must evaluate
+  }
+  override def pushedFilters(): Array[Filter] = pushedF
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    projected = requiredSchema
+
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    val keys = orders.toSeq.flatMap { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          Some(SortKey(nr.fieldNames()(0),
+            o.direction() == SortDirection.DESCENDING,
+            o.nullOrdering() == org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (keys.length != orders.length) false // complex sort expr → client-side
+    else { sortKeys = keys; limitN = Some(limit); true }
+  }
+  override def isPartiallyPushed(): Boolean = false // endpoint sorts fully
+
+  override def pushLimit(limit: Int): Boolean = { limitN = Some(limit); true }
+
+  override def pushOffset(offset: Int): Boolean = { offsetN = Some(offset); true }
+
+  override def build(): Scan = {
+    RestSource.lastPushed = RestSource.Pushed(
+      pushedF.toSeq, projected.fieldNames.toSeq, sortKeys, offsetN, limitN)
+    // option keys arrive lowercased through CaseInsensitiveStringMap
+    new RestScan(props("path"), fullSchema, projected, pushedF.toSeq,
+      sortKeys, offsetN, limitN,
+      props.getOrElse("pagesize", "2000").toInt)
+  }
+}
+
+final class RestScan(
+    path: String, fullSchema: StructType, projected: StructType,
+    filters: Seq[Filter], sort: Seq[SortKey],
+    offset: Option[Int], limit: Option[Int], pageSize: Int)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = projected
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"RestScan path=$path PushedFilters=[${filters.mkString(", ")}] " +
+      s"PushedSort=[${sort.mkString(", ")}] PushedOffset=$offset PushedLimit=$limit " +
+      s"ReadColumns=${projected.fieldNames.mkString("[", ",", "]")}"
+
+  private def files(): Seq[String] = {
+    val f = new java.io.File(path)
+    if (f.isFile) Seq(f.getPath)
+    else f.listFiles().filter(x => x.isFile && x.getName.startsWith("part-"))
+      .map(_.getPath).sorted.toSeq
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = files()
+    if (sort.nonEmpty || offset.isDefined || limit.isDefined)
+      // an ordered/paged request is one endpoint call
+      Array(RestPage(fs, 0L, Long.MaxValue))
+    else {
+      // parallel page-walk: count once (the endpoint's totalCount), then
+      // one limit/offset page per task
+      val total = fs.iterator.map { p =>
+        val src = scala.io.Source.fromFile(p, "UTF-8")
+        try src.getLines().size.toLong finally src.close()
+      }.sum
+      val pages = math.max(1L, (total + pageSize - 1) / pageSize)
+      Array.tabulate(pages.toInt)(i =>
+        RestPage(fs, i.toLong * pageSize, math.min(total, (i + 1L) * pageSize)))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RestReaderFactory(fullSchema.toDDL, projected.toDDL, filters,
+      sort, offset, limit)
+}
+
+/** A page of the snapshot: global line range [startLine, endLine). */
+final case class RestPage(files: Seq[String], startLine: Long, endLine: Long)
+    extends InputPartition
+
+final class RestReaderFactory(
+    fullDDL: String, projectedDDL: String, filters: Seq[Filter],
+    sort: Seq[SortKey], offset: Option[Int], limit: Option[Int])
+    extends PartitionReaderFactory {
+  // a count() prunes the selection set to ZERO columns → empty DDL
+  private def parse(ddl: String): StructType =
+    if (ddl.trim.isEmpty) new StructType() else StructType.fromDDL(ddl)
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new RestReader(partition.asInstanceOf[RestPage],
+      parse(fullDDL), parse(projectedDDL),
+      filters, sort, offset, limit)
+}
+
+/** Evaluates the pushed request exactly like the endpoint would: parse →
+  * where → orderBy → offset → limit → selection set. */
+final class RestReader(
+    page: RestPage, fullSchema: StructType, projected: StructType,
+    filters: Seq[Filter], sort: Seq[SortKey],
+    offset: Option[Int], limit: Option[Int])
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val sources = scala.collection.mutable.ArrayBuffer.empty[scala.io.Source]
+
+  private def typeOf(field: String): DataType =
+    fullSchema.fields.find(_.name == field).map(_.dataType).getOrElse(StringType)
+
+  private def value(n: JsonNode, field: String): Any = {
+    val v = n.get(field)
+    if (v == null || v.isNull) null
+    else typeOf(field) match {
+      case LongType => v.asLong()
+      case IntegerType => v.asInt()
+      case DoubleType => v.asDouble()
+      case BooleanType => v.asBoolean()
+      case _ => v.asText()
+    }
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _) => -1
+    case (_, null) => 1
+    case (x: Long, y: Number) => java.lang.Long.compare(x, y.longValue())
+    case (x: Int, y: Number) => java.lang.Long.compare(x.toLong, y.longValue())
+    case (x: Double, y: Number) => java.lang.Double.compare(x, y.doubleValue())
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case (x, y) => x.toString.compareTo(y.toString)
+  }
+
+  private def eval(f: Filter, n: JsonNode): Boolean = f match {
+    case EqualTo(a, v) => value(n, a) != null && cmp(value(n, a), v) == 0
+    case GreaterThan(a, v) => value(n, a) != null && cmp(value(n, a), v) > 0
+    case GreaterThanOrEqual(a, v) => value(n, a) != null && cmp(value(n, a), v) >= 0
+    case LessThan(a, v) => value(n, a) != null && cmp(value(n, a), v) < 0
+    case LessThanOrEqual(a, v) => value(n, a) != null && cmp(value(n, a), v) <= 0
+    case IsNotNull(a) => value(n, a) != null
+    case IsNull(a) => value(n, a) == null
+    case In(a, vs) => value(n, a) != null && vs.exists(v => cmp(value(n, a), v) == 0)
+    case _ => true // unreachable: unsupported filters were declined
+  }
+
+  private def ordering: Ordering[JsonNode] = new Ordering[JsonNode] {
+    override def compare(x: JsonNode, y: JsonNode): Int = {
+      for (k <- sort) {
+        val (a, b) = (value(x, k.field), value(y, k.field))
+        val c =
+          if (a == null && b == null) 0
+          else if (a == null) { if (k.nullsFirst) -1 else 1 }
+          else if (b == null) { if (k.nullsFirst) 1 else -1 }
+          else cmp(a, b)
+        val signed = if (k.descending) -c else c
+        if (signed != 0) return signed
+      }
+      0
+    }
+  }
+
+  private def lines(): Iterator[JsonNode] = {
+    val all = page.files.iterator.flatMap { p =>
+      val src = scala.io.Source.fromFile(p, "UTF-8")
+      sources += src
+      src.getLines()
+    }
+    all.zipWithIndex
+      .filter { case (_, i) => i >= page.startLine && i < page.endLine }
+      .map { case (l, _) => mapper.readTree(l) }
+  }
+
+  private val iter: Iterator[InternalRow] = {
+    var matched = lines().filter(n => filters.forall(eval(_, n)))
+    if (sort.nonEmpty) matched = matched.toVector.sorted(ordering).iterator
+    // Spark's paging convention (V2ScanRelationPushDown): the pushed
+    // limit already INCLUDES the offset (LIMIT l OFFSET o arrives as
+    // pushLimit(o+l) + pushOffset(o)), so the page is take-then-drop
+    limit.foreach(l => matched = matched.take(l))
+    offset.foreach(o => matched = matched.drop(o))
+    matched.map { n =>
+      val out = new GenericInternalRow(projected.length)
+      projected.fields.zipWithIndex.foreach { case (f, i) =>
+        val v = value(n, f.name) match {
+          case s: String => UTF8String.fromString(s)
+          case other => other
+        }
+        out.update(i, v)
+      }
+      out
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (iter.hasNext) { current = iter.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = sources.foreach(_.close())
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.sources.RestSource
+import org.apache.spark.sql.functions._
+
+/** S3 RestSource connector: the GraphQL-arg pushdown surface
+  * (where/orderBy/limit/offset/selection set) asserted against what the
+  * "endpoint" actually received, plus correctness equivalence against
+  * the native parquet read for pushed, residual, and paged shapes. */
+class SourcesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docSchema =
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+  private def rest(pageSize: Int = 2000) =
+    spark.read.format("graft.sources.RestSource")
+      .option("path", RestSource.snapshot(spark, sf001, "documents"))
+      .option("schema", docSchema)
+      .option("pageSize", pageSize.toString)
+      .load()
+
+  private def native = spark.read.parquet(s"$sf001/documents.parquet")
+
+  test("ordered page request pushes where + orderBy + limit + offset into the source") {
+    val got = rest()
+      .filter($"lang" === "en")
+      .select($"doc_id", $"n_chars")
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+      .offset(10).limit(50)
+      .collect()
+    val p = RestSource.lastPushed
+    assert(p.filters.exists(_.toString.contains("EqualTo(lang,en)")), p.toString)
+    assert(p.sort === Seq(graft.sources.SortKey("n_chars", true, false),
+      graft.sources.SortKey("doc_id", false, true)))
+    assert(p.offset === Some(10))
+    assert(p.limit === Some(60)) // Spark's paging convention: offset + limit
+    assert(!p.columns.contains("text"), s"selection set not pruned: ${p.columns}")
+    val want = native.filter($"lang" === "en")
+      .select($"doc_id", $"n_chars")
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+      .offset(10).limit(50).collect()
+    assert(got.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq)
+  }
+
+  test("unordered scan fans out into page partitions, one endpoint request per task") {
+    val df = rest(pageSize = 100).filter($"n_chars" > 500L).select($"doc_id", $"lang")
+    // 500 docs at sf0.001 / 100-row pages = 5 parallel page requests
+    assert(df.rdd.getNumPartitions === 5)
+    val want = native.filter($"n_chars" > 500L).select($"doc_id", $"lang")
+    assert(df.orderBy($"doc_id").collect().map(_.toSeq).toSeq ===
+      want.orderBy($"doc_id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("unsupported predicate is declined and applied client-side, result unchanged") {
+    val got = rest().filter($"text".startsWith("a")).select($"doc_id").collect()
+    val p = RestSource.lastPushed
+    assert(!p.filters.exists(_.toString.contains("StringStartsWith")),
+      s"endpoint must decline StartsWith: ${p.filters}")
+    val want = native.filter($"text".startsWith("a")).select($"doc_id").collect()
+    assert(got.map(_.getLong(0)).sorted.toSeq === want.map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("the executed plan shows the pushed request at the scan") {
+    val plan = QueryDef.catalogs.find(_.name == "s3_rest_topn").get
+      .run(spark, sf001).queryExecution.executedPlan.toString
+    assert(plan.contains("RestScan"), plan.linesIterator.take(5).mkString("\n"))
+    assert(plan.contains("EqualTo(lang,en)"))
+  }
+}
