@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotFloat, DotLong}
+
+/** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
+  * registers the native Catalyst expressions as SQL functions, so both
+  * the DataFrame API (`call_function`) and plain `spark.sql("SELECT
+  * dot_long(a, b) …")` reach the codegen'd kernels — the library surface
+  * a SQL-first user of the reference would expect. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "", "", "", "", "", "", "built-in")
+
+  private val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("dot_long"),
+        info(classOf[DotLong], "dot_long",
+          "dot_long(a, b) - exact integer inner product of two bigint arrays; null on null or ragged input"),
+        (children: Seq[Expression]) => DotLong(children(0), children(1))),
+      (FunctionIdentifier("dot_float"),
+        info(classOf[DotFloat], "dot_float",
+          "dot_float(a, b) - float inner product accumulated in double, left-to-right; null on null or ragged input"),
+        (children: Seq[Expression]) => DotFloat(children(0), children(1))))
+
+  /** Registers the graft functions into an ALREADY-RUNNING session's
+    * registry — the path for sessions the library does not own (the
+    * driver passes its own `SparkSession` into `SparkEntry.queries`).
+    * Idempotent; `registerFunction` overwrites in place. */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    descriptions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

@@ -41,46 +41,39 @@ import org.apache.spark.storage.StorageLevel
   */
 object Similarity {
 
-  private def T(s: SparkSession, dir: String) = Tables(s, dir)
+  private def T(s: SparkSession, dir: String) = {
+    // driver-owned sessions may lack spark.sql.extensions; idempotent
+    graft.GraftExtensions.ensureRegistered(s)
+    Tables(s, dir)
+  }
 
   /** embedding: Array[Float] → integer grid (×1000, rounded). Exact both
     * engines; all downstream math is Long. */
   private def quantized(c: Column): Column =
     transform(c, x => round(x.cast("double") * lit(1000), 0).cast("long"))
 
-  /** Inner products as tight JVM kernels rather than Catalyst
-    * `aggregate`/`zip_with` lambdas: higher-order-function lambdas are
-    * interpreted per element and block whole-stage codegen (same effect
-    * measured on the LSH signature kernel, ~20×). Accumulation order is
-    * identical left-to-right, so results are bit-for-bit unchanged —
-    * including the double path (float addition order preserved). Null or
-    * ragged (length-mismatched) vector pairs → null, exactly like the
-    * null-padding `zip_with` forms these replaced — a malformed embedding
-    * surfaces as a null score, never as a silently partial dot. */
-  private val dotLongUdf = udf((a: Seq[Long], b: Seq[Long]) =>
-    if (a == null || b == null || a.length != b.length) Option.empty[Long]
-    else {
-      var acc = 0L
-      var i = 0
-      val n = a.length
-      while (i < n) { acc += a(i) * b(i); i += 1 }
-      Some(acc)
-    })
-
-  private def dotLong(a: Column, b: Column): Column = dotLongUdf(a, b)
-
-  private val dotFloatUdf = udf((a: Seq[Float], b: Seq[Float]) =>
-    if (a == null || b == null || a.length != b.length) Option.empty[Double]
-    else {
-      var acc = 0.0
-      var i = 0
-      val n = a.length
-      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-      Some(acc)
-    })
+  /** Inner products via the native Catalyst expressions
+    * ([[graft.functions.DotLong]] / [[graft.functions.DotFloat]]): the
+    * tight loop is code-GENERATED inside the surrounding
+    * whole-stage-codegen span over Tungsten ArrayData — no UDF
+    * serialization boundary, no Row→Seq conversion, no codegen fence —
+    * the brief's preferred form for scalar kernels (Expression with
+    * doGenCode > Scala UDF). Semantics are identical to the UDF kernels
+    * they replace: null or ragged (length-mismatched) vector pairs →
+    * null (a malformed embedding surfaces as a null score, never a
+    * silently partial dot), accumulation strictly left-to-right so
+    * results are bit-for-bit unchanged — including the double path
+    * (float addition order preserved).
+    *
+    * Registered on the session by [[graft.GraftExtensions]]; the
+    * ensureRegistered call covers driver-owned sessions that were not
+    * built with `spark.sql.extensions=graft.GraftExtensions`. */
+  private def dotLong(a: Column, b: Column): Column =
+    call_function("dot_long", a, b)
 
   /** Both call sites feed `array<float>` embedding columns. */
-  private def dotDouble(a: Column, b: Column): Column = dotFloatUdf(a, b)
+  private def dotDouble(a: Column, b: Column): Column =
+    call_function("dot_float", a, b)
 
   // --- bounded top-k ranking (the scale-safe window replacement) ---
 
