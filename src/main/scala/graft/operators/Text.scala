@@ -258,8 +258,12 @@ object Text {
       FROM documents GROUP BY 1 ORDER BY fp"""))
 
   /** Reference rolling hash (escrow.ts:222-231): 31-based 32-bit-wrap hash
-    * rendered base36. Exact-wrap semantics live in a UDF; no SQL oracle
-    * (DuckDB lacks the wrap), driver does the rows-only check. */
+    * rendered base36. Exact-wrap semantics live in a UDF; the DuckDB twin
+    * re-derives the wrap with a `list_reduce` fold in BIGINT — each step
+    * re-centers into signed-32 range, `abs` in BIGINT reproduces the JS
+    * `Math.abs(Int.MinValue)` = 2147483648 edge, `to_base(…, 36)` matches
+    * JS `toString(36)` after lowering. Corpus is ASCII, so DuckDB code
+    * points equal the UTF-16 units JS `charCodeAt` folds over. */
   val txtFingerprintRolling = QueryDef(
     "txt_fingerprint_rolling",
     (s, dir) => {
@@ -268,7 +272,14 @@ object Text {
         .select(col("doc_id"), f(col("text")).as("spec_hash"))
         .orderBy(col("doc_id"))
     },
-    oracle = None)
+    oracle = Some("""
+      SELECT doc_id,
+        lower(to_base(abs(list_reduce(
+          list_prepend(0::BIGINT,
+            list_transform(string_split(text, ''), c -> unicode(c)::BIGINT)),
+          (h, c) -> ((h * 31 + c + 2147483648) % 4294967296 + 4294967296)
+                      % 4294967296 - 2147483648)), 36)) AS spec_hash
+      FROM documents ORDER BY doc_id"""))
 
   /** End-to-end corpus-cleaning pipeline — the composed 100 TB
     * training-data flow the individual ops feed: language gate (English
