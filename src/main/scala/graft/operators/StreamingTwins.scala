@@ -247,7 +247,58 @@ object StreamingTwins {
       FROM events WHERE event_type = 'purchase'
       GROUP BY 1, 2 ORDER BY user_id, epoch_day"""))
 
+  /** ST11 gap sessionization: reconstruct connection sessions from the
+    * member event stream — the analytics view of the channel server's
+    * membership lifecycle (ws-server.ts:128-136 joinedAt / token-expiry;
+    * a member whose events stop for the gap has left). A new session
+    * starts when the inactivity gap reaches 30 min; `>=` split matches
+    * Spark's native `session_window` semantics (window = [event,
+    * event + gap)), so the live stream in
+    * [[graft.streaming.StreamOps.gapSessions]] converges to this twin
+    * exactly. Classic islands form: per-user lag → new-session flag →
+    * running sum — the per-user sequential window hash-partitions across
+    * users, so it scales horizontally. */
+  val st11GapSessions = QueryDef(
+    "st11_gap_sessions",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      T(s, dir).events
+        .select(col("user_id"), col("event_id"), col("ts_ms"))
+        .withColumn("prev", lag(col("ts_ms"), 1).over(w))
+        .withColumn("new_sess",
+          (col("prev").isNull || col("ts_ms") - col("prev") >= lit(1800000L))
+            .cast("long"))
+        .withColumn("sess_no", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(
+          min(col("ts_ms")).as("session_start_ms"),
+          max(col("ts_ms")).as("session_end_ms"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("sess_no"))
+    },
+    oracle = Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+      l AS (
+        SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev
+        FROM e),
+      f AS (
+        SELECT *, CASE WHEN prev IS NULL OR ts_ms - prev >= 1800000
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM l),
+      s AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM f)
+      SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+        MIN(ts_ms) AS session_start_ms,
+        MAX(ts_ms) AS session_end_ms,
+        COUNT(*) AS n_events
+      FROM s GROUP BY user_id, sess_no
+      ORDER BY user_id, sess_no"""))
+
   val defs: Seq[QueryDef] = Seq(
     st1DeadlineTally, st2CommitReveal, st2DeadlineWinner, st4SlidingActivity,
-    st6BoundedBuffer, st7TtlRetention, st9DailyLimit)
+    st6BoundedBuffer, st7TtlRetention, st9DailyLimit, st11GapSessions)
 }

@@ -299,6 +299,30 @@ object StreamOps {
       .withColumn("epoch_day", expr("unix_millis(window.start) div 86400000"))
       .drop("window")
 
+  /** ST11 live: gap sessionization via NATIVE session windows — the
+    * streaming reconstruction of the channel server's membership
+    * lifecycle (ws-server.ts:128-136), one session per burst of activity
+    * separated by ≥ gap of silence. `session_window` keeps one
+    * [start, last+gap) window per (user, session) in the state store,
+    * merging windows as events arrive and EMITTING + EVICTING each
+    * session once the watermark passes its end (append mode) — state is
+    * bounded by live sessions, not stream history. Split semantics
+    * (new session at inactivity ≥ gap) match the batch twin
+    * `st11_gap_sessions` exactly. */
+  def gapSessions(
+      events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", watermark)
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(
+        min(col("ts_ms")).as("session_start_ms"),
+        max(col("ts_ms")).as("session_end_ms"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start_ms"),
+        col("session_end_ms"), col("n_events"))
+
   /** ST7 live: TTL state eviction (message-store.ts:47-64, 7-day TTL,
     * hourly prune). Per-user running count with an event-time timeout at
     * last_seen + ttl: when the watermark passes it, the state is removed

@@ -242,6 +242,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST11 streaming gap sessions (native session_window) converge to the batch twin") {
+    // append-mode session windows emit only once the watermark passes the
+    // session end; a far-future sentinel event closes every real session
+    val maxTs = allEvents.map(_.ts_ms).max
+    val sentinel = Ev(999999L, 999999L, "view", 0.0, maxTs + 86400000L)
+    val got = runStream("st11_stream", batches :+ Seq(sentinel),
+      ds => StreamOps.gapSessions(ds.toDF()), OutputMode.Append)
+      .filter($"user_id" =!= 999999L)
+      .select($"user_id", $"session_start_ms", $"session_end_ms", $"n_events")
+      .orderBy($"user_id", $"session_start_ms")
+    val want = graft.operators.StreamingTwins.st11GapSessions.run(spark, sf001)
+      .select($"user_id", $"session_start_ms", $"session_end_ms", $"n_events")
+      .orderBy($"user_id", $"session_start_ms")
+    assert(got.collect().toSeq === want.collect().toSeq)
+  }
+
   test("ST6 streaming bounded buffer matches the batch twin") {
     val got = runStream("st6_stream", batches,
       ds => StreamOps.boundedBuffer(ds, cap = 3).toDF(), OutputMode.Update)
