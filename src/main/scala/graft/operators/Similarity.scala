@@ -433,10 +433,14 @@ object Similarity {
         }
         }
       })
+      // ONE kernel pass over documents, persisted: the banded branch and
+      // both sides of the hamming verify read the narrow (doc_id, simhash)
+      // cache instead of re-running the kernel per plan branch
       val withSim = T(s, dir).documents
         .withColumn("simhash", simhashUdf(col("text")))
         .filter(col("simhash").isNotNull)
         .select(col("doc_id"), col("simhash"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val banded = withSim.select(col("doc_id"), col("simhash"),
         posexplode(transform(sequence(lit(0), lit(7)), b =>
           call_function("shiftright", col("simhash"), b * lit(8))
@@ -501,16 +505,22 @@ object Similarity {
         }
         }
       })
-      val e = T(s, dir).embeddings.select(col("vec_id"), col("embedding").as("v"))
-      val banded = e
-        .select(col("vec_id"), posexplode(bandValsUdf(col("v"))))
+      // ONE pass over embeddings: LSH bands + norm per vector, persisted
+      // for the banding branch and both exact-verify join sides
+      val feat = T(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("bands", bandValsUdf(col("v")))
+        .withColumn("norm", sqrt(dotDouble(col("v"), col("v"))))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val banded = feat
+        .select(col("vec_id"), posexplode(col("bands")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       val keepers = banded.groupBy(col("band"), col("bucket"))
         .agg(min(col("vec_id")).as("keeper"))
       val cand = banded.join(keepers, Seq("band", "bucket"))
         .filter(col("keeper") < col("vec_id"))
         .groupBy(col("vec_id")).agg(min(col("keeper")).as("keeper"))
-      val withNorm = e.withColumn("norm", sqrt(dotDouble(col("v"), col("v"))))
+      val withNorm = feat.select(col("vec_id"), col("v"), col("norm"))
       cand
         .join(withNorm, Seq("vec_id"))
         .join(withNorm.select(col("vec_id").as("keeper"), col("v").as("kv"),

@@ -54,17 +54,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning(vec_id"), "vec_id exchange crept back")
   }
 
-  test("dd_minhash: every documents scan reads the cached feature frame") {
-    val p = plan("dd_minhash")
+  test("dedup family: every corpus scan reads the cached feature frame") {
     // every InMemoryTableScan consumer re-prints the cached plan (whose one
     // FileScan runs only on first materialization), so a bypassing consumer
-    // shows up as MORE documents FileScan lines than InMemoryRelation lines
-    val scans = p.linesIterator.count(l =>
-      l.contains("FileScan parquet") && l.contains("documents.parquet"))
-    val cached = p.linesIterator.count(_.contains("InMemoryRelation"))
-    assert(cached >= 1, "feature frame no longer cached")
-    assert(scans <= cached,
-      s"$scans documents FileScans vs $cached cached-plan prints — a consumer bypasses the cache")
+    // shows up as MORE corpus FileScan lines than InMemoryRelation lines
+    for ((n, table) <- Seq("dd_minhash" -> "documents.parquet",
+        "dd_simhash" -> "documents.parquet", "dd_embedding" -> "embeddings.parquet")) {
+      val p = plan(n)
+      val scans = p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains(table))
+      val cached = p.linesIterator.count(_.contains("InMemoryRelation"))
+      assert(cached >= 1, s"$n: feature frame no longer cached")
+      assert(scans <= cached,
+        s"$n: $scans $table FileScans vs $cached cached-plan prints — a consumer bypasses the cache")
+    }
   }
 
   test("a5_cube_matrix: cube expands then aggregates partially (map-side combine)") {
