@@ -56,8 +56,11 @@ object Bench {
       bump("c_custkey") +: t.customer.columns.filterNot(_ == "c_custkey")
         .map(col).toIndexedSeq: _*), "customer")
     // events.ts is read as epoch-nanos Long (legacy nanosAsLong) and
-    // written back as int64; Tables.events only ever does integer math on
-    // it, so the round-trip is transparent to every consumer
+    // written back as PLAIN int64 (no TIMESTAMP(NANOS) annotation);
+    // Tables.events only ever does integer math on it, so the round-trip
+    // is transparent to every Spark consumer. It is NOT oracle-compatible:
+    // DuckDB would read this ts as BIGINT, so epoch_ms(ts)/CAST(ts AS DATE)
+    // oracle SQL must never run against the sf1 dir (Bench only times it)
     val ev = spark.read.parquet(s"$sf01Dir/events.parquet")
     write(copies(ev).select(
       bump("event_id") +: bump("user_id") +:

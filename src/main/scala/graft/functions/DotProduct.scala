@@ -12,13 +12,15 @@ import org.apache.spark.sql.types._
   * UDF serialization boundary, no Row→Seq conversion, and no codegen
   * fence splitting the surrounding stage.
   *
-  * Semantics match the UDFs exactly: null input → null, ragged
-  * (length-mismatched) pair → null (a malformed embedding surfaces as a
-  * null score, never a silently partial dot), accumulation strictly
-  * left-to-right so double results are bit-identical. A null ELEMENT
-  * yields null output (the UDF path would have thrown on unboxing —
-  * catalog embeddings have no null elements; the expression makes the
-  * degenerate case defined instead of undefined).
+  * Semantics vs the replaced UDFs: null input → null and accumulation is
+  * strictly left-to-right, so double results are bit-identical on every
+  * well-formed pair. Two degenerate cases are deliberately TIGHTENED, not
+  * copied: a ragged (length-mismatched) pair is null, where the UDFs
+  * computed a silently partial dot over min(length); and a null ELEMENT
+  * yields null output, where the UDF path would have thrown on unboxing.
+  * Catalog embeddings are fixed-width with no null elements, so no
+  * catalog result changes — malformed input now surfaces as a null
+  * score instead of a wrong one or a crash.
   */
 abstract class DotProductBase extends BinaryExpression with ImplicitCastInputTypes
     with Serializable {

@@ -80,7 +80,10 @@ object Multimodal {
     p = 2
     ws(); val w = int(); ws(); val h = int(); ws(); val maxv = int()
     if (w <= 0 || h <= 0 || maxv != 255 || p >= file.length) return null
-    p += 1 // the single whitespace byte separating header from pixels
+    // exactly one whitespace byte separates header from pixels; anything
+    // else is a corrupt header — reject, don't misparse with a 1-byte shift
+    if (!file(p).toChar.isWhitespace) return null
+    p += 1
     val n = 3 * w * h
     if (file.length - p < n) return null // truncated pixel payload
     var r = 0L; var g = 0L; var b = 0L

@@ -185,15 +185,34 @@ final class RestScan(
       // an ordered/paged request is one endpoint call
       Array(RestPage(fs, 0L, Long.MaxValue))
     else {
-      // parallel page-walk: count once (the endpoint's totalCount), then
-      // one limit/offset page per task
-      val total = fs.iterator.map { p =>
+      // parallel page-walk: count each file once (the endpoint's
+      // totalCount), then one limit/offset page per task. Each page keeps
+      // only the files overlapping its range, with the line range
+      // rebased onto that sublist — so a page read costs O(pageSize),
+      // instead of every reader re-walking the whole snapshot from line 0
+      // (O(pages × total) overall).
+      val counts = fs.map { p =>
         val src = scala.io.Source.fromFile(p, "UTF-8")
-        try src.getLines().size.toLong finally src.close()
-      }.sum
+        try (p, src.getLines().size.toLong) finally src.close()
+      }
+      val total = counts.iterator.map(_._2).sum
       val pages = math.max(1L, (total + pageSize - 1) / pageSize)
-      Array.tabulate(pages.toInt)(i =>
-        RestPage(fs, i.toLong * pageSize, math.min(total, (i + 1L) * pageSize)))
+      Array.tabulate(pages.toInt) { i =>
+        val lo = i.toLong * pageSize
+        val hi = math.min(total, (i + 1L) * pageSize)
+        val sel = Seq.newBuilder[String]
+        var fileStart = 0L
+        var firstStart = -1L
+        for ((p, c) <- counts) {
+          if (fileStart < hi && fileStart + c > lo) {
+            if (firstStart < 0) firstStart = fileStart
+            sel += p
+          }
+          fileStart += c
+        }
+        if (firstStart < 0) RestPage(Nil, 0L, 0L) // empty snapshot
+        else RestPage(sel.result(), lo - firstStart, hi - firstStart)
+      }
     }
   }
 
@@ -202,7 +221,8 @@ final class RestScan(
       sort, offset, limit)
 }
 
-/** A page of the snapshot: global line range [startLine, endLine). */
+/** A page of the snapshot: line range [startLine, endLine) counted over
+  * the concatenation of `files` (only the files the page overlaps). */
 final case class RestPage(files: Seq[String], startLine: Long, endLine: Long)
     extends InputPartition
 
