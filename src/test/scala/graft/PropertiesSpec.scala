@@ -80,4 +80,38 @@ class PropertiesSpec extends SparkSpec {
       assert(valid.count() === model.toLong)
     }
   }
+
+  test("TopKAggregator equals global sort-take under arbitrary partition splits") {
+    import graft.functions.{Scored, TopKAggregator, TopKBuf}
+    val agg = new TopKAggregator(5)
+    // duplicate scores (choose from a small score pool) force tie-breaks
+    val rowGen = Gen.listOfN(80, Gen.zip(Gen.choose(0, 9), Gen.choose(0L, 200L)))
+    samples(rowGen, 25, seed = 77L).foreach { raw =>
+      val items = raw.zipWithIndex.map { case ((s, pay), i) =>
+        Scored(s.toDouble, i.toLong, pay) }
+      // reference model: total order (score desc, id asc), take 5
+      val model = items.sortBy(x => (-x.score, x.id)).take(5)
+      // fold through the aggregator under several partition shapes:
+      // one-by-one reduce, chunked merges, and reversed merge order
+      val oneByOne = items.foldLeft(agg.zero)(agg.reduce)
+      assert(oneByOne.items === model)
+      for (chunk <- Seq(1, 3, 7, 80)) {
+        val bufs = items.grouped(chunk)
+          .map(_.foldLeft(agg.zero)(agg.reduce)).toList
+        val merged = bufs.foldLeft(agg.zero)(agg.merge)
+        assert(merged.items === model, s"chunk=$chunk")
+        val mergedRev = bufs.reverse.foldLeft(agg.zero)(agg.merge)
+        assert(mergedRev.items === model, s"chunk=$chunk reversed")
+      }
+      // and through the actual Spark aggregation path
+      val got = items.toDF("score", "id", "pay")
+        .repartition(7)
+        .agg(udaf(agg, org.apache.spark.sql.Encoders.product[Scored])
+          (col("score"), col("id"), col("pay")).as("top"))
+        .select(explode(col("top.items")).as("s"))
+        .select(col("s.score"), col("s.id"), col("s.pay"))
+        .collect().map(r => Scored(r.getDouble(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq === model)
+    }
+  }
 }
