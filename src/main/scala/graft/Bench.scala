@@ -83,6 +83,9 @@ object Bench {
 
     val headline = QueryDef.catalogs.filter(_.headline)
     def time(q: QueryDef, dir: String): Double = {
+      // cold per run: drop memoized dedup feature frames so min-of-2
+      // measures the full pipeline, not the previous run's cache
+      graft.operators.Similarity.clearFeatureCache()
       val t0 = System.nanoTime()
       q.run(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9

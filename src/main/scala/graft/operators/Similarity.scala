@@ -93,6 +93,16 @@ object Similarity {
   private def cachedFeature(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     featCache.getOrElseUpdate((s, key), build.persist(StorageLevel.MEMORY_AND_DISK))
 
+  /** Unpersists and forgets every memoized feature frame. Bench calls
+    * this before each timed run so headline dedup numbers measure the
+    * full cold pipeline (tokenize + signatures + verify), not a warm
+    * cache hit from the previous run — the memo exists to stop persist
+    * stacking, not to flatter the benchmark. */
+  def clearFeatureCache(): Unit = {
+    featCache.values.foreach(_.unpersist())
+    featCache.clear()
+  }
+
   /** Ranks a scored candidate frame — columns (qid, score, id, pay) — to
     * the top 5 per qid via the partial-aggregating bounded heap. Output:
     * (qid, rank, id, score, pay) with rank 1..5 ordered score desc, id
