@@ -35,7 +35,15 @@ object Bench {
     * keeper elections) still resolve. Idempotent via a marker file. */
   def ensureSf1(spark: SparkSession, sf01Dir: String, outDir: String): Unit = {
     val marker = new java.io.File(s"$outDir/_GRAFT_SF1_READY")
-    if (marker.exists()) return
+    // staleness guard: regenerate when the source tier is newer than the
+    // cached marker (driver may regenerate test data between rounds)
+    val srcMtime = {
+      val d = new java.io.File(s"$sf01Dir/lineitem.parquet")
+      if (d.isDirectory) (d.lastModified +: d.listFiles().map(_.lastModified).toSeq).max
+      else d.lastModified
+    }
+    if (marker.exists() && marker.lastModified() >= srcMtime) return
+    marker.delete()
     val t = Tables(spark, sf01Dir)
     val off = 10000000000L // far above any sf0.1 key
     def copies(df: DataFrame): DataFrame =

@@ -69,14 +69,23 @@ object RestSource {
   @volatile var lastPushed: Pushed = Pushed(Nil, Nil, Nil, None, None)
 
   /** Deterministic JSONL snapshot of a parquet table — the stand-in for
-    * the remote endpoint's dataset, cached per (sfDir, table). */
+    * the remote endpoint's dataset, cached per (sfDir, table). Staleness
+    * guard: if the source parquet is newer than the cached snapshot
+    * (test data regenerated between runs), the snapshot is rebuilt —
+    * otherwise the s3 queries would silently read old data while the
+    * oracle reads fresh parquet. */
   def snapshot(spark: SparkSession, sfDir: String, table: String): String = {
     val key = s"$sfDir/$table".replaceAll("[^A-Za-z0-9._-]", "_")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-rest/$key"
     val marker = new java.io.File(s"$dir/_GRAFT_READY")
-    if (!marker.exists()) {
-      spark.read.parquet(s"$sfDir/$table.parquet")
+    val src = new java.io.File(s"$sfDir/$table.parquet")
+    def newestMtime(f: java.io.File): Long =
+      if (f.isDirectory) (f.lastModified +: f.listFiles().map(_.lastModified).toSeq).max
+      else f.lastModified
+    if (!marker.exists() || newestMtime(src) > marker.lastModified()) {
+      spark.read.parquet(src.getPath)
         .write.mode("overwrite").json(dir)
+      marker.delete()
       marker.createNewFile()
     }
     dir
