@@ -179,6 +179,70 @@ object Multimodal {
         CAST(SUM(CASE WHEN j % 3 = 2 THEN val ELSE 0 END) AS BIGINT) AS b_sum
       FROM v GROUP BY media_id, w, h ORDER BY media_id"""))
 
+  /** mm_audio_levels: the audio analog of the image feature path —
+    * interpret each audio payload as unsigned 8-bit PCM, frame it at 256
+    * samples, and extract per-frame peak + mean energy (sum of squares
+    * div 256) in the same per-partition batch-kernel shape. All integer
+    * math, so the DuckDB oracle recomputes both features from the same
+    * bytes; partial trailing frames are dropped like a fixed-frame DSP
+    * window would. One output row per (media, frame) via the generator
+    * shape (kernel emits the frame list, flatMap explodes it). */
+  val mmAudioLevels = QueryDef(
+    "mm_audio_levels",
+    (s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val frameLen = 256
+      val outSchema = StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("frame_idx", LongType),
+        StructField("peak", LongType),
+        StructField("energy", LongType)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      media(s, dir)
+        .filter(col("kind") === lit("audio"))
+        .select(col("media_id"), col("bytes"))
+        .mapPartitions { rows =>
+          rows.flatMap { r =>
+            val id = r.getLong(0)
+            val pcm = r.getAs[Array[Byte]](1)
+            val nFrames = pcm.length / frameLen
+            (0 until nFrames).iterator.map { j =>
+              var peak = 0L
+              var sumsq = 0L
+              var i = j * frameLen
+              val end = i + frameLen
+              while (i < end) {
+                val v = (pcm(i) & 0xff).toLong
+                if (v > peak) peak = v
+                sumsq += v * v
+                i += 1
+              }
+              Row(id, j.toLong, peak, sumsq / frameLen)
+            }
+          }
+        }(enc)
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+    oracle = Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id,
+          hex(encode(text)) AS hx,
+          octet_length(encode(text)) AS len
+        FROM documents WHERE doc_id % 3 = 1),
+      b AS (
+        SELECT media_id, hx, unnest(range(0, (len // 256) * 256)) AS i
+        FROM m),
+      v AS (
+        SELECT media_id, i // 256 AS frame_idx,
+          ('0x' || substr(hx, 2 * CAST(i AS INT) + 1, 2))::INTEGER AS val
+        FROM b)
+      SELECT media_id, frame_idx,
+        CAST(MAX(val) AS BIGINT) AS peak,
+        CAST(SUM(val * val) // 256 AS BIGINT) AS energy
+      FROM v GROUP BY media_id, frame_idx
+      ORDER BY media_id, frame_idx"""))
+
   /** mm_resize: the resize planning stage — integer aspect-preserving
     * target dimensions for a 224×224 model input (scale = max over both
     * axes so the short side covers, like a center-crop preprocessor).
@@ -233,5 +297,6 @@ object Multimodal {
       FROM documents WHERE n_chars // 100 > 0
       ORDER BY media_id, frame_idx"""))
 
-  val defs: Seq[QueryDef] = Seq(mmIngest, mmFeatures, mmResize, mmFrameSample)
+  val defs: Seq[QueryDef] =
+    Seq(mmIngest, mmFeatures, mmAudioLevels, mmResize, mmFrameSample)
 }
