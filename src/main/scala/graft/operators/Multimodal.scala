@@ -243,6 +243,73 @@ object Multimodal {
       FROM v GROUP BY media_id, frame_idx
       ORDER BY media_id, frame_idx"""))
 
+  /** mm_scene_cut: the video analog — shot-boundary detection over framed
+    * payload bytes, the primitive a frame-dedup pipeline uses to pick
+    * representative frames. Each video payload is framed at 64 bytes; a
+    * frame's signature is its byte sum, and a cut fires when the
+    * signature jumps by more than 2000 against the previous frame
+    * (first frame never cuts). The kernel emits the per-frame
+    * signatures; the sequential cut decision is a per-media lag window —
+    * partitioned by media_id, so it scales horizontally across the
+    * corpus. Integer-exact; DuckDB recomputes signatures from the same
+    * bytes and mirrors the lag. */
+  val mmSceneCut = QueryDef(
+    "mm_scene_cut",
+    (s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val frameLen = 64
+      val outSchema = StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("frame_idx", LongType),
+        StructField("sig", LongType)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      val framed = media(s, dir)
+        .filter(col("kind") === lit("video"))
+        .select(col("media_id"), col("bytes"))
+        .mapPartitions { rows =>
+          rows.flatMap { r =>
+            val id = r.getLong(0)
+            val b = r.getAs[Array[Byte]](1)
+            val nFrames = b.length / frameLen
+            (0 until nFrames).iterator.map { j =>
+              var sig = 0L
+              var i = j * frameLen
+              val end = i + frameLen
+              while (i < end) { sig += (b(i) & 0xff).toLong; i += 1 }
+              Row(id, j.toLong, sig)
+            }
+          }
+        }(enc)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+      framed
+        .withColumn("prev_sig", lag(col("sig"), 1).over(w))
+        .withColumn("is_cut",
+          col("prev_sig").isNotNull && abs(col("sig") - col("prev_sig")) > lit(2000L))
+        .select(col("media_id"), col("frame_idx"), col("sig"), col("is_cut"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+    oracle = Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id,
+          hex(encode(text)) AS hx,
+          octet_length(encode(text)) AS len
+        FROM documents WHERE doc_id % 3 = 2),
+      b AS (
+        SELECT media_id, hx, unnest(range(0, (len // 64) * 64)) AS i
+        FROM m),
+      f AS (
+        SELECT media_id, i // 64 AS frame_idx,
+          CAST(SUM(('0x' || substr(hx, 2 * CAST(i AS INT) + 1, 2))::INTEGER) AS BIGINT) AS sig
+        FROM b GROUP BY media_id, i // 64),
+      l AS (
+        SELECT *, lag(sig) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev_sig
+        FROM f)
+      SELECT media_id, frame_idx, sig,
+        prev_sig IS NOT NULL AND abs(sig - prev_sig) > 2000 AS is_cut
+      FROM l ORDER BY media_id, frame_idx"""))
+
   /** mm_resize: the resize planning stage — integer aspect-preserving
     * target dimensions for a 224×224 model input (scale = max over both
     * axes so the short side covers, like a center-crop preprocessor).
@@ -298,5 +365,5 @@ object Multimodal {
       ORDER BY media_id, frame_idx"""))
 
   val defs: Seq[QueryDef] =
-    Seq(mmIngest, mmFeatures, mmAudioLevels, mmResize, mmFrameSample)
+    Seq(mmIngest, mmFeatures, mmAudioLevels, mmSceneCut, mmResize, mmFrameSample)
 }
