@@ -580,63 +580,87 @@ object Similarity {
     * touches only narrow (cell, pos, component) rows with partial
     * aggregation; probes touch nProbe/nCells of the data and re-rank
     * through the bounded top-k heap. */
+  /** (cell, vector, norm) triples for the kernel closures. The collect
+    * is the index-build step, bounded at nCells rows; norms are
+    * recomputed driver-side with the same left-to-right accumulation
+    * as dotDouble, so scores are bit-identical to the join form. */
+  private def collectCentroids(df: DataFrame): Array[(Long, Array[Float], Double)] =
+    df.collect().map { r =>
+      val cv = r.getSeq[Float](1).toArray
+      var acc = 0.0
+      var i = 0
+      while (i < cv.length) { acc += cv(i).toDouble * cv(i).toDouble; i += 1 }
+      (r.getLong(0), cv, math.sqrt(acc))
+    }.filter(_._3 > 0.0).sortBy(_._1)
+
+  /** Per-row argmax over the broadcast centroid array — no join-explode,
+    * no Exchange: each row ranks all centroids locally and keeps the
+    * `keep` best cells (ccos desc, cell asc). */
+  private def nearestCells(cents: Array[(Long, Array[Float], Double)], keep: Int) =
+    udf((v: Seq[Float], norm: Double) =>
+      if (v == null || norm <= 0.0) Array.empty[Long]
+      else cents.map { case (cell, cv, cn) =>
+        var acc = 0.0
+        var i = 0
+        val n = math.min(v.length, cv.length)
+        while (i < n) { acc += v(i).toDouble * cv(i).toDouble; i += 1 }
+        (acc / (norm * cn), cell)
+      }.sortBy { case (ccos, cell) => (-ccos, cell) }.take(keep).map(_._2))
+
+  /** One-Lloyd-step coarse quantizer over a (vec_id, v, norm) frame:
+    * seeds = first nCells vectors, one assign → decimal-mean refine. */
+  private def trainCentroids(
+      e: DataFrame, nCells: Int): Array[(Long, Array[Float], Double)] = {
+    val seeds = collectCentroids(
+      e.filter(col("vec_id") < lit(nCells.toLong)).select(col("vec_id"), col("v")))
+    // Lloyd step: assign to seed cells (kernel, zero shuffle), recompute
+    // element-wise means over narrow (cell, pos) rows
+    val assigned0 = e
+      .withColumn("cell", element_at(nearestCells(seeds, 1)(col("v"), col("norm")), 1))
+      .filter(col("cell").isNotNull)
+      .select(col("cell"), col("v"))
+    collectCentroids(assigned0
+      .select(col("cell"), posexplode(col("v")))
+      // decimal-sum mean, not avg(double): decimal addition is exact and
+      // associative, so the centroid is independent of partition merge
+      // order — float partial-sum order could flip near-tie cell
+      // assignments between runs
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("col").cast("decimal(28,10)")) /
+        count(lit(1))).cast("double").as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"),
+        transform(col("pm"), x => x.getField("m").cast("float")).as("cv")))
+  }
+
+  private def embeddingFrame(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).embeddings.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("norm", sqrt(dotDouble(col("v"), col("v"))))
+
+  /** Exact re-rank of cell-joined (corpus ⨝ query) candidates through the
+    * bounded heap — shared by the in-memory query and the persisted-index
+    * probe, so both produce identical output. */
+  private def ivfRerank(corpusCells: DataFrame, queryCells: DataFrame): DataFrame = {
+    val scored = corpusCells
+      .join(broadcast(queryCells), Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos", dotDouble(col("qv"), col("v")) / (col("qn") * col("norm")))
+      .select(col("qid"), col("cos").as("score"),
+        col("vec_id").as("id"), lit(0L).as("pay"))
+    rankTop5(scored)
+      .select(col("qid"), col("rank"), col("id").as("nid"),
+        round(col("score") * lit(1000000), 0).cast("long").as("cos_q6"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val simIvfTopk = QueryDef(
     "sim_ivf_topk",
     (s, dir) => {
       val nCells = 16
       val nProbe = 4
-      val e = T(s, dir).embeddings.select(col("vec_id"), col("embedding").as("v"))
-        .withColumn("norm", sqrt(dotDouble(col("v"), col("v"))))
-
-      // (cell, vector, norm) triples for the kernel closure. The collect
-      // is the index-build step, bounded at nCells (=16) rows; norms are
-      // recomputed driver-side with the same left-to-right accumulation
-      // as dotDouble, so scores are bit-identical to the join form.
-      def collectCentroids(df: DataFrame): Array[(Long, Array[Float], Double)] =
-        df.collect().map { r =>
-          val cv = r.getSeq[Float](1).toArray
-          var acc = 0.0
-          var i = 0
-          while (i < cv.length) { acc += cv(i).toDouble * cv(i).toDouble; i += 1 }
-          (r.getLong(0), cv, math.sqrt(acc))
-        }.filter(_._3 > 0.0).sortBy(_._1)
-
-      // per-row argmax over the broadcast centroid array — no join-explode,
-      // no Exchange: each row ranks all centroids locally and keeps the
-      // `keep` best cells (ccos desc, cell asc — the old window's order).
-      def nearestCells(cents: Array[(Long, Array[Float], Double)], keep: Int) =
-        udf((v: Seq[Float], norm: Double) =>
-          if (v == null || norm <= 0.0) Array.empty[Long]
-          else cents.map { case (cell, cv, cn) =>
-            var acc = 0.0
-            var i = 0
-            val n = math.min(v.length, cv.length)
-            while (i < n) { acc += v(i).toDouble * cv(i).toDouble; i += 1 }
-            (acc / (norm * cn), cell)
-          }.sortBy { case (ccos, cell) => (-ccos, cell) }.take(keep).map(_._2))
-
-      val seeds = collectCentroids(
-        e.filter(col("vec_id") < lit(nCells.toLong)).select(col("vec_id"), col("v")))
-      // Lloyd step: assign to seed cells (kernel, zero shuffle), recompute
-      // element-wise means over narrow (cell, pos) rows
-      val assigned0 = e
-        .withColumn("cell", element_at(nearestCells(seeds, 1)(col("v"), col("norm")), 1))
-        .filter(col("cell").isNotNull)
-        .select(col("cell"), col("v"))
-      val centroids = collectCentroids(assigned0
-        .select(col("cell"), posexplode(col("v")))
-        // decimal-sum mean, not avg(double): decimal addition is exact and
-        // associative, so the centroid is independent of partition merge
-        // order — float partial-sum order could flip near-tie cell
-        // assignments between runs
-        .groupBy(col("cell"), col("pos"))
-        .agg((sum(col("col").cast("decimal(28,10)")) /
-          count(lit(1))).cast("double").as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"),
-          transform(col("pm"), x => x.getField("m").cast("float")).as("cv")))
-
+      val e = embeddingFrame(s, dir)
+      val centroids = trainCentroids(e, nCells)
       // corpus → nearest refined centroid; queries → nProbe nearest cells
       val corpusCells = e
         .withColumn("cell",
@@ -647,18 +671,48 @@ object Similarity {
           explode(nearestCells(centroids, nProbe)(col("v"), col("norm"))))
         .select(col("cell"), col("vec_id").as("qid"),
           col("v").as("qv"), col("norm").as("qn"))
-      val scored = corpusCells
-        .join(broadcast(queryCells), Seq("cell"))
-        .filter(col("qid") =!= col("vec_id"))
-        .withColumn("cos", dotDouble(col("qv"), col("v")) / (col("qn") * col("norm")))
-        .select(col("qid"), col("cos").as("score"),
-          col("vec_id").as("id"), lit(0L).as("pay"))
-      rankTop5(scored)
-        .select(col("qid"), col("rank"), col("id").as("nid"),
-          round(col("score") * lit(1000000), 0).cast("long").as("cos_q6"))
-        .orderBy(col("qid"), col("rank"))
+      ivfRerank(corpusCells, queryCells)
     },
     oracle = None)
+
+  /** Builds the PERSISTED form of the IVF index: trains the quantizer,
+    * assigns every vector its cell via the kernel, and writes the corpus
+    * parquet PARTITIONED BY cell — the stored layout where a probe's
+    * nProbe cells are whole partitions and partition pruning skips the
+    * rest of the corpus on disk. Returns the trained centroids (the
+    * quantizer; in production stored alongside the index). */
+  def writeIvfIndex(s: SparkSession, dir: String, indexPath: String,
+      nCells: Int = 16): Array[(Long, Array[Float], Double)] = {
+    val e = embeddingFrame(s, dir)
+    val centroids = trainCentroids(e, nCells)
+    e.withColumn("cell",
+        element_at(nearestCells(centroids, 1)(col("v"), col("norm")), 1))
+      .filter(col("cell").isNotNull)
+      .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    centroids
+  }
+
+  /** Probes a persisted IVF index: computes each query's nProbe cells
+    * from the stored quantizer, reads ONLY those cell partitions (the
+    * `cell IN (…)` filter prunes at the parquet partition level — at
+    * 100 TB the probe touches nProbe/nCells of the stored bytes), and
+    * exact-re-ranks through the bounded heap. Output is identical to
+    * `sim_ivf_topk`'s in-memory path for the same corpus + quantizer. */
+  def probeIvfIndex(s: SparkSession, dir: String, indexPath: String,
+      centroids: Array[(Long, Array[Float], Double)],
+      nProbe: Int = 4): DataFrame = {
+    val queryCells = embeddingFrame(s, dir)
+      .filter(col("vec_id") < lit(5L))
+      .withColumn("cell",
+        explode(nearestCells(centroids, nProbe)(col("v"), col("norm"))))
+      .select(col("cell"), col("vec_id").as("qid"),
+        col("v").as("qv"), col("norm").as("qn"))
+    val probeCells = queryCells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)) // bounded: ≤ queries × nProbe values
+    val corpusCells = s.read.parquet(indexPath)
+      .filter(col("cell").isin(probeCells.map(x => x: Any): _*))
+    ivfRerank(corpusCells, queryCells)
+  }
 
   val defs: Seq[QueryDef] = Seq(simTopkDot, simTopkCosine, simTopkCosineQ,
     simLshTopk, simIvfTopk, ddMinhash, ddSimhash, ddEmbedding)

@@ -36,6 +36,25 @@ class SinksSpec extends SparkSpec {
       .map(_.toString).count(_.contains("event_type=")) === 5)
   }
 
+  test("persisted IVF index: probe prunes to nProbe cell partitions and equals the in-memory path") {
+    import graft.operators.Similarity
+    val path = tmp()
+    val centroids = Similarity.writeIvfIndex(spark, sf001, path, nCells = 16)
+    // the stored layout is one directory per cell
+    val cellDirs = Files.list(java.nio.file.Paths.get(path)).toArray
+      .map(_.toString).count(_.contains("cell="))
+    assert(cellDirs > 4, s"expected cell partitions, got $cellDirs")
+    val probed = Similarity.probeIvfIndex(spark, sf001, path, centroids, nProbe = 4)
+    // partition pruning: the probe's parquet scan carries the cell filter
+    // at the PARTITION level (cell is a directory column, not data)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("no PartitionFilters line"))
+    // identical result to the in-memory query (same corpus, same quantizer)
+    val mem = QueryDef.catalogs.find(_.name == "sim_ivf_topk").get.run(spark, sf001)
+    assert(probed.collect().map(_.toSeq).toSeq === mem.collect().map(_.toSeq).toSeq)
+  }
+
   test("S6 upsert is last-writer-wins by version and idempotent") {
     val path = tmp()
     val v1 = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "payload", "version")
