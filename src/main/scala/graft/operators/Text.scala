@@ -288,25 +288,35 @@ object Text {
     * declarative plan: the gates are pushed into the scan, the dedup is
     * one hash shuffle, and everything else is projection — exactly how
     * the pieces compose at scale. */
+  /** The STATELESS stage of the corpus-clean pipeline — language gate,
+    * quality gate, content fingerprint — shared verbatim by the batch
+    * query below and the streaming ingest form
+    * ([[graft.streaming.StreamOps.corpusCleanStream]]); only the dedup
+    * step differs (keeper election in batch, within-watermark first-seen
+    * in streaming). */
+  def corpusGates(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val en = Seq("the", "and", "of", "to", "a", "in", "is", "for")
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is")
+    val loWords = split(lower(col("text")), " ")
+    val enHits = size(filter(loWords, w => w.isin(en.map(x => x: Any): _*))).cast("long")
+    val nWords = size(filter(split(col("text"), " "), w => length(w) > lit(0))).cast("long")
+    val stopCnt = size(filter(loWords, w => w.isin(stops.map(x => x: Any): _*))).cast("long")
+    df
+      .withColumn("en_hits", enHits)
+      .withColumn("n_words", nWords)
+      .withColumn("stop_cnt", stopCnt)
+      .filter(col("en_hits") >= lit(2L) && col("n_words") > lit(0L))
+      .withColumn("quality_score",
+        least(lit(100L), col("n_words") * lit(2L)) +
+          least(lit(50L), col("stop_cnt") * lit(5L)))
+      .filter(col("quality_score") >= lit(60L))
+      .withColumn("fp", md5(col("text")))
+  }
+
   val pipeCorpusClean = QueryDef(
     "pipe_corpus_clean",
     (s, dir) => {
-      val en = Seq("the", "and", "of", "to", "a", "in", "is", "for")
-      val stops = Seq("the", "a", "and", "of", "to", "in", "is")
-      val loWords = split(lower(col("text")), " ")
-      val enHits = size(filter(loWords, w => w.isin(en.map(x => x: Any): _*))).cast("long")
-      val nWords = size(filter(split(col("text"), " "), w => length(w) > lit(0))).cast("long")
-      val stopCnt = size(filter(loWords, w => w.isin(stops.map(x => x: Any): _*))).cast("long")
-      val gated = T(s, dir).documents
-        .withColumn("en_hits", enHits)
-        .withColumn("n_words", nWords)
-        .withColumn("stop_cnt", stopCnt)
-        .filter(col("en_hits") >= lit(2L) && col("n_words") > lit(0L))
-        .withColumn("quality_score",
-          least(lit(100L), col("n_words") * lit(2L)) +
-            least(lit(50L), col("stop_cnt") * lit(5L)))
-        .filter(col("quality_score") >= lit(60L))
-        .withColumn("fp", md5(col("text")))
+      val gated = corpusGates(T(s, dir).documents)
       // keeper per fingerprint via partial-aggregating groupBy + join —
       // same scale-safe shape as the LSH keeper election (no window over
       // potentially huge duplicate clusters)

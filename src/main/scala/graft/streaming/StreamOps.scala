@@ -323,6 +323,25 @@ object StreamOps {
       .select(col("user_id"), col("session_start_ms"),
         col("session_end_ms"), col("n_events"))
 
+  /** Streaming corpus-clean ingest — the live form of the
+    * `pipe_corpus_clean` batch pipeline, the shape a 100 TB training-data
+    * system actually runs (documents arrive as a stream, not a snapshot):
+    * the SHARED stateless gates ([[graft.operators.Text.corpusGates]] —
+    * language gate, quality score, content fingerprint) followed by
+    * `dropDuplicatesWithinWatermark` on the fingerprint. Dedup state is
+    * bounded by the watermark horizon (a duplicate arriving later than
+    * the horizon is re-admitted — the deliberate state-size/dedup-recall
+    * trade of streaming ingest; the batch keeper election is the exact
+    * full-corpus form). Expects (doc_id, text, ts_ms) rows; append mode. */
+  def corpusCleanStream(docs: DataFrame, watermark: String = "2 hours"): DataFrame =
+    graft.operators.Text.corpusGates(
+      docs
+        .withColumn("event_time", timestamp_millis(col("ts_ms")))
+        .withWatermark("event_time", watermark))
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("doc_id"), col("quality_score"),
+        col("n_words").as("tokens"), col("fp"))
+
   /** ST7 live: TTL state eviction (message-store.ts:47-64, 7-day TTL,
     * hourly prune). Per-user running count with an event-time timeout at
     * last_seen + ttl: when the watermark passes it, the state is removed

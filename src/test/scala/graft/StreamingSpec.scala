@@ -258,6 +258,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.collect().toSeq === want.collect().toSeq)
   }
 
+  test("streaming corpus-clean ingest converges to the batch pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    // docs fed in doc_id order with synthetic ingest times inside one
+    // watermark horizon → first-seen dedup = lowest-doc_id keeper, the
+    // batch election's exact semantics
+    val docs = Tables(spark, sf001).documents
+      .select($"doc_id", $"text").orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val t0 = 1706486400000L
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = StreamOps.corpusCleanStream(
+      mem.toDF().toDF("doc_id", "text", "ts_ms"))
+      .writeStream.format("memory").queryName("pipe_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      docs.grouped(200).foreach { b =>
+        mem.addData(b.map { case (id, t) => (id, t, t0 + id * 1000L) })
+        q.processAllAvailable()
+      }
+      val got = spark.table("pipe_stream")
+        .select($"doc_id", $"quality_score", $"tokens", $"fp")
+        .orderBy($"doc_id")
+      val want = QueryDef.catalogs.find(_.name == "pipe_corpus_clean").get
+        .run(spark, sf001)
+        .select($"doc_id", $"quality_score", $"tokens", $"fp")
+        .orderBy($"doc_id")
+      assert(got.collect().toSeq === want.collect().toSeq)
+    } finally q.stop()
+  }
+
   test("ST6 streaming bounded buffer matches the batch twin") {
     val got = runStream("st6_stream", batches,
       ds => StreamOps.boundedBuffer(ds, cap = 3).toDF(), OutputMode.Update)
