@@ -13,9 +13,15 @@ object Crypto {
 
   private def T(s: SparkSession, dir: String) = Tables(s, dir)
 
+  /** Null-safe 2-input Poseidon: reference-type UDF params receive null
+    * through (no auto null-skip), and a null input here means an upstream
+    * null key (events admit NULL user_id — p6_validation classifies
+    * exactly that case), which must surface as a null commitment row, not
+    * an executor NullPointerException. */
   private def poseidon2Udf = udf((a: Array[Byte], b: Array[Byte]) =>
-    graft.functions.Poseidon.toBytes32(graft.functions.Poseidon.hash2(
-      graft.functions.Poseidon.fromBytes32(a), graft.functions.Poseidon.fromBytes32(b))))
+    if (a == null || b == null) Option.empty[Array[Byte]]
+    else Some(graft.functions.Poseidon.toBytes32(graft.functions.Poseidon.hash2(
+      graft.functions.Poseidon.fromBytes32(a), graft.functions.Poseidon.fromBytes32(b)))))
 
   /** Poseidon commitment per row (client.ts:147-173 commitment =
     * Poseidon(owner, agent, …)): commit customer ids with an md5-derived
@@ -45,6 +51,10 @@ object Crypto {
         .withColumn("nullifier", lower(hex(f(
           unhex(lpad(hex(col("user_id")), 64, "0")),
           unhex(lpad(hex(col("epoch_day")), 64, "0"))))))
+        // a NULL user_id yields a null nullifier — an unattributable event
+        // cannot claim a one-use slot, mirroring the reference's invalid-
+        // commitment rejection (lib.rs:105)
+        .filter(col("nullifier").isNotNull)
         .groupBy(col("nullifier"))
         .agg(min(col("event_id")).as("first_use"),
           (count(lit(1)) - lit(1)).as("replays_rejected"))

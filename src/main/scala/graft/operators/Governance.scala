@@ -347,11 +347,7 @@ object Governance {
       balances.join(stakes, Seq("address"), "left_outer")
         .withColumn("duration_days",
           datediff(lit("1998-12-31").cast("date"), col("start")).cast("long"))
-        .withColumn("mult_bps",
-          when(col("duration_days") >= lit(180L), lit(20000L))
-            .when(col("duration_days") >= lit(90L), lit(15000L))
-            .when(col("duration_days") >= lit(30L), lit(12000L))
-            .otherwise(lit(10000L)))
+        .withColumn("mult_bps", Tiers.multiplierBps(col("duration_days")))
         .withColumn("weight",
           col("balance_c") + coalesce(
             expr("(staked_c * mult_bps) div 10000"), lit(0L)))

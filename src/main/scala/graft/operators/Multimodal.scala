@@ -84,8 +84,12 @@ object Multimodal {
     // else is a corrupt header — reject, don't misparse with a 1-byte shift
     if (!file(p).toChar.isWhitespace) return null
     p += 1
-    val n = 3 * w * h
-    if (file.length - p < n) return null // truncated pixel payload
+    // pixel count in Long: huge header dims would overflow 3*w*h in Int
+    // and wrap PAST the truncation check, accepting a corrupt file with
+    // garbage features (e.g. 47722×30000 wraps to 12,704)
+    val nL = 3L * w * h
+    if (file.length.toLong - p < nL) return null // truncated pixel payload
+    val n = nL.toInt
     var r = 0L; var g = 0L; var b = 0L
     var j = 0
     while (j < n) {

@@ -626,11 +626,7 @@ object Relational {
     (s, dir) => T(s, dir).orders
       .withColumn("age_days",
         datediff(lit("2001-12-31").cast("date"), col("o_orderdate").cast("date")).cast("long"))
-      .withColumn("multiplier_bps",
-        when(col("age_days") >= lit(180L), lit(20000L))
-          .when(col("age_days") >= lit(90L), lit(15000L))
-          .when(col("age_days") >= lit(30L), lit(12000L))
-          .otherwise(lit(10000L)))
+      .withColumn("multiplier_bps", Tiers.multiplierBps(col("age_days")))
       .select(col("o_orderkey"), col("age_days"), col("multiplier_bps"))
       .orderBy(col("o_orderkey")),
     oracle = Some("""

@@ -97,11 +97,7 @@ object Relational2 {
       .withColumn("stake_c", round(col("o_totalprice") * lit(100), 0).cast("long"))
       .withColumn("age_days",
         datediff(lit("2001-12-31").cast("date"), col("o_orderdate").cast("date")).cast("long"))
-      .withColumn("mult_bps",
-        when(col("age_days") >= lit(180L), lit(20000L))
-          .when(col("age_days") >= lit(90L), lit(15000L))
-          .when(col("age_days") >= lit(30L), lit(12000L))
-          .otherwise(lit(10000L)))
+      .withColumn("mult_bps", Tiers.multiplierBps(col("age_days")))
       .groupBy(col("o_orderpriority"))
       .agg(
         sum(col("stake_c")).cast("long").as("total_staked_c"),

@@ -89,16 +89,21 @@ object Similarity {
     * each run would stack a NEW persisted copy in the cache manager for
     * the session's lifetime. */
   private val featCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), DataFrame]
   private def cachedFeature(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    featCache.getOrElseUpdate((s, key), build.persist(StorageLevel.MEMORY_AND_DISK))
+    // synchronized, not TrieMap.getOrElseUpdate: a concurrent first call
+    // there can evaluate build.persist() twice, orphaning a persisted
+    // copy that clearFeatureCache never sees
+    featCache.synchronized {
+      featCache.getOrElseUpdate((s, key), build.persist(StorageLevel.MEMORY_AND_DISK))
+    }
 
   /** Unpersists and forgets every memoized feature frame. Bench calls
     * this before each timed run so headline dedup numbers measure the
     * full cold pipeline (tokenize + signatures + verify), not a warm
     * cache hit from the previous run — the memo exists to stop persist
     * stacking, not to flatter the benchmark. */
-  def clearFeatureCache(): Unit = {
+  def clearFeatureCache(): Unit = featCache.synchronized {
     featCache.values.foreach(_.unpersist())
     featCache.clear()
   }
@@ -124,6 +129,41 @@ object Similarity {
         col("col.id").as("id"), col("col.score").as("score"), col("col.pay").as("pay"))
 
   // --- deterministic JVM hash kernels (shared by the LSH family) ---
+
+  /** Hyperplane-LSH band kernel: `nPlanes` Gaussian hyperplanes drawn
+    * deterministically from `seed`, each vector's sign signature packed
+    * into `nBands` band values (nPlanes/nBands bits each). Shared by the
+    * LSH top-k probe (24 planes, seed 42) and the embedding near-dup
+    * (16 planes, seed 1337) so the two copies cannot drift; null vector
+    * → no bands, row drops out. */
+  private def hyperplaneBandsUdf(dim: Int, nPlanes: Int, nBands: Int, seed: Long) = {
+    val rng = new java.util.Random(seed)
+    val planes: Array[Array[Double]] =
+      Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+    udf((v: Seq[Float]) => {
+      if (v == null) Array.empty[Long]
+      else {
+        val sig = new Array[Int](nPlanes)
+        var p = 0
+        while (p < nPlanes) {
+          val pl = planes(p)
+          var d = 0.0
+          var i = 0
+          val n = math.min(pl.length, v.length)
+          while (i < n) { d += pl(i) * v(i); i += 1 }
+          sig(p) = if (d >= 0.0) 1 else 0
+          p += 1
+        }
+        Array.tabulate(nBands) { b =>
+          var acc = 0L
+          var j = 0
+          val w = nPlanes / nBands
+          while (j < w) { acc = acc * 2 + sig(b * w + j); j += 1 }
+          acc
+        }
+      }
+    })
+  }
 
   /** FNV-1a over UTF-16 code units — stable, allocation-free. */
   private def fnv64(s: String): Long = {
@@ -264,38 +304,10 @@ object Similarity {
   val simLshTopk = QueryDef(
     "sim_lsh_topk",
     (s, dir) => {
-      val dim = 64
-      val nPlanes = 24
-      val nBands = 8 // 8 bands x 3 bits — measured 0.92+ top-5 recall on the
+      // 8 bands x 3 bits — measured 0.92+ top-5 recall on the
       // near-orthogonal synthetic corpus (4x4 gave 0.48; per-band collision
       // p ≈ 0.27 at cos 0.45, so P(≥1 of 8 bands) ≈ 0.92)
-      // deterministic pseudo-random hyperplanes from a fixed seed
-      val rng = new java.util.Random(42L)
-      val planes: Array[Array[Double]] =
-        Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
-      val bandValsUdf = udf((v: Seq[Float]) => {
-        if (v == null) Array.empty[Long] // null vector -> no bands, row drops out
-        else {
-        val sig = new Array[Int](nPlanes)
-        var p = 0
-        while (p < nPlanes) {
-          val pl = planes(p)
-          var d = 0.0
-          var i = 0
-          val n = math.min(pl.length, v.length)
-          while (i < n) { d += pl(i) * v(i); i += 1 }
-          sig(p) = if (d >= 0.0) 1 else 0
-          p += 1
-        }
-        Array.tabulate(nBands) { b =>
-          var acc = 0L
-          var j = 0
-          val w = nPlanes / nBands
-          while (j < w) { acc = acc * 2 + sig(b * w + j); j += 1 }
-          acc
-        }
-        }
-      })
+      val bandValsUdf = hyperplaneBandsUdf(dim = 64, nPlanes = 24, nBands = 8, seed = 42L)
 
       val e = T(s, dir).embeddings.select(col("vec_id"), col("embedding").as("v"))
       val banded = e
@@ -383,7 +395,9 @@ object Similarity {
         }
         }
       })
-      val toks = array_distinct(filter(split(lower(col("text")), " "), w => length(w) > lit(3)))
+      // the SAME tokenizer rule the signature kernel fuses — shared from
+      // Text so the verify join can never drift from the Text operators
+      val toks = Text.tokens(col("text"))
       // ONE pass over documents: band buckets + token set per doc, cached
       // for the three consumers below (banding, verify doc side, verify
       // keeper side).
@@ -507,35 +521,8 @@ object Similarity {
   val ddEmbedding = QueryDef(
     "dd_embedding",
     (s, dir) => {
-      val dim = 64
-      val nPlanes = 16
-      val nBands = 8 // 8 bands x 2 bits: high recall at low-cosine pairs
-      val rng = new java.util.Random(1337L)
-      val planes: Array[Array[Double]] =
-        Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
-      val bandValsUdf = udf((v: Seq[Float]) => {
-        if (v == null) Array.empty[Long] // null vector -> no bands, row drops out
-        else {
-        val sig = new Array[Int](nPlanes)
-        var p = 0
-        while (p < nPlanes) {
-          val pl = planes(p)
-          var d = 0.0
-          var i = 0
-          val n = math.min(pl.length, v.length)
-          while (i < n) { d += pl(i) * v(i); i += 1 }
-          sig(p) = if (d >= 0.0) 1 else 0
-          p += 1
-        }
-        Array.tabulate(nBands) { b =>
-          var acc = 0L
-          var j = 0
-          val w = nPlanes / nBands
-          while (j < w) { acc = acc * 2 + sig(b * w + j); j += 1 }
-          acc
-        }
-        }
-      })
+      // 8 bands x 2 bits: high recall at low-cosine pairs
+      val bandValsUdf = hyperplaneBandsUdf(dim = 64, nPlanes = 16, nBands = 8, seed = 1337L)
       // ONE pass over embeddings: LSH bands + norm per vector, persisted
       // for the banding branch and both exact-verify join sides
       val feat = cachedFeature(s, s"dd_embedding:$dir") {

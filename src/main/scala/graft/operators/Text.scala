@@ -22,8 +22,11 @@ object Text {
 
   private def T(s: SparkSession, dir: String) = Tables(s, dir)
 
-  /** oracle.ts:151-152 tokenizer: lowercase words, length > 3, distinct. */
-  private def tokens(c: Column): Column =
+  /** oracle.ts:151-152 tokenizer: lowercase words, length > 3, distinct.
+    * Package-visible: dd_minhash's exact-verify join MUST tokenize with
+    * the same rule its signature kernel fuses, so Similarity reuses this
+    * definition instead of keeping a private copy that could drift. */
+  private[operators] def tokens(c: Column): Column =
     array_distinct(filter(split(lower(c), " "), w => length(w) > lit(3)))
 
   /** Exact dedup by content hash (driver-requested; SO2 keyed-dedup shape).

@@ -184,8 +184,17 @@ final class RestScan(
   private def files(): Seq[String] = {
     val f = new java.io.File(path)
     if (f.isFile) Seq(f.getPath)
-    else f.listFiles().filter(x => x.isFile && x.getName.startsWith("part-"))
-      .map(_.getPath).sorted.toSeq
+    else {
+      // listFiles() is null for a missing/unreadable path (e.g. the tmp
+      // snapshot was cleaned between plan and execution) — fail with the
+      // real cause, not a bare NullPointerException
+      val listed = f.listFiles()
+      if (listed == null)
+        throw new java.io.FileNotFoundException(
+          s"RestSource snapshot not found or unreadable: $path")
+      listed.filter(x => x.isFile && x.getName.startsWith("part-"))
+        .map(_.getPath).sorted.toSeq
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -320,9 +329,14 @@ final class RestReader(
       sources += src
       src.getLines()
     }
-    all.zipWithIndex
-      .filter { case (_, i) => i >= page.startLine && i < page.endLine }
-      .map { case (l, _) => mapper.readTree(l) }
+    // Long line counter, not zipWithIndex: the Int index wraps negative
+    // past 2^31-1 lines and would silently drop every later row — the
+    // page ranges are Long for exactly this scale
+    var idx = -1L
+    all.filter { _ =>
+      idx += 1
+      idx >= page.startLine && idx < page.endLine
+    }.map(mapper.readTree)
   }
 
   private val iter: Iterator[InternalRow] = {

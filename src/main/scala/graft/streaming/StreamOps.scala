@@ -110,7 +110,14 @@ object StreamOps {
   /** ST2: two-phase commit-reveal session keyed by user (action analog).
     * `view` = commitment, `purchase` = reveal bid; running argmax with
     * first-reveal tiebreak (swarm-types.ts:118-119). Emits the updated
-    * session result every micro-batch (update semantics). */
+    * session result every micro-batch (update semantics).
+    *
+    * State posture: per-key state is five scalars (O(1)), but this
+    * teaching form keeps a key forever (NoTimeout) — the production
+    * variant is [[commitRevealDeadline]], whose (user, hour) sessions are
+    * evicted by event-time timeout once the watermark passes; compose
+    * with that form (or [[ttlEvict]]) on a stream with unbounded user
+    * churn. */
   def commitReveal(events: Dataset[Ev]): Dataset[CommitRevealResult] = {
     import events.sparkSession.implicits._
     events
@@ -226,7 +233,10 @@ object StreamOps {
 
   /** ST6: bounded replay buffer — last `cap` events per key, oldest
     * evicted (useAgentStream.ts:8,45-48; message-store.ts:25-27). State
-    * per key is exactly `cap` ids — bounded regardless of stream length. */
+    * per key is exactly `cap` ids — bounded regardless of stream length.
+    * (Keyspace growth across CHURNING keys is ttlEvict's job — the
+    * reference's buffer lives per active channel and dies with it;
+    * compose with [[ttlEvict]] for idle-key reclamation.) */
   def boundedBuffer(events: Dataset[Ev], cap: Int = 3): Dataset[BufferResult] = {
     import events.sparkSession.implicits._
     // state: (n_seen, buffer of (ts_ms, event_id) kept sorted, newest-first)
