@@ -81,6 +81,32 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("ppmDecode never throws on arbitrary bytes and round-trips valid files exactly") {
+    import graft.operators.Multimodal.{ppmEncode, ppmDecode}
+    val rnd = new scala.util.Random(99L)
+    // fuzz: arbitrary garbage (including 'P6'-prefixed garbage) must be
+    // rejected as null or parsed — never throw on untrusted input
+    (1 to 300).foreach { _ =>
+      val n = rnd.nextInt(200)
+      val bytes = Array.fill(n)(rnd.nextInt(256).toByte)
+      if (rnd.nextBoolean() && n >= 2) { bytes(0) = 'P'; bytes(1) = '6' }
+      ppmDecode(bytes) // must not throw; result may be null or features
+    }
+    // round-trip: decode(encode(payload, w, h)) equals the direct model
+    (1 to 100).foreach { _ =>
+      val w = 1 + rnd.nextInt(12)
+      val h = 1 + rnd.nextInt(9)
+      val payload = Array.fill(rnd.nextInt(50))(rnd.nextInt(256).toByte)
+      val f = ppmDecode(ppmEncode(payload, w, h))
+      assert(f != null && f.w === w && f.h === h)
+      val px = (0 until 3 * w * h).map(j =>
+        if (payload.isEmpty) 128L else (payload(j % payload.length) & 0xff).toLong)
+      assert(f.rSum === px.zipWithIndex.collect { case (v, j) if j % 3 == 0 => v }.sum)
+      assert(f.gSum === px.zipWithIndex.collect { case (v, j) if j % 3 == 1 => v }.sum)
+      assert(f.bSum === px.zipWithIndex.collect { case (v, j) if j % 3 == 2 => v }.sum)
+    }
+  }
+
   test("TopKAggregator equals global sort-take under arbitrary partition splits") {
     import graft.functions.{Scored, TopKAggregator, TopKBuf}
     val agg = new TopKAggregator(5)
