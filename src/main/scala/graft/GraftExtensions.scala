@@ -21,16 +21,31 @@ object GraftExtensions {
   private def info(clazz: Class[_], name: String, usage: String) =
     new ExpressionInfo(clazz.getName, null, name, usage, "", "", "", "", "", "", "built-in")
 
+  /** Analyzer-facing builder: a SQL call with the wrong argument count
+    * must surface as an AnalysisException naming the function, not a raw
+    * IndexOutOfBoundsException from `children(1)`. */
+  private def binary(name: String)(build: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression =
+    children => {
+      if (children.length != 2)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> "2",
+            "actualNum" -> children.length.toString, "docroot" -> ""))
+      build(children(0), children(1))
+    }
+
   private val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("dot_long"),
         info(classOf[DotLong], "dot_long",
           "dot_long(a, b) - exact integer inner product of two bigint arrays; null on null or ragged input"),
-        (children: Seq[Expression]) => DotLong(children(0), children(1))),
+        binary("dot_long")(DotLong(_, _))),
       (FunctionIdentifier("dot_float"),
         info(classOf[DotFloat], "dot_float",
           "dot_float(a, b) - float inner product accumulated in double, left-to-right; null on null or ragged input"),
-        (children: Seq[Expression]) => DotFloat(children(0), children(1))))
+        binary("dot_float")(DotFloat(_, _))))
 
   /** Registers the graft functions into an ALREADY-RUNNING session's
     * registry — the path for sessions the library does not own (the

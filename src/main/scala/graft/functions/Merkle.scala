@@ -101,30 +101,125 @@ object Merkle {
     if (level.isEmpty) z(depth) else level(0)
   }
 
+  /** One fold step: pair up a level (odd tail pairs with `zd`). */
+  private def nextLevel(level: Vector[BigInt], zd: BigInt): Vector[BigInt] =
+    (0 until (level.size + 1) / 2).map { i =>
+      val left = level(2 * i)
+      val right = if (2 * i + 1 < level.size) level(2 * i + 1) else zd
+      Poseidon.hash2(left, right)
+    }.toVector
+
+  /** Walks `nLevels` up from `level0`, zero-hash index offset by `zOff`;
+    * when `idx0 ≥ 0`, also records the target's sibling + path bit per
+    * level. Returns (siblings, bits, subtree root). The single copy of
+    * the level-walk semantics behind [[proof]] and [[proofDistributed]]. */
+  private def walkUp(level0: Vector[BigInt], idx0: Int, nLevels: Int,
+      z: Array[BigInt], zOff: Int): (Seq[BigInt], Seq[Int], BigInt) = {
+    val sibs = Seq.newBuilder[BigInt]
+    val bits = Seq.newBuilder[Int]
+    var level = level0
+    var idx = idx0
+    var d = 0
+    while (d < nLevels) {
+      if (idx >= 0) {
+        val isRight = idx % 2 == 1
+        bits += (if (isRight) 1 else 0)
+        val sibIdx = if (isRight) idx - 1 else idx + 1
+        sibs += (if (sibIdx < level.size) level(sibIdx) else z(zOff + d))
+        idx /= 2
+      }
+      level = nextLevel(level, z(zOff + d))
+      d += 1
+    }
+    (sibs.result(), bits.result(),
+      if (level.isEmpty) z(zOff + nLevels) else level(0))
+  }
+
   /** Proof path for the leaf at `index` (merkle.ts:126-166): sibling per
     * level (zero-hash when absent) + path bit (1 = current is right). */
   def proof(leaves: Seq[BigInt], index: Int, depth: Int): (Seq[BigInt], Seq[Int]) = {
     require(index >= 0 && index < leaves.size, "invalid leaf index")
+    val (sibs, bits, _) = walkUp(leaves.toVector, index, depth, zeroHashes(depth), 0)
+    (sibs, bits)
+  }
+
+  /** DISTRIBUTED proof generation (merkle.ts:112-166 at registry scale):
+    * proofs for `targets` without ever collecting the leaf set.
+    *
+    * Level split mirrors [[rootDistributed]]: each index-aligned block of
+    * 2^blockDepth leaves computes, in its own task, its subtree root AND
+    * the within-block sibling path of every target it contains; the
+    * driver then folds only the ≤ 2^(depth−blockDepth) block tops —
+    * keeping every level of that bounded pyramid — and completes each
+    * target's path with upper-level siblings read from it. At the
+    * reference's depth-20 / ~1M-leaf registry (merkle.ts:5-11,
+    * blockDepth 10) the driver touches ≤ 1024 block roots, never the
+    * leaves. Leaves must be left-filled (contiguous indices from 0), the
+    * reference's tree shape; targets without a stored leaf are absent
+    * from the result.
+    *
+    * Returns (root, target → (siblings, path bits)); proofs verify
+    * against the returned root via [[verify]], bit-identical to the
+    * local [[proof]] path. */
+  def proofDistributed(
+      spark: SparkSession,
+      leaves: DataFrame, // columns: leaf_index Long, leaf Binary (32B BE)
+      targets: Seq[Long],
+      depth: Int,
+      blockDepth: Int = 10): (BigInt, Map[Long, (Seq[BigInt], Seq[Int])]) = {
+    require(depth > blockDepth, "depth must exceed blockDepth")
     val z = zeroHashes(depth)
-    val sibs = Seq.newBuilder[BigInt]
-    val bits = Seq.newBuilder[Int]
-    var level = leaves.toVector
-    var idx = index
-    var d = 0
-    while (d < depth) {
-      val isRight = idx % 2 == 1
-      bits += (if (isRight) 1 else 0)
-      val sibIdx = if (isRight) idx - 1 else idx + 1
-      sibs += (if (sibIdx < level.size) level(sibIdx) else z(d))
-      level = (0 until (level.size + 1) / 2).map { i =>
-        val left = level(2 * i)
-        val right = if (2 * i + 1 < level.size) level(2 * i + 1) else z(d)
-        Poseidon.hash2(left, right)
-      }.toVector
-      idx /= 2
-      d += 1
+    val blockSize = 1L << blockDepth
+    val targetsByBlock: Map[Long, Seq[Long]] =
+      targets.filter(_ >= 0).groupBy(_ / blockSize)
+    import spark.implicits._
+    // one distributed pass: per block, subtree root + local target paths
+    val perBlock: Seq[(Long, Array[Byte], Seq[(Long, Seq[Array[Byte]], Seq[Int])])] =
+      leaves
+        .select(expr(s"leaf_index div $blockSize").as("block"),
+          col("leaf_index"), col("leaf"))
+        .as[(Long, Long, Array[Byte])]
+        .groupByKey(_._1)
+        .mapGroups { (block, rows) =>
+          val zb = zeroHashes(blockDepth)
+          val vec = rows.toSeq.sortBy(_._2).map(r => Poseidon.fromBytes32(r._3)).toVector
+          val base = block * blockSize
+          val local = targetsByBlock.getOrElse(block, Seq.empty).flatMap { t =>
+            val li = (t - base).toInt
+            if (li >= vec.size) Seq.empty
+            else {
+              val (sibs, bits, _) = walkUp(vec, li, blockDepth, zb, 0)
+              Seq((t, sibs.map(Poseidon.toBytes32), bits))
+            }
+          }
+          val (_, _, broot) = walkUp(vec, -1, blockDepth, zb, 0)
+          (block, Poseidon.toBytes32(broot), local)
+        }
+        .collect().toSeq // bounded: ≤ 2^(depth-blockDepth) rows
+    val byBlock = perBlock.map { case (b, r, _) => b -> Poseidon.fromBytes32(r) }.toMap
+    val maxBlock = if (byBlock.isEmpty) -1L else byBlock.keys.max
+    val tops = (0L to maxBlock).map(b => byBlock.getOrElse(b, z(blockDepth))).toVector
+    // fold the tops ONCE keeping every level; all upper sibling lookups
+    // read this bounded pyramid instead of re-folding per target
+    val levels = Iterator.iterate((tops, blockDepth)) { case (lv, d) =>
+      (nextLevel(lv, z(d)), d + 1)
+    }.take(depth - blockDepth + 1).map(_._1).toVector
+    val root = levels.last.headOption.getOrElse(z(depth))
+    val localProofs = perBlock.flatMap(_._3).map { case (t, sibs, bits) =>
+      t -> ((sibs.map(Poseidon.fromBytes32), bits))
+    }.toMap
+    val proofs = localProofs.map { case (t, (ls, lb)) =>
+      var idx = (t >> blockDepth).toInt
+      val upper = (0 until depth - blockDepth).map { d =>
+        val isRight = idx % 2 == 1
+        val sibIdx = if (isRight) idx - 1 else idx + 1
+        val sib = levels(d).lift(sibIdx).getOrElse(z(blockDepth + d))
+        idx /= 2
+        (sib, if (isRight) 1 else 0)
+      }
+      t -> ((ls ++ upper.map(_._1), lb ++ upper.map(_._2)))
     }
-    (sibs.result(), bits.result())
+    (root, proofs)
   }
 
   /** Proof verification (merkle.ts:171-195): recompute the root from the

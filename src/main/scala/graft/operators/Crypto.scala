@@ -118,12 +118,16 @@ object Crypto {
           ('0x' || sha256('commitment:' || amt || ':' || blinding)) AS verify_tampered
       FROM c ORDER BY event_id"""))
 
-  /** Merkle membership proofs, generated once against the tree and
-    * verified DISTRIBUTED per row (merkle.ts:112-195: proof path + verify
-    * fold). Proof generation is a bounded driver-side step over the n=64
-    * leaf set (the same bounded-fold posture as crypto_merkle_root);
-    * verification — the hot path at scale, every gated action runs it —
-    * is a per-row kernel over the proof relation. A tampered sibling per
+  /** Merkle membership proofs, generated DISTRIBUTED
+    * ([[graft.functions.Merkle.proofDistributed]]: block-local paths +
+    * a driver fold over block tops only — merkle.ts:112-166 re-shaped
+    * for the depth-20/1M-leaf registry, where proof generation is itself
+    * a distributed query) and verified DISTRIBUTED per row
+    * (merkle.ts:171-195 fold). The n=64 / depth-8 demo keeps the output
+    * oracle-stable; MerkleSpec drives the same path at depth 20 and
+    * pins that the driver-side data stays ≤ 2^(depth−blockDepth) block
+    * rows. Per-target leaf bytes are a bounded targets-only collect (a
+    * prover always holds the leaf it proves). A tampered sibling per
     * row pins the negative case. Rows-only (Poseidon). */
   val cryptoMerkleVerify = QueryDef(
     "crypto_merkle_verify",
@@ -135,16 +139,14 @@ object Crypto {
       val n = 64
       val leaves = T(s, dir).customer
         .filter(col("c_custkey") < lit(n.toLong))
-        .select(col("c_custkey"), unhex(md5(col("c_name"))).as("leaf"))
-        .orderBy(col("c_custkey"))
-        .collect()
-        .map(r => P.fromBytes32(r.getAs[Array[Byte]]("leaf")))
-        .toSeq
-      val root = M.rootLocal(leaves, depth)
-      val proofRows = leaves.indices.map { i =>
-        val (sibs, bits) = M.proof(leaves, i, depth)
-        (i.toLong, P.toBytes32(leaves(i)),
-          sibs.map(P.toBytes32).toArray, bits.toArray)
+        .select(col("c_custkey").cast("long").as("leaf_index"),
+          unhex(md5(col("c_name"))).as("leaf"))
+      val (root, proofs) =
+        M.proofDistributed(s, leaves, 0L until n.toLong, depth, blockDepth = 4)
+      val leafBytes = leaves.collect() // bounded: the n target leaves
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("leaf")).toMap
+      val proofRows = proofs.toSeq.sortBy(_._1).map { case (i, (sibs, bits)) =>
+        (i, leafBytes(i), sibs.map(P.toBytes32).toArray, bits.toArray)
       }
       val rootBytes = P.toBytes32(root)
       val verifyUdf = udf(

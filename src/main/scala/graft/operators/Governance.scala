@@ -229,6 +229,186 @@ object Governance {
         n_nationkey % 2 <> 0 AS paused
       FROM nation ORDER BY registry_id"""))
 
+  // --- transfer-hook account decodes (transfer-hook.ts) ---
+
+  /** TransferState, 78 bytes — packages/hive-sdk/src/swarmteams/
+    * transfer-hook.ts:35-46 (layout), :143-167 (manual LE parse):
+    * owner [32] | last_transfer_time u64 | last_transfer_outbound bool
+    * | last_transfer_amount u64 | transfers_in_window u16
+    * | volume_in_window u64 | window_start u64 | rapid_reversals u8
+    * | is_flagged bool | bump u8 — after the 8-byte discriminator.
+    * This is the per-owner anti-wash-trade state the reference's hook
+    * maintains on-chain; [[StreamingTwins.rapidReversal]] recomputes it
+    * from raw transfer events. */
+  def transferStateFields(rec: String): Seq[Column] = Seq(
+    length(col(rec)).cast("long").as("rec_len"), // pinned 78
+    dec32hex(rec, 9).as("owner_hex"),
+    decLE(rec, 41, 8).as("last_transfer_time"),
+    (decLE(rec, 49, 1) === lit(1L)).as("last_transfer_outbound"),
+    decLE(rec, 50, 8).as("last_transfer_amount"),
+    decLE(rec, 58, 2).as("transfers_in_window"),
+    decLE(rec, 60, 8).as("volume_in_window"),
+    decLE(rec, 68, 8).as("window_start"),
+    decLE(rec, 76, 1).as("rapid_reversals"),
+    (decLE(rec, 77, 1) === lit(1L)).as("is_flagged"),
+    decLE(rec, 78, 1).as("bump"))
+
+  /** HookConfig, 85 bytes — transfer-hook.ts:12-23 (layout), :85-105
+    * (manual LE parse): admin [32] | enabled bool | cooldown_seconds u64
+    * | rate_limit_window u64 | max_transfers_per_window u16
+    * | max_volume_per_window u64 | burn_enabled bool | burn_rate_bps u64
+    * | total_burned u64 | bump u8. */
+  def hookConfigFields(rec: String): Seq[Column] = Seq(
+    length(col(rec)).cast("long").as("rec_len"), // pinned 85
+    dec32hex(rec, 9).as("admin_hex"),
+    (decLE(rec, 41, 1) === lit(1L)).as("enabled"),
+    decLE(rec, 42, 8).as("cooldown_seconds"),
+    decLE(rec, 50, 8).as("rate_limit_window"),
+    decLE(rec, 58, 2).as("max_transfers_per_window"),
+    decLE(rec, 60, 8).as("max_volume_per_window"),
+    (decLE(rec, 68, 1) === lit(1L)).as("burn_enabled"),
+    decLE(rec, 69, 8).as("burn_rate_bps"),
+    decLE(rec, 77, 8).as("total_burned"),
+    decLE(rec, 85, 1).as("bump"))
+
+  /** S2 typed decode: TransferState record (transfer-hook.ts:143-167).
+    * Synthesized per customer, decoded back at the exact offsets. */
+  val decodeTransferState = QueryDef(
+    "s2_decode_transfer_state",
+    (s, dir) => T(s, dir).customer
+      .withColumn("time_u64", lit(1700000000L) + col("c_custkey") * lit(13L))
+      .withColumn("out_u8", pmod(col("c_custkey"), lit(2L)))
+      .withColumn("amount_u64", col("c_custkey") * lit(997L) + lit(11L))
+      .withColumn("txw_u16", pmod(col("c_custkey"), lit(50L)))
+      .withColumn("vol_u64", col("c_custkey") * lit(5003L))
+      .withColumn("wstart_u64",
+        col("time_u64") - pmod(col("c_custkey") * lit(13L), lit(3600L)))
+      .withColumn("rev_u8", pmod(col("c_custkey"), lit(7L)))
+      .withColumn("flag_u8",
+        when(col("rev_u8") >= lit(5L), lit(1L)).otherwise(lit(0L)))
+      .withColumn("bump_u8", pmod(col("c_custkey"), lit(256L)))
+      .withColumn("rec", expr(s"""concat(
+        unhex('6772616674547853'),
+        ${digest32("cast(c_custkey as string)")},
+        ${encLE("time_u64", 8)},
+        ${encLE("out_u8", 1)},
+        ${encLE("amount_u64", 8)},
+        ${encLE("txw_u16", 2)},
+        ${encLE("vol_u64", 8)},
+        ${encLE("wstart_u64", 8)},
+        ${encLE("rev_u8", 1)},
+        ${encLE("flag_u8", 1)},
+        ${encLE("bump_u8", 1)})"""))
+      .select(col("c_custkey") +: transferStateFields("rec"): _*)
+      .orderBy(col("c_custkey")),
+    oracle = Some("""
+      SELECT c_custkey, CAST(78 AS BIGINT) AS rec_len,
+        sha256(CAST(c_custkey AS VARCHAR)) AS owner_hex,
+        1700000000 + c_custkey * 13 AS last_transfer_time,
+        c_custkey % 2 = 1 AS last_transfer_outbound,
+        c_custkey * 997 + 11 AS last_transfer_amount,
+        c_custkey % 50 AS transfers_in_window,
+        c_custkey * 5003 AS volume_in_window,
+        1700000000 + c_custkey * 13 - (c_custkey * 13) % 3600 AS window_start,
+        c_custkey % 7 AS rapid_reversals,
+        c_custkey % 7 >= 5 AS is_flagged,
+        c_custkey % 256 AS bump
+      FROM customer ORDER BY c_custkey"""))
+
+  /** S2 typed decode: HookConfig record (transfer-hook.ts:85-105). */
+  val decodeHookConfig = QueryDef(
+    "s2_decode_hook_config",
+    (s, dir) => T(s, dir).nation
+      .withColumn("en_u8", pmod(col("n_nationkey"), lit(2L)))
+      .withColumn("cool_u64", lit(300L) + col("n_nationkey"))
+      .withColumn("rlw_u64", lit(3600L) * (pmod(col("n_nationkey"), lit(4L)) + lit(1L)))
+      .withColumn("maxtx_u16", lit(10L) + col("n_nationkey"))
+      .withColumn("maxvol_u64", (col("n_nationkey") + lit(1L)) * lit(1000000L))
+      .withColumn("burn_u8", when(pmod(col("n_nationkey"), lit(3L)) === lit(0L), lit(1L)).otherwise(lit(0L)))
+      .withColumn("bps_u64", col("n_nationkey") * lit(25L))
+      .withColumn("burned_u64", col("n_nationkey") * lit(123457L))
+      .withColumn("bump_u8", lit(255L) - col("n_nationkey"))
+      .withColumn("rec", expr(s"""concat(
+        unhex('6772616674486b43'),
+        ${digest32("n_name")},
+        ${encLE("en_u8", 1)},
+        ${encLE("cool_u64", 8)},
+        ${encLE("rlw_u64", 8)},
+        ${encLE("maxtx_u16", 2)},
+        ${encLE("maxvol_u64", 8)},
+        ${encLE("burn_u8", 1)},
+        ${encLE("bps_u64", 8)},
+        ${encLE("burned_u64", 8)},
+        ${encLE("bump_u8", 1)})"""))
+      .select(col("n_nationkey").as("config_id") +: hookConfigFields("rec"): _*)
+      .orderBy(col("config_id")),
+    oracle = Some("""
+      SELECT n_nationkey AS config_id, CAST(85 AS BIGINT) AS rec_len,
+        sha256(n_name) AS admin_hex,
+        n_nationkey % 2 = 1 AS enabled,
+        300 + n_nationkey AS cooldown_seconds,
+        3600 * (n_nationkey % 4 + 1) AS rate_limit_window,
+        10 + n_nationkey AS max_transfers_per_window,
+        (n_nationkey + 1) * 1000000 AS max_volume_per_window,
+        n_nationkey % 3 = 0 AS burn_enabled,
+        n_nationkey * 25 AS burn_rate_bps,
+        n_nationkey * 123457 AS total_burned,
+        255 - n_nationkey AS bump
+      FROM nation ORDER BY config_id"""))
+
+  /** S2 count-prefixed record-array decode — the common Solana list
+    * layout (BurnExemptList / PlatformWhitelist, transfer-hook.ts:108-137):
+    * admin [32] | count u32 | count × pubkey [32] | bump u8, after the
+    * discriminator. The element offset is COUNT-DRIVEN (45 + 32·i) and
+    * bump sits after the variable tail (45 + 32·count) — both decoded
+    * from the record itself, so a wrong count corrupts every downstream
+    * field and fails the oracle. One output row per element
+    * (posexplode_outer keeps count=0 lists as a null-element row, like
+    * an empty whitelist still having its admin/bump read). */
+  val decodePubkeyList = QueryDef(
+    "s2_decode_pubkey_list",
+    (s, dir) => T(s, dir).nation
+      .withColumn("cnt_u32", pmod(col("n_nationkey"), lit(5L)))
+      .withColumn("bump_u8", pmod(col("n_nationkey") * lit(7L), lit(256L)))
+      .withColumn("rec", expr(s"""concat(
+        unhex('6772616674506b4c'),
+        ${digest32("n_name")},
+        ${encLE("cnt_u32", 4)},
+        coalesce(unhex(array_join(transform(
+          slice(sequence(1, greatest(cast(cnt_u32 as int), 1)), 1, cast(cnt_u32 as int)),
+          i -> sha2(concat('pk', cast(n_nationkey as string), ':',
+                           cast(i - 1 as string)), 256)), '')),
+          cast(unhex('') as binary)),
+        ${encLE("bump_u8", 1)})"""))
+      // decode side: everything below reads ONLY `rec`
+      .withColumn("cnt", decLE("rec", 41, 4))
+      .withColumn("bump", expr(
+        "try_cast(conv(hex(substring(rec, 45 + cast(cnt as int) * 32, 1)), 16, 10) AS bigint)"))
+      .select(
+        col("n_nationkey").as("list_id"),
+        dec32hex("rec", 9).as("admin_hex"),
+        col("cnt"), col("bump"),
+        // slice-over-greatest, not sequence(1, cnt): Spark's sequence
+        // DESCENDS when start > stop, so cnt=0 would yield [1,0], not []
+        posexplode_outer(expr(
+          """transform(
+               slice(sequence(1, greatest(cast(cnt as int), 1)), 1, cast(cnt as int)),
+               i -> lower(hex(substring(rec, 45 + (i - 1) * 32, 32))))""")))
+      .select(col("list_id"), col("admin_hex"), col("cnt"), col("bump"),
+        col("pos").cast("long").as("idx"), col("col").as("pubkey_hex"))
+      .orderBy(col("list_id"), col("idx")),
+    oracle = Some("""
+      WITH base AS (
+        SELECT n_nationkey AS list_id, sha256(n_name) AS admin_hex,
+          n_nationkey % 5 AS cnt, (n_nationkey * 7) % 256 AS bump
+        FROM nation)
+      SELECT list_id, admin_hex, cnt, bump,
+        u.idx, sha256('pk' || CAST(list_id AS VARCHAR) || ':'
+                      || CAST(u.idx AS VARCHAR)) AS pubkey_hex
+      FROM base LEFT JOIN LATERAL
+        (SELECT unnest(range(cnt)) AS idx) u ON TRUE
+      ORDER BY list_id, idx"""))
+
   /** Groth16 structural verify_proof (shadow-id-gate.ts:127-156): the
     * check cascade the reference applies before handing off to a real ZK
     * verifier —
@@ -630,6 +810,8 @@ object Governance {
       FROM r ORDER BY event_id"""))
 
   val defs: Seq[QueryDef] = Seq(
-    decodeFastAction, decodeFastVote, decodeRegistry, verifyProof, voteWeight,
+    decodeFastAction, decodeFastVote, decodeRegistry,
+    decodeTransferState, decodeHookConfig, decodePubkeyList,
+    verifyProof, voteWeight,
     slashRefund, repGate, proposalPassed, priceMap, critiqueGate)
 }

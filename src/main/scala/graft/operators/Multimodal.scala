@@ -70,11 +70,15 @@ object Multimodal {
     var p = 0
     def ws(): Unit = { while (p < file.length && file(p).toChar.isWhitespace) p += 1 }
     def int(): Int = {
-      var v = -1
+      // accumulate in Long: a digit run overflowing Int would silently
+      // wrap (possibly back to a small positive), accepting a malformed
+      // header with misparsed dimensions — cap and reject instead
+      var v = -1L
       while (p < file.length && file(p) >= '0' && file(p) <= '9') {
         v = (if (v < 0) 0 else v) * 10 + (file(p) - '0'); p += 1
+        if (v > Int.MaxValue) { v = Int.MaxValue.toLong + 1 }
       }
-      v
+      if (v > Int.MaxValue) -1 else v.toInt
     }
     if (file.length < 2 || file(0) != 'P' || file(1) != '6') return null
     p = 2

@@ -95,6 +95,9 @@ object Similarity {
     // there can evaluate build.persist() twice, orphaning a persisted
     // copy that clearFeatureCache never sees
     featCache.synchronized {
+      // a long-lived driver that cycles SparkSessions must not accumulate
+      // entries (and persisted frames) for sessions that are already gone
+      featCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
       featCache.getOrElseUpdate((s, key), build.persist(StorageLevel.MEMORY_AND_DISK))
     }
 
@@ -102,9 +105,10 @@ object Similarity {
     * this before each timed run so headline dedup numbers measure the
     * full cold pipeline (tokenize + signatures + verify), not a warm
     * cache hit from the previous run — the memo exists to stop persist
-    * stacking, not to flatter the benchmark. */
+    * stacking, not to flatter the benchmark. Each unpersist is wrapped in
+    * Try: one stopped session must not abort clearing the rest. */
   def clearFeatureCache(): Unit = featCache.synchronized {
-    featCache.values.foreach(_.unpersist())
+    featCache.values.foreach(df => scala.util.Try(df.unpersist()))
     featCache.clear()
   }
 
@@ -582,7 +586,10 @@ object Similarity {
 
   /** Per-row argmax over the broadcast centroid array — no join-explode,
     * no Exchange: each row ranks all centroids locally and keeps the
-    * `keep` best cells (ccos desc, cell asc). */
+    * `keep` best cells (ccos desc, cell asc). Zero-norm vectors yield the
+    * EMPTY array: single-cell callers must read it with `get(.., 0)`
+    * (null out of bounds) — `element_at(.., 1)` throws under ANSI mode,
+    * which this engine never disables. */
   private def nearestCells(cents: Array[(Long, Array[Float], Double)], keep: Int) =
     udf((v: Seq[Float], norm: Double) =>
       if (v == null || norm <= 0.0) Array.empty[Long]
@@ -603,7 +610,7 @@ object Similarity {
     // Lloyd step: assign to seed cells (kernel, zero shuffle), recompute
     // element-wise means over narrow (cell, pos) rows
     val assigned0 = e
-      .withColumn("cell", element_at(nearestCells(seeds, 1)(col("v"), col("norm")), 1))
+      .withColumn("cell", get(nearestCells(seeds, 1)(col("v"), col("norm")), lit(0)))
       .filter(col("cell").isNotNull)
       .select(col("cell"), col("v"))
     collectCentroids(assigned0
@@ -651,7 +658,7 @@ object Similarity {
       // corpus → nearest refined centroid; queries → nProbe nearest cells
       val corpusCells = e
         .withColumn("cell",
-          element_at(nearestCells(centroids, 1)(col("v"), col("norm")), 1))
+          get(nearestCells(centroids, 1)(col("v"), col("norm")), lit(0)))
         .filter(col("cell").isNotNull)
       val queryCells = e.filter(col("vec_id") < lit(5L))
         .withColumn("cell",
@@ -673,7 +680,7 @@ object Similarity {
     val e = embeddingFrame(s, dir)
     val centroids = trainCentroids(e, nCells)
     e.withColumn("cell",
-        element_at(nearestCells(centroids, 1)(col("v"), col("norm")), 1))
+        get(nearestCells(centroids, 1)(col("v"), col("norm")), lit(0)))
       .filter(col("cell").isNotNull)
       .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
     centroids

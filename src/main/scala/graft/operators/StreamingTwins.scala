@@ -298,7 +298,98 @@ object StreamingTwins {
       FROM s GROUP BY user_id, sess_no
       ORDER BY user_id, sess_no"""))
 
+  /** ST12 rapid-reversal (wash-trade) flag — the analytic twin of the
+    * transfer hook's per-owner TransferState machine
+    * (transfer-hook.ts:35-46 state fields, :143-167 decode;
+    * `s2_decode_transfer_state` reads the stored form of this state).
+    * Events are transfers by owner = user_id; direction outbound =
+    * purchase/click (spend-shaped types), amount in integer cents.
+    *
+    * Per owner, ordered by time: an outbound transfer followed by an
+    * inbound one within `cooldown_seconds` (300 s) is a rapid reversal —
+    * `rapid_reversals` is the running count, the lag/sequence-pattern
+    * detector the engine previously lacked. `transfers_in_window` /
+    * `volume_in_window` are the running caps within the rate-limit
+    * window (1 h; epoch-aligned — the on-chain variant anchors the
+    * window at the first transfer, a self-referential reset that is not
+    * expressible as a finite SQL window; epoch alignment keeps identical
+    * monitoring semantics and an exact oracle). Flagged when reversals
+    * reach 3 or either windowed cap (10 transfers / 1000.00 volume)
+    * is exceeded — HookConfig's maxTransfersPerWindow /
+    * maxVolumePerWindow shape.
+    *
+    * Scale: both windows hash-partition on owner; no global sort, no
+    * driver state — per-owner sequential scans parallelize across the
+    * key space exactly like st11's islands form. */
+  val st12RapidReversal = QueryDef(
+    "st12_rapid_reversal",
+    (s, dir) => {
+      val byOwner = Window.partitionBy(col("owner"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val run = byOwner.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val inWindow = Window.partitionBy(col("owner"), col("window_start_ms"))
+        .orderBy(col("ts_ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir).events
+        .select(
+          col("user_id").as("owner"), col("event_id"), col("ts_ms"),
+          col("event_type").isin("purchase", "click").as("outbound"),
+          round(col("value") * lit(100), 0).cast("long").as("amount_c"))
+        .withColumn("prev_out", lag(col("outbound"), 1).over(byOwner))
+        .withColumn("prev_ts", lag(col("ts_ms"), 1).over(byOwner))
+        .withColumn("is_reversal",
+          coalesce(col("prev_out") && !col("outbound") &&
+            (col("ts_ms") - col("prev_ts")) <= lit(300000L), lit(false)))
+        .withColumn("rapid_reversals",
+          sum(col("is_reversal").cast("long")).over(run))
+        .withColumn("window_start_ms", col("ts_ms") - pmod(col("ts_ms"), lit(3600000L)))
+        .withColumn("transfers_in_window", count(lit(1)).over(inWindow))
+        .withColumn("volume_in_window", sum(col("amount_c")).over(inWindow))
+        .withColumn("is_flagged",
+          col("rapid_reversals") >= lit(3L) ||
+            col("transfers_in_window") > lit(10L) ||
+            col("volume_in_window") > lit(100000L))
+        .select(col("owner"), col("event_id"), col("ts_ms"), col("outbound"),
+          col("is_reversal"), col("rapid_reversals"), col("window_start_ms"),
+          col("transfers_in_window"), col("volume_in_window"), col("is_flagged"))
+        .orderBy(col("owner"), col("ts_ms"), col("event_id"))
+    },
+    oracle = Some("""
+      WITH e AS (
+        SELECT user_id AS owner, event_id, epoch_ms(ts) AS ts_ms,
+          event_type IN ('purchase','click') AS outbound,
+          CAST(ROUND(value * 100) AS BIGINT) AS amount_c
+        FROM events),
+      l AS (
+        SELECT *,
+          lag(outbound) OVER w AS prev_out,
+          lag(ts_ms) OVER w AS prev_ts
+        FROM e WINDOW w AS (PARTITION BY owner ORDER BY ts_ms, event_id)),
+      r AS (
+        SELECT *,
+          COALESCE(prev_out AND NOT outbound
+                   AND ts_ms - prev_ts <= 300000, FALSE) AS is_reversal,
+          ts_ms - ts_ms % 3600000 AS window_start_ms
+        FROM l),
+      a AS (
+        SELECT *,
+          SUM(CASE WHEN is_reversal THEN 1 ELSE 0 END)
+            OVER (PARTITION BY owner ORDER BY ts_ms, event_id
+                  ROWS UNBOUNDED PRECEDING) AS rapid_reversals,
+          COUNT(*) OVER ww AS transfers_in_window,
+          SUM(amount_c) OVER ww AS volume_in_window
+        FROM r WINDOW ww AS (PARTITION BY owner, window_start_ms
+                             ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING))
+      SELECT owner, event_id, ts_ms, outbound, is_reversal,
+        CAST(rapid_reversals AS BIGINT) AS rapid_reversals, window_start_ms,
+        CAST(transfers_in_window AS BIGINT) AS transfers_in_window,
+        CAST(volume_in_window AS BIGINT) AS volume_in_window,
+        rapid_reversals >= 3 OR transfers_in_window > 10
+          OR volume_in_window > 100000 AS is_flagged
+      FROM a ORDER BY owner, ts_ms, event_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     st1DeadlineTally, st2CommitReveal, st2DeadlineWinner, st4SlidingActivity,
-    st6BoundedBuffer, st7TtlRetention, st9DailyLimit, st11GapSessions)
+    st6BoundedBuffer, st7TtlRetention, st9DailyLimit, st11GapSessions,
+    st12RapidReversal)
 }

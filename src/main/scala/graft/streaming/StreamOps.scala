@@ -51,6 +51,29 @@ final case class DeadlineResult(
 
 final case class TtlResult(user_id: Long, n_events: Long, expired: Boolean)
 
+/** ST12 per-owner TransferState (transfer-hook.ts:35-46) — the seven
+  * scalars the on-chain hook account holds, nothing stream-length-bound. */
+final case class ReversalState(
+    hasLast: Boolean,
+    lastOut: Boolean,
+    lastTs: Long,
+    reversals: Long,
+    windowStart: Long,
+    nWindow: Long,
+    volWindow: Long)
+
+final case class ReversalResult(
+    owner: Long,
+    event_id: Long,
+    ts_ms: Long,
+    outbound: Boolean,
+    is_reversal: Boolean,
+    rapid_reversals: Long,
+    window_start_ms: Long,
+    transfers_in_window: Long,
+    volume_in_window: Long,
+    is_flagged: Boolean)
+
 /** Ev + its watermark column — event-time timeouts require the watermarked
   * column to survive into the grouped dataset. */
 final case class EvT(
@@ -308,6 +331,54 @@ object StreamOps {
       .withColumn("over_limit", col("spend_c") > lit(50000L))
       .withColumn("epoch_day", expr("unix_millis(window.start) div 86400000"))
       .drop("window")
+
+  /** ST12 live: rapid-reversal (wash-trade) flagging — the streaming
+    * form of the transfer hook's per-owner TransferState machine
+    * (transfer-hook.ts:35-46; batch twin
+    * [[graft.operators.StreamingTwins.st12RapidReversal]]). This IS the
+    * reference's on-chain update loop: per owner, each transfer is
+    * compared to the last one (direction + time), outbound→inbound
+    * inside the cooldown bumps `rapid_reversals`, and the windowed
+    * transfer/volume counters reset on window change — state per key is
+    * seven scalars (exactly the TransferState account fields), bounded
+    * regardless of stream length. Emits one result row per transfer in
+    * append mode. Within a micro-batch the group's events are processed
+    * in (ts_ms, event_id) order; cross-batch order is the caller's
+    * replay contract (the equivalence spec feeds event-time order). */
+  def rapidReversal(
+      events: Dataset[Ev],
+      cooldownMs: Long = 300000L, windowMs: Long = 3600000L,
+      maxTransfers: Long = 10L, maxVolumeC: Long = 100000L): Dataset[ReversalResult] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ReversalState, ReversalResult](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        case (owner, evs, state) =>
+          var s = state.getOption.getOrElse(
+            ReversalState(hasLast = false, lastOut = false, lastTs = 0L,
+              reversals = 0L, windowStart = -1L, nWindow = 0L, volWindow = 0L))
+          val out = evs.toSeq.sortBy(e => (e.ts_ms, e.event_id)).map { e =>
+            val outb = e.event_type == "purchase" || e.event_type == "click"
+            val amt = math.round(e.value * 100) // cents, HALF_UP like the twin
+            val rev = s.hasLast && s.lastOut && !outb &&
+              e.ts_ms - s.lastTs <= cooldownMs
+            val ws = e.ts_ms - java.lang.Math.floorMod(e.ts_ms, windowMs)
+            val (n, vol) =
+              if (ws == s.windowStart) (s.nWindow + 1, s.volWindow + amt)
+              else (1L, amt)
+            s = ReversalState(hasLast = true, lastOut = outb, lastTs = e.ts_ms,
+              reversals = s.reversals + (if (rev) 1L else 0L),
+              windowStart = ws, nWindow = n, volWindow = vol)
+            ReversalResult(owner, e.event_id, e.ts_ms, outb, rev, s.reversals,
+              ws, n, vol,
+              s.reversals >= 3L || n > maxTransfers || vol > maxVolumeC)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
 
   /** ST11 live: gap sessionization via NATIVE session windows — the
     * streaming reconstruction of the channel server's membership

@@ -85,6 +85,30 @@ class CryptoSpec extends SparkSpec {
       assert(!Merkle.verify(leaves(idx) + 1, sibs, bits, root))
     }
   }
+  test("depth-20 distributed proof generation: proofs bit-identical to the local path, block-bounded driver fold") {
+    import spark.implicits._
+    // depth 20 = the reference registry's tree (merkle.ts:5-11); 5000
+    // leaves over 5 blocks of 2^10 — the driver-side fold sees only the
+    // block tops (≤ 2^(20−10) = 1024 rows), never the leaf set
+    val n = 5000
+    val leaves = (0 until n).map(i => BigInt(i) * 7919 + 3)
+    val df = leaves.zipWithIndex
+      .map { case (l, i) => (i.toLong, Poseidon.toBytes32(l)) }
+      .toDF("leaf_index", "leaf")
+      .repartition(8) // scattered across tasks: alignment must not depend on layout
+    val targets = Seq(0L, 1L, 1023L, 1024L, 2049L, 4999L, 60000L) // last: absent leaf
+    val (root, proofs) =
+      Merkle.proofDistributed(spark, df, targets, depth = 20, blockDepth = 10)
+    assert(root === Merkle.rootDistributed(spark, df, depth = 20, blockDepth = 10))
+    assert(proofs.keySet === targets.filter(_ < n).toSet) // absent leaf → no proof
+    for (t <- targets.filter(_ < n)) {
+      val (sibs, bits) = proofs(t)
+      assert(Merkle.verify(leaves(t.toInt), sibs, bits, root), s"t=$t")
+      val (lSibs, lBits) = Merkle.proof(leaves, t.toInt, 20)
+      assert(sibs === lSibs && bits === lBits, s"t=$t distributed != local path")
+    }
+  }
+
   test("crypto_merkle_verify: every proof verifies, every tampered proof rejects") {
     val rows = graft.operators.Crypto.cryptoMerkleVerify.run(spark, sf001).collect()
     assert(rows.length === 64)

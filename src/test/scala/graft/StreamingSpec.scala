@@ -171,6 +171,18 @@ class StreamingSpec extends SparkSpec {
     assert(latest.collect().toSeq === want.collect().toSeq)
   }
 
+  test("ST12 streaming rapid-reversal state machine converges to the batch twin") {
+    // event-time replay order with event_id tiebreak — the twin's total
+    // order; the state machine is order-sensitive by design (it IS the
+    // on-chain update loop, transfer-hook.ts:35-46)
+    val ordered = allEvents.sortBy(e => (e.ts_ms, e.event_id))
+    val got = runStream("st12_stream", ordered.grouped(400).toSeq,
+      ds => StreamOps.rapidReversal(ds).toDF(), OutputMode.Append)
+      .orderBy($"owner", $"ts_ms", $"event_id")
+    val want = graft.operators.StreamingTwins.st12RapidReversal.run(spark, sf001)
+    assert(got.collect().toSeq === want.collect().toSeq)
+  }
+
   test("S4 events file stream: replay batch then live increments (useAgentStream.ts:16-56)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-s4").toString
     val ev = spark.read.parquet(s"$sf001/events.parquet")
