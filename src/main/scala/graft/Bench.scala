@@ -140,8 +140,15 @@ object Bench {
         val r1 = headline.map { q =>
           try {
             System.gc() // let ContextCleaner drain before each measurement
-            time(q, sf1Dir)
-            val (a, b) = (time(q, sf1Dir), time(q, sf1Dir))
+            // adaptive protocol: a long first run (>15 s) is already past
+            // JIT/page-cache effects — count it and run only one more,
+            // so a heavyweight query costs 2 evaluations, not 3. The
+            // host also throttles under sustained load (measured: the
+            // same sf1 plan at 30 s → 67 s → 109 s across consecutive
+            // probes), so fewer evaluations = earlier, faster samples.
+            val w = time(q, sf1Dir)
+            val (a, b) = if (w > 15.0) (w, time(q, sf1Dir))
+                         else (time(q, sf1Dir), time(q, sf1Dir))
             System.err.println(f"[bench] sf1 ${q.name} runs: $a%.2f / $b%.2f s")
             q.name -> math.min(a, b)
           } catch { case e: Throwable =>

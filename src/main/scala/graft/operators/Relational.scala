@@ -211,12 +211,25 @@ object Relational {
 
   // ----------------------------------------------------------------- joins
 
-  /** J1 FK join with ordered children (runs/[runId]/route.ts:23-26). */
+  /** J1 FK join with ordered children (runs/[runId]/route.ts:23-26).
+    *
+    * The `merge` hint pins the fact-fact shape: BOTH sides grow with the
+    * data, so this join must never broadcast — but orders pruned to two
+    * columns sits near the 10 MB auto-broadcast estimate boundary, and at
+    * the sf1 bench tier Catalyst flipped it to a 1.5M-row BuildLeft
+    * broadcast (measured no faster than SMJ even there, and exactly the
+    * plan that falls over at 100×). The hint encodes the intent the
+    * estimate noise obscured; at real scale Catalyst would pick SMJ
+    * anyway. The global orderBy is the dominant scale cost by design —
+    * range-partitioning samples its child, so the join is evaluated
+    * twice (measured at sf1: join+materialize ≈ 6 s, +global sort ≈
+    * 30 s) — the price of an oracle-mandated total order on a
+    * fact-sized output. */
   val j1FkJoin = QueryDef(
     "j1_fk_join",
     (s, dir) => {
       val t = T(s, dir)
-      t.orders
+      t.orders.hint("merge")
         .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
         .select(
           col("o_orderkey"), col("o_orderstatus"),

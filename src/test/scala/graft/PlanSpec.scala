@@ -22,6 +22,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"))
   }
 
+  test("j1_fk_join: fact-fact join is a sort-merge join, never a broadcast") {
+    val p = plan("j1_fk_join")
+    // both sides grow with the data: a BuildLeft broadcast of orders (the
+    // sf1 estimate-boundary flip) is the plan that falls over at 100×
+    assert(p.contains("SortMergeJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("BroadcastHashJoin"))
+  }
+
   test("p1_projection: scan is pruned to the projected columns") {
     val p = plan("p1_projection")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
