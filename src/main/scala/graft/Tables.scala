@@ -22,8 +22,30 @@ import org.apache.spark.sql.functions._
   */
 final case class Tables(spark: SparkSession, dir: String) {
 
+  /** Parquet by default; a `jdbc:` URL as the table-set locator flips the
+    * whole catalog to a relational primary store — the reference's actual
+    * layout (Postgres via prisma/schema.prisma:10-171) — with zero query
+    * changes, since every operator reads through this facade. Predicate
+    * and column pushdown reach the database (JDBC scan prints
+    * PushedFilters like the parquet one). For big tables set the
+    * partitioned-read envs (SPARK_GRAFT_JDBC_PARTCOL/LOWER/UPPER/NUM) so
+    * the scan parallelizes across executors instead of streaming through
+    * one connection — the 100 TB posture; unset, it is a single-split
+    * read, fine for dims. */
   private def load(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (dir.startsWith("jdbc:")) {
+      val r = spark.read.format("jdbc")
+        .option("url", dir)
+        .option("dbtable", name)
+      val part = for {
+        c <- sys.env.get("SPARK_GRAFT_JDBC_PARTCOL")
+        lo <- sys.env.get("SPARK_GRAFT_JDBC_LOWER")
+        hi <- sys.env.get("SPARK_GRAFT_JDBC_UPPER")
+        n <- sys.env.get("SPARK_GRAFT_JDBC_NUM")
+      } yield r.option("partitionColumn", c).option("lowerBound", lo)
+        .option("upperBound", hi).option("numPartitions", n)
+      part.getOrElse(r).load()
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   def region: DataFrame = load("region")
   def nation: DataFrame = load("nation")

@@ -128,6 +128,70 @@ class AccountsSpec extends SparkSpec {
     assert(r.getAs[Boolean]("paused"))
   }
 
+  test("TransferState decode: 78-byte ByteBuffer-LE record (transfer-hook.ts:143-167)") {
+    val buf = ByteBuffer.allocate(78).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("graftTxS".getBytes("UTF-8"))   // 8-byte discriminator
+    val owner = sha("owner")
+    buf.put(owner)
+    buf.putLong(0x0102030405060708L)        // last_transfer_time — asymmetric
+    buf.put(1.toByte)                       // last_transfer_outbound
+    buf.putLong(777_000_000L)               // last_transfer_amount
+    buf.putShort(0x0201.toShort)            // transfers_in_window u16 — asymmetric
+    buf.putLong(5_000_003L)                 // volume_in_window
+    buf.putLong(1_700_000_000L)             // window_start
+    buf.put(4.toByte)                       // rapid_reversals
+    buf.put(0.toByte)                       // is_flagged
+    buf.put(251.toByte)                     // bump
+    assert(buf.position() === 78)
+
+    val r = Seq(Tuple1(buf.array())).toDF("rec")
+      .select(graft.operators.Governance.transferStateFields("rec"): _*)
+      .collect()(0)
+    assert(r.getAs[Long]("rec_len") === 78L)
+    assert(r.getAs[String]("owner_hex") === hex(owner))
+    assert(r.getAs[Long]("last_transfer_time") === 0x0102030405060708L)
+    assert(r.getAs[Boolean]("last_transfer_outbound"))
+    assert(r.getAs[Long]("last_transfer_amount") === 777_000_000L)
+    assert(r.getAs[Long]("transfers_in_window") === 0x0201L) // BE would give 0x0102
+    assert(r.getAs[Long]("volume_in_window") === 5_000_003L)
+    assert(r.getAs[Long]("window_start") === 1_700_000_000L)
+    assert(r.getAs[Long]("rapid_reversals") === 4L)
+    assert(!r.getAs[Boolean]("is_flagged"))
+    assert(r.getAs[Long]("bump") === 251L)
+  }
+
+  test("HookConfig decode: 85-byte ByteBuffer-LE record (transfer-hook.ts:85-105)") {
+    val buf = ByteBuffer.allocate(85).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("graftHkC".getBytes("UTF-8"))
+    val admin = sha("admin")
+    buf.put(admin)
+    buf.put(1.toByte)             // enabled
+    buf.putLong(300L)             // cooldown_seconds
+    buf.putLong(3600L)            // rate_limit_window
+    buf.putShort(0x0304.toShort)  // max_transfers_per_window u16 — asymmetric
+    buf.putLong(1_000_000L)       // max_volume_per_window
+    buf.put(0.toByte)             // burn_enabled
+    buf.putLong(125L)             // burn_rate_bps
+    buf.putLong(987_654_321L)     // total_burned
+    buf.put(253.toByte)           // bump
+    assert(buf.position() === 85)
+
+    val r = Seq(Tuple1(buf.array())).toDF("rec")
+      .select(graft.operators.Governance.hookConfigFields("rec"): _*)
+      .collect()(0)
+    assert(r.getAs[Long]("rec_len") === 85L)
+    assert(r.getAs[String]("admin_hex") === hex(admin))
+    assert(r.getAs[Boolean]("enabled"))
+    assert(r.getAs[Long]("cooldown_seconds") === 300L)
+    assert(r.getAs[Long]("rate_limit_window") === 3600L)
+    assert(r.getAs[Long]("max_transfers_per_window") === 0x0304L)
+    assert(r.getAs[Long]("max_volume_per_window") === 1_000_000L)
+    assert(!r.getAs[Boolean]("burn_enabled"))
+    assert(r.getAs[Long]("burn_rate_bps") === 125L)
+    assert(r.getAs[Long]("total_burned") === 987_654_321L)
+    assert(r.getAs[Long]("bump") === 253L)
+  }
+
   test("verify_proof covers every branch of the shadow-id-gate cascade") {
     val out = graft.operators.Governance.verifyProof.run(spark, sf001)
       .select($"error", $"valid").distinct().collect()

@@ -68,4 +68,23 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("RestScan"), plan.linesIterator.take(5).mkString("\n"))
     assert(plan.contains("EqualTo(lang,en)"))
   }
+
+  test("S1 JDBC table-set: a catalog query runs unchanged against a relational store") {
+    // the reference's primary store is Postgres (prisma/schema.prisma:
+    // 10-171); the facade flips on a jdbc: locator. Embedded Derby (ships
+    // with Spark) stands in: load the parquet nation into it, then run an
+    // unmodified catalog query against the JDBC table set and demand the
+    // identical result.
+    val url = "jdbc:derby:/tmp/graft-derby-test;create=true"
+    Tables(spark, sf001).nation.write
+      .mode("overwrite").format("jdbc")
+      .option("url", url).option("dbtable", "nation").save()
+    val q = graft.operators.Governance.decodeHookConfig
+    assert(q.run(spark, url).collect().toSeq === q.run(spark, sf001).collect().toSeq)
+    // pushdown smoke: the predicate reaches the database scan
+    val plan = Tables(spark, url).nation.filter($"n_nationkey" > 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(n_nationkey,5)"),
+      plan.linesIterator.take(6).mkString("\n"))
+  }
 }
