@@ -576,7 +576,9 @@ object Similarity {
     * recomputed driver-side with the same left-to-right accumulation
     * as dotDouble, so scores are bit-identical to the join form. */
   private def collectCentroids(df: DataFrame): Array[(Long, Array[Float], Double)] =
-    df.collect().map { r =>
+    // null vectors are skipped, zero-norm ones fall to the norm filter —
+    // a null/degenerate seed row must not take down quantizer training
+    df.collect().filterNot(_.isNullAt(1)).map { r =>
       val cv = r.getSeq[Float](1).toArray
       var acc = 0.0
       var i = 0

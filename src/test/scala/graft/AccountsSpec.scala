@@ -192,6 +192,39 @@ class AccountsSpec extends SparkSpec {
     assert(r.getAs[Long]("bump") === 253L)
   }
 
+  test("pubkey-list decode: ByteBuffer-LE records across counts 0..17, count-driven offsets") {
+    // the variable-layout shape: bump sits AFTER the count-sized tail, so
+    // a wrong count misreads every element and the trailing byte
+    def rec(n: Int, bump: Int): Array[Byte] = {
+      val buf = ByteBuffer.allocate(8 + 32 + 4 + 32 * n + 1)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("graftPkL".getBytes("UTF-8"))
+      buf.put(sha("admin"))
+      buf.putInt(n)
+      (0 until n).foreach(i => buf.put(sha(s"pk$i")))
+      buf.put(bump.toByte)
+      buf.array()
+    }
+    val df = Seq(0, 1, 2, 17).map(n => (n.toLong, rec(n, 200 + n)))
+      .toDF("n", "rec")
+      .withColumn("cnt", expr(
+        "try_cast(conv(hex(concat(substring(rec,44,1),substring(rec,43,1),substring(rec,42,1),substring(rec,41,1))), 16, 10) AS bigint)"))
+      .withColumn("bump", expr(
+        "try_cast(conv(hex(substring(rec, 45 + cast(cnt as int) * 32, 1)), 16, 10) AS bigint)"))
+      .withColumn("pk", expr(
+        """transform(slice(sequence(1, greatest(cast(cnt as int), 1)), 1, cast(cnt as int)),
+             i -> lower(hex(substring(rec, 45 + (i - 1) * 32, 32))))"""))
+    val rows = df.collect()
+    for (r <- rows) {
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Long]("cnt") === n)
+      assert(r.getAs[Long]("bump") === 200L + n)
+      val pks = r.getSeq[String](r.fieldIndex("pk"))
+      assert(pks.size === n.toInt)
+      pks.zipWithIndex.foreach { case (p, i) => assert(p === hex(sha(s"pk$i"))) }
+    }
+  }
+
   test("verify_proof covers every branch of the shadow-id-gate cascade") {
     val out = graft.operators.Governance.verifyProof.run(spark, sf001)
       .select($"error", $"valid").distinct().collect()

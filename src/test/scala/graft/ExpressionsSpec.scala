@@ -69,4 +69,14 @@ class ExpressionsSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), plan)
     assert(!plan.contains("BatchEvalPython"), plan)
   }
+
+  test("wrong arity surfaces as an analyzer error naming the function, not an index crash") {
+    for (sql <- Seq("SELECT dot_long(array(1L))",
+        "SELECT dot_float(array(1.0F), array(1.0F), array(1.0F))")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql).collect())
+      val msg = e.getMessage
+      assert(msg.contains("dot_long") || msg.contains("dot_float"), msg)
+      assert(!msg.contains("IndexOutOfBounds"), msg)
+    }
+  }
 }

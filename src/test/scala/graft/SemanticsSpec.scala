@@ -128,6 +128,31 @@ class SemanticsSpec extends SparkSpec {
     assert(!rows.contains(0L)) // keeper itself is not emitted
   }
 
+  test("zero-norm and null vectors pass through the IVF family without an ANSI crash") {
+    // a zero vector gets the EMPTY cell array from the assignment kernel;
+    // under default ANSI mode element_at(.., 1) on it would throw
+    // INVALID_ARRAY_INDEX — the get(.., 0) sites must null it out instead,
+    // dropping the row from the index while the rest proceeds
+    val dim = 16
+    val rng = new scala.util.Random(11)
+    val rows: Seq[(Long, Seq[Float])] = (0L until 20L).map { i =>
+      if (i == 7L) (i, Seq.fill(dim)(0.0f))       // zero-norm
+      else if (i == 9L) (i, null: Seq[Float])      // null vector
+      else (i, Seq.fill(dim)(rng.nextGaussian().toFloat))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-zvec").toString
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.Similarity.simIvfTopk.run(spark, dir).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(r => r.getAs[Long]("nid")).toSet
+    assert(!ids.contains(7L) && !ids.contains(9L)) // neither ever a neighbor
+    // the persisted index takes the same kernel path
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-zidx").toString
+    val cents = graft.operators.Similarity.writeIvfIndex(spark, dir, idxPath, nCells = 4)
+    assert(cents.nonEmpty)
+  }
+
   test("LSH and IVF top-k recall vs the exact cosine baseline at sf0.001") {
     def pairs(q: QueryDef): Set[(Long, Long)] =
       q.run(spark, sf001).collect()

@@ -183,6 +183,20 @@ class StreamingSpec extends SparkSpec {
     assert(got.collect().toSeq === want.collect().toSeq)
   }
 
+  test("ST12 tolerates arrival disorder inside a micro-batch") {
+    // batches respect time order between them, but rows WITHIN each batch
+    // arrive shuffled — the operator's per-group (ts_ms, event_id) sort
+    // must restore the machine's order exactly
+    val rng = new scala.util.Random(41L)
+    val batches12 = allEvents.sortBy(e => (e.ts_ms, e.event_id))
+      .grouped(400).map(b => rng.shuffle(b)).toSeq
+    val got = runStream("st12_stream_shuffled", batches12,
+      ds => StreamOps.rapidReversal(ds).toDF(), OutputMode.Append)
+      .orderBy($"owner", $"ts_ms", $"event_id")
+    val want = graft.operators.StreamingTwins.st12RapidReversal.run(spark, sf001)
+    assert(got.collect().toSeq === want.collect().toSeq)
+  }
+
   test("S4 events file stream: replay batch then live increments (useAgentStream.ts:16-56)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-s4").toString
     val ev = spark.read.parquet(s"$sf001/events.parquet")
