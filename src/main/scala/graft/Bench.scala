@@ -166,13 +166,22 @@ object Bench {
           val base = sf01.getOrElse(k, -1.0)
           k -> (if (v >= 0 && base > 0) math.round(v / base * 100) / 100.0 else -1.0)
         }
-        // a super-linear ratio gets its executed sf1 plan dumped to
-        // stderr: the driver log then shows plan shape, not just a number
+        // a super-linear ratio gets its FINAL adaptive sf1 plan dumped to
+        // stderr: the query is executed once more through toRdd so AQE
+        // finalizes (an unexecuted frame would print the innocent initial
+        // plan and hide exactly the runtime-rewrite class this diagnostic
+        // exists for). Guarded: a diagnostic failure must never discard
+        // the measurements it annotates.
         ratioVals.filter(_._2 > 12.0).foreach { case (k, r) =>
           headline.find(_.name == k).foreach { q =>
-            val plan = q.run(spark, sf1Dir).queryExecution.executedPlan.toString
-            System.err.println(
-              s"[bench] sf1 $k ratio $r > 12; plan:\n${plan.linesIterator.take(40).mkString("\n")}")
+            scala.util.Try {
+              val qe = q.run(spark, sf1Dir).queryExecution
+              qe.toRdd.count()
+              System.err.println(s"[bench] sf1 $k ratio $r > 12; final plan:\n" +
+                qe.executedPlan.toString.linesIterator.take(40).mkString("\n"))
+            }.recover { case e =>
+              System.err.println(s"[bench] sf1 $k ratio $r > 12; plan dump failed: ${e.getMessage}")
+            }
           }
         }
         val ratios = ratioVals.map { case (k, r) => "\"" + k + "\":" + r }

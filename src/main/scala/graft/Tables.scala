@@ -27,17 +27,21 @@ final case class Tables(spark: SparkSession, dir: String) {
     * layout (Postgres via prisma/schema.prisma:10-171) — with zero query
     * changes, since every operator reads through this facade. Predicate
     * and column pushdown reach the database (JDBC scan prints
-    * PushedFilters like the parquet one). For big tables set the
-    * partitioned-read envs (SPARK_GRAFT_JDBC_PARTCOL/LOWER/UPPER/NUM) so
-    * the scan parallelizes across executors instead of streaming through
-    * one connection — the 100 TB posture; unset, it is a single-split
-    * read, fine for dims. */
+    * PushedFilters like the parquet one). For a big table set the
+    * partitioned-read envs (SPARK_GRAFT_JDBC_PARTTABLE names the table;
+    * PARTCOL/LOWER/UPPER/NUM describe its split column) so that scan
+    * parallelizes across executors instead of streaming through one
+    * connection — the 100 TB posture. The options apply ONLY to the
+    * named table: a split column picked for the fact table does not
+    * exist on the dims, and passing it there would fail every load.
+    * Unset, reads are single-split, fine for dims. */
   private def load(name: String): DataFrame =
     if (dir.startsWith("jdbc:")) {
       val r = spark.read.format("jdbc")
         .option("url", dir)
         .option("dbtable", name)
       val part = for {
+        t <- sys.env.get("SPARK_GRAFT_JDBC_PARTTABLE") if t == name
         c <- sys.env.get("SPARK_GRAFT_JDBC_PARTCOL")
         lo <- sys.env.get("SPARK_GRAFT_JDBC_LOWER")
         hi <- sys.env.get("SPARK_GRAFT_JDBC_UPPER")

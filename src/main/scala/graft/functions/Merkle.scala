@@ -143,20 +143,43 @@ object Merkle {
     (sibs, bits)
   }
 
+  /** Folds `nLevels` up from `level0` keeping EVERY level — the bounded
+    * pyramid sibling lookups read from, instead of re-folding per target. */
+  private def pyramid(level0: Vector[BigInt], nLevels: Int,
+      z: Array[BigInt], zOff: Int): Vector[Vector[BigInt]] =
+    Iterator.iterate((level0, zOff)) { case (lv, d) =>
+      (nextLevel(lv, z(d)), d + 1)
+    }.take(nLevels + 1).map(_._1).toVector
+
+  /** Sibling path of `idx0` read from a prebuilt [[pyramid]] — O(nLevels)
+    * lookups, no hashing. */
+  private def pathFromPyramid(levels: Vector[Vector[BigInt]], idx0: Int,
+      nLevels: Int, z: Array[BigInt], zOff: Int): (Seq[BigInt], Seq[Int]) = {
+    var idx = idx0
+    val path = (0 until nLevels).map { d =>
+      val isRight = idx % 2 == 1
+      val sibIdx = if (isRight) idx - 1 else idx + 1
+      val sib = levels(d).lift(sibIdx).getOrElse(z(zOff + d))
+      idx /= 2
+      (sib, if (isRight) 1 else 0)
+    }
+    (path.map(_._1), path.map(_._2))
+  }
+
   /** DISTRIBUTED proof generation (merkle.ts:112-166 at registry scale):
     * proofs for `targets` without ever collecting the leaf set.
     *
     * Level split mirrors [[rootDistributed]]: each index-aligned block of
-    * 2^blockDepth leaves computes, in its own task, its subtree root AND
-    * the within-block sibling path of every target it contains; the
-    * driver then folds only the ≤ 2^(depth−blockDepth) block tops —
-    * keeping every level of that bounded pyramid — and completes each
-    * target's path with upper-level siblings read from it. At the
-    * reference's depth-20 / ~1M-leaf registry (merkle.ts:5-11,
-    * blockDepth 10) the driver touches ≤ 1024 block roots, never the
-    * leaves. Leaves must be left-filled (contiguous indices from 0), the
-    * reference's tree shape; targets without a stored leaf are absent
-    * from the result.
+    * 2^blockDepth leaves folds its subtree ONCE into a level pyramid
+    * (~2·blockSize hashes regardless of how many targets it contains) and
+    * reads its root plus every local target path from it; the driver then
+    * folds only the ≤ 2^(depth−blockDepth) block tops — the same pyramid
+    * structure — and completes each target's path with upper-level
+    * siblings. At the reference's depth-20 / ~1M-leaf registry
+    * (merkle.ts:5-11, blockDepth 10) the driver touches ≤ 1024 block
+    * roots, never the leaves. Leaves must be left-filled (contiguous
+    * indices from 0), the reference's tree shape; targets without a
+    * stored leaf are absent from the result.
     *
     * Returns (root, target → (siblings, path bits)); proofs verify
     * against the returned root via [[verify]], bit-identical to the
@@ -183,41 +206,32 @@ object Merkle {
         .mapGroups { (block, rows) =>
           val zb = zeroHashes(blockDepth)
           val vec = rows.toSeq.sortBy(_._2).map(r => Poseidon.fromBytes32(r._3)).toVector
+          val levels = pyramid(vec, blockDepth, zb, 0)
           val base = block * blockSize
           val local = targetsByBlock.getOrElse(block, Seq.empty).flatMap { t =>
             val li = (t - base).toInt
             if (li >= vec.size) Seq.empty
             else {
-              val (sibs, bits, _) = walkUp(vec, li, blockDepth, zb, 0)
+              val (sibs, bits) = pathFromPyramid(levels, li, blockDepth, zb, 0)
               Seq((t, sibs.map(Poseidon.toBytes32), bits))
             }
           }
-          val (_, _, broot) = walkUp(vec, -1, blockDepth, zb, 0)
+          val broot = levels.last.headOption.getOrElse(zb(blockDepth))
           (block, Poseidon.toBytes32(broot), local)
         }
         .collect().toSeq // bounded: ≤ 2^(depth-blockDepth) rows
     val byBlock = perBlock.map { case (b, r, _) => b -> Poseidon.fromBytes32(r) }.toMap
     val maxBlock = if (byBlock.isEmpty) -1L else byBlock.keys.max
     val tops = (0L to maxBlock).map(b => byBlock.getOrElse(b, z(blockDepth))).toVector
-    // fold the tops ONCE keeping every level; all upper sibling lookups
-    // read this bounded pyramid instead of re-folding per target
-    val levels = Iterator.iterate((tops, blockDepth)) { case (lv, d) =>
-      (nextLevel(lv, z(d)), d + 1)
-    }.take(depth - blockDepth + 1).map(_._1).toVector
+    val levels = pyramid(tops, depth - blockDepth, z, blockDepth)
     val root = levels.last.headOption.getOrElse(z(depth))
     val localProofs = perBlock.flatMap(_._3).map { case (t, sibs, bits) =>
       t -> ((sibs.map(Poseidon.fromBytes32), bits))
     }.toMap
     val proofs = localProofs.map { case (t, (ls, lb)) =>
-      var idx = (t >> blockDepth).toInt
-      val upper = (0 until depth - blockDepth).map { d =>
-        val isRight = idx % 2 == 1
-        val sibIdx = if (isRight) idx - 1 else idx + 1
-        val sib = levels(d).lift(sibIdx).getOrElse(z(blockDepth + d))
-        idx /= 2
-        (sib, if (isRight) 1 else 0)
-      }
-      t -> ((ls ++ upper.map(_._1), lb ++ upper.map(_._2)))
+      val (us, ub) = pathFromPyramid(
+        levels, (t >> blockDepth).toInt, depth - blockDepth, z, blockDepth)
+      t -> ((ls ++ us, lb ++ ub))
     }
     (root, proofs)
   }

@@ -361,7 +361,11 @@ object StreamOps {
               reversals = 0L, windowStart = -1L, nWindow = 0L, volWindow = 0L))
           val out = evs.toSeq.sortBy(e => (e.ts_ms, e.event_id)).map { e =>
             val outb = e.event_type == "purchase" || e.event_type == "click"
-            val amt = math.round(e.value * 100) // cents, HALF_UP like the twin
+            // cents via BigDecimal HALF_UP — what Spark's round() and
+            // DuckDB's ROUND both do; math.round would diverge on
+            // negative (refund-shaped) amounts (-0.5 → 0, not -1)
+            val amt = java.math.BigDecimal.valueOf(e.value * 100)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue
             val rev = s.hasLast && s.lastOut && !outb &&
               e.ts_ms - s.lastTs <= cooldownMs
             val ws = e.ts_ms - java.lang.Math.floorMod(e.ts_ms, windowMs)
