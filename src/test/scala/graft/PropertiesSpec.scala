@@ -140,4 +140,24 @@ class PropertiesSpec extends SparkSpec {
       assert(got.toSeq === model)
     }
   }
+
+  test("ST12 streaming cents kernel equals Spark round() on arbitrary values, negatives included") {
+    // the streaming state machine rounds driver-side with BigDecimal
+    // HALF_UP; the batch twin uses round(col * 100, 0). These must agree
+    // on every double or the "equivalence-tested" twins drift — the
+    // classic divergence is math.round's half-toward-+inf on negatives
+    // (refund-shaped amounts), which sent -0.5 to 0 instead of -1.
+    val gen = Gen.oneOf(
+      Gen.chooseNum(-1000.0, 1000.0),
+      Gen.chooseNum(-100, 100).map(_ / 200.0), // exact .005 boundaries
+      Gen.oneOf(-0.005, -0.015, 0.005, 2.675, -2.675, 0.0, -0.0))
+    val values = Gen.listOfN(500, gen).apply(Gen.Parameters.default, Seed(7L)).get
+    val kernel = values.map(v => java.math.BigDecimal.valueOf(v * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+    val viaSpark = values.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("i", "value")
+      .select(col("i"), round(col("value") * lit(100), 0).cast("long").as("c"))
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+    assert(viaSpark === kernel)
+  }
 }

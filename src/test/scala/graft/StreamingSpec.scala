@@ -183,6 +183,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.collect().toSeq === want.collect().toSeq)
   }
 
+  test("ST12 twins agree on generated events: refund-shaped negatives, ts ties, dense reversals") {
+    // adversarial generated load the driver data can't produce: negative
+    // (refund) amounts exercising HALF_UP rounding, many same-ts_ms ties
+    // forcing the event_id tiebreak, and inter-event gaps clustered
+    // around the 300s cooldown boundary
+    val rng = new scala.util.Random(1234L)
+    var ts = 1_700_000_000_000L
+    val evs = (0L until 3000L).map { i =>
+      ts += (rng.nextInt(4) match {
+        case 0 => 0L                          // exact tie with previous
+        case 1 => rng.nextInt(300000).toLong  // inside cooldown
+        case 2 => 300000L                     // exactly at the boundary
+        case _ => 300001L + rng.nextInt(4000000) // outside
+      })
+      Ev(i, rng.nextInt(7).toLong, // 7 hot owners → long per-key chains
+        Seq("purchase", "click", "view", "error")(rng.nextInt(4)),
+        (rng.nextInt(40000) - 20000) / 100.0 + (if (rng.nextBoolean()) 0.005 else -0.005),
+        ts)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-st12").toString
+    evs.map(e => (e.event_id, e.ts_ms * 1000000L, e.user_id, e.event_type, e.value))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val want = graft.operators.StreamingTwins.st12RapidReversal.run(spark, dir)
+    val got = runStream("st12_gen",
+      evs.sortBy(e => (e.ts_ms, e.event_id)).grouped(500).toSeq,
+      ds => StreamOps.rapidReversal(ds).toDF(), OutputMode.Append)
+      .orderBy($"owner", $"ts_ms", $"event_id")
+    assert(got.collect().toSeq === want.collect().toSeq)
+  }
+
   test("ST12 tolerates arrival disorder inside a micro-batch") {
     // batches respect time order between them, but rows WITHIN each batch
     // arrive shuffled — the operator's per-group (ts_ms, event_id) sort
