@@ -149,8 +149,16 @@ object Bench {
             val w = time(q, sf1Dir)
             val (a, b) = if (w > 15.0) (w, time(q, sf1Dir))
                          else (time(q, sf1Dir), time(q, sf1Dir))
-            System.err.println(f"[bench] sf1 ${q.name} runs: $a%.2f / $b%.2f s")
-            q.name -> math.min(a, b)
+            // the host is bimodal under load (same plan measured 32 s and
+            // 125 s minutes apart): when the two samples disagree > 2×,
+            // one of them hit a bad window — buy a third
+            val c = if (math.max(a, b) > 2 * math.min(a, b)) time(q, sf1Dir)
+                    else Double.MaxValue
+            if (c != Double.MaxValue)
+              System.err.println(f"[bench] sf1 ${q.name} runs: $a%.2f / $b%.2f / $c%.2f s")
+            else
+              System.err.println(f"[bench] sf1 ${q.name} runs: $a%.2f / $b%.2f s")
+            q.name -> math.min(math.min(a, b), c)
           } catch { case e: Throwable =>
             System.err.println(s"[bench] sf1 ${q.name} failed: ${e.getMessage}")
             q.name -> -1.0
