@@ -50,8 +50,15 @@ object Bench {
       df.withColumn("__c", explode(sequence(lit(0L), lit(9L))))
     def bump(c: String): org.apache.spark.sql.Column =
       (col(c) + col("__c") * lit(off)).as(c)
+    // facts are written as 32 files: the driver's source tier is a single
+    // one-row-group file, which caps every scan (and the whole codegen'd
+    // scan→filter→partial-agg map stage fused to it) at ONE task — at
+    // 10× the rows that serialized stage dominates wall-clock on a
+    // 32-core box and measures nothing about the plan. Real 100 TB
+    // tables are many-file; the scale tier should be too.
     def write(df: DataFrame, name: String): Unit =
-      df.drop("__c").write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      df.drop("__c").repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
 
     write(copies(t.lineitem).select(
       bump("l_orderkey") +: t.lineitem.columns.filterNot(_ == "l_orderkey")
