@@ -30,6 +30,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"))
   }
 
+  test("st12_rapid_reversal: one owner shuffle feeds every window (lag, running, per-window counters)") {
+    val p = plan("st12_rapid_reversal")
+    // the lag detector, the running reversal count and the per-(owner,
+    // window) counters must all reuse the single hash exchange on owner
+    // (partition-local re-sorts only) — a second hash exchange means a
+    // window spec stopped aligning with the owner partitioning
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1, s"expected 1 owner exchange, got $hashExchanges:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("Window"), "lag/running windows missing")
+  }
+
   test("p1_projection: scan is pruned to the projected columns") {
     val p = plan("p1_projection")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
