@@ -141,6 +141,32 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("sf1 synthesis: 10x facts with preserved join fan-out, fixed dims, multi-file layout") {
+    // the bench scale tier is measurement infrastructure — if key-offset
+    // replication broke FK pairing, the sf1 join ratios would measure a
+    // different query; if it wrote one row group, every map stage would
+    // serialize to one task (the round-4 j1/j2 pathology)
+    val out = java.nio.file.Files.createTempDirectory("graft-sf1spec").toString
+    Bench.ensureSf1(spark, sf001, out)
+    val src = Tables(spark, sf001)
+    val syn = Tables(spark, out)
+    assert(syn.lineitem.count() === 10 * src.lineitem.count())
+    assert(syn.orders.count() === 10 * src.orders.count())
+    assert(syn.nation.count() === src.nation.count()) // dims stay fixed
+    assert(syn.part.count() === src.part.count())
+    // FK pairs offset together: join fan-out is exactly 10×
+    def joined(t: Tables) = t.orders
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined(syn) === 10 * joined(src))
+    // copy 0 keeps original ids (id-anchored semantics still resolve)
+    assert(syn.lineitem.filter(col("l_orderkey") < lit(10000000000L)).count()
+      === src.lineitem.count())
+    // multi-file facts: scan parallelism must not collapse to one task
+    val files = new java.io.File(s"$out/lineitem.parquet")
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(files >= 2, s"lineitem written as $files file(s)")
+  }
+
   test("ST12 streaming cents kernel equals Spark round() on arbitrary values, negatives included") {
     // the streaming state machine rounds driver-side with BigDecimal
     // HALF_UP; the batch twin uses round(col * 100, 0). These must agree
