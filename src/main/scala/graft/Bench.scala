@@ -34,7 +34,9 @@ object Bench {
     * keeps original ids, so id-anchored semantics (the 5 query vectors,
     * keeper elections) still resolve. Idempotent via a marker file. */
   def ensureSf1(spark: SparkSession, sf01Dir: String, outDir: String): Unit = {
-    val marker = new java.io.File(s"$outDir/_GRAFT_SF1_READY")
+    // marker is generator-versioned: a layout change (v2 = 32-file facts)
+    // must invalidate a cached tier built by an older generator
+    val marker = new java.io.File(s"$outDir/_GRAFT_SF1_READY_v2")
     // staleness guard: regenerate when the source tier is newer than the
     // cached marker (driver may regenerate test data between rounds)
     val srcMtime = {
