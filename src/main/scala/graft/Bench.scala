@@ -13,14 +13,15 @@ import org.apache.spark.sql.functions._
   * cheap estimator of the query's actual cost.
   *
   * Scale-proof tier: when the primary dir is the driver's sf0.1, a 10×
-  * "sf1" tier (~6M lineitem) is synthesized once into a cached tmp dir
-  * ([[ensureSf1]]) and every headline query is timed once against it —
+  * "sf1" tier (~6M lineitem, 32-file facts) is synthesized once into a
+  * cached tmp dir ([[ensureSf1]]) and every headline query is timed over
+  * three INTERLEAVED passes (min per query; pass 0 doubles as warm-up) —
   * one measured decade of scaling, so the 100 TB plan-shape claims are
   * backed by a data point instead of inspection alone. Linear-ish
   * queries should land ≤ ~12× their sf0.1 time (fixed costs allowed);
-  * a pathological plan flip shows up as a much larger ratio. The sf1
-  * section is additive JSON keys; its failure never corrupts the
-  * primary metric.
+  * a pathological plan flip shows up as a much larger ratio and dumps
+  * its final adaptive plan to stderr. The sf1 section is additive JSON
+  * keys; its failure never corrupts the primary metric.
   */
 object Bench {
 
@@ -171,7 +172,7 @@ object Bench {
         val q1 = r1.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
         val t1 = r1.map(_._2).filter(_ >= 0).sum
-        // per-query scaling ratio vs the sf0.1 min-of-2 (10× data →
+        // per-query scaling ratio vs the sf0.1 min (10× data →
         // ≤ ~12× time for a linear plan; fixed costs favor lower)
         val sf01 = results.toMap
         val ratioVals = r1.map { case (k, v) =>
