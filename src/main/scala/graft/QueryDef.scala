@@ -30,5 +30,6 @@ object QueryDef {
       graft.operators.Multimodal.defs ++
       graft.operators.RestQueries.defs ++
       graft.operators.Crypto.defs ++
-      graft.operators.StreamingTwins.defs
+      graft.operators.StreamingTwins.defs ++
+      graft.operators.ScaleOps.defs
 }

@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-pattern operators: the join/agg shapes that only matter once the
+  * data outgrows one machine — an as-of join, a skew-salted join, exact and
+  * sketch percentile tiers, deterministic hash sampling, and token-budget
+  * sequence packing. Each is the distributed-first formulation (single
+  * shuffle, no quadratic blow-up, no driver collect) with a DuckDB oracle
+  * wherever the semantics are exactly SQL-expressible; see SURVEY §2.11.
+  *
+  * The sampling/packing entries extend the training-data-pipeline tier
+  * (SURVEY §2.11 dedup/similarity/text rows): corpus construction at 100 TB
+  * needs a sampler whose keep/drop decision is a pure function of the row
+  * (re-runnable, engine-portable) and a packer whose bin assignment is a
+  * prefix-sum, not a sequential first-fit loop.
+  */
+object ScaleOps {
+
+  private def T(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** As-of join (point-in-time attribution): each `purchase` event joined
+    * to the latest `view` event of the same user at-or-before it.
+    *
+    * The distributed shape: instead of the naive range join
+    * (`v.ts <= p.ts` — quadratic in events-per-user and a
+    * BroadcastNestedLoopJoin if written directly), both sides are tagged,
+    * unioned, and scanned once under a per-user running window — ONE hash
+    * shuffle on the join key, linear work, and the window's running
+    * `last(ignoreNulls)` carries the as-of match forward. This is the
+    * shape that survives 100 TB of events; PlanSpec asserts the plan has
+    * no nested-loop/cartesian join. Ties: views sort before purchases at
+    * equal timestamp (tag 0 < 1), so `ts_view == ts_purchase` matches,
+    * and the highest view event_id wins among equal timestamps. Unmatched
+    * purchases keep -1 sentinels (left-asof), so the oracle compare never
+    * hashes engine-specific nulls. */
+  val j10AsofAttr = QueryDef(
+    "j10_asof_attr",
+    (s, dir) => {
+      val ev = T(s, dir).events
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_ms"), lit(0).as("tag"),
+          col("event_id").as("v_id"), lit(null).cast("long").as("p_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ms"), lit(1).as("tag"),
+          lit(null).cast("long").as("v_id"), col("event_id").as("p_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms"), col("tag"), col("v_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.unionByName(purchases)
+        .withColumn("last_v_id", last(col("v_id"), ignoreNulls = true).over(w))
+        .withColumn("last_v_ts",
+          last(when(col("tag") === 0, col("ts_ms")), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(
+          col("p_id").as("event_id"), col("user_id"), col("ts_ms"),
+          coalesce(col("last_v_id"), lit(-1L)).as("view_event_id"),
+          coalesce(col("last_v_ts"), lit(-1L)).as("view_ts_ms"),
+          coalesce(col("ts_ms") - col("last_v_ts"), lit(-1L)).as("gap_ms"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some("""
+      WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+                 FROM events WHERE event_type = 'purchase'),
+      v AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+            FROM events WHERE event_type = 'view'),
+      j AS (
+        SELECT p.event_id, p.user_id, p.ts_ms,
+               v.event_id AS view_event_id, v.ts_ms AS view_ts_ms,
+               row_number() OVER (PARTITION BY p.event_id
+                 ORDER BY v.ts_ms DESC, v.event_id DESC) AS rn
+        FROM p LEFT JOIN v
+          ON v.user_id = p.user_id AND v.ts_ms <= p.ts_ms)
+      SELECT event_id, user_id, ts_ms,
+             COALESCE(view_event_id, -1) AS view_event_id,
+             COALESCE(view_ts_ms, -1) AS view_ts_ms,
+             COALESCE(ts_ms - view_ts_ms, -1) AS gap_ms
+      FROM j WHERE rn = 1 ORDER BY event_id"""))
+
+  /** Skew-salted fact↔dim join through [[SkewJoin.saltedJoin]]: lineitem's
+    * part key fanned across 8 salt buckets against an 8×-exploded part dim,
+    * then brand totals. Semantically identical to the unsalted join (the
+    * oracle is the plain SQL join; SemanticsSpec asserts frame equality) —
+    * the salt exists so one hot key spreads over 8 tasks instead of one,
+    * the manual fallback when AQE's skew split can't see the skew. */
+  val j11SaltedSkew = QueryDef(
+    "j11_salted_skew",
+    (s, dir) => {
+      val t = T(s, dir)
+      val facts = t.lineitem.select(col("l_partkey").as("pk"),
+        col("l_quantity").cast("long").as("qty"))
+      val dims = t.part.select(col("p_partkey").as("pk"), col("p_brand"))
+      SkewJoin.saltedJoin(facts, dims, "pk", n = 8)
+        .groupBy(col("p_brand"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    },
+    oracle = Some("""
+      SELECT p_brand,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        COUNT(*) AS n_items
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY p_brand ORDER BY p_brand"""))
+
+  /** Exact discrete percentiles (p50/p90/p99 of extended price per return
+    * flag) by integer rank: the value at 1-indexed position ⌈q·n⌉ of the
+    * per-group sort. All rank arithmetic is integer (`div`), and the
+    * outputs are raw stored doubles — no interpolation — so the DuckDB twin
+    * is hash-exact. This is the oracle anchor for the sketch tier
+    * ([[a15PercentileApprox]]); at 100 TB the per-group global sort is the
+    * cost you pay for exactness, and the sketch is the production path. */
+  val a15PercentileDisc = QueryDef(
+    "a15_percentile_disc",
+    (s, dir) => {
+      val wOrd = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val wAll = Window.partitionBy("l_returnflag")
+      T(s, dir).lineitem.select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max(when(col("rn") === expr("(5*n + 9) div 10"),
+            col("l_extendedprice"))).as("p50"),
+          max(when(col("rn") === expr("(9*n + 9) div 10"),
+            col("l_extendedprice"))).as("p90"),
+          max(when(col("rn") === expr("(99*n + 99) div 100"),
+            col("l_extendedprice"))).as("p99"),
+          max(col("n")).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+    oracle = Some("""
+      WITH r AS (
+        SELECT l_returnflag, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem)
+      SELECT l_returnflag,
+             MAX(CASE WHEN rn = (5*n + 9) // 10 THEN l_extendedprice END) AS p50,
+             MAX(CASE WHEN rn = (9*n + 9) // 10 THEN l_extendedprice END) AS p90,
+             MAX(CASE WHEN rn = (99*n + 99) // 100 THEN l_extendedprice END) AS p99,
+             CAST(MAX(n) AS BIGINT) AS n_rows
+      FROM r GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Sketch-tier percentiles: `percentile_approx` (GK sketch, fixed-size
+    * state, partial-aggregating — the same scale story as the HLL tier
+    * `a14_approx_distinct`). Rows-only by design: the sketch's outputs are
+    * accuracy-bounded, not bit-specified; ScaleOpsSpec asserts each
+    * estimate lands within 2% (relative) of [[a15PercentileDisc]]. */
+  val a15PercentileApprox = QueryDef(
+    "a15_percentile_approx",
+    (s, dir) => {
+      T(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ps"))
+        .select(col("l_returnflag"),
+          col("ps").getItem(0).as("p50"),
+          col("ps").getItem(1).as("p90"),
+          col("ps").getItem(2).as("p99"))
+        .orderBy(col("l_returnflag"))
+    })
+
+  /** Deterministic stratified sampler for corpus mixing: keep a document
+    * iff the first 4 hex chars of md5(doc_id) fall below the stratum's
+    * threshold — even-numbered sources at 25% (0x4000/0x10000), odd at 50%.
+    * The keep decision is a pure function of the row, so the sample is
+    * reproducible across runs, engines (md5 + lexicographic hex compare
+    * exist everywhere), and re-partitioning — unlike `TABLESAMPLE` /
+    * `df.sample`, whose draw depends on partition layout. `rate_bp` (basis
+    * points) rides along so downstream loss-weighting can undo the bias. */
+  val smpStratified = QueryDef(
+    "smp_stratified",
+    (s, dir) => {
+      val even = (substring(col("source"), 4, 10).cast("int") % 2) === 0
+      T(s, dir).documents.select(col("doc_id"), col("source"), col("lang"))
+        .withColumn("samp_key",
+          substring(md5(col("doc_id").cast("string")), 1, 4))
+        .withColumn("rate_bp", when(even, lit(2500)).otherwise(lit(5000)))
+        .filter(col("samp_key") < when(even, lit("4000")).otherwise(lit("8000")))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      SELECT doc_id, source, lang,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS samp_key,
+             CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                  THEN 2500 ELSE 5000 END AS rate_bp
+      FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+            CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                 THEN '4000' ELSE '8000' END
+      ORDER BY doc_id"""))
+
+  /** Token-budget sequence packing: concatenate each language's documents
+    * in doc_id order and assign every document to the 2048-token bin its
+    * START offset lands in (tokens ≈ n_chars/4, the BPE chars-per-token
+    * rule of thumb). Contiguous-fill packing is a per-group prefix sum —
+    * one shuffle, no sequential first-fit loop — which is what makes it
+    * computable over a 100 TB corpus; a true first-fit packer is
+    * inherently serial per stratum. Long documents may straddle a bin
+    * boundary (they belong to the bin they start in); ScaleOpsSpec pins
+    * the bin invariants. */
+  val pipePackTokens = QueryDef(
+    "pipe_pack_tokens",
+    (s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir).documents
+        .select(col("lang"), col("doc_id"), expr("n_chars div 4").as("tokens"))
+        .withColumn("start_off", sum(col("tokens")).over(w) - col("tokens"))
+        .withColumn("bin_id", expr("start_off div 2048"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT lang, doc_id, n_chars // 4 AS tokens FROM documents),
+      c AS (SELECT lang, doc_id, tokens,
+            CAST(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) - tokens AS start_off
+            FROM t)
+      SELECT lang, doc_id, tokens, start_off, start_off // 2048 AS bin_id
+      FROM c ORDER BY lang, doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    j10AsofAttr, j11SaltedSkew, a15PercentileDisc, a15PercentileApprox,
+    smpStratified, pipePackTokens)
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the scale-pattern tier (operators/ScaleOps.scala): as-of join
+  * correctness + plan shape, sketch-vs-exact percentile error bounds,
+  * sampler determinism and rate, and packing invariants. The oracle-green
+  * queries are additionally hash-checked by the driver; these tests pin the
+  * properties an oracle cannot see (plan shape, error bounds, invariants
+  * over re-runs). */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String, dir: String = sf001) =
+    QueryDef.catalogs.find(_.name == name).get.run(spark, dir)
+
+  test("j10_asof_attr matches the brute-force per-purchase scan") {
+    val ev = Tables(spark, sf001).events
+      .select($"event_id", $"user_id", $"ts_ms", $"event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val views = ev.filter(_._4 == "view")
+    val expected = ev.filter(_._4 == "purchase").map { case (id, u, t, _) =>
+      val cands = views.filter(v => v._2 == u && v._3 <= t)
+      if (cands.isEmpty) (id, u, t, -1L, -1L, -1L)
+      else {
+        val best = cands.maxBy(v => (v._3, v._1)) // latest ts, tie → max id
+        (id, u, t, best._1, best._3, t - best._3)
+      }
+    }.sortBy(_._1).toSeq
+    val got = run("j10_asof_attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+  }
+
+  test("j10_asof_attr: one key shuffle, no nested-loop join") {
+    val p = run("j10_asof_attr").queryExecution.executedPlan.toString
+    // the naive formulation of an as-of join (range-predicate join) plans
+    // a BroadcastNestedLoopJoin — quadratic per user and the shape that
+    // dies at 100 TB; the union+window form must shuffle each side once on
+    // the join key (plus the final presentation orderBy's range exchange)
+    assert(!p.contains("BroadcastNestedLoopJoin"), "as-of fell back to a nested-loop join")
+    assert(!p.contains("CartesianProduct"))
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 2, s"expected at most one hash exchange per union side:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("a15_percentile_approx lands within 2% of the exact discrete tier") {
+    val exact = run("a15_percentile_disc").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = run("a15_percentile_approx").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((flag, (e50, e90, e99)) <- exact; (a, e) <- Seq(
+        approx(flag)._1 -> e50, approx(flag)._2 -> e90, approx(flag)._3 -> e99)) {
+      assert(math.abs(a - e) / e <= 0.02, s"$flag: approx $a vs exact $e")
+    }
+  }
+
+  test("smp_stratified is deterministic and hits the per-stratum rates") {
+    val a = run("smp_stratified").collect().map(_.toSeq).toSeq
+    val b = run("smp_stratified").collect().map(_.toSeq).toSeq
+    assert(a === b, "hash sampler must be reproducible run-to-run")
+    // rate check at sf0.01 (500 docs, ~250 per parity stratum): binomial
+    // 3σ around 25% / 50% keeps the test stable but meaningful
+    val docs = Tables(spark, "/root/testdata/sf0.01").documents
+    val kept = run("smp_stratified", "/root/testdata/sf0.01")
+      .withColumn("par", substring($"source", 4, 10).cast("int") % 2)
+      .groupBy($"par").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = docs
+      .withColumn("par", substring($"source", 4, 10).cast("int") % 2)
+      .groupBy($"par").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val evenRate = kept(0).toDouble / total(0)
+    val oddRate = kept(1).toDouble / total(1)
+    assert(math.abs(evenRate - 0.25) < 0.10, s"even-source rate $evenRate vs 0.25")
+    assert(math.abs(oddRate - 0.50) < 0.10, s"odd-source rate $oddRate vs 0.50")
+  }
+
+  test("pipe_pack_tokens: offsets are a conserved prefix sum and bins are start-aligned") {
+    val rows = run("pipe_pack_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, ds) =>
+      val sorted = ds.sortBy(_._2)
+      var cum = 0L
+      for ((_, docId, tokens, startOff, binId) <- sorted) {
+        assert(startOff === cum, s"$lang/$docId: start $startOff, expected $cum")
+        assert(binId === startOff / 2048, s"$lang/$docId: bin not start-aligned")
+        assert(tokens >= 0L)
+        cum += tokens
+      }
+      // bins are dense: a document starts in every bin up to the last
+      val bins = sorted.map(_._5).distinct.sorted
+      assert(bins.head === 0L)
+      // gaps only possible if one doc spans >1 full bin; documents here
+      // are far smaller than the 2048 budget, so demand density
+      assert(bins === (0L to bins.last), s"$lang: sparse bins $bins")
+    }
+  }
+
+  test("j11_salted_skew equals the unsalted brand totals on the real tables") {
+    val t = Tables(spark, sf001)
+    val plain = t.lineitem.select($"l_partkey".as("pk"), $"l_quantity".cast("long").as("qty"))
+      .join(t.part.select($"p_partkey".as("pk"), $"p_brand"), "pk")
+      .groupBy($"p_brand")
+      .agg(sum($"qty").as("sum_qty"), count(lit(1)).as("n_items"))
+      .orderBy($"p_brand").collect().map(_.toSeq).toSeq
+    val salted = run("j11_salted_skew").collect().map(_.toSeq).toSeq
+    assert(salted === plain)
+  }
+}
