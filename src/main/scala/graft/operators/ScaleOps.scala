@@ -223,7 +223,77 @@ object ScaleOps {
       SELECT lang, doc_id, tokens, start_off, start_off // 2048 AS bin_id
       FROM c ORDER BY lang, doc_id"""))
 
+  /** Benchmark decontamination: flag training documents sharing any
+    * 3-token shingle with the held-out benchmark stratum (source `src0`),
+    * with the shared-shingle count per flagged doc. The distributed shape
+    * is shingle-explode + equi-join on the shingle — hash-partitioned,
+    * linear in total shingles, never doc×doc — which is the exact form of
+    * the Bloom-filter decontamination passes training pipelines run
+    * (the benchmark side here is small, so Catalyst broadcasts it; at
+    * 100 TB you'd broadcast a Bloom filter of the same set and keep this
+    * join as the exact confirmation pass). Shingling matches
+    * `dd_shingle_jaccard` (3-token windows over whitespace tokens). */
+  val pipeDecontam = QueryDef(
+    "pipe_decontam",
+    (s, dir) => {
+      val toksAll = filter(split(lower(col("text")), " "), w => length(w) > lit(0))
+      val sh = T(s, dir).documents
+        .select(col("doc_id"), col("source"), toksAll.as("toks"))
+        .filter(size(col("toks")) >= lit(3))
+        .withColumn("sh", array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - lit(2)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(3))))))
+      val bench = sh.filter(col("source") === "src0")
+        .select(explode(col("sh")).as("shingle")).distinct()
+      val train = sh.filter(col("source") =!= "src0")
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      train.join(bench, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+          list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id, source,
+          list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM t WHERE len(toks) >= 3),
+      b AS (SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE source = 'src0'),
+      tr AS (SELECT doc_id, unnest(sh) AS shingle FROM s WHERE source <> 'src0')
+      SELECT tr.doc_id, count(*) AS n_hits
+      FROM tr JOIN b ON b.shingle = tr.shingle
+      GROUP BY tr.doc_id ORDER BY tr.doc_id"""))
+
+  /** Payload scrubbing: mask every digit run in the raw event payload and
+    * count the digits removed — the PII-redaction shape (emails, phone
+    * numbers, ids) as a pure per-row projection, so it composes with any
+    * scan and survives any partitioning. The character-class regex is the
+    * portable core shared by Java regex and RE2, so the DuckDB twin is
+    * exact; real address/email patterns drop in without changing the
+    * plan shape. */
+  val txtRedactNums = QueryDef(
+    "txt_redact_nums",
+    (s, dir) => {
+      T(s, dir).events.select(
+        col("event_id"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("props_redacted"),
+        (length(col("props")) -
+          length(regexp_replace(col("props"), "[0-9]", "")))
+          .cast("long").as("n_digits"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some("""
+      SELECT event_id,
+        regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted,
+        CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))
+             AS BIGINT) AS n_digits
+      FROM events ORDER BY event_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     j10AsofAttr, j11SaltedSkew, a15PercentileDisc, a15PercentileApprox,
-    smpStratified, pipePackTokens)
+    smpStratified, pipePackTokens, pipeDecontam, txtRedactNums)
 }

@@ -74,6 +74,18 @@ final case class ReversalResult(
     volume_in_window: Long,
     is_flagged: Boolean)
 
+/** As-of attribution state: the latest view seen per user — two scalars,
+  * bounded regardless of stream length. */
+final case class AsofState(hasView: Boolean, vId: Long, vTs: Long)
+
+final case class AsofResult(
+    event_id: Long,
+    user_id: Long,
+    ts_ms: Long,
+    view_event_id: Long,
+    view_ts_ms: Long,
+    gap_ms: Long)
+
 /** Ev + its watermark column — event-time timeouts require the watermarked
   * column to survive into the grouped dataset. */
 final case class EvT(
@@ -379,6 +391,45 @@ object StreamOps {
               ws, n, vol,
               s.reversals >= 3L || n > maxTransfers || vol > maxVolumeC)
           }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /** As-of attribution, live: the streaming form of the batch as-of join
+    * `j10_asof_attr` (operators/ScaleOps.scala). Incremental as-of needs
+    * no window or range join at all — per user the state is just the
+    * latest view (two scalars): views update it, purchases read it. This
+    * is why the batch twin's union+window formulation is the right scale
+    * shape: both are one pass over a per-key ordered stream. Within a
+    * micro-batch events are processed in (ts_ms, views-before-purchases,
+    * event_id) order — the twin's exact tie rule (a view at the same
+    * timestamp as a purchase attributes to it, and the highest-id view
+    * wins among equal timestamps); cross-batch order, including an
+    * equal-timestamp pair split across batches, is the caller's replay
+    * contract (the equivalence spec feeds event-time order). Purchases
+    * with no prior view emit -1 sentinels, matching the twin. */
+  def asofAttr(events: Dataset[Ev]): Dataset[AsofResult] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofResult](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        case (user, evs, state) =>
+          var s = state.getOption.getOrElse(AsofState(hasView = false, -1L, -1L))
+          val out = evs.toSeq
+            .sortBy(e => (e.ts_ms, e.event_type == "purchase", e.event_id))
+            .flatMap { e =>
+              if (e.event_type == "view") {
+                s = AsofState(hasView = true, e.event_id, e.ts_ms)
+                None
+              } else Some(AsofResult(e.event_id, user, e.ts_ms,
+                if (s.hasView) s.vId else -1L,
+                if (s.hasView) s.vTs else -1L,
+                if (s.hasView) e.ts_ms - s.vTs else -1L))
+            }
           state.update(s)
           out.iterator
       }

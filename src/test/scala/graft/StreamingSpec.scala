@@ -214,6 +214,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.collect().toSeq === want.collect().toSeq)
   }
 
+  test("streaming as-of attribution converges to the batch as-of join") {
+    // the streaming form keeps two scalars per user (latest view); the
+    // batch twin is the union+window as-of join j10_asof_attr — same
+    // rows, same tie rule, same -1 sentinels
+    val ordered = allEvents.sortBy(e => (e.ts_ms, e.event_id))
+    val got = runStream("asof_stream", ordered.grouped(400).toSeq,
+      ds => StreamOps.asofAttr(ds).toDF(), OutputMode.Append)
+      .orderBy($"event_id")
+    val want = QueryDef.catalogs.find(_.name == "j10_asof_attr").get
+      .run(spark, sf001)
+    assert(got.collect().toSeq === want.collect().toSeq)
+  }
+
+  test("streaming as-of tolerates arrival disorder inside a micro-batch") {
+    val rng = new scala.util.Random(7L)
+    val batchesA = allEvents.sortBy(e => (e.ts_ms, e.event_id))
+      .grouped(400).map(b => rng.shuffle(b)).toSeq
+    val got = runStream("asof_stream_shuffled", batchesA,
+      ds => StreamOps.asofAttr(ds).toDF(), OutputMode.Append)
+      .orderBy($"event_id")
+    val want = QueryDef.catalogs.find(_.name == "j10_asof_attr").get
+      .run(spark, sf001)
+    assert(got.collect().toSeq === want.collect().toSeq)
+  }
+
   test("ST12 tolerates arrival disorder inside a micro-batch") {
     // batches respect time order between them, but rows WITHIN each batch
     // arrive shuffled — the operator's per-group (ts_ms, event_id) sort
