@@ -96,6 +96,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"))
   }
 
+  test("scale tier: percentile and packing windows share one key exchange; sampler shuffles nothing") {
+    // a15_percentile_disc: row_number and the partition count must reuse
+    // the single returnflag exchange; a second hash exchange means the
+    // window specs stopped aligning
+    val pPct = plan("a15_percentile_disc")
+    assert(pPct.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1)
+    assert(pPct.contains("partial_max"), "percentile extraction lost map-side combine")
+    // pipe_pack_tokens: the prefix sum is one shuffle on the stratum key
+    val pPack = plan("pipe_pack_tokens")
+    assert(pPack.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1)
+    // smp_stratified: a pure row-function filter — no hash exchange at
+    // all, and the md5 keep/drop predicate reaches the scan
+    val pSmp = plan("smp_stratified")
+    assert(!pSmp.contains("Exchange hashpartitioning"), "sampler grew a shuffle")
+    assert(pSmp.linesIterator.exists(l => l.contains("FileScan") && l.contains("md5")),
+      "sampler predicate no longer at the scan")
+  }
+
+  test("pipe_decontam: benchmark shingle set is broadcast and hits count partially") {
+    val p = plan("pipe_decontam")
+    // the small held-out side must broadcast (at 100 TB: a Bloom filter
+    // plus this join as the exact pass); the per-doc hit count must
+    // combine map-side before the doc_id exchange
+    assert(p.contains("BroadcastHashJoin"), "benchmark side no longer broadcast")
+    assert(p.contains("partial_count"), "hit count lost map-side combine")
+  }
+
   test("no catalog query plans an unbounded CartesianProduct") {
     val offenders = QueryDef.catalogs.flatMap { q =>
       try {
