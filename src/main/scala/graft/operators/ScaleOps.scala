@@ -31,8 +31,8 @@ object ScaleOps {
     * unioned, and scanned once under a per-user running window — ONE hash
     * shuffle on the join key, linear work, and the window's running
     * `last(ignoreNulls)` carries the as-of match forward. This is the
-    * shape that survives 100 TB of events; PlanSpec asserts the plan has
-    * no nested-loop/cartesian join. Ties: views sort before purchases at
+    * shape that survives 100 TB of events; ScaleOpsSpec asserts the plan
+    * has no nested-loop/cartesian join. Ties: views sort before purchases at
     * equal timestamp (tag 0 < 1), so `ts_view == ts_purchase` matches,
     * and the highest view event_id wins among equal timestamps. Unmatched
     * purchases keep -1 sentinels (left-asof), so the oracle compare never
@@ -83,7 +83,8 @@ object ScaleOps {
   /** Skew-salted fact↔dim join through [[SkewJoin.saltedJoin]]: lineitem's
     * part key fanned across 8 salt buckets against an 8×-exploded part dim,
     * then brand totals. Semantically identical to the unsalted join (the
-    * oracle is the plain SQL join; SemanticsSpec asserts frame equality) —
+    * oracle is the plain SQL join; ScaleOpsSpec asserts frame equality,
+    * SemanticsSpec covers the hot-key degenerate case) —
     * the salt exists so one hot key spreads over 8 tasks instead of one,
     * the manual fallback when AQE's skew split can't see the skew. */
   val j11SaltedSkew = QueryDef(
@@ -175,7 +176,11 @@ object ScaleOps {
   val smpStratified = QueryDef(
     "smp_stratified",
     (s, dir) => {
-      val even = (substring(col("source"), 4, 10).cast("int") % 2) === 0
+      // substr-to-end + null-safe cast on BOTH sides: a source whose
+      // suffix isn't a clean integer routes to the odd/50% branch in
+      // Spark (cast → null → otherwise) and must do the same in DuckDB
+      // (TRY_CAST → NULL → ELSE) instead of erroring the oracle gate
+      val even = (expr("substr(source, 4)").cast("int") % 2) === 0
       T(s, dir).documents.select(col("doc_id"), col("source"), col("lang"))
         .withColumn("samp_key",
           substring(md5(col("doc_id").cast("string")), 1, 4))
@@ -186,11 +191,11 @@ object ScaleOps {
     oracle = Some("""
       SELECT doc_id, source, lang,
              substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS samp_key,
-             CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+             CASE WHEN TRY_CAST(substr(source, 4) AS INTEGER) % 2 = 0
                   THEN 2500 ELSE 5000 END AS rate_bp
       FROM documents
       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
-            CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+            CASE WHEN TRY_CAST(substr(source, 4) AS INTEGER) % 2 = 0
                  THEN '4000' ELSE '8000' END
       ORDER BY doc_id"""))
 

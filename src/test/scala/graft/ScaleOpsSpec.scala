@@ -64,8 +64,8 @@ class ScaleOpsSpec extends SparkSpec {
     assert(a === b, "hash sampler must be reproducible run-to-run")
     // rate check at sf0.01 (500 docs, ~250 per parity stratum): binomial
     // 3σ around 25% / 50% keeps the test stable but meaningful
-    val docs = Tables(spark, "/root/testdata/sf0.01").documents
-    val kept = run("smp_stratified", "/root/testdata/sf0.01")
+    val docs = Tables(spark, sf01).documents
+    val kept = run("smp_stratified", sf01)
       .withColumn("par", substring($"source", 4, 10).cast("int") % 2)
       .groupBy($"par").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = docs

@@ -14,4 +14,5 @@ object SparkSpec {
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.spark
   lazy val sf001 = "/root/testdata/sf0.001"
+  lazy val sf01 = "/root/testdata/sf0.01"
 }

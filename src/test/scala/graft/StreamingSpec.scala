@@ -218,7 +218,10 @@ class StreamingSpec extends SparkSpec {
     // the streaming form keeps two scalars per user (latest view); the
     // batch twin is the union+window as-of join j10_asof_attr — same
     // rows, same tie rule, same -1 sentinels
-    val ordered = allEvents.sortBy(e => (e.ts_ms, e.event_id))
+    // replay contract: views sort before purchases at equal ts_ms, so an
+    // equal-timestamp pair split across micro-batches still matches
+    val ordered = allEvents.sortBy(e =>
+      (e.ts_ms, e.event_type == "purchase", e.event_id))
     val got = runStream("asof_stream", ordered.grouped(400).toSeq,
       ds => StreamOps.asofAttr(ds).toDF(), OutputMode.Append)
       .orderBy($"event_id")
@@ -229,7 +232,8 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming as-of tolerates arrival disorder inside a micro-batch") {
     val rng = new scala.util.Random(7L)
-    val batchesA = allEvents.sortBy(e => (e.ts_ms, e.event_id))
+    val batchesA = allEvents.sortBy(e =>
+      (e.ts_ms, e.event_type == "purchase", e.event_id))
       .grouped(400).map(b => rng.shuffle(b)).toSeq
     val got = runStream("asof_stream_shuffled", batchesA,
       ds => StreamOps.asofAttr(ds).toDF(), OutputMode.Append)
