@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,6 +21,47 @@ import org.apache.spark.sql.functions._
 object ScaleOps {
 
   private def T(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** Generic left as-of join: every `left` row paired with the latest
+    * `right` row of the same `key` whose `rightTime <= leftTime` —
+    * `right`'s columns come back in a nullable `asof` struct (null when
+    * no right row precedes). Same single-shuffle union+window shape as
+    * [[j10AsofAttr]], generalized: both sides are tagged and unioned on
+    * (key, time), one hash exchange on the key, and a running
+    * `last(ignoreNulls)` carries the latest right row forward — never a
+    * range-predicate join. Ties: right rows sort before left rows at
+    * equal time (inclusive as-of), and among equal-time right rows the
+    * struct-greatest wins (deterministic when right rows are distinct).
+    * Column names must not collide with the three internal `__asof_*`
+    * tags; `left`/`right` may not share column names except via the
+    * returned struct. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val internal = Seq("__asof_t", "__asof_tag", "__asof_r")
+    require(!(left.columns ++ right.columns).exists(internal.contains),
+      s"asofJoin reserves ${internal.mkString(", ")}; rename them on the input")
+    val rStruct = struct(right.columns.map(col).toIndexedSeq: _*)
+    val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
+    val l = left
+      .withColumn("__asof_t", col(leftTime))
+      .withColumn("__asof_tag", lit(1))
+      .withColumn("__asof_r", lit(null).cast(rType))
+    val r = right
+      .select(col(key), col(rightTime).as("__asof_t"), lit(0).as("__asof_tag"),
+        rStruct.as("__asof_r"))
+    // align schemas: right rows carry nulls for left's payload columns
+    val rAligned = l.columns.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
+    }.select(l.columns.map(col).toIndexedSeq: _*)
+    val w = Window.partitionBy(key)
+      .orderBy(col("__asof_t"), col("__asof_tag"), col("__asof_r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(rAligned)
+      .withColumn("asof", last(col("__asof_r"), ignoreNulls = true).over(w))
+      .filter(col("__asof_tag") === 1)
+      .drop("__asof_t", "__asof_tag", "__asof_r")
+  }
 
   /** As-of join (point-in-time attribution): each `purchase` event joined
     * to the latest `view` event of the same user at-or-before it.
@@ -273,6 +314,43 @@ object ScaleOps {
       FROM tr JOIN b ON b.shingle = tr.shingle
       GROUP BY tr.doc_id ORDER BY tr.doc_id"""))
 
+  /** [[pipeDecontam]] with the Bloom pre-filter in front — the actual
+    * 100 TB decontamination shape. The benchmark shingle set is folded
+    * into a fixed-size Bloom filter (`DataFrameStatFunctions.bloomFilter`,
+    * a distributed treeAggregate; ~10 bits/key instead of the strings
+    * themselves) and broadcast; the training side drops non-candidate
+    * shingles BEFORE the exact join, so the expensive side of the join
+    * sees only Bloom survivors. False positives are then removed by the
+    * same exact equi-join as [[pipeDecontam]], which is why this variant
+    * shares its oracle verbatim: the Bloom stage may only pass extra
+    * candidates, never change the confirmed result. The filter build is
+    * a bounded driver-side action over the (small) benchmark stratum —
+    * same posture as the IVF centroid build. */
+  val pipeDecontamBloom = QueryDef(
+    "pipe_decontam_bloom",
+    (s, dir) => {
+      val toksAll = filter(split(lower(col("text")), " "), w => length(w) > lit(0))
+      val sh = T(s, dir).documents
+        .select(col("doc_id"), col("source"), toksAll.as("toks"))
+        .filter(size(col("toks")) >= lit(3))
+        .withColumn("sh", array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - lit(2)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(3))))))
+      val bench = sh.filter(col("source") === "src0")
+        .select(explode(col("sh")).as("shingle")).distinct()
+      val bloom = bench.stat.bloomFilter("shingle", 100000L, 0.01)
+      val bc = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((x: String) => x != null && bc.value.mightContain(x))
+      val train = sh.filter(col("source") =!= "src0")
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .filter(mightContain(col("shingle")))
+      train.join(bench, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = pipeDecontam.oracle)
+
   /** Payload scrubbing: mask every digit run in the raw event payload and
     * count the digits removed — the PII-redaction shape (emails, phone
     * numbers, ids) as a pure per-row projection, so it composes with any
@@ -300,5 +378,6 @@ object ScaleOps {
 
   val defs: Seq[QueryDef] = Seq(
     j10AsofAttr, j11SaltedSkew, a15PercentileDisc, a15PercentileApprox,
-    smpStratified, pipePackTokens, pipeDecontam, txtRedactNums)
+    smpStratified, pipePackTokens, pipeDecontam, pipeDecontamBloom,
+    txtRedactNums)
 }

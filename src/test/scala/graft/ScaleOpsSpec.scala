@@ -99,6 +99,29 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin generic API agrees with the specialized j10 query") {
+    val ev = Tables(spark, sf001).events
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_ms")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_event_id"), $"ts_ms".as("view_ts"))
+    val got = graft.operators.ScaleOps
+      .asofJoin(purchases, views, "user_id", "ts_ms", "view_ts")
+      .select($"event_id", $"user_id", $"ts_ms",
+        coalesce($"asof.view_event_id", lit(-1L)).as("view_event_id"),
+        coalesce($"asof.view_ts", lit(-1L)).as("view_ts_ms"),
+        coalesce($"ts_ms" - $"asof.view_ts", lit(-1L)).as("gap_ms"))
+      .orderBy($"event_id")
+    val want = run("j10_asof_attr")
+    assert(got.collect().toSeq === want.collect().toSeq)
+  }
+
+  test("pipe_decontam_bloom: the Bloom pre-filter never changes the confirmed result") {
+    val bloom = run("pipe_decontam_bloom").collect().map(_.toSeq).toSeq
+    val exact = run("pipe_decontam").collect().map(_.toSeq).toSeq
+    assert(bloom === exact)
+  }
+
   test("j11_salted_skew equals the unsalted brand totals on the real tables") {
     val t = Tables(spark, sf001)
     val plain = t.lineitem.select($"l_partkey".as("pk"), $"l_quantity".cast("long").as("qty"))
