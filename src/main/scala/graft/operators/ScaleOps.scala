@@ -282,13 +282,9 @@ object ScaleOps {
   val pipeDecontam = QueryDef(
     "pipe_decontam",
     (s, dir) => {
-      val toksAll = filter(split(lower(col("text")), " "), w => length(w) > lit(0))
       val sh = T(s, dir).documents
-        .select(col("doc_id"), col("source"), toksAll.as("toks"))
-        .filter(size(col("toks")) >= lit(3))
-        .withColumn("sh", array_distinct(transform(
-          sequence(lit(1), size(col("toks")) - lit(2)),
-          i => concat_ws(" ", slice(col("toks"), i, lit(3))))))
+        .select(col("doc_id"), col("source"), Text.shingles3(col("text")).as("sh"))
+        .filter(col("sh").isNotNull)
       val bench = sh.filter(col("source") === "src0")
         .select(explode(col("sh")).as("shingle")).distinct()
       val train = sh.filter(col("source") =!= "src0")
@@ -329,13 +325,9 @@ object ScaleOps {
   val pipeDecontamBloom = QueryDef(
     "pipe_decontam_bloom",
     (s, dir) => {
-      val toksAll = filter(split(lower(col("text")), " "), w => length(w) > lit(0))
       val sh = T(s, dir).documents
-        .select(col("doc_id"), col("source"), toksAll.as("toks"))
-        .filter(size(col("toks")) >= lit(3))
-        .withColumn("sh", array_distinct(transform(
-          sequence(lit(1), size(col("toks")) - lit(2)),
-          i => concat_ws(" ", slice(col("toks"), i, lit(3))))))
+        .select(col("doc_id"), col("source"), Text.shingles3(col("text")).as("sh"))
+        .filter(col("sh").isNotNull)
       val bench = sh.filter(col("source") === "src0")
         .select(explode(col("sh")).as("shingle")).distinct()
       val bloom = bench.stat.bloomFilter("shingle", 100000L, 0.01)
