@@ -63,6 +63,62 @@ object ScaleOps {
       .drop("__asof_t", "__asof_tag", "__asof_r")
   }
 
+  /** Distributed connected components over an undirected edge list:
+    * returns (node, component) where `component` is the minimum node id
+    * reachable from `node`. This is the clustering primitive transitive
+    * dedup needs (A≈B and B≈C must collapse to ONE cluster even when A
+    * and C never collide directly — see [[Similarity.ddMinhashCc]]).
+    *
+    * Shape: min-label propagation with pointer jumping. Each iteration
+    * (1) lowers every node's label to the min over its neighbours'
+    * labels (hash join edges⋈labels + partial-aggregating groupBy-min —
+    * duplicate edges are harmless to a min, so the symmetrized edge
+    * list is NOT deduplicated: `distinct` would add a full shuffle for
+    * nothing), then (2) pointer-jumps `l(v) ← l(l(v))` (labels are
+    * always node ids, so the label table joins to itself), which
+    * short-circuits long chains: a path of diameter d converges in
+    * O(log d) iterations, not O(d). Every iteration is a fixed set of
+    * hash shuffles over (V+E) rows — no driver collect; the frame is
+    * `localCheckpoint`ed per iteration to truncate lineage (at cluster
+    * scale you'd swap in a reliable checkpoint dir). Convergence is
+    * detected on the materialized frame (any label lowered?); the
+    * driver-side loop is bounded by `maxIter`, the same bounded-action
+    * posture as the IVF centroid build. Throws if `maxIter` is hit
+    * before the fixpoint rather than returning a half-merged
+    * clustering. */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+      maxIter: Int = 30): DataFrame = {
+    val e = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0L && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("b"), col("label").as("b_label")), Seq("b"))
+        .groupBy(col("a").as("node")).agg(min(col("b_label")).as("nbr_label"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("label").as("old"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("l1"))
+      // pointer jump: follow the new label to ITS new label
+      val jump = stepped.select(col("node").as("l1"), col("l1").as("l2"))
+      val next = stepped.join(jump, Seq("l1"), "left")
+        .select(col("node"), col("old"),
+          least(col("l1"), coalesce(col("l2"), col("l1"))).as("label"))
+        .localCheckpoint() // eager: one materialization feeds both uses below
+      changed = next.filter(col("label") < col("old")).limit(1).count()
+      labels = next.select(col("node"), col("label"))
+      iter += 1
+    }
+    if (changed > 0L)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations")
+    labels
+  }
+
   /** As-of join (point-in-time attribution): each `purchase` event joined
     * to the latest `view` event of the same user at-or-before it.
     *

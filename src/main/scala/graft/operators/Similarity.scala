@@ -362,53 +362,63 @@ object Similarity {
     * branches — at 100 TB this is the difference between one corpus read
     * and three). Deterministic; rows-only check (DuckDB lacks the hash
     * kernel). */
+  /** Shared MinHash feature frame for [[ddMinhash]] / [[ddMinhashCc]]:
+    * one scan of `documents` → (doc_id, bands, toks), persisted.
+    *
+    * Bucket values per band come from one fused JVM pass over the raw
+    * text: tokenize (lower, split on space, len>3 — same rule as the
+    * builtin `tokens` used by the verify joins; duplicates don't move a
+    * min, so no distinct needed) then 32 keyed minhashes folded into
+    * 8 bands of 4. Taking the string instead of a token array keeps the
+    * interpreted higher-order filter/transform lambdas out of the
+    * per-row hot path entirely. Both dedup queries share the SAME cache
+    * key, so running one warms the other — and neither ever re-scans
+    * the corpus for a second plan branch. */
+  private def minhashFeat(s: SparkSession, dir: String): DataFrame = {
+    val nHashes = 32
+    val nBands = 8
+    val rowsPerBand = nHashes / nBands
+    val seeds = Array.tabulate(nHashes)(i => fmix64(0x9e3779b97f4a7c15L * (i + 1)))
+    val bandBucketsUdf = udf((text: String) => {
+      if (text == null) Array.empty[Long]
+      else {
+      val mins = Array.fill(nHashes)(Long.MaxValue)
+      text.toLowerCase(java.util.Locale.ROOT).split(" ").foreach { t =>
+        if (t.length > 3) {
+          val th = fnv64(t)
+          var i = 0
+          while (i < nHashes) {
+            val h = fmix64(th ^ seeds(i))
+            if (h < mins(i)) mins(i) = h
+            i += 1
+          }
+        }
+      }
+      if (mins(0) == Long.MaxValue) Array.empty[Long] // no tokens → no bands
+      else Array.tabulate(nBands) { b =>
+        var acc = 1125899906842597L
+        var j = 0
+        while (j < rowsPerBand) { acc = acc * 31 + mins(b * rowsPerBand + j); j += 1 }
+        fmix64(acc)
+      }
+      }
+    })
+    // the SAME tokenizer rule the signature kernel fuses — shared from
+    // Text so the verify joins can never drift from the Text operators
+    val toks = Text.tokens(col("text"))
+    cachedFeature(s, s"dd_minhash:$dir") {
+      T(s, dir).documents
+        .select(col("doc_id"), bandBucketsUdf(col("text")).as("bands"), toks.as("toks"))
+    }
+  }
+
   val ddMinhash = QueryDef(
     "dd_minhash",
     (s, dir) => {
-      val nHashes = 32
-      val nBands = 8
-      val rowsPerBand = nHashes / nBands
-      val seeds = Array.tabulate(nHashes)(i => fmix64(0x9e3779b97f4a7c15L * (i + 1)))
-      // bucket values per band from one fused JVM pass over the raw text:
-      // tokenize (lower, split on space, len>3 — same rule as the builtin
-      // `tokens` used by the verify join; duplicates don't move a min, so
-      // no distinct needed) then 32 keyed minhashes. Taking the string
-      // instead of a token array keeps the interpreted higher-order
-      // filter/transform lambdas out of the per-row hot path entirely.
-      val bandBucketsUdf = udf((text: String) => {
-        if (text == null) Array.empty[Long]
-        else {
-        val mins = Array.fill(nHashes)(Long.MaxValue)
-        text.toLowerCase(java.util.Locale.ROOT).split(" ").foreach { t =>
-          if (t.length > 3) {
-            val th = fnv64(t)
-            var i = 0
-            while (i < nHashes) {
-              val h = fmix64(th ^ seeds(i))
-              if (h < mins(i)) mins(i) = h
-              i += 1
-            }
-          }
-        }
-        if (mins(0) == Long.MaxValue) Array.empty[Long] // no tokens → no bands
-        else Array.tabulate(nBands) { b =>
-          var acc = 1125899906842597L
-          var j = 0
-          while (j < rowsPerBand) { acc = acc * 31 + mins(b * rowsPerBand + j); j += 1 }
-          fmix64(acc)
-        }
-        }
-      })
-      // the SAME tokenizer rule the signature kernel fuses — shared from
-      // Text so the verify join can never drift from the Text operators
-      val toks = Text.tokens(col("text"))
       // ONE pass over documents: band buckets + token set per doc, cached
       // for the three consumers below (banding, verify doc side, verify
       // keeper side).
-      val feat = cachedFeature(s, s"dd_minhash:$dir") {
-        T(s, dir).documents
-          .select(col("doc_id"), bandBucketsUdf(col("text")).as("bands"), toks.as("toks"))
-      }
+      val feat = minhashFeat(s, dir)
       val d = feat.select(col("doc_id"), col("toks"))
         .filter(size(col("toks")) > lit(0))
       val banded = feat
@@ -436,6 +446,66 @@ object Similarity {
     },
     oracle = None,
     headline = true)
+
+  /** Transitive MinHash dedup clustering: [[ddMinhash]]'s candidate
+    * generation, but instead of electing one keeper per document, the
+    * verified candidate pairs become edges of a duplicate GRAPH and
+    * every connected component collapses to one cluster — the semantics
+    * a corpus-level dedup actually needs (A≈B and B≈C put A, B, C in
+    * ONE cluster keyed by min doc_id, even when A and C never share a
+    * bucket and their direct Jaccard is below threshold). Per-bucket
+    * keeper election cannot express this transitivity; large-scale
+    * dedup pipelines run exactly this candidate→verify→components
+    * sequence over web corpora.
+    *
+    * Scale shape, stage by stage: candidate edges are the per-bucket
+    * STAR edges (doc → bucket-min) — linear in bucket size, never
+    * all-pairs-within-bucket, and a star reaches every co-bucketed doc
+    * so bucket connectivity is fully preserved; each distinct candidate
+    * edge (≤ nBands per doc) is verified by exact Jaccard ≥ 50% before
+    * it can merge clusters (LSH false positives die here, so components
+    * only ever contain verified-duplicate links); components come from
+    * [[ScaleOps.connectedComponents]] (min-label propagation + pointer
+    * jumping, bounded iterations, no driver collect). Reads the same
+    * persisted single-scan feature frame as `dd_minhash`. Output: one
+    * row per clustered doc — (doc_id, cluster_id, cluster_size) with
+    * cluster_id = the component's min doc_id (cluster members with
+    * doc_id == cluster_id are the kept representatives; the rest are
+    * the drop set). Deterministic; rows-only check (hash-seeded
+    * banding), transitive-chain fixture in SemanticsSpec. */
+  val ddMinhashCc = QueryDef(
+    "dd_minhash_cc",
+    (s, dir) => {
+      val feat = minhashFeat(s, dir)
+      val d = feat.select(col("doc_id"), col("toks"))
+        .filter(size(col("toks")) > lit(0))
+      val banded = feat
+        .select(col("doc_id"), posexplode(col("bands")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val keepers = banded.groupBy(col("band"), col("bucket"))
+        .agg(min(col("doc_id")).as("keeper"))
+      // distinct star edges (a doc pairs with ≤ nBands bucket-mins)
+      val candEdges = banded.join(keepers, Seq("band", "bucket"))
+        .filter(col("keeper") < col("doc_id"))
+        .select(col("doc_id").as("a"), col("keeper").as("b"))
+        .distinct()
+      // exact verify every edge: only true near-dup links may merge
+      val verified = candEdges
+        .join(d.select(col("doc_id").as("a"), col("toks").as("a_toks")), Seq("a"))
+        .join(d.select(col("doc_id").as("b"), col("toks").as("b_toks")), Seq("b"))
+        .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))).cast("long"))
+        .withColumn("uni", size(array_union(col("a_toks"), col("b_toks"))).cast("long"))
+        .filter(col("uni") > lit(0L) && expr("(inter * 100) div uni") >= lit(50L))
+        .select(col("a"), col("b"))
+      val comp = ScaleOps.connectedComponents(verified, "a", "b")
+      comp
+        .join(comp.groupBy(col("label")).agg(count(lit(1)).as("cluster_size")),
+          Seq("label"))
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = None)
 
   /** SimHash near-dup: 64-bit simhash from per-token avalanche hashes,
     * banded by 8×8 bits, hamming distance verified against a ≤ 6
@@ -711,5 +781,5 @@ object Similarity {
   }
 
   val defs: Seq[QueryDef] = Seq(simTopkDot, simTopkCosine, simTopkCosineQ,
-    simLshTopk, simIvfTopk, ddMinhash, ddSimhash, ddEmbedding)
+    simLshTopk, simIvfTopk, ddMinhash, ddMinhashCc, ddSimhash, ddEmbedding)
 }

@@ -122,6 +122,66 @@ class ScaleOpsSpec extends SparkSpec {
     assert(bloom === exact)
   }
 
+  test("connectedComponents matches union-find on random graphs") {
+    val rng = new scala.util.Random(1234)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(70)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // brute-force union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val want = nodes.map { v =>
+        // component label = min node id in the component
+        val root = find(v.toInt)
+        v -> nodes.filter(u => find(u.toInt) == root).min
+      }.toMap
+      val got = graft.operators.ScaleOps
+        .connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
+
+  test("connectedComponents: pointer jumping converges on a long chain") {
+    // a 400-node path has diameter 399; plain min-propagation needs ~399
+    // rounds — pointer jumping must land it inside the 30-iteration bound
+    val chain = (0L until 399L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = graft.operators.ScaleOps.connectedComponents(chain, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 400)
+    assert(got.forall(_._2 === 0L), "every chain node must label to the min id 0")
+  }
+
+  test("dd_minhash_cc: transitive chain collapses to one cluster") {
+    // one-word-shift chain over 16-token docs: adjacent docs share
+    // 15/17 tokens (88% — per-band collision 0.88^4 ≈ 0.60, so a missed
+    // link needs all 8 bands to miss: p ≈ 4e-4 per link, and the seeds
+    // are fixed so the outcome is deterministic), while the endpoints
+    // 1 and 8 share only 9/23 (39%) — BELOW the 50% verify threshold,
+    // so no direct 1–8 edge can exist. Per-bucket keeper election
+    // cannot merge the ends; the components form must put all eight in
+    // cluster 1.
+    val words = (1 to 23).map(i => f"token$i%02d")
+    val chain = (1 to 8).map(d => (d.toLong, words.slice(d - 1, d + 15).mkString(" ")))
+    val docs = (chain :+ ((9L, "zulus yankee xrays whiskey victor uniform tango sierra")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Similarity.ddMinhashCc.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size")))
+    assert(out.toSeq === (1 to 8).map(d => (d.toLong, 1L, 8L)),
+      s"got ${out.toSeq}")
+  }
+
   test("j11_salted_skew equals the unsalted brand totals on the real tables") {
     val t = Tables(spark, sf001)
     val plain = t.lineitem.select($"l_partkey".as("pk"), $"l_quantity".cast("long").as("qty"))
