@@ -1,19 +1,22 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** One scored candidate flowing into the bounded top-k aggregation:
   * `score` orders (descending), `id` breaks ties (ascending) and names the
-  * neighbor, `pay` is an opaque integer payload carried through unchanged
-  * (the exact-integer tier threads its Long dot product here so no
-  * double→long round-trip is ever needed on the output path). */
-final case class Scored(score: Double, id: Long, pay: Long)
+  * neighbor, `pay` is an opaque payload carried through unchanged. The
+  * exact-integer similarity tier threads its Long dot product as `pay` (so
+  * no double→long round-trip is ever needed on the output path); the
+  * recent-N operator threads a String column. Payload is a type parameter
+  * rather than a fixed Long so each call site keeps a flat, fully-encoded
+  * struct — no serialized blobs, no parallel aggregator classes. */
+final case class Scored[P](score: Double, id: Long, pay: P)
 
 /** The aggregation buffer/result: at most k candidates, kept sorted by
   * (score desc, id asc). A case class (not a bare Seq) so the buffer
   * serializes through `Encoders.product` — array-of-struct column out. */
-final case class TopKBuf(items: Seq[Scored])
+final case class TopKBuf[P](items: Seq[Scored[P]])
 
 /** Bounded top-k as a typed `Aggregator`: the partial-aggregating
   * replacement for `row_number().over(Window.partitionBy(qid))` ranking.
@@ -31,30 +34,33 @@ final case class TopKBuf(items: Seq[Scored])
   * order (null scores must be filtered by the caller; NaN never wins a
   * `>` comparison and is effectively excluded, whereas a desc window
   * sorts NaN first — no catalog input produces NaN).
-  */
-final class TopKAggregator(k: Int)
-    extends Aggregator[Scored, TopKBuf, TopKBuf] with Serializable {
+  *
+  * The buffer encoder comes in implicitly (concrete call sites summon it
+  * via `Encoders.product[TopKBuf[...]]`), since a generic payload has no
+  * TypeTag here. */
+final class TopKAggregator[P](k: Int)(implicit enc: Encoder[TopKBuf[P]])
+    extends Aggregator[Scored[P], TopKBuf[P], TopKBuf[P]] with Serializable {
 
-  private def beats(a: Scored, b: Scored): Boolean =
+  private def beats(a: Scored[P], b: Scored[P]): Boolean =
     a.score > b.score || (a.score == b.score && a.id < b.id)
 
   /** Insert preserving order, capped at k. O(k) per row with k tiny. */
-  private def insert(items: Seq[Scored], x: Scored): Seq[Scored] =
+  private def insert(items: Seq[Scored[P]], x: Scored[P]): Seq[Scored[P]] =
     if (items.length >= k && !beats(x, items.last)) items
     else {
       val (pre, post) = items.span(beats(_, x))
       ((pre :+ x) ++ post).take(k)
     }
 
-  override def zero: TopKBuf = TopKBuf(Vector.empty)
+  override def zero: TopKBuf[P] = TopKBuf(Vector.empty)
 
-  override def reduce(b: TopKBuf, x: Scored): TopKBuf = TopKBuf(insert(b.items, x))
+  override def reduce(b: TopKBuf[P], x: Scored[P]): TopKBuf[P] = TopKBuf(insert(b.items, x))
 
-  override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf =
+  override def merge(b1: TopKBuf[P], b2: TopKBuf[P]): TopKBuf[P] =
     TopKBuf(b2.items.foldLeft(b1.items)(insert))
 
-  override def finish(b: TopKBuf): TopKBuf = b
+  override def finish(b: TopKBuf[P]): TopKBuf[P] = b
 
-  override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
-  override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  override def bufferEncoder: Encoder[TopKBuf[P]] = enc
+  override def outputEncoder: Encoder[TopKBuf[P]] = enc
 }

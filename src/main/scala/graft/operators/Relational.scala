@@ -610,6 +610,46 @@ object Relational {
                 ORDER BY ts DESC, event_id DESC) AS rn FROM events)
       WHERE rn <= 3 ORDER BY user_id, rn"""))
 
+  /** W3 at scale: the IDENTICAL recent-3-per-user result as
+    * [[w3RecentPerKey]], computed with the bounded top-k aggregator
+    * ([[graft.functions.TopKAggregator]]) instead of a ranking window —
+    * so the window form's oracle applies verbatim and the driver
+    * hash-checks both paths against the same SQL.
+    *
+    * Why it exists: the window form shuffles EVERY event and sorts each
+    * user's slice before discarding all but 3 rows. The aggregator holds
+    * a 3-row heap per (task, key) in partial (map-side) aggregation, so
+    * the exchange carries at most 3 rows per partition per key — on the
+    * reference's actual W3 workload (a few hot channels, unbounded
+    * messages: ws-server.ts:149-150, message-store.ts:30-45) that is the
+    * difference between shipping the corpus and shipping k·channels
+    * rows. The window's (ts desc, event_id desc) order is encoded into
+    * the heap's (score desc, id asc) total order as (score = ts_ms,
+    * id = −event_id); PlanSpec asserts no Window node and a partial
+    * ObjectHashAggregate. */
+  val w3RecentTopk = QueryDef(
+    "w3_recent_topk",
+    (s, dir) => {
+      implicit val bufEnc = org.apache.spark.sql.Encoders
+        .product[graft.functions.TopKBuf[String]]
+      val top3 = udaf(new graft.functions.TopKAggregator[String](3),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored[String]])
+      T(s, dir).events
+        .groupBy(col("user_id"))
+        .agg(top3(col("ts_ms").cast("double"), -col("event_id"),
+          col("event_type")).as("top"))
+        .select(col("user_id"), posexplode(col("top.items")))
+        .select(col("user_id"), (col("pos") + lit(1)).cast("long").as("rn"),
+          (-col("col.id")).as("event_id"), col("col.pay").as("event_type"))
+        .orderBy(col("user_id"), col("rn"))
+    },
+    oracle = Some("""
+      SELECT user_id, rn, event_id, event_type
+      FROM (SELECT user_id, event_id, event_type,
+              ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      WHERE rn <= 3 ORDER BY user_id, rn"""))
+
   /** W5 before-cursor pagination (message-store.ts:38-44): history strictly
     * before a cursor, newest `limit` rows per key. */
   val w5BeforeCursor = QueryDef(
@@ -811,7 +851,7 @@ object Relational {
     a1VoteTally, a2ThresholdDecision, a3EpochAgg, a5TimeBuckets, a6Argmax,
     a9FeeAccounting, a10DiscoveryScore, a11SuccessRate, a14DistinctCount,
     a14ApproxDistinct,
-    w2Pagination, w3RecentPerKey, w5BeforeCursor, w6TierMultiplier,
+    w2Pagination, w3RecentPerKey, w3RecentTopk, w5BeforeCursor, w6TierMultiplier,
     so1Except, so2DedupKeyed, so3Union, so4Intersect,
     fSlug, fTier, fJsonExtract, fHash, fDatetime)
 }

@@ -79,7 +79,10 @@ object Similarity {
 
   // --- bounded top-k ranking (the scale-safe window replacement) ---
 
-  private lazy val topk5 = udaf(new TopKAggregator(5), Encoders.product[Scored])
+  private lazy val topk5 = {
+    implicit val bufEnc = Encoders.product[graft.functions.TopKBuf[Long]]
+    udaf(new TopKAggregator[Long](5), Encoders.product[Scored[Long]])
+  }
 
   /** Memoized persisted feature frames, keyed per (session, query, dir):
     * the dedup queries cache a single-scan feature frame for their plan

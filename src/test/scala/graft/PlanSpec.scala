@@ -67,6 +67,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("w3_recent_topk: bounded heap partially aggregates, no ranking window") {
+    val p = plan("w3_recent_topk")
+    // the windowed twin sorts every user's full event slice; the heap form
+    // must ship at most 3 rows per (partition, user) through the exchange
+    assert(p.contains("partial_topkaggregator"), "no partial top-k agg")
+    assert(!p.contains("Window"), "window ranking crept back")
+  }
+
   test("sim_ivf_topk: cell assignment is a per-row kernel, not a shuffle on vec_id") {
     val p = plan("sim_ivf_topk")
     // the join-explode form shuffled corpus×nCells full-width rows to pick

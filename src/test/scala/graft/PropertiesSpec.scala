@@ -109,7 +109,8 @@ class PropertiesSpec extends SparkSpec {
 
   test("TopKAggregator equals global sort-take under arbitrary partition splits") {
     import graft.functions.{Scored, TopKAggregator, TopKBuf}
-    val agg = new TopKAggregator(5)
+    implicit val bufEnc = org.apache.spark.sql.Encoders.product[TopKBuf[Long]]
+    val agg = new TopKAggregator[Long](5)
     // duplicate scores (choose from a small score pool) force tie-breaks
     val rowGen = Gen.listOfN(80, Gen.zip(Gen.choose(0, 9), Gen.choose(0L, 200L)))
     samples(rowGen, 25, seed = 77L).foreach { raw =>
@@ -132,7 +133,7 @@ class PropertiesSpec extends SparkSpec {
       // and through the actual Spark aggregation path
       val got = items.toDF("score", "id", "pay")
         .repartition(7)
-        .agg(udaf(agg, org.apache.spark.sql.Encoders.product[Scored])
+        .agg(udaf(agg, org.apache.spark.sql.Encoders.product[Scored[Long]])
           (col("score"), col("id"), col("pay")).as("top"))
         .select(explode(col("top.items")).as("s"))
         .select(col("s.score"), col("s.id"), col("s.pay"))
