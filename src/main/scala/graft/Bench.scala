@@ -101,9 +101,11 @@ object Bench {
 
     val headline = QueryDef.catalogs.filter(_.headline)
     def time(q: QueryDef, dir: String): Double = {
-      // cold per run: drop memoized dedup feature frames so min-of-2
-      // measures the full pipeline, not the previous run's cache
+      // cold per run: drop memoized dedup feature frames and Bloom
+      // broadcasts so min-of-2 measures the full pipeline, not the
+      // previous run's cache
       graft.operators.Similarity.clearFeatureCache()
+      graft.operators.ScaleOps.clearBloomCache()
       val t0 = System.nanoTime()
       q.run(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
@@ -126,6 +128,7 @@ object Bench {
       * cross-tier contamination, invisible at the default 8g heap. */
     def resetBetweenTiers(): Unit = {
       graft.operators.Similarity.clearFeatureCache()
+      graft.operators.ScaleOps.clearBloomCache()
       spark.catalog.clearCache()
       System.gc()
     }

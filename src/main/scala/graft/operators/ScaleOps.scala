@@ -22,6 +22,33 @@ object ScaleOps {
 
   private def T(s: SparkSession, dir: String) = Tables(s, dir)
 
+  /** Memoized broadcast Bloom filters keyed per (session, dir): a query
+    * function can run many times in one session (bench passes,
+    * determinism re-runs) and a `SparkContext.broadcast` is pinned on
+    * driver and executors until destroyed — without the memo each run
+    * would leak a fresh copy for the session's lifetime. Same posture as
+    * `Similarity.featCache`: synchronized, stopped-session eviction, and
+    * an explicit clear for harnesses that want cold runs. */
+  private val bloomCache = scala.collection.mutable.HashMap
+    .empty[(SparkSession, String),
+      org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]
+  private def cachedBloom(s: SparkSession, key: String)(
+      build: => org.apache.spark.util.sketch.BloomFilter)
+      : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter] =
+    bloomCache.synchronized {
+      bloomCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      bloomCache.getOrElseUpdate((s, key), s.sparkContext.broadcast(build))
+    }
+
+  /** Destroys and forgets every memoized Bloom broadcast (Try-wrapped:
+    * one stopped session must not abort clearing the rest). Bench calls
+    * this alongside `Similarity.clearFeatureCache` so timed runs build
+    * the filter cold. */
+  def clearBloomCache(): Unit = bloomCache.synchronized {
+    bloomCache.values.foreach(b => scala.util.Try(b.destroy()))
+    bloomCache.clear()
+  }
+
   /** Generic left as-of join: every `left` row paired with the latest
     * `right` row of the same `key` whose `rightTime <= leftTime` —
     * `right`'s columns come back in a nullable `asof` struct (null when
@@ -37,7 +64,9 @@ object ScaleOps {
     * returned struct. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String): DataFrame = {
-    val internal = Seq("__asof_t", "__asof_tag", "__asof_r")
+    // "asof" is reserved too: withColumn would silently REPLACE a
+    // pre-existing left column of that name instead of erroring
+    val internal = Seq("__asof_t", "__asof_tag", "__asof_r", "asof")
     require(!(left.columns ++ right.columns).exists(internal.contains),
       s"asofJoin reserves ${internal.mkString(", ")}; rename them on the input")
     val rStruct = struct(right.columns.map(col).toIndexedSeq: _*)
@@ -90,7 +119,13 @@ object ScaleOps {
       maxIter: Int = 30): DataFrame = {
     val e = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
+    // materialize the symmetrized edge list ONCE: it is re-read every
+    // iteration, and without this the caller's entire upstream pipeline
+    // (e.g. dd_minhash_cc's band-explode + verify joins) would re-execute
+    // per iteration — the docstring's per-iteration cost claim holds only
+    // because this is a checkpoint, not a lazy plan
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
@@ -273,11 +308,13 @@ object ScaleOps {
   val smpStratified = QueryDef(
     "smp_stratified",
     (s, dir) => {
-      // substr-to-end + null-safe cast on BOTH sides: a source whose
-      // suffix isn't a clean integer routes to the odd/50% branch in
-      // Spark (cast → null → otherwise) and must do the same in DuckDB
-      // (TRY_CAST → NULL → ELSE) instead of erroring the oracle gate
-      val even = (expr("substr(source, 4)").cast("int") % 2) === 0
+      // substr-to-end + TRY_CAST on BOTH sides: a source whose suffix
+      // isn't a clean integer routes to the odd/50% branch in Spark
+      // (try_cast → null → otherwise) and does the same in DuckDB
+      // (TRY_CAST → NULL → ELSE). A plain .cast would THROW under the
+      // engine's default ANSI mode instead of yielding null — the
+      // null-propagating fallback documented here requires try_cast.
+      val even = (expr("try_cast(substr(source, 4) as int)") % 2) === 0
       T(s, dir).documents.select(col("doc_id"), col("source"), col("lang"))
         .withColumn("samp_key",
           substring(md5(col("doc_id").cast("string")), 1, 4))
@@ -386,8 +423,14 @@ object ScaleOps {
         .filter(col("sh").isNotNull)
       val bench = sh.filter(col("source") === "src0")
         .select(explode(col("sh")).as("shingle")).distinct()
-      val bloom = bench.stat.bloomFilter("shingle", 100000L, 0.01)
-      val bc = s.sparkContext.broadcast(bloom)
+      // capacity from the ACTUAL benchmark shingle count (a bounded
+      // driver action on the small stratum, memoized with the filter):
+      // a hardcoded capacity silently degrades the 1% fpp — and with it
+      // the entire point of the pre-filter — once the stratum outgrows it
+      val bc = cachedBloom(s, s"decontam:$dir") {
+        val n = math.max(1000L, bench.count())
+        bench.stat.bloomFilter("shingle", n, 0.01)
+      }
       val mightContain = udf((x: String) => x != null && bc.value.mightContain(x))
       val train = sh.filter(col("source") =!= "src0")
         .select(col("doc_id"), explode(col("sh")).as("shingle"))

@@ -423,7 +423,14 @@ object StreamOps {
             .sortBy(e => (e.ts_ms, e.event_type == "purchase", e.event_id))
             .flatMap { e =>
               if (e.event_type == "view") {
-                s = AsofState(hasView = true, e.event_id, e.ts_ms)
+                // monotonic guard: a view older than the stored one (a
+                // late arrival from a previous micro-batch) must not
+                // regress the latest-view state — the batch twin
+                // attributes each purchase to the LATEST preceding view,
+                // ties to the highest event_id
+                if (!s.hasView || e.ts_ms > s.vTs ||
+                    (e.ts_ms == s.vTs && e.event_id > s.vId))
+                  s = AsofState(hasView = true, e.event_id, e.ts_ms)
                 None
               } else Some(AsofResult(e.event_id, user, e.ts_ms,
                 if (s.hasView) s.vId else -1L,

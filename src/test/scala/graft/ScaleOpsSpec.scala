@@ -64,17 +64,38 @@ class ScaleOpsSpec extends SparkSpec {
     assert(a === b, "hash sampler must be reproducible run-to-run")
     // rate check at sf0.01 (500 docs, ~250 per parity stratum): binomial
     // 3σ around 25% / 50% keeps the test stable but meaningful
+    // the SAME parity expression as the operator (substr-to-end +
+    // try_cast): a substring(4,10) twin would disagree on >13-char
+    // sources, and a plain cast would throw under ANSI on a
+    // non-numeric suffix instead of exercising the fallback branch
+    val par = expr("coalesce(try_cast(substr(source, 4) as int) % 2, 1)")
     val docs = Tables(spark, sf01).documents
     val kept = run("smp_stratified", sf01)
-      .withColumn("par", substring($"source", 4, 10).cast("int") % 2)
+      .withColumn("par", par)
       .groupBy($"par").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = docs
-      .withColumn("par", substring($"source", 4, 10).cast("int") % 2)
+      .withColumn("par", par)
       .groupBy($"par").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val evenRate = kept(0).toDouble / total(0)
     val oddRate = kept(1).toDouble / total(1)
     assert(math.abs(evenRate - 0.25) < 0.10, s"even-source rate $evenRate vs 0.25")
     assert(math.abs(oddRate - 0.50) < 0.10, s"odd-source rate $oddRate vs 0.50")
+  }
+
+  test("smp_stratified: non-numeric source suffix routes to the 50% branch, not an ANSI throw") {
+    val docs = (1L to 40L).map(i => (i, "webcrawl", "en", s"doc $i text"))
+      .toDF("doc_id", "source", "lang", "text")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-smp").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // 'webcrawl'.substr(4) = 'crawl' — not an integer; a plain cast
+    // throws CAST_INVALID_INPUT under the engine's default ANSI mode,
+    // while the documented fallback must keep at the odd/50% rate
+    val out = run("smp_stratified", dir).collect()
+    assert(out.nonEmpty, "sampler dropped everything on the fallback stratum")
+    assert(out.forall(_.getAs[Int]("rate_bp") === 5000),
+      "fallback stratum must carry the 50% rate_bp")
+    assert(out.forall(_.getAs[String]("samp_key") < "8000"))
   }
 
   test("pipe_pack_tokens: offsets are a conserved prefix sum and bins are start-aligned") {

@@ -243,6 +243,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.collect().toSeq === want.collect().toSeq)
   }
 
+  test("streaming as-of: a late cross-batch view cannot regress the latest-view state") {
+    // batch 1 delivers the newer view; batch 2 delivers an OLDER view
+    // (late cross-batch arrival) and then a purchase. The state's
+    // monotonic guard must keep the newer view as the attribution —
+    // exactly what the batch twin computes for the same rows.
+    val b1 = Seq(Ev(7L, 1L, "view", 0.0, 200L))
+    val b2 = Seq(Ev(3L, 1L, "view", 0.0, 100L),
+      Ev(9L, 1L, "purchase", 0.0, 300L))
+    val got = runStream("asof_stream_late_view", Seq(b1, b2),
+      ds => StreamOps.asofAttr(ds).toDF(), OutputMode.Append).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("view_event_id") === 7L, r.toString)
+    assert(r.getAs[Long]("view_ts_ms") === 200L)
+    assert(r.getAs[Long]("gap_ms") === 100L)
+  }
+
   test("ST12 tolerates arrival disorder inside a micro-batch") {
     // batches respect time order between them, but rows WITHIN each batch
     // arrive shuffled — the operator's per-group (ts_ms, event_id) sort
