@@ -1,0 +1,54 @@
+package graft
+
+/** Ad-hoc decade timing for ANY catalog queries — the measurement-protocol
+  * twin of [[Bench]] for non-headline operators (the scale-pattern tier,
+  * plan-shape experiments, SURVEY §6 decade tables).
+  *
+  * Usage:
+  * {{{
+  * sbt "runMain graft.TimeQueries q1,q2 /root/testdata/sf0.1 /tmp/graft-sf1"
+  * }}}
+  *
+  * Protocol matches §6.2's hardened harness: three INTERLEAVED passes over
+  * every (query, tier) pair — pass 0 doubles as warm-up, still counted —
+  * taking the min per pair, so each pair's samples land minutes apart and a
+  * correlated bad host window cannot poison all of them; memoized feature
+  * frames and Bloom broadcasts are dropped before every run so each sample
+  * pays the full cold pipeline; results materialize through the noop sink
+  * (execution cost without write cost). Per-pass times go to stderr, one
+  * `TIME <query> <tier>=<s> ... ratio=` line per query to stdout (ratio =
+  * last tier / first tier when two tiers are given). */
+object TimeQueries {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: TimeQueries <q1,q2,...> <dir> [dir2 ...]")
+    val names = args(0).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    val dirs = args.drop(1).toSeq
+    val defs = names.map { n =>
+      QueryDef.catalogs.find(_.name == n)
+        .getOrElse(sys.error(s"unknown catalog query: $n"))
+    }
+    val spark = Engine.session(appName = "graft-time")
+    def time(q: QueryDef, dir: String): Double = {
+      operators.Similarity.clearFeatureCache()
+      operators.ScaleOps.clearBloomCache()
+      val t0 = System.nanoTime()
+      q.run(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val samples = scala.collection.mutable.Map
+      .empty[(String, String), List[Double]].withDefaultValue(Nil)
+    for (pass <- 0 until 3; dir <- dirs; q <- defs) {
+      val t = time(q, dir)
+      samples((q.name, dir)) = t :: samples((q.name, dir))
+      System.err.println(f"[time] pass $pass ${q.name} $dir $t%.2f s")
+    }
+    for (q <- defs) {
+      val mins = dirs.map(d => d -> samples((q.name, d)).min)
+      val cells = mins.map { case (d, t) => f"$d=$t%.3f" }.mkString(" ")
+      val ratio =
+        if (dirs.length >= 2) f" ratio=${mins.last._2 / mins.head._2}%.2f" else ""
+      println(s"TIME ${q.name} $cells$ratio")
+    }
+    spark.stop()
+  }
+}
