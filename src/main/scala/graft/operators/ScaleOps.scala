@@ -154,6 +154,36 @@ object ScaleOps {
     labels
   }
 
+  /** [[connectedComponents]] as an ORACLE-CHECKED catalog query: the edge
+    * list chains each customer's orders consecutively (lag over
+    * (custkey, orderkey)), so every customer with ≥ 2 orders forms one
+    * path component whose minimum node is their lowest order id. The
+    * oracle states that expected output SEMANTICALLY (min order per
+    * customer, customers with ≥ 2 orders) — while the Spark side must
+    * actually converge the iterative min-label/pointer-jump computation
+    * over the path graph to reproduce it. Path graphs are the
+    * slow-convergence worst case for plain propagation, so this doubles
+    * as an at-scale convergence check of the pointer jumping on real
+    * data (the 400-node chain spec covers it synthetically). */
+  val g1Components = QueryDef(
+    "g1_components",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      val edges = T(s, dir).orders
+        .select(col("o_custkey"), col("o_orderkey"))
+        .withColumn("prev", lag(col("o_orderkey"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      connectedComponents(edges, "prev", "o_orderkey")
+        .select(col("node"), col("label").as("component"))
+        .orderBy(col("node"))
+    },
+    oracle = Some("""
+      WITH c AS (SELECT o_custkey, count(*) AS n, min(o_orderkey) AS mn
+                 FROM orders GROUP BY o_custkey)
+      SELECT o_orderkey AS node, c.mn AS component
+      FROM orders JOIN c USING (o_custkey)
+      WHERE c.n >= 2 ORDER BY node"""))
+
   /** As-of join (point-in-time attribution): each `purchase` event joined
     * to the latest `view` event of the same user at-or-before it.
     *
@@ -468,7 +498,7 @@ object ScaleOps {
       FROM events ORDER BY event_id"""))
 
   val defs: Seq[QueryDef] = Seq(
-    j10AsofAttr, j11SaltedSkew, a15PercentileDisc, a15PercentileApprox,
-    smpStratified, pipePackTokens, pipeDecontam, pipeDecontamBloom,
-    txtRedactNums)
+    g1Components, j10AsofAttr, j11SaltedSkew, a15PercentileDisc,
+    a15PercentileApprox, smpStratified, pipePackTokens, pipeDecontam,
+    pipeDecontamBloom, txtRedactNums)
 }
