@@ -145,14 +145,34 @@ object ScaleOps {
           least(col("l1"), coalesce(col("l2"), col("l1"))).as("label"))
         .localCheckpoint() // eager: one materialization feeds both uses below
       changed = next.filter(col("label") < col("old")).limit(1).count()
+      // `next` is materialized (eager checkpoint), so the previous
+      // iteration's blocks are dead — free them NOW instead of waiting
+      // for driver GC to trigger ContextCleaner (on a big-heap driver
+      // that may be never; same leak class the Bloom memo guards)
+      unpersistCheckpoint(labels)
       labels = next.select(col("node"), col("label"))
       iter += 1
     }
+    unpersistCheckpoint(sym)
     if (changed > 0L)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations")
     labels
   }
+
+  /** Frees the storage blocks behind a `localCheckpoint`ed frame. A
+    * checkpointed Dataset is not in the CacheManager (`df.unpersist()`
+    * is a no-op for it); its persistence lives on the RDD wrapped by the
+    * `LogicalRDD` leaf, so that is what must be unpersisted. Only safe
+    * once every consumer has materialized — callers here unpersist
+    * iteration N's labels strictly after iteration N+1's eager
+    * checkpoint. No-op for non-checkpointed frames. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** [[connectedComponents]] as an ORACLE-CHECKED catalog query: the edge
     * list chains each customer's orders consecutively (lag over
@@ -164,7 +184,15 @@ object ScaleOps {
     * over the path graph to reproduce it. Path graphs are the
     * slow-convergence worst case for plain propagation, so this doubles
     * as an at-scale convergence check of the pointer jumping on real
-    * data (the 400-node chain spec covers it synthetically). */
+    * data (the 400-node chain spec covers it synthetically).
+    *
+    * Caveat (unique in the catalog): `run` EXECUTES the fixpoint loop
+    * eagerly — the returned frame is an orderBy over the converged
+    * checkpoint, so catalog-wide plan sweeps (PlanSpec's cartesian
+    * lock) see only that tail, not the per-iteration join plans. Those
+    * internals are equi-joins on explicit key lists (structurally
+    * cartesian-free) and are covered by ScaleOpsSpec's union-find
+    * property + chain-convergence specs instead. */
   val g1Components = QueryDef(
     "g1_components",
     (s, dir) => {

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-pipeline operators over the `documents` table: dedup, similarity
@@ -375,8 +376,73 @@ object Text {
       SELECT doc_id, quality_score, n_words AS tokens, fp
       FROM d WHERE doc_id = keeper ORDER BY doc_id"""))
 
+  /** Per-language quality-percentile corpus gate: keep each language's
+    * documents scoring at or above that language's MEDIAN quality — the
+    * relative-threshold filtering step every corpus-construction
+    * pipeline runs (absolute thresholds misfire across languages whose
+    * score distributions differ; the gate must be per-stratum).
+    *
+    * Composition, all exact-integer so the DuckDB twin is hash-exact:
+    * the `txt_quality` score formula → per-language median by integer
+    * rank `(n+1) div 2` over (score, doc_id) (the `a15_percentile_disc`
+    * method) → thresholds are one row per language, so the join-back is
+    * an explicit broadcast and the corpus is filtered in place with no
+    * second wide shuffle. At 100 TB the per-language sort behind the
+    * exact median is the cost you pay for bit-reproducibility; swapping
+    * in `percentile_approx` (the `a15_percentile_approx` sketch tier)
+    * turns the threshold build into fixed-state partial aggregation at
+    * the price of an accuracy-bounded, not bit-specified, cutoff. */
+  val pipeQualityGate = QueryDef(
+    "pipe_quality_gate",
+    (s, dir) => {
+      val words = filter(split(col("text"), " "), w => length(w) > lit(0))
+      val nWords = size(words).cast("long")
+      val stops = Seq("the", "a", "and", "of", "to", "in", "is")
+      val stopCnt = size(filter(split(lower(col("text")), " "),
+        w => w.isin(stops.map(x => x: Any): _*))).cast("long")
+      val scored = T(s, dir).documents
+        .withColumn("n_words", nWords)
+        .withColumn("stop_cnt", stopCnt)
+        .filter(col("n_words") > lit(0L))
+        .select(col("doc_id"), col("lang"),
+          (least(lit(100L), col("n_words") * lit(2L)) +
+            least(lit(50L), col("stop_cnt") * lit(5L))).as("quality_score"))
+      val wOrd = Window.partitionBy("lang").orderBy(col("quality_score"), col("doc_id"))
+      val wAll = Window.partitionBy("lang")
+      val thresholds = scored
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("lang"), col("quality_score").as("lang_median"))
+      scored.join(broadcast(thresholds), Seq("lang"))
+        .filter(col("quality_score") >= col("lang_median"))
+        .select(col("doc_id"), col("lang"), col("quality_score"), col("lang_median"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH f AS (
+        SELECT doc_id, lang,
+          CAST(length(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS BIGINT) AS n_words,
+          CAST(length(list_filter(string_split(lower(text), ' '),
+            x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS stop_cnt
+        FROM documents),
+      sc AS (
+        SELECT doc_id, lang,
+          LEAST(100, n_words * 2) + LEAST(50, stop_cnt * 5) AS quality_score
+        FROM f WHERE n_words > 0),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY lang
+            ORDER BY quality_score, doc_id) AS rn,
+          count(*) OVER (PARTITION BY lang) AS n
+        FROM sc),
+      t AS (SELECT lang, quality_score AS lang_median FROM r WHERE rn = (n + 1) // 2)
+      SELECT sc.doc_id, sc.lang, sc.quality_score, t.lang_median
+      FROM sc JOIN t USING (lang)
+      WHERE sc.quality_score >= t.lang_median
+      ORDER BY sc.doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     ddExact, ddExactNorm, a12OverlapScore, ddJaccard, ddShingleJaccard,
     txtLangId, txtQuality, txtTokens, txtFingerprint, txtFingerprintRolling,
-    pipeCorpusClean)
+    pipeCorpusClean, pipeQualityGate)
 }

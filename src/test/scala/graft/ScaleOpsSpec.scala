@@ -179,6 +179,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.forall(_._2 === 0L), "every chain node must label to the min id 0")
   }
 
+  test("connectedComponents frees its per-iteration checkpoints") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // ~5 iterations on a 100-node chain: without the explicit unpersist
+    // each iteration would leave its localCheckpoint blocks pinned until
+    // driver GC (2 + 2·iterations persisted RDDs); with it only the
+    // returned final labels frame may remain
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("a", "b")
+    graft.operators.ScaleOps.connectedComponents(chain, "a", "b").collect()
+    val leaked = (sc.getPersistentRDDs.keySet -- before).size
+    assert(leaked <= 1, s"expected at most the final labels checkpoint, got $leaked")
+  }
+
   test("dd_minhash_cc: transitive chain collapses to one cluster") {
     // one-word-shift chain over 16-token docs: adjacent docs share
     // 15/17 tokens (88% — per-band collision 0.88^4 ≈ 0.60, so a missed
