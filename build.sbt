@@ -28,4 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq
+  // whitespace-split, no quoting: options whose VALUE contains a space
+  // cannot be passed this way (none of ours do; use javaOptions directly
+  // for such a flag rather than growing a shell-quote parser here)
   .flatMap(_.split("\\s+").toSeq).filter(_.nonEmpty)

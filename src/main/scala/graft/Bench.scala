@@ -35,9 +35,10 @@ object Bench {
     * keeps original ids, so id-anchored semantics (the 5 query vectors,
     * keeper elections) still resolve. Idempotent via a marker file. */
   def ensureSf1(spark: SparkSession, sf01Dir: String, outDir: String): Unit = {
-    // marker is generator-versioned: a layout change (v2 = 32-file facts)
+    // marker is generator-versioned: a layout change (v2 = 32-file facts,
+    // v3 = single-file dims)
     // must invalidate a cached tier built by an older generator
-    val marker = new java.io.File(s"$outDir/_GRAFT_SF1_READY_v2")
+    val marker = new java.io.File(s"$outDir/_GRAFT_SF1_READY_v3")
     // staleness guard: regenerate when the source tier is newer than the
     // cached marker (driver may regenerate test data between rounds)
     val srcMtime = {
@@ -59,8 +60,8 @@ object Bench {
     // 10× the rows that serialized stage dominates wall-clock on a
     // 32-core box and measures nothing about the plan. Real 100 TB
     // tables are many-file; the scale tier should be too.
-    def write(df: DataFrame, name: String): Unit =
-      df.drop("__c").repartition(32)
+    def write(df: DataFrame, name: String, numFiles: Int = 32): Unit =
+      df.drop("__c").repartition(numFiles)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
 
     write(copies(t.lineitem).select(
@@ -90,8 +91,11 @@ object Bench {
     write(copies(t.embeddings).select(
       bump("vec_id") +: t.embeddings.columns.filterNot(_ == "vec_id")
         .map(col).toIndexedSeq: _*), "embeddings")
+    // dims stay ONE file each: they are broadcast, not scanned in
+    // parallel, and spraying 25 rows over 32 tiny files only adds
+    // fixed task/file-open noise to every query of the tier
     for (dim <- Seq("nation", "region", "part", "supplier"))
-      write(spark.read.parquet(s"$sf01Dir/$dim.parquet"), dim)
+      write(spark.read.parquet(s"$sf01Dir/$dim.parquet"), dim, numFiles = 1)
     marker.createNewFile()
   }
 

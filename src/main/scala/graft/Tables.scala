@@ -61,12 +61,31 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame = load("documents")
   def embeddings: DataFrame = load("embeddings")
 
-  /** events with `ts` kept as epoch-nanos Long, plus derived columns. */
+  /** events with `ts` normalized to epoch-nanos Long, plus derived columns.
+    *
+    * The parquet tier stores TIMESTAMP(NANOS) read as epoch-nanos Long
+    * (`nanosAsLong`), and all downstream math is integer on that contract.
+    * A relational store (the jdbc: locator) typically declares a real
+    * TIMESTAMP column instead — that arrives as TimestampType and is
+    * converted here (micros × 1000), so every events-based operator runs
+    * unchanged against either store. Any other type is an explicit error:
+    * silently treating an epoch-MILLIS bigint as nanos would corrupt every
+    * windowed result by 10^6, which is worse than failing. */
   def events: DataFrame = {
     val raw = load("events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_micros(col("ts")) * lit(1000L)
+      case other => sys.error(
+        s"events.ts must be epoch-nanos BIGINT or TIMESTAMP, got $other " +
+          "(an epoch-millis BIGINT would be silently mis-scaled — convert it " +
+          "to a TIMESTAMP column in the store or to nanos upstream)")
+    }
     // integer `div`, not `/`: epoch-nanos (~1.7e18) exceeds a double's 2^53
     // exact-integer range, so floating division would corrupt low bits.
     raw
+      .withColumn("ts", ts)
       .withColumn("ts_ms", expr("ts div 1000000"))
       .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
   }

@@ -26,82 +26,10 @@ object Merkle {
     z
   }
 
-  /** Reference semantics (merkle.ts:84-110): fold one level at a time;
-    * an odd tail pairs with the current level's zero hash. */
-  def rootLocal(leaves: Seq[BigInt], depth: Int): BigInt = {
-    val z = zeroHashes(depth)
-    if (leaves.isEmpty) return z(depth)
-    var level = leaves.toVector
-    var d = 0
-    while (d < depth) {
-      level = (0 until (level.size + 1) / 2).map { i =>
-        val left = level(2 * i)
-        val right = if (2 * i + 1 < level.size) level(2 * i + 1) else z(d)
-        Poseidon.hash2(left, right)
-      }.toVector
-      d += 1
-    }
-    level(0)
-  }
-
-  /** Subtree root of a block of consecutive leaves starting at an
-    * index-aligned boundary, folded up `height` levels with zero-padding
-    * — identical math to [[rootLocal]] restricted to the block. */
-  private def blockRoot(leaves: Seq[BigInt], height: Int, z: Array[BigInt]): BigInt = {
-    var level = leaves.toVector
-    var d = 0
-    while (d < height) {
-      level = (0 until (level.size + 1) / 2).map { i =>
-        val left = level(2 * i)
-        val right = if (2 * i + 1 < level.size) level(2 * i + 1) else z(d)
-        Poseidon.hash2(left, right)
-      }.toVector
-      d += 1
-    }
-    if (level.isEmpty) z(height) else level(0)
-  }
-
-  /** Distributed root over a DataFrame of (leaf_index: long, leaf:
-    * decimal/string-encoded BigInt as 32-byte binary). Blocks are
-    * index-aligned (index div 2^blockDepth), so each block's subtree root
-    * is position-exact; block roots then fold locally on the driver —
-    * at depth 20 / blockDepth 10 that is ≤ 1024 roots, trivially small. */
-  def rootDistributed(
-      spark: SparkSession,
-      leaves: DataFrame, // columns: leaf_index Long, leaf Binary (32B BE)
-      depth: Int,
-      blockDepth: Int = 10): BigInt = {
-    require(depth > blockDepth, "depth must exceed blockDepth")
-    val z = zeroHashes(depth)
-    import spark.implicits._
-    val blockRoots: Seq[(Long, Array[Byte])] = leaves
-      .select(expr(s"leaf_index div ${1L << blockDepth}").as("block"),
-        col("leaf_index"), col("leaf"))
-      .as[(Long, Long, Array[Byte])]
-      .groupByKey(_._1)
-      .mapGroups { (block, rows) =>
-        val sorted = rows.toSeq.sortBy(_._2).map(r => Poseidon.fromBytes32(r._3))
-        (block, Poseidon.toBytes32(blockRoot(sorted, blockDepth, zeroHashes(blockDepth))))
-      }
-      .collect().toSeq
-    // driver-side fold of block roots (positions are block indices)
-    val byBlock = blockRoots.map { case (b, r) => b -> Poseidon.fromBytes32(r) }.toMap
-    val maxBlock = if (byBlock.isEmpty) -1L else byBlock.keys.max
-    val tops = (0L to maxBlock).map(b => byBlock.getOrElse(b, z(blockDepth)))
-    var level = tops.toVector
-    var d = blockDepth
-    while (d < depth) {
-      level = (0 until (level.size + 1) / 2).map { i =>
-        val left = level(2 * i)
-        val right = if (2 * i + 1 < level.size) level(2 * i + 1) else z(d)
-        Poseidon.hash2(left, right)
-      }.toVector
-      d += 1
-    }
-    if (level.isEmpty) z(depth) else level(0)
-  }
-
-  /** One fold step: pair up a level (odd tail pairs with `zd`). */
+  /** One fold step: pair up a level (odd tail pairs with `zd`). The
+    * SINGLE copy of the pairing semantics — every root/proof path below
+    * goes through it (via [[pyramid]]), so a change to the zero-hash
+    * convention lands in exactly one place. */
   private def nextLevel(level: Vector[BigInt], zd: BigInt): Vector[BigInt] =
     (0 until (level.size + 1) / 2).map { i =>
       val left = level(2 * i)
@@ -109,47 +37,44 @@ object Merkle {
       Poseidon.hash2(left, right)
     }.toVector
 
-  /** Walks `nLevels` up from `level0`, zero-hash index offset by `zOff`;
-    * when `idx0 ≥ 0`, also records the target's sibling + path bit per
-    * level. Returns (siblings, bits, subtree root). The single copy of
-    * the level-walk semantics behind [[proof]] and [[proofDistributed]]. */
-  private def walkUp(level0: Vector[BigInt], idx0: Int, nLevels: Int,
-      z: Array[BigInt], zOff: Int): (Seq[BigInt], Seq[Int], BigInt) = {
-    val sibs = Seq.newBuilder[BigInt]
-    val bits = Seq.newBuilder[Int]
-    var level = level0
-    var idx = idx0
-    var d = 0
-    while (d < nLevels) {
-      if (idx >= 0) {
-        val isRight = idx % 2 == 1
-        bits += (if (isRight) 1 else 0)
-        val sibIdx = if (isRight) idx - 1 else idx + 1
-        sibs += (if (sibIdx < level.size) level(sibIdx) else z(zOff + d))
-        idx /= 2
-      }
-      level = nextLevel(level, z(zOff + d))
-      d += 1
-    }
-    (sibs.result(), bits.result(),
-      if (level.isEmpty) z(zOff + nLevels) else level(0))
-  }
-
-  /** Proof path for the leaf at `index` (merkle.ts:126-166): sibling per
-    * level (zero-hash when absent) + path bit (1 = current is right). */
-  def proof(leaves: Seq[BigInt], index: Int, depth: Int): (Seq[BigInt], Seq[Int]) = {
-    require(index >= 0 && index < leaves.size, "invalid leaf index")
-    val (sibs, bits, _) = walkUp(leaves.toVector, index, depth, zeroHashes(depth), 0)
-    (sibs, bits)
-  }
-
-  /** Folds `nLevels` up from `level0` keeping EVERY level — the bounded
-    * pyramid sibling lookups read from, instead of re-folding per target. */
+  /** Folds `nLevels` up from `level0` keeping EVERY level — sibling
+    * lookups read from the pyramid instead of re-folding per target.
+    * `pyramid(...).last` is the (≤ 1-element) top level. */
   private def pyramid(level0: Vector[BigInt], nLevels: Int,
       z: Array[BigInt], zOff: Int): Vector[Vector[BigInt]] =
     Iterator.iterate((level0, zOff)) { case (lv, d) =>
       (nextLevel(lv, z(d)), d + 1)
     }.take(nLevels + 1).map(_._1).toVector
+
+  /** Subtree root: the pyramid top, or the height's zero hash for an
+    * empty leaf run. */
+  private def foldRoot(level0: Vector[BigInt], nLevels: Int,
+      z: Array[BigInt], zOff: Int): BigInt =
+    pyramid(level0, nLevels, z, zOff).last.headOption.getOrElse(z(zOff + nLevels))
+
+  /** Reference semantics (merkle.ts:84-110): fold one level at a time;
+    * an odd tail pairs with the current level's zero hash. */
+  def rootLocal(leaves: Seq[BigInt], depth: Int): BigInt =
+    foldRoot(leaves.toVector, depth, zeroHashes(depth), 0)
+
+  /** Distributed root over a DataFrame of (leaf_index: long, leaf: 32-byte
+    * binary): [[proofDistributed]]'s block pipeline with no targets —
+    * blocks fold locally (one shuffle), the driver folds only the
+    * ≤ 2^(depth−blockDepth) block tops. */
+  def rootDistributed(
+      spark: SparkSession,
+      leaves: DataFrame, // columns: leaf_index Long, leaf Binary (32B BE)
+      depth: Int,
+      blockDepth: Int = 10): BigInt =
+    proofDistributed(spark, leaves, Seq.empty, depth, blockDepth)._1
+
+  /** Proof path for the leaf at `index` (merkle.ts:126-166): sibling per
+    * level (zero-hash when absent) + path bit (1 = current is right). */
+  def proof(leaves: Seq[BigInt], index: Int, depth: Int): (Seq[BigInt], Seq[Int]) = {
+    require(index >= 0 && index < leaves.size, "invalid leaf index")
+    val z = zeroHashes(depth)
+    pathFromPyramid(pyramid(leaves.toVector, depth, z, 0), index, depth, z, 0)
+  }
 
   /** Sibling path of `idx0` read from a prebuilt [[pyramid]] — O(nLevels)
     * lookups, no hashing. */

@@ -137,14 +137,21 @@ object Crypto {
       val M = graft.functions.Merkle
       val depth = 8
       val n = 64
-      val leaves = T(s, dir).customer
+      // ONE bounded collect (the n=64 demo leaves) feeds BOTH the
+      // distributed proof pass and the per-target leaf lookup — the
+      // lazy frame would re-run the customer scan for each
+      val leafRows = T(s, dir).customer
         .filter(col("c_custkey") < lit(n.toLong))
         .select(col("c_custkey").cast("long").as("leaf_index"),
           unhex(md5(col("c_name"))).as("leaf"))
+        .collect()
+      val leafBytes = leafRows
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("leaf")).toMap
+      val leaves = leafRows.toSeq
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]]("leaf")))
+        .toDF("leaf_index", "leaf")
       val (root, proofs) =
         M.proofDistributed(s, leaves, 0L until n.toLong, depth, blockDepth = 4)
-      val leafBytes = leaves.collect() // bounded: the n target leaves
-        .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("leaf")).toMap
       val proofRows = proofs.toSeq.sortBy(_._1).map { case (i, (sibs, bits)) =>
         (i, leafBytes(i), sibs.map(P.toBytes32).toArray, bits.toArray)
       }

@@ -166,6 +166,11 @@ class PropertiesSpec extends SparkSpec {
     val files = new java.io.File(s"$out/lineitem.parquet")
       .listFiles().count(f => f.getName.endsWith(".parquet"))
     assert(files >= 2, s"lineitem written as $files file(s)")
+    // broadcast dims stay ONE file: 25 rows over 32 files is pure
+    // task/file-open noise on every query of the tier
+    val dimFiles = new java.io.File(s"$out/nation.parquet")
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(dimFiles === 1, s"nation written as $dimFiles file(s)")
   }
 
   test("ST12 streaming cents kernel equals Spark round() on arbitrary values, negatives included") {
