@@ -610,11 +610,17 @@ object Relational {
                 ORDER BY ts DESC, event_id DESC) AS rn FROM events)
       WHERE rn <= 3 ORDER BY user_id, rn"""))
 
-  /** W3 at scale: the IDENTICAL recent-3-per-user result as
-    * [[w3RecentPerKey]], computed with the bounded top-k aggregator
-    * ([[graft.functions.TopKAggregator]]) instead of a ranking window —
-    * so the window form's oracle applies verbatim and the driver
-    * hash-checks both paths against the same SQL.
+  /** W3 at scale: the recent-3-per-user result of [[w3RecentPerKey]]
+    * computed with the bounded top-k aggregator
+    * ([[graft.functions.TopKAggregator]]) instead of a ranking window,
+    * hash-checked against its own DuckDB twin. One deliberate contract
+    * difference from the window form: recency here is MILLISECOND
+    * resolution + event_id tiebreak (the heap scores ts_ms — epoch
+    * nanos exceed a double's exact range — and the reference's message
+    * timestamps are JS epoch-millis anyway), so the oracle orders by
+    * epoch_ms(ts) where the window form uses the raw nanos column; the
+    * two differ only on same-millisecond events whose nano order
+    * disagrees with id order.
     *
     * Why it exists: the window form shuffles EVERY event and sorts each
     * user's slice before discarding all but 3 rows. The aggregator holds
@@ -647,7 +653,7 @@ object Relational {
       SELECT user_id, rn, event_id, event_type
       FROM (SELECT user_id, event_id, event_type,
               ROW_NUMBER() OVER (PARTITION BY user_id
-                ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+                ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn FROM events)
       WHERE rn <= 3 ORDER BY user_id, rn"""))
 
   /** W5 before-cursor pagination (message-store.ts:38-44): history strictly

@@ -172,8 +172,13 @@ object StreamingTwins {
   val st6BoundedBuffer = QueryDef(
     "st6_bounded_buffer",
     (s, dir) => {
+      // recency at MILLISECOND resolution + event_id tiebreak — the same
+      // total order the streaming twin keeps (Ev carries ts_ms, and the
+      // reference's message timestamps are JS epoch-millis). Ordering by
+      // the raw nanos ts instead would diverge from the stream on two
+      // same-millisecond events whose nano order disagrees with id order.
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
+        .orderBy(col("ts_ms").desc, col("event_id").desc)
       T(s, dir).events
         .withColumn("rn", row_number().over(w))
         .groupBy(col("user_id"))
@@ -192,7 +197,8 @@ object StreamingTwins {
     oracle = Some("""
       WITH r AS (
         SELECT user_id, event_id,
-          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
         FROM events)
       SELECT user_id, COUNT(*) AS n_seen,
         COUNT(*) FILTER (WHERE rn <= 3) AS n_kept,

@@ -46,10 +46,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * (DDL string), `pageSize` (page-partition rows, default 2000).
   */
 class RestSource extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    StructType.fromDDL(
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val s = StructType.fromDDL(
       Option(options.get("schema")).getOrElse(
         throw new IllegalArgumentException("RestSource requires a 'schema' DDL option")))
+    // the JSON row reader materializes exactly these types; anything else
+    // (FLOAT, DATE, DECIMAL, …) would silently land as a string in an
+    // InternalRow slot Catalyst reads as the declared type — fail at
+    // schema parse, not with a ClassCastException mid-query
+    val supported: Set[org.apache.spark.sql.types.DataType] =
+      Set(LongType, IntegerType, DoubleType, BooleanType, StringType)
+    val bad = s.fields.filterNot(f => supported.contains(f.dataType))
+    require(bad.isEmpty,
+      s"RestSource supports BIGINT/INT/DOUBLE/BOOLEAN/STRING columns only; " +
+        s"unsupported: ${bad.map(f => s"${f.name} ${f.dataType.simpleString}").mkString(", ")}")
+    s
+  }
 
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
@@ -311,12 +323,18 @@ final class RestReader(
     override def compare(x: JsonNode, y: JsonNode): Int = {
       for (k <- sort) {
         val (a, b) = (value(x, k.field), value(y, k.field))
-        val c =
+        // null placement is ABSOLUTE in Spark's SortOrder (NULLS FIRST
+        // means first in the output, whatever the direction), so only
+        // the non-null value comparison takes the descending sign —
+        // negating the null branches too would flip `col.desc`'s default
+        // NULLS LAST into nulls-first and return null rows from a
+        // pushed desc top-k
+        val signed =
           if (a == null && b == null) 0
           else if (a == null) { if (k.nullsFirst) -1 else 1 }
           else if (b == null) { if (k.nullsFirst) 1 else -1 }
+          else if (k.descending) -cmp(a, b)
           else cmp(a, b)
-        val signed = if (k.descending) -c else c
         if (signed != 0) return signed
       }
       0
@@ -331,12 +349,16 @@ final class RestReader(
     }
     // Long line counter, not zipWithIndex: the Int index wraps negative
     // past 2^31-1 lines and would silently drop every later row — the
-    // page ranges are Long for exactly this scale
+    // page ranges are Long for exactly this scale. takeWhile, not a
+    // pure filter: once idx passes endLine nothing further can match,
+    // and without the cut every page task would walk its files to EOF —
+    // O(pages × total) over a single-file snapshot, the exact re-walk
+    // the page rebase exists to avoid. Each task is O(endLine).
     var idx = -1L
-    all.filter { _ =>
-      idx += 1
-      idx >= page.startLine && idx < page.endLine
-    }.map(mapper.readTree)
+    all.map { line => idx += 1; line }
+      .takeWhile(_ => idx < page.endLine)
+      .filter(_ => idx >= page.startLine)
+      .map(mapper.readTree)
   }
 
   private val iter: Iterator[InternalRow] = {

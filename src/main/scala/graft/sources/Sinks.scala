@@ -24,8 +24,8 @@ object Sinks {
 
   /** S6: keyed upsert (PDA-keyed account create-or-update, lib.rs:237-251;
     * Prisma create-returning, runs/route.ts:101-118). Last-writer-wins by
-    * `versionCol` per `key`; ties broken deterministically by the highest
-    * key value of the remaining columns' hash to stay idempotent.
+    * `versionCol` per `key`; equal-version ties broken deterministically
+    * by the LOWEST full-row hash (xxhash64 ascending) to stay idempotent.
     *
     * Parquet has no MERGE, so this is read → union → keep-latest →
     * rewrite via a staging dir and atomic-ish swap. On a table format

@@ -408,7 +408,17 @@ object StreamOps {
     * wins among equal timestamps); cross-batch order, including an
     * equal-timestamp pair split across batches, is the caller's replay
     * contract (the equivalence spec feeds event-time order). Purchases
-    * with no prior view emit -1 sentinels, matching the twin. */
+    * with no prior view emit -1 sentinels, matching the twin.
+    *
+    * State contract: two scalars PER USER, kept for the life of the
+    * query (NoTimeout) — the state is the user's latest view, which
+    * never expires semantically, mirroring the reference's permanent
+    * per-owner accounts. Bounded by the live-entity population, not the
+    * stream length; for a keyspace with real churn compose [[ttlEvict]]
+    * upstream or swap in an event-time timeout. The same contract
+    * applies to [[rapidReversal]] (one TransferState per owner — the
+    * reference's own PDA accounts are equally permanent,
+    * transfer-hook.ts:35-46). */
   def asofAttr(events: Dataset[Ev]): Dataset[AsofResult] = {
     import events.sparkSession.implicits._
     events

@@ -53,6 +53,39 @@ class SourcesSpec extends SparkSpec {
       want.orderBy($"doc_id").collect().map(_.toSeq).toSeq)
   }
 
+  test("pushed desc sort keeps Spark's absolute null placement (NULLS LAST)") {
+    // null placement in SortOrder is absolute — `col.desc` defaults to
+    // NULLS LAST. The endpoint comparator must not negate the null
+    // branches with the direction, or a pushed desc top-k returns the
+    // null rows (and the source claims full pushdown, so Spark drops
+    // its own Sort and trusts it verbatim).
+    val dir = java.nio.file.Files.createTempDirectory("graft-restnull").toFile
+    val pw = new java.io.PrintWriter(new java.io.File(dir, "part-0.json"))
+    Seq("""{"id":1,"v":10}""", """{"id":2,"v":null}""", """{"id":3,"v":30}""",
+      """{"id":4}""", """{"id":5,"v":20}""").foreach(pw.println)
+    pw.close()
+    val df = spark.read.format("graft.sources.RestSource")
+      .option("path", dir.getPath)
+      .option("schema", "id BIGINT, v BIGINT")
+      .load()
+    val desc = df.orderBy($"v".desc).limit(3)
+      .select($"id").collect().map(_.getLong(0)).toSeq
+    assert(desc === Seq(3L, 5L, 1L), s"desc top-3 must be the non-null rows, got $desc")
+    val asc = df.orderBy($"v".asc).limit(3)
+      .select($"id").collect().map(_.getLong(0)).toSeq
+    assert(asc.toSet === Set(2L, 4L) + asc.last, s"asc default is NULLS FIRST, got $asc")
+  }
+
+  test("unsupported schema types are rejected at load, not mid-query") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.RestSource")
+        .option("path", "/tmp/nonexistent")
+        .option("schema", "id BIGINT, price FLOAT")
+        .load()
+    }
+    assert(e.getMessage.contains("price float"), e.getMessage)
+  }
+
   test("unsupported predicate is declined and applied client-side, result unchanged") {
     val got = rest().filter($"text".startsWith("a")).select($"doc_id").collect()
     val p = RestSource.lastPushed
