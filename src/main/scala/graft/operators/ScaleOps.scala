@@ -270,6 +270,78 @@ object ScaleOps {
              COALESCE(ts_ms - view_ts_ms, -1) AS gap_ms
       FROM j WHERE rn = 1 ORDER BY event_id"""))
 
+  /** Banded range join (interval attribution count): for each purchase,
+    * how many views by the same user landed in the 24 h window ending at
+    * it. The naive formulation is a range-predicate join
+    * (`v.ts BETWEEN p.ts-band AND p.ts`) — a BroadcastNestedLoopJoin,
+    * quadratic per user. The distributed shape buckets both sides into
+    * band-width (24 h) buckets and explodes each purchase to its two
+    * candidate buckets ⌊ts/band⌋−1 and ⌊ts/band⌋ (an inclusive band-wide
+    * window spans exactly those two), turning the range join into an
+    * EQUI-join on (user_id, bucket) + an exact residual filter — hash
+    * partitioned, linear in matches, the form that survives 100 TB of
+    * events. A view's bucket is single-valued, so no match is double
+    * counted; `count(when(..))` over the left join keeps zero-view
+    * purchases. ScaleOpsSpec asserts the plan stays nested-loop-free. */
+  val j12RangeCount = QueryDef(
+    "j12_range_count",
+    (s, dir) => {
+      val ev = T(s, dir).events
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), expr("ts_ms div 86400000").as("bucket"),
+          col("ts_ms").as("v_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+        .withColumn("bucket",
+          explode(array(expr("ts_ms div 86400000 - 1"), expr("ts_ms div 86400000"))))
+      purchases.join(views, Seq("user_id", "bucket"), "left")
+        .groupBy(col("event_id"), col("user_id"), col("ts_ms"))
+        .agg(count(when(
+          col("v_ts") >= col("ts_ms") - lit(86400000L) &&
+            col("v_ts") <= col("ts_ms"), lit(1))).as("n_views_24h"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some("""
+      WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+                 FROM events WHERE event_type = 'purchase'),
+      v AS (SELECT user_id, epoch_ms(ts) AS ts_ms
+            FROM events WHERE event_type = 'view')
+      SELECT p.event_id, p.user_id, p.ts_ms, COUNT(v.ts_ms) AS n_views_24h
+      FROM p LEFT JOIN v ON v.user_id = p.user_id
+        AND v.ts_ms BETWEEN p.ts_ms - 86400000 AND p.ts_ms
+      GROUP BY p.event_id, p.user_id, p.ts_ms
+      ORDER BY p.event_id"""))
+
+  /** Exact-k deterministic sample per stratum: the 50 documents with the
+    * smallest md5(doc_id) in each source. Complements [[smpStratified]]
+    * (fixed RATE, variable count) with fixed COUNT — the corpus-mixing
+    * primitive when the recipe says "50k docs from each source", and
+    * hash-ordering keeps it reproducible across runs, engines, and
+    * partitionings (unlike `ORDER BY random() LIMIT k`). Written as a
+    * per-stratum row_number for oracle parity; at 100 TB the identical
+    * result comes from the bounded-heap `TopK` aggregator (the
+    * `w3_recent_topk` form — partial map-side heaps, no per-stratum full
+    * sort), which matters once one stratum is petabytes. */
+  val smpExactK = QueryDef(
+    "smp_exact_k",
+    (s, dir) => {
+      val w = Window.partitionBy("source").orderBy(col("samp_key"), col("doc_id"))
+      T(s, dir).documents.select(col("doc_id"), col("source"), col("lang"))
+        .withColumn("samp_key", md5(col("doc_id").cast("string")))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= lit(50L))
+        .orderBy(col("source"), col("rk"))
+    },
+    oracle = Some("""
+      WITH r AS (
+        SELECT doc_id, source, lang,
+               md5(CAST(doc_id AS VARCHAR)) AS samp_key,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+      SELECT doc_id, source, lang, samp_key, rk
+      FROM r WHERE rk <= 50 ORDER BY source, rk"""))
+
   /** Skew-salted fact↔dim join through [[SkewJoin.saltedJoin]]: lineitem's
     * part key fanned across 8 salt buckets against an 8×-exploded part dim,
     * then brand totals. Semantically identical to the unsalted join (the
@@ -526,7 +598,7 @@ object ScaleOps {
       FROM events ORDER BY event_id"""))
 
   val defs: Seq[QueryDef] = Seq(
-    g1Components, j10AsofAttr, j11SaltedSkew, a15PercentileDisc,
-    a15PercentileApprox, smpStratified, pipePackTokens, pipeDecontam,
-    pipeDecontamBloom, txtRedactNums)
+    g1Components, j10AsofAttr, j11SaltedSkew, j12RangeCount,
+    a15PercentileDisc, a15PercentileApprox, smpStratified, smpExactK,
+    pipePackTokens, pipeDecontam, pipeDecontamBloom, txtRedactNums)
 }

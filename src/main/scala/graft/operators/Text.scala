@@ -441,8 +441,44 @@ object Text {
       WHERE sc.quality_score >= t.lang_median
       ORDER BY sc.doc_id"""))
 
+  /** Corpus vocabulary profile: the 10 highest-document-frequency tokens
+    * per language (ties broken lexicographically). The df counting is the
+    * canonical two-level shape — explode distinct per-doc tokens, partial
+    * map-side count on (lang, token), one hash shuffle — so the expensive
+    * step scales with total token occurrences, never doc×vocab. The final
+    * per-language rank runs over the aggregated VOCABULARY (tiny next to
+    * the corpus); if even that skews at 100 TB — one language owning most
+    * of the vocab — the bounded-heap `TopK` aggregator (`w3_recent_topk`
+    * form) swaps in for the window without changing the result. This is
+    * the stopword/vocab-audit step of corpus construction: the head of
+    * this list is what a tokenizer build or a quality filter reads. */
+  val txtVocabTopk = QueryDef(
+    "txt_vocab_topk",
+    (s, dir) => {
+      val w = Window.partitionBy("lang").orderBy(col("df").desc, col("token"))
+      T(s, dir).documents
+        .select(col("lang"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("df"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= lit(10L))
+        .orderBy(col("lang"), col("rk"))
+    },
+    oracle = Some("""
+      WITH tok AS (
+        SELECT lang, unnest(list_distinct(list_filter(
+          string_split(lower(text), ' '), x -> length(x) > 3))) AS token
+        FROM documents),
+      c AS (SELECT lang, token, count(*) AS df FROM tok GROUP BY lang, token),
+      r AS (SELECT lang, token, df,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY df DESC, token) AS rk
+            FROM c)
+      SELECT lang, token, df, rk FROM r WHERE rk <= 10
+      ORDER BY lang, rk"""))
+
   val defs: Seq[QueryDef] = Seq(
     ddExact, ddExactNorm, a12OverlapScore, ddJaccard, ddShingleJaccard,
     txtLangId, txtQuality, txtTokens, txtFingerprint, txtFingerprintRolling,
-    pipeCorpusClean, pipeQualityGate)
+    pipeCorpusClean, pipeQualityGate, txtVocabTopk)
 }

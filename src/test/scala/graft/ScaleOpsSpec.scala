@@ -216,6 +216,69 @@ class ScaleOpsSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("j12_range_count matches the brute-force per-purchase window scan") {
+    val ev = Tables(spark, sf001).events
+      .select($"event_id", $"user_id", $"ts_ms", $"event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val views = ev.filter(_._4 == "view")
+    val expected = ev.filter(_._4 == "purchase").map { case (id, u, t, _) =>
+      (id, u, t,
+        views.count(v => v._2 == u && v._3 >= t - 86400000L && v._3 <= t).toLong)
+    }.sortBy(_._1).toSeq
+    val got = run("j12_range_count").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    assert(expected.exists(_._4 > 0L), "fixture has no in-window matches")
+    assert(expected.exists(_._4 === 0L), "fixture has no zero-view purchases")
+  }
+
+  test("j12_range_count: banded equi-join, no nested-loop join") {
+    val p = run("j12_range_count").queryExecution.executedPlan.toString
+    // the range predicate alone would plan a BroadcastNestedLoopJoin;
+    // the bucket explode must turn it into a hash equi-join
+    assert(!p.contains("BroadcastNestedLoopJoin"), "range join fell back to nested loop")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("smp_exact_k: exactly min(50, |stratum|) docs per source, reproducible") {
+    val a = run("smp_exact_k").collect().map(_.toSeq).toSeq
+    val b = run("smp_exact_k").collect().map(_.toSeq).toSeq
+    assert(a === b, "hash-ordered sample must be reproducible run-to-run")
+    val total = Tables(spark, sf001).documents
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(_(1).asInstanceOf[String]).view.mapValues(_.size.toLong)
+    for ((src, n) <- total)
+      assert(kept.getOrElse(src, 0L) === math.min(50L, n),
+        s"$src: expected min(50, $n)")
+    // the selection is the md5-smallest doc_ids, not an arbitrary subset
+    val docs = Tables(spark, sf001).documents.select($"doc_id", $"source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      ds.sortBy(d => (md5hex(d._1.toString), d._1)).take(50).map(_._1).toSeq
+    }.toSet
+    assert(a.map(_(0).asInstanceOf[Long]).toSet === want)
+  }
+
+  test("txt_vocab_topk matches the brute-force df ranking") {
+    val docs = Tables(spark, sf001).documents.select($"lang", $"text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val df = docs.flatMap { case (lang, text) =>
+      text.toLowerCase.split(" ").filter(_.length > 3).distinct.map(lang -> _)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val expected = df.map { case ((lang, tok), n) => (lang, tok, n) }
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(10).zipWithIndex
+          .map { case ((lang, tok, n), i) => (lang, tok, n, i + 1L) }
+      }.sortBy(r => (r._1, r._4))
+    val got = run("txt_vocab_topk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+  }
+
   test("j11_salted_skew equals the unsalted brand totals on the real tables") {
     val t = Tables(spark, sf001)
     val plain = t.lineitem.select($"l_partkey".as("pk"), $"l_quantity".cast("long").as("qty"))
