@@ -452,6 +452,50 @@ object StreamOps {
       }
   }
 
+  /** Banded range attribution, live: the streaming form of the batch
+    * banded range join `j12_range_count` (operators/ScaleOps.scala), as a
+    * NATIVE stream-stream interval join — the one Structured Streaming
+    * join shape with bounded state. Views and purchases are two
+    * watermarked branches of the event stream; the join condition pairs
+    * each purchase with every same-user view inside the trailing `bandMs`
+    * window, and the time bound is what lets Spark EVICT: a buffered view
+    * is dropped once the watermark passes `v_time + band` (no future
+    * purchase can reach back to it), a buffered purchase once the view
+    * watermark passes its `p_time` — state is bounded by band × rate, not
+    * stream length. Left outer, so a matchless purchase still emits one
+    * `-1`-sentinel row once the watermark proves no view can arrive
+    * (same sentinel contract as [[asofAttr]]); emission is
+    * watermark-delayed, the price of the outer side. Output is one row
+    * per (purchase, in-band view) pair — the PRE-aggregation form of the
+    * batch twin; `groupBy(event_id).count` over it reproduces
+    * `n_views_24h` exactly (asserted in StreamingSpec). At 100 TB this
+    * and the batch bucket-explode form are the same trade as everywhere
+    * in this file: the stream pays state for incrementality, the batch
+    * pays a shuffle for throughput. */
+  def rangeAttr(events: DataFrame, bandMs: Long = 86400000L,
+      watermark: String = "1 hour"): DataFrame = {
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"),
+        col("event_id").as("view_event_id"),
+        col("ts_ms").as("view_ts_ms"),
+        timestamp_millis(col("ts_ms")).as("v_time"))
+      .withWatermark("v_time", watermark)
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        timestamp_millis(col("ts_ms")).as("p_time"))
+      .withWatermark("p_time", watermark)
+    purchases.join(views,
+      col("v_user") === col("user_id") &&
+        col("v_time") >= col("p_time") - expr(s"INTERVAL $bandMs MILLISECOND") &&
+        col("v_time") <= col("p_time"),
+      "leftOuter")
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        coalesce(col("view_event_id"), lit(-1L)).as("view_event_id"),
+        coalesce(col("view_ts_ms"), lit(-1L)).as("view_ts_ms"))
+  }
+
   /** ST11 live: gap sessionization via NATIVE session windows — the
     * streaming reconstruction of the channel server's membership
     * lifecycle (ws-server.ts:128-136), one session per burst of activity

@@ -260,6 +260,27 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[Long]("gap_ms") === 100L)
   }
 
+  test("streaming interval join converges to the batch banded range join") {
+    // the left-outer side emits a matchless purchase only once the view
+    // watermark proves no in-band view can still arrive, so a far-future
+    // sentinel pair (dummy user) advances both branch watermarks past
+    // every real event before the comparison
+    val maxTs = allEvents.map(_.ts_ms).max
+    val sentinel = Seq(
+      Ev(900001L, 999999L, "view", 0.0, maxTs + 10L * 86400000L),
+      Ev(900002L, 999999L, "purchase", 0.0, maxTs + 10L * 86400000L))
+    val ordered = allEvents.sortBy(e => (e.ts_ms, e.event_id))
+    val got = runStream("j12_stream", ordered.grouped(400).toSeq :+ sentinel,
+      ds => StreamOps.rangeAttr(ds.toDF()), OutputMode.Append)
+      .filter($"user_id" =!= 999999L)
+      .groupBy($"event_id", $"user_id", $"ts_ms")
+      .agg(count(when($"view_event_id" =!= -1L, 1)).as("n_views_24h"))
+      .orderBy($"event_id")
+    val want = QueryDef.catalogs.find(_.name == "j12_range_count").get
+      .run(spark, sf001)
+    assert(got.collect().toSeq === want.collect().toSeq)
+  }
+
   test("ST12 tolerates arrival disorder inside a micro-batch") {
     // batches respect time order between them, but rows WITHIN each batch
     // arrive shuffled — the operator's per-group (ts_ms, event_id) sort
