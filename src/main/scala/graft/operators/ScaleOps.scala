@@ -283,32 +283,40 @@ object ScaleOps {
     * events. A view's bucket is single-valued, so no match is double
     * counted; `count(when(..))` over the left join keeps zero-view
     * purchases. ScaleOpsSpec asserts the plan stays nested-loop-free. */
+
+  /** The j12/ST13 attribution band (24 h in ms) — the ONE definition the
+    * batch builder, its DuckDB oracle, the streaming twin's default
+    * ([[graft.streaming.StreamOps.rangeAttr]]), and the brute-force spec
+    * all read, so the twins cannot silently drift apart. */
+  val rangeBandMs: Long = 86400000L
+
   val j12RangeCount = QueryDef(
     "j12_range_count",
     (s, dir) => {
+      val band = rangeBandMs
       val ev = T(s, dir).events
       val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), expr("ts_ms div 86400000").as("bucket"),
+        .select(col("user_id"), expr(s"ts_ms div $band").as("bucket"),
           col("ts_ms").as("v_ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts_ms"))
         .withColumn("bucket",
-          explode(array(expr("ts_ms div 86400000 - 1"), expr("ts_ms div 86400000"))))
+          explode(array(expr(s"ts_ms div $band - 1"), expr(s"ts_ms div $band"))))
       purchases.join(views, Seq("user_id", "bucket"), "left")
         .groupBy(col("event_id"), col("user_id"), col("ts_ms"))
         .agg(count(when(
-          col("v_ts") >= col("ts_ms") - lit(86400000L) &&
+          col("v_ts") >= col("ts_ms") - lit(band) &&
             col("v_ts") <= col("ts_ms"), lit(1))).as("n_views_24h"))
         .orderBy(col("event_id"))
     },
-    oracle = Some("""
+    oracle = Some(s"""
       WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
                  FROM events WHERE event_type = 'purchase'),
       v AS (SELECT user_id, epoch_ms(ts) AS ts_ms
             FROM events WHERE event_type = 'view')
       SELECT p.event_id, p.user_id, p.ts_ms, COUNT(v.ts_ms) AS n_views_24h
       FROM p LEFT JOIN v ON v.user_id = p.user_id
-        AND v.ts_ms BETWEEN p.ts_ms - 86400000 AND p.ts_ms
+        AND v.ts_ms BETWEEN p.ts_ms - $rangeBandMs AND p.ts_ms
       GROUP BY p.event_id, p.user_id, p.ts_ms
       ORDER BY p.event_id"""))
 

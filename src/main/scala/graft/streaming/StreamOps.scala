@@ -472,7 +472,8 @@ object StreamOps {
     * and the batch bucket-explode form are the same trade as everywhere
     * in this file: the stream pays state for incrementality, the batch
     * pays a shuffle for throughput. */
-  def rangeAttr(events: DataFrame, bandMs: Long = 86400000L,
+  def rangeAttr(events: DataFrame,
+      bandMs: Long = graft.operators.ScaleOps.rangeBandMs,
       watermark: String = "1 hour"): DataFrame = {
     val views = events
       .filter(col("event_type") === "view")

@@ -223,7 +223,8 @@ class ScaleOpsSpec extends SparkSpec {
     val views = ev.filter(_._4 == "view")
     val expected = ev.filter(_._4 == "purchase").map { case (id, u, t, _) =>
       (id, u, t,
-        views.count(v => v._2 == u && v._3 >= t - 86400000L && v._3 <= t).toLong)
+        views.count(v => v._2 == u &&
+          v._3 >= t - graft.operators.ScaleOps.rangeBandMs && v._3 <= t).toLong)
     }.sortBy(_._1).toSeq
     val got = run("j12_range_count").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
