@@ -500,6 +500,45 @@ object ScaleOps {
       SELECT lang, doc_id, tokens, start_off, start_off // 2048 AS bin_id
       FROM c ORDER BY lang, doc_id"""))
 
+  /** Deterministic weighted interleave — the corpus-MIXING step between
+    * sampling ([[smpStratified]]/[[smpExactK]]) and packing
+    * ([[pipePackTokens]]): training runs consume sources at target
+    * ratios, not concatenated. Weighted round-robin as pure arithmetic:
+    * each document gets a per-source rank (hash order, so the prefix of
+    * any stratum is [[smpExactK]]'s deterministic sample), and its
+    * mixture position is `rank × stride` where stride ∝ 1/weight —
+    * even-numbered sources stride 3, odd stride 1, so a reader consuming
+    * in position order sees odd:even ≈ 3:1 at EVERY prefix, which is the
+    * property that matters (ratio holds for any training horizon, not
+    * just the full epoch). One window shuffle + a presentation sort; no
+    * serial merge loop, no driver state — at 100 TB the position is a
+    * write-time sort key (`repartitionByRange(position)`), and readers
+    * stream partitions in order. All-integer, so the DuckDB twin is
+    * hash-exact. */
+  val pipeMixInterleave = QueryDef(
+    "pipe_mix_interleave",
+    (s, dir) => {
+      val even = (expr("try_cast(substr(source, 4) as int)") % 2) === 0
+      val w = Window.partitionBy("source").orderBy(col("samp_key"), col("doc_id"))
+      T(s, dir).documents.select(col("doc_id"), col("source"))
+        .withColumn("samp_key", md5(col("doc_id").cast("string")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("stride", when(even, lit(3L)).otherwise(lit(1L)))
+        .withColumn("position", col("rn") * col("stride"))
+        .select(col("doc_id"), col("source"), col("rn"), col("position"))
+        .orderBy(col("position"), col("source"), col("doc_id"))
+    },
+    oracle = Some("""
+      WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+               CASE WHEN TRY_CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                    THEN 3 ELSE 1 END AS stride
+        FROM documents)
+      SELECT doc_id, source, rn, CAST(rn * stride AS BIGINT) AS position
+      FROM r ORDER BY position, source, doc_id"""))
+
   /** Benchmark decontamination: flag training documents sharing any
     * 3-token shingle with the held-out benchmark stratum (source `src0`),
     * with the shared-shingle count per flagged doc. The distributed shape
@@ -608,5 +647,6 @@ object ScaleOps {
   val defs: Seq[QueryDef] = Seq(
     g1Components, j10AsofAttr, j11SaltedSkew, j12RangeCount,
     a15PercentileDisc, a15PercentileApprox, smpStratified, smpExactK,
-    pipePackTokens, pipeDecontam, pipeDecontamBloom, txtRedactNums)
+    pipeMixInterleave, pipePackTokens, pipeDecontam, pipeDecontamBloom,
+    txtRedactNums)
 }

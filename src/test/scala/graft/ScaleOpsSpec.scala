@@ -280,6 +280,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("pipe_mix_interleave: every position prefix holds the exact stride ratio") {
+    val rows = run("pipe_mix_interleave").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val perSource = rows.groupBy(_._2)
+    val strideOf = perSource.keys.map { src =>
+      src -> (if (scala.util.Try(src.drop(3).toInt % 2 == 0).getOrElse(false)) 3L else 1L)
+    }.toMap
+    // the defining invariant of weighted round-robin by position = rn*stride:
+    // a reader stopping at ANY position p has consumed exactly
+    // min(n_s, p div stride_s) docs of each source — the mixture ratio
+    // holds for every prefix, not just the full epoch
+    for (p <- Seq(10L, 50L, 100L, 500L); (src, ds) <- perSource) {
+      val got = ds.count(_._4 <= p).toLong
+      val want = math.min(ds.length.toLong, p / strideOf(src))
+      assert(got === want, s"source $src at position cutoff $p")
+    }
+    // per-source rank order is the md5 hash order (= smp_exact_k's), so
+    // mixing composes with the exact-k sampler: the first k of a stratum
+    // in mixture order IS the sampler's deterministic subset
+    val smp = run("smp_exact_k").collect()
+      .map(r => (r.getString(1), r.getLong(4), r.getLong(0))) // (source, rk, doc)
+    for ((src, rk, doc) <- smp) {
+      val inMix = perSource(src).find(_._3 == rk).get
+      assert(inMix._1 === doc, s"$src rank $rk: mix has doc ${inMix._1}, sampler $doc")
+    }
+  }
+
   test("j11_salted_skew equals the unsalted brand totals on the real tables") {
     val t = Tables(spark, sf001)
     val plain = t.lineitem.select($"l_partkey".as("pk"), $"l_quantity".cast("long").as("qty"))
