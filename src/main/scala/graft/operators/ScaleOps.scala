@@ -270,6 +270,12 @@ object ScaleOps {
              COALESCE(ts_ms - view_ts_ms, -1) AS gap_ms
       FROM j WHERE rn = 1 ORDER BY event_id"""))
 
+  /** The j12/ST13 attribution band (24 h in ms) — the ONE definition the
+    * batch builder, its DuckDB oracle, the streaming twin's default
+    * ([[graft.streaming.StreamOps.rangeAttr]]), and the spec's value pin
+    * all read, so the twins cannot silently drift apart. */
+  val rangeBandMs: Long = 86400000L
+
   /** Banded range join (interval attribution count): for each purchase,
     * how many views by the same user landed in the 24 h window ending at
     * it. The naive formulation is a range-predicate join
@@ -283,13 +289,6 @@ object ScaleOps {
     * events. A view's bucket is single-valued, so no match is double
     * counted; `count(when(..))` over the left join keeps zero-view
     * purchases. ScaleOpsSpec asserts the plan stays nested-loop-free. */
-
-  /** The j12/ST13 attribution band (24 h in ms) — the ONE definition the
-    * batch builder, its DuckDB oracle, the streaming twin's default
-    * ([[graft.streaming.StreamOps.rangeAttr]]), and the brute-force spec
-    * all read, so the twins cannot silently drift apart. */
-  val rangeBandMs: Long = 86400000L
-
   val j12RangeCount = QueryDef(
     "j12_range_count",
     (s, dir) => {
@@ -333,10 +332,9 @@ object ScaleOps {
   val smpExactK = QueryDef(
     "smp_exact_k",
     (s, dir) => {
-      val w = Window.partitionBy("source").orderBy(col("samp_key"), col("doc_id"))
       T(s, dir).documents.select(col("doc_id"), col("source"), col("lang"))
-        .withColumn("samp_key", md5(col("doc_id").cast("string")))
-        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("samp_key", sampKey)
+        .withColumn("rk", row_number().over(hashRankWindow).cast("long"))
         .filter(col("rk") <= lit(50L))
         .orderBy(col("source"), col("rk"))
     },
@@ -435,6 +433,26 @@ object ScaleOps {
         .orderBy(col("l_returnflag"))
     })
 
+  /** The shared sampling-order kernel: `sampKey` is the engine-portable
+    * hash every deterministic sampler/mixer keys on (md5 of the stringified
+    * doc_id — exists bit-identically in DuckDB), and `hashRankWindow` is
+    * the per-source rank in that order. [[smpExactK]]'s sample and
+    * [[pipeMixInterleave]]'s mixture position both read THESE definitions,
+    * which is what makes their documented composition (a stratum's mixture
+    * prefix IS the sampler's subset) drift-proof on the Scala side; the
+    * SQL oracles necessarily restate them. */
+  private val sampKey = md5(col("doc_id").cast("string"))
+  private val hashRankWindow =
+    Window.partitionBy("source").orderBy(col("samp_key"), col("doc_id"))
+
+  /** Even-parity source test shared by [[smpStratified]] (rate choice) and
+    * [[pipeMixInterleave]] (stride choice). substr-to-end + TRY_CAST on
+    * BOTH sides: a source whose suffix isn't a clean integer routes to the
+    * odd branch in Spark (try_cast → null → otherwise) and does the same
+    * in DuckDB (TRY_CAST → NULL → ELSE). A plain .cast would THROW under
+    * the engine's default ANSI mode instead of yielding null. */
+  private val evenSource = (expr("try_cast(substr(source, 4) as int)") % 2) === 0
+
   /** Deterministic stratified sampler for corpus mixing: keep a document
     * iff the first 4 hex chars of md5(doc_id) fall below the stratum's
     * threshold — even-numbered sources at 25% (0x4000/0x10000), odd at 50%.
@@ -446,16 +464,9 @@ object ScaleOps {
   val smpStratified = QueryDef(
     "smp_stratified",
     (s, dir) => {
-      // substr-to-end + TRY_CAST on BOTH sides: a source whose suffix
-      // isn't a clean integer routes to the odd/50% branch in Spark
-      // (try_cast → null → otherwise) and does the same in DuckDB
-      // (TRY_CAST → NULL → ELSE). A plain .cast would THROW under the
-      // engine's default ANSI mode instead of yielding null — the
-      // null-propagating fallback documented here requires try_cast.
-      val even = (expr("try_cast(substr(source, 4) as int)") % 2) === 0
+      val even = evenSource
       T(s, dir).documents.select(col("doc_id"), col("source"), col("lang"))
-        .withColumn("samp_key",
-          substring(md5(col("doc_id").cast("string")), 1, 4))
+        .withColumn("samp_key", substring(sampKey, 1, 4))
         .withColumn("rate_bp", when(even, lit(2500)).otherwise(lit(5000)))
         .filter(col("samp_key") < when(even, lit("4000")).otherwise(lit("8000")))
         .orderBy(col("doc_id"))
@@ -518,12 +529,10 @@ object ScaleOps {
   val pipeMixInterleave = QueryDef(
     "pipe_mix_interleave",
     (s, dir) => {
-      val even = (expr("try_cast(substr(source, 4) as int)") % 2) === 0
-      val w = Window.partitionBy("source").orderBy(col("samp_key"), col("doc_id"))
       T(s, dir).documents.select(col("doc_id"), col("source"))
-        .withColumn("samp_key", md5(col("doc_id").cast("string")))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("stride", when(even, lit(3L)).otherwise(lit(1L)))
+        .withColumn("samp_key", sampKey)
+        .withColumn("rn", row_number().over(hashRankWindow).cast("long"))
+        .withColumn("stride", when(evenSource, lit(3L)).otherwise(lit(1L)))
         .withColumn("position", col("rn") * col("stride"))
         .select(col("doc_id"), col("source"), col("rn"), col("position"))
         .orderBy(col("position"), col("source"), col("doc_id"))

@@ -217,6 +217,10 @@ class ScaleOpsSpec extends SparkSpec {
   }
 
   test("j12_range_count matches the brute-force per-purchase window scan") {
+    // value pin: every band site (builder, oracle, stream default, this
+    // spec) reads ScaleOps.rangeBandMs, so this assert is the one place
+    // an accidental edit to the 24h constant still trips a test
+    assert(graft.operators.ScaleOps.rangeBandMs === 86400000L)
     val ev = Tables(spark, sf001).events
       .select($"event_id", $"user_id", $"ts_ms", $"event_type")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
