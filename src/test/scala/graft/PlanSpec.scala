@@ -42,6 +42,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "lag/running windows missing")
   }
 
+  test("j12_range_count: event-type filters reach both parquet scans") {
+    val p = plan("j12_range_count")
+    // each side of the banded self-join must scan only its event class —
+    // losing this pushdown doubles both scan volumes at 100 TB
+    assert(p.contains("EqualTo(event_type,purchase)"), "purchase filter not pushed")
+    assert(p.contains("EqualTo(event_type,view)"), "view filter not pushed")
+  }
+
+  test("txt_vocab_topk: df counting partially aggregates and prunes the scan") {
+    val p = plan("txt_vocab_topk")
+    assert(p.contains("partial_count"), "map-side combine missing on (lang, token)")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("source"),
+      s"scan reads more than (text, lang): $readSchema")
+  }
+
   test("p1_projection: scan is pruned to the projected columns") {
     val p = plan("p1_projection")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
