@@ -477,8 +477,47 @@ object Text {
       SELECT lang, token, df, rk FROM r WHERE rk <= 10
       ORDER BY lang, rk"""))
 
+  /** Per-language corpus profile — the data-QA audit every ingest runs
+    * before training (doc counts, source spread, size envelope, and the
+    * degenerate-document count that predicts tokenizer blowups). One
+    * partial-aggregating pass, one hash shuffle on the (tiny) language
+    * key, output one row per language — the profile of a 100 TB corpus
+    * is a handful of rows, which is exactly why this belongs in-engine
+    * rather than as a notebook scan. All-integer so the twin is
+    * hash-exact; `n_sources` is an exact distinct (second shuffle keyed
+    * (lang, source)) because source cardinality is small by construction
+    * — the `approx_count_distinct` HLL tier (`a14_approx_distinct`) is
+    * the documented swap-in when the profiled dimension is unbounded. */
+  val pipeProfile = QueryDef(
+    "pipe_profile",
+    (s, dir) => {
+      T(s, dir).documents
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          count(when(col("n_chars") < lit(100L), lit(1))).as("n_short"),
+          count(when(col("text").isNull || length(col("text")) === lit(0),
+            lit(1))).as("n_empty"))
+        .orderBy(col("lang"))
+    },
+    oracle = Some("""
+      SELECT lang,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT source) AS n_sources,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             MIN(n_chars) AS min_chars,
+             MAX(n_chars) AS max_chars,
+             CAST(COUNT(CASE WHEN n_chars < 100 THEN 1 END) AS BIGINT) AS n_short,
+             CAST(COUNT(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 END)
+                  AS BIGINT) AS n_empty
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
   val defs: Seq[QueryDef] = Seq(
     ddExact, ddExactNorm, a12OverlapScore, ddJaccard, ddShingleJaccard,
     txtLangId, txtQuality, txtTokens, txtFingerprint, txtFingerprintRolling,
-    pipeCorpusClean, pipeQualityGate, txtVocabTopk)
+    pipeCorpusClean, pipeQualityGate, txtVocabTopk, pipeProfile)
 }

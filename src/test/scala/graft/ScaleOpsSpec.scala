@@ -311,6 +311,23 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("pipe_profile matches the brute-force corpus audit") {
+    val docs = Tables(spark, sf001).documents
+      .select($"lang", $"source", $"n_chars", $"text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.getString(3))))
+    val expected = docs.groupBy(_._1).toSeq.map { case (lang, ds) =>
+      (lang, ds.length.toLong, ds.map(_._2).distinct.length.toLong,
+        ds.map(_._3).sum, ds.map(_._3).min, ds.map(_._3).max,
+        ds.count(_._3 < 100L).toLong,
+        ds.count(d => d._4.forall(_.isEmpty)).toLong)
+    }.sortBy(_._1)
+    val got = run("pipe_profile").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got === expected)
+  }
+
   test("j11_salted_skew equals the unsalted brand totals on the real tables") {
     val t = Tables(spark, sf001)
     val plain = t.lineitem.select($"l_partkey".as("pk"), $"l_quantity".cast("long").as("qty"))
