@@ -54,7 +54,11 @@ class PlanSpec extends SparkSpec {
     val p = plan("txt_vocab_topk")
     assert(p.contains("partial_count"), "map-side combine missing on (lang, token)")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
-    assert(!readSchema.contains("n_chars") && !readSchema.contains("source"),
+    // nonEmpty first: an absent/renamed ReadSchema marker must fail loudly,
+    // not make the negative checks below vacuously true
+    assert(readSchema.nonEmpty, "no ReadSchema line in the executed plan")
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("source") &&
+      !readSchema.contains("doc_id"),
       s"scan reads more than (text, lang): $readSchema")
   }
 

@@ -317,7 +317,11 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
         Option(r.getString(3))))
     val expected = docs.groupBy(_._1).toSeq.map { case (lang, ds) =>
-      (lang, ds.length.toLong, ds.map(_._2).distinct.length.toLong,
+      // filter(_ != null).distinct, NOT distinct: countDistinct (and the
+      // DuckDB COUNT(DISTINCT) twin) ignore NULLs — a planted null source
+      // must not diverge the brute force from a correct query
+      (lang, ds.length.toLong,
+        ds.map(_._2).filter(_ != null).distinct.length.toLong,
         ds.map(_._3).sum, ds.map(_._3).min, ds.map(_._3).max,
         ds.count(_._3 < 100L).toLong,
         ds.count(d => d._4.forall(_.isEmpty)).toLong)
@@ -326,6 +330,27 @@ class ScaleOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
     assert(got === expected)
+  }
+
+  test("pipe_profile counts planted degenerate documents (null/empty/short)") {
+    // every sf fixture is clean — zero null or empty texts — so without a
+    // planted fixture the n_empty branch is pinned only vacuously (0 == 0)
+    val docs = Seq[(Long, String, String, String)](
+      (1L, "src1", "en", null), // null text
+      (2L, "src1", "en", ""), // empty text
+      (3L, "src2", "en", "tiny"), // short (< 100 chars)
+      (4L, "src2", "en", "x" * 150), // normal
+      (5L, "src3", "de", "y" * 150))
+      .toDF("doc_id", "source", "lang", "text")
+      .withColumn("n_chars",
+        coalesce(length($"text").cast("long"), lit(0L)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-prof").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("pipe_profile", dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(got("en") === ((4L, 2L, 154L, 0L, 150L, 3L, 2L)))
+    assert(got("de") === ((1L, 1L, 150L, 150L, 150L, 0L, 0L)))
   }
 
   test("j11_salted_skew equals the unsalted brand totals on the real tables") {
