@@ -160,4 +160,24 @@ class PlanSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
+
+  test("BroadcastNestedLoopJoin appears only in the known bounded-side queries") {
+    // these six are `crossJoin(broadcast(...))` with a side that is bounded
+    // BY CONSTRUCTION — a single-row aggregate (a13 envelope total, st7
+    // cutoff, a2b config) or the fixed query-vector set of the brute-force
+    // similarity baselines (whose scale path is the LSH/IVF tier). A BNLJ
+    // anywhere else is an accident: the nested-loop shape that dies at
+    // 100 TB when BOTH sides grow with the data (the trap j10/j12 are
+    // specifically formulated to avoid).
+    val bounded = Set("a13_page_envelope", "st7_ttl_retention",
+      "a2b_approval_bps", "sim_topk_dot", "sim_topk_cosine", "sim_topk_cosine_q")
+    val offenders = QueryDef.catalogs.flatMap { q =>
+      try {
+        val p = q.run(spark, sf001).queryExecution.executedPlan.toString
+        if (p.contains("BroadcastNestedLoopJoin") && !bounded(q.name)) Some(q.name)
+        else None
+      } catch { case _: Throwable => None }
+    }
+    assert(offenders.isEmpty, s"unvetted nested-loop joins in: $offenders")
+  }
 }
