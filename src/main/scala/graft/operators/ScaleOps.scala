@@ -1,9 +1,10 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Scale-pattern operators: the join/agg shapes that only matter once the
   * data outgrows one machine — an as-of join, a skew-salted join, exact and
@@ -173,6 +174,91 @@ object ScaleOps {
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Distributed two-level prefix sum over strata — the scale-safe
+    * replacement for a `Window.partitionBy(stratum)` running sum/rank.
+    * Spark's WindowExec materializes and sorts each partition VALUE in one
+    * task, so with a handful of languages/sources the whole stratum runs
+    * on one core no matter how large the cluster — the classic 100×
+    * scale-killer for per-language packing and per-source mixing.
+    *
+    * Shape: range-repartition on (strata ++ order) into `nChunks`
+    * order-contiguous chunks — a large stratum spans MANY chunks, which is
+    * exactly the parallelism the single-task window lacks — sort within
+    * chunks, then (1) one bounded job collects per-(chunk, stratum) partial
+    * sums (≤ nChunks × |strata| entries on the driver — 32×5 here, ~10k×
+    * strata on a real cluster), (2) exclusive cumulative offsets per
+    * stratum across chunk order are broadcast, and (3) a narrow
+    * partition-local pass emits offset + running sum per row. The range
+    * shuffle is written once and reused by both jobs (same RDD lineage →
+    * stage skip), so the corpus is scanned and shuffled exactly once.
+    *
+    * `out` is the EXCLUSIVE prefix sum of `value` within the row's stratum
+    * in `order` order (sum of strictly earlier rows), appended as a Long
+    * column after the input columns. `order` must totally order rows
+    * within a stratum (include a unique id); chunk boundaries are wherever
+    * the range sampler puts them and never affect the output values.
+    *
+    * Like [[connectedComponents]], construction runs a bounded eager job
+    * (the partials collect), so catalog plan sweeps see the resulting
+    * ExistingRDD rather than the kernel's internals; ScaleOpsSpec pins the
+    * window-form equivalence, the within-stratum parallelism, and the
+    * absence of WindowExec from the consuming queries' plans. */
+  def strataPrefixSum(df: DataFrame, strata: Seq[String], order: Seq[String],
+      value: Column, out: String, nChunks: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (nChunks > 0) nChunks
+      else spark.sessionState.conf.numShufflePartitions
+    val v = "__sps_v"
+    require(!df.columns.contains(v) && !df.columns.contains(out),
+      s"strataPrefixSum reserves $v and output column $out")
+    val keyCols = (strata ++ order).map(col)
+    val prepared = df.withColumn(v, value.cast("long"))
+      .repartitionByRange(n, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+    val schema = prepared.schema
+    val sIdx = strata.map(schema.fieldIndex)
+    val vIdx = schema.fieldIndex(v)
+    val rdd = prepared.rdd // ONE shuffle, reused by both jobs below
+    def valueAt(r: Row): Long = if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
+    def keyOf(r: Row): List[Any] = sIdx.map(r.get).toList
+    val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val sums = scala.collection.mutable.LinkedHashMap.empty[List[Any], Long]
+      it.foreach { r => val k = keyOf(r); sums.update(k, sums.getOrElse(k, 0L) + valueAt(r)) }
+      sums.iterator.map { case (k, s) => (pid, k, s) }
+    }.collect() // bounded: ≤ nChunks × |strata| entries
+    val offsets: Map[(Int, List[Any]), Long] =
+      partials.groupBy(_._2).iterator.flatMap { case (k, arr) =>
+        var acc = 0L
+        arr.sortBy(_._1).map { case (pid, _, s) =>
+          val entry = (pid, k) -> acc; acc += s; entry
+        }
+      }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: List[Any] = null
+      var acc = 0L
+      it.map { r =>
+        val k = keyOf(r)
+        if (cur == null || k != cur) { cur = k; acc = bc.value.getOrElse((pid, k), 0L) }
+        val row = Row.fromSeq(r.toSeq.updated(vIdx, acc))
+        acc += valueAt(r)
+        row
+      }
+    }
+    spark.createDataFrame(outRdd,
+      StructType(schema.fields.updated(vIdx,
+        StructField(out, LongType, nullable = false))))
+  }
+
+  /** Distributed per-stratum rank (1-based, dense over the total `order`)
+    * — [[strataPrefixSum]] of 1 plus 1: the scale-safe twin of
+    * `row_number().over(Window.partitionBy(strata).orderBy(order))`.
+    * ScaleOpsSpec asserts exact agreement with the window form. */
+  def strataRank(df: DataFrame, strata: Seq[String], order: Seq[String],
+      out: String, nChunks: Int = 0): DataFrame =
+    strataPrefixSum(df, strata, order, lit(1L), out, nChunks)
+      .withColumn(out, col(out) + lit(1L))
 
   /** [[connectedComponents]] as an ORACLE-CHECKED catalog query: the edge
     * list chains each customer's orders consecutively (lag over
@@ -436,11 +522,13 @@ object ScaleOps {
   /** The shared sampling-order kernel: `sampKey` is the engine-portable
     * hash every deterministic sampler/mixer keys on (md5 of the stringified
     * doc_id — exists bit-identically in DuckDB), and `hashRankWindow` is
-    * the per-source rank in that order. [[smpExactK]]'s sample and
-    * [[pipeMixInterleave]]'s mixture position both read THESE definitions,
-    * which is what makes their documented composition (a stratum's mixture
-    * prefix IS the sampler's subset) drift-proof on the Scala side; the
-    * SQL oracles necessarily restate them. */
+    * the per-source rank in that order. [[smpExactK]]'s sample reads both;
+    * [[pipeMixInterleave]] reads `sampKey` and derives the SAME rank
+    * through the distributed [[strataRank]] kernel (agreement with the
+    * window form is spec-pinned), which is what keeps their documented
+    * composition (a stratum's mixture prefix IS the sampler's subset)
+    * drift-proof on the Scala side; the SQL oracles necessarily restate
+    * them. */
   private val sampKey = md5(col("doc_id").cast("string"))
   private val hashRankWindow =
     Window.partitionBy("source").orderBy(col("samp_key"), col("doc_id"))
@@ -488,17 +576,19 @@ object ScaleOps {
     * rule of thumb). Contiguous-fill packing is a per-group prefix sum —
     * one shuffle, no sequential first-fit loop — which is what makes it
     * computable over a 100 TB corpus; a true first-fit packer is
-    * inherently serial per stratum. Long documents may straddle a bin
-    * boundary (they belong to the bin they start in); ScaleOpsSpec pins
-    * the bin invariants. */
+    * inherently serial per stratum. The prefix sum runs on
+    * [[strataPrefixSum]] (range chunks within language → broadcast
+    * offsets → partition-local finish), so one giant language spreads
+    * over every core instead of pinning to the single task a
+    * `Window.partitionBy(lang)` realization gives it. Long documents may
+    * straddle a bin boundary (they belong to the bin they start in);
+    * ScaleOpsSpec pins the bin invariants and the window-free plan. */
   val pipePackTokens = QueryDef(
     "pipe_pack_tokens",
     (s, dir) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      T(s, dir).documents
+      val base = T(s, dir).documents
         .select(col("lang"), col("doc_id"), expr("n_chars div 4").as("tokens"))
-        .withColumn("start_off", sum(col("tokens")).over(w) - col("tokens"))
+      strataPrefixSum(base, Seq("lang"), Seq("doc_id"), col("tokens"), "start_off")
         .withColumn("bin_id", expr("start_off div 2048"))
         .orderBy(col("lang"), col("doc_id"))
     },
@@ -521,17 +611,21 @@ object ScaleOps {
     * even-numbered sources stride 3, odd stride 1, so a reader consuming
     * in position order sees odd:even ≈ 3:1 at EVERY prefix, which is the
     * property that matters (ratio holds for any training horizon, not
-    * just the full epoch). One window shuffle + a presentation sort; no
-    * serial merge loop, no driver state — at 100 TB the position is a
+    * just the full epoch). The per-source rank runs on [[strataRank]]
+    * (two-level distributed rank — spec-pinned identical to the
+    * `hashRankWindow` row_number [[smpExactK]] uses, so the documented
+    * composition with the sampler still holds bit-for-bit) + a
+    * presentation sort; no serial merge loop, no driver state, and no
+    * single-task-per-source window — at 100 TB the position is a
     * write-time sort key (`repartitionByRange(position)`), and readers
     * stream partitions in order. All-integer, so the DuckDB twin is
     * hash-exact. */
   val pipeMixInterleave = QueryDef(
     "pipe_mix_interleave",
     (s, dir) => {
-      T(s, dir).documents.select(col("doc_id"), col("source"))
+      val base = T(s, dir).documents.select(col("doc_id"), col("source"))
         .withColumn("samp_key", sampKey)
-        .withColumn("rn", row_number().over(hashRankWindow).cast("long"))
+      strataRank(base, Seq("source"), Seq("samp_key", "doc_id"), "rn")
         .withColumn("stride", when(evenSource, lit(3L)).otherwise(lit(1L)))
         .withColumn("position", col("rn") * col("stride"))
         .select(col("doc_id"), col("source"), col("rn"), col("position"))

@@ -131,9 +131,14 @@ class PlanSpec extends SparkSpec {
     val pPct = plan("a15_percentile_disc")
     assert(pPct.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1)
     assert(pPct.contains("partial_max"), "percentile extraction lost map-side combine")
-    // pipe_pack_tokens: the prefix sum is one shuffle on the stratum key
+    // pipe_pack_tokens: the prefix sum runs on the distributed
+    // strataPrefixSum kernel — the final plan must carry NO window and NO
+    // hash exchange (the kernel's one range shuffle happens inside the
+    // eagerly-built ExistingRDD; a WindowExec here would mean the
+    // single-task-per-language realization crept back)
     val pPack = plan("pipe_pack_tokens")
-    assert(pPack.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1)
+    assert(!pPack.contains("Window"), "pack_tokens regressed to a window prefix sum")
+    assert(!pPack.contains("Exchange hashpartitioning"))
     // smp_stratified: a pure row-function filter — no hash exchange at
     // all, and the md5 keep/drop predicate reaches the scan
     val pSmp = plan("smp_stratified")
