@@ -25,6 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
+  /** The last DRIVER-recorded sf1/sf0.1 ratios (BENCH_r05) — the
+    * round-over-round anchor for the swing diagnostic below. The host is
+    * bimodal (§6.2), so a ratio moving >3× against this record with an
+    * unchanged plan is the throttle-window signature; the dump makes the
+    * attribution part of the record instead of prose. Update each round
+    * from the driver's BENCH_r{N}.json. */
+  private val prevDriverRatios: Map[String, Double] = Map(
+    "q1_agg" -> 5.22, "w1_leaderboard" -> 2.67, "j1_fk_join" -> 3.21,
+    "j2_broadcast_lookup" -> 1.45, "a3_epoch_agg" -> 2.58,
+    "dd_exact" -> 3.46, "dd_jaccard" -> 1.74, "sim_topk_dot" -> 1.63,
+    "sim_lsh_topk" -> 3.31, "dd_minhash" -> 5.95,
+    "st1_deadline_tally" -> 3.61)
+
   /** Synthesizes the 10× tier from sf0.1 by key-offset replication:
     * fact tables (lineitem, orders, customer, events, documents,
     * embeddings) get 10 copies with join keys offset per copy — FK pairs
@@ -186,21 +199,50 @@ object Bench {
           val base = sf01.getOrElse(k, -1.0)
           k -> (if (v >= 0 && base > 0) math.round(v / base * 100) / 100.0 else -1.0)
         }
-        // a super-linear ratio gets its FINAL adaptive sf1 plan dumped to
-        // stderr: the query is executed once more through toRdd so AQE
-        // finalizes (an unexecuted frame would print the innocent initial
-        // plan and hide exactly the runtime-rewrite class this diagnostic
-        // exists for). Guarded: a diagnostic failure must never discard
-        // the measurements it annotates.
-        ratioVals.filter(_._2 > 12.0).foreach { case (k, r) =>
+        // a suspicious ratio gets its FINAL adaptive sf1 plan plus
+        // per-stage wall times dumped to stderr: the query is executed
+        // once more through toRdd so AQE finalizes (an unexecuted frame
+        // would print the innocent initial plan and hide exactly the
+        // runtime-rewrite class this diagnostic exists for). "Suspicious"
+        // = super-linear beyond the 12× bar, OR changed by more than 3×
+        // against the last driver-recorded round (r5's q1 1.21× → 5.22×
+        // swing stayed invisible under the 12×-only trigger — with an
+        // unchanged plan the dump is the throttle-window evidence).
+        // Guarded: a diagnostic failure must never discard the
+        // measurements it annotates.
+        ratioVals.filter { case (k, r) =>
+          r > 12.0 || (r > 0 && prevDriverRatios.get(k).exists(p =>
+            r / p > 3.0 || p / r > 3.0))
+        }.foreach { case (k, r) =>
           headline.find(_.name == k).foreach { q =>
             scala.util.Try {
-              val qe = q.run(spark, sf1Dir).queryExecution
-              qe.toRdd.count()
-              System.err.println(s"[bench] sf1 $k ratio $r > 12; final plan:\n" +
-                qe.executedPlan.toString.linesIterator.take(40).mkString("\n"))
+              val why = prevDriverRatios.get(k)
+                .map(p => f"prev-round $p%.2fx -> $r%.2fx").getOrElse(s"ratio $r > 12")
+              val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+              val listener = new org.apache.spark.scheduler.SparkListener {
+                override def onStageCompleted(
+                    ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+                  val i = ev.stageInfo
+                  val dur = for {
+                    s <- i.submissionTime; e <- i.completionTime
+                  } yield (e - s) / 1000.0
+                  stages.add(f"    stage ${i.stageId}: ${dur.getOrElse(-1.0)}%.2f s, " +
+                    s"${i.numTasks} tasks (${i.name.linesIterator.next().take(70)})")
+                }
+              }
+              spark.sparkContext.addSparkListener(listener)
+              try {
+                val qe = q.run(spark, sf1Dir).queryExecution
+                qe.toRdd.count()
+                Thread.sleep(500) // listener bus is async; let stage events drain
+                val perPass = passes.map(_.getOrElse(k, -1.0))
+                  .map(s => f"$s%.2f").mkString(" / ")
+                System.err.println(s"[bench] sf1 $k $why; passes $perPass s; stage times:\n" +
+                  stages.toArray.mkString("\n") + s"\n[bench] sf1 $k final plan:\n" +
+                  qe.executedPlan.toString.linesIterator.take(40).mkString("\n"))
+              } finally spark.sparkContext.removeSparkListener(listener)
             }.recover { case e =>
-              System.err.println(s"[bench] sf1 $k ratio $r > 12; plan dump failed: ${e.getMessage}")
+              System.err.println(s"[bench] sf1 $k ratio $r; plan dump failed: ${e.getMessage}")
             }
           }
         }
