@@ -75,4 +75,126 @@ object Udfs {
 
   def base58EncodeUdf: UserDefinedFunction = udf(base58Encode _)
   def base58DecodeUdf: UserDefinedFunction = udf(base58Decode _)
+
+  // --------------------------------------------------------------- json scan
+
+  /** Strict RFC-8259 JSON validity over the FULL string — the acceptance
+    * set shared by JS `JSON.parse` and DuckDB `json_valid`, which is what
+    * makes [[jsonScan]]'s oracle exact. Hand-rolled recursive descent
+    * instead of a classpath parser so acceptance never shifts with a
+    * Jackson feature flag (default Jackson tolerates trailing tokens —
+    * exactly the case the bracket scan must treat as invalid). Scalars
+    * ("42", "true") are valid JSON texts, matching both anchors. Nesting
+    * beyond 512 levels is rejected (stack safety; both anchors accept far
+    * deeper, but the reference's payloads are plan/critique envelopes a
+    * few levels deep). */
+  def jsonValid(s: String): Boolean = {
+    val n = s.length
+    var i = 0
+    var ok = true
+    def fail(): Unit = { ok = false; i = n + 1 } // hard stop: every guard below is i < n
+    def ws(): Unit = {
+      while (i < n && (s.charAt(i) == ' ' || s.charAt(i) == '\t' ||
+        s.charAt(i) == '\n' || s.charAt(i) == '\r')) i += 1
+    }
+    def expect(c: Char): Unit =
+      if (i < n && s.charAt(i) == c) i += 1 else fail()
+    def isHex(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+    def string(): Unit = {
+      expect('"')
+      var closed = false
+      while (ok && !closed && i < n) {
+        val c = s.charAt(i)
+        if (c == '"') { closed = true; i += 1 }
+        else if (c == '\\') {
+          i += 1
+          if (i >= n) fail()
+          else s.charAt(i) match {
+            case '"' | '\\' | '/' | 'b' | 'f' | 'n' | 'r' | 't' => i += 1
+            case 'u' =>
+              if (i + 4 < n && isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2)) &&
+                isHex(s.charAt(i + 3)) && isHex(s.charAt(i + 4))) i += 5
+              else fail()
+            case _ => fail()
+          }
+        } else if (c < ' ') fail() // raw control chars must be escaped
+        else i += 1
+      }
+      if (!closed) fail()
+    }
+    def digits(): Unit = {
+      if (i >= n || !s.charAt(i).isDigit) fail()
+      else while (i < n && s.charAt(i).isDigit) i += 1
+    }
+    def number(): Unit = {
+      if (i < n && s.charAt(i) == '-') i += 1
+      if (i >= n) fail()
+      else if (s.charAt(i) == '0') i += 1 // no leading zeros
+      else digits()
+      if (i < n && s.charAt(i) == '.') { i += 1; digits() }
+      if (i < n && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
+        i += 1
+        if (i < n && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+        digits()
+      }
+    }
+    def literal(w: String): Unit =
+      if (s.regionMatches(i, w, 0, w.length)) i += w.length else fail()
+    def value(depth: Int): Unit = {
+      if (depth > 512 || i >= n) fail()
+      else s.charAt(i) match {
+        case '{' =>
+          i += 1; ws()
+          if (i < n && s.charAt(i) == '}') i += 1
+          else {
+            var done = false
+            while (ok && !done) {
+              ws(); string(); ws(); expect(':'); ws(); value(depth + 1); ws()
+              if (i < n && s.charAt(i) == ',') i += 1
+              else { expect('}'); done = true }
+            }
+          }
+        case '[' =>
+          i += 1; ws()
+          if (i < n && s.charAt(i) == ']') i += 1
+          else {
+            var done = false
+            while (ok && !done) {
+              ws(); value(depth + 1); ws()
+              if (i < n && s.charAt(i) == ',') i += 1
+              else { expect(']'); done = true }
+            }
+          }
+        case '"' => string()
+        case 't' => literal("true")
+        case 'f' => literal("false")
+        case 'n' => literal("null")
+        case c if c == '-' || (c >= '0' && c <= '9') => number()
+        case _ => fail()
+      }
+    }
+    ws(); value(0); ws()
+    ok && i == n
+  }
+
+  /** LLM-response JSON recovery (swarm-llm.server.ts:17-37 `extractJson`):
+    * trim; empty → null; if the whole text is strict JSON, return it;
+    * else the slice from the FIRST '{' to the LAST '}' must be strict
+    * JSON; else null. The reference returns the parsed object — the
+    * engine's column form returns the recovered JSON TEXT so downstream
+    * `from_json`/`get_json_object` stay in codegen'd builtins. */
+  def jsonScan(text: String): String = {
+    if (text == null) return null
+    val t = text.trim
+    if (t.isEmpty) return null
+    if (jsonValid(t)) return t
+    val start = t.indexOf('{')
+    val end = t.lastIndexOf('}')
+    if (start == -1 || end == -1 || end <= start) return null
+    val slice = t.substring(start, end + 1)
+    if (jsonValid(slice)) slice else null
+  }
+
+  def jsonScanUdf: UserDefinedFunction = udf(jsonScan _)
 }

@@ -196,6 +196,59 @@ object Relational2 {
         COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k_or_default
       FROM events ORDER BY event_id"""))
 
+  /** Dirty-JSON recovery (swarm-llm.server.ts:17-37): every LLM
+    * plan/critique/oracle response in the reference goes through
+    * `extractJson` — strict parse, else the first-'{'-to-last-'}' slice,
+    * else null. The fixture derives four deterministic response shapes
+    * from `props` (clean JSON / prose-wrapped JSON / no JSON at all /
+    * braces that never parse), so every branch of the scan is
+    * oracle-checked; the recovered text then feeds the usual typed
+    * extraction. The DuckDB twin restates the scan with position
+    * arithmetic + `json_valid` (the same acceptance set as the strict
+    * validator behind [[graft.functions.Udfs.jsonScan]]). */
+  val fJsonScan = QueryDef(
+    "f_json_scan",
+    (s, dir) => {
+      val m = pmod(col("event_id"), lit(4L))
+      val dirty = when(m === 0L, col("props"))
+        .when(m === 1L, concat(lit("Sure! Here is the JSON you asked for:\n"),
+          col("props"), lit("\nHope that helps.")))
+        .when(m === 2L, lit("Sorry, I cannot produce structured output."))
+        .otherwise(concat(lit("Result: {oops "), col("props"), lit(" trailing }")))
+      T(s, dir).events
+        .withColumn("json_out", graft.functions.Udfs.jsonScanUdf(dirty))
+        .select(col("event_id"), col("json_out"),
+          get_json_object(col("json_out"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some("""
+      WITH d AS (
+        SELECT event_id,
+          CASE event_id % 4
+            WHEN 0 THEN props
+            WHEN 1 THEN 'Sure! Here is the JSON you asked for:' || chr(10) ||
+                        props || chr(10) || 'Hope that helps.'
+            WHEN 2 THEN 'Sorry, I cannot produce structured output.'
+            ELSE 'Result: {oops ' || props || ' trailing }'
+          END AS raw
+        FROM events),
+      t AS (SELECT event_id, trim(raw) AS s FROM d),
+      b AS (SELECT event_id, s, strpos(s, '{') AS st,
+              CASE WHEN strpos(reverse(s), '}') = 0 THEN 0
+                   ELSE length(s) - strpos(reverse(s), '}') + 1 END AS en
+            FROM t),
+      x AS (SELECT event_id,
+              CASE WHEN s = '' THEN NULL
+                   WHEN json_valid(s) THEN s
+                   WHEN st = 0 OR en = 0 OR en <= st THEN NULL
+                   WHEN json_valid(substr(s, st, en - st + 1))
+                     THEN substr(s, st, en - st + 1)
+                   ELSE NULL END AS json_out
+            FROM b)
+      SELECT event_id, json_out,
+        CAST(json_extract_string(json_out, '$.k') AS BIGINT) AS k
+      FROM x ORDER BY event_id"""))
+
   /** Countdown decomposition d/h/m (governance/[id]/page.tsx:18-25):
     * remaining time to a fixed deadline, split by integer division. */
   val fCountdown = QueryDef(
@@ -403,6 +456,6 @@ object Relational2 {
   val defs: Seq[QueryDef] = Seq(
     j3StreamStatic, j5IdentityLink, j8SecondaryLookup,
     a4GroupCountAvg, a7PoolTotals, a8Counters, a13PageEnvelope,
-    udtfExplodeSteps, udtfPlanExpand, udtfParticles, fJsonStruct, fCountdown,
-    a5CubeMatrix)
+    udtfExplodeSteps, udtfPlanExpand, udtfParticles, fJsonStruct, fJsonScan,
+    fCountdown, a5CubeMatrix)
 }

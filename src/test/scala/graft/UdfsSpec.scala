@@ -42,4 +42,45 @@ class UdfsSpec extends AnyFunSuite {
       assert(Udfs.base58Decode(Udfs.base58Encode(bytes)).toSeq === bytes.toSeq)
     }
   }
+
+  test("jsonValid accepts/rejects the RFC-8259 boundary vectors") {
+    val valid = Seq(
+      """{}""", """[]""", """{"k": 69}""", """{"a":{"b":[1,2,{"c":null}]}}""",
+      """[1, -0.5, 1e5, 2E-3, 0.25, true, false, null, "s"]""",
+      "42", "-0", "\"str\"", "true", "null",
+      """  {"ws" : "around"}  """,
+      """{"esc":"a\n\t\"\\\/éb"}""")
+    val invalid = Seq(
+      "", " ", "{", "}", "{]", """{"k":}""", """{"k":1,}""", """[1,]""",
+      """{k:1}""", """{'k':1}""", "01", "+1", "1.", ".5", "1e", "--1",
+      "tru", "nulll" /* trailing token */, """{"a":1} {"b":2}""",
+      """{"a":1} trailing""", "\"unterminated", "\"raw\tcontrol\"",
+      """{"a":"bad \x esc"}""", "NaN", "Infinity")
+    valid.foreach(v => assert(Udfs.jsonValid(v), s"should accept: $v"))
+    invalid.foreach(v => assert(!Udfs.jsonValid(v), s"should reject: $v"))
+    // stack-safety cap: both anchors accept deep nesting; the validator
+    // draws a documented line rather than risking a stack overflow
+    assert(Udfs.jsonValid("[" * 100 + "1" + "]" * 100))
+    assert(!Udfs.jsonValid("[" * 1000 + "1" + "]" * 1000))
+  }
+
+  test("jsonScan recovers embedded objects exactly as extractJson does") {
+    // strict path: whole trimmed text is JSON (scalars included)
+    assert(Udfs.jsonScan("""{"k": 69}""") === """{"k": 69}""")
+    assert(Udfs.jsonScan("  42  ") === "42")
+    // bracket path: first '{' to LAST '}' of prose-wrapped JSON
+    assert(Udfs.jsonScan("Sure!\n{\"a\": {\"b\": 1}}\nBye.") === """{"a": {"b": 1}}""")
+    // two objects in prose: the slice spans BOTH and fails to parse —
+    // the reference's scan is first-to-last, not first-balanced
+    assert(Udfs.jsonScan("""x {"a":1} y {"b":2} z""") === null)
+    // no braces / reversed braces / empty / null
+    assert(Udfs.jsonScan("no json here, sorry") === null)
+    assert(Udfs.jsonScan("} backwards {") === null)
+    assert(Udfs.jsonScan("") === null)
+    assert(Udfs.jsonScan("   ") === null)
+    assert(Udfs.jsonScan(null) === null)
+    // truncated JSON: brace pair exists but the slice never parses
+    assert(Udfs.jsonScan("Result: {oops {\"k\": 69} trailing }") === null)
+    assert(Udfs.jsonScan("{\"k\": 6") === null)
+  }
 }
