@@ -161,6 +161,48 @@ object Merkle {
     (root, proofs)
   }
 
+  /** Incremental append frontier — the reference's actual WRITE pattern
+    * (one commitment appended per transaction, `merkle.ts:116-125`
+    * `addLeaf` + `getRoot:84-110`) maintained with DEPTH-SIZED state
+    * instead of refolding the leaf set: `filled(d)` holds the hash of the
+    * last complete left subtree at level d along the current insertion
+    * path (the classic on-chain incremental-tree state). `append` is
+    * O(depth) hashes, and after every append `root` is bit-identical to
+    * [[rootLocal]]/[[rootDistributed]] over the leaf prefix (CryptoSpec
+    * pins the per-append agreement, StreamingSpec the per-batch agreement
+    * at the reference's depth 20). `snapshot`/`restore` expose the
+    * (count, root, frontier) triple so a foreachBatch maintainer can
+    * persist its state and resume exactly after a restart. */
+  final class Incremental(val depth: Int) {
+    private val z = zeroHashes(depth)
+    private val filled = Array.fill[BigInt](depth)(BigInt(0))
+    private var n = 0L
+    private var cur: BigInt = z(depth)
+    def count: Long = n
+    def root: BigInt = cur
+    def append(leaf: BigInt): Unit = {
+      require(n < (1L << depth), "tree is full (merkle.ts:118-120)")
+      var h = leaf
+      var idx = n
+      var d = 0
+      while (d < depth) {
+        if ((idx & 1L) == 0L) { filled(d) = h; h = Poseidon.hash2(h, z(d)) }
+        else h = Poseidon.hash2(filled(d), h)
+        idx >>= 1
+        d += 1
+      }
+      cur = h
+      n += 1
+    }
+    def snapshot: (Long, BigInt, Seq[BigInt]) = (n, cur, filled.toSeq)
+    def restore(count: Long, root: BigInt, frontier: Seq[BigInt]): Unit = {
+      require(frontier.length == depth, s"frontier must carry $depth levels")
+      n = count
+      cur = root
+      frontier.copyToArray(filled)
+    }
+  }
+
   /** Proof verification (merkle.ts:171-195): recompute the root from the
     * leaf along the path. */
   def verify(leaf: BigInt, proofSibs: Seq[BigInt], pathBits: Seq[Int], root: BigInt): Boolean = {

@@ -575,6 +575,41 @@ object StreamOps {
       }
   }
 
+  /** Incremental Merkle maintenance as a stream — the reference's
+    * registry write pattern (merkle.ts:116-125: commitments append one
+    * at a time; the root is what governance reads) as a foreachBatch
+    * maintainer over a (leaf_index, leaf) commitment stream. Each
+    * micro-batch folds its leaves IN INDEX ORDER into the depth-sized
+    * [[graft.functions.Merkle.Incremental]] frontier — state is `depth`
+    * hashes + a counter, never the leaf set, which is what lets the
+    * maintainer run forever at the reference's depth-20 / ~1M-leaf
+    * registry scale. The per-batch collect is the increment itself (the
+    * append stream, not the corpus — same bounded-action posture as the
+    * proofDistributed block tops); appends must be contiguous from the
+    * current count (left-filled tree, the reference's shape). After
+    * every batch the frontier root is bit-identical to the batch
+    * [[graft.functions.Merkle.rootDistributed]] over all leaves so far
+    * (StreamingSpec, depth 20). Callers persist `tree.snapshot` per
+    * batch and `restore` on restart. */
+  def merkleAppend(commitments: DataFrame, depth: Int)
+      : (graft.functions.Merkle.Incremental, org.apache.spark.sql.streaming.StreamingQuery) = {
+    val tree = new graft.functions.Merkle.Incremental(depth)
+    val q = commitments.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val leaves = batch
+          .select(col("leaf_index").cast("long"), col("leaf"))
+          .collect().sortBy(_.getLong(0))
+        leaves.foreach { r =>
+          require(r.getLong(0) == tree.count,
+            s"non-contiguous append: leaf_index ${r.getLong(0)} at count ${tree.count}")
+          tree.append(graft.functions.Poseidon.fromBytes32(r.getAs[Array[Byte]](1)))
+        }
+      }
+      .start()
+    (tree, q)
+  }
+
   /** Convenience: the driver test `events` parquet as a typed stream via
     * a file source — replay = initial batch, increments = new files
     * (useAgentStream.ts replay∪live, S4). */

@@ -109,6 +109,30 @@ class CryptoSpec extends SparkSpec {
     }
   }
 
+  test("incremental frontier root equals the level fold after EVERY append") {
+    // the write-pattern twin (merkle.ts:116-125): depth-sized state must
+    // reproduce the full recompute at every prefix, including the
+    // odd-tail-pairs-with-zero-hash boundary each power of two crosses
+    val depth = 6
+    val inc = new graft.functions.Merkle.Incremental(depth)
+    val leaves = (1 to 40).map(i => BigInt(i * 131 + 7))
+    assert(inc.root === graft.functions.Merkle.rootLocal(Seq.empty, depth))
+    leaves.zipWithIndex.foreach { case (leaf, k) =>
+      inc.append(leaf)
+      assert(inc.root ===
+        graft.functions.Merkle.rootLocal(leaves.take(k + 1), depth),
+        s"diverged after ${k + 1} appends")
+    }
+    // snapshot/restore resumes the identical sequence
+    val (n, r, frontier) = inc.snapshot
+    assert(n === 40L && frontier.length === depth)
+    val resumed = new graft.functions.Merkle.Incremental(depth)
+    resumed.restore(n, r, frontier)
+    resumed.append(BigInt(4242))
+    assert(resumed.root ===
+      graft.functions.Merkle.rootLocal(leaves :+ BigInt(4242), depth))
+  }
+
   test("crypto_merkle_verify: every proof verifies, every tampered proof rejects") {
     val rows = graft.operators.Crypto.cryptoMerkleVerify.run(spark, sf001).collect()
     assert(rows.length === 64)

