@@ -123,6 +123,7 @@ object Bench {
       // previous run's cache
       graft.operators.Similarity.clearFeatureCache()
       graft.operators.ScaleOps.clearBloomCache()
+      graft.operators.ScaleOps.clearCcCheckpoints()
       val t0 = System.nanoTime()
       q.run(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
@@ -146,6 +147,7 @@ object Bench {
     def resetBetweenTiers(): Unit = {
       graft.operators.Similarity.clearFeatureCache()
       graft.operators.ScaleOps.clearBloomCache()
+      graft.operators.ScaleOps.clearCcCheckpoints()
       spark.catalog.clearCache()
       System.gc()
     }

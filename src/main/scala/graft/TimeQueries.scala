@@ -31,6 +31,7 @@ object TimeQueries {
     def time(q: QueryDef, dir: String): Double = {
       operators.Similarity.clearFeatureCache()
       operators.ScaleOps.clearBloomCache()
+      operators.ScaleOps.clearCcCheckpoints()
       val t0 = System.nanoTime()
       q.run(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9

@@ -109,8 +109,10 @@ object ScaleOps {
     * short-circuits long chains: a path of diameter d converges in
     * O(log d) iterations, not O(d). Every iteration is a fixed set of
     * hash shuffles over (V+E) rows — no driver collect; the frame is
-    * `localCheckpoint`ed per iteration to truncate lineage (at cluster
-    * scale you'd swap in a reliable checkpoint dir). Convergence is
+    * checkpointed per iteration to truncate lineage — `localCheckpoint`
+    * by default, or the fault-tolerant path when
+    * `spark.graft.checkpointDir` is set (the cluster-scale config: local
+    * checkpoint blocks die with their executor). Convergence is
     * detected on the materialized frame (any label lowered?); the
     * driver-side loop is bounded by `maxIter`, the same bounded-action
     * posture as the IVF centroid build. Throws if `maxIter` is hit
@@ -118,6 +120,20 @@ object ScaleOps {
     * clustering. */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    // Reliable-checkpoint option: localCheckpoint blocks die with their
+    // executor, which kills the whole fixpoint at cluster scale. When the
+    // caller sets spark.graft.checkpointDir, iteration state goes through
+    // the fault-tolerant checkpoint path instead (files under the dir;
+    // first set wins per SparkContext). Locally the default stays
+    // localCheckpoint — no filesystem churn in tests/bench.
+    val reliable = spark.conf.getOption("spark.graft.checkpointDir")
+    reliable.foreach { d =>
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(d)
+    }
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable.isDefined) df.checkpoint() else df.localCheckpoint()
     val e = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
     // materialize the symmetrized edge list ONCE: it is re-read every
@@ -125,11 +141,9 @@ object ScaleOps {
     // (e.g. dd_minhash_cc's band-explode + verify joins) would re-execute
     // per iteration — the docstring's per-iteration cost claim holds only
     // because this is a checkpoint, not a lazy plan
-    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    val sym = ckpt(e.union(e.select(col("b").as("a"), col("a").as("b"))))
+    var labels = ckpt(sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")))
     var iter = 0
     var changed = 1L
     while (changed > 0L && iter < maxIter) {
@@ -141,10 +155,10 @@ object ScaleOps {
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("l1"))
       // pointer jump: follow the new label to ITS new label
       val jump = stepped.select(col("node").as("l1"), col("l1").as("l2"))
-      val next = stepped.join(jump, Seq("l1"), "left")
+      val next = ckpt(stepped.join(jump, Seq("l1"), "left")
         .select(col("node"), col("old"),
           least(col("l1"), coalesce(col("l2"), col("l1"))).as("label"))
-        .localCheckpoint() // eager: one materialization feeds both uses below
+      ) // eager: one materialization feeds both uses below
       changed = next.filter(col("label") < col("old")).limit(1).count()
       // `next` is materialized (eager checkpoint), so the previous
       // iteration's blocks are dead — free them NOW instead of waiting
@@ -158,7 +172,28 @@ object ScaleOps {
     if (changed > 0L)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations")
+    // the returned frame is itself a checkpoint and would otherwise stay
+    // pinned until driver GC triggers ContextCleaner — register it so
+    // harness resets (Bench / TimeQueries cold runs) free it
+    // deterministically, the same contract as the Bloom memo
+    ccCheckpoints.synchronized { ccCheckpoints += labels }
     labels
+  }
+
+  /** Converged label frames returned by [[connectedComponents]] — each is
+    * a checkpoint whose blocks stay pinned until freed. Harnesses call
+    * [[clearCcCheckpoints]] alongside [[clearBloomCache]] before timed or
+    * repeated runs; library callers may call it once their downstream
+    * consumption of a returned components frame is materialized. */
+  private val ccCheckpoints = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  /** Frees the storage blocks of every registered converged components
+    * frame (Try-wrapped: a stopped session must not abort the rest).
+    * Safe once consumers have materialized; a reliable-checkpointed frame
+    * keeps its files and stays recomputable after this. */
+  def clearCcCheckpoints(): Unit = ccCheckpoints.synchronized {
+    ccCheckpoints.foreach(df => scala.util.Try(unpersistCheckpoint(df)))
+    ccCheckpoints.clear()
   }
 
   /** Frees the storage blocks behind a `localCheckpoint`ed frame. A

@@ -188,8 +188,38 @@ class ScaleOpsSpec extends SparkSpec {
     // returned final labels frame may remain
     val chain = (0L until 99L).map(i => (i, i + 1)).toDF("a", "b")
     graft.operators.ScaleOps.connectedComponents(chain, "a", "b").collect()
-    val leaked = (sc.getPersistentRDDs.keySet -- before).size
-    assert(leaked <= 1, s"expected at most the final labels checkpoint, got $leaked")
+    val added = sc.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1, s"expected at most the final labels checkpoint, got ${added.size}")
+    // the returned frame is registered: the harness reset frees it too
+    // (ADVICE r5: repeated executions each pinned one converged block set)
+    graft.operators.ScaleOps.clearCcCheckpoints()
+    assert(added.intersect(sc.getPersistentRDDs.keySet).isEmpty,
+      "clearCcCheckpoints left the converged labels pinned")
+  }
+
+  test("connectedComponents reliable-checkpoint path converges identically") {
+    // spark.graft.checkpointDir routes iteration state through the
+    // fault-tolerant checkpoint path (executor loss survivable at cluster
+    // scale); same chain fixture, same labels, and real checkpoint files
+    // must exist under the configured dir
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val chain = (0L until 99L).map(i => (i, i + 1)).toDF("a", "b")
+      val got = graft.operators.ScaleOps.connectedComponents(chain, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(got.length === 100)
+      assert(got.forall(_._2 === 0L), "reliable path must converge to min label 0")
+      def files(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+      val sc = spark.sparkContext
+      assert(sc.getCheckpointDir.isDefined, "checkpoint dir was never set")
+      assert(files(new java.io.File(new java.net.URI(sc.getCheckpointDir.get).getPath))
+        .nonEmpty, "no reliable checkpoint files were written")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      graft.operators.ScaleOps.clearCcCheckpoints()
+    }
   }
 
   test("dd_minhash_cc: transitive chain collapses to one cluster") {
