@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -392,21 +392,28 @@ object Text {
     * in `percentile_approx` (the `a15_percentile_approx` sketch tier)
     * turns the threshold build into fixed-state partial aggregation at
     * the price of an accuracy-bounded, not bit-specified, cutoff. */
+  /** The scored frame BOTH quality-gate tiers read (txt_quality's integer
+    * score per document + its language) — one definition, so the exact
+    * and sketch gates can never drift on what they are thresholding. */
+  private def qualityScored(s: SparkSession, dir: String): DataFrame = {
+    val words = filter(split(col("text"), " "), w => length(w) > lit(0))
+    val nWords = size(words).cast("long")
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is")
+    val stopCnt = size(filter(split(lower(col("text")), " "),
+      w => w.isin(stops.map(x => x: Any): _*))).cast("long")
+    T(s, dir).documents
+      .withColumn("n_words", nWords)
+      .withColumn("stop_cnt", stopCnt)
+      .filter(col("n_words") > lit(0L))
+      .select(col("doc_id"), col("lang"),
+        (least(lit(100L), col("n_words") * lit(2L)) +
+          least(lit(50L), col("stop_cnt") * lit(5L))).as("quality_score"))
+  }
+
   val pipeQualityGate = QueryDef(
     "pipe_quality_gate",
     (s, dir) => {
-      val words = filter(split(col("text"), " "), w => length(w) > lit(0))
-      val nWords = size(words).cast("long")
-      val stops = Seq("the", "a", "and", "of", "to", "in", "is")
-      val stopCnt = size(filter(split(lower(col("text")), " "),
-        w => w.isin(stops.map(x => x: Any): _*))).cast("long")
-      val scored = T(s, dir).documents
-        .withColumn("n_words", nWords)
-        .withColumn("stop_cnt", stopCnt)
-        .filter(col("n_words") > lit(0L))
-        .select(col("doc_id"), col("lang"),
-          (least(lit(100L), col("n_words") * lit(2L)) +
-            least(lit(50L), col("stop_cnt") * lit(5L))).as("quality_score"))
+      val scored = qualityScored(s, dir)
       val wOrd = Window.partitionBy("lang").orderBy(col("quality_score"), col("doc_id"))
       val wAll = Window.partitionBy("lang")
       val thresholds = scored
@@ -440,6 +447,30 @@ object Text {
       FROM sc JOIN t USING (lang)
       WHERE sc.quality_score >= t.lang_median
       ORDER BY sc.doc_id"""))
+
+  /** The 100 TB tier of [[pipeQualityGate]]: identical gate, but the
+    * per-language threshold comes from `percentile_approx` (GK sketch,
+    * fixed-size partial-aggregating state) instead of the exact
+    * integer-rank median's full per-language sort — the same
+    * exact-anchor/sketch-tier pairing as `a15_percentile_disc` /
+    * `a15_percentile_approx`. Both tiers read the ONE [[qualityScored]]
+    * frame, so they threshold the same scores by construction.
+    * Rows-only by design (the sketch's cutoff is accuracy-bounded, not
+    * bit-specified); SemanticsSpec asserts each language's sketch median
+    * lands within 2% of the exact tier's and that the gate is exactly
+    * scored ≥ threshold. */
+  val pipeQualityGateApprox = QueryDef(
+    "pipe_quality_gate_approx",
+    (s, dir) => {
+      val scored = qualityScored(s, dir)
+      val thresholds = scored.groupBy(col("lang"))
+        .agg(percentile_approx(col("quality_score"), lit(0.5), lit(10000))
+          .as("lang_median"))
+      scored.join(broadcast(thresholds), Seq("lang"))
+        .filter(col("quality_score") >= col("lang_median"))
+        .select(col("doc_id"), col("lang"), col("quality_score"), col("lang_median"))
+        .orderBy(col("doc_id"))
+    })
 
   /** Corpus vocabulary profile: the 10 highest-document-frequency tokens
     * per language (ties broken lexicographically). The df counting is the
@@ -519,5 +550,6 @@ object Text {
   val defs: Seq[QueryDef] = Seq(
     ddExact, ddExactNorm, a12OverlapScore, ddJaccard, ddShingleJaccard,
     txtLangId, txtQuality, txtTokens, txtFingerprint, txtFingerprintRolling,
-    pipeCorpusClean, pipeQualityGate, txtVocabTopk, pipeProfile)
+    pipeCorpusClean, pipeQualityGate, pipeQualityGateApprox, txtVocabTopk,
+    pipeProfile)
 }

@@ -183,6 +183,42 @@ class SemanticsSpec extends SparkSpec {
     }
   }
 
+  test("quality-gate sketch tier tracks the exact per-language median gate") {
+    // the pairing discipline of a15_percentile_disc/_approx applied to the
+    // corpus gate: both tiers threshold the SAME scored frame, so the only
+    // permitted divergence is the sketch's accuracy-bounded cutoff
+    val exact = QueryDef.catalogs.find(_.name == "pipe_quality_gate").get
+      .run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val approx = QueryDef.catalogs.find(_.name == "pipe_quality_gate_approx").get
+      .run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val exactMed = exact.map(r => r._2 -> r._4).toMap
+    val approxMed = approx.map(r => r._2 -> r._4).toMap
+    assert(approxMed.keySet === exactMed.keySet)
+    for ((lang, e) <- exactMed) {
+      val a = approxMed(lang)
+      assert(math.abs(a - e).toDouble <= math.max(1.0, 0.02 * e),
+        s"$lang: sketch median $a vs exact $e")
+    }
+    // the gate itself is exact given its threshold: approx output ==
+    // every scored doc at-or-above the sketch cutoff (brute-forced from
+    // the documents table with the txt_quality formula)
+    val stops = Set("the", "a", "and", "of", "to", "in", "is")
+    val docs = Tables(spark, sf001).documents.select($"doc_id", $"lang", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = docs.flatMap { case (id, lang, text) =>
+      val nWords = text.split(" ").count(_.nonEmpty).toLong
+      val stopCnt = text.toLowerCase.split(" ").count(stops.contains).toLong
+      if (nWords == 0L) None
+      else {
+        val score = math.min(100L, nWords * 2L) + math.min(50L, stopCnt * 5L)
+        approxMed.get(lang).filter(score >= _).map(m => (id, lang, score, m))
+      }
+    }.sortBy(_._1).toSeq
+    assert(approx.toSeq === want)
+  }
+
   test("salted skew join equals the plain join on a hot-keyed input") {
     // one pathological key (90% of rows, including byte-identical rows —
     // the degenerate case a content-hash salt would NOT fan out) + a tail
