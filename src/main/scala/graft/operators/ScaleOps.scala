@@ -35,11 +35,47 @@ object ScaleOps {
       org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]
   private def cachedBloom(s: SparkSession, key: String)(
       build: => org.apache.spark.util.sketch.BloomFilter)
-      : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter] =
-    bloomCache.synchronized {
+      : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter] = {
+    val k = (s, key)
+    val existing = bloomCache.synchronized {
       bloomCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      bloomCache.getOrElseUpdate((s, key), s.sparkContext.broadcast(build))
+      bloomCache.get(k)
     }
+    existing.getOrElse {
+      // build OUTSIDE the monitor (ADVICE r5): the build runs full Spark
+      // jobs (count + bloomFilter treeAggregate) and holding the global
+      // lock across them would serialize every concurrent query and
+      // clearBloomCache() for the duration. Check-then-publish: a rare
+      // concurrent duplicate build loses the race and is destroyed.
+      val fresh = s.sparkContext.broadcast(build)
+      bloomCache.synchronized {
+        bloomCache.get(k) match {
+          case Some(winner) =>
+            scala.util.Try(fresh.destroy())
+            winner
+          case None =>
+            bloomCache.update(k, fresh)
+            fresh
+        }
+      }
+    }
+  }
+
+  /** Cheap data fingerprint for Bloom cache keys: the max lastModified
+    * under the stratum's table path. Rewriting the files within one
+    * session (driver regenerating test data, a harness rebuilding a
+    * fixture) changes the key and so invalidates the memo — a stale
+    * filter yields false NEGATIVES for new benchmark shingles, and the
+    * exact-confirm join only removes false positives, so contamination
+    * would be silently under-reported (ADVICE r5). Superseded entries
+    * (old fingerprints) are reclaimed by `clearBloomCache`/session
+    * eviction — at most one per rewrite. */
+  private def docsFingerprint(dir: String): Long = {
+    val f = new java.io.File(s"$dir/documents.parquet")
+    if (f.isDirectory)
+      (f.lastModified +: f.listFiles().map(_.lastModified).toSeq).max
+    else f.lastModified
+  }
 
   /** Destroys and forgets every memoized Bloom broadcast (Try-wrapped:
     * one stopped session must not abort clearing the rest). Bench calls
@@ -742,7 +778,7 @@ object ScaleOps {
       // driver action on the small stratum, memoized with the filter):
       // a hardcoded capacity silently degrades the 1% fpp — and with it
       // the entire point of the pre-filter — once the stratum outgrows it
-      val bc = cachedBloom(s, s"decontam:$dir") {
+      val bc = cachedBloom(s, s"decontam:$dir:${docsFingerprint(dir)}") {
         val n = math.max(1000L, bench.count())
         bench.stat.bloomFilter("shingle", n, 0.01)
       }

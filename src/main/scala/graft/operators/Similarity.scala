@@ -463,8 +463,16 @@ object Similarity {
     *
     * Scale shape, stage by stage: candidate edges are the per-bucket
     * STAR edges (doc → bucket-min) — linear in bucket size, never
-    * all-pairs-within-bucket, and a star reaches every co-bucketed doc
-    * so bucket connectivity is fully preserved; each distinct candidate
+    * all-pairs-within-bucket; a star reaches every co-bucketed doc, so
+    * CANDIDATE-stage bucket connectivity is fully preserved. Post-verify
+    * the guarantee is narrower (the standard LSH-star recall trade-off):
+    * two true near-dups co-bucketed with a dissimilar bucket-min keep
+    * their link only through edges that pass the bar, so a pair whose
+    * star edges BOTH fail the 50% verify loses a link an
+    * all-pairs-per-bucket candidate set would have kept — that residual
+    * recall gap is the price of the linear edge count (the pair usually
+    * still meets through another band whose bucket-min is similar to
+    * both). Each distinct candidate
     * edge (≤ nBands per doc) is verified by exact Jaccard ≥ 50% before
     * it can merge clusters (LSH false positives die here, so components
     * only ever contain verified-duplicate links); components come from
