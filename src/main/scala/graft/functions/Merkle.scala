@@ -172,15 +172,20 @@ object Merkle {
     * pins the per-append agreement, StreamingSpec the per-batch agreement
     * at the reference's depth 20). `snapshot`/`restore` expose the
     * (count, root, frontier) triple so a foreachBatch maintainer can
-    * persist its state and resume exactly after a restart. */
+    * persist its state and resume exactly after a restart. All methods
+    * synchronize on the instance: the stream's micro-batch thread
+    * appends while the caller's thread reads root/snapshot, and an
+    * unsynchronized read could tear (cur updated for leaf k+1 while n
+    * is still k) — a torn snapshot persisted for restart would silently
+    * diverge every subsequent root. */
   final class Incremental(val depth: Int) {
     private val z = zeroHashes(depth)
     private val filled = Array.fill[BigInt](depth)(BigInt(0))
     private var n = 0L
     private var cur: BigInt = z(depth)
-    def count: Long = n
-    def root: BigInt = cur
-    def append(leaf: BigInt): Unit = {
+    def count: Long = synchronized(n)
+    def root: BigInt = synchronized(cur)
+    def append(leaf: BigInt): Unit = synchronized {
       require(n < (1L << depth), "tree is full (merkle.ts:118-120)")
       var h = leaf
       var idx = n
@@ -194,8 +199,8 @@ object Merkle {
       cur = h
       n += 1
     }
-    def snapshot: (Long, BigInt, Seq[BigInt]) = (n, cur, filled.toSeq)
-    def restore(count: Long, root: BigInt, frontier: Seq[BigInt]): Unit = {
+    def snapshot: (Long, BigInt, Seq[BigInt]) = synchronized((n, cur, filled.toSeq))
+    def restore(count: Long, root: BigInt, frontier: Seq[BigInt]): Unit = synchronized {
       require(frontier.length == depth, s"frontier must carry $depth levels")
       n = count
       cur = root

@@ -46,17 +46,19 @@ object ScaleOps {
       // jobs (count + bloomFilter treeAggregate) and holding the global
       // lock across them would serialize every concurrent query and
       // clearBloomCache() for the duration. Check-then-publish: a rare
-      // concurrent duplicate build loses the race and is destroyed.
+      // concurrent duplicate build loses the race and is destroyed —
+      // also outside the monitor (destroy blocks on executor-side
+      // removal, the same slow-Spark-op-under-lock class).
       val fresh = s.sparkContext.broadcast(build)
-      bloomCache.synchronized {
+      val winner = bloomCache.synchronized {
         bloomCache.get(k) match {
-          case Some(winner) =>
-            scala.util.Try(fresh.destroy())
-            winner
-          case None =>
-            bloomCache.update(k, fresh)
-            fresh
+          case Some(w) => Some(w)
+          case None => bloomCache.update(k, fresh); None
         }
+      }
+      winner match {
+        case Some(w) => scala.util.Try(fresh.destroy()); w
+        case None => fresh
       }
     }
   }
@@ -69,21 +71,36 @@ object ScaleOps {
     * exact-confirm join only removes false positives, so contamination
     * would be silently under-reported (ADVICE r5). Superseded entries
     * (old fingerprints) are reclaimed by `clearBloomCache`/session
-    * eviction — at most one per rewrite. */
-  private def docsFingerprint(dir: String): Long = {
-    val f = new java.io.File(s"$dir/documents.parquet")
-    if (f.isDirectory)
-      (f.lastModified +: f.listFiles().map(_.lastModified).toSeq).max
-    else f.lastModified
-  }
+    * eviction — at most one per rewrite. Goes through the Hadoop
+    * FileSystem API, not java.io.File, so the fingerprint is real on
+    * hdfs:/s3a: table paths too (a java.io.File there is a constant 0 —
+    * which would silently disable the invalidation exactly where the
+    * cluster posture needs it). A vanished path fingerprints as 0; the
+    * subsequent read fails loudly on its own. */
+  private def docsFingerprint(s: SparkSession, dir: String): Long =
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        (st.getModificationTime +:
+          fs.listStatus(p).map(_.getModificationTime).toSeq).max
+      else st.getModificationTime
+    }.getOrElse(0L)
 
   /** Destroys and forgets every memoized Bloom broadcast (Try-wrapped:
     * one stopped session must not abort clearing the rest). Bench calls
     * this alongside `Similarity.clearFeatureCache` so timed runs build
     * the filter cold. */
-  def clearBloomCache(): Unit = bloomCache.synchronized {
-    bloomCache.values.foreach(b => scala.util.Try(b.destroy()))
-    bloomCache.clear()
+  def clearBloomCache(): Unit = {
+    // detach under the lock, destroy outside it (blocking destroys must
+    // not stall concurrent cachedBloom lookups)
+    val detached = bloomCache.synchronized {
+      val vs = bloomCache.values.toList
+      bloomCache.clear()
+      vs
+    }
+    detached.foreach(b => scala.util.Try(b.destroy()))
   }
 
   /** Generic left as-of join: every `left` row paired with the latest
@@ -169,7 +186,16 @@ object ScaleOps {
         spark.sparkContext.setCheckpointDir(d)
     }
     def ckpt(df: DataFrame): DataFrame =
-      if (reliable.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (reliable.isDefined) {
+        // persist before checkpointing: Dataset.checkpoint runs an eager
+        // count AND a separate checkpoint-write job — without a cache the
+        // whole join/agg pipeline executes twice per iteration (the
+        // classic checkpoint-without-cache gotcha)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = df.checkpoint()
+        df.unpersist(blocking = false)
+        out
+      } else df.localCheckpoint()
     val e = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
     // materialize the symmetrized edge list ONCE: it is re-read every
@@ -223,26 +249,37 @@ object ScaleOps {
     * consumption of a returned components frame is materialized. */
   private val ccCheckpoints = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
-  /** Frees the storage blocks of every registered converged components
-    * frame (Try-wrapped: a stopped session must not abort the rest).
-    * Safe once consumers have materialized; a reliable-checkpointed frame
-    * keeps its files and stays recomputable after this. */
+  /** Frees the storage of every registered converged components frame —
+    * blocks, and for reliable checkpoints the files too (Try-wrapped: a
+    * stopped session must not abort the rest). Only safe once consumers
+    * have materialized; the frames are not recomputable afterwards. */
   def clearCcCheckpoints(): Unit = ccCheckpoints.synchronized {
     ccCheckpoints.foreach(df => scala.util.Try(unpersistCheckpoint(df)))
     ccCheckpoints.clear()
   }
 
-  /** Frees the storage blocks behind a `localCheckpoint`ed frame. A
-    * checkpointed Dataset is not in the CacheManager (`df.unpersist()`
-    * is a no-op for it); its persistence lives on the RDD wrapped by the
-    * `LogicalRDD` leaf, so that is what must be unpersisted. Only safe
-    * once every consumer has materialized — callers here unpersist
-    * iteration N's labels strictly after iteration N+1's eager
-    * checkpoint. No-op for non-checkpointed frames. */
+  /** Frees the storage behind a checkpointed frame. A checkpointed
+    * Dataset is not in the CacheManager (`df.unpersist()` is a no-op for
+    * it); its persistence lives on the RDD wrapped by the `LogicalRDD`
+    * leaf, so that is what must be unpersisted — and for RELIABLE
+    * checkpoints the files are deleted too (Spark only auto-deletes them
+    * under the non-default cleanCheckpoints conf, so without this every
+    * iteration of every call would leave an O(V+E) snapshot under the
+    * checkpoint dir forever). Only safe once every consumer has
+    * materialized — callers here unpersist iteration N's labels strictly
+    * after iteration N+1's eager checkpoint; the frame is NOT
+    * recomputable afterwards. No-op for non-checkpointed frames. */
   private def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
+        l.rdd.getCheckpointFile.foreach { f =>
+          scala.util.Try {
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          }
+        }
       case _ => ()
     }
 
@@ -266,7 +303,10 @@ object ScaleOps {
     *
     * `out` is the EXCLUSIVE prefix sum of `value` within the row's stratum
     * in `order` order (sum of strictly earlier rows), appended as a Long
-    * column after the input columns. `order` must totally order rows
+    * column after the input columns. NULL values follow the window form's
+    * semantics exactly (`sum(v).over(w) - v`): a NULL-valued row gets a
+    * NULL prefix and contributes nothing to later rows — the spec-pinned
+    * equivalence includes NULLs. `order` must totally order rows
     * within a stratum (include a unique id); chunk boundaries are wherever
     * the range sampler puts them and never affect the output values.
     *
@@ -312,14 +352,17 @@ object ScaleOps {
       it.map { r =>
         val k = keyOf(r)
         if (cur == null || k != cur) { cur = k; acc = bc.value.getOrElse((pid, k), 0L) }
-        val row = Row.fromSeq(r.toSeq.updated(vIdx, acc))
+        // NULL value → NULL prefix (matching sum(v).over(w) - v), and the
+        // accumulator skips it (window sum ignores nulls)
+        val prefix: Any = if (r.isNullAt(vIdx)) null else acc
+        val row = Row.fromSeq(r.toSeq.updated(vIdx, prefix))
         acc += valueAt(r)
         row
       }
     }
     spark.createDataFrame(outRdd,
       StructType(schema.fields.updated(vIdx,
-        StructField(out, LongType, nullable = false))))
+        StructField(out, LongType, nullable = true))))
   }
 
   /** Distributed per-stratum rank (1-based, dense over the total `order`)
@@ -778,7 +821,7 @@ object ScaleOps {
       // driver action on the small stratum, memoized with the filter):
       // a hardcoded capacity silently degrades the 1% fpp — and with it
       // the entire point of the pre-filter — once the stratum outgrows it
-      val bc = cachedBloom(s, s"decontam:$dir:${docsFingerprint(dir)}") {
+      val bc = cachedBloom(s, s"decontam:$dir:${docsFingerprint(s, dir)}") {
         val n = math.max(1000L, bench.count())
         bench.stat.bloomFilter("shingle", n, 0.01)
       }

@@ -376,22 +376,6 @@ object Text {
       SELECT doc_id, quality_score, n_words AS tokens, fp
       FROM d WHERE doc_id = keeper ORDER BY doc_id"""))
 
-  /** Per-language quality-percentile corpus gate: keep each language's
-    * documents scoring at or above that language's MEDIAN quality — the
-    * relative-threshold filtering step every corpus-construction
-    * pipeline runs (absolute thresholds misfire across languages whose
-    * score distributions differ; the gate must be per-stratum).
-    *
-    * Composition, all exact-integer so the DuckDB twin is hash-exact:
-    * the `txt_quality` score formula → per-language median by integer
-    * rank `(n+1) div 2` over (score, doc_id) (the `a15_percentile_disc`
-    * method) → thresholds are one row per language, so the join-back is
-    * an explicit broadcast and the corpus is filtered in place with no
-    * second wide shuffle. At 100 TB the per-language sort behind the
-    * exact median is the cost you pay for bit-reproducibility; swapping
-    * in `percentile_approx` (the `a15_percentile_approx` sketch tier)
-    * turns the threshold build into fixed-state partial aggregation at
-    * the price of an accuracy-bounded, not bit-specified, cutoff. */
   /** The scored frame BOTH quality-gate tiers read (txt_quality's integer
     * score per document + its language) — one definition, so the exact
     * and sketch gates can never drift on what they are thresholding. */
@@ -410,6 +394,20 @@ object Text {
           least(lit(50L), col("stop_cnt") * lit(5L))).as("quality_score"))
   }
 
+  /** Per-language quality-percentile corpus gate: keep each language's
+    * documents scoring at or above that language's MEDIAN quality — the
+    * relative-threshold filtering step every corpus-construction
+    * pipeline runs (absolute thresholds misfire across languages whose
+    * score distributions differ; the gate must be per-stratum).
+    *
+    * Composition, all exact-integer so the DuckDB twin is hash-exact:
+    * the [[qualityScored]] frame → per-language median by integer
+    * rank `(n+1) div 2` over (score, doc_id) (the `a15_percentile_disc`
+    * method) → thresholds are one row per language, so the join-back is
+    * an explicit broadcast and the corpus is filtered in place with no
+    * second wide shuffle. At 100 TB the per-language sort behind the
+    * exact median is the cost you pay for bit-reproducibility;
+    * [[pipeQualityGateApprox]] is the sketch swap-in. */
   val pipeQualityGate = QueryDef(
     "pipe_quality_gate",
     (s, dir) => {

@@ -589,22 +589,33 @@ object StreamOps {
     * current count (left-filled tree, the reference's shape). After
     * every batch the frontier root is bit-identical to the batch
     * [[graft.functions.Merkle.rootDistributed]] over all leaves so far
-    * (StreamingSpec, depth 20). Callers persist `tree.snapshot` per
-    * batch and `restore` on restart. */
-  def merkleAppend(commitments: DataFrame, depth: Int)
+    * (StreamingSpec, depth 20).
+    *
+    * Replay-idempotent: foreachBatch is at-least-once (a crash between
+    * the batch function and the offset commit replays the batch, as does
+    * a task retry), so leaves BELOW the current count are already-applied
+    * replays and are skipped — only genuinely new leaves must be
+    * contiguous from the count. `onBatch` fires after each batch's fold
+    * while the tree's monitor guarantees a consistent view — the safe
+    * point to persist `tree.snapshot` for restart `restore`. */
+  def merkleAppend(commitments: DataFrame, depth: Int,
+      onBatch: (graft.functions.Merkle.Incremental, Long) => Unit = (_, _) => ())
       : (graft.functions.Merkle.Incremental, org.apache.spark.sql.streaming.StreamingQuery) = {
     val tree = new graft.functions.Merkle.Incremental(depth)
     val q = commitments.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val leaves = batch
           .select(col("leaf_index").cast("long"), col("leaf"))
           .collect().sortBy(_.getLong(0))
         leaves.foreach { r =>
-          require(r.getLong(0) == tree.count,
-            s"non-contiguous append: leaf_index ${r.getLong(0)} at count ${tree.count}")
-          tree.append(graft.functions.Poseidon.fromBytes32(r.getAs[Array[Byte]](1)))
+          if (r.getLong(0) >= tree.count) { // below count = replayed, skip
+            require(r.getLong(0) == tree.count,
+              s"non-contiguous append: leaf_index ${r.getLong(0)} at count ${tree.count}")
+            tree.append(graft.functions.Poseidon.fromBytes32(r.getAs[Array[Byte]](1)))
+          }
         }
+        onBatch(tree, batchId)
       }
       .start()
     (tree, q)

@@ -392,7 +392,10 @@ class ScaleOpsSpec extends SparkSpec {
     val data = (1L to 2000L).map(i => ("big", i, rng.nextInt(100).toLong)) ++
       (1L to 150L).map(i => ("mid", i, rng.nextInt(100).toLong)) ++
       Seq(("tiny", 1L, 7L))
+    // NULL values included: the kernel must match the window form's
+    // semantics exactly — NULL row gets a NULL prefix, later rows skip it
     val df = rng.shuffle(data).toDF("stratum", "id", "v")
+      .withColumn("v", when($"id" % 37 === 0, lit(null)).otherwise($"v"))
     val got = graft.operators.ScaleOps
       .strataPrefixSum(df, Seq("stratum"), Seq("id"), $"v", "ps", nChunks = 8)
     val w = Window.partitionBy("stratum").orderBy("id")

@@ -435,11 +435,22 @@ class StreamingSpec extends SparkSpec {
         assert(tree.root === want, s"frontier diverged after $done appends")
         assert(tree.count === done.toLong)
       }
+      // at-least-once replay: a batch that re-delivers already-applied
+      // leaves (foreachBatch's crash-between-fold-and-commit case) must
+      // be skipped idempotently, and new leaves in the same batch applied
+      mem.addData(leaves.drop(32) ++ Seq(48L -> Poseidon.toBytes32(BigInt(424242))))
+      q.processAllAvailable()
+      assert(tree.count === 49L, "replayed leaves must not re-append")
+      val all49 = (leaves :+ (48L -> Poseidon.toBytes32(BigInt(424242))))
+        .toDF("leaf_index", "leaf")
+      assert(tree.root ===
+        Merkle.rootDistributed(spark, all49, depth = 20, blockDepth = 4),
+        "root diverged after a replayed batch")
     } finally q.stop()
     // bounded state: the whole persistent footprint is (count, root,
     // depth frontier hashes) — nothing grows with the leaf count
     val (n, r, frontier) = tree.snapshot
-    assert(n === 48L && r === tree.root && frontier.length === 20)
+    assert(n === 49L && r === tree.root && frontier.length === 20)
   }
 
   test("ST6 streaming bounded buffer matches the batch twin") {
