@@ -411,6 +411,14 @@ class ScaleOpsSpec extends SparkSpec {
       wantRk.collect().map(_.toSeq).sortBy(_.toString).toSeq)
   }
 
+  test("strataPrefixSum handles an empty input frame") {
+    val empty = Seq.empty[(String, Long, Long)].toDF("stratum", "id", "v")
+    val out = graft.operators.ScaleOps
+      .strataPrefixSum(empty, Seq("stratum"), Seq("id"), $"v", "ps", nChunks = 4)
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq === Seq("stratum", "id", "v", "ps"))
+  }
+
   test("strataPrefixSum parallelizes WITHIN one stratum (no single-task pin)") {
     // a single-stratum frame is the worst case for the window realization
     // (ONE task at any cluster size); the kernel must spread it over the
