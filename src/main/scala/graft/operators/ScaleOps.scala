@@ -524,17 +524,20 @@ object ScaleOps {
     * (fixed RATE, variable count) with fixed COUNT — the corpus-mixing
     * primitive when the recipe says "50k docs from each source", and
     * hash-ordering keeps it reproducible across runs, engines, and
-    * partitionings (unlike `ORDER BY random() LIMIT k`). Written as a
-    * per-stratum row_number for oracle parity; at 100 TB the identical
-    * result comes from the bounded-heap `TopK` aggregator (the
-    * `w3_recent_topk` form — partial map-side heaps, no per-stratum full
-    * sort), which matters once one stratum is petabytes. */
+    * partitionings (unlike `ORDER BY random() LIMIT k`). The rank runs
+    * on [[strataRank]] (round 6 — previously a
+    * `Window.partitionBy(source)` row_number, ONE task per source at any
+    * scale), so the rank itself parallelizes within a stratum; the
+    * bounded-heap `TopK` aggregator (`w3_recent_topk` form — partial
+    * map-side heaps, no full-rank materialization at all) remains the
+    * alternative once k ≪ stratum and even the ranked scan is unwanted. */
   val smpExactK = QueryDef(
     "smp_exact_k",
     (s, dir) => {
-      T(s, dir).documents.select(col("doc_id"), col("source"), col("lang"))
+      val base = T(s, dir).documents
+        .select(col("doc_id"), col("source"), col("lang"))
         .withColumn("samp_key", sampKey)
-        .withColumn("rk", row_number().over(hashRankWindow).cast("long"))
+      strataRank(base, Seq("source"), Seq("samp_key", "doc_id"), "rk")
         .filter(col("rk") <= lit(50L))
         .orderBy(col("source"), col("rk"))
     },
@@ -634,18 +637,16 @@ object ScaleOps {
     })
 
   /** The shared sampling-order kernel: `sampKey` is the engine-portable
-    * hash every deterministic sampler/mixer keys on (md5 of the stringified
-    * doc_id — exists bit-identically in DuckDB), and `hashRankWindow` is
-    * the per-source rank in that order. [[smpExactK]]'s sample reads both;
-    * [[pipeMixInterleave]] reads `sampKey` and derives the SAME rank
-    * through the distributed [[strataRank]] kernel (agreement with the
-    * window form is spec-pinned), which is what keeps their documented
-    * composition (a stratum's mixture prefix IS the sampler's subset)
-    * drift-proof on the Scala side; the SQL oracles necessarily restate
-    * them. */
+    * hash every deterministic sampler/mixer keys on (md5 of the
+    * stringified doc_id — exists bit-identically in DuckDB).
+    * [[smpExactK]] and [[pipeMixInterleave]] both derive their
+    * per-source rank from it through the SAME distributed [[strataRank]]
+    * call (stratum `source`, order (`samp_key`, `doc_id`); agreement
+    * with the window form is spec-pinned), which is what keeps their
+    * documented composition (a stratum's mixture prefix IS the sampler's
+    * subset) drift-proof on the Scala side; the SQL oracles necessarily
+    * restate them. */
   private val sampKey = md5(col("doc_id").cast("string"))
-  private val hashRankWindow =
-    Window.partitionBy("source").orderBy(col("samp_key"), col("doc_id"))
 
   /** Even-parity source test shared by [[smpStratified]] (rate choice) and
     * [[pipeMixInterleave]] (stride choice). substr-to-end + TRY_CAST on
@@ -725,9 +726,9 @@ object ScaleOps {
     * even-numbered sources stride 3, odd stride 1, so a reader consuming
     * in position order sees odd:even ≈ 3:1 at EVERY prefix, which is the
     * property that matters (ratio holds for any training horizon, not
-    * just the full epoch). The per-source rank runs on [[strataRank]]
-    * (two-level distributed rank — spec-pinned identical to the
-    * `hashRankWindow` row_number [[smpExactK]] uses, so the documented
+    * just the full epoch). The per-source rank is the SAME
+    * [[strataRank]] call [[smpExactK]] makes (spec-pinned equal to the
+    * window-form row_number, so the documented
     * composition with the sampler still holds bit-for-bit) + a
     * presentation sort; no serial merge loop, no driver state, and no
     * single-task-per-source window — at 100 TB the position is a

@@ -440,7 +440,7 @@ class ScaleOpsSpec extends SparkSpec {
     // entire stratum to one task at 100 TB. After the strataPrefixSum
     // rewrite the executed plans must carry no WindowExec at all (the
     // kernel's range shuffle lives inside the eagerly-built ExistingRDD).
-    for (q <- Seq("pipe_pack_tokens", "pipe_mix_interleave")) {
+    for (q <- Seq("pipe_pack_tokens", "pipe_mix_interleave", "smp_exact_k")) {
       val p = run(q).queryExecution.executedPlan.toString
       assert(!p.contains("Window"), s"$q plans a window:\n$p")
       assert(!p.contains("Exchange hashpartitioning"),
