@@ -32,6 +32,7 @@ object TimeQueries {
       operators.Similarity.clearFeatureCache()
       operators.ScaleOps.clearBloomCache()
       operators.ScaleOps.clearCcCheckpoints()
+      operators.ScaleOps.clearKernelBroadcasts()
       val t0 = System.nanoTime()
       q.run(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9

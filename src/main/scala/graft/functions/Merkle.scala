@@ -200,8 +200,39 @@ object Merkle {
       n += 1
     }
     def snapshot: (Long, BigInt, Seq[BigInt]) = synchronized((n, cur, filled.toSeq))
+
+    /** Restores a [[snapshot]] triple — after VALIDATING it: the root is
+      * fully derivable from (count, frontier) along the insertion path
+      * (the empty slot at `count` folds up pairing with `frontier(d)`
+      * where bit d of count is 1 and the zero hash where it is 0), so a
+      * torn external store — count from one snapshot, root or frontier
+      * from another — is rejected here with `depth` hashes instead of
+      * silently corrupting every subsequent root. Only the frontier
+      * levels the insertion path actually reads are validatable (levels
+      * with bit 0 are dead state until later appends overwrite them),
+      * which is exactly the set later roots depend on. A FULL tree's
+      * snapshot is the one unvalidatable boundary (the final append's
+      * fold path is never written back to the frontier) — accepted as
+      * supplied; such a tree takes no further appends, so a bad triple
+      * can at most misreport the static root, never corrupt a future
+      * one. */
     def restore(count: Long, root: BigInt, frontier: Seq[BigInt]): Unit = synchronized {
       require(frontier.length == depth, s"frontier must carry $depth levels")
+      require(count >= 0 && count <= (1L << depth), s"count $count out of range")
+      if (count < (1L << depth)) {
+        var h = z(0) // the next slot (index `count`) is an empty subtree
+        var idx = count
+        var d = 0
+        while (d < depth) {
+          h = if ((idx & 1L) == 1L) Poseidon.hash2(frontier(d), h)
+              else Poseidon.hash2(h, z(d))
+          idx >>= 1
+          d += 1
+        }
+        require(h == root,
+          "inconsistent snapshot: root is not derivable from (count, frontier) " +
+            "— torn or mismatched external state")
+      }
       n = count
       cur = root
       frontier.copyToArray(filled)

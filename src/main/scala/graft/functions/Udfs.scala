@@ -84,10 +84,12 @@ object Udfs {
     * instead of a classpath parser so acceptance never shifts with a
     * Jackson feature flag (default Jackson tolerates trailing tokens —
     * exactly the case the bracket scan must treat as invalid). Scalars
-    * ("42", "true") are valid JSON texts, matching both anchors. Nesting
-    * beyond 512 levels is rejected (stack safety; both anchors accept far
-    * deeper, but the reference's payloads are plan/critique envelopes a
-    * few levels deep). */
+    * ("42", "true") are valid JSON texts, matching both anchors.
+    * Container nesting rides an explicit heap stack (r6 ADVICE closed:
+    * the earlier recursive form capped nesting at 512 for JVM stack
+    * safety, a latent divergence boundary — JSON.parse and DuckDB
+    * json_valid both accept far deeper), so accepted depth is bounded
+    * only by input length. */
   def jsonValid(s: String): Boolean = {
     val n = s.length
     var i = 0
@@ -141,41 +143,52 @@ object Udfs {
     }
     def literal(w: String): Unit =
       if (s.regionMatches(i, w, 0, w.length)) i += w.length else fail()
-    def value(depth: Int): Unit = {
-      if (depth > 512 || i >= n) fail()
-      else s.charAt(i) match {
-        case '{' =>
-          i += 1; ws()
-          if (i < n && s.charAt(i) == '}') i += 1
-          else {
-            var done = false
-            while (ok && !done) {
-              ws(); string(); ws(); expect(':'); ws(); value(depth + 1); ws()
-              if (i < n && s.charAt(i) == ',') i += 1
-              else { expect('}'); done = true }
-            }
-          }
-        case '[' =>
-          i += 1; ws()
-          if (i < n && s.charAt(i) == ']') i += 1
-          else {
-            var done = false
-            while (ok && !done) {
-              ws(); value(depth + 1); ws()
-              if (i < n && s.charAt(i) == ',') i += 1
-              else { expect(']'); done = true }
-            }
-          }
-        case '"' => string()
-        case 't' => literal("true")
-        case 'f' => literal("false")
-        case 'n' => literal("null")
-        case c if c == '-' || (c >= '0' && c <= '9') => number()
-        case _ => fail()
+    // Iterative value traversal: `stack` holds one char per OPEN
+    // container ('{' or '['); `needValue` distinguishes "about to read a
+    // value" from "just finished one, close or continue the enclosing
+    // container". Exactly the recursive grammar, flattened — the
+    // whitespace/comma/colon sequencing mirrors the recursive form
+    // token for token so acceptance is unchanged (UdfsSpec pins the
+    // boundary vectors plus the deep-nesting cases the old cap
+    // rejected).
+    val stack = new java.lang.StringBuilder
+    var needValue = true
+    var done = false
+    ws()
+    while (ok && !done) {
+      if (needValue) {
+        if (i >= n) fail()
+        else s.charAt(i) match {
+          case '{' =>
+            i += 1; ws()
+            if (i < n && s.charAt(i) == '}') { i += 1; needValue = false }
+            else { stack.append('{'); ws(); string(); ws(); expect(':'); ws() }
+          case '[' =>
+            i += 1; ws()
+            if (i < n && s.charAt(i) == ']') { i += 1; needValue = false }
+            else { stack.append('['); ws() }
+          case '"' => string(); needValue = false
+          case 't' => literal("true"); needValue = false
+          case 'f' => literal("false"); needValue = false
+          case 'n' => literal("null"); needValue = false
+          case c if c == '-' || (c >= '0' && c <= '9') => number(); needValue = false
+          case _ => fail()
+        }
+      } else {
+        ws()
+        if (stack.length == 0) done = true // top-level value complete
+        else if (stack.charAt(stack.length - 1) == '{') {
+          if (i < n && s.charAt(i) == ',') {
+            i += 1; ws(); string(); ws(); expect(':'); ws(); needValue = true
+          } else { expect('}'); stack.setLength(stack.length - 1) }
+        } else {
+          if (i < n && s.charAt(i) == ',') { i += 1; ws(); needValue = true }
+          else { expect(']'); stack.setLength(stack.length - 1) }
+        }
       }
     }
-    ws(); value(0); ws()
-    ok && i == n
+    ws()
+    ok && i == n && stack.length == 0
   }
 
   /** LLM-response JSON recovery (swarm-llm.server.ts:17-37 `extractJson`):

@@ -61,12 +61,14 @@ object Multimodal {
     out
   }
 
-  /** REAL decode kernel: parses a binary-PPM (P6) file — magic check,
-    * whitespace-delimited width/height/maxval, pixel-payload bounds check
-    * — and extracts integer features (per-channel byte sums). Returns null
-    * on any malformed input (wrong magic, non-numeric header, truncated
-    * pixels), like a codec would reject a corrupt file. */
-  def ppmDecode(file: Array[Byte]): PpmFeatures = {
+  /** Parses the binary-PPM (P6) header — magic check, whitespace-
+    * delimited width/height/maxval, single separator byte, pixel-payload
+    * bounds check — returning (w, h, pixelOffset), or null for malformed
+    * input (wrong magic, non-numeric or overflowing header ints,
+    * truncated pixels), like a codec rejecting a corrupt file. The ONE
+    * copy of the acceptance rules, shared by [[ppmDecode]] and
+    * [[ppmAvgHash]] so their accepted-file sets cannot drift apart. */
+  private def ppmHeader(file: Array[Byte]): (Int, Int, Int) = {
     var p = 0
     def ws(): Unit = { while (p < file.length && file(p).toChar.isWhitespace) p += 1 }
     def int(): Int = {
@@ -91,13 +93,21 @@ object Multimodal {
     // pixel count in Long: huge header dims would overflow 3*w*h in Int
     // and wrap PAST the truncation check, accepting a corrupt file with
     // garbage features (e.g. 47722×30000 wraps to 12,704)
-    val nL = 3L * w * h
-    if (file.length.toLong - p < nL) return null // truncated pixel payload
-    val n = nL.toInt
+    if (file.length.toLong - p < 3L * w * h) return null // truncated pixels
+    (w, h, p)
+  }
+
+  /** REAL decode kernel: [[ppmHeader]] + integer feature extraction
+    * (per-channel byte sums). Returns null on any malformed input. */
+  def ppmDecode(file: Array[Byte]): PpmFeatures = {
+    val hd = ppmHeader(file)
+    if (hd == null) return null
+    val (w, h, off) = hd
+    val n = 3 * w * h
     var r = 0L; var g = 0L; var b = 0L
     var j = 0
     while (j < n) {
-      val v = (file(p + j) & 0xff).toLong
+      val v = (file(off + j) & 0xff).toLong
       (j % 3: @annotation.switch) match {
         case 0 => r += v
         case 1 => g += v
@@ -106,6 +116,45 @@ object Multimodal {
       j += 1
     }
     PpmFeatures(w, h, r, g, b)
+  }
+
+  /** 8×8 average-hash (perceptual hash) over a binary-PPM file — the
+    * classic aHash: resample to an 8×8 grayscale grid, threshold each
+    * cell against the grid mean. Returned as 8 row-wise 8-bit BAND
+    * values (band j's bit i = cell at column i, row j) rather than one
+    * 64-bit word: the bands are exactly what the LSH dedup buckets on,
+    * and 8-bit ints sidestep 64-bit sign portability in the oracle.
+    * Cells sample by nearest pixel (x = (i·w) div 8, y = (j·h) div 8 —
+    * exact for any dimensions including w,h < 8, no empty-cell divide),
+    * gray = (r+g+b) div 3, bit set iff gray > mean where mean =
+    * sum(gray) div 64. All integer math over the published P6 layout, so
+    * DuckDB recomputes the hash bit-identically from the same source
+    * bytes ([[mmPhashDedup]]'s oracle). Null on malformed input, same
+    * acceptance as [[ppmDecode]] (shared [[ppmHeader]]). */
+  def ppmAvgHash(file: Array[Byte]): Array[Int] = {
+    val hd = ppmHeader(file)
+    if (hd == null) return null
+    val (w, h, off) = hd
+    val gray = new Array[Int](64)
+    var sum = 0L
+    var bi = 0
+    while (bi < 64) {
+      val x = (bi % 8) * w / 8
+      val y = (bi / 8) * h / 8
+      val p = off + 3 * (y * w + x)
+      val g = ((file(p) & 0xff) + (file(p + 1) & 0xff) + (file(p + 2) & 0xff)) / 3
+      gray(bi) = g
+      sum += g
+      bi += 1
+    }
+    val mean = (sum / 64).toInt
+    val bands = new Array[Int](8)
+    bi = 0
+    while (bi < 64) {
+      if (gray(bi) > mean) bands(bi / 8) |= 1 << (bi % 8)
+      bi += 1
+    }
+    bands
   }
 
   /** mm_ingest: binary ingest + metadata projection — oracle-checkable
@@ -372,6 +421,115 @@ object Multimodal {
       FROM documents WHERE n_chars // 100 > 0
       ORDER BY media_id, frame_idx"""))
 
+  /** mm_phash_dedup: perceptual-hash near-dup detection over the IMAGE
+    * media — the missing multimodal member of the dedup family (text
+    * has dd_exact/minhash/simhash, embeddings dd_embedding; images had
+    * decode but no dedup). Each image renders through the real PPM
+    * encode→parse path ([[ppmEncode]] → [[ppmAvgHash]]) into an 8×8
+    * average-hash, banded into its 8 row bands; candidates come from
+    * the linear keeper-election shape shared with `dd_simhash` (min
+    * media_id per (band, bucket) — a partial agg — then one verified
+    * candidate per image), hamming distance over the full 64 bits
+    * verifies, `is_dup` thresholds at ≤ 6 — NEVER an all-pairs join.
+    * Like dd_simhash the full candidate report is emitted (a
+    * filtered-only result is vacuous on a corpus without planted dups);
+    * unlike it the hash is portable integer math, so the whole pipeline
+    * — hash bits included — is recomputed independently by DuckDB from
+    * the same source bytes and the check is oracle-exact, not
+    * rows-only. At 100 TB the 8-bit buckets would collide heavily; the
+    * band width grows with the corpus (16-bit bands of a 256-bit hash),
+    * which changes constants, not this shape. The narrow hash frame is
+    * rebuilt per plan branch here (the kernel samples 64 pixels/image —
+    * cheaper than the scan feeding it); a production caller persists
+    * it like dd_simhash's feature cache. */
+  val mmPhashDedup = QueryDef(
+    "mm_phash_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val outSchema = StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("ph", ArrayType(IntegerType, containsNull = false))))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      val hashed = media(s, dir)
+        .filter(col("kind") === lit("image"))
+        .select(col("media_id"), col("bytes"),
+          // the mm_features fixture dimensions: 4..11 × 3..7 px per id
+          (lit(4) + pmod(col("media_id"), lit(8))).cast("int").as("w"),
+          (lit(3) + pmod(col("media_id"), lit(5))).cast("int").as("h"))
+        .mapPartitions { rows =>
+          rows.flatMap { r =>
+            val file = ppmEncode(r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3))
+            Option(ppmAvgHash(file)).map(bands => Row(r.getLong(0), bands.toSeq))
+          }
+        }(enc)
+      val banded = hashed
+        .select(col("media_id"), posexplode(col("ph")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val keepers = banded.groupBy(col("band"), col("bucket"))
+        .agg(min(col("media_id")).as("keeper"))
+      banded.join(keepers, Seq("band", "bucket"))
+        .filter(col("keeper") < col("media_id"))
+        .groupBy(col("media_id")).agg(min(col("keeper")).as("keeper"))
+        .join(hashed.select(col("media_id"), col("ph").as("d_ph")), Seq("media_id"))
+        .join(hashed.select(col("media_id").as("keeper"), col("ph").as("k_ph")),
+          Seq("keeper"))
+        .withColumn("hamming",
+          expr("aggregate(zip_with(d_ph, k_ph, (x, y) -> bit_count(x ^ y)), " +
+            "0, (a, x) -> a + x)").cast("long"))
+        .withColumn("is_dup", col("hamming") <= lit(6L))
+        .select(col("media_id"), col("keeper"), col("hamming"), col("is_dup"))
+        .orderBy(col("media_id"))
+    },
+    oracle = Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id,
+          hex(encode(text)) AS hx,
+          octet_length(encode(text)) AS len,
+          4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      cells0 AS (
+        SELECT media_id, len, hx, w, h, unnest(range(0, 64)) AS bi
+        FROM m),
+      cells AS (
+        SELECT media_id, len, hx, bi,
+          ((((bi // 8) * h) // 8) * w + (((bi % 8) * w) // 8)) AS p
+        FROM cells0),
+      g AS (
+        SELECT media_id, bi,
+          (CASE WHEN len = 0 THEN 128 ELSE
+            ('0x' || substr(hx, 2 * CAST((3 * p) % len AS INT) + 1, 2))::INTEGER END
+          + CASE WHEN len = 0 THEN 128 ELSE
+            ('0x' || substr(hx, 2 * CAST((3 * p + 1) % len AS INT) + 1, 2))::INTEGER END
+          + CASE WHEN len = 0 THEN 128 ELSE
+            ('0x' || substr(hx, 2 * CAST((3 * p + 2) % len AS INT) + 1, 2))::INTEGER END
+          ) // 3 AS gray
+        FROM cells),
+      st AS (
+        SELECT media_id, CAST(SUM(gray) AS BIGINT) // 64 AS mean
+        FROM g GROUP BY media_id),
+      bands AS (
+        SELECT g.media_id, bi // 8 AS band,
+          CAST(SUM(CASE WHEN gray > mean THEN 1 << (bi % 8) ELSE 0 END) AS INT) AS bucket
+        FROM g JOIN st ON st.media_id = g.media_id
+        GROUP BY g.media_id, bi // 8),
+      keep AS (
+        SELECT band, bucket, MIN(media_id) AS keeper
+        FROM bands GROUP BY band, bucket),
+      cand AS (
+        SELECT b.media_id, MIN(k.keeper) AS keeper
+        FROM bands b JOIN keep k ON k.band = b.band AND k.bucket = b.bucket
+        WHERE k.keeper < b.media_id GROUP BY b.media_id)
+      SELECT c.media_id, c.keeper,
+        CAST(SUM(bit_count(xor(db.bucket, kb.bucket))) AS BIGINT) AS hamming,
+        CAST(SUM(bit_count(xor(db.bucket, kb.bucket))) AS BIGINT) <= 6 AS is_dup
+      FROM cand c
+      JOIN bands db ON db.media_id = c.media_id
+      JOIN bands kb ON kb.media_id = c.keeper AND kb.band = db.band
+      GROUP BY c.media_id, c.keeper
+      ORDER BY c.media_id"""))
+
   val defs: Seq[QueryDef] =
-    Seq(mmIngest, mmFeatures, mmAudioLevels, mmSceneCut, mmResize, mmFrameSample)
+    Seq(mmIngest, mmFeatures, mmAudioLevels, mmSceneCut, mmResize,
+      mmFrameSample, mmPhashDedup)
 }

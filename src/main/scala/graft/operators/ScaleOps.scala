@@ -258,6 +258,41 @@ object ScaleOps {
     ccCheckpoints.clear()
   }
 
+  /** Offsets broadcasts created by [[strataPrefixSum]] — each is
+    * bounded-small (≤ nChunks × |strata| entries) but stays pinned on
+    * the driver and executors until destroyed, and the kernel runs once
+    * per construction (catalog plan sweeps, the 3-pass bench), so
+    * without a registry they accumulate for the session's lifetime
+    * relying on driver GC + ContextCleaner — the same leak class the
+    * Bloom memo and [[ccCheckpoints]] exist to avoid. They cannot be
+    * destroyed eagerly: the returned frame is lazy and reads the
+    * broadcast at every execution. Harness resets free them alongside
+    * the other registries. */
+  private val kernelBroadcasts = scala.collection.mutable.ListBuffer
+    .empty[org.apache.spark.broadcast.Broadcast[_]]
+
+  /** Destroys and forgets every registered kernel broadcast
+    * (Try-wrapped: a stopped session must not abort the rest; destroys
+    * run outside the lock — they block on executor-side removal). Only
+    * safe once every frame returned by [[strataPrefixSum]]/[[strataRank]]
+    * has materialized; Bench/TimeQueries call it between cold runs, the
+    * same contract as [[clearCcCheckpoints]]. */
+  def clearKernelBroadcasts(): Unit = {
+    val detached = kernelBroadcasts.synchronized {
+      val vs = kernelBroadcasts.toList
+      kernelBroadcasts.clear()
+      vs
+    }
+    detached.foreach(b => scala.util.Try(b.destroy()))
+  }
+
+  /** Live registered kernel-broadcast count — the leak-count spec hook
+    * (ScaleOpsSpec asserts the delta across repeated kernel runs is
+    * exactly one registration per construction, reclaimed by the
+    * clear). */
+  private[graft] def kernelBroadcastCount: Int =
+    kernelBroadcasts.synchronized(kernelBroadcasts.size)
+
   /** Frees the storage behind a checkpointed frame. A checkpointed
     * Dataset is not in the CacheManager (`df.unpersist()` is a no-op for
     * it); its persistence lives on the RDD wrapped by the `LogicalRDD`
@@ -346,6 +381,11 @@ object ScaleOps {
         }
       }.toMap
     val bc = spark.sparkContext.broadcast(offsets)
+    // registered, not destroyed: the returned frame reads `bc` lazily at
+    // every execution, so the broadcast lives until a harness reset
+    // ([[clearKernelBroadcasts]]) — the deterministic-cleanup posture
+    // every other broadcast/checkpoint in the engine already follows
+    kernelBroadcasts.synchronized { kernelBroadcasts += bc }
     val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
       var cur: List[Any] = null
       var acc = 0L
@@ -842,8 +882,8 @@ object ScaleOps {
     * numbers, ids) as a pure per-row projection, so it composes with any
     * scan and survives any partitioning. The character-class regex is the
     * portable core shared by Java regex and RE2, so the DuckDB twin is
-    * exact; real address/email patterns drop in without changing the
-    * plan shape. */
+    * exact; [[txtRedactPii]] proves the claim that real email/id
+    * patterns drop in without changing the plan shape. */
   val txtRedactNums = QueryDef(
     "txt_redact_nums",
     (s, dir) => {
@@ -862,9 +902,67 @@ object ScaleOps {
              AS BIGINT) AS n_digits
       FROM events ORDER BY event_id"""))
 
+  /** Email pattern shared by the Spark and DuckDB sides of
+    * [[txtRedactPii]] — the portable regex core (char classes + bounded
+    * repetition) identical under Java regex and RE2. */
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Real-pattern PII redaction — [[txtRedactNums]]'s docstring claim
+    * ("address/email patterns drop in without changing the plan shape")
+    * made good: a three-stage mask (emails → `<EMAIL>`, then 6+-digit id
+    * runs → `<ID>`, then residual digit runs → `#`) with per-row match
+    * counts, still one pure per-row projection — no extra shuffle, no
+    * UDF, survives any partitioning (PlanSpec locks the shape). The
+    * corpus carries no natural PII, so the redacted string is a
+    * deterministic synthetic "support log" built from the row (props +
+    * an email derived from user_id + a 9-digit zero-padded ref id) — the
+    * same synthesize-from-documents trick the multimodal family uses —
+    * which keeps every pattern branch exercised AND the oracle exact.
+    * Stage order matters and is pinned by the oracle: emails first (an
+    * email's local part may contain digit runs that must become part of
+    * `<EMAIL>`, not `<ID>`), id runs second, residual digits last. */
+  val txtRedactPii = QueryDef(
+    "txt_redact_pii",
+    (s, dir) => {
+      val raw = concat(col("props"), lit(" contact user"),
+        col("user_id").cast("string"), lit("@example.com ref "),
+        lpad(col("event_id").cast("string"), 9, "0"))
+      T(s, dir).events
+        .select(col("event_id"), raw.as("raw"))
+        .withColumn("s1", regexp_replace(col("raw"), emailPat, "<EMAIL>"))
+        .select(
+          col("event_id"),
+          regexp_replace(regexp_replace(col("s1"), "[0-9]{6,}", "<ID>"),
+            "[0-9]+", "#").as("redacted"),
+          size(regexp_extract_all(col("raw"), lit(emailPat), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("s1"), lit("[0-9]{6,}"), lit(0)))
+            .cast("long").as("n_ids"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some("""
+      WITH r AS (
+        SELECT event_id,
+          props || ' contact user' || CAST(user_id AS VARCHAR) ||
+            '@example.com ref ' || lpad(CAST(event_id AS VARCHAR), 9, '0') AS raw
+        FROM events),
+      s AS (
+        SELECT event_id, raw,
+          regexp_replace(raw,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+            '<EMAIL>', 'g') AS s1
+        FROM r)
+      SELECT event_id,
+        regexp_replace(regexp_replace(s1, '[0-9]{6,}', '<ID>', 'g'),
+          '[0-9]+', '#', 'g') AS redacted,
+        CAST(len(regexp_extract_all(raw,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(s1, '[0-9]{6,}')) AS BIGINT) AS n_ids
+      FROM s ORDER BY event_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     g1Components, j10AsofAttr, j11SaltedSkew, j12RangeCount,
     a15PercentileDisc, a15PercentileApprox, smpStratified, smpExactK,
     pipeMixInterleave, pipePackTokens, pipeDecontam, pipeDecontamBloom,
-    txtRedactNums)
+    txtRedactNums, txtRedactPii)
 }

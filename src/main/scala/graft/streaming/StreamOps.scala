@@ -591,17 +591,39 @@ object StreamOps {
     * [[graft.functions.Merkle.rootDistributed]] over all leaves so far
     * (StreamingSpec, depth 20).
     *
-    * Replay-idempotent: foreachBatch is at-least-once (a crash between
-    * the batch function and the offset commit replays the batch, as does
-    * a task retry), so leaves BELOW the current count are already-applied
-    * replays and are skipped — only genuinely new leaves must be
-    * contiguous from the count. `onBatch` fires after each batch's fold
-    * while the tree's monitor guarantees a consistent view — the safe
-    * point to persist `tree.snapshot` for restart `restore`. */
+    * Replay-idempotent AND reorder-tolerant: foreachBatch is
+    * at-least-once (a crash between the batch function and the offset
+    * commit replays the batch, as does a task retry), so leaves BELOW
+    * the current count are already-applied replays — checked against a
+    * bounded tail of recently applied (index, leaf) pairs and REJECTED
+    * when the payload differs (a conflicting re-delivery silently
+    * skipped would let the maintained root diverge from the commitment
+    * stream; replays older than the `recentTail` window are skipped
+    * unchecked, the documented detection horizon). Leaves AHEAD of the
+    * count (a buffered micro-batch re-ordering — previously fatal) park
+    * in a bounded pending buffer and drain in index order the moment
+    * the gap closes; a gap wider than `maxPending` errors out rather
+    * than buffering unboundedly, since an ever-open gap means the
+    * missing commitment was lost, not late. `onBatch` fires after each
+    * batch's fold while the tree's monitor guarantees a consistent view
+    * — the safe point to persist `tree.snapshot` for restart
+    * `restore`. */
   def merkleAppend(commitments: DataFrame, depth: Int,
-      onBatch: (graft.functions.Merkle.Incremental, Long) => Unit = (_, _) => ())
+      onBatch: (graft.functions.Merkle.Incremental, Long) => Unit = (_, _) => (),
+      maxPending: Int = 1 << 16, recentTail: Int = 1024)
       : (graft.functions.Merkle.Incremental, org.apache.spark.sql.streaming.StreamingQuery) = {
     val tree = new graft.functions.Merkle.Incremental(depth)
+    // driver-side maintainer state, touched only by the (serialized)
+    // micro-batch thread: ahead-of-count leaves + the replay-check tail
+    val pending = scala.collection.mutable.TreeMap.empty[Long, BigInt]
+    val recent = scala.collection.mutable.LongMap.empty[BigInt]
+    val recentOrder = scala.collection.mutable.ArrayDeque.empty[Long]
+    def applyLeaf(idx: Long, leaf: BigInt): Unit = {
+      tree.append(leaf)
+      recent(idx) = leaf
+      recentOrder.append(idx)
+      while (recentOrder.length > recentTail) recent.remove(recentOrder.removeHead())
+    }
     val q = commitments.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -609,10 +631,31 @@ object StreamOps {
           .select(col("leaf_index").cast("long"), col("leaf"))
           .collect().sortBy(_.getLong(0))
         leaves.foreach { r =>
-          if (r.getLong(0) >= tree.count) { // below count = replayed, skip
-            require(r.getLong(0) == tree.count,
-              s"non-contiguous append: leaf_index ${r.getLong(0)} at count ${tree.count}")
-            tree.append(graft.functions.Poseidon.fromBytes32(r.getAs[Array[Byte]](1)))
+          val idx = r.getLong(0)
+          val leaf = graft.functions.Poseidon.fromBytes32(r.getAs[Array[Byte]](1))
+          if (idx < tree.count) {
+            // replay: must match what was applied (within the tail window)
+            recent.get(idx).foreach { prev =>
+              require(prev == leaf,
+                s"conflicting replay: leaf_index $idx re-delivered with a different payload")
+            }
+          } else if (idx == tree.count) {
+            applyLeaf(idx, leaf)
+            // the gap (if any) may have just closed — drain in order
+            while (pending.nonEmpty && pending.head._1 == tree.count) {
+              val (i, l) = pending.head
+              pending.remove(i)
+              applyLeaf(i, l)
+            }
+          } else {
+            pending.get(idx).foreach { prev =>
+              require(prev == leaf,
+                s"conflicting replay: pending leaf_index $idx re-delivered with a different payload")
+            }
+            pending(idx) = leaf
+            require(pending.size <= maxPending,
+              s"append gap exceeds maxPending=$maxPending: count ${tree.count}, " +
+                s"${pending.size} leaves buffered from ${pending.head._1}")
           }
         }
         onBatch(tree, batchId)
