@@ -210,7 +210,12 @@ object Merkle {
       * silently corrupting every subsequent root. Only the frontier
       * levels the insertion path actually reads are validatable (levels
       * with bit 0 are dead state until later appends overwrite them),
-      * which is exactly the set later roots depend on. A FULL tree's
+      * which is exactly the set later roots depend on. One inherent
+      * blind spot: count+1 with a zero boundary leaf is indistinguishable
+      * from count (zero-padding means an absent leaf and a 0-valued leaf
+      * commit identically), so a count overstated by trailing zero
+      * leaves passes — real commitment streams never carry leaf 0, so
+      * the case is theoretical. A FULL tree's
       * snapshot is the one unvalidatable boundary (the final append's
       * fold path is never written back to the frontier) — accepted as
       * supplied; such a tree takes no further appends, so a bad triple

@@ -22,6 +22,44 @@ class CatalogSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("Bench swing anchors parse from the newest driver record, with fallback") {
+    // the swing diagnostic's anchors load from the newest BENCH_r{N}.json
+    // at run time (hardcoded constants went stale r5→r6 and false-fired);
+    // pin the parse against both driver record shapes — raw-line-in-tail
+    // and pre-parsed — plus the must-never-throw fallback
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-rec").toFile
+    def write(name: String, body: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name)); w.write(body); w.close()
+    }
+    val line = """{"metric":"total","value":9.9,"unit":"sec","queries":{"q1_agg":1.5,"dead":-1.0},""" +
+      """"sf":"/x/sf0.1","sf1_ratio_vs_sf01":{"q1_agg":2.5,"dead":-1.0}}"""
+    // build the raw-tail record with Jackson so the embedded line's
+    // quotes are escaped exactly the way the driver's JSON writer does
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rec2 = mapper.createObjectNode()
+    rec2.put("n", 2)
+    rec2.put("tail", s"[info] noise\n[info] $line\n[success] done\n")
+    rec2.putNull("parsed")
+    write("BENCH_r02.json", mapper.writeValueAsString(rec2))
+    // an OLDER record with different numbers must lose to r02
+    write("BENCH_r01.json",
+      """{"n":1,"parsed":{"metric":"total","queries":{"q1_agg":9.0},"sf1_ratio_vs_sf01":{"q1_agg":9.0}}}""")
+    val (sf01, ratios) = Bench.loadPrevDriverRecord(dir)
+    assert(sf01 === Map("q1_agg" -> 1.5), "newest-record sf0.1 times (dead -1 filtered)")
+    assert(ratios === Map("q1_agg" -> 2.5))
+    // pre-parsed form wins over tail when present
+    write("BENCH_r03.json",
+      """{"n":3,"parsed":{"metric":"total","queries":{"q1_agg":3.25},"sf1_ratio_vs_sf01":{"q1_agg":4.0}}}""")
+    assert(Bench.loadPrevDriverRecord(dir)._1 === Map("q1_agg" -> 3.25))
+    // no records / garbage → embedded fallback, never a throw
+    val empty = java.nio.file.Files.createTempDirectory("graft-bench-none").toFile
+    assert(Bench.loadPrevDriverRecord(empty) ===
+      ((Bench.fallbackSf01Sec, Bench.fallbackSf1Ratios)))
+    write("BENCH_r04.json", "not json at all")
+    assert(Bench.loadPrevDriverRecord(dir) ===
+      ((Bench.fallbackSf01Sec, Bench.fallbackSf1Ratios)))
+  }
+
   test("every query runs at sf0.001 with rows and unique column names") {
     val failures = QueryDef.catalogs.flatMap { q =>
       try {

@@ -133,6 +133,35 @@ class CryptoSpec extends SparkSpec {
       graft.functions.Merkle.rootLocal(leaves :+ BigInt(4242), depth))
   }
 
+  test("restore rejects torn snapshots: root must be derivable from (count, frontier)") {
+    // a torn external store (count from one snapshot, root or frontier
+    // from another) must fail at restore, not silently corrupt every
+    // subsequent root — validation re-derives the root along the
+    // insertion path in `depth` hashes
+    val depth = 6
+    val inc = new graft.functions.Merkle.Incremental(depth)
+    (1 to 13).foreach(i => inc.append(BigInt(i * 977 + 3)))
+    val (n, r, frontier) = inc.snapshot
+    def fresh = new graft.functions.Merkle.Incremental(depth)
+    fresh.restore(n, r, frontier) // consistent triple restores fine
+    // count-1 is detectable (the dropped leaf is nonzero, so the 12-leaf
+    // root differs); count+1 is NOT and must not be asserted — a
+    // zero-padded n-leaf tree has the identical root to an (n+1)-leaf
+    // tree whose extra leaf is 0, so no validator can bind that boundary
+    intercept[IllegalArgumentException] { fresh.restore(n - 1, r, frontier) }
+    intercept[IllegalArgumentException] { fresh.restore(n, r + 1, frontier) }
+    intercept[IllegalArgumentException] { // frontier level the path READS (bit 0 of 13 set)
+      fresh.restore(n, r, frontier.updated(0, frontier(0) + 1))
+    }
+    intercept[IllegalArgumentException] { fresh.restore(-1, r, frontier) }
+    intercept[IllegalArgumentException] { fresh.restore(n, r, frontier.tail) }
+    // empty-tree snapshot round-trips (all-zero frontier, zero-hash root)
+    val empty = new graft.functions.Merkle.Incremental(depth)
+    val (n0, r0, f0) = empty.snapshot
+    fresh.restore(n0, r0, f0)
+    assert(fresh.count === 0L)
+  }
+
   test("crypto_merkle_verify: every proof verifies, every tampered proof rejects") {
     val rows = graft.operators.Crypto.cryptoMerkleVerify.run(spark, sf001).collect()
     assert(rows.length === 64)

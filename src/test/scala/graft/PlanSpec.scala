@@ -147,6 +147,20 @@ class PlanSpec extends SparkSpec {
       "sampler predicate no longer at the scan")
   }
 
+  test("redaction stays a pure per-row projection: no hash exchange, patterns at the scan stage") {
+    // txt_redact_nums' docstring claims real PII patterns drop in without
+    // changing the plan shape — txt_redact_pii is that claim made good,
+    // so BOTH must plan as scan → project (+ the presentation sort's
+    // range exchange only); a hash exchange would mean the redaction
+    // stage grew a shuffle and no longer composes with any partitioning
+    for (q <- Seq("txt_redact_nums", "txt_redact_pii")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q grew a hash shuffle")
+      assert(!p.contains("Window"), s"$q grew a window")
+      assert(!p.contains("Join"), s"$q grew a join")
+    }
+  }
+
   test("pipe_decontam: benchmark shingle set is broadcast and hits count partially") {
     val p = plan("pipe_decontam")
     // the small held-out side must broadcast (at 100 TB: a Bloom filter

@@ -222,6 +222,28 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("strataPrefixSum offsets broadcasts are registered and freed by the harness reset") {
+    // the kernel broadcasts its per-(chunk, stratum) offsets map; the
+    // returned frame reads it lazily, so it cannot be destroyed eagerly —
+    // the leak-count contract (same as the CC checkpoint registry) is:
+    // exactly one registration per construction, all reclaimed by the
+    // reset that Bench/TimeQueries run between cold measurements
+    graft.operators.ScaleOps.clearKernelBroadcasts()
+    assert(graft.operators.ScaleOps.kernelBroadcastCount === 0)
+    val df = (1 to 100).map(i => (s"s${i % 3}", i.toLong, i.toLong))
+      .toDF("src", "id", "v")
+    (1 to 3).foreach { _ =>
+      graft.operators.ScaleOps
+        .strataPrefixSum(df, Seq("src"), Seq("id"), col("v"), "off")
+        .collect()
+    }
+    assert(graft.operators.ScaleOps.kernelBroadcastCount === 3,
+      "expected exactly one registered broadcast per kernel construction")
+    graft.operators.ScaleOps.clearKernelBroadcasts()
+    assert(graft.operators.ScaleOps.kernelBroadcastCount === 0,
+      "clearKernelBroadcasts left registrations behind")
+  }
+
   test("dd_minhash_cc: transitive chain collapses to one cluster") {
     // one-word-shift chain over 16-token docs: adjacent docs share
     // 15/17 tokens (88% — per-band collision 0.88^4 ≈ 0.60, so a missed

@@ -267,4 +267,37 @@ class SemanticsSpec extends SparkSpec {
       Array.fill[Byte](6)(0)) === null)                                     // wrong maxval
     assert(ppmDecode(Array.empty[Byte]) === null)
   }
+
+  test("ppmAvgHash: planted near-dup images land under the hamming threshold, unrelated far over") {
+    import graft.operators.Multimodal.{ppmEncode, ppmAvgHash}
+    def hamming(a: Array[Int], b: Array[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    // a 16×8 ramp image: gray varies smoothly, so the 8×8 grid has a
+    // definite bright/dark structure for the mean threshold to bisect
+    val ramp = Array.tabulate[Byte](384)(i => (i % 192).toByte)
+    val base = ppmAvgHash(ppmEncode(ramp, 16, 8))
+    assert(base != null && base.length === 8)
+    assert(base.forall(b => b >= 0 && b <= 255), "bands must be 8-bit values")
+    assert(base.exists(_ != 0) && base.exists(_ != 255),
+      "degenerate all-0/all-1 hash cannot discriminate")
+    // identical bytes → identical hash (the exact-dup anchor)
+    assert(hamming(base, ppmAvgHash(ppmEncode(ramp, 16, 8))) === 0)
+    // planted near-dup: one payload byte nudged by +1 moves one sampled
+    // cell's gray by ≤ 1 — at most a cell sitting exactly on the mean
+    // flips, so the pair must stay under the dd_simhash-style ≤ 6 gate
+    val nearDup = ramp.clone(); nearDup(37) = (nearDup(37) + 1).toByte
+    val hNear = hamming(base, ppmAvgHash(ppmEncode(nearDup, 16, 8)))
+    assert(hNear <= 6, s"planted near-dup scored hamming $hNear > 6")
+    // photometric inversion flips every gray comparison → far over the
+    // gate (the unrelated-image anchor)
+    val inverted = ramp.map(b => (255 - (b & 0xff)).toByte)
+    val hInv = hamming(base, ppmAvgHash(ppmEncode(inverted, 16, 8)))
+    assert(hInv > 6, s"inverted image scored hamming $hInv <= 6")
+    // malformed files rejected exactly like ppmDecode (shared header parse)
+    assert(ppmAvgHash("P5\n2 1\n255\nxxxxxx".getBytes("US-ASCII")) === null)
+    assert(ppmAvgHash(ppmEncode(ramp, 16, 8).dropRight(1)) === null)
+    // empty payload → uniform 128s → no cell exceeds the mean → all-zero
+    // bands on BOTH engines (the len = 0 oracle branch)
+    assert(ppmAvgHash(ppmEncode(Array.empty[Byte], 5, 4)).forall(_ === 0))
+  }
 }

@@ -453,6 +453,59 @@ class StreamingSpec extends SparkSpec {
     assert(n === 49L && r === tree.root && frontier.length === 20)
   }
 
+  test("merkleAppend: out-of-order micro-batches drain to the same root; conflicting replays are fatal") {
+    import graft.functions.{Merkle, Poseidon}
+    implicit val sqlCtx = spark.sqlContext
+    def causes(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(c => Option(c.getMessage).getOrElse("")).toSeq
+    val leaves = (0L until 24L).map(i => i -> Poseidon.toBytes32(BigInt(i * 13 + 5)))
+    // a buffered micro-batch re-ordering: the TAIL half arrives first
+    // (previously fatal: non-contiguous appends threw and killed the
+    // stream) — it must park in the pending buffer and drain in index
+    // order the moment the head half closes the gap
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val (tree, q) = StreamOps.merkleAppend(
+      mem.toDS().toDF("leaf_index", "leaf"), depth = 20)
+    try {
+      mem.addData(leaves.drop(12))
+      q.processAllAvailable()
+      assert(tree.count === 0L, "ahead-of-count leaves must park, not apply")
+      mem.addData(leaves.take(12))
+      q.processAllAvailable()
+      assert(tree.count === 24L, "gap closed but pending did not drain")
+      assert(tree.root === Merkle.rootDistributed(
+        spark, leaves.toDF("leaf_index", "leaf"), depth = 20, blockDepth = 4),
+        "shuffled delivery converged to a different root")
+    } finally q.stop()
+    // a replayed index carrying a DIFFERENT payload must kill the stream
+    // (silently skipping it would let the maintained root diverge from
+    // the commitment stream — r6 ADVICE)
+    val mem2 = MemoryStream[(Long, Array[Byte])]
+    val (tree2, q2) = StreamOps.merkleAppend(
+      mem2.toDS().toDF("leaf_index", "leaf"), depth = 20)
+    try {
+      mem2.addData(leaves)
+      q2.processAllAvailable()
+      assert(tree2.count === 24L)
+      mem2.addData(Seq(10L -> Poseidon.toBytes32(BigInt(666666))))
+      val e = intercept[Exception](q2.processAllAvailable())
+      assert(causes(e).exists(_.contains("conflicting replay")),
+        s"expected a conflicting-replay failure, got: ${causes(e).mkString(" | ")}")
+    } finally q2.stop()
+    // a gap wider than maxPending errors out instead of buffering
+    // unboundedly (an ever-open gap means the commitment was lost)
+    val mem3 = MemoryStream[(Long, Array[Byte])]
+    val (_, q3) = StreamOps.merkleAppend(
+      mem3.toDS().toDF("leaf_index", "leaf"), depth = 20, maxPending = 4)
+    try {
+      mem3.addData((100L until 106L).map(i => i -> Poseidon.toBytes32(BigInt(i))))
+      val e = intercept[Exception](q3.processAllAvailable())
+      assert(causes(e).exists(_.contains("maxPending")),
+        s"expected a maxPending failure, got: ${causes(e).mkString(" | ")}")
+    } finally q3.stop()
+  }
+
   test("ST6 streaming bounded buffer matches the batch twin") {
     val got = runStream("st6_stream", batches,
       ds => StreamOps.boundedBuffer(ds, cap = 3).toDF(), OutputMode.Update)

@@ -58,10 +58,17 @@ class UdfsSpec extends AnyFunSuite {
       """{"a":"bad \x esc"}""", "NaN", "Infinity")
     valid.foreach(v => assert(Udfs.jsonValid(v), s"should accept: $v"))
     invalid.foreach(v => assert(!Udfs.jsonValid(v), s"should reject: $v"))
-    // stack-safety cap: both anchors accept deep nesting; the validator
-    // draws a documented line rather than risking a stack overflow
+    // deep nesting (r6 ADVICE closed): the explicit-stack traversal has
+    // no depth cap, so acceptance can no longer diverge from
+    // JSON.parse/json_valid on payloads nested past the old 512 line —
+    // 100k levels must validate without a stack overflow, and deep
+    // UNBALANCED input must still reject
     assert(Udfs.jsonValid("[" * 100 + "1" + "]" * 100))
-    assert(!Udfs.jsonValid("[" * 1000 + "1" + "]" * 1000))
+    assert(Udfs.jsonValid("[" * 100000 + "1" + "]" * 100000))
+    assert(Udfs.jsonValid(
+      "{\"a\":" * 10000 + "1" + "}" * 10000))
+    assert(!Udfs.jsonValid("[" * 100000 + "1" + "]" * 99999))
+    assert(!Udfs.jsonValid("[" * 100000))
   }
 
   test("jsonScan recovers embedded objects exactly as extractJson does") {
