@@ -76,6 +76,11 @@ object Bench {
             .filter(_.contains("\"metric\":\"total\"")).toSeq.last
           mapper.readTree(raw.substring(raw.indexOf("{\"metric\"")))
         }
+      // the record must come from the driver's sf0.1 run: anchors from a
+      // replica at another scale would trip the >2× trigger on every
+      // query — exactly the false-fire class this loader exists to end
+      require(Option(line.get("sf")).map(_.asText().replaceAll("/+$", ""))
+        .forall(_.endsWith("sf0.1")), "record is not an sf0.1 run")
       def nums(node: com.fasterxml.jackson.databind.JsonNode): Map[String, Double] =
         if (node == null) Map.empty
         else {

@@ -154,6 +154,10 @@ object Udfs {
     val stack = new java.lang.StringBuilder
     var needValue = true
     var done = false
+    // one object-member prelude ("key" :) — the '{' opener and the ','
+    // continuation must parse it token-identically for acceptance to
+    // stay consistent, so it exists exactly once
+    def member(): Unit = { ws(); string(); ws(); expect(':'); ws() }
     ws()
     while (ok && !done) {
       if (needValue) {
@@ -162,7 +166,7 @@ object Udfs {
           case '{' =>
             i += 1; ws()
             if (i < n && s.charAt(i) == '}') { i += 1; needValue = false }
-            else { stack.append('{'); ws(); string(); ws(); expect(':'); ws() }
+            else { stack.append('{'); member() }
           case '[' =>
             i += 1; ws()
             if (i < n && s.charAt(i) == ']') { i += 1; needValue = false }
@@ -179,7 +183,7 @@ object Udfs {
         if (stack.length == 0) done = true // top-level value complete
         else if (stack.charAt(stack.length - 1) == '{') {
           if (i < n && s.charAt(i) == ',') {
-            i += 1; ws(); string(); ws(); expect(':'); ws(); needValue = true
+            i += 1; member(); needValue = true
           } else { expect('}'); stack.setLength(stack.length - 1) }
         } else {
           if (i < n && s.charAt(i) == ',') { i += 1; ws(); needValue = true }

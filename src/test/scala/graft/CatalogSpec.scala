@@ -58,6 +58,13 @@ class CatalogSpec extends SparkSpec {
     write("BENCH_r04.json", "not json at all")
     assert(Bench.loadPrevDriverRecord(dir) ===
       ((Bench.fallbackSf01Sec, Bench.fallbackSf1Ratios)))
+    // a newest record from the WRONG scale must not arm the detector —
+    // replica-at-sf0.01 anchors would trip the >2x trigger on every query
+    write("BENCH_r05.json",
+      """{"n":5,"parsed":{"metric":"total","queries":{"q1_agg":0.2},""" +
+        """"sf":"/x/sf0.01","sf1_ratio_vs_sf01":{}}}""")
+    assert(Bench.loadPrevDriverRecord(dir) ===
+      ((Bench.fallbackSf01Sec, Bench.fallbackSf1Ratios)))
   }
 
   test("every query runs at sf0.001 with rows and unique column names") {

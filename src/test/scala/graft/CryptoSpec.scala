@@ -142,12 +142,16 @@ class CryptoSpec extends SparkSpec {
     val inc = new graft.functions.Merkle.Incremental(depth)
     (1 to 13).foreach(i => inc.append(BigInt(i * 977 + 3)))
     val (n, r, frontier) = inc.snapshot
-    def fresh = new graft.functions.Merkle.Incremental(depth)
-    fresh.restore(n, r, frontier) // consistent triple restores fine
+    // consistent triple restores AND lands the state (a `val`, so the
+    // post-restore assertions read the restored instance, not a fresh one)
+    val ok = new graft.functions.Merkle.Incremental(depth)
+    ok.restore(n, r, frontier)
+    assert(ok.count === n && ok.root === r, "restore did not land the snapshot state")
     // count-1 is detectable (the dropped leaf is nonzero, so the 12-leaf
     // root differs); count+1 is NOT and must not be asserted — a
     // zero-padded n-leaf tree has the identical root to an (n+1)-leaf
     // tree whose extra leaf is 0, so no validator can bind that boundary
+    def fresh = new graft.functions.Merkle.Incremental(depth)
     intercept[IllegalArgumentException] { fresh.restore(n - 1, r, frontier) }
     intercept[IllegalArgumentException] { fresh.restore(n, r + 1, frontier) }
     intercept[IllegalArgumentException] { // frontier level the path READS (bit 0 of 13 set)
@@ -155,11 +159,15 @@ class CryptoSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] { fresh.restore(-1, r, frontier) }
     intercept[IllegalArgumentException] { fresh.restore(n, r, frontier.tail) }
+    // a failed restore must leave the target untouched, not half-written
+    intercept[IllegalArgumentException] { ok.restore(n, r + 1, frontier) }
+    assert(ok.count === n && ok.root === r, "rejected restore mutated the tree")
     // empty-tree snapshot round-trips (all-zero frontier, zero-hash root)
     val empty = new graft.functions.Merkle.Incremental(depth)
     val (n0, r0, f0) = empty.snapshot
-    fresh.restore(n0, r0, f0)
-    assert(fresh.count === 0L)
+    val restoredEmpty = new graft.functions.Merkle.Incremental(depth)
+    restoredEmpty.restore(n0, r0, f0)
+    assert(restoredEmpty.count === 0L && restoredEmpty.root === r0)
   }
 
   test("crypto_merkle_verify: every proof verifies, every tampered proof rejects") {
