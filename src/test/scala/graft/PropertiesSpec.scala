@@ -107,6 +107,39 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("ppmAvgHash never throws on arbitrary bytes and matches the direct grid model") {
+    import graft.operators.Multimodal.{ppmEncode, ppmAvgHash}
+    val rnd = new scala.util.Random(177L)
+    // fuzz: same untrusted-input contract as ppmDecode (shared header
+    // parse) — null or bands, never a throw
+    (1 to 300).foreach { _ =>
+      val n = rnd.nextInt(200)
+      val bytes = Array.fill(n)(rnd.nextInt(256).toByte)
+      if (rnd.nextBoolean() && n >= 2) { bytes(0) = 'P'; bytes(1) = '6' }
+      val r = ppmAvgHash(bytes)
+      assert(r == null || (r.length == 8 && r.forall(b => b >= 0 && b <= 255)))
+    }
+    // model check: recompute the 8×8 nearest-pixel grid, mean and bands
+    // directly from the payload-cycling rule — the same independent model
+    // the DuckDB oracle implements, so a kernel/oracle drift fails here
+    // before it fails the round gate
+    (1 to 100).foreach { _ =>
+      val w = 1 + rnd.nextInt(12)
+      val h = 1 + rnd.nextInt(9)
+      val payload = Array.fill(rnd.nextInt(50))(rnd.nextInt(256).toByte)
+      def byteAt(k: Int): Int =
+        if (payload.isEmpty) 128 else payload(k % payload.length) & 0xff
+      val gray = (0 until 64).map { bi =>
+        val p = 3 * (((bi / 8) * h / 8) * w + (bi % 8) * w / 8)
+        (byteAt(p) + byteAt(p + 1) + byteAt(p + 2)) / 3
+      }
+      val mean = (gray.map(_.toLong).sum / 64).toInt
+      val want = (0 until 8).map(b =>
+        (0 until 8).map(i => if (gray(8 * b + i) > mean) 1 << i else 0).sum)
+      assert(ppmAvgHash(ppmEncode(payload, w, h)).toSeq === want, s"w=$w h=$h")
+    }
+  }
+
   test("TopKAggregator equals global sort-take under arbitrary partition splits") {
     import graft.functions.{Scored, TopKAggregator, TopKBuf}
     implicit val bufEnc = org.apache.spark.sql.Encoders.product[TopKBuf[Long]]
