@@ -81,6 +81,108 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("jsonValid agrees with a strict independent parser on generated and mutated documents") {
+    import graft.functions.Udfs
+    // Model: Jackson parse + MANUAL trailing-token check through the
+    // parser — deliberately not the FAIL_ON_TRAILING_TOKENS flag, since
+    // the validator exists precisely because default Jackson tolerates
+    // trailing tokens; draining the parser by hand keeps the model
+    // independent of feature-flag defaults. Every other relevant Jackson
+    // default (leading zeros, NaN, single quotes, unescaped control
+    // chars: all rejected) matches the RFC-8259 grammar jsonValid
+    // implements, so acceptance must agree exactly.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def modelValid(s: String): Boolean = {
+      val p = mapper.createParser(s)
+      try {
+        val t: com.fasterxml.jackson.databind.JsonNode = mapper.readTree(p)
+        t != null && !t.isMissingNode && p.nextToken() == null
+      } catch { case _: Exception => false } finally p.close()
+    }
+    val rnd = new scala.util.Random(271L)
+    def ws(): String = Seq("", " ", "\n ", "\t")(rnd.nextInt(4))
+    def genString(): String = {
+      val sb = new StringBuilder("\"")
+      (0 until rnd.nextInt(8)).foreach { _ =>
+        rnd.nextInt(10) match {
+          case 0 => sb.append("\\\"")
+          case 1 => sb.append("\\\\")
+          case 2 => sb.append("\\n")
+          case 3 => sb.append("\\u00e9")
+          case _ =>
+            val c = (' ' + rnd.nextInt(95)).toChar // printable ASCII
+            sb.append(if (c == '"' || c == '\\') 'x' else c)
+        }
+      }
+      sb.append('"').toString
+    }
+    def genNumber(): String = {
+      val sign = if (rnd.nextBoolean()) "-" else ""
+      val frac = if (rnd.nextBoolean()) "." + rnd.nextInt(1000) else ""
+      val exp = if (rnd.nextInt(4) == 0) "e" + (rnd.nextInt(11) - 5) else ""
+      sign + rnd.nextInt(100000) + frac + exp
+    }
+    def genValue(depth: Int): String =
+      (if (depth <= 0) rnd.nextInt(4) else rnd.nextInt(6)) match {
+        case 0 => Seq("true", "false", "null")(rnd.nextInt(3))
+        case 1 => genNumber()
+        case 2 | 3 => genString()
+        case 4 => (0 until rnd.nextInt(4)).map(_ => genValue(depth - 1))
+          .mkString("[" + ws(), "," + ws(), ws() + "]")
+        case _ => (0 until rnd.nextInt(4))
+          .map(_ => genString() + ws() + ":" + ws() + genValue(depth - 1))
+          .mkString("{" + ws(), "," + ws(), ws() + "}")
+      }
+    val mutAlpha = "{}[]:,\"\\truefalsn0123456789.-eE \n"
+    (1 to 400).foreach { _ =>
+      val doc = ws() + genValue(3) + ws()
+      assert(modelValid(doc), s"generator sanity: $doc") // generator emits real JSON
+      assert(Udfs.jsonValid(doc), s"should accept generated: $doc")
+      // a second top-level token after the value must invalidate the text
+      val tail = Seq("true", "42", "{}", "[]", "\"x\"")(rnd.nextInt(5))
+      assert(!Udfs.jsonValid(doc + " " + tail), s"should reject trailing: $doc $tail")
+      assert(!modelValid(doc + " " + tail))
+      // mutation differential: any single edit must be judged identically
+      (1 to 3).foreach { _ =>
+        val pos = rnd.nextInt(doc.length)
+        val m = rnd.nextInt(3) match {
+          case 0 => doc.substring(0, pos) + doc.substring(math.min(pos + 1, doc.length))
+          case 1 => doc.substring(0, pos) + mutAlpha(rnd.nextInt(mutAlpha.length)) + doc.substring(pos)
+          case _ => doc.substring(0, pos) // truncation
+        }
+        assert(Udfs.jsonValid(m) === modelValid(m), s"diverged on: [$m]")
+      }
+    }
+  }
+
+  test("jsonScan recovers a generated embedded object from any brace-free prose wrapper") {
+    import graft.functions.Udfs
+    val rnd = new scala.util.Random(353L)
+    def ws(): String = Seq("", " ", "\n")(rnd.nextInt(3))
+    def genVal(depth: Int): String =
+      (if (depth <= 0) rnd.nextInt(3) else rnd.nextInt(4)) match {
+        case 0 => Seq("true", "false", "null", "-17", "3.5e2")(rnd.nextInt(5))
+        case 1 => "\"s" + rnd.nextInt(100) + "\""
+        case 2 => (0 until rnd.nextInt(3)).map(_ => genVal(depth - 1))
+          .mkString("[", ",", "]")
+        case _ => (0 until rnd.nextInt(3))
+          .map(i => "\"k" + i + "\"" + ws() + ":" + ws() + genVal(depth - 1))
+          .mkString("{" + ws(), "," + ws(), ws() + "}")
+      }
+    // prose alphabet excludes braces (would shift the first-{/last-}
+    // slice) and quotes (a quote on each side could turn the WHOLE text
+    // into one valid JSON string, the documented whole-text-wins path)
+    val prose = "abcXYZ .,!?\n:-01"
+    def genProse(): String =
+      (0 until rnd.nextInt(12)).map(_ => prose(rnd.nextInt(prose.length))).mkString
+    (1 to 300).foreach { _ =>
+      val obj = "{" + ws() + (0 until rnd.nextInt(3))
+        .map(i => "\"k" + i + "\":" + genVal(2)).mkString("," + ws()) + ws() + "}"
+      val recovered = Udfs.jsonScan(genProse() + obj + genProse())
+      assert(recovered === obj, s"failed to recover [$obj]")
+    }
+  }
+
   test("ppmDecode never throws on arbitrary bytes and round-trips valid files exactly") {
     import graft.operators.Multimodal.{ppmEncode, ppmDecode}
     val rnd = new scala.util.Random(99L)
