@@ -439,9 +439,13 @@ object Multimodal {
     * rows-only. At 100 TB the 8-bit buckets would collide heavily; the
     * band width grows with the corpus (16-bit bands of a 256-bit hash),
     * which changes constants, not this shape. The narrow hash frame is
-    * rebuilt per plan branch here (the kernel samples 64 pixels/image —
-    * cheaper than the scan feeding it); a production caller persists
-    * it like dd_simhash's feature cache. */
+    * persisted through the same feature-cache registry the text dedup
+    * family uses ([[Similarity.cachedFeature]]) — it is consumed by
+    * three plan branches (banding + two hash join-backs), and at 100 TB
+    * re-reading and re-hashing the media bytes per branch is the
+    * expensive part; the cache makes the PPM encode + kernel a
+    * once-per-execution cost and is cleared by the same Bench/harness
+    * resets as the text family. */
   val mmPhashDedup = QueryDef(
     "mm_phash_dedup",
     (s, dir) => {
@@ -451,18 +455,20 @@ object Multimodal {
         StructField("media_id", LongType),
         StructField("ph", ArrayType(IntegerType, containsNull = false))))
       val enc = org.apache.spark.sql.Encoders.row(outSchema)
-      val hashed = media(s, dir)
-        .filter(col("kind") === lit("image"))
-        .select(col("media_id"), col("bytes"),
-          // the mm_features fixture dimensions: 4..11 × 3..7 px per id
-          (lit(4) + pmod(col("media_id"), lit(8))).cast("int").as("w"),
-          (lit(3) + pmod(col("media_id"), lit(5))).cast("int").as("h"))
-        .mapPartitions { rows =>
-          rows.flatMap { r =>
-            val file = ppmEncode(r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3))
-            Option(ppmAvgHash(file)).map(bands => Row(r.getLong(0), bands.toSeq))
-          }
-        }(enc)
+      val hashed = Similarity.cachedFeature(s, s"mm_phash:$dir") {
+        media(s, dir)
+          .filter(col("kind") === lit("image"))
+          .select(col("media_id"), col("bytes"),
+            // the mm_features fixture dimensions: 4..11 × 3..7 px per id
+            (lit(4) + pmod(col("media_id"), lit(8))).cast("int").as("w"),
+            (lit(3) + pmod(col("media_id"), lit(5))).cast("int").as("h"))
+          .mapPartitions { rows =>
+            rows.flatMap { r =>
+              val file = ppmEncode(r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3))
+              Option(ppmAvgHash(file)).map(bands => Row(r.getLong(0), bands.toSeq))
+            }
+          }(enc)
+      }
       val banded = hashed
         .select(col("media_id"), posexplode(col("ph")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")

@@ -47,9 +47,14 @@ class CatalogSpec extends SparkSpec {
     val (sf01, ratios) = Bench.loadPrevDriverRecord(dir)
     assert(sf01 === Map("q1_agg" -> 1.5), "newest-record sf0.1 times (dead -1 filtered)")
     assert(ratios === Map("q1_agg" -> 2.5))
-    // pre-parsed form wins over tail when present
+    // pre-parsed form wins over tail when present; the record now also
+    // carries the r8 per-sample fields (queries_samples / sf1_passes) —
+    // the loader must keep parsing a record that has them, so the
+    // emitter and this loader can't drift apart
     write("BENCH_r03.json",
-      """{"n":3,"parsed":{"metric":"total","queries":{"q1_agg":3.25},"sf1_ratio_vs_sf01":{"q1_agg":4.0}}}""")
+      """{"n":3,"parsed":{"metric":"total","queries":{"q1_agg":3.25},""" +
+        """"queries_samples":{"q1_agg":[3.4,3.25,3.3]},""" +
+        """"sf1_ratio_vs_sf01":{"q1_agg":4.0},"sf1_passes":{"q1_agg":[13.1,13.0,-1.0]}}}""")
     assert(Bench.loadPrevDriverRecord(dir)._1 === Map("q1_agg" -> 3.25))
     // no records / garbage → embedded fallback, never a throw
     val empty = java.nio.file.Files.createTempDirectory("graft-bench-none").toFile
@@ -65,6 +70,25 @@ class CatalogSpec extends SparkSpec {
         """"sf":"/x/sf0.01","sf1_ratio_vs_sf01":{}}}""")
     assert(Bench.loadPrevDriverRecord(dir) ===
       ((Bench.fallbackSf01Sec, Bench.fallbackSf1Ratios)))
+  }
+
+  test("samplesJson emits parseable per-query sample arrays in catalog order") {
+    // the bench record's queries_samples/sf1_passes fields are built by
+    // this helper; pin that the output is strict JSON (Jackson accepts),
+    // preserves the given name order, keeps -1 failure markers, and
+    // renders a missing query as an empty array instead of throwing
+    val json = Bench.samplesJson(Seq("b_query", "a_query", "missing"),
+      Map("a_query" -> Seq(0.5117, -1.0, 0.25), "b_query" -> Seq(1.0, 2.0, 3.0)))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+    import scala.jdk.CollectionConverters._
+    assert(node.fieldNames().asScala.toSeq === Seq("b_query", "a_query", "missing"),
+      "insertion order = the order the caller gave (catalog order in main)")
+    assert(node.get("b_query").elements().asScala.map(_.asDouble()).toSeq ===
+      Seq(1.0, 2.0, 3.0))
+    assert(node.get("a_query").elements().asScala.map(_.asDouble()).toSeq ===
+      Seq(0.512, -1.0, 0.25), "3-decimal rounding, -1 markers survive")
+    assert(node.get("missing").size() === 0)
   }
 
   test("every query runs at sf0.001 with rows and unique column names") {

@@ -107,7 +107,13 @@ class PlanSpec extends SparkSpec {
     // FileScan runs only on first materialization), so a bypassing consumer
     // shows up as MORE corpus FileScan lines than InMemoryRelation lines
     for ((n, table) <- Seq("dd_minhash" -> "documents.parquet",
-        "dd_simhash" -> "documents.parquet", "dd_embedding" -> "embeddings.parquet")) {
+        "dd_simhash" -> "documents.parquet", "dd_embedding" -> "embeddings.parquet",
+        // r8: the image-dedup hash frame joined the same registry — its
+        // three consumers (banding + two hash join-backs) must all read
+        // the cached frame, not re-run the PPM encode + hash kernel
+        "mm_phash_dedup" -> "documents.parquet",
+        // r8: the incremental probe's increment-slice frame is cached too
+        "dd_minhash_incr" -> "documents.parquet")) {
       val p = plan(n)
       val scans = p.linesIterator.count(l =>
         l.contains("FileScan parquet") && l.contains(table))
@@ -116,6 +122,37 @@ class PlanSpec extends SparkSpec {
       assert(scans <= cached,
         s"$n: $scans $table FileScans vs $cached cached-plan prints — a consumer bypasses the cache")
     }
+  }
+
+  test("dd_minhash_incr: index read is partition-pruned, increment scan pushes doc_id") {
+    val p = plan("dd_minhash_incr")
+    // the probe may read ONLY the (band, bshard) index partitions the
+    // increment's own banding touches — that pruning is the entire
+    // incremental-ingest win, so it is locked at the plan level
+    val bandsScan = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("/bands"))
+      .getOrElse("")
+    assert(bandsScan.nonEmpty, "no band-index scan in the plan:\n" +
+      p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+    assert(bandsScan.contains("PartitionFilters: [") &&
+      !bandsScan.contains("PartitionFilters: []"),
+      s"band-index read is not partition-pruned: $bandsScan")
+    // the keeper-tokens side table holds ~every corpus doc's token set
+    // (most docs are the min of their own singleton buckets), so its
+    // read must be tshard-pruned too or the verify join is corpus-scale
+    // I/O and the "incremental" contract is fiction
+    val toksScan = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("/toks"))
+      .getOrElse("")
+    assert(toksScan.nonEmpty, "no keeper-toks scan in the plan:\n" +
+      p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+    assert(toksScan.contains("PartitionFilters: [") &&
+      !toksScan.contains("PartitionFilters: []"),
+      s"keeper-toks read is not partition-pruned: $toksScan")
+    // and the increment's documents read must push its id filter into
+    // the parquet scan — probe time never reads the corpus proper
+    assert(p.contains("GreaterThanOrEqual(doc_id"),
+      "increment doc_id filter not pushed to the documents scan")
   }
 
   test("a5_cube_matrix: cube expands then aggregates partially (map-side combine)") {

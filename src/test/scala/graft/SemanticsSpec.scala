@@ -81,6 +81,28 @@ class SemanticsSpec extends SparkSpec {
     assert(!keepers.contains(1L))        // keeper itself is not emitted
   }
 
+  test("dd_minhash_incr: index probe ∪ stored corpus result == full dd_minhash recompute") {
+    import graft.operators.Similarity
+    // the incremental contract: dedup the NEW increment against a
+    // persisted band index, and the union of (what ingest already
+    // stored for the corpus) ∪ (the probe's rows) must equal one batch
+    // dd_minhash over corpus ∪ increment — bit for bit, not just counts
+    val full = Similarity.ddMinhash.run(spark, sf001).collect().toSeq
+    val (_, split) = Similarity.ensureMinhashIndex(spark, sf001)
+    val probe = Similarity.ddMinhashIncr.run(spark, sf001).collect().toSeq
+    assert(probe === full.filter(_.getAs[Long]("doc_id") >= split))
+    assert(probe.nonEmpty, "vacuous: the increment produced no dup rows")
+    assert(probe.exists(_.getAs[Long]("keeper") < split),
+      "vacuous: no increment doc elected a CORPUS keeper — the index join was never exercised")
+    // corpus side: the batch dedup over the corpus slice alone (what an
+    // ingest pipeline stored when it built the index) is the full
+    // recompute's corpus rows — increment ids are all greater, so they
+    // can never steal a corpus bucket minimum
+    val corpus = Similarity.minhashDedupOf(Similarity.minhashFeatOf(
+      Tables(spark, sf001).documents.filter(col("doc_id") < split))).collect().toSeq
+    assert(corpus === full.filter(_.getAs[Long]("doc_id") < split))
+  }
+
   test("simhash keeper election: planted exact dup flagged, unrelated doc not a dup") {
     val docs = Seq(
       (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),

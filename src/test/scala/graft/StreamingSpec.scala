@@ -416,8 +416,9 @@ class StreamingSpec extends SparkSpec {
     import graft.functions.{Merkle, Poseidon}
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Array[Byte])]
-    val (tree, q) = StreamOps.merkleAppend(
+    val h = StreamOps.merkleAppend(
       mem.toDS().toDF("leaf_index", "leaf"), depth = 20)
+    val (tree, q) = (h.tree, h.query)
     // 48 commitments over 3 micro-batches — crosses several subtree
     // boundaries, so the frontier's carry path is exercised repeatedly
     val leaves = (0L until 48L).map(i => i -> Poseidon.toBytes32(BigInt(i * 7 + 1)))
@@ -465,8 +466,9 @@ class StreamingSpec extends SparkSpec {
     // stream) — it must park in the pending buffer and drain in index
     // order the moment the head half closes the gap
     val mem = MemoryStream[(Long, Array[Byte])]
-    val (tree, q) = StreamOps.merkleAppend(
+    val h = StreamOps.merkleAppend(
       mem.toDS().toDF("leaf_index", "leaf"), depth = 20)
+    val (tree, q) = (h.tree, h.query)
     try {
       mem.addData(leaves.drop(12))
       q.processAllAvailable()
@@ -482,8 +484,9 @@ class StreamingSpec extends SparkSpec {
     // (silently skipping it would let the maintained root diverge from
     // the commitment stream — r6 ADVICE)
     val mem2 = MemoryStream[(Long, Array[Byte])]
-    val (tree2, q2) = StreamOps.merkleAppend(
+    val h2 = StreamOps.merkleAppend(
       mem2.toDS().toDF("leaf_index", "leaf"), depth = 20)
+    val (tree2, q2) = (h2.tree, h2.query)
     try {
       mem2.addData(leaves)
       q2.processAllAvailable()
@@ -496,14 +499,41 @@ class StreamingSpec extends SparkSpec {
     // a gap wider than maxPending errors out instead of buffering
     // unboundedly (an ever-open gap means the commitment was lost)
     val mem3 = MemoryStream[(Long, Array[Byte])]
-    val (_, q3) = StreamOps.merkleAppend(
-      mem3.toDS().toDF("leaf_index", "leaf"), depth = 20, maxPending = 4)
+    val q3 = StreamOps.merkleAppend(
+      mem3.toDS().toDF("leaf_index", "leaf"), depth = 20, maxPending = 4).query
     try {
       mem3.addData((100L until 106L).map(i => i -> Poseidon.toBytes32(BigInt(i))))
       val e = intercept[Exception](q3.processAllAvailable())
       assert(causes(e).exists(_.contains("maxPending")),
         s"expected a maxPending failure, got: ${causes(e).mkString(" | ")}")
     } finally q3.stop()
+  }
+
+  test("merkleAppend: replays beyond the recentTail horizon are skipped on trust but COUNTED") {
+    import graft.functions.Poseidon
+    implicit val sqlCtx = spark.sqlContext
+    val leaves = (0L until 24L).map(i => i -> Poseidon.toBytes32(BigInt(i * 13 + 5)))
+    val mem = MemoryStream[(Long, Array[Byte])]
+    // tail of 8: after 24 appends only indices 16..23 are conflict-checkable
+    val h = StreamOps.merkleAppend(
+      mem.toDS().toDF("leaf_index", "leaf"), depth = 20, recentTail = 8)
+    try {
+      mem.addData(leaves)
+      h.query.processAllAvailable()
+      assert(h.tree.count === 24L && h.uncheckedReplays === 0L)
+      // a CONFLICTING payload at index 3 — outside the tail, so the
+      // conflict is undetectable by design; the maintainer must not die
+      // and must not apply it, but it MUST count the unchecked skip so
+      // an operator can alarm on the horizon being too small
+      mem.addData(Seq(3L -> Poseidon.toBytes32(BigInt(999999))))
+      h.query.processAllAvailable()
+      assert(h.tree.count === 24L, "out-of-horizon replay must not append")
+      assert(h.uncheckedReplays === 1L, "unchecked out-of-horizon replay was not counted")
+      // an IN-horizon replay with the original payload is verified, not counted
+      mem.addData(Seq(leaves(20)))
+      h.query.processAllAvailable()
+      assert(h.uncheckedReplays === 1L, "a verified in-horizon replay must not count")
+    } finally h.query.stop()
   }
 
   test("ST6 streaming bounded buffer matches the batch twin") {
