@@ -103,6 +103,32 @@ class SemanticsSpec extends SparkSpec {
     assert(corpus === full.filter(_.getAs[Long]("doc_id") < split))
   }
 
+  test("minhash index: versioned publish is idempotent and reaps stale versions") {
+    import graft.operators.Similarity
+    // same source, same split → the SAME published version directory,
+    // untouched (ingest must not re-run on every probe)
+    val (p1, split1) = Similarity.ensureMinhashIndex(spark, sf001)
+    val ver = new java.io.File(p1)
+    val m1 = ver.lastModified
+    val (p2, split2) = Similarity.ensureMinhashIndex(spark, sf001)
+    assert((p2, split2) === ((p1, split1)))
+    assert(ver.lastModified === m1, "second ensure must reuse, not rebuild")
+    // a stale version (older source tier / split) must be reaped by the
+    // next BUILD — drop the live version to force one, plant a stale one
+    val base = ver.getParentFile
+    val stale = new java.io.File(base, "v999-0")
+    stale.mkdirs()
+    def deleteAll(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteAll)
+      f.delete()
+    }
+    deleteAll(ver)
+    val (p3, _) = Similarity.ensureMinhashIndex(spark, sf001)
+    assert(p3 === p1, "same (split, mtime) must republish under the same version")
+    assert(ver.isDirectory, "rebuild must publish the version directory")
+    assert(!stale.exists, "a build must reap stale version directories")
+  }
+
   test("simhash keeper election: planted exact dup flagged, unrelated doc not a dup") {
     val docs = Seq(
       (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
