@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   * prints one JSON line {"metric":…,"queries":{…}} for the driver.
   *
   * Work is forced with a noop-sink write (full result materialized, no
-  * collect); each query runs once for JIT/codegen warm-up, then twice
-  * measured, reporting the min — the machine hosting the bench shows
-  * ~25% run-to-run load variance, and min-of-2 warm runs is the stablest
-  * cheap estimator of the query's actual cost.
+  * collect); each query is timed over three INTERLEAVED passes over the
+  * whole suite (pass 0 doubles as JIT/codegen warm-up), reporting the
+  * min of passes 1-2 — the machine hosting the bench shows ~25%
+  * run-to-run load variance in ~minute-long windows, so back-to-back
+  * samples of one query are correlated and interleaving is what lets
+  * the min escape a single window (r8's dd_minhash sf0.1 had both
+  * back-to-back samples eaten by one).
   *
   * Scale-proof tier: when the primary dir is the driver's sf0.1, a 10×
   * "sf1" tier (~6M lineitem, 32-file facts) is synthesized once into a
@@ -53,22 +56,36 @@ object Bench {
     "sim_lsh_topk" -> 0.65, "dd_minhash" -> 0.74,
     "st1_deadline_tally" -> 0.25)
 
-  /** (sf0.1 seconds, sf1/sf0.1 ratios) from the newest `BENCH_r{N}.json`
-    * in `dir`. The driver's record wraps the bench JSON line either
-    * pre-parsed (`parsed`) or raw inside the captured sbt output
-    * (`tail`); both are accepted. Any parse failure falls back to the
-    * embedded constants — the diagnostic must never be able to break the
-    * measurement run. Jackson is used directly (already on the Spark
-    * classpath); package-private so the parse is spec-testable. */
+  /** (sf0.1 seconds, sf1/sf0.1 ratios) from the newest PARSEABLE
+    * `BENCH_r{N}.json` in `dir`. The driver's record wraps the bench
+    * JSON either pre-parsed (`parsed`) or raw inside the captured sbt
+    * output (`tail`); both are accepted, and when the tail carries both
+    * the full record line and the trailing compact summary line the
+    * LAST one wins (the summary is emitted last precisely so tail
+    * truncation keeps it). Records are tried newest→oldest: r8's record
+    * lost its head to the driver's tail budget, and a loader that only
+    * tries the newest file would have armed round 9 with the embedded
+    * constants while a fully parseable older record sat in the same
+    * directory. Only when NO record parses do the embedded constants
+    * apply — the diagnostic must never be able to break the measurement
+    * run. Jackson is used directly (already on the Spark classpath);
+    * package-private so the parse is spec-testable. */
   private[graft] def loadPrevDriverRecord(dir: java.io.File = new java.io.File(".")):
-      (Map[String, Double], Map[String, Double]) =
+      (Map[String, Double], Map[String, Double]) = {
+    val recs = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(f => -f.getName.replaceAll("\\D", "").toInt)
+    recs.iterator.flatMap(parseDriverRecord).nextOption()
+      .getOrElse((fallbackSf01Sec, fallbackSf1Ratios))
+  }
+
+  /** One record's parse attempt; None (not a throw) on any failure so
+    * [[loadPrevDriverRecord]] can walk back to an older record. */
+  private def parseDriverRecord(rec: java.io.File):
+      Option[(Map[String, Double], Map[String, Double])] =
     scala.util.Try {
-      val recs = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      require(recs.nonEmpty, "no BENCH_r{N}.json records")
-      val newest = recs.maxBy(f => f.getName.replaceAll("\\D", "").toInt)
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val outer = mapper.readTree(newest)
+      val outer = mapper.readTree(rec)
       val line =
         if (outer.hasNonNull("parsed")) outer.get("parsed")
         else {
@@ -92,7 +109,7 @@ object Bench {
       val sf01 = nums(line.get("queries"))
       require(sf01.nonEmpty, "record has no usable sf0.1 times")
       (sf01, nums(line.get("sf1_ratio_vs_sf01")))
-    }.getOrElse((fallbackSf01Sec, fallbackSf1Ratios))
+    }.toOption
 
   /** Shared swing-dump kernel: re-executes `q` over `dir` once through
     * `toRdd` so AQE finalizes (an unexecuted frame would print the
@@ -158,6 +175,25 @@ object Bench {
       // -1 failure markers survive as-is
       "\"" + n + "\":[" + vs.map(v => math.round(v * 1000) / 1000.0).mkString(",") + "]"
     }.mkString("{", ",", "}")
+
+  /** The two stdout record lines, built from pre-rendered JSON parts.
+    * The FULL line carries everything including the per-sample evidence
+    * (`queries_samples`, `sf1_passes`); the COMPACT summary line
+    * repeats only the headline numbers (total, per-query sf0.1 times,
+    * sf1 totals/ratios) plus a `"summary":true` marker. The summary is
+    * printed LAST: the driver's artifact keeps the trailing bytes of
+    * the run's output, and r8's record grew past that window once the
+    * samples fields landed — the head (with `"metric":"total"` and the
+    * sf0.1 times) was truncated away and the round lost its headline
+    * numbers. With the compact line last, truncation can only ever eat
+    * the (reconstructible) evidence fields, never the measurements.
+    * Package-private so the spec pins both shapes against the loader. */
+  private[graft] def recordLines(total: Double, qs: String, qSamples: String,
+      sfDir: String, sf1Full: String, sf1Summary: String): (String, String) = (
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_samples":$qSamples,"sf":"$sfDir"$sf1Full}""",
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir"$sf1Summary,"summary":true}""")
 
   /** Synthesizes the 10× tier from sf0.1 by key-offset replication:
     * fact tables (lineitem, orders, customer, events, documents,
@@ -255,21 +291,33 @@ object Bench {
     // can show whether the min hides a slow outlier sample; appended
     // one at a time so a query that dies on its 2nd or 3rd sample keeps
     // the real samples it DID produce (plus a -1 marker where it died)
-    // instead of losing its whole attribution record
+    // instead of losing its whole attribution record.
+    // INTERLEAVED like the sf1 tier (r9): the host's throttle windows
+    // last on the order of a minute, so back-to-back samples of one
+    // query are correlated — r8's dd_minhash had BOTH measured sf0.1
+    // samples swallowed by what its sf1 evidence says was one window,
+    // and the min could not escape it. Three full passes over the suite
+    // put each query's samples minutes apart; pass 0 is the JIT/
+    // page-cache warm-up, min of passes 1-2 is reported.
     val samplesByQ =
       scala.collection.mutable.Map.empty[String, collection.Seq[Double]]
-    val results = headline.map { q =>
+    val bufs = headline.map { q =>
       val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
       samplesByQ(q.name) = buf
-      try {
-        while (buf.length < 3) buf += time(q, sfDir)
-        q.name -> buf.tail.min // buf(0) is the JIT/page-cache warm-up
-      }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-        buf += -1.0 // marks WHICH sample failed
-        q.name -> -1.0
-      }
+      q.name -> buf
+    }.toMap
+    for (p <- 0 until 3; q <- headline) {
+      val buf = bufs(q.name)
+      if (!buf.contains(-1.0)) // a failed query stays failed; keep its real samples
+        try buf += time(q, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} pass $p failed: ${e.getMessage}")
+          buf += -1.0 // marks WHICH sample failed
+        }
+    }
+    val results = headline.map { q =>
+      val buf = bufs(q.name)
+      q.name -> (if (buf.contains(-1.0)) -1.0 else buf.tail.min)
     }
     // sf0.1-side swing trigger (r6 blind spot): a >2× move vs the
     // previous driver record dumps the same plan + stage evidence the
@@ -315,10 +363,12 @@ object Bench {
     val qSamples = samplesJson(headline.map(_.name), samplesByQ)
     val total = results.map(_._2).filter(_ >= 0).sum
 
-    // sf1 scale tier — only on the driver's sf0.1 run, never fatal
-    val sf1Section =
+    // sf1 scale tier — only on the driver's sf0.1 run, never fatal.
+    // Returns (full-line fields incl. per-pass samples, compact summary
+    // fields) for [[recordLines]].
+    val (sf1Section, sf1Summary) =
       if (!sfDir.replaceAll("/+$", "").endsWith("sf0.1") ||
-          sys.env.get("SPARK_GRAFT_SF1").contains("0")) ""
+          sys.env.get("SPARK_GRAFT_SF1").contains("0")) ("", "")
       else try {
         val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
         val g0 = System.nanoTime()
@@ -398,15 +448,18 @@ object Bench {
         // one slow pass among consistent ones, right in the record
         val passJson = samplesJson(headline.map(_.name),
           headline.map(q => q.name -> passes.map(_.getOrElse(q.name, -1.0))).toMap)
-        s""","sf1_total":$t1,"sf1_queries":$q1,"sf1_ratio_vs_sf01":$ratios,""" +
-          s""""sf1_passes":$passJson,"sf1_gen_sec":$genSec"""
+        (s""","sf1_total":$t1,"sf1_queries":$q1,"sf1_ratio_vs_sf01":$ratios,""" +
+          s""""sf1_passes":$passJson,"sf1_gen_sec":$genSec""",
+         s""","sf1_total":$t1,"sf1_queries":$q1,"sf1_ratio_vs_sf01":$ratios""")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 tier skipped: ${e.getMessage}")
-        ""
+        ("", "")
       }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_samples":$qSamples,"sf":"$sfDir"$sf1Section}""")
+    val (fullLine, summaryLine) =
+      recordLines(total, qs, qSamples, sfDir, sf1Section, sf1Summary)
+    println(fullLine)
+    println(summaryLine) // LAST stdout line — the driver's tail keeps the end
     spark.stop()
   }
 }

@@ -60,16 +60,78 @@ class CatalogSpec extends SparkSpec {
     val empty = java.nio.file.Files.createTempDirectory("graft-bench-none").toFile
     assert(Bench.loadPrevDriverRecord(empty) ===
       ((Bench.fallbackSf01Sec, Bench.fallbackSf1Ratios)))
+    // an unparseable NEWEST record must walk back to the newest record
+    // that DOES parse — r8's record lost its head to the driver's tail
+    // budget and the single-newest loader armed round 9 with embedded
+    // r6 constants while parseable BENCH_r07.json sat beside it
     write("BENCH_r04.json", "not json at all")
-    assert(Bench.loadPrevDriverRecord(dir) ===
-      ((Bench.fallbackSf01Sec, Bench.fallbackSf1Ratios)))
-    // a newest record from the WRONG scale must not arm the detector —
-    // replica-at-sf0.01 anchors would trip the >2x trigger on every query
+    assert(Bench.loadPrevDriverRecord(dir)._1 === Map("q1_agg" -> 3.25),
+      "garbage newest → older parseable record, not the fallback")
+    // the r8 truncation shape specifically: a tail whose only record
+    // content starts MID-LINE (head with "metric":"total" cut off)
     write("BENCH_r05.json",
-      """{"n":5,"parsed":{"metric":"total","queries":{"q1_agg":0.2},""" +
+      """{"n":5,"parsed":null,"tail":"1.24,\"st1_deadline_tally\":2.6},\"sf1_gen_sec\":41.2}\n"}""")
+    assert(Bench.loadPrevDriverRecord(dir)._1 === Map("q1_agg" -> 3.25),
+      "truncated newest → older parseable record")
+    // a newest record from the WRONG scale must not arm the detector —
+    // replica-at-sf0.01 anchors would trip the >2x trigger on every
+    // query — and must also walk back rather than fall back
+    write("BENCH_r06.json",
+      """{"n":6,"parsed":{"metric":"total","queries":{"q1_agg":0.2},""" +
         """"sf":"/x/sf0.01","sf1_ratio_vs_sf01":{}}}""")
+    assert(Bench.loadPrevDriverRecord(dir)._1 === Map("q1_agg" -> 3.25),
+      "wrong-scale newest → older sf0.1 record")
+  }
+
+  test("Bench record lines: summary last, loader prefers it, both parse") {
+    // r9: the bench prints the full record (with samples evidence) and
+    // then a compact summary line LAST, so driver-side tail truncation
+    // can never again eat the headline numbers (r8 lost total + sf0.1
+    // times exactly this way). Pin both shapes and the loader's
+    // last-line-wins preference.
+    val (full, summary) = Bench.recordLines(
+      total = 9.5,
+      qs = """{"q1_agg":1.5}""",
+      qSamples = """{"q1_agg":[1.9,1.5,1.6]}""",
+      sfDir = "/x/sf0.1",
+      sf1Full = ""","sf1_total":18.0,"sf1_queries":{"q1_agg":13.0},""" +
+        """"sf1_ratio_vs_sf01":{"q1_agg":8.67},"sf1_passes":{"q1_agg":[13.2,13.0,13.4]},""" +
+        """"sf1_gen_sec":40.0""",
+      sf1Summary = ""","sf1_total":18.0,"sf1_queries":{"q1_agg":13.0},""" +
+        """"sf1_ratio_vs_sf01":{"q1_agg":8.67}""")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fullNode = mapper.readTree(full)     // both lines are strict JSON
+    val sumNode = mapper.readTree(summary)
+    assert(fullNode.get("queries_samples").get("q1_agg").size() === 3,
+      "samples evidence lives on the full line")
+    assert(sumNode.get("summary").asBoolean(), "summary line is marked")
+    assert(!sumNode.has("queries_samples") && !sumNode.has("sf1_passes"),
+      "summary stays compact — no samples fields to outgrow the tail")
+    for (n <- Seq(fullNode, sumNode)) {
+      assert(n.get("metric").asText() === "total")
+      assert(n.get("value").asDouble() === 9.5)
+      assert(n.get("queries").get("q1_agg").asDouble() === 1.5)
+      assert(n.get("sf1_ratio_vs_sf01").get("q1_agg").asDouble() === 8.67)
+    }
+    // a driver tail carrying BOTH lines: the loader must take the LAST
+    // metric line (the summary) — and a tail where truncation ate the
+    // full line's head but kept the summary still parses
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-sum").toFile
+    def rec(tail: String): String = {
+      val node = mapper.createObjectNode()
+      node.putNull("parsed"); node.put("tail", tail)
+      mapper.writeValueAsString(node)
+    }
+    def write(name: String, body: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name)); w.write(body); w.close()
+    }
+    write("BENCH_r01.json", rec(s"[info] $full\n[info] $summary\n[success]\n"))
+    assert(Bench.loadPrevDriverRecord(dir)._1 === Map("q1_agg" -> 1.5))
+    write("BENCH_r02.json",
+      rec(s"...mid-line truncation${full.takeRight(40)}\n[info] $summary\n"))
     assert(Bench.loadPrevDriverRecord(dir) ===
-      ((Bench.fallbackSf01Sec, Bench.fallbackSf1Ratios)))
+      ((Map("q1_agg" -> 1.5), Map("q1_agg" -> 8.67))),
+      "summary alone carries every headline field the loader needs")
   }
 
   test("samplesJson emits parseable per-query sample arrays in catalog order") {
