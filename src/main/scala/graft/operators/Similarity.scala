@@ -870,7 +870,12 @@ object Similarity {
     // (the dominant ingest cost) runs exactly once per index build
     val storedKeepers = s.read.parquet(s"$indexPath/bands")
       .select(col("keeper").as("doc_id")).distinct()
+    // same size(toks) > 0 guard the probe applies to its verify frame:
+    // both paths must drop empty-token keepers at the SAME stage, so
+    // probe ≡ batch equality never depends on the Jaccard threshold
+    // happening to discard empty-k_toks pairs
     feat.select(col("doc_id"), col("toks"))
+      .filter(size(col("toks")) > lit(0))
       .join(storedKeepers, Seq("doc_id"))
       .withColumn("tshard", pmod(col("doc_id"), lit(minhashIndexShards.toLong)))
       .write.mode("overwrite").partitionBy("tshard")
