@@ -73,20 +73,41 @@ final case class Tables(spark: SparkSession, dir: String) {
     * windowed result by 10^6, which is worse than failing. */
   def events: DataFrame = {
     val raw = load("events")
-    val ts = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => col("ts")
-      case org.apache.spark.sql.types.TimestampType =>
-        unix_micros(col("ts")) * lit(1000L)
-      case other => sys.error(
-        s"events.ts must be epoch-nanos BIGINT or TIMESTAMP, got $other " +
-          "(an epoch-millis BIGINT would be silently mis-scaled — convert it " +
-          "to a TIMESTAMP column in the store or to nanos upstream)")
-    }
     // integer `div`, not `/`: epoch-nanos (~1.7e18) exceeds a double's 2^53
     // exact-integer range, so floating division would corrupt low bits.
     raw
-      .withColumn("ts", ts)
+      .withColumn("ts", Tables.tsAsNanos(raw.schema("ts").dataType))
       .withColumn("ts_ms", expr("ts div 1000000"))
       .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
   }
+}
+
+object Tables {
+  /** `ts` → epoch-nanos Long, shared by the batch facade and the streaming
+    * file source so both read every store tier the same way. Accepted
+    * arrivals: epoch-nanos BIGINT (parquet TIMESTAMP(NANOS) under
+    * `nanosAsLong`), TIMESTAMP (a relational store's column — micros ×
+    * 1000), and TIMESTAMP_NTZ (naive parquet `timestamp[us]` without the
+    * UTC flag, what a pandas/pyarrow writer emits, surfaced by Spark 4's
+    * NTZ inference). For NTZ the stored wall-clock IS the instant — the
+    * DuckDB oracle reads the same naive values directly — and the cast
+    * interprets it in the session timezone, which Engine.session pins to
+    * UTC, so the numeric micros pass through unchanged. Any other type is
+    * an explicit error: silently treating an epoch-MILLIS bigint as nanos
+    * would corrupt every windowed result by 10^6, which is worse than
+    * failing. */
+  private[graft] def tsAsNanos(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    dt match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_micros(col("ts")) * lit(1000L)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) *
+          lit(1000L)
+      case other => sys.error(
+        s"events.ts must be epoch-nanos BIGINT, TIMESTAMP or TIMESTAMP_NTZ, " +
+          s"got $other (an epoch-millis BIGINT would be silently mis-scaled — " +
+          "convert it to a TIMESTAMP column in the store or to nanos upstream)")
+    }
 }

@@ -947,6 +947,26 @@ object Similarity {
     jaccardVerify(cand, d, keeperToks)
   }
 
+  /** Root under which versioned index directories are published.
+    * Defaults to the local tmpdir; a production deploy points it at a
+    * shared `hdfs:`/`s3a:` prefix — every filesystem touch below goes
+    * through the Hadoop [[org.apache.hadoop.fs.FileSystem]] resolved
+    * from this path's scheme, never `java.io.File` (which on a remote
+    * scheme silently reports nothing-exists and would rebuild + leak an
+    * index per query — the bug class the round-6 Bloom-fingerprint fix
+    * caught). Package-private mutable so specs can exercise a
+    * scheme-qualified (`file:`) base. */
+  private[graft] var minhashIndexBase: String = sys.props("java.io.tmpdir")
+
+  /** Grace age for reaping: version/staging directories younger than
+    * this survive a reap pass, so a concurrent JVM that resolved an
+    * older (split, mtime) version moments ago — or is mid-build in a
+    * `.build-*` staging dir — doesn't have files deleted out from under
+    * its scan (ADVICE r8). Older-than-grace directories are either dead
+    * versions of a regenerated source tier or staging leaked by a
+    * crashed build; both are reclaimed. Spec-tunable. */
+  private[graft] var minhashReapGraceMs: Long = 15 * 60 * 1000L
+
   /** Builds the band index for `dir`'s corpus slice once and returns
     * (indexPath, split). Split = the last 20% of the id range is "the
     * increment": ids above it play the newly-ingested docs, everything
@@ -955,54 +975,91 @@ object Similarity {
     * The index lives in a VERSIONED directory named by (split,
     * source mtime) — a driver-regenerated source tier changes the name,
     * invalidating stale indexes the way Bench.ensureSf1's mtime check
-    * does. Builds stage into a fresh temp dir and publish by a single
-    * directory rename: a reader can only ever see a complete index
-    * (never parquet files mid-overwrite), and when two JVMs race (e.g.
-    * a Verify run next to a test suite) the rename loser just discards
-    * its staging — the winner's finished index is byte-equivalent. */
+    * does. Builds stage into a fresh temp dir and publish by directory
+    * rename + a `_PUBLISHED` marker: on rename-atomic filesystems
+    * (local, HDFS) a reader can never see a half-written index, and the
+    * marker additionally covers stores WITHOUT atomic rename — S3's
+    * "rename" is a non-atomic copy+delete, so there a directory can
+    * exist mid-copy; readers here require the marker, which is written
+    * strictly after the data is fully in place, making the publish
+    * scale-safe on object stores too. When two JVMs race (e.g. a Verify
+    * run next to a test suite) the rename loser discards its staging
+    * and adopts the winner's byte-equivalent index; a leftover
+    * marker-less version directory (a publish crashed mid-copy) is
+    * reclaimed and republished. The base directory name includes a hash
+    * of the RAW corpus path next to the sanitized form, so two distinct
+    * corpora whose sanitized names collide (`/a/b` vs `/a_b`) can never
+    * reap or serve each other's indexes (ADVICE r8). */
   private val mhIdxLock = new Object
   def ensureMinhashIndex(s: SparkSession, dir: String): (String, Long) =
     mhIdxLock.synchronized {
+      import org.apache.hadoop.fs.Path
       // single-column bounded agg, not the feature cache: warming the
       // full-corpus frame here would undo the probe's increment-only read
-      val maxId = T(s, dir).documents.agg(max(col("doc_id"))).head().getLong(0)
+      val maxRow = T(s, dir).documents.agg(max(col("doc_id"))).head()
+      require(!maxRow.isNullAt(0),
+        s"minhash index: documents corpus at $dir is empty — nothing to index")
+      val maxId = maxRow.getLong(0)
       val split = maxId - maxId / 5
-      val srcMtime = {
-        val f = new java.io.File(s"$dir/documents.parquet")
-        if (f.isDirectory)
-          (f.lastModified +: f.listFiles().map(_.lastModified).toSeq).max
-        else f.lastModified
-      }
-      val base = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        "graft-mh-idx-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-      val ver = new java.io.File(base, s"v$split-$srcMtime")
-      if (!ver.isDirectory) {
-        base.mkdirs()
-        val staging = new java.io.File(base,
+      val hconf = s.sparkContext.hadoopConfiguration
+      val src = new Path(s"$dir/documents.parquet")
+      val srcFs = src.getFileSystem(hconf)
+      val srcSt = srcFs.getFileStatus(src) // loud FileNotFound on a bad dir
+      val srcMtime =
+        if (srcSt.isDirectory)
+          (srcSt.getModificationTime +:
+            srcFs.listStatus(src).map(_.getModificationTime).toSeq).max
+        else srcSt.getModificationTime
+      val dirHash = // collision-proof component alongside the sanitized name
+        f"${scala.util.hashing.MurmurHash3.stringHash(dir) & 0xffffffffL}%08x"
+      val base = new Path(minhashIndexBase,
+        "graft-mh-idx-" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "-" + dirHash)
+      val fs = base.getFileSystem(hconf)
+      val ver = new Path(base, s"v$split-$srcMtime")
+      val marker = new Path(ver, "_PUBLISHED")
+      if (!fs.exists(marker)) {
+        fs.mkdirs(base)
+        val staging = new Path(base,
           ".build-" + java.util.UUID.randomUUID().toString)
-        writeMinhashIndex(s, dir, staging.getPath, split)
-        if (!staging.renameTo(ver)) {
-          // lost the cross-process race (or a stale leftover): another
-          // build published the same (split, mtime) index — use theirs
-          deleteRecursively(staging)
-          require(ver.isDirectory,
-            s"minhash index publish failed: ${ver.getPath}")
+        writeMinhashIndex(s, dir, staging.toString, split)
+        if (fs.rename(staging, ver)) fs.create(marker, true).close()
+        else if (awaitMarker(fs, marker)) fs.delete(staging, true)
+        else {
+          // rename refused and no publish completed: the version dir is
+          // a crashed publish's husk (data without marker) — reclaim it
+          fs.delete(ver, true)
+          require(fs.rename(staging, ver),
+            s"minhash index publish failed: $ver")
+          fs.create(marker, true).close()
         }
-        // stale versions (older source tiers) are dead — reap them so
-        // tmp doesn't accumulate one full index per regeneration
-        Option(base.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("v") &&
-            f.getName != ver.getName)
-          .foreach(deleteRecursively)
+        // stale versions (older source tiers) and staging leaked by
+        // crashed builds are dead — reap them so the base doesn't
+        // accumulate one full index copy per regeneration/crash.
+        // Age-gated: young directories may still be scanned (or built)
+        // by a concurrent JVM
+        val now = System.currentTimeMillis()
+        fs.listStatus(base)
+          .filter(st => st.isDirectory && st.getPath.getName != ver.getName &&
+            (st.getPath.getName.startsWith("v") ||
+              st.getPath.getName.startsWith(".build-")) &&
+            now - st.getModificationTime > minhashReapGraceMs)
+          .foreach(st => fs.delete(st.getPath, true))
       }
-      (ver.getPath, split)
+      (ver.toString, split)
     }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
+  /** Bounded wait for a racing publisher's marker: the window between
+    * its rename and marker-create is milliseconds, so 5 s of polling is
+    * generous; false ⇒ the version directory predates this race (a
+    * crashed publish) and the caller reclaims it. */
+  private def awaitMarker(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path): Boolean = {
+    val deadline = System.currentTimeMillis() + 5000L
+    while (!fs.exists(marker)) {
+      if (System.currentTimeMillis() > deadline) return false
+      Thread.sleep(100L)
+    }
+    true
   }
 
   /** dd_minhash_incr: INCREMENTAL near-dup dedup — the missing 100 TB

@@ -697,6 +697,7 @@ object StreamOps {
     spark.readStream
       .schema(schema)
       .parquet(s"$dir/events.parquet")
+      .withColumn("ts", graft.Tables.tsAsNanos(schema("ts").dataType))
       .withColumn("ts_ms", expr("ts div 1000000"))
   }
 }

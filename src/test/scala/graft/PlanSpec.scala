@@ -129,8 +129,11 @@ class PlanSpec extends SparkSpec {
     // the probe may read ONLY the (band, bshard) index partitions the
     // increment's own banding touches — that pruning is the entire
     // incremental-ingest win, so it is locked at the plan level
+    // match on the layout's partition column (bshard), not the "/bands"
+    // path suffix: explain() truncates long Location paths, and the index
+    // path grew a collision-proof hash component in r9
     val bandsScan = p.linesIterator
-      .find(l => l.contains("FileScan parquet") && l.contains("/bands"))
+      .find(l => l.contains("FileScan parquet") && l.contains("bshard"))
       .getOrElse("")
     assert(bandsScan.nonEmpty, "no band-index scan in the plan:\n" +
       p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
@@ -142,7 +145,7 @@ class PlanSpec extends SparkSpec {
     // read must be tshard-pruned too or the verify join is corpus-scale
     // I/O and the "incremental" contract is fiction
     val toksScan = p.linesIterator
-      .find(l => l.contains("FileScan parquet") && l.contains("/toks"))
+      .find(l => l.contains("FileScan parquet") && l.contains("tshard"))
       .getOrElse("")
     assert(toksScan.nonEmpty, "no keeper-toks scan in the plan:\n" +
       p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))

@@ -103,7 +103,7 @@ class SemanticsSpec extends SparkSpec {
     assert(corpus === full.filter(_.getAs[Long]("doc_id") < split))
   }
 
-  test("minhash index: versioned publish is idempotent and reaps stale versions") {
+  test("minhash index: versioned publish is idempotent, reaps only past-grace stale dirs") {
     import graft.operators.Similarity
     // same source, same split → the SAME published version directory,
     // untouched (ingest must not re-run on every probe)
@@ -113,11 +113,19 @@ class SemanticsSpec extends SparkSpec {
     val (p2, split2) = Similarity.ensureMinhashIndex(spark, sf001)
     assert((p2, split2) === ((p1, split1)))
     assert(ver.lastModified === m1, "second ensure must reuse, not rebuild")
-    // a stale version (older source tier / split) must be reaped by the
-    // next BUILD — drop the live version to force one, plant a stale one
+    // reaping is age-gated: a stale VERSION (older source tier) and a
+    // crashed build's STAGING dir past the grace window must both be
+    // reaped by the next build; young dirs (a concurrent JVM may still
+    // scan/build them) must survive. Plant one of each, then drop the
+    // live version to force a rebuild+reap pass.
     val base = ver.getParentFile
-    val stale = new java.io.File(base, "v999-0")
-    stale.mkdirs()
+    val oldMs = System.currentTimeMillis() - 24L * 3600 * 1000
+    val staleOld = new java.io.File(base, "v999-0")
+    staleOld.mkdirs(); staleOld.setLastModified(oldMs)
+    val stagingOld = new java.io.File(base, ".build-crashed-long-ago")
+    stagingOld.mkdirs(); stagingOld.setLastModified(oldMs)
+    val stagingYoung = new java.io.File(base, ".build-maybe-live-build")
+    stagingYoung.mkdirs()
     def deleteAll(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteAll)
       f.delete()
@@ -126,7 +134,46 @@ class SemanticsSpec extends SparkSpec {
     val (p3, _) = Similarity.ensureMinhashIndex(spark, sf001)
     assert(p3 === p1, "same (split, mtime) must republish under the same version")
     assert(ver.isDirectory, "rebuild must publish the version directory")
-    assert(!stale.exists, "a build must reap stale version directories")
+    assert(new java.io.File(ver, "_PUBLISHED").isFile,
+      "publish must land the completion marker (the S3-posture read gate)")
+    assert(!staleOld.exists, "a build must reap past-grace stale versions")
+    assert(!stagingOld.exists, "a build must reap past-grace crashed staging dirs")
+    assert(stagingYoung.exists,
+      "a build must NOT reap young staging dirs — a concurrent build may own them")
+    deleteAll(stagingYoung)
+  }
+
+  test("minhash index: build+probe work through a file:-scheme Hadoop FileSystem") {
+    import graft.operators.Similarity
+    // the publish path must run entirely on the Hadoop FileSystem API —
+    // pin that by pointing the base at a scheme-qualified URI (file:),
+    // where any java.io.File touch would see a nonexistent path and
+    // either crash or silently rebuild per call
+    val localProbe = Similarity.ddMinhashIncr.run(spark, sf001).collect().toSeq
+    val prevBase = Similarity.minhashIndexBase
+    Similarity.minhashIndexBase =
+      "file:" + java.nio.file.Files.createTempDirectory("graft-mh-fs").toString
+    try {
+      val (p1, split1) = Similarity.ensureMinhashIndex(spark, sf001)
+      assert(p1.startsWith("file:"), s"index must publish under the file: base, got $p1")
+      val (p2, split2) = Similarity.ensureMinhashIndex(spark, sf001)
+      assert((p2, split2) === ((p1, split1)), "scheme-qualified publish must be idempotent")
+      val probed = Similarity.probeMinhashIndex(spark, sf001, p1, split1).collect().toSeq
+      assert(probed === localProbe,
+        "probe against the file:-scheme index must equal the local-base probe")
+    } finally Similarity.minhashIndexBase = prevBase
+  }
+
+  test("minhash index: empty corpus fails with an explicit message, not an NPE") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-empty").toString
+    Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ensureMinhashIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("empty"), s"message must name the cause: ${e.getMessage}")
   }
 
   test("simhash keeper election: planted exact dup flagged, unrelated doc not a dup") {
