@@ -90,12 +90,19 @@ object Tables {
     * 1000), and TIMESTAMP_NTZ (naive parquet `timestamp[us]` without the
     * UTC flag, what a pandas/pyarrow writer emits, surfaced by Spark 4's
     * NTZ inference). For NTZ the stored wall-clock IS the instant — the
-    * DuckDB oracle reads the same naive values directly — and the cast
-    * interprets it in the session timezone, which Engine.session pins to
-    * UTC, so the numeric micros pass through unchanged. Any other type is
-    * an explicit error: silently treating an epoch-MILLIS bigint as nanos
-    * would corrupt every windowed result by 10^6, which is worse than
-    * failing. */
+    * DuckDB oracle reads the same naive values directly — so the stored
+    * micros must pass through UNCHANGED regardless of who owns the
+    * session: a bare NTZ→TIMESTAMP cast would re-interpret the wall-clock
+    * in the session timezone, and while Engine.session pins UTC, the
+    * driver hands its OWN session into `SparkEntry.queries` with no such
+    * guarantee — a non-UTC driver zone would silently shift every event
+    * by the zone offset. The NTZ branch therefore decomposes the
+    * wall-clock with timezone-FREE field extraction (NTZ→DATE truncation
+    * and hour/minute/date_part read the stored value directly; no zone
+    * participates), reproducing the UTC interpretation under any session
+    * timezone. Any other type is an explicit error: silently treating an
+    * epoch-MILLIS bigint as nanos would corrupt every windowed result by
+    * 10^6, which is worse than failing. */
   private[graft] def tsAsNanos(
       dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
     dt match {
@@ -103,7 +110,15 @@ object Tables {
       case org.apache.spark.sql.types.TimestampType =>
         unix_micros(col("ts")) * lit(1000L)
       case org.apache.spark.sql.types.TimestampNTZType =>
-        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) *
+        // epoch micros of the naive wall-clock, zone-free: days since
+        // epoch × 86_400e6 + time-of-day fields. date_part('SECOND')
+        // yields DECIMAL(8,6) seconds including the fraction, so × 1e6
+        // recovers the stored micros exactly.
+        (unix_date(col("ts").cast(org.apache.spark.sql.types.DateType)) *
+          lit(86400000000L) +
+          hour(col("ts")).cast("long") * lit(3600000000L) +
+          minute(col("ts")).cast("long") * lit(60000000L) +
+          (date_part(lit("SECOND"), col("ts")) * lit(1000000L)).cast("long")) *
           lit(1000L)
       case other => sys.error(
         s"events.ts must be epoch-nanos BIGINT, TIMESTAMP or TIMESTAMP_NTZ, " +

@@ -954,8 +954,10 @@ object Similarity {
     * from this path's scheme, never `java.io.File` (which on a remote
     * scheme silently reports nothing-exists and would rebuild + leak an
     * index per query — the bug class the round-6 Bloom-fingerprint fix
-    * caught). Package-private mutable so specs can exercise a
-    * scheme-qualified (`file:`) base. */
+    * caught). JVM-wide DEFAULT only: the per-session Spark conf
+    * `spark.graft.minhash.indexBase` wins when set, so two sessions in
+    * one JVM (a driver session next to a test session) can point at
+    * different bases without racing on a global. */
   private[graft] var minhashIndexBase: String = sys.props("java.io.tmpdir")
 
   /** Grace age for reaping: version/staging directories younger than
@@ -964,7 +966,8 @@ object Similarity {
     * `.build-*` staging dir — doesn't have files deleted out from under
     * its scan (ADVICE r8). Older-than-grace directories are either dead
     * versions of a regenerated source tier or staging leaked by a
-    * crashed build; both are reclaimed. Spec-tunable. */
+    * crashed build; both are reclaimed. JVM-wide DEFAULT; the session
+    * conf `spark.graft.minhash.reapGraceMs` wins when set. */
   private[graft] var minhashReapGraceMs: Long = 15 * 60 * 1000L
 
   /** Builds the band index for `dir`'s corpus slice once and returns
@@ -1012,7 +1015,14 @@ object Similarity {
         else srcSt.getModificationTime
       val dirHash = // collision-proof component alongside the sanitized name
         f"${scala.util.hashing.MurmurHash3.stringHash(dir) & 0xffffffffL}%08x"
-      val base = new Path(minhashIndexBase,
+      // session conf wins over the JVM-wide default vars: "where do the
+      // 100 TB indexes live" is deployment config, and two sessions in
+      // one JVM may legitimately differ
+      val idxBase = s.conf.get("spark.graft.minhash.indexBase", minhashIndexBase)
+      val graceMs = s.conf
+        .get("spark.graft.minhash.reapGraceMs", minhashReapGraceMs.toString)
+        .toLong
+      val base = new Path(idxBase,
         "graft-mh-idx-" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "-" + dirHash)
       val fs = base.getFileSystem(hconf)
       val ver = new Path(base, s"v$split-$srcMtime")
@@ -1022,15 +1032,42 @@ object Similarity {
         val staging = new Path(base,
           ".build-" + java.util.UUID.randomUUID().toString)
         writeMinhashIndex(s, dir, staging.toString, split)
-        if (fs.rename(staging, ver)) fs.create(marker, true).close()
+        // Hadoop rename is NOT rename-if-absent: given an EXISTING
+        // destination directory, HDFS moves the source INTO it and
+        // RawLocalFileSystem's copy fallback nests it the same way —
+        // both report success. An unguarded rename against a ver created
+        // by a racing publisher (or a crashed publish's marker-less
+        // husk) would therefore "succeed" by leaking this build nested
+        // at ver/.build-*, and a husk could then be marker-blessed with
+        // incomplete top-level data. So: attempt the rename only when
+        // ver is absent, and detect the photo-finish case (ver appeared
+        // inside the check→rename window, nesting us) by looking for our
+        // own staging name under ver — unwind it and fall through to the
+        // race/husk path.
+        val renamed = !fs.exists(ver) && fs.rename(staging, ver)
+        val nested = new Path(ver, staging.getName)
+        val published = renamed &&
+          (!fs.exists(nested) || { fs.delete(nested, true); false })
+        def bless(): Unit = {
+          // the marker is the read gate — never bless a layout the probe
+          // cannot serve (belt over the nesting unwind above)
+          require(fs.exists(new Path(ver, "bands")) &&
+            fs.exists(new Path(ver, "toks")),
+            s"minhash index publish incomplete at $ver: bands/toks missing")
+          fs.create(marker, true).close()
+        }
+        if (published) bless()
         else if (awaitMarker(fs, marker)) fs.delete(staging, true)
         else {
-          // rename refused and no publish completed: the version dir is
+          // ver exists but no publisher completed within the wait: it is
           // a crashed publish's husk (data without marker) — reclaim it
+          // and republish. (If our staging was consumed by the nesting
+          // race AND that racer also crashed pre-marker, the rename below
+          // fails loudly rather than blessing unknown data.)
           fs.delete(ver, true)
           require(fs.rename(staging, ver),
             s"minhash index publish failed: $ver")
-          fs.create(marker, true).close()
+          bless()
         }
         // stale versions (older source tiers) and staging leaked by
         // crashed builds are dead — reap them so the base doesn't
@@ -1041,8 +1078,19 @@ object Similarity {
         fs.listStatus(base)
           .filter(st => st.isDirectory && st.getPath.getName != ver.getName &&
             (st.getPath.getName.startsWith("v") ||
-              st.getPath.getName.startsWith(".build-")) &&
-            now - st.getModificationTime > minhashReapGraceMs)
+              st.getPath.getName.startsWith(".build-")))
+          .filter { st =>
+            // age by the NEWEST entry inside the dir, not the dir itself:
+            // object-store pseudo-dirs commonly report mtime 0 (which
+            // would read as infinitely old and defeat the grace window),
+            // and a mid-build staging dir keeps gaining young files. An
+            // age of 0/unknown is never reaped.
+            val ages = st.getModificationTime +:
+              (try fs.listStatus(st.getPath).map(_.getModificationTime).toSeq
+              catch { case _: java.io.FileNotFoundException => Seq.empty[Long] })
+            val eff = ages.max
+            eff > 0L && now - eff > graceMs
+          }
           .foreach(st => fs.delete(st.getPath, true))
       }
       (ver.toString, split)
@@ -1051,7 +1099,14 @@ object Similarity {
   /** Bounded wait for a racing publisher's marker: the window between
     * its rename and marker-create is milliseconds, so 5 s of polling is
     * generous; false ⇒ the version directory predates this race (a
-    * crashed publish) and the caller reclaims it. */
+    * crashed publish) and the caller reclaims it.
+    *
+    * INVARIANT: this polls while the caller holds [[mhIdxLock]] — that is
+    * correct, not a hazard to "fix". The lock is per-JVM and serializes
+    * only this JVM's builders; the publisher being waited on is a
+    * DIFFERENT JVM (a Verify run next to a test suite), which does not
+    * contend on this lock. Releasing the lock here would let a second
+    * local builder start a redundant full index build behind the wait. */
   private def awaitMarker(fs: org.apache.hadoop.fs.FileSystem,
       marker: org.apache.hadoop.fs.Path): Boolean = {
     val deadline = System.currentTimeMillis() + 5000L

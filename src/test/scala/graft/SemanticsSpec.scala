@@ -126,6 +126,16 @@ class SemanticsSpec extends SparkSpec {
     stagingOld.mkdirs(); stagingOld.setLastModified(oldMs)
     val stagingYoung = new java.io.File(base, ".build-maybe-live-build")
     stagingYoung.mkdirs()
+    // S3A pseudo-dirs report mtime 0: a dir whose OWN mtime is unknown
+    // must be aged by its newest child (live build → survives), and an
+    // empty mtime-0 dir has no known age at all → never reaped
+    val mtime0Live = new java.io.File(base, ".build-mtime0-but-live")
+    mtime0Live.mkdirs()
+    new java.io.File(mtime0Live, "part-00000").createNewFile()
+    assert(mtime0Live.setLastModified(0L))
+    val mtime0Empty = new java.io.File(base, "v888-0")
+    mtime0Empty.mkdirs()
+    assert(mtime0Empty.setLastModified(0L))
     def deleteAll(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteAll)
       f.delete()
@@ -140,7 +150,53 @@ class SemanticsSpec extends SparkSpec {
     assert(!stagingOld.exists, "a build must reap past-grace crashed staging dirs")
     assert(stagingYoung.exists,
       "a build must NOT reap young staging dirs — a concurrent build may own them")
-    deleteAll(stagingYoung)
+    assert(mtime0Live.exists,
+      "an mtime-0 dir with a young child is a LIVE build on an object store — must survive")
+    assert(mtime0Empty.exists,
+      "an mtime-0 empty dir has unknown age — must never be reaped")
+    deleteAll(stagingYoung); deleteAll(mtime0Live); deleteAll(mtime0Empty)
+  }
+
+  test("minhash index: a marker-less husk is reclaimed, never marker-blessed with nested junk") {
+    import graft.operators.Similarity
+    // the S3 crash shape the _PUBLISHED marker exists for: a version dir
+    // holding (possibly incomplete) data with no marker. Hadoop rename
+    // into an existing dir NESTS the source (it does not fail), so an
+    // unguarded publish would bless the husk with a stray .build-* inside
+    val (p1, split1) = Similarity.ensureMinhashIndex(spark, sf001)
+    val ver = new java.io.File(p1)
+    def deleteAll(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteAll)
+      f.delete()
+    }
+    assert(new java.io.File(ver, "_PUBLISHED").delete())
+    deleteAll(new java.io.File(ver, "toks")) // structurally incomplete husk
+    new java.io.File(ver, "half-copied.tmp").createNewFile()
+    val (p2, split2) = Similarity.ensureMinhashIndex(spark, sf001)
+    assert((p2, split2) === ((p1, split1)))
+    assert(new java.io.File(ver, "_PUBLISHED").isFile)
+    assert(new java.io.File(ver, "toks").isDirectory,
+      "the husk must be rebuilt whole, not blessed as-is")
+    assert(!new java.io.File(ver, "half-copied.tmp").exists,
+      "husk remnants must not survive into the republished version")
+    assert(!ver.listFiles.exists(_.getName.startsWith(".build-")),
+      "no staging dir may end up nested under the published version")
+    val probed = Similarity.probeMinhashIndex(spark, sf001, p2, split2)
+    assert(probed.collect().nonEmpty, "republished index must serve the probe")
+  }
+
+  test("minhash index: spark.graft.minhash.indexBase is per-session Spark conf") {
+    import graft.operators.Similarity
+    val s2 = spark.newSession()
+    graft.GraftExtensions.ensureRegistered(s2)
+    val base2 = java.nio.file.Files.createTempDirectory("graft-mh-conf").toString
+    s2.conf.set("spark.graft.minhash.indexBase", base2)
+    val (p2, _) = Similarity.ensureMinhashIndex(s2, sf001)
+    assert(p2.startsWith(base2),
+      s"conf-set session must publish under its own base, got $p2")
+    val (p1, _) = Similarity.ensureMinhashIndex(spark, sf001)
+    assert(!p1.startsWith(base2),
+      "a session without the conf must keep the JVM default base")
   }
 
   test("minhash index: build+probe work through a file:-scheme Hadoop FileSystem") {
@@ -150,9 +206,10 @@ class SemanticsSpec extends SparkSpec {
     // where any java.io.File touch would see a nonexistent path and
     // either crash or silently rebuild per call
     val localProbe = Similarity.ddMinhashIncr.run(spark, sf001).collect().toSeq
-    val prevBase = Similarity.minhashIndexBase
-    Similarity.minhashIndexBase =
-      "file:" + java.nio.file.Files.createTempDirectory("graft-mh-fs").toString
+    // per-session conf, not the JVM-global default var: concurrent
+    // ensureMinhashIndex callers in other sessions stay unaffected
+    spark.conf.set("spark.graft.minhash.indexBase",
+      "file:" + java.nio.file.Files.createTempDirectory("graft-mh-fs").toString)
     try {
       val (p1, split1) = Similarity.ensureMinhashIndex(spark, sf001)
       assert(p1.startsWith("file:"), s"index must publish under the file: base, got $p1")
@@ -161,7 +218,7 @@ class SemanticsSpec extends SparkSpec {
       val probed = Similarity.probeMinhashIndex(spark, sf001, p1, split1).collect().toSeq
       assert(probed === localProbe,
         "probe against the file:-scheme index must equal the local-base probe")
-    } finally Similarity.minhashIndexBase = prevBase
+    } finally spark.conf.unset("spark.graft.minhash.indexBase")
   }
 
   test("minhash index: empty corpus fails with an explicit message, not an NPE") {
@@ -394,5 +451,36 @@ class SemanticsSpec extends SparkSpec {
     // empty payload → uniform 128s → no cell exceeds the mean → all-zero
     // bands on BOTH engines (the len = 0 oracle branch)
     assert(ppmAvgHash(ppmEncode(Array.empty[Byte], 5, 4)).forall(_ === 0))
+  }
+
+  test("events NTZ tier: ts is timezone-free — a non-UTC driver session reads the same instants") {
+    // naive parquet timestamp[us] (a pandas/pyarrow writer's emission) must
+    // yield the same epoch-nanos under ANY session timezone: a bare
+    // NTZ→TIMESTAMP cast would shift every instant by the zone offset in a
+    // driver-owned non-UTC session — the silent-corruption class
+    // Tables.tsAsNanos exists to block. The decomposition must also be
+    // exact on fractional micros and pre-1970 wall-clocks.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ntz").toString
+    spark.sql(
+      """SELECT * FROM VALUES
+           (1L, TIMESTAMP_NTZ '2024-03-01 12:34:56.789012', 7L),
+           (2L, TIMESTAMP_NTZ '1969-12-31 23:59:59.000001', 8L)
+         AS t(event_id, ts, amount)""")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    import java.time.{LocalDateTime, ZoneOffset}
+    def nanosUtc(s: String): Long = {
+      val t = LocalDateTime.parse(s)
+      t.toEpochSecond(ZoneOffset.UTC) * 1000000000L + t.getNano
+    }
+    val exp = Seq(nanosUtc("2024-03-01T12:34:56.789012"),
+      nanosUtc("1969-12-31T23:59:59.000001"))
+    def read(s: org.apache.spark.sql.SparkSession): Seq[Long] =
+      Tables(s, dir).events.orderBy("event_id")
+        .select("ts").collect().map(_.getLong(0)).toSeq
+    assert(read(spark) === exp, "UTC session must read the stored micros")
+    val foreign = spark.newSession()
+    foreign.conf.set("spark.sql.session.timeZone", "America/New_York")
+    assert(read(foreign) === exp,
+      "a non-UTC session must read IDENTICAL instants — zone must not participate")
   }
 }
