@@ -9,12 +9,17 @@ package graft
   * Usage:
   * {{{
   * sbt "runMain graft.TimeIncr /root/testdata/sf0.1 /tmp/graft-sf1"
+  * sbt "runMain graft.TimeIncr spans=500,1000,2000,4000 /tmp/graft-sf1"
   * }}}
   *
   * The increment is the FIRST tier's natural 20% id slice; the SAME id
   * count is carved off the top of every later tier's id range, so the
   * probe's input is constant while the indexed corpus grows 10× — the
   * steady-state ingest shape (a day's crawl against a year's corpus).
+  * A leading `spans=a,b,...` argument instead sweeps increment id-spans
+  * at each tier — the complementary curve (probe cost vs increment size
+  * at a ~fixed corpus); each span builds its own index, since the
+  * corpus/increment boundary moves with the span.
   * Protocol matches [[TimeQueries]] §6.2: three INTERLEAVED passes per
   * (stage, tier) with min, so one bad host window cannot poison a pair;
   * memoized feature frames are dropped before every sample; probes
@@ -24,18 +29,23 @@ package graft
   * line to stdout. */
 object TimeIncr {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: TimeIncr <dir> [dir2 ...]")
-    val dirs = args.toSeq
+    require(args.nonEmpty, "usage: TimeIncr [spans=a,b,...] <dir> [dir2 ...]")
+    val spansArg = args.headOption.filter(_.startsWith("spans="))
+      .map(_.stripPrefix("spans=").split(",").toSeq.map(_.trim.toLong))
+    val dirs = (if (spansArg.isDefined) args.drop(1) else args).toSeq
+    require(dirs.nonEmpty, "usage: TimeIncr [spans=a,b,...] <dir> [dir2 ...]")
     val spark = Engine.session(appName = "graft-time-incr")
     import org.apache.spark.sql.functions.{col, max}
     def maxId(dir: String): Long = {
       val r = Tables(spark, dir).documents.agg(max(col("doc_id"))).head()
       require(!r.isNullAt(0), s"empty documents corpus at $dir"); r.getLong(0)
     }
-    val incrSpan = { val m = maxId(dirs.head); m / 5 } // tier-0's natural slice
-    val tiers = dirs.map { dir =>
+    val spans = spansArg.getOrElse {
+      Seq({ val m = maxId(dirs.head); m / 5 }) // tier-0's natural slice
+    }
+    val tiers = for (dir <- dirs; span <- spans) yield {
       val m = maxId(dir)
-      val split = m - incrSpan
+      val split = m - span
       val rows = Tables(spark, dir).documents
         .filter(col("doc_id") >= split).count()
       val corpus = Tables(spark, dir).documents
@@ -56,24 +66,28 @@ object TimeIncr {
       operators.Similarity.probeMinhashIndex(spark, dir, idx, split)
         .write.format("noop").mode("overwrite").save()
       val pSec = (System.nanoTime() - p0) / 1e9
-      samples(("build", dir)) = bSec :: samples(("build", dir))
-      samples(("probe", dir)) = pSec :: samples(("probe", dir))
-      System.err.println(f"[incr] pass $pass $dir build=$bSec%.2f s probe=$pSec%.2f s")
+      samples(("build", s"$dir@$split")) =
+        bSec :: samples(("build", s"$dir@$split"))
+      samples(("probe", s"$dir@$split")) =
+        pSec :: samples(("probe", s"$dir@$split"))
+      System.err.println(
+        f"[incr] pass $pass $dir split=$split build=$bSec%.2f s probe=$pSec%.2f s")
       // each pass pays the full cold ingest; drop the index so tier-scale
       // builds don't accumulate in tmp
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
     }
     for ((dir, split, rows, corpus) <- tiers) {
-      val b = samples(("build", dir)).min
-      val p = samples(("probe", dir)).min
+      val b = samples(("build", s"$dir@$split")).min
+      val p = samples(("probe", s"$dir@$split")).min
       println(f"INCR $dir corpus=$corpus incrRows=$rows split=$split " +
         f"build=$b%.3f probe=$p%.3f")
     }
-    if (tiers.length >= 2) {
-      val (d0, dN) = (tiers.head._1, tiers.last._1)
+    if (spans.length == 1 && dirs.length >= 2) {
+      val k0 = s"${tiers.head._1}@${tiers.head._2}"
+      val kN = s"${tiers.last._1}@${tiers.last._2}"
       println(f"RATIO corpus=${tiers.last._4.toDouble / tiers.head._4}%.2f " +
-        f"build=${samples(("build", dN)).min / samples(("build", d0)).min}%.2f " +
-        f"probe=${samples(("probe", dN)).min / samples(("probe", d0)).min}%.2f")
+        f"build=${samples(("build", kN)).min / samples(("build", k0)).min}%.2f " +
+        f"probe=${samples(("probe", kN)).min / samples(("probe", k0)).min}%.2f")
     }
     spark.stop()
   }
