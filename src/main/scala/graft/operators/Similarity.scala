@@ -1057,17 +1057,49 @@ object Similarity {
           fs.create(marker, true).close()
         }
         if (published) bless()
-        else if (awaitMarker(fs, marker)) fs.delete(staging, true)
         else {
-          // ver exists but no publisher completed within the wait: it is
-          // a crashed publish's husk (data without marker) — reclaim it
-          // and republish. (If our staging was consumed by the nesting
-          // race AND that racer also crashed pre-marker, the rename below
-          // fails loudly rather than blessing unknown data.)
-          fs.delete(ver, true)
-          require(fs.rename(staging, ver),
-            s"minhash index publish failed: $ver")
-          bless()
+          // Husk-vs-LIVE discrimination. On a non-atomic store (S3) a
+          // racing publisher's "rename" is a long client-side copy: ver
+          // can sit marker-less for MINUTES while very much alive, and
+          // deleting it then would interleave two publishers' distinct
+          // part-files in one directory — corrupt, and marker-blessed by
+          // whichever finishes last. A marker-less ver is a reclaimable
+          // husk only once it has gone QUIET: no entry younger than the
+          // grace window. Until then keep polling for its marker (the
+          // wait is bounded — the copy either completes and marks, or
+          // stops writing and ages into a husk). On atomic-rename stores
+          // the racer's rename→marker window is milliseconds, so the
+          // poll exits almost immediately.
+          //
+          // INVARIANT: this polls while holding [[mhIdxLock]] — correct,
+          // not a hazard to "fix". The lock is per-JVM and serializes
+          // only this JVM's builders; the publisher being waited on is a
+          // DIFFERENT JVM (a Verify run next to a test suite), which
+          // does not contend on this lock. Releasing it here would let a
+          // second local builder start a redundant full build behind the
+          // wait.
+          def newestEntry(): Long =
+            try {
+              val st = fs.getFileStatus(ver)
+              (st.getModificationTime +:
+                fs.listStatus(ver).map(_.getModificationTime).toSeq).max
+            } catch { case _: java.io.FileNotFoundException => 0L }
+          def quiet(): Boolean =
+            System.currentTimeMillis() - newestEntry() > graceMs
+          while (!fs.exists(marker) && fs.exists(ver) && !quiet())
+            Thread.sleep(200L)
+          if (fs.exists(marker)) fs.delete(staging, true)
+          else {
+            // quiet past grace (or gone) with no marker: a crashed
+            // publish's husk — reclaim and republish. (If our staging
+            // was consumed by the nesting race AND that racer also
+            // crashed pre-marker, the rename below fails loudly rather
+            // than blessing unknown data.)
+            fs.delete(ver, true)
+            require(fs.rename(staging, ver),
+              s"minhash index publish failed: $ver")
+            bless()
+          }
         }
         // stale versions (older source tiers) and staging leaked by
         // crashed builds are dead — reap them so the base doesn't
@@ -1095,27 +1127,6 @@ object Similarity {
       }
       (ver.toString, split)
     }
-
-  /** Bounded wait for a racing publisher's marker: the window between
-    * its rename and marker-create is milliseconds, so 5 s of polling is
-    * generous; false ⇒ the version directory predates this race (a
-    * crashed publish) and the caller reclaims it.
-    *
-    * INVARIANT: this polls while the caller holds [[mhIdxLock]] — that is
-    * correct, not a hazard to "fix". The lock is per-JVM and serializes
-    * only this JVM's builders; the publisher being waited on is a
-    * DIFFERENT JVM (a Verify run next to a test suite), which does not
-    * contend on this lock. Releasing the lock here would let a second
-    * local builder start a redundant full index build behind the wait. */
-  private def awaitMarker(fs: org.apache.hadoop.fs.FileSystem,
-      marker: org.apache.hadoop.fs.Path): Boolean = {
-    val deadline = System.currentTimeMillis() + 5000L
-    while (!fs.exists(marker)) {
-      if (System.currentTimeMillis() > deadline) return false
-      Thread.sleep(100L)
-    }
-    true
-  }
 
   /** dd_minhash_incr: INCREMENTAL near-dup dedup — the missing 100 TB
     * ingest pattern. Every other dedup query re-scans the whole corpus;

@@ -172,7 +172,13 @@ class SemanticsSpec extends SparkSpec {
     assert(new java.io.File(ver, "_PUBLISHED").delete())
     deleteAll(new java.io.File(ver, "toks")) // structurally incomplete husk
     new java.io.File(ver, "half-copied.tmp").createNewFile()
-    val (p2, split2) = Similarity.ensureMinhashIndex(spark, sf001)
+    // the husk's files are FRESH, so husk-reclaim waits for the dir to go
+    // quiet past the grace window (a live S3 copy must never be deleted
+    // mid-flight) — shrink the window so the test pays ~2 s, not 15 min
+    spark.conf.set("spark.graft.minhash.reapGraceMs", "1500")
+    val (p2, split2) =
+      try Similarity.ensureMinhashIndex(spark, sf001)
+      finally spark.conf.unset("spark.graft.minhash.reapGraceMs")
     assert((p2, split2) === ((p1, split1)))
     assert(new java.io.File(ver, "_PUBLISHED").isFile)
     assert(new java.io.File(ver, "toks").isDirectory,
@@ -183,6 +189,34 @@ class SemanticsSpec extends SparkSpec {
       "no staging dir may end up nested under the published version")
     val probed = Similarity.probeMinhashIndex(spark, sf001, p2, split2)
     assert(probed.collect().nonEmpty, "republished index must serve the probe")
+  }
+
+  test("minhash index: a racing publisher's live marker-less version is adopted, never clobbered") {
+    import graft.operators.Similarity
+    // the S3 live-copy shape: a cross-JVM publisher's "rename" is a long
+    // client-side copy, so ver exists marker-less with FRESH files. The
+    // local publish must wait and adopt once the marker lands — deleting
+    // the dir mid-copy would interleave two publishers' part-files
+    val (p1, split1) = Similarity.ensureMinhashIndex(spark, sf001)
+    val ver = new java.io.File(p1)
+    assert(new java.io.File(ver, "_PUBLISHED").delete())
+    val sentinel = new java.io.File(ver, "racer-part-file.parquet")
+    sentinel.createNewFile() // fresh entry: the dir reads as a live copy
+    val racer = new Thread(() => {
+      Thread.sleep(1500L)
+      new java.io.File(ver, "_PUBLISHED").createNewFile(): Unit
+    })
+    racer.start()
+    try {
+      val (p2, split2) = Similarity.ensureMinhashIndex(spark, sf001)
+      assert((p2, split2) === ((p1, split1)))
+      assert(sentinel.exists,
+        "a live publisher's files must never be deleted mid-copy — adopt, don't reclaim")
+      val staged = Option(ver.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(".build-"))
+      assert(staged.isEmpty, "the losing build must discard its staging")
+    } finally racer.join()
+    sentinel.delete()
   }
 
   test("minhash index: spark.graft.minhash.indexBase is per-session Spark conf") {
