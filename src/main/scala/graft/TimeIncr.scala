@@ -35,46 +35,45 @@ object TimeIncr {
     val dirs = (if (spansArg.isDefined) args.drop(1) else args).toSeq
     require(dirs.nonEmpty, "usage: TimeIncr [spans=a,b,...] <dir> [dir2 ...]")
     val spark = Engine.session(appName = "graft-time-incr")
-    import org.apache.spark.sql.functions.{col, max}
-    def maxId(dir: String): Long = {
+    import org.apache.spark.sql.functions.{col, count, max, when}
+    val maxIds = dirs.map { dir =>
       val r = Tables(spark, dir).documents.agg(max(col("doc_id"))).head()
-      require(!r.isNullAt(0), s"empty documents corpus at $dir"); r.getLong(0)
-    }
-    val spans = spansArg.getOrElse {
-      Seq({ val m = maxId(dirs.head); m / 5 }) // tier-0's natural slice
-    }
+      require(!r.isNullAt(0), s"empty documents corpus at $dir")
+      dir -> r.getLong(0)
+    }.toMap
+    val spans = spansArg.getOrElse(Seq(maxIds(dirs.head) / 5)) // natural slice
     val tiers = for (dir <- dirs; span <- spans) yield {
-      val m = maxId(dir)
-      val split = m - span
-      val rows = Tables(spark, dir).documents
-        .filter(col("doc_id") >= split).count()
-      val corpus = Tables(spark, dir).documents
-        .filter(col("doc_id") < split).count()
-      (dir, split, rows, corpus)
+      val split = maxIds(dir) - span
+      val cnt = Tables(spark, dir).documents.agg(
+        count(when(col("doc_id") >= split, 1)).as("incr"),
+        count(when(col("doc_id") < split, 1)).as("corpus")).head()
+      (dir, split, cnt.getLong(0), cnt.getLong(1))
     }
     val samples = scala.collection.mutable.Map
       .empty[(String, String), List[Double]].withDefaultValue(Nil)
     for (pass <- 0 until 3; (dir, split, _, _) <- tiers) {
       val idx = java.nio.file.Files
         .createTempDirectory(s"graft-incr-idx").toString
-      operators.Similarity.clearFeatureCache()
-      val b0 = System.nanoTime()
-      operators.Similarity.writeMinhashIndex(spark, dir, idx, split)
-      val bSec = (System.nanoTime() - b0) / 1e9
-      operators.Similarity.clearFeatureCache()
-      val p0 = System.nanoTime()
-      operators.Similarity.probeMinhashIndex(spark, dir, idx, split)
-        .write.format("noop").mode("overwrite").save()
-      val pSec = (System.nanoTime() - p0) / 1e9
-      samples(("build", s"$dir@$split")) =
-        bSec :: samples(("build", s"$dir@$split"))
-      samples(("probe", s"$dir@$split")) =
-        pSec :: samples(("probe", s"$dir@$split"))
-      System.err.println(
-        f"[incr] pass $pass $dir split=$split build=$bSec%.2f s probe=$pSec%.2f s")
-      // each pass pays the full cold ingest; drop the index so tier-scale
-      // builds don't accumulate in tmp
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+      // each pass pays the full cold ingest; the finally keeps tier-scale
+      // builds from accumulating in tmp even when a pass fails
+      try {
+        operators.Similarity.clearFeatureCache()
+        val b0 = System.nanoTime()
+        operators.Similarity.writeMinhashIndex(spark, dir, idx, split)
+        val bSec = (System.nanoTime() - b0) / 1e9
+        operators.Similarity.clearFeatureCache()
+        val p0 = System.nanoTime()
+        operators.Similarity.probeMinhashIndex(spark, dir, idx, split)
+          .write.format("noop").mode("overwrite").save()
+        val pSec = (System.nanoTime() - p0) / 1e9
+        samples(("build", s"$dir@$split")) =
+          bSec :: samples(("build", s"$dir@$split"))
+        samples(("probe", s"$dir@$split")) =
+          pSec :: samples(("probe", s"$dir@$split"))
+        System.err.println(
+          f"[incr] pass $pass $dir split=$split build=$bSec%.2f s probe=$pSec%.2f s")
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(idx))
     }
     for ((dir, split, rows, corpus) <- tiers) {
       val b = samples(("build", s"$dir@$split")).min

@@ -1032,6 +1032,14 @@ object Similarity {
         val staging = new Path(base,
           ".build-" + java.util.UUID.randomUUID().toString)
         writeMinhashIndex(s, dir, staging.toString, split)
+        def bless(): Unit = {
+          // the marker is the read gate — never bless a layout the probe
+          // cannot serve (belt over the nesting unwind in tryPublish)
+          require(fs.exists(new Path(ver, "bands")) &&
+            fs.exists(new Path(ver, "toks")),
+            s"minhash index publish incomplete at $ver: bands/toks missing")
+          fs.create(marker, true).close()
+        }
         // Hadoop rename is NOT rename-if-absent: given an EXISTING
         // destination directory, HDFS moves the source INTO it and
         // RawLocalFileSystem's copy fallback nests it the same way —
@@ -1042,85 +1050,99 @@ object Similarity {
         // incomplete top-level data. So: attempt the rename only when
         // ver is absent, and detect the photo-finish case (ver appeared
         // inside the check→rename window, nesting us) by looking for our
-        // own staging name under ver — unwind it and fall through to the
-        // race/husk path.
-        val renamed = !fs.exists(ver) && fs.rename(staging, ver)
-        val nested = new Path(ver, staging.getName)
-        val published = renamed &&
-          (!fs.exists(nested) || { fs.delete(nested, true); false })
-        def bless(): Unit = {
-          // the marker is the read gate — never bless a layout the probe
-          // cannot serve (belt over the nesting unwind above)
-          require(fs.exists(new Path(ver, "bands")) &&
-            fs.exists(new Path(ver, "toks")),
-            s"minhash index publish incomplete at $ver: bands/toks missing")
-          fs.create(marker, true).close()
-        }
-        if (published) bless()
-        else {
-          // Husk-vs-LIVE discrimination. On a non-atomic store (S3) a
-          // racing publisher's "rename" is a long client-side copy: ver
-          // can sit marker-less for MINUTES while very much alive, and
-          // deleting it then would interleave two publishers' distinct
-          // part-files in one directory — corrupt, and marker-blessed by
-          // whichever finishes last. A marker-less ver is a reclaimable
-          // husk only once it has gone QUIET: no entry younger than the
-          // grace window. Until then keep polling for its marker (the
-          // wait is bounded — the copy either completes and marks, or
-          // stops writing and ages into a husk). On atomic-rename stores
-          // the racer's rename→marker window is milliseconds, so the
-          // poll exits almost immediately.
-          //
-          // INVARIANT: this polls while holding [[mhIdxLock]] — correct,
-          // not a hazard to "fix". The lock is per-JVM and serializes
-          // only this JVM's builders; the publisher being waited on is a
-          // DIFFERENT JVM (a Verify run next to a test suite), which
-          // does not contend on this lock. Releasing it here would let a
-          // second local builder start a redundant full build behind the
-          // wait.
-          def newestEntry(): Long =
-            try {
-              val st = fs.getFileStatus(ver)
-              (st.getModificationTime +:
-                fs.listStatus(ver).map(_.getModificationTime).toSeq).max
-            } catch { case _: java.io.FileNotFoundException => 0L }
-          def quiet(): Boolean =
-            System.currentTimeMillis() - newestEntry() > graceMs
-          while (!fs.exists(marker) && fs.exists(ver) && !quiet())
-            Thread.sleep(200L)
-          if (fs.exists(marker)) fs.delete(staging, true)
+        // own staging name under ver — unwound LOSSLESSLY back to
+        // staging, so a later reclaim can still publish this build.
+        def tryPublish(): Boolean =
+          !fs.exists(ver) && fs.rename(staging, ver) && {
+            val nested = new Path(ver, staging.getName)
+            !fs.exists(nested) || {
+              if (!fs.rename(nested, staging)) fs.delete(nested, true)
+              false
+            }
+          }
+        // Age of the newest FILE under p (recursively), or the dir's own
+        // mtime if greater; -1 ⇒ p is gone, 0 ⇒ nothing datable. File
+        // mtimes are the only reliable ager: object-store pseudo-dirs
+        // report mtime 0, and a local/HDFS dir's mtime tracks only its
+        // DIRECT children — a deep layout (bands/band=N/bshard=M/part-*)
+        // keeps gaining young files levels below a stale top. Only rare
+        // contended/reap paths pay the recursive listing.
+        def newestIn(p: Path): Long =
+          try {
+            var m = fs.getFileStatus(p).getModificationTime
+            val it = fs.listFiles(p, true)
+            while (it.hasNext) m = math.max(m, it.next().getModificationTime)
+            m
+          } catch { case _: java.io.FileNotFoundException => -1L }
+        // Publish-or-adopt loop. Husk-vs-LIVE discrimination: on a
+        // non-atomic store (S3) a racing publisher's "rename" is a long
+        // client-side copy — ver can sit marker-less for MINUTES while
+        // very much alive, and deleting it then would interleave two
+        // publishers' distinct part-files in one directory, corrupt and
+        // marker-blessed by whichever finishes last. A marker-less ver
+        // is a reclaimable husk only once it has gone QUIET (newest file
+        // older than the grace window; a file-less shell must stay empty
+        // for 5 s). Until then we poll for the racer's marker, bounded
+        // by grace + 30 s — a fresh husk ages into quiet before that
+        // deadline, so the timeout only fires on clock skew (future
+        // mtimes) or a pathologically slow live copy, and then we fail
+        // LOUDLY rather than delete data we cannot prove dead. On
+        // atomic-rename stores the racer's rename→marker window is
+        // milliseconds, so the poll exits almost immediately.
+        //
+        // INVARIANT: this polls while holding [[mhIdxLock]] — correct,
+        // not a hazard to "fix". The lock is per-JVM and serializes
+        // only this JVM's builders; the publisher being waited on is a
+        // DIFFERENT JVM (a Verify run next to a test suite), which
+        // does not contend on this lock. Releasing it here would let a
+        // second local builder start a redundant full build behind the
+        // wait.
+        val deadline = System.currentTimeMillis() + graceMs + 30000L
+        var emptySince = 0L
+        var reclaims = 0
+        var done = false
+        while (!done) {
+          if (tryPublish()) { bless(); done = true }
+          else if (fs.exists(marker)) { fs.delete(staging, true); done = true }
           else {
-            // quiet past grace (or gone) with no marker: a crashed
-            // publish's husk — reclaim and republish. (If our staging
-            // was consumed by the nesting race AND that racer also
-            // crashed pre-marker, the rename below fails loudly rather
-            // than blessing unknown data.)
-            fs.delete(ver, true)
-            require(fs.rename(staging, ver),
-              s"minhash index publish failed: $ver")
-            bless()
+            val now = System.currentTimeMillis()
+            val quiet = newestIn(ver) match {
+              case -1L => true // ver vanished — retry the publish
+              case 0L =>
+                if (emptySince == 0L) { emptySince = now; false }
+                else now - emptySince > 5000L
+              case m => emptySince = 0L; now - m > graceMs
+            }
+            if (quiet) {
+              reclaims += 1
+              require(reclaims <= 3,
+                s"minhash index publish: $ver keeps reappearing marker-less " +
+                  "across reclaim attempts — giving up rather than looping")
+              fs.delete(ver, true) // quiet husk — reclaim, loop republishes
+            } else {
+              require(now < deadline,
+                s"minhash index publish timed out after ${graceMs + 30000L} ms " +
+                  s"waiting on marker-less $ver (a publisher may be live, or " +
+                  "the store reports future mtimes) — retry, raise " +
+                  "spark.graft.minhash.reapGraceMs, or remove the dir manually")
+              Thread.sleep(500L)
+            }
           }
         }
         // stale versions (older source tiers) and staging leaked by
         // crashed builds are dead — reap them so the base doesn't
         // accumulate one full index copy per regeneration/crash.
-        // Age-gated: young directories may still be scanned (or built)
-        // by a concurrent JVM
+        // Age-gated on the same newest-file metric as the husk loop
+        // (never on the dir's own depth-1 view alone): young content may
+        // still be scanned (or written) by a concurrent JVM, and an age
+        // of 0/unknown is never reaped.
         val now = System.currentTimeMillis()
         fs.listStatus(base)
           .filter(st => st.isDirectory && st.getPath.getName != ver.getName &&
             (st.getPath.getName.startsWith("v") ||
               st.getPath.getName.startsWith(".build-")))
           .filter { st =>
-            // age by the NEWEST entry inside the dir, not the dir itself:
-            // object-store pseudo-dirs commonly report mtime 0 (which
-            // would read as infinitely old and defeat the grace window),
-            // and a mid-build staging dir keeps gaining young files. An
-            // age of 0/unknown is never reaped.
-            val ages = st.getModificationTime +:
-              (try fs.listStatus(st.getPath).map(_.getModificationTime).toSeq
-              catch { case _: java.io.FileNotFoundException => Seq.empty[Long] })
-            val eff = ages.max
+            val eff = newestIn(st.getPath)
             eff > 0L && now - eff > graceMs
           }
           .foreach(st => fs.delete(st.getPath, true))

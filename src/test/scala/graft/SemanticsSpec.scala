@@ -10,6 +10,11 @@ class SemanticsSpec extends SparkSpec {
 
   import spark.implicits._
 
+  private def deleteAll(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteAll)
+    f.delete(): Unit
+  }
+
   test("A2 quorum+threshold uses truncating integer division (lib.rs:145-149)") {
     // 2 for / 3 total = 66.67% → int div = 66, fails a 67 threshold
     val df = Seq(
@@ -136,10 +141,6 @@ class SemanticsSpec extends SparkSpec {
     val mtime0Empty = new java.io.File(base, "v888-0")
     mtime0Empty.mkdirs()
     assert(mtime0Empty.setLastModified(0L))
-    def deleteAll(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteAll)
-      f.delete()
-    }
     deleteAll(ver)
     val (p3, _) = Similarity.ensureMinhashIndex(spark, sf001)
     assert(p3 === p1, "same (split, mtime) must republish under the same version")
@@ -165,10 +166,6 @@ class SemanticsSpec extends SparkSpec {
     // unguarded publish would bless the husk with a stray .build-* inside
     val (p1, split1) = Similarity.ensureMinhashIndex(spark, sf001)
     val ver = new java.io.File(p1)
-    def deleteAll(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteAll)
-      f.delete()
-    }
     assert(new java.io.File(ver, "_PUBLISHED").delete())
     deleteAll(new java.io.File(ver, "toks")) // structurally incomplete husk
     new java.io.File(ver, "half-copied.tmp").createNewFile()
