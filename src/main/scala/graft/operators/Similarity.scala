@@ -832,16 +832,36 @@ object Similarity {
     * (band, bucket, keeper) triples, never the corpus bytes. The same
     * shard count partitions the keeper-tokens side table by
     * `pmod(doc_id, 32)`, pruned at probe time by the shards the
-    * elected corpus keepers actually occupy. */
+    * elected corpus keepers actually occupy.
+    *
+    * DEFAULT shard count only: the session conf
+    * `spark.graft.minhash.indexShards` wins when set — 32×8 = 256
+    * prunable units fit the test tiers, while a 100 TB corpus wants
+    * thousands (pruning granularity AND per-partition size both scale
+    * with it). The shard count is baked into the published version
+    * directory's NAME, so an index built under one setting can never be
+    * probed under another — a conf change simply versions a new index
+    * and the old one ages out through the reap pass. */
   val minhashIndexShards = 32
+
+  /** Session shard count: conf first, [[minhashIndexShards]] default —
+    * the single reader, so build/probe/version-name can never disagree
+    * within a session. */
+  private def confShards(s: SparkSession): Int = {
+    val n = s.conf
+      .get("spark.graft.minhash.indexShards", minhashIndexShards.toString).toInt
+    require(n > 0, s"spark.graft.minhash.indexShards must be positive, got $n")
+    n
+  }
 
   /** Combined (band, bshard) partition key as one long — the single
     * expression both the probe's bounded collect and the index-read
     * filter use, so the pruning predicate can never drift from the
     * layout. Partition-column-only, hence pushed as a PartitionFilter. */
   private def mhPartKey(band: org.apache.spark.sql.Column,
-      bshard: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    band.cast("long") * lit(minhashIndexShards.toLong) + bshard.cast("long")
+      bshard: org.apache.spark.sql.Column,
+      shards: Int): org.apache.spark.sql.Column =
+    band.cast("long") * lit(shards.toLong) + bshard.cast("long")
 
   /** Ingest-time half of incremental dedup: persists the corpus's
     * (band, bucket, keeper) frame partitioned by (band, bshard), plus a
@@ -853,7 +873,7 @@ object Similarity {
     * reference's identity stream (merkle.ts:116-125), applied to the
     * dedup family the way [[writeIvfIndex]] applies it to ANN cells. */
   def writeMinhashIndex(s: SparkSession, dir: String, indexPath: String,
-      split: Long): Unit = {
+      split: Long, shards: Int = minhashIndexShards): Unit = {
     // a direct filtered scan (doc_id pushed to parquet), NOT the
     // full-corpus cache: ingest reads the corpus slice once, and the
     // cache serves this function's two write branches
@@ -862,7 +882,7 @@ object Similarity {
     }
     bandedOf(feat).groupBy(col("band"), col("bucket"))
       .agg(min(col("doc_id")).as("keeper"))
-      .withColumn("bshard", pmod(col("bucket"), lit(minhashIndexShards.toLong)))
+      .withColumn("bshard", pmod(col("bucket"), lit(shards.toLong)))
       .write.mode("overwrite").partitionBy("band", "bshard")
       .parquet(s"$indexPath/bands")
     // keeper ids come from the JUST-WRITTEN bands files, not a second
@@ -877,7 +897,7 @@ object Similarity {
     feat.select(col("doc_id"), col("toks"))
       .filter(size(col("toks")) > lit(0))
       .join(storedKeepers, Seq("doc_id"))
-      .withColumn("tshard", pmod(col("doc_id"), lit(minhashIndexShards.toLong)))
+      .withColumn("tshard", pmod(col("doc_id"), lit(shards.toLong)))
       .write.mode("overwrite").partitionBy("tshard")
       .parquet(s"$indexPath/toks")
   }
@@ -902,7 +922,7 @@ object Similarity {
     * degrade to full index reads (never corpus reads) for bulk
     * increments like the test's 20% slice. */
   def probeMinhashIndex(s: SparkSession, dir: String, indexPath: String,
-      split: Long): DataFrame = {
+      split: Long, shards: Int = minhashIndexShards): DataFrame = {
     // increment-only scan (doc_id >= split pushed into the parquet
     // read): at probe time the corpus proper is never touched — only
     // the increment rows and the index files. Cached: the frame feeds
@@ -917,10 +937,10 @@ object Similarity {
       .agg(min(col("doc_id")).as("ikeeper"))
     val touched = banded
       .select(mhPartKey(col("band"),
-        pmod(col("bucket"), lit(minhashIndexShards.toLong))).as("pk"))
+        pmod(col("bucket"), lit(shards.toLong)), shards).as("pk"))
       .distinct().collect().map(_.getLong(0)) // bounded: ≤ 8 × shards
     val idx = s.read.parquet(s"$indexPath/bands")
-      .filter(mhPartKey(col("band"), col("bshard"))
+      .filter(mhPartKey(col("band"), col("bshard"), shards)
         .isin(touched.map(x => x: Any): _*))
       .select(col("band").cast("int").as("band"), col("bucket"), col("keeper"))
     // least() skips nulls: unseen-by-corpus buckets fall to the
@@ -937,7 +957,7 @@ object Similarity {
     // for ~every corpus doc, and the probe would be corpus-scale I/O
     // after all
     val candShards = cand.filter(col("keeper") < lit(split))
-      .select(pmod(col("keeper"), lit(minhashIndexShards.toLong)).as("ts"))
+      .select(pmod(col("keeper"), lit(shards.toLong)).as("ts"))
       .distinct().collect().map(_.getLong(0)) // bounded: ≤ shards
     val idxToks = s.read.parquet(s"$indexPath/toks")
       .filter(col("tshard").isin(candShards.map(x => x: Any): _*))
@@ -1022,16 +1042,20 @@ object Similarity {
       val graceMs = s.conf
         .get("spark.graft.minhash.reapGraceMs", minhashReapGraceMs.toString)
         .toLong
+      val shards = confShards(s)
       val base = new Path(idxBase,
         "graft-mh-idx-" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "-" + dirHash)
       val fs = base.getFileSystem(hconf)
-      val ver = new Path(base, s"v$split-$srcMtime")
+      // shard count is part of the version identity: a layout built
+      // under one shard setting must never serve a probe pruning under
+      // another (the pmod assignments would disagree silently)
+      val ver = new Path(base, s"v$split-$srcMtime-s$shards")
       val marker = new Path(ver, "_PUBLISHED")
       if (!fs.exists(marker)) {
         fs.mkdirs(base)
         val staging = new Path(base,
           ".build-" + java.util.UUID.randomUUID().toString)
-        writeMinhashIndex(s, dir, staging.toString, split)
+        writeMinhashIndex(s, dir, staging.toString, split, shards)
         def bless(): Unit = {
           // the marker is the read gate — never bless a layout the probe
           // cannot serve (belt over the nesting unwind in tryPublish)
@@ -1166,7 +1190,9 @@ object Similarity {
     "dd_minhash_incr",
     (s, dir) => {
       val (idx, split) = ensureMinhashIndex(s, dir)
-      probeMinhashIndex(s, dir, idx, split)
+      // same conf read as ensureMinhashIndex, so the probe's pruning
+      // always matches the layout the returned version was built with
+      probeMinhashIndex(s, dir, idx, split, confShards(s))
     },
     oracle = None)
 

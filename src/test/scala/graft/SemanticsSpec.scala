@@ -216,6 +216,25 @@ class SemanticsSpec extends SparkSpec {
     sentinel.delete()
   }
 
+  test("minhash index: shard count is session conf AND version identity — probe output invariant") {
+    import graft.operators.Similarity
+    // sharding is layout, not semantics: a probe against an 8-shard
+    // index must return exactly the rows of the default-shard probe.
+    // The shard count is baked into the version NAME so a layout built
+    // under one setting can never serve pruning under another.
+    val defaultProbe = Similarity.ddMinhashIncr.run(spark, sf001)
+      .collect().toSeq.sortBy(_.getAs[Long]("doc_id"))
+    spark.conf.set("spark.graft.minhash.indexShards", "8")
+    try {
+      val (p8, split8) = Similarity.ensureMinhashIndex(spark, sf001)
+      assert(p8.endsWith("-s8"), s"shard count must version the index, got $p8")
+      val probed = Similarity.probeMinhashIndex(spark, sf001, p8, split8, 8)
+        .collect().toSeq.sortBy(_.getAs[Long]("doc_id"))
+      assert(probed === defaultProbe,
+        "an 8-shard index must yield the identical probe result")
+    } finally spark.conf.unset("spark.graft.minhash.indexShards")
+  }
+
   test("minhash index: spark.graft.minhash.indexBase is per-session Spark conf") {
     import graft.operators.Similarity
     val s2 = spark.newSession()
