@@ -42,6 +42,9 @@ object TimeIncr {
       dir -> r.getLong(0)
     }.toMap
     val spans = spansArg.getOrElse(Seq(maxIds(dirs.head) / 5)) // natural slice
+    // honor the session's shard conf so the harness measures the layout a
+    // deployment actually configures (build and probe stay paired)
+    val shards = operators.Similarity.confShards(spark)
     val tiers = for (dir <- dirs; span <- spans) yield {
       val split = maxIds(dir) - span
       val cnt = Tables(spark, dir).documents.agg(
@@ -59,11 +62,11 @@ object TimeIncr {
       try {
         operators.Similarity.clearFeatureCache()
         val b0 = System.nanoTime()
-        operators.Similarity.writeMinhashIndex(spark, dir, idx, split)
+        operators.Similarity.writeMinhashIndex(spark, dir, idx, split, shards)
         val bSec = (System.nanoTime() - b0) / 1e9
         operators.Similarity.clearFeatureCache()
         val p0 = System.nanoTime()
-        operators.Similarity.probeMinhashIndex(spark, dir, idx, split)
+        operators.Similarity.probeMinhashIndex(spark, dir, idx, split, shards)
           .write.format("noop").mode("overwrite").save()
         val pSec = (System.nanoTime() - p0) / 1e9
         samples(("build", s"$dir@$split")) =
@@ -79,7 +82,7 @@ object TimeIncr {
       val b = samples(("build", s"$dir@$split")).min
       val p = samples(("probe", s"$dir@$split")).min
       println(f"INCR $dir corpus=$corpus incrRows=$rows split=$split " +
-        f"build=$b%.3f probe=$p%.3f")
+        f"shards=$shards build=$b%.3f probe=$p%.3f")
     }
     if (spans.length == 1 && dirs.length >= 2) {
       val k0 = s"${tiers.head._1}@${tiers.head._2}"

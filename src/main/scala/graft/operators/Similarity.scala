@@ -844,10 +844,15 @@ object Similarity {
     * and the old one ages out through the reap pass. */
   val minhashIndexShards = 32
 
+  /** Shard count a published version path was built with, parsed from
+    * its `-sN` name suffix; None for pathless/custom index locations. */
+  private[graft] def indexShardsOf(indexPath: String): Option[Int] =
+    "-s(\\d+)/*$".r.findFirstMatchIn(indexPath).map(_.group(1).toInt)
+
   /** Session shard count: conf first, [[minhashIndexShards]] default —
     * the single reader, so build/probe/version-name can never disagree
     * within a session. */
-  private def confShards(s: SparkSession): Int = {
+  private[graft] def confShards(s: SparkSession): Int = {
     val n = s.conf
       .get("spark.graft.minhash.indexShards", minhashIndexShards.toString).toInt
     require(n > 0, s"spark.graft.minhash.indexShards must be positive, got $n")
@@ -923,6 +928,13 @@ object Similarity {
     * increments like the test's 20% slice. */
   def probeMinhashIndex(s: SparkSession, dir: String, indexPath: String,
       split: Long, shards: Int = minhashIndexShards): DataFrame = {
+    // the version path's -sN suffix is AUTHORITATIVE when present:
+    // pruning with any other modulus than the layout was written with
+    // silently misses duplicates, so the layout's own record beats both
+    // the argument and any conf re-read (which could race a conf change
+    // between ensure and probe). The argument governs only pathless
+    // custom index locations, where the caller owns both halves.
+    val effShards = indexShardsOf(indexPath).getOrElse(shards)
     // increment-only scan (doc_id >= split pushed into the parquet
     // read): at probe time the corpus proper is never touched — only
     // the increment rows and the index files. Cached: the frame feeds
@@ -937,10 +949,10 @@ object Similarity {
       .agg(min(col("doc_id")).as("ikeeper"))
     val touched = banded
       .select(mhPartKey(col("band"),
-        pmod(col("bucket"), lit(shards.toLong)), shards).as("pk"))
+        pmod(col("bucket"), lit(effShards.toLong)), effShards).as("pk"))
       .distinct().collect().map(_.getLong(0)) // bounded: ≤ 8 × shards
     val idx = s.read.parquet(s"$indexPath/bands")
-      .filter(mhPartKey(col("band"), col("bshard"), shards)
+      .filter(mhPartKey(col("band"), col("bshard"), effShards)
         .isin(touched.map(x => x: Any): _*))
       .select(col("band").cast("int").as("band"), col("bucket"), col("keeper"))
     // least() skips nulls: unseen-by-corpus buckets fall to the
@@ -957,7 +969,7 @@ object Similarity {
     // for ~every corpus doc, and the probe would be corpus-scale I/O
     // after all
     val candShards = cand.filter(col("keeper") < lit(split))
-      .select(pmod(col("keeper"), lit(shards.toLong)).as("ts"))
+      .select(pmod(col("keeper"), lit(effShards.toLong)).as("ts"))
       .distinct().collect().map(_.getLong(0)) // bounded: ≤ shards
     val idxToks = s.read.parquet(s"$indexPath/toks")
       .filter(col("tshard").isin(candShards.map(x => x: Any): _*))
@@ -1131,7 +1143,7 @@ object Similarity {
           else {
             val now = System.currentTimeMillis()
             val quiet = newestIn(ver) match {
-              case -1L => true // ver vanished — retry the publish
+              case -1L => emptySince = 0L; true // ver gone — retry publish
               case 0L =>
                 if (emptySince == 0L) { emptySince = now; false }
                 else now - emptySince > 5000L
@@ -1140,9 +1152,12 @@ object Similarity {
             if (quiet) {
               reclaims += 1
               require(reclaims <= 3,
-                s"minhash index publish: $ver keeps reappearing marker-less " +
-                  "across reclaim attempts — giving up rather than looping")
+                s"minhash index publish failed after $reclaims reclaim " +
+                  s"attempts: rename into $ver keeps failing or the dir " +
+                  "keeps reappearing marker-less (staging " +
+                  s"${if (fs.exists(staging)) "intact" else "lost to a nesting race"})")
               fs.delete(ver, true) // quiet husk — reclaim, loop republishes
+              Thread.sleep(500L) // let a transient rename failure clear
             } else {
               require(now < deadline,
                 s"minhash index publish timed out after ${graceMs + 30000L} ms " +
@@ -1162,9 +1177,15 @@ object Similarity {
         // of 0/unknown is never reaped.
         val now = System.currentTimeMillis()
         fs.listStatus(base)
-          .filter(st => st.isDirectory && st.getPath.getName != ver.getName &&
-            (st.getPath.getName.startsWith("v") ||
-              st.getPath.getName.startsWith(".build-")))
+          .filter { st =>
+            val n = st.getPath.getName
+            // every shard layout of the CURRENT (split, srcMtime) tier is
+            // potentially live — another session with a different
+            // indexShards conf probes its own sibling version — so reap
+            // only versions of OLDER source tiers and crashed staging
+            st.isDirectory && !n.startsWith(s"v$split-$srcMtime-") &&
+            (n.startsWith("v") || n.startsWith(".build-"))
+          }
           .filter { st =>
             val eff = newestIn(st.getPath)
             eff > 0L && now - eff > graceMs
@@ -1190,9 +1211,10 @@ object Similarity {
     "dd_minhash_incr",
     (s, dir) => {
       val (idx, split) = ensureMinhashIndex(s, dir)
-      // same conf read as ensureMinhashIndex, so the probe's pruning
-      // always matches the layout the returned version was built with
-      probeMinhashIndex(s, dir, idx, split, confShards(s))
+      // no shards argument: the probe reads the layout's shard count
+      // from the returned version path's -sN suffix, so the pairing is
+      // structural (immune to a conf change between ensure and probe)
+      probeMinhashIndex(s, dir, idx, split)
     },
     oracle = None)
 

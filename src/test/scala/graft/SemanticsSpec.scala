@@ -224,15 +224,26 @@ class SemanticsSpec extends SparkSpec {
     // under one setting can never serve pruning under another.
     val defaultProbe = Similarity.ddMinhashIncr.run(spark, sf001)
       .collect().toSeq.sortBy(_.getAs[Long]("doc_id"))
+    val (pDef, _) = Similarity.ensureMinhashIndex(spark, sf001)
     spark.conf.set("spark.graft.minhash.indexShards", "8")
+    // grace 1 ms makes EVERYTHING reapable — proving the sibling
+    // current-tier layout below survives by name, not by youth
+    spark.conf.set("spark.graft.minhash.reapGraceMs", "1")
     try {
       val (p8, split8) = Similarity.ensureMinhashIndex(spark, sf001)
       assert(p8.endsWith("-s8"), s"shard count must version the index, got $p8")
-      val probed = Similarity.probeMinhashIndex(spark, sf001, p8, split8, 8)
+      assert(new java.io.File(pDef).isDirectory,
+        "a sibling shard layout of the CURRENT tier may be live in another session — reap must spare it")
+      // no shards argument on purpose: the path's -sN suffix is
+      // authoritative, so a default/wrong argument cannot mis-prune
+      val probed = Similarity.probeMinhashIndex(spark, sf001, p8, split8)
         .collect().toSeq.sortBy(_.getAs[Long]("doc_id"))
       assert(probed === defaultProbe,
         "an 8-shard index must yield the identical probe result")
-    } finally spark.conf.unset("spark.graft.minhash.indexShards")
+    } finally {
+      spark.conf.unset("spark.graft.minhash.indexShards")
+      spark.conf.unset("spark.graft.minhash.reapGraceMs")
+    }
   }
 
   test("minhash index: spark.graft.minhash.indexBase is per-session Spark conf") {
