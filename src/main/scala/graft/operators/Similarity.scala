@@ -845,9 +845,13 @@ object Similarity {
   val minhashIndexShards = 32
 
   /** Shard count a published version path was built with, parsed from
-    * its `-sN` name suffix; None for pathless/custom index locations. */
+    * its name. Matches ONLY the full `v<split>-<mtime>-s<N>` version
+    * shape [[ensureMinhashIndex]] itself publishes — a custom index
+    * location that merely happens to end in `-s<digits>` is the
+    * caller's own layout, governed by their explicit argument. */
   private[graft] def indexShardsOf(indexPath: String): Option[Int] =
-    "-s(\\d+)/*$".r.findFirstMatchIn(indexPath).map(_.group(1).toInt)
+    "(^|/)v\\d+-\\d+-s(\\d{1,9})/*$".r
+      .findFirstMatchIn(indexPath).map(_.group(2).toInt)
 
   /** Session shard count: conf first, [[minhashIndexShards]] default —
     * the single reader, so build/probe/version-name can never disagree
@@ -1060,8 +1064,11 @@ object Similarity {
       val fs = base.getFileSystem(hconf)
       // shard count is part of the version identity: a layout built
       // under one shard setting must never serve a probe pruning under
-      // another (the pmod assignments would disagree silently)
-      val ver = new Path(base, s"v$split-$srcMtime-s$shards")
+      // another (the pmod assignments would disagree silently). The
+      // tier prefix is shared with the reap pass's sibling-spare check
+      // below so the two can never drift apart.
+      val tierPrefix = s"v$split-$srcMtime-"
+      val ver = new Path(base, tierPrefix + s"s$shards")
       val marker = new Path(ver, "_PUBLISHED")
       if (!fs.exists(marker)) {
         fs.mkdirs(base)
@@ -1152,7 +1159,7 @@ object Similarity {
             if (quiet) {
               reclaims += 1
               require(reclaims <= 3,
-                s"minhash index publish failed after $reclaims reclaim " +
+                s"minhash index publish failed after ${reclaims - 1} reclaim " +
                   s"attempts: rename into $ver keeps failing or the dir " +
                   "keeps reappearing marker-less (staging " +
                   s"${if (fs.exists(staging)) "intact" else "lost to a nesting race"})")
@@ -1179,16 +1186,20 @@ object Similarity {
         fs.listStatus(base)
           .filter { st =>
             val n = st.getPath.getName
-            // every shard layout of the CURRENT (split, srcMtime) tier is
-            // potentially live — another session with a different
-            // indexShards conf probes its own sibling version — so reap
-            // only versions of OLDER source tiers and crashed staging
-            st.isDirectory && !n.startsWith(s"v$split-$srcMtime-") &&
-            (n.startsWith("v") || n.startsWith(".build-"))
+            st.isDirectory && (n.startsWith("v") || n.startsWith(".build-"))
           }
           .filter { st =>
+            // a PUBLISHED shard layout of the CURRENT tier is potentially
+            // live — another session with a different indexShards conf
+            // probes its own sibling version — and is never reaped; a
+            // marker-less current-tier sibling is a crashed publish and
+            // ages out like any husk (else each abandoned shard setting
+            // would pin a corpus-scale copy until the tier regenerates)
+            val currentTierPublished =
+              st.getPath.getName.startsWith(tierPrefix) &&
+                fs.exists(new Path(st.getPath, "_PUBLISHED"))
             val eff = newestIn(st.getPath)
-            eff > 0L && now - eff > graceMs
+            !currentTierPublished && eff > 0L && now - eff > graceMs
           }
           .foreach(st => fs.delete(st.getPath, true))
       }

@@ -229,11 +229,22 @@ class SemanticsSpec extends SparkSpec {
     // grace 1 ms makes EVERYTHING reapable — proving the sibling
     // current-tier layout below survives by name, not by youth
     spark.conf.set("spark.graft.minhash.reapGraceMs", "1")
+    // a marker-less current-tier sibling is a crashed sibling publish:
+    // it must still age out, or every abandoned shard setting would pin
+    // a corpus-scale index copy
+    val huskSibling = new java.io.File(pDef.stripSuffix("s32") + "s4")
+    huskSibling.mkdirs()
+    new java.io.File(huskSibling, "leftover.parquet").createNewFile()
+    // reaping runs only on a BUILD — drop any -s8 layout a previous run
+    // of this suite published, so the ensure below actually rebuilds
+    deleteAll(new java.io.File(pDef.stripSuffix("s32") + "s8"))
     try {
       val (p8, split8) = Similarity.ensureMinhashIndex(spark, sf001)
       assert(p8.endsWith("-s8"), s"shard count must version the index, got $p8")
       assert(new java.io.File(pDef).isDirectory,
-        "a sibling shard layout of the CURRENT tier may be live in another session — reap must spare it")
+        "a PUBLISHED sibling shard layout of the CURRENT tier may be live in another session — reap must spare it")
+      assert(!huskSibling.exists,
+        "a marker-less quiet sibling is a crashed publish — reap must reclaim it")
       // no shards argument on purpose: the path's -sN suffix is
       // authoritative, so a default/wrong argument cannot mis-prune
       val probed = Similarity.probeMinhashIndex(spark, sf001, p8, split8)
