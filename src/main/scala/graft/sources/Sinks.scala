@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.hadoop.fs.Path
 
 /** Sink-side operators (SURVEY §2.1 S5/S6, §2.9 ST8).
   *
@@ -27,31 +28,157 @@ object Sinks {
     * `versionCol` per `key`; equal-version ties broken deterministically
     * by the LOWEST full-row hash (xxhash64 ascending) to stay idempotent.
     *
-    * Parquet has no MERGE, so this is read → union → keep-latest →
-    * rewrite via a staging dir and atomic-ish swap. On a table format
-    * with MERGE (Delta/Iceberg) this collapses to one statement; the
-    * keep-latest window is the engine-level semantics either way. */
+    * Parquet has no MERGE, so the table is realized as a tiny
+    * snapshot-isolated format built from two parts the way the MinHash
+    * index publish gates reads behind a marker:
+    *
+    *   path/_graft_manifest/m-<gen>.json   bucket → generation map; the
+    *                                       newest manifest IS the table
+    *   path/data/g<gen>/__b=<b>/part-*     immutable bucket data files
+    *
+    * Each upsert hashes its keys into `buckets` stable buckets
+    * (`pmod(xxhash64(key), n)`), reads ONLY the current generation of
+    * the buckets its keys touch, merges keep-latest, writes those
+    * buckets under a fresh generation, and publishes a new manifest.
+    * Cost is O(affected buckets), never O(table) — at 100 TB a
+    * single-key upsert rewrites one bucket, not the corpus.
+    *
+    * The swap is the manifest file itself: it is staged under a hidden
+    * name and renamed into place — a single-FILE rename (atomic on
+    * local/HDFS) and a single-object PUT on S3 (also atomic), so a
+    * concurrent reader resolves either the old or the new manifest,
+    * each describing a COMPLETE table; there is no window in which the
+    * table half-exists, unlike a delete-then-rename of the data dir.
+    * Superseded bucket generations are reaped only once older than
+    * `graceMs` (a concurrent reader that resolved the old manifest
+    * moments ago may still be scanning them). Single-writer per table,
+    * like the reference's program-authority accounts; a lost
+    * manifest-rename race fails loudly rather than silently dropping a
+    * generation. */
   def upsertByKey(
       spark: SparkSession,
       path: String,
       updates: DataFrame,
       key: String,
-      versionCol: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(path)
+      versionCol: String,
+      buckets: Int = 16,
+      graceMs: Long = 15 * 60 * 1000L): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = readManifest(spark, path)
+    // bucket count is table-layout identity: fixed at first write, the
+    // manifest's record wins thereafter (a caller-supplied mismatch
+    // would route keys to buckets the existing data was not hashed into)
+    val nB = current.map(_.buckets).getOrElse(buckets)
+    val gen = current.map(_.gen + 1).getOrElse(0L)
+    val bmap = current.map(_.map).getOrElse(Map.empty[Int, Long])
+    val bucketOf = pmod(xxhash64(col(key)), lit(nB.toLong)).cast("int")
+    val affected = updates.select(bucketOf.as("__b")).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded: ≤ buckets
+    val livePaths = affected.toSeq.flatMap(b =>
+      bmap.get(b).map(g => s"$path/data/g$g/__b=$b"))
     val existing =
-      if (fs.exists(target)) spark.read.parquet(path) else updates.limit(0)
+      if (livePaths.isEmpty) updates.limit(0)
+      else spark.read.parquet(livePaths: _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(versionCol).desc, xxhash64(struct(col("*"))).asc)
     val merged = existing.unionByName(updates)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    val staging = path + ".staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
-    fs.delete(target, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), target)
+    merged.withColumn("__b", bucketOf)
+      .write.mode(SaveMode.Overwrite).partitionBy("__b")
+      .parquet(s"$path/data/g$gen")
+    publishManifest(spark, path, Manifest(gen, nB,
+      bmap ++ affected.map(_ -> gen)))
+    // reap bucket generations no longer referenced, age-gated so a
+    // reader holding the previous manifest can finish its scan
+    val now = System.currentTimeMillis()
+    val dataDir = new Path(s"$path/data")
+    val liveSet = (bmap ++ affected.map(_ -> gen)).map {
+      case (b, g) => s"g$g/__b=$b"
+    }.toSet
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).filter(_.getPath.getName.startsWith("g"))
+        .foreach { genSt =>
+          val buckDirs = fs.listStatus(genSt.getPath)
+            .filter(_.getPath.getName.startsWith("__b="))
+          buckDirs.foreach { st =>
+            val rel = s"${genSt.getPath.getName}/${st.getPath.getName}"
+            if (!liveSet.contains(rel) && now - st.getModificationTime > graceMs)
+              fs.delete(st.getPath, true)
+          }
+          if (fs.listStatus(genSt.getPath).isEmpty) fs.delete(genSt.getPath, true)
+        }
+  }
+
+  /** The manifest record: table generation, fixed bucket count, and the
+    * bucket → generation map resolving each bucket's current data dir. */
+  private[sources] final case class Manifest(
+      gen: Long, buckets: Int, map: Map[Int, Long])
+
+  private def manifestDir(path: String) = new Path(s"$path/_graft_manifest")
+
+  /** Newest complete manifest, or None for a not-yet-created table.
+    * Staged manifests are dot-prefixed and never match the m- pattern. */
+  private[sources] def readManifest(
+      spark: SparkSession, path: String): Option[Manifest] = {
+    val dir = manifestDir(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.matches("m-\\d{12}\\.json"))
+    if (names.isEmpty) return None
+    val newest = names.max // zero-padded: lexicographic = numeric order
+    val in = fs.open(new Path(dir, newest))
+    val bytes = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      out.toByteArray
+    } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    import scala.jdk.CollectionConverters._
+    Some(Manifest(
+      node.get("gen").asLong(),
+      node.get("buckets").asInt(),
+      node.get("map").properties().asScala.iterator
+        .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap))
+  }
+
+  /** Stages the manifest under a hidden name, then renames it visible —
+    * the table's one atomic operation. A failed rename means another
+    * writer published this generation first: fail loudly (the engine's
+    * contract is single-writer; silently losing a generation would drop
+    * acknowledged upserts). */
+  private def publishManifest(
+      spark: SparkSession, path: String, m: Manifest): Unit = {
+    val dir = manifestDir(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val body = s"""{"gen":${m.gen},"buckets":${m.buckets},"map":{""" +
+      m.map.toSeq.sortBy(_._1)
+        .map { case (b, g) => s""""$b":$g""" }.mkString(",") + "}}"
+    val tmp = new Path(dir, s".m-tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new Path(dir, f"m-${m.gen}%012d.json")
+    require(fs.rename(tmp, dest), {
+      fs.delete(tmp, false)
+      s"upsert manifest publish lost a race at $dest — concurrent writer " +
+        "detected; this table is single-writer"
+    })
+  }
+
+  /** Read side of [[upsertByKey]]: resolves the newest manifest and
+    * scans exactly the bucket generations it references — a consistent
+    * snapshot regardless of concurrent upserts, because manifests are
+    * immutable and their publish is a single atomic rename. */
+  def readUpserted(spark: SparkSession, path: String): DataFrame = {
+    val m = readManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no upsert table at $path"))
+    val paths = m.map.toSeq.sortBy(_._1)
+      .map { case (b, g) => s"$path/data/g$g/__b=$b" }
+    spark.read.parquet(paths: _*)
   }
 
   /** Bucketed table writer — the 100 TB co-located-join path: both sides

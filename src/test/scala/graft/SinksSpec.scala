@@ -62,9 +62,57 @@ class SinksSpec extends SparkSpec {
     val v2 = Seq((2L, "b2", 2L), (3L, "c", 1L)).toDF("id", "payload", "version")
     Sinks.upsertByKey(spark, path, v2, "id", "version")
     Sinks.upsertByKey(spark, path, v2, "id", "version") // replay: no change
-    val got = spark.read.parquet(path).orderBy($"id")
+    val got = Sinks.readUpserted(spark, path).orderBy($"id")
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"))).toSeq
     assert(got === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("S6 upsert touching k of N buckets rewrites only those k") {
+    val path = tmp()
+    // seed spans many buckets; the follow-up update touches ONE key
+    val seed = (1L to 200L).map(i => (i, s"p$i", 1L))
+      .toDF("id", "payload", "version")
+    Sinks.upsertByKey(spark, path, seed, "id", "version", buckets = 8)
+    val one = Seq((7L, "p7-v2", 2L)).toDF("id", "payload", "version")
+    Sinks.upsertByKey(spark, path, one, "id", "version", buckets = 8)
+    // generation 1 holds exactly the single bucket id 7 hashes into;
+    // the other 7 buckets' data files were not rewritten
+    val g1Buckets = Files.list(java.nio.file.Paths.get(s"$path/data/g1"))
+      .toArray.map(_.toString).count(_.contains("__b="))
+    assert(g1Buckets === 1, s"single-key upsert must rewrite 1 bucket, got $g1Buckets")
+    val got = Sinks.readUpserted(spark, path)
+    assert(got.count() === 200)
+    assert(got.filter($"id" === 7L).select($"payload").head().getString(0) === "p7-v2")
+  }
+
+  test("S6 reader concurrent with upserts always sees a complete consistent snapshot") {
+    val path = tmp()
+    val keys = 1L to 40L
+    def all(v: Long) = keys.map(k => (k, s"p$k-$v", v))
+      .toDF("id", "payload", "version")
+    Sinks.upsertByKey(spark, path, all(0L), "id", "version", buckets = 8)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val writer = new Thread(() =>
+      try (1L to 5L).foreach(v =>
+        Sinks.upsertByKey(spark, path, all(v), "id", "version", buckets = 8))
+      catch { case e: Throwable => errs.add(s"writer: ${e.getMessage}") })
+    writer.start()
+    try {
+      // every read resolves ONE manifest = one complete table version:
+      // all 40 keys present and every row from the same upsert batch
+      while (writer.isAlive) {
+        val rows = Sinks.readUpserted(spark, path)
+          .select($"id", $"version").collect()
+        if (rows.length != keys.length)
+          errs.add(s"partial table: ${rows.length} rows")
+        val versions = rows.map(_.getLong(1)).distinct
+        if (versions.length != 1)
+          errs.add(s"torn snapshot across versions ${versions.mkString(",")}")
+      }
+    } finally writer.join()
+    assert(errs.isEmpty, errs.toArray.mkString("; "))
+    val finalRead = Sinks.readUpserted(spark, path)
+    assert(finalRead.filter($"version" === 5L).count() === keys.length)
   }
 
   test("bucketed co-located join runs without a shuffle exchange") {
@@ -104,7 +152,7 @@ class SinksSpec extends SparkSpec {
       mem.addData((2L, "b2", 2L), (3L, "c", 1L)); q.processAllAvailable()
       mem.addData((2L, "b2", 2L)); q.processAllAvailable() // replayed update
     } finally q.stop()
-    val got = spark.read.parquet(path).orderBy($"id")
+    val got = Sinks.readUpserted(spark, path).orderBy($"id")
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"))).toSeq
     assert(got === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
