@@ -937,8 +937,19 @@ object Similarity {
     // silently misses duplicates, so the layout's own record beats both
     // the argument and any conf re-read (which could race a conf change
     // between ensure and probe). The argument governs only pathless
-    // custom index locations, where the caller owns both halves.
-    val effShards = indexShardsOf(indexPath).getOrElse(shards)
+    // custom index locations, where the caller owns both halves — an
+    // EXPLICIT argument that disagrees with a version-shaped path is a
+    // caller error and fails loudly rather than silently mis-pruning
+    // (the default-valued argument carries no intent and defers).
+    val effShards = indexShardsOf(indexPath) match {
+      case Some(fromPath) =>
+        require(shards == minhashIndexShards || shards == fromPath,
+          s"probeMinhashIndex: explicit shards=$shards disagrees with the " +
+            s"index path's own -s$fromPath layout suffix ($indexPath) — " +
+            "pruning under the wrong modulus would silently miss duplicates")
+        fromPath
+      case None => shards
+    }
     // increment-only scan (doc_id >= split pushed into the parquet
     // read): at probe time the corpus proper is never touched — only
     // the increment rows and the index files. Cached: the frame feeds
@@ -1003,7 +1014,12 @@ object Similarity {
     * its scan (ADVICE r8). Older-than-grace directories are either dead
     * versions of a regenerated source tier or staging leaked by a
     * crashed build; both are reclaimed. JVM-wide DEFAULT; the session
-    * conf `spark.graft.minhash.reapGraceMs` wins when set. */
+    * conf `spark.graft.minhash.reapGraceMs` wins when set. SAFE LOWER
+    * BOUND: at least the largest expected single-object copy time on
+    * the index store — quiet-gating ages by newest visible file, and a
+    * live copy stalled on one huge object must never read as quiet. On
+    * non-local schemes the effective window is floored at 5 minutes
+    * (see [[ensureMinhashIndex]]); local/test runs keep the raw conf. */
   private[graft] var minhashReapGraceMs: Long = 15 * 60 * 1000L
 
   /** Builds the band index for `dir`'s corpus slice once and returns
@@ -1055,13 +1071,27 @@ object Similarity {
       // 100 TB indexes live" is deployment config, and two sessions in
       // one JVM may legitimately differ
       val idxBase = s.conf.get("spark.graft.minhash.indexBase", minhashIndexBase)
-      val graceMs = s.conf
+      val confGraceMs = s.conf
         .get("spark.graft.minhash.reapGraceMs", minhashReapGraceMs.toString)
         .toLong
       val shards = confShards(s)
       val base = new Path(idxBase,
         "graft-mh-idx-" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "-" + dirHash)
       val fs = base.getFileSystem(hconf)
+      // Quiet-gating judges liveness by newest-visible-file age, which on
+      // an OBJECT STORE can under-read a live cross-JVM copy: one huge
+      // object uploading for longer than the grace window leaves the dir
+      // looking quiet, and reaping it then interleaves two publishers'
+      // part-files — the corruption the gate exists to prevent. So on
+      // non-rename-atomic-posture schemes (anything but file:) the
+      // effective window is floored at 5 minutes regardless of how low a
+      // deployment sets spark.graft.minhash.reapGraceMs; the conf's safe
+      // lower bound is the largest expected single-object copy time.
+      // Local runs (tests) keep the raw conf — rename there is atomic and
+      // the husk/racer specs rely on sub-second windows.
+      val graceMs =
+        if (fs.getScheme == "file") confGraceMs
+        else math.max(confGraceMs, 5 * 60 * 1000L)
       // shard count is part of the version identity: a layout built
       // under one shard setting must never serve a probe pruning under
       // another (the pmod assignments would disagree silently). The
@@ -1072,7 +1102,9 @@ object Similarity {
       val marker = new Path(ver, "_PUBLISHED")
       if (!fs.exists(marker)) {
         fs.mkdirs(base)
-        val staging = new Path(base,
+        // var: the photo-finish unwind below may relocate the build to a
+        // fresh staging name when the original cannot be renamed back
+        var staging = new Path(base,
           ".build-" + java.util.UUID.randomUUID().toString)
         writeMinhashIndex(s, dir, staging.toString, split, shards)
         def bless(): Unit = {
@@ -1099,7 +1131,21 @@ object Similarity {
           !fs.exists(ver) && fs.rename(staging, ver) && {
             val nested = new Path(ver, staging.getName)
             !fs.exists(nested) || {
-              if (!fs.rename(nested, staging)) fs.delete(nested, true)
+              // unwind LOSSLESSLY: `nested` IS this JVM's whole build. A
+              // transiently failed unwind rename must not fall through to
+              // delete (that destroys a corpus-scale build and leaves the
+              // reclaim loop retrying against a staging dir that no longer
+              // exists) — retry to a FRESH .build-* name, and if the build
+              // is truly unrecoverable fail NOW with the race diagnosis.
+              val unwound = fs.rename(nested, staging) || {
+                val fresh = new Path(base,
+                  ".build-" + java.util.UUID.randomUUID().toString)
+                fs.rename(nested, fresh) && { staging = fresh; true }
+              }
+              require(unwound,
+                s"minhash index publish: build nested under $ver by a " +
+                  "racing publisher and could not be unwound to staging — " +
+                  "lost to a nesting race")
               false
             }
           }
@@ -1198,8 +1244,16 @@ object Similarity {
             val currentTierPublished =
               st.getPath.getName.startsWith(tierPrefix) &&
                 fs.exists(new Path(st.getPath, "_PUBLISHED"))
-            val eff = newestIn(st.getPath)
-            !currentTierPublished && eff > 0L && now - eff > graceMs
+            // LIST-cost short-circuit: newestIn is a full recursive
+            // listing per sibling, a large object-store LIST bill inside
+            // mhIdxLock on every rebuild. A dir young at depth 1 can only
+            // get YOUNGER with children, so only depth-1-old candidates
+            // (and mtime-0 pseudo-dirs, age unknown) pay the recursion.
+            !currentTierPublished &&
+              now - st.getModificationTime > graceMs && {
+                val eff = newestIn(st.getPath)
+                eff > 0L && now - eff > graceMs
+              }
           }
           .foreach(st => fs.delete(st.getPath, true))
       }

@@ -257,6 +257,17 @@ class SemanticsSpec extends SparkSpec {
     }
   }
 
+  test("minhash index: an explicit shards argument conflicting with the path suffix fails loudly") {
+    import graft.operators.Similarity
+    // the path's -sN suffix is authoritative; an explicit DISAGREEING
+    // argument is a caller error that must not silently mis-prune
+    val (p, split) = Similarity.ensureMinhashIndex(spark, sf001)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.probeMinhashIndex(spark, sf001, p, split, shards = 7)
+    }
+    assert(e.getMessage.contains("disagrees"), e.getMessage)
+  }
+
   test("minhash index: spark.graft.minhash.indexBase is per-session Spark conf") {
     import graft.operators.Similarity
     val s2 = spark.newSession()
