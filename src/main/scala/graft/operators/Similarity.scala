@@ -555,69 +555,92 @@ object Similarity {
     * empty and proves nothing, while the candidate report stays
     * non-empty and checkable on any corpus (planted-dup fixture pins the
     * verdict semantics). Deterministic; rows-only check. */
-  val ddSimhash = QueryDef(
-    "dd_simhash",
-    (s, dir) => {
-      // fused JVM kernel from raw text (tokenize + set-dedupe + 64-bit
-      // majority vote) — simhash bit counts DO depend on multiplicity, so
-      // unlike minhash the distinct step is kept (hash set). Returns null
-      // for token-free docs, which the isNotNull filter drops like the
-      // old size(toks)>0 guard.
-      val simhashUdf = udf((text: String) => {
-        if (text == null) Option.empty[Long]
-        else {
-        val seen = new java.util.HashSet[String]()
-        val counts = new Array[Int](64)
-        var any = false
-        text.toLowerCase(java.util.Locale.ROOT).split(" ").foreach { t =>
-          if (t.length > 3 && seen.add(t)) {
-            any = true
-            val h = fmix64(fnv64(t))
-            var i = 0
-            while (i < 64) {
-              if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
-              i += 1
-            }
+  /** Fused JVM simhash kernel from raw text (tokenize + set-dedupe +
+    * 64-bit majority vote) — simhash bit counts DO depend on
+    * multiplicity, so unlike minhash the distinct step is kept (hash
+    * set). Returns null for token-free docs, which the isNotNull filter
+    * drops like minhash's size(toks)>0 guard. */
+  private val simhashUdf = udf((text: String) => {
+    if (text == null) Option.empty[Long]
+    else {
+      val seen = new java.util.HashSet[String]()
+      val counts = new Array[Int](64)
+      var any = false
+      text.toLowerCase(java.util.Locale.ROOT).split(" ").foreach { t =>
+        if (t.length > 3 && seen.add(t)) {
+          any = true
+          val h = fmix64(fnv64(t))
+          var i = 0
+          while (i < 64) {
+            if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+            i += 1
           }
         }
-        if (!any) Option.empty[Long]
-        else {
-          var sim = 0L
-          var i = 0
-          while (i < 64) { if (counts(i) > 0) sim |= (1L << i); i += 1 }
-          Some(sim)
-        }
-        }
-      })
-      // ONE kernel pass over documents, persisted: the banded branch and
-      // both sides of the hamming verify read the narrow (doc_id, simhash)
-      // cache instead of re-running the kernel per plan branch
-      val withSim = cachedFeature(s, s"dd_simhash:$dir") {
-        T(s, dir).documents
-          .withColumn("simhash", simhashUdf(col("text")))
-          .filter(col("simhash").isNotNull)
-          .select(col("doc_id"), col("simhash"))
       }
-      val banded = withSim.select(col("doc_id"), col("simhash"),
-        posexplode(transform(sequence(lit(0), lit(7)), b =>
-          call_function("shiftright", col("simhash"), b * lit(8))
-            .bitwiseAND(lit(255L)))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      // same linear keeper-assignment shape as dd_minhash: partial-agg
-      // min per bucket, one verified candidate per doc — no all-pairs join.
-      val keepers = banded.groupBy(col("band"), col("bucket"))
-        .agg(min(col("doc_id")).as("keeper"))
-      banded.join(keepers, Seq("band", "bucket"))
-        .filter(col("keeper") < col("doc_id"))
-        .groupBy(col("doc_id")).agg(min(col("keeper")).as("keeper"))
-        .join(withSim.select(col("doc_id"), col("simhash").as("d_sim")), Seq("doc_id"))
-        .join(withSim.select(col("doc_id").as("keeper"), col("simhash").as("k_sim")),
-          Seq("keeper"))
-        .withColumn("hamming", bit_count(col("d_sim").bitwiseXOR(col("k_sim"))).cast("long"))
-        .withColumn("is_dup", col("hamming") <= lit(6L))
-        .select(col("doc_id"), col("keeper"), col("hamming"), col("is_dup"))
-        .orderBy(col("doc_id"))
-    },
+      if (!any) Option.empty[Long]
+      else {
+        var sim = 0L
+        var i = 0
+        while (i < 64) { if (counts(i) > 0) sim |= (1L << i); i += 1 }
+        Some(sim)
+      }
+    }
+  })
+
+  /** (doc_id, simhash) over an arbitrary `(doc_id, text)` frame — the
+    * one simhash rule shared by the batch dedup, the index build and
+    * the increment probe, so their fingerprints can never drift. */
+  private[graft] def simhashFeatOf(docs: DataFrame): DataFrame =
+    docs.withColumn("simhash", simhashUdf(col("text")))
+      .filter(col("simhash").isNotNull)
+      .select(col("doc_id"), col("simhash"))
+
+  /** (doc_id, band, bucket) banding of a simhash frame: 8 bands of 8
+    * bits — the one banding expansion shared by batch, build and probe. */
+  private def simhashBandedOf(withSim: DataFrame): DataFrame =
+    withSim.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(7)), b =>
+        call_function("shiftright", col("simhash"), b * lit(8))
+          .bitwiseAND(lit(255L)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+  /** The hamming verify tail shared by [[simhashDedupOf]] and
+    * [[probeSimhashIndex]] — ONE definition, so the probe==batch
+    * equality contract cannot drift on the distance or threshold. */
+  private def hammingVerify(cand: DataFrame, dSim: DataFrame,
+      kSim: DataFrame): DataFrame =
+    cand.join(dSim, Seq("doc_id")).join(kSim, Seq("keeper"))
+      .withColumn("hamming", bit_count(col("d_sim").bitwiseXOR(col("k_sim"))).cast("long"))
+      .withColumn("is_dup", col("hamming") <= lit(6L))
+      .select(col("doc_id"), col("keeper"), col("hamming"), col("is_dup"))
+      .orderBy(col("doc_id"))
+
+  /** [[ddSimhash]]'s whole election + verify pipeline over a
+    * (doc_id, simhash) frame — factored so the incremental probe's
+    * equality spec can recompute the batch answer over any corpus slice
+    * through the exact code the catalog query runs. Same linear
+    * keeper-assignment shape as dd_minhash: partial-agg min per bucket,
+    * one verified candidate per doc — no all-pairs join. */
+  private[graft] def simhashDedupOf(withSim: DataFrame): DataFrame = {
+    val banded = simhashBandedOf(withSim)
+    val keepers = banded.groupBy(col("band"), col("bucket"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val cand = banded.join(keepers, Seq("band", "bucket"))
+      .filter(col("keeper") < col("doc_id"))
+      .groupBy(col("doc_id")).agg(min(col("keeper")).as("keeper"))
+    hammingVerify(cand,
+      withSim.select(col("doc_id"), col("simhash").as("d_sim")),
+      withSim.select(col("doc_id").as("keeper"), col("simhash").as("k_sim")))
+  }
+
+  val ddSimhash = QueryDef(
+    "dd_simhash",
+    // ONE kernel pass over documents, persisted: the banded branch and
+    // both sides of the hamming verify read the narrow (doc_id, simhash)
+    // cache instead of re-running the kernel per plan branch
+    (s, dir) => simhashDedupOf(cachedFeature(s, s"dd_simhash:$dir") {
+      simhashFeatOf(T(s, dir).documents)
+    }),
     oracle = None)
 
   /** Embedding-cosine near-dup (driver brief's fifth dedup modality):
@@ -863,6 +886,27 @@ object Similarity {
     n
   }
 
+  /** The shard modulus a probe must prune with. The version path's -sN
+    * suffix is AUTHORITATIVE when present: pruning with any other
+    * modulus than the layout was written with silently misses
+    * duplicates, so the layout's own record beats both the argument and
+    * any conf re-read (which could race a conf change between ensure
+    * and probe). The argument governs only pathless custom index
+    * locations, where the caller owns both halves — an EXPLICIT
+    * argument that disagrees with a version-shaped path is a caller
+    * error and fails loudly rather than silently mis-pruning (the
+    * default-valued argument carries no intent and defers). */
+  private def effShardsOf(indexPath: String, passed: Int, what: String): Int =
+    indexShardsOf(indexPath) match {
+      case Some(fromPath) =>
+        require(passed == minhashIndexShards || passed == fromPath,
+          s"$what: explicit shards=$passed disagrees with the index " +
+            s"path's own -s$fromPath layout suffix ($indexPath) — " +
+            "pruning under the wrong modulus would silently miss duplicates")
+        fromPath
+      case None => passed
+    }
+
   /** Combined (band, bshard) partition key as one long — the single
     * expression both the probe's bounded collect and the index-read
     * filter use, so the pruning predicate can never drift from the
@@ -932,24 +976,7 @@ object Similarity {
     * increments like the test's 20% slice. */
   def probeMinhashIndex(s: SparkSession, dir: String, indexPath: String,
       split: Long, shards: Int = minhashIndexShards): DataFrame = {
-    // the version path's -sN suffix is AUTHORITATIVE when present:
-    // pruning with any other modulus than the layout was written with
-    // silently misses duplicates, so the layout's own record beats both
-    // the argument and any conf re-read (which could race a conf change
-    // between ensure and probe). The argument governs only pathless
-    // custom index locations, where the caller owns both halves — an
-    // EXPLICIT argument that disagrees with a version-shaped path is a
-    // caller error and fails loudly rather than silently mis-pruning
-    // (the default-valued argument carries no intent and defers).
-    val effShards = indexShardsOf(indexPath) match {
-      case Some(fromPath) =>
-        require(shards == minhashIndexShards || shards == fromPath,
-          s"probeMinhashIndex: explicit shards=$shards disagrees with the " +
-            s"index path's own -s$fromPath layout suffix ($indexPath) — " +
-            "pruning under the wrong modulus would silently miss duplicates")
-        fromPath
-      case None => shards
-    }
+    val effShards = effShardsOf(indexPath, shards, "probeMinhashIndex")
     // increment-only scan (doc_id >= split pushed into the parquet
     // read): at probe time the corpus proper is never touched — only
     // the increment rows and the index files. Cached: the frame feeds
@@ -1022,38 +1049,56 @@ object Similarity {
     * (see [[ensureMinhashIndex]]); local/test runs keep the raw conf. */
   private[graft] var minhashReapGraceMs: Long = 15 * 60 * 1000L
 
-  /** Builds the band index for `dir`'s corpus slice once and returns
-    * (indexPath, split). Split = the last 20% of the id range is "the
-    * increment": ids above it play the newly-ingested docs, everything
-    * below is the already-indexed corpus.
+  private val idxLock = new Object
+
+  /** The versioned-publish machinery shared by every incremental index
+    * family (MinHash and SimHash today — any future pHash/embedding
+    * tier plugs in the same way): builds `dir`'s corpus-slice index
+    * once and returns (versionPath, split). Split = the last 20% of the
+    * id range is "the increment": ids above it play the newly-ingested
+    * docs, everything below is the already-indexed corpus.
     *
     * The index lives in a VERSIONED directory named by (split,
-    * source mtime) — a driver-regenerated source tier changes the name,
-    * invalidating stale indexes the way Bench.ensureSf1's mtime check
-    * does. Builds stage into a fresh temp dir and publish by directory
-    * rename + a `_PUBLISHED` marker: on rename-atomic filesystems
-    * (local, HDFS) a reader can never see a half-written index, and the
-    * marker additionally covers stores WITHOUT atomic rename — S3's
-    * "rename" is a non-atomic copy+delete, so there a directory can
-    * exist mid-copy; readers here require the marker, which is written
-    * strictly after the data is fully in place, making the publish
-    * scale-safe on object stores too. When two JVMs race (e.g. a Verify
-    * run next to a test suite) the rename loser discards its staging
-    * and adopts the winner's byte-equivalent index; a leftover
-    * marker-less version directory (a publish crashed mid-copy) is
-    * reclaimed and republished. The base directory name includes a hash
-    * of the RAW corpus path next to the sanitized form, so two distinct
-    * corpora whose sanitized names collide (`/a/b` vs `/a_b`) can never
-    * reap or serve each other's indexes (ADVICE r8). */
-  private val mhIdxLock = new Object
-  def ensureMinhashIndex(s: SparkSession, dir: String): (String, Long) =
-    mhIdxLock.synchronized {
+    * source mtime, shards) — a driver-regenerated source tier changes
+    * the name, invalidating stale indexes the way Bench.ensureSf1's
+    * mtime check does. `build(stagingPath, split, shards)` stages into
+    * a fresh temp dir; publish is directory rename + a `_PUBLISHED`
+    * marker: on rename-atomic filesystems (local, HDFS) a reader can
+    * never see a half-written index, and the marker additionally covers
+    * stores WITHOUT atomic rename — S3's "rename" is a non-atomic
+    * copy+delete, so there a directory can exist mid-copy; readers here
+    * require the marker, which is written strictly after the data is
+    * fully in place, making the publish scale-safe on object stores
+    * too. When two JVMs race (e.g. a Verify run next to a test suite)
+    * the rename loser discards its staging and adopts the winner's
+    * byte-equivalent index; a leftover marker-less version directory (a
+    * publish crashed mid-copy) is reclaimed once quiet and republished.
+    * The base directory name includes a hash of the RAW corpus path
+    * next to the sanitized form, so two distinct corpora whose
+    * sanitized names collide (`/a/b` vs `/a_b`) can never reap or serve
+    * each other's indexes (ADVICE r8).
+    *
+    * `famPrefix` names the base directory (`graft-<famPrefix>-idx-…`);
+    * `confFamily` namespaces the session confs
+    * (`spark.graft.<confFamily>.indexBase`/`.reapGraceMs`/
+    * `.indexShards`), each falling back to the `spark.graft.minhash.*`
+    * name — the subsystem-wide default under its historical name — then
+    * to the JVM-wide default vars; `parts` are the layout subdirs that
+    * must exist before the marker may bless a version. */
+  private[graft] def ensureVersionedIndex(
+      s: SparkSession, dir: String, famPrefix: String, confFamily: String,
+      parts: Seq[String], build: (String, Long, Int) => Unit): (String, Long) =
+    idxLock.synchronized {
       import org.apache.hadoop.fs.Path
+      def conf(key: String, dflt: String): String =
+        s.conf.getOption(s"spark.graft.$confFamily.$key")
+          .orElse(s.conf.getOption(s"spark.graft.minhash.$key"))
+          .getOrElse(dflt)
       // single-column bounded agg, not the feature cache: warming the
       // full-corpus frame here would undo the probe's increment-only read
       val maxRow = T(s, dir).documents.agg(max(col("doc_id"))).head()
       require(!maxRow.isNullAt(0),
-        s"minhash index: documents corpus at $dir is empty — nothing to index")
+        s"$confFamily index: documents corpus at $dir is empty — nothing to index")
       val maxId = maxRow.getLong(0)
       val split = maxId - maxId / 5
       val hconf = s.sparkContext.hadoopConfiguration
@@ -1070,13 +1115,15 @@ object Similarity {
       // session conf wins over the JVM-wide default vars: "where do the
       // 100 TB indexes live" is deployment config, and two sessions in
       // one JVM may legitimately differ
-      val idxBase = s.conf.get("spark.graft.minhash.indexBase", minhashIndexBase)
-      val confGraceMs = s.conf
-        .get("spark.graft.minhash.reapGraceMs", minhashReapGraceMs.toString)
-        .toLong
-      val shards = confShards(s)
+      val idxBase = conf("indexBase", minhashIndexBase)
+      val confGraceMs = conf("reapGraceMs", minhashReapGraceMs.toString).toLong
+      val shards = {
+        val n = conf("indexShards", minhashIndexShards.toString).toInt
+        require(n > 0, s"$confFamily indexShards must be positive, got $n")
+        n
+      }
       val base = new Path(idxBase,
-        "graft-mh-idx-" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "-" + dirHash)
+        s"graft-$famPrefix-idx-" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "-" + dirHash)
       val fs = base.getFileSystem(hconf)
       // Quiet-gating judges liveness by newest-visible-file age, which on
       // an OBJECT STORE can under-read a live cross-JVM copy: one huge
@@ -1106,13 +1153,13 @@ object Similarity {
         // fresh staging name when the original cannot be renamed back
         var staging = new Path(base,
           ".build-" + java.util.UUID.randomUUID().toString)
-        writeMinhashIndex(s, dir, staging.toString, split, shards)
+        build(staging.toString, split, shards)
         def bless(): Unit = {
           // the marker is the read gate — never bless a layout the probe
           // cannot serve (belt over the nesting unwind in tryPublish)
-          require(fs.exists(new Path(ver, "bands")) &&
-            fs.exists(new Path(ver, "toks")),
-            s"minhash index publish incomplete at $ver: bands/toks missing")
+          require(parts.forall(p => fs.exists(new Path(ver, p))),
+            s"$confFamily index publish incomplete at $ver: " +
+              s"${parts.mkString("/")} missing")
           fs.create(marker, true).close()
         }
         // Hadoop rename is NOT rename-if-absent: given an EXISTING
@@ -1143,7 +1190,7 @@ object Similarity {
                 fs.rename(nested, fresh) && { staging = fresh; true }
               }
               require(unwound,
-                s"minhash index publish: build nested under $ver by a " +
+                s"$confFamily index publish: build nested under $ver by a " +
                   "racing publisher and could not be unwound to staging — " +
                   "lost to a nesting race")
               false
@@ -1179,7 +1226,7 @@ object Similarity {
         // atomic-rename stores the racer's rename→marker window is
         // milliseconds, so the poll exits almost immediately.
         //
-        // INVARIANT: this polls while holding [[mhIdxLock]] — correct,
+        // INVARIANT: this polls while holding [[idxLock]] — correct,
         // not a hazard to "fix". The lock is per-JVM and serializes
         // only this JVM's builders; the publisher being waited on is a
         // DIFFERENT JVM (a Verify run next to a test suite), which
@@ -1205,7 +1252,7 @@ object Similarity {
             if (quiet) {
               reclaims += 1
               require(reclaims <= 3,
-                s"minhash index publish failed after ${reclaims - 1} reclaim " +
+                s"$confFamily index publish failed after ${reclaims - 1} reclaim " +
                   s"attempts: rename into $ver keeps failing or the dir " +
                   "keeps reappearing marker-less (staging " +
                   s"${if (fs.exists(staging)) "intact" else "lost to a nesting race"})")
@@ -1213,7 +1260,7 @@ object Similarity {
               Thread.sleep(500L) // let a transient rename failure clear
             } else {
               require(now < deadline,
-                s"minhash index publish timed out after ${graceMs + 30000L} ms " +
+                s"$confFamily index publish timed out after ${graceMs + 30000L} ms " +
                   s"waiting on marker-less $ver (a publisher may be live, or " +
                   "the store reports future mtimes) — retry, raise " +
                   "spark.graft.minhash.reapGraceMs, or remove the dir manually")
@@ -1246,7 +1293,7 @@ object Similarity {
                 fs.exists(new Path(st.getPath, "_PUBLISHED"))
             // LIST-cost short-circuit: newestIn is a full recursive
             // listing per sibling, a large object-store LIST bill inside
-            // mhIdxLock on every rebuild. A dir young at depth 1 can only
+            // idxLock on every rebuild. A dir young at depth 1 can only
             // get YOUNGER with children, so only depth-1-old candidates
             // (and mtime-0 pseudo-dirs, age unknown) pay the recursion.
             !currentTierPublished &&
@@ -1259,6 +1306,14 @@ object Similarity {
       }
       (ver.toString, split)
     }
+
+  /** MinHash instantiation of [[ensureVersionedIndex]]: builds/adopts
+    * the (bands, toks) layout for `dir`'s corpus slice and returns
+    * (versionPath, split). */
+  def ensureMinhashIndex(s: SparkSession, dir: String): (String, Long) =
+    ensureVersionedIndex(s, dir, "mh", "minhash", Seq("bands", "toks"),
+      (staging, split, shards) =>
+        writeMinhashIndex(s, dir, staging, split, shards))
 
   /** dd_minhash_incr: INCREMENTAL near-dup dedup — the missing 100 TB
     * ingest pattern. Every other dedup query re-scans the whole corpus;
@@ -1283,7 +1338,113 @@ object Similarity {
     },
     oracle = None)
 
+  /** Ingest-time half of INCREMENTAL SimHash dedup — the second
+    * instantiation of the versioned-index pattern ([[writeMinhashIndex]]
+    * is the first): persists the corpus's (band, bucket, keeper) frame
+    * partitioned by (band, bshard), plus a (doc_id, simhash) side table
+    * for exactly the docs that are bucket keepers (only they can be
+    * elected by a probe — the hamming verify needs no other corpus
+    * fingerprints), partitioned by sshard. The corpus is scanned ONCE
+    * here, at ingest. */
+  def writeSimhashIndex(s: SparkSession, dir: String, indexPath: String,
+      split: Long, shards: Int = minhashIndexShards): Unit = {
+    val feat = cachedFeature(s, s"dd_simhash_incr:$dir:corpus$split") {
+      simhashFeatOf(T(s, dir).documents.filter(col("doc_id") < lit(split)))
+    }
+    simhashBandedOf(feat).groupBy(col("band"), col("bucket"))
+      .agg(min(col("doc_id")).as("keeper"))
+      .withColumn("bshard", pmod(col("bucket"), lit(shards.toLong)))
+      .write.mode("overwrite").partitionBy("band", "bshard")
+      .parquet(s"$indexPath/bands")
+    // keeper fingerprints come from the JUST-WRITTEN bands files, not a
+    // second evaluation of the keepers frame — the banding + election
+    // shuffle runs exactly once per index build
+    val storedKeepers = s.read.parquet(s"$indexPath/bands")
+      .select(col("keeper").as("doc_id")).distinct()
+    feat.join(storedKeepers, Seq("doc_id"))
+      .withColumn("sshard", pmod(col("doc_id"), lit(shards.toLong)))
+      .write.mode("overwrite").partitionBy("sshard")
+      .parquet(s"$indexPath/sims")
+  }
+
+  /** Query-time half: dedups the increment (doc_id >= split) against
+    * the persisted simhash index WITHOUT re-scanning the corpus — the
+    * same probe discipline as [[probeMinhashIndex]]: the bands read is
+    * pruned to the (band, bshard) partitions the increment's own
+    * banding touches (bounded collect, ≤ 8 × shards values); per-bucket
+    * keepers merge as `least(index keeper, increment min)`, which with
+    * append-only ids IS the bucket minimum over corpus ∪ increment, so
+    * the output equals the full [[ddSimhash]] recompute restricted to
+    * the increment (equality spec-asserted bit for bit); verify
+    * fingerprints come from the increment frame plus the index's keeper
+    * side table, the latter pruned to the sshard partitions the elected
+    * corpus keepers occupy. */
+  def probeSimhashIndex(s: SparkSession, dir: String, indexPath: String,
+      split: Long, shards: Int = minhashIndexShards): DataFrame = {
+    val effShards = effShardsOf(indexPath, shards, "probeSimhashIndex")
+    val feat = cachedFeature(s, s"dd_simhash_incr:$dir:incr$split") {
+      simhashFeatOf(T(s, dir).documents.filter(col("doc_id") >= lit(split)))
+    }
+    val banded = simhashBandedOf(feat)
+    val incrKeepers = banded.groupBy(col("band"), col("bucket"))
+      .agg(min(col("doc_id")).as("ikeeper"))
+    val touched = banded
+      .select(mhPartKey(col("band"),
+        pmod(col("bucket"), lit(effShards.toLong)), effShards).as("pk"))
+      .distinct().collect().map(_.getLong(0)) // bounded: ≤ 8 × shards
+    val idx = s.read.parquet(s"$indexPath/bands")
+      .filter(mhPartKey(col("band"), col("bshard"), effShards)
+        .isin(touched.map(x => x: Any): _*))
+      .select(col("band").cast("int").as("band"), col("bucket"), col("keeper"))
+    // least() skips nulls: unseen-by-corpus buckets fall to the
+    // increment's own minimum, known buckets to the true merged min
+    val merged = incrKeepers.join(idx, Seq("band", "bucket"), "left")
+      .select(col("band"), col("bucket"),
+        least(col("keeper"), col("ikeeper")).as("keeper"))
+    val cand = banded.join(merged, Seq("band", "bucket"))
+      .filter(col("keeper") < col("doc_id"))
+      .groupBy(col("doc_id")).agg(min(col("keeper")).as("keeper"))
+    // prune the keeper-fingerprint read to the shards the elected
+    // CORPUS keepers live in (increment keepers' simhashes come from
+    // `feat`, not the index)
+    val candShards = cand.filter(col("keeper") < lit(split))
+      .select(pmod(col("keeper"), lit(effShards.toLong)).as("ss"))
+      .distinct().collect().map(_.getLong(0)) // bounded: ≤ shards
+    val idxSims = s.read.parquet(s"$indexPath/sims")
+      .filter(col("sshard").isin(candShards.map(x => x: Any): _*))
+      .select(col("doc_id").as("keeper"), col("simhash").as("k_sim"))
+    val kSim = feat.select(col("doc_id").as("keeper"), col("simhash").as("k_sim"))
+      .unionByName(idxSims)
+    hammingVerify(cand,
+      feat.select(col("doc_id"), col("simhash").as("d_sim")), kSim)
+  }
+
+  /** SimHash instantiation of [[ensureVersionedIndex]]: builds/adopts
+    * the (bands, sims) layout for `dir`'s corpus slice and returns
+    * (versionPath, split). */
+  def ensureSimhashIndex(s: SparkSession, dir: String): (String, Long) =
+    ensureVersionedIndex(s, dir, "sh", "simhash", Seq("bands", "sims"),
+      (staging, split, shards) =>
+        writeSimhashIndex(s, dir, staging, split, shards))
+
+  /** dd_simhash_incr: incremental SimHash dedup — [[ddMinhashIncr]]'s
+    * ingest pattern applied to the simhash family, proving the
+    * versioned-publish/probe machinery is generic across index tiers.
+    * Output = [[ddSimhash]] over the full corpus restricted to the
+    * increment (exact equality, spec-asserted); probe-time reads are
+    * the increment slice plus pruned index partitions — never the
+    * corpus proper. Rows-only check (seeded-hash fingerprints); pinned
+    * by the equality spec + the PartitionFilters plan lock. */
+  val ddSimhashIncr = QueryDef(
+    "dd_simhash_incr",
+    (s, dir) => {
+      val (idx, split) = ensureSimhashIndex(s, dir)
+      // no shards argument: the path's -sN suffix is authoritative
+      probeSimhashIndex(s, dir, idx, split)
+    },
+    oracle = None)
+
   val defs: Seq[QueryDef] = Seq(simTopkDot, simTopkCosine, simTopkCosineQ,
     simLshTopk, simIvfTopk, ddMinhash, ddMinhashCc, ddMinhashIncr,
-    ddSimhash, ddEmbedding)
+    ddSimhash, ddSimhashIncr, ddEmbedding)
 }

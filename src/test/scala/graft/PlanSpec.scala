@@ -113,7 +113,8 @@ class PlanSpec extends SparkSpec {
         // the cached frame, not re-run the PPM encode + hash kernel
         "mm_phash_dedup" -> "documents.parquet",
         // r8: the incremental probe's increment-slice frame is cached too
-        "dd_minhash_incr" -> "documents.parquet")) {
+        "dd_minhash_incr" -> "documents.parquet",
+        "dd_simhash_incr" -> "documents.parquet")) {
       val p = plan(n)
       val scans = p.linesIterator.count(l =>
         l.contains("FileScan parquet") && l.contains(table))
@@ -154,6 +155,31 @@ class PlanSpec extends SparkSpec {
       s"keeper-toks read is not partition-pruned: $toksScan")
     // and the increment's documents read must push its id filter into
     // the parquet scan — probe time never reads the corpus proper
+    assert(p.contains("GreaterThanOrEqual(doc_id"),
+      "increment doc_id filter not pushed to the documents scan")
+  }
+
+  test("dd_simhash_incr: index read is partition-pruned, increment scan pushes doc_id") {
+    // the simhash instantiation must carry the same plan guarantees as
+    // the minhash one: pruned bands read, pruned keeper-fingerprint
+    // read, pushed increment filter — the generic machinery's contract
+    val p = plan("dd_simhash_incr")
+    val bandsScan = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("bshard"))
+      .getOrElse("")
+    assert(bandsScan.nonEmpty, "no band-index scan in the plan:\n" +
+      p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+    assert(bandsScan.contains("PartitionFilters: [") &&
+      !bandsScan.contains("PartitionFilters: []"),
+      s"band-index read is not partition-pruned: $bandsScan")
+    val simsScan = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("sshard"))
+      .getOrElse("")
+    assert(simsScan.nonEmpty, "no keeper-fingerprint scan in the plan:\n" +
+      p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+    assert(simsScan.contains("PartitionFilters: [") &&
+      !simsScan.contains("PartitionFilters: []"),
+      s"keeper-fingerprint read is not partition-pruned: $simsScan")
     assert(p.contains("GreaterThanOrEqual(doc_id"),
       "increment doc_id filter not pushed to the documents scan")
   }

@@ -108,6 +108,26 @@ class SemanticsSpec extends SparkSpec {
     assert(corpus === full.filter(_.getAs[Long]("doc_id") < split))
   }
 
+  test("dd_simhash_incr: index probe == full dd_simhash recompute restricted to the increment") {
+    import graft.operators.Similarity
+    // second instantiation of the incremental contract: the probe's
+    // rows must equal one batch dd_simhash over corpus ∪ increment,
+    // restricted to the increment — bit for bit (hamming + is_dup too)
+    val full = Similarity.ddSimhash.run(spark, sf001).collect().toSeq
+    val (_, split) = Similarity.ensureSimhashIndex(spark, sf001)
+    val probe = Similarity.ddSimhashIncr.run(spark, sf001).collect().toSeq
+    assert(probe === full.filter(_.getAs[Long]("doc_id") >= split))
+    assert(probe.nonEmpty, "vacuous: the increment produced no candidate rows")
+    assert(probe.exists(_.getAs[Long]("keeper") < split),
+      "vacuous: no increment doc elected a CORPUS keeper — the index join was never exercised")
+    // corpus side: the batch dedup over the corpus slice alone equals
+    // the full recompute's corpus rows (append-only ids can never steal
+    // a corpus bucket minimum)
+    val corpus = Similarity.simhashDedupOf(Similarity.simhashFeatOf(
+      Tables(spark, sf001).documents.filter(col("doc_id") < split))).collect().toSeq
+    assert(corpus === full.filter(_.getAs[Long]("doc_id") < split))
+  }
+
   test("minhash index: versioned publish is idempotent, reaps only past-grace stale dirs") {
     import graft.operators.Similarity
     // same source, same split → the SAME published version directory,
