@@ -19,9 +19,12 @@ object Sinks {
 
   /** ST8: fan-out sink partitioned by key (ws-server.ts:120-156 room-keyed
     * broadcast): consumers read only their key's partition — partition
-    * pruning is the read-side analog of per-room delivery. */
-  def partitionedSink(df: DataFrame, path: String, key: String): Unit =
-    df.write.mode(SaveMode.Overwrite).partitionBy(key).parquet(path)
+    * pruning is the read-side analog of per-room delivery. `mode` lets
+    * the streaming fan-out ([[graft.streaming.StreamOps.partitionedFanout]])
+    * append each micro-batch into the same layout. */
+  def partitionedSink(df: DataFrame, path: String, key: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(key).parquet(path)
 
   /** S6: keyed upsert (PDA-keyed account create-or-update, lib.rs:237-251;
     * Prisma create-returning, runs/route.ts:101-118). Last-writer-wins by

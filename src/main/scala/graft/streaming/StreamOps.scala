@@ -689,6 +689,28 @@ object StreamOps {
     new MerkleAppendHandle(tree, q, unchecked)
   }
 
+  /** ST8 LIVE: the room-keyed fan-out (ws-server.ts:120-156) as a
+    * stream — each micro-batch appends into the key-partitioned layout
+    * of [[graft.sources.Sinks.partitionedSink]], so a consumer reads
+    * only its key's partition (partition pruning is the read-side
+    * analog of per-room delivery), continuously as events arrive. The
+    * batch sink IS the streaming sink's body: one layout, one set of
+    * read-side pruning guarantees, exercised by both SinksSpec (batch)
+    * and StreamingSpec (live). foreachBatch is at-least-once, so a
+    * crash between the append and the offset commit can duplicate a
+    * micro-batch — the same delivery contract as the reference's
+    * room broadcast (a reconnecting client re-receives the tail);
+    * readers needing exactly-once dedup by event id downstream. */
+  def partitionedFanout(df: DataFrame, path: String, key: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Sinks.partitionedSink(batch, path, key,
+          org.apache.spark.sql.SaveMode.Append)
+      }
+      .start()
+
   /** Convenience: the driver test `events` parquet as a typed stream via
     * a file source — replay = initial batch, increments = new files
     * (useAgentStream.ts replay∪live, S4). */

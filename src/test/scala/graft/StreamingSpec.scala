@@ -36,6 +36,29 @@ class StreamingSpec extends SparkSpec {
 
   private val batches = allEvents.grouped(400).toSeq
 
+  test("ST8 live fan-out: streaming partitioned append accumulates and prunes per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-st8-live").resolve("t").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.partitionedFanout(
+      mem.toDF().toDF("event_id", "room"), path, "room")
+    try {
+      mem.addData((1L, "alpha"), (2L, "beta")); q.processAllAvailable()
+      mem.addData((3L, "alpha"), (4L, "gamma")); q.processAllAvailable()
+    } finally q.stop()
+    // append across micro-batches: both alpha events are present
+    val one = spark.read.parquet(path).filter($"room" === "alpha")
+    assert(one.select($"event_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    // read-side partition pruning: the filter lands on the partition
+    // column, the scan reads only alpha's directory
+    val scan = one.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      !scan.contains("PartitionFilters: []"),
+      s"per-room read is not partition-pruned: $scan")
+    assert(spark.read.parquet(path).count() === 4)
+  }
+
   /** Deterministic latest-row-per-key extraction for update-mode memory
     * tables: max_by over the insertion-order id. The tempting
     * orderBy(desc).dropDuplicates(keys) form is NOT guaranteed — the
