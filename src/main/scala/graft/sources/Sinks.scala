@@ -112,6 +112,23 @@ object Sinks {
           }
           if (fs.listStatus(genSt.getPath).isEmpty) fs.delete(genSt.getPath, true)
         }
+    // manifests are immutable and tiny, but one lands per upsert — a
+    // micro-batch streaming upsert would grow the listing without
+    // bound. Reap superseded manifests past grace (newest two always
+    // kept: readers resolve the newest, and grace covers a reader that
+    // listed moments before this publish), plus tmp files a crashed
+    // writer leaked.
+    val mdir = manifestDir(path)
+    val manifests = fs.listStatus(mdir)
+      .filter(_.getPath.getName.matches("m-\\d{12}\\.json"))
+      .sortBy(_.getPath.getName)
+    manifests.dropRight(2)
+      .filter(st => now - st.getModificationTime > graceMs)
+      .foreach(st => fs.delete(st.getPath, false))
+    fs.listStatus(mdir)
+      .filter(st => st.getPath.getName.startsWith(".m-tmp-") &&
+        now - st.getModificationTime > graceMs)
+      .foreach(st => fs.delete(st.getPath, false))
   }
 
   /** The manifest record: table generation, fixed bucket count, and the

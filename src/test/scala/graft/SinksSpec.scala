@@ -85,6 +85,26 @@ class SinksSpec extends SparkSpec {
     assert(got.filter($"id" === 7L).select($"payload").head().getString(0) === "p7-v2")
   }
 
+  test("S6 upsert reaps superseded manifests and bucket generations past grace") {
+    val path = tmp()
+    // grace 0: everything superseded is immediately reapable, so the
+    // steady state is newest-2 manifests + only live bucket dirs — the
+    // bound that keeps a micro-batch streaming upsert from growing the
+    // table's metadata without limit
+    for (v <- 1L to 5L)
+      Sinks.upsertByKey(spark, path,
+        Seq((1L, s"p$v", v)).toDF("id", "payload", "version"),
+        "id", "version", buckets = 4, graceMs = 0L)
+    val manifests = Files.list(java.nio.file.Paths.get(s"$path/_graft_manifest"))
+      .toArray.map(_.toString).count(_.endsWith(".json"))
+    assert(manifests === 2, s"expected newest-2 manifests kept, got $manifests")
+    val liveBuckets = Files.walk(java.nio.file.Paths.get(s"$path/data"))
+      .toArray.map(_.toString).count(_.matches(".*__b=\\d+$"))
+    assert(liveBuckets === 1, s"one key → one live bucket dir, got $liveBuckets")
+    val got = Sinks.readUpserted(spark, path).collect()
+    assert(got.length === 1 && got.head.getAs[String]("payload") === "p5")
+  }
+
   test("S6 reader concurrent with upserts always sees a complete consistent snapshot") {
     val path = tmp()
     val keys = 1L to 40L
