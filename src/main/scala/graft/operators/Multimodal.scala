@@ -446,47 +446,76 @@ object Multimodal {
     * expensive part; the cache makes the PPM encode + kernel a
     * once-per-execution cost and is cleared by the same Bench/harness
     * resets as the text family. */
+  /** (media_id, ph) — the 8-band average-hash frame over image media,
+    * through the real PPM encode→parse path. The ONE hashing rule
+    * shared by the batch dedup, the index build and the increment
+    * probe, so their fingerprints can never drift. */
+  private def phashFeatOf(imgs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("ph", ArrayType(IntegerType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    imgs
+      .filter(col("kind") === lit("image"))
+      .select(col("media_id"), col("bytes"),
+        // the mm_features fixture dimensions: 4..11 × 3..7 px per id
+        (lit(4) + pmod(col("media_id"), lit(8))).cast("int").as("w"),
+        (lit(3) + pmod(col("media_id"), lit(5))).cast("int").as("h"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val file = ppmEncode(r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3))
+          Option(ppmAvgHash(file)).map(bands => Row(r.getLong(0), bands.toSeq))
+        }
+      }(enc)
+  }
+
+  /** (media_id, band, bucket) banding of a phash frame — one 8-bit row
+    * band per array element, shared by batch, build and probe. */
+  private def phashBandedOf(hashed: DataFrame): DataFrame =
+    hashed.select(col("media_id"), posexplode(col("ph")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+  /** The 64-bit hamming verify tail shared by [[phashDedupOf]] and
+    * [[probePhashIndex]] — ONE definition, so the probe==batch equality
+    * contract cannot drift on the distance or threshold. */
+  private def phashVerify(cand: DataFrame, dPh: DataFrame,
+      kPh: DataFrame): DataFrame =
+    cand.join(dPh, Seq("media_id")).join(kPh, Seq("keeper"))
+      .withColumn("hamming",
+        expr("aggregate(zip_with(d_ph, k_ph, (x, y) -> bit_count(x ^ y)), " +
+          "0, (a, x) -> a + x)").cast("long"))
+      .withColumn("is_dup", col("hamming") <= lit(6L))
+      .select(col("media_id"), col("keeper"), col("hamming"), col("is_dup"))
+      .orderBy(col("media_id"))
+
+  /** [[mmPhashDedup]]'s whole election + verify pipeline over a
+    * (media_id, ph) frame — factored so the incremental probe's
+    * equality spec can recompute the batch answer over any corpus slice
+    * through the exact code the catalog query runs. */
+  private[graft] def phashDedupOf(hashed: DataFrame): DataFrame = {
+    val banded = phashBandedOf(hashed)
+    val keepers = banded.groupBy(col("band"), col("bucket"))
+      .agg(min(col("media_id")).as("keeper"))
+    val cand = banded.join(keepers, Seq("band", "bucket"))
+      .filter(col("keeper") < col("media_id"))
+      .groupBy(col("media_id")).agg(min(col("keeper")).as("keeper"))
+    phashVerify(cand,
+      hashed.select(col("media_id"), col("ph").as("d_ph")),
+      hashed.select(col("media_id").as("keeper"), col("ph").as("k_ph")))
+  }
+
+  /** The full-corpus phash feature frame, persisted through the shared
+    * feature-cache registry (three plan branches consume it). */
+  private[graft] def phashFeat(s: SparkSession, dir: String): DataFrame =
+    Similarity.cachedFeature(s, s"mm_phash:$dir") {
+      phashFeatOf(media(s, dir))
+    }
+
   val mmPhashDedup = QueryDef(
     "mm_phash_dedup",
-    (s, dir) => {
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types._
-      val outSchema = StructType(Seq(
-        StructField("media_id", LongType),
-        StructField("ph", ArrayType(IntegerType, containsNull = false))))
-      val enc = org.apache.spark.sql.Encoders.row(outSchema)
-      val hashed = Similarity.cachedFeature(s, s"mm_phash:$dir") {
-        media(s, dir)
-          .filter(col("kind") === lit("image"))
-          .select(col("media_id"), col("bytes"),
-            // the mm_features fixture dimensions: 4..11 × 3..7 px per id
-            (lit(4) + pmod(col("media_id"), lit(8))).cast("int").as("w"),
-            (lit(3) + pmod(col("media_id"), lit(5))).cast("int").as("h"))
-          .mapPartitions { rows =>
-            rows.flatMap { r =>
-              val file = ppmEncode(r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3))
-              Option(ppmAvgHash(file)).map(bands => Row(r.getLong(0), bands.toSeq))
-            }
-          }(enc)
-      }
-      val banded = hashed
-        .select(col("media_id"), posexplode(col("ph")))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      val keepers = banded.groupBy(col("band"), col("bucket"))
-        .agg(min(col("media_id")).as("keeper"))
-      banded.join(keepers, Seq("band", "bucket"))
-        .filter(col("keeper") < col("media_id"))
-        .groupBy(col("media_id")).agg(min(col("keeper")).as("keeper"))
-        .join(hashed.select(col("media_id"), col("ph").as("d_ph")), Seq("media_id"))
-        .join(hashed.select(col("media_id").as("keeper"), col("ph").as("k_ph")),
-          Seq("keeper"))
-        .withColumn("hamming",
-          expr("aggregate(zip_with(d_ph, k_ph, (x, y) -> bit_count(x ^ y)), " +
-            "0, (a, x) -> a + x)").cast("long"))
-        .withColumn("is_dup", col("hamming") <= lit(6L))
-        .select(col("media_id"), col("keeper"), col("hamming"), col("is_dup"))
-        .orderBy(col("media_id"))
-    },
+    (s, dir) => phashDedupOf(phashFeat(s, dir)),
     oracle = Some("""
       WITH m AS (
         SELECT doc_id AS media_id,
@@ -535,7 +564,147 @@ object Multimodal {
       GROUP BY c.media_id, c.keeper
       ORDER BY c.media_id"""))
 
+  /** Ingest-time half of INCREMENTAL image dedup — the third
+    * instantiation of [[Similarity.ensureVersionedIndex]] (after
+    * MinHash and SimHash), closing the image modality's re-scan gap:
+    * persists the corpus images' (band, bucket, keeper) frame
+    * partitioned by (band, bshard) plus a (media_id, ph) side table for
+    * exactly the bucket keepers, partitioned by pshard. The corpus is
+    * hashed ONCE here, at ingest. */
+  def writePhashIndex(s: SparkSession, dir: String, indexPath: String,
+      split: Long, shards: Int = Similarity.minhashIndexShards): Unit = {
+    val feat = Similarity.cachedFeature(s, s"mm_phash_incr:$dir:corpus$split") {
+      phashFeatOf(media(s, dir).filter(col("media_id") < lit(split)))
+    }
+    phashBandedOf(feat).groupBy(col("band"), col("bucket"))
+      .agg(min(col("media_id")).as("keeper"))
+      .withColumn("bshard", pmod(col("bucket"), lit(shards.toInt)))
+      .write.mode("overwrite").partitionBy("band", "bshard")
+      .parquet(s"$indexPath/bands")
+    // keeper hashes come from the JUST-WRITTEN bands files — the
+    // banding + election shuffle runs exactly once per index build
+    val storedKeepers = s.read.parquet(s"$indexPath/bands")
+      .select(col("keeper").as("media_id")).distinct()
+    feat.join(storedKeepers, Seq("media_id"))
+      .withColumn("pshard", pmod(col("media_id"), lit(shards.toLong)))
+      .write.mode("overwrite").partitionBy("pshard")
+      .parquet(s"$indexPath/phs")
+  }
+
+  /** Query-time half: dedups the increment's images (media_id >= split)
+    * against the persisted index WITHOUT re-hashing the corpus — same
+    * probe discipline as [[Similarity.probeMinhashIndex]]: pruned bands
+    * read (bounded collect, ≤ 8 × shards partition keys), least-merge
+    * of per-bucket keepers (with append-only ids that IS the bucket
+    * minimum over corpus ∪ increment), pruned keeper-hash read. Output
+    * equals the full [[mmPhashDedup]] restricted to the increment. */
+  def probePhashIndex(s: SparkSession, dir: String, indexPath: String,
+      split: Long, shards: Int = Similarity.minhashIndexShards): DataFrame = {
+    val effShards = Similarity.effShardsOf(indexPath, shards, "probePhashIndex")
+    val feat = Similarity.cachedFeature(s, s"mm_phash_incr:$dir:incr$split") {
+      phashFeatOf(media(s, dir).filter(col("media_id") >= lit(split)))
+    }
+    val banded = phashBandedOf(feat)
+    val incrKeepers = banded.groupBy(col("band"), col("bucket"))
+      .agg(min(col("media_id")).as("ikeeper"))
+    val touched = banded
+      .select(Similarity.mhPartKey(col("band"),
+        pmod(col("bucket"), lit(effShards)), effShards).as("pk"))
+      .distinct().collect().map(_.getLong(0)) // bounded: ≤ 8 × shards
+    val idx = s.read.parquet(s"$indexPath/bands")
+      .filter(Similarity.mhPartKey(col("band"), col("bshard"), effShards)
+        .isin(touched.map(x => x: Any): _*))
+      .select(col("band").cast("int").as("band"),
+        col("bucket").cast("int").as("bucket"), col("keeper"))
+    val merged = incrKeepers.join(idx, Seq("band", "bucket"), "left")
+      .select(col("band"), col("bucket"),
+        least(col("keeper"), col("ikeeper")).as("keeper"))
+    val cand = banded.join(merged, Seq("band", "bucket"))
+      .filter(col("keeper") < col("media_id"))
+      .groupBy(col("media_id")).agg(min(col("keeper")).as("keeper"))
+    val candShards = cand.filter(col("keeper") < lit(split))
+      .select(pmod(col("keeper"), lit(effShards.toLong)).as("ps"))
+      .distinct().collect().map(_.getLong(0)) // bounded: ≤ shards
+    val idxPhs = s.read.parquet(s"$indexPath/phs")
+      .filter(col("pshard").isin(candShards.map(x => x: Any): _*))
+      .select(col("media_id").as("keeper"), col("ph").as("k_ph"))
+    val kPh = feat.select(col("media_id").as("keeper"), col("ph").as("k_ph"))
+      .unionByName(idxPhs)
+    phashVerify(cand, feat.select(col("media_id"), col("ph").as("d_ph")), kPh)
+  }
+
+  /** pHash instantiation of [[Similarity.ensureVersionedIndex]]. */
+  def ensurePhashIndex(s: SparkSession, dir: String): (String, Long) =
+    Similarity.ensureVersionedIndex(s, dir, "ph", "phash", Seq("bands", "phs"),
+      (staging, split, shards) => writePhashIndex(s, dir, staging, split, shards))
+
+  /** mm_phash_incr: incremental image dedup against the persisted phash
+    * index. Unlike the seeded-hash minhash/simhash twins this one is
+    * ORACLE-EXACT: the average-hash is portable integer math and the
+    * split is SQL-expressible (max id − max id / 5), so DuckDB
+    * recomputes the full election from the same source bytes and
+    * restricts it to the increment — the incremental machinery's output
+    * is checked against an independent engine, not just against our own
+    * batch path (which the SemanticsSpec equality additionally pins). */
+  val mmPhashIncr = QueryDef(
+    "mm_phash_incr",
+    (s, dir) => {
+      val (idx, split) = ensurePhashIndex(s, dir)
+      // no shards argument: the path's -sN suffix is authoritative
+      probePhashIndex(s, dir, idx, split)
+    },
+    oracle = Some("""
+      WITH sp AS (
+        SELECT MAX(doc_id) - MAX(doc_id) // 5 AS split FROM documents),
+      m AS (
+        SELECT doc_id AS media_id,
+          hex(encode(text)) AS hx,
+          octet_length(encode(text)) AS len,
+          4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      cells0 AS (
+        SELECT media_id, len, hx, w, h, unnest(range(0, 64)) AS bi
+        FROM m),
+      cells AS (
+        SELECT media_id, len, hx, bi,
+          ((((bi // 8) * h) // 8) * w + (((bi % 8) * w) // 8)) AS p
+        FROM cells0),
+      g AS (
+        SELECT media_id, bi,
+          (CASE WHEN len = 0 THEN 128 ELSE
+            ('0x' || substr(hx, 2 * CAST((3 * p) % len AS INT) + 1, 2))::INTEGER END
+          + CASE WHEN len = 0 THEN 128 ELSE
+            ('0x' || substr(hx, 2 * CAST((3 * p + 1) % len AS INT) + 1, 2))::INTEGER END
+          + CASE WHEN len = 0 THEN 128 ELSE
+            ('0x' || substr(hx, 2 * CAST((3 * p + 2) % len AS INT) + 1, 2))::INTEGER END
+          ) // 3 AS gray
+        FROM cells),
+      st AS (
+        SELECT media_id, CAST(SUM(gray) AS BIGINT) // 64 AS mean
+        FROM g GROUP BY media_id),
+      bands AS (
+        SELECT g.media_id, bi // 8 AS band,
+          CAST(SUM(CASE WHEN gray > mean THEN 1 << (bi % 8) ELSE 0 END) AS INT) AS bucket
+        FROM g JOIN st ON st.media_id = g.media_id
+        GROUP BY g.media_id, bi // 8),
+      keep AS (
+        SELECT band, bucket, MIN(media_id) AS keeper
+        FROM bands GROUP BY band, bucket),
+      cand AS (
+        SELECT b.media_id, MIN(k.keeper) AS keeper
+        FROM bands b JOIN keep k ON k.band = b.band AND k.bucket = b.bucket
+        WHERE k.keeper < b.media_id GROUP BY b.media_id)
+      SELECT c.media_id, c.keeper,
+        CAST(SUM(bit_count(xor(db.bucket, kb.bucket))) AS BIGINT) AS hamming,
+        CAST(SUM(bit_count(xor(db.bucket, kb.bucket))) AS BIGINT) <= 6 AS is_dup
+      FROM cand c
+      JOIN bands db ON db.media_id = c.media_id
+      JOIN bands kb ON kb.media_id = c.keeper AND kb.band = db.band
+      WHERE c.media_id >= (SELECT split FROM sp)
+      GROUP BY c.media_id, c.keeper
+      ORDER BY c.media_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(mmIngest, mmFeatures, mmAudioLevels, mmSceneCut, mmResize,
-      mmFrameSample, mmPhashDedup)
+      mmFrameSample, mmPhashDedup, mmPhashIncr)
 }

@@ -896,7 +896,7 @@ object Similarity {
     * argument that disagrees with a version-shaped path is a caller
     * error and fails loudly rather than silently mis-pruning (the
     * default-valued argument carries no intent and defers). */
-  private def effShardsOf(indexPath: String, passed: Int, what: String): Int =
+  private[operators] def effShardsOf(indexPath: String, passed: Int, what: String): Int =
     indexShardsOf(indexPath) match {
       case Some(fromPath) =>
         require(passed == minhashIndexShards || passed == fromPath,
@@ -911,7 +911,7 @@ object Similarity {
     * expression both the probe's bounded collect and the index-read
     * filter use, so the pruning predicate can never drift from the
     * layout. Partition-column-only, hence pushed as a PartitionFilter. */
-  private def mhPartKey(band: org.apache.spark.sql.Column,
+  private[operators] def mhPartKey(band: org.apache.spark.sql.Column,
       bshard: org.apache.spark.sql.Column,
       shards: Int): org.apache.spark.sql.Column =
     band.cast("long") * lit(shards.toLong) + bshard.cast("long")

@@ -114,7 +114,8 @@ class PlanSpec extends SparkSpec {
         "mm_phash_dedup" -> "documents.parquet",
         // r8: the incremental probe's increment-slice frame is cached too
         "dd_minhash_incr" -> "documents.parquet",
-        "dd_simhash_incr" -> "documents.parquet")) {
+        "dd_simhash_incr" -> "documents.parquet",
+        "mm_phash_incr" -> "documents.parquet")) {
       val p = plan(n)
       val scans = p.linesIterator.count(l =>
         l.contains("FileScan parquet") && l.contains(table))
@@ -160,10 +161,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dd_simhash_incr: index read is partition-pruned, increment scan pushes doc_id") {
-    // the simhash instantiation must carry the same plan guarantees as
-    // the minhash one: pruned bands read, pruned keeper-fingerprint
-    // read, pushed increment filter — the generic machinery's contract
-    val p = plan("dd_simhash_incr")
+    assertIncrProbePlan(plan("dd_simhash_incr"), "sshard")
+  }
+
+  test("mm_phash_incr: index read is partition-pruned, increment scan pushes doc_id") {
+    assertIncrProbePlan(plan("mm_phash_incr"), "pshard")
+  }
+
+  /** The incremental-probe plan contract every ensureVersionedIndex
+    * instantiation must carry: pruned bands read, pruned
+    * keeper-feature read, pushed increment id filter. */
+  private def assertIncrProbePlan(p: String, featShard: String): Unit = {
     val bandsScan = p.linesIterator
       .find(l => l.contains("FileScan parquet") && l.contains("bshard"))
       .getOrElse("")
@@ -172,14 +180,14 @@ class PlanSpec extends SparkSpec {
     assert(bandsScan.contains("PartitionFilters: [") &&
       !bandsScan.contains("PartitionFilters: []"),
       s"band-index read is not partition-pruned: $bandsScan")
-    val simsScan = p.linesIterator
-      .find(l => l.contains("FileScan parquet") && l.contains("sshard"))
+    val featScan = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains(featShard))
       .getOrElse("")
-    assert(simsScan.nonEmpty, "no keeper-fingerprint scan in the plan:\n" +
+    assert(featScan.nonEmpty, "no keeper-feature scan in the plan:\n" +
       p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
-    assert(simsScan.contains("PartitionFilters: [") &&
-      !simsScan.contains("PartitionFilters: []"),
-      s"keeper-fingerprint read is not partition-pruned: $simsScan")
+    assert(featScan.contains("PartitionFilters: [") &&
+      !featScan.contains("PartitionFilters: []"),
+      s"keeper-feature read is not partition-pruned: $featScan")
     assert(p.contains("GreaterThanOrEqual(doc_id"),
       "increment doc_id filter not pushed to the documents scan")
   }

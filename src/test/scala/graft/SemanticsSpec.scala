@@ -128,6 +128,26 @@ class SemanticsSpec extends SparkSpec {
     assert(corpus === full.filter(_.getAs[Long]("doc_id") < split))
   }
 
+  test("mm_phash_incr: index probe == full mm_phash_dedup recompute restricted to the increment") {
+    import graft.operators.Multimodal
+    // third instantiation of the incremental contract, image modality;
+    // this one is additionally oracle-checked (portable integer hash)
+    val full = Multimodal.mmPhashDedup.run(spark, sf001).collect().toSeq
+    val (_, split) = Multimodal.ensurePhashIndex(spark, sf001)
+    val probe = Multimodal.mmPhashIncr.run(spark, sf001).collect().toSeq
+    assert(probe === full.filter(_.getAs[Long]("media_id") >= split))
+    assert(probe.nonEmpty, "vacuous: the increment produced no candidate rows")
+    assert(probe.exists(_.getAs[Long]("keeper") < split),
+      "vacuous: no increment image elected a CORPUS keeper — the index join was never exercised")
+    // corpus side: the batch dedup over the corpus images alone equals
+    // the full recompute's corpus rows (append-only ids can never steal
+    // a corpus bucket minimum)
+    val corpus = Multimodal.phashDedupOf(
+      Multimodal.phashFeat(spark, sf001).filter(col("media_id") < split))
+      .collect().toSeq
+    assert(corpus === full.filter(_.getAs[Long]("media_id") < split))
+  }
+
   test("minhash index: versioned publish is idempotent, reaps only past-grace stale dirs") {
     import graft.operators.Similarity
     // same source, same split → the SAME published version directory,
