@@ -653,39 +653,62 @@ object Similarity {
     * without planted dups. Candidate generation is the linear keeper
     * shape: min vec_id per bucket, one verified candidate per vector —
     * no all-pairs join. */
+  /** The one embedding-LSH banding rule (8 bands × 2 bits: high recall
+    * at low-cosine pairs) shared by the batch dedup, the index build
+    * and the increment probe. A stable val: the hyperplanes are drawn
+    * once from the fixed seed, so every consumer bands identically. */
+  private val embBandsUdf =
+    hyperplaneBandsUdf(dim = 64, nPlanes = 16, nBands = 8, seed = 1337L)
+
+  /** (vec_id, v, bands, norm) over an arbitrary embeddings frame. */
+  private[graft] def embFeatOf(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("bands", embBandsUdf(col("v")))
+      .withColumn("norm", sqrt(dotDouble(col("v"), col("v"))))
+
+  private def embBandedOf(feat: DataFrame): DataFrame =
+    feat.select(col("vec_id"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+  /** The exact-cosine verify tail shared by [[embDedupOf]] and
+    * [[probeEmbeddingIndex]] — ONE definition, so the probe==batch
+    * equality contract cannot drift on the score or threshold. */
+  private def cosineVerify(cand: DataFrame, dSide: DataFrame,
+      kSide: DataFrame): DataFrame =
+    cand
+      .join(dSide, Seq("vec_id"))
+      .join(kSide, Seq("keeper"))
+      .withColumn("cos", dotDouble(col("v"), col("kv")) / (col("norm") * col("kn")))
+      .withColumn("is_dup", col("cos") >= lit(0.40))
+      .select(col("vec_id"), col("keeper"),
+        round(col("cos") * lit(1000000), 0).cast("long").as("cos_q6"),
+        col("is_dup"))
+      .orderBy(col("vec_id"))
+
+  /** [[ddEmbedding]]'s whole election + verify pipeline over a feature
+    * frame — factored so the incremental probe's equality spec can
+    * recompute the batch answer over any corpus slice through the exact
+    * code the catalog query runs. */
+  private[graft] def embDedupOf(feat: DataFrame): DataFrame = {
+    val banded = embBandedOf(feat)
+    val keepers = banded.groupBy(col("band"), col("bucket"))
+      .agg(min(col("vec_id")).as("keeper"))
+    val cand = banded.join(keepers, Seq("band", "bucket"))
+      .filter(col("keeper") < col("vec_id"))
+      .groupBy(col("vec_id")).agg(min(col("keeper")).as("keeper"))
+    val withNorm = feat.select(col("vec_id"), col("v"), col("norm"))
+    cosineVerify(cand, withNorm,
+      withNorm.select(col("vec_id").as("keeper"), col("v").as("kv"),
+        col("norm").as("kn")))
+  }
+
   val ddEmbedding = QueryDef(
     "dd_embedding",
-    (s, dir) => {
-      // 8 bands x 2 bits: high recall at low-cosine pairs
-      val bandValsUdf = hyperplaneBandsUdf(dim = 64, nPlanes = 16, nBands = 8, seed = 1337L)
-      // ONE pass over embeddings: LSH bands + norm per vector, persisted
-      // for the banding branch and both exact-verify join sides
-      val feat = cachedFeature(s, s"dd_embedding:$dir") {
-        T(s, dir).embeddings
-          .select(col("vec_id"), col("embedding").as("v"))
-          .withColumn("bands", bandValsUdf(col("v")))
-          .withColumn("norm", sqrt(dotDouble(col("v"), col("v"))))
-      }
-      val banded = feat
-        .select(col("vec_id"), posexplode(col("bands")))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      val keepers = banded.groupBy(col("band"), col("bucket"))
-        .agg(min(col("vec_id")).as("keeper"))
-      val cand = banded.join(keepers, Seq("band", "bucket"))
-        .filter(col("keeper") < col("vec_id"))
-        .groupBy(col("vec_id")).agg(min(col("keeper")).as("keeper"))
-      val withNorm = feat.select(col("vec_id"), col("v"), col("norm"))
-      cand
-        .join(withNorm, Seq("vec_id"))
-        .join(withNorm.select(col("vec_id").as("keeper"), col("v").as("kv"),
-          col("norm").as("kn")), Seq("keeper"))
-        .withColumn("cos", dotDouble(col("v"), col("kv")) / (col("norm") * col("kn")))
-        .withColumn("is_dup", col("cos") >= lit(0.40))
-        .select(col("vec_id"), col("keeper"),
-          round(col("cos") * lit(1000000), 0).cast("long").as("cos_q6"),
-          col("is_dup"))
-        .orderBy(col("vec_id"))
-    },
+    // ONE pass over embeddings: LSH bands + norm per vector, persisted
+    // for the banding branch and both exact-verify join sides
+    (s, dir) => embDedupOf(cachedFeature(s, s"dd_embedding:$dir") {
+      embFeatOf(T(s, dir).embeddings)
+    }),
     oracle = None)
 
   /** IVF-style ANN top-k with a one-step Lloyd-refined coarse quantizer:
@@ -1085,24 +1108,31 @@ object Similarity {
     * name — the subsystem-wide default under its historical name — then
     * to the JVM-wide default vars; `parts` are the layout subdirs that
     * must exist before the marker may bless a version. */
+  /** Default corpus-identity reader: max doc_id of the documents table.
+    * A single-column bounded agg, not the feature cache — warming the
+    * full-corpus frame here would undo the probe's increment-only read. */
+  private def documentsMaxId(s: SparkSession, dir: String): Long = {
+    val maxRow = T(s, dir).documents.agg(max(col("doc_id"))).head()
+    require(!maxRow.isNullAt(0),
+      s"index build: documents corpus at $dir is empty — nothing to index")
+    maxRow.getLong(0)
+  }
+
   private[graft] def ensureVersionedIndex(
       s: SparkSession, dir: String, famPrefix: String, confFamily: String,
-      parts: Seq[String], build: (String, Long, Int) => Unit): (String, Long) =
+      parts: Seq[String], build: (String, Long, Int) => Unit,
+      srcFile: String = "documents.parquet",
+      maxIdOf: (SparkSession, String) => Long = documentsMaxId): (String, Long) =
     idxLock.synchronized {
       import org.apache.hadoop.fs.Path
       def conf(key: String, dflt: String): String =
         s.conf.getOption(s"spark.graft.$confFamily.$key")
           .orElse(s.conf.getOption(s"spark.graft.minhash.$key"))
           .getOrElse(dflt)
-      // single-column bounded agg, not the feature cache: warming the
-      // full-corpus frame here would undo the probe's increment-only read
-      val maxRow = T(s, dir).documents.agg(max(col("doc_id"))).head()
-      require(!maxRow.isNullAt(0),
-        s"$confFamily index: documents corpus at $dir is empty — nothing to index")
-      val maxId = maxRow.getLong(0)
+      val maxId = maxIdOf(s, dir)
       val split = maxId - maxId / 5
       val hconf = s.sparkContext.hadoopConfiguration
-      val src = new Path(s"$dir/documents.parquet")
+      val src = new Path(s"$dir/$srcFile")
       val srcFs = src.getFileSystem(hconf)
       val srcSt = srcFs.getFileStatus(src) // loud FileNotFound on a bad dir
       val srcMtime =
@@ -1444,7 +1474,108 @@ object Similarity {
     },
     oracle = None)
 
+  /** Ingest-time half of INCREMENTAL embedding dedup — the fourth
+    * [[ensureVersionedIndex]] instantiation, over the EMBEDDINGS table
+    * (the generic machinery's first non-documents corpus): persists the
+    * corpus vectors' (band, bucket, keeper) frame partitioned by
+    * (band, bshard), plus a (vec_id, v, norm) side table for exactly
+    * the bucket keepers (only they can be elected by a probe — the
+    * cosine verify needs no other corpus vectors), partitioned by
+    * vshard. The corpus is banded ONCE here, at ingest. */
+  def writeEmbeddingIndex(s: SparkSession, dir: String, indexPath: String,
+      split: Long, shards: Int = minhashIndexShards): Unit = {
+    val feat = cachedFeature(s, s"dd_embedding_incr:$dir:corpus$split") {
+      embFeatOf(T(s, dir).embeddings.filter(col("vec_id") < lit(split)))
+    }
+    embBandedOf(feat).groupBy(col("band"), col("bucket"))
+      .agg(min(col("vec_id")).as("keeper"))
+      .withColumn("bshard", pmod(col("bucket"), lit(shards.toLong)))
+      .write.mode("overwrite").partitionBy("band", "bshard")
+      .parquet(s"$indexPath/bands")
+    // keeper vectors come from the JUST-WRITTEN bands files — the
+    // banding + election shuffle runs exactly once per index build
+    val storedKeepers = s.read.parquet(s"$indexPath/bands")
+      .select(col("keeper").as("vec_id")).distinct()
+    feat.select(col("vec_id"), col("v"), col("norm"))
+      .join(storedKeepers, Seq("vec_id"))
+      .withColumn("vshard", pmod(col("vec_id"), lit(shards.toLong)))
+      .write.mode("overwrite").partitionBy("vshard")
+      .parquet(s"$indexPath/vecs")
+  }
+
+  /** Query-time half: dedups the increment's vectors (vec_id >= split)
+    * against the persisted index WITHOUT re-banding the corpus — the
+    * same probe discipline as the other three families: pruned bands
+    * read (bounded collect), least-merge of per-bucket keepers (with
+    * append-only ids that IS the bucket minimum over corpus ∪
+    * increment), pruned keeper-vector read, exact-cosine verify through
+    * the shared tail. Output equals the full [[ddEmbedding]] recompute
+    * restricted to the increment (bit-equal, spec-asserted). */
+  def probeEmbeddingIndex(s: SparkSession, dir: String, indexPath: String,
+      split: Long, shards: Int = minhashIndexShards): DataFrame = {
+    val effShards = effShardsOf(indexPath, shards, "probeEmbeddingIndex")
+    val feat = cachedFeature(s, s"dd_embedding_incr:$dir:incr$split") {
+      embFeatOf(T(s, dir).embeddings.filter(col("vec_id") >= lit(split)))
+    }
+    val banded = embBandedOf(feat)
+    val incrKeepers = banded.groupBy(col("band"), col("bucket"))
+      .agg(min(col("vec_id")).as("ikeeper"))
+    val touched = banded
+      .select(mhPartKey(col("band"),
+        pmod(col("bucket"), lit(effShards.toLong)), effShards).as("pk"))
+      .distinct().collect().map(_.getLong(0)) // bounded: ≤ 8 × shards
+    val idx = s.read.parquet(s"$indexPath/bands")
+      .filter(mhPartKey(col("band"), col("bshard"), effShards)
+        .isin(touched.map(x => x: Any): _*))
+      .select(col("band").cast("int").as("band"), col("bucket"), col("keeper"))
+    val merged = incrKeepers.join(idx, Seq("band", "bucket"), "left")
+      .select(col("band"), col("bucket"),
+        least(col("keeper"), col("ikeeper")).as("keeper"))
+    val cand = banded.join(merged, Seq("band", "bucket"))
+      .filter(col("keeper") < col("vec_id"))
+      .groupBy(col("vec_id")).agg(min(col("keeper")).as("keeper"))
+    val candShards = cand.filter(col("keeper") < lit(split))
+      .select(pmod(col("keeper"), lit(effShards.toLong)).as("vs"))
+      .distinct().collect().map(_.getLong(0)) // bounded: ≤ shards
+    val idxVecs = s.read.parquet(s"$indexPath/vecs")
+      .filter(col("vshard").isin(candShards.map(x => x: Any): _*))
+      .select(col("vec_id").as("keeper"), col("v").as("kv"),
+        col("norm").as("kn"))
+    val kSide = feat.select(col("vec_id").as("keeper"), col("v").as("kv"),
+      col("norm").as("kn")).unionByName(idxVecs)
+    cosineVerify(cand,
+      feat.select(col("vec_id"), col("v"), col("norm")), kSide)
+  }
+
+  /** Embedding instantiation of [[ensureVersionedIndex]] — versioned by
+    * the EMBEDDINGS table's max id and mtime. */
+  def ensureEmbeddingIndex(s: SparkSession, dir: String): (String, Long) =
+    ensureVersionedIndex(s, dir, "emb", "embedding", Seq("bands", "vecs"),
+      (staging, split, shards) =>
+        writeEmbeddingIndex(s, dir, staging, split, shards),
+      srcFile = "embeddings.parquet",
+      maxIdOf = (ss, d) => {
+        val r = T(ss, d).embeddings.agg(max(col("vec_id"))).head()
+        require(!r.isNullAt(0),
+          s"embedding index: embeddings corpus at $d is empty — nothing to index")
+        r.getLong(0)
+      })
+
+  /** dd_embedding_incr: incremental embedding dedup — the fourth index
+    * family, closing the last modality that still re-scanned its corpus
+    * at ingest (text minhash/simhash and images already probe persisted
+    * indexes). Rows-only check (float-dependent cosine); pinned by the
+    * equality spec + the shared PartitionFilters plan lock. */
+  val ddEmbeddingIncr = QueryDef(
+    "dd_embedding_incr",
+    (s, dir) => {
+      val (idx, split) = ensureEmbeddingIndex(s, dir)
+      // no shards argument: the path's -sN suffix is authoritative
+      probeEmbeddingIndex(s, dir, idx, split)
+    },
+    oracle = None)
+
   val defs: Seq[QueryDef] = Seq(simTopkDot, simTopkCosine, simTopkCosineQ,
     simLshTopk, simIvfTopk, ddMinhash, ddMinhashCc, ddMinhashIncr,
-    ddSimhash, ddSimhashIncr, ddEmbedding)
+    ddSimhash, ddSimhashIncr, ddEmbedding, ddEmbeddingIncr)
 }

@@ -115,7 +115,8 @@ class PlanSpec extends SparkSpec {
         // r8: the incremental probe's increment-slice frame is cached too
         "dd_minhash_incr" -> "documents.parquet",
         "dd_simhash_incr" -> "documents.parquet",
-        "mm_phash_incr" -> "documents.parquet")) {
+        "mm_phash_incr" -> "documents.parquet",
+        "dd_embedding_incr" -> "embeddings.parquet")) {
       val p = plan(n)
       val scans = p.linesIterator.count(l =>
         l.contains("FileScan parquet") && l.contains(table))
@@ -168,10 +169,15 @@ class PlanSpec extends SparkSpec {
     assertIncrProbePlan(plan("mm_phash_incr"), "pshard")
   }
 
+  test("dd_embedding_incr: index read is partition-pruned, increment scan pushes vec_id") {
+    assertIncrProbePlan(plan("dd_embedding_incr"), "vshard", idCol = "vec_id")
+  }
+
   /** The incremental-probe plan contract every ensureVersionedIndex
     * instantiation must carry: pruned bands read, pruned
     * keeper-feature read, pushed increment id filter. */
-  private def assertIncrProbePlan(p: String, featShard: String): Unit = {
+  private def assertIncrProbePlan(p: String, featShard: String,
+      idCol: String = "doc_id"): Unit = {
     val bandsScan = p.linesIterator
       .find(l => l.contains("FileScan parquet") && l.contains("bshard"))
       .getOrElse("")
@@ -188,8 +194,8 @@ class PlanSpec extends SparkSpec {
     assert(featScan.contains("PartitionFilters: [") &&
       !featScan.contains("PartitionFilters: []"),
       s"keeper-feature read is not partition-pruned: $featScan")
-    assert(p.contains("GreaterThanOrEqual(doc_id"),
-      "increment doc_id filter not pushed to the documents scan")
+    assert(p.contains(s"GreaterThanOrEqual($idCol"),
+      s"increment $idCol filter not pushed to the corpus scan")
   }
 
   test("a5_cube_matrix: cube expands then aggregates partially (map-side combine)") {

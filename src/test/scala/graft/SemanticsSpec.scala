@@ -148,6 +148,22 @@ class SemanticsSpec extends SparkSpec {
     assert(corpus === full.filter(_.getAs[Long]("media_id") < split))
   }
 
+  test("dd_embedding_incr: index probe == full dd_embedding recompute restricted to the increment") {
+    import graft.operators.Similarity
+    // fourth instantiation, embeddings modality — the generic ensure's
+    // first non-documents corpus (versioned by embeddings max id+mtime)
+    val full = Similarity.ddEmbedding.run(spark, sf001).collect().toSeq
+    val (_, split) = Similarity.ensureEmbeddingIndex(spark, sf001)
+    val probe = Similarity.ddEmbeddingIncr.run(spark, sf001).collect().toSeq
+    assert(probe === full.filter(_.getAs[Long]("vec_id") >= split))
+    assert(probe.nonEmpty, "vacuous: the increment produced no candidate rows")
+    assert(probe.exists(_.getAs[Long]("keeper") < split),
+      "vacuous: no increment vector elected a CORPUS keeper — the index join was never exercised")
+    val corpus = Similarity.embDedupOf(Similarity.embFeatOf(
+      Tables(spark, sf001).embeddings.filter(col("vec_id") < split))).collect().toSeq
+    assert(corpus === full.filter(_.getAs[Long]("vec_id") < split))
+  }
+
   test("minhash index: versioned publish is idempotent, reaps only past-grace stale dirs") {
     import graft.operators.Similarity
     // same source, same split → the SAME published version directory,
