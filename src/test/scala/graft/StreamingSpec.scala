@@ -36,13 +36,14 @@ class StreamingSpec extends SparkSpec {
 
   private val batches = allEvents.grouped(400).toSeq
 
-  test("ST8 live fan-out: streaming partitioned append accumulates and prunes per key") {
+  test("ST8 live fan-out: streaming partitioned append accumulates, prunes per key, resumes from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-st8-live").resolve("t").toString
+    val base = java.nio.file.Files.createTempDirectory("graft-st8-live")
+    val path = base.resolve("t").toString
+    val ckpt = base.resolve("ckpt").toString
     val mem = MemoryStream[(Long, String)]
     val q = StreamOps.partitionedFanout(
-      mem.toDF().toDF("event_id", "room"), path, "room")
+      mem.toDF().toDF("event_id", "room"), path, "room", Some(ckpt))
     try {
       mem.addData((1L, "alpha"), (2L, "beta")); q.processAllAvailable()
       mem.addData((3L, "alpha"), (4L, "gamma")); q.processAllAvailable()
@@ -57,6 +58,15 @@ class StreamingSpec extends SparkSpec {
       !scan.contains("PartitionFilters: []"),
       s"per-room read is not partition-pruned: $scan")
     assert(spark.read.parquet(path).count() === 4)
+    // checkpointed restart: the resumed query must NOT re-append the
+    // already-committed history — only new data lands
+    val q2 = StreamOps.partitionedFanout(
+      mem.toDF().toDF("event_id", "room"), path, "room", Some(ckpt))
+    try {
+      mem.addData((5L, "beta")); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(path).count() === 5,
+      "restart from checkpoint must resume, not replay history")
   }
 
   /** Deterministic latest-row-per-key extraction for update-mode memory
