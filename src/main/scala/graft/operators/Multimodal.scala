@@ -571,25 +571,24 @@ object Multimodal {
     * partitioned by (band, bshard) plus a (media_id, ph) side table for
     * exactly the bucket keepers, partitioned by pshard. The corpus is
     * hashed ONCE here, at ingest. */
+  /** pHash family shape for the shared
+    * [[Similarity.writeIncrIndex]]/[[Similarity.probeIncrIndex]] core. */
+  private val phFamily = Similarity.IncrFamily(
+    what = "probePhashIndex",
+    idCol = "media_id", featSubdir = "phs", featShardCol = "pshard",
+    bandedOf = phashBandedOf,
+    sideOf = identity,
+    kRename = d => d.select(col("media_id").as("keeper"), col("ph").as("k_ph")),
+    verify = (cand, feat, kSide) =>
+      phashVerify(cand,
+        feat.select(col("media_id"), col("ph").as("d_ph")), kSide))
+
   def writePhashIndex(s: SparkSession, dir: String, indexPath: String,
-      split: Long, shards: Int = Similarity.minhashIndexShards): Unit = {
-    val feat = Similarity.cachedFeature(s, s"mm_phash_incr:$dir:corpus$split") {
-      phashFeatOf(media(s, dir).filter(col("media_id") < lit(split)))
-    }
-    phashBandedOf(feat).groupBy(col("band"), col("bucket"))
-      .agg(min(col("media_id")).as("keeper"))
-      .withColumn("bshard", pmod(col("bucket"), lit(shards.toInt)))
-      .write.mode("overwrite").partitionBy("band", "bshard")
-      .parquet(s"$indexPath/bands")
-    // keeper hashes come from the JUST-WRITTEN bands files — the
-    // banding + election shuffle runs exactly once per index build
-    val storedKeepers = s.read.parquet(s"$indexPath/bands")
-      .select(col("keeper").as("media_id")).distinct()
-    feat.join(storedKeepers, Seq("media_id"))
-      .withColumn("pshard", pmod(col("media_id"), lit(shards.toLong)))
-      .write.mode("overwrite").partitionBy("pshard")
-      .parquet(s"$indexPath/phs")
-  }
+      split: Long, shards: Int = Similarity.minhashIndexShards): Unit =
+    Similarity.writeIncrIndex(s, indexPath, shards, phFamily,
+      Similarity.cachedFeature(s, s"mm_phash_incr:$dir:corpus$split") {
+        phashFeatOf(media(s, dir).filter(col("media_id") < lit(split)))
+      })
 
   /** Query-time half: dedups the increment's images (media_id >= split)
     * against the persisted index WITHOUT re-hashing the corpus — same
@@ -599,39 +598,11 @@ object Multimodal {
     * minimum over corpus ∪ increment), pruned keeper-hash read. Output
     * equals the full [[mmPhashDedup]] restricted to the increment. */
   def probePhashIndex(s: SparkSession, dir: String, indexPath: String,
-      split: Long, shards: Int = Similarity.minhashIndexShards): DataFrame = {
-    val effShards = Similarity.effShardsOf(indexPath, shards, "probePhashIndex")
-    val feat = Similarity.cachedFeature(s, s"mm_phash_incr:$dir:incr$split") {
-      phashFeatOf(media(s, dir).filter(col("media_id") >= lit(split)))
-    }
-    val banded = phashBandedOf(feat)
-    val incrKeepers = banded.groupBy(col("band"), col("bucket"))
-      .agg(min(col("media_id")).as("ikeeper"))
-    val touched = banded
-      .select(Similarity.mhPartKey(col("band"),
-        pmod(col("bucket"), lit(effShards)), effShards).as("pk"))
-      .distinct().collect().map(_.getLong(0)) // bounded: ≤ 8 × shards
-    val idx = s.read.parquet(s"$indexPath/bands")
-      .filter(Similarity.mhPartKey(col("band"), col("bshard"), effShards)
-        .isin(touched.map(x => x: Any): _*))
-      .select(col("band").cast("int").as("band"),
-        col("bucket").cast("int").as("bucket"), col("keeper"))
-    val merged = incrKeepers.join(idx, Seq("band", "bucket"), "left")
-      .select(col("band"), col("bucket"),
-        least(col("keeper"), col("ikeeper")).as("keeper"))
-    val cand = banded.join(merged, Seq("band", "bucket"))
-      .filter(col("keeper") < col("media_id"))
-      .groupBy(col("media_id")).agg(min(col("keeper")).as("keeper"))
-    val candShards = cand.filter(col("keeper") < lit(split))
-      .select(pmod(col("keeper"), lit(effShards.toLong)).as("ps"))
-      .distinct().collect().map(_.getLong(0)) // bounded: ≤ shards
-    val idxPhs = s.read.parquet(s"$indexPath/phs")
-      .filter(col("pshard").isin(candShards.map(x => x: Any): _*))
-      .select(col("media_id").as("keeper"), col("ph").as("k_ph"))
-    val kPh = feat.select(col("media_id").as("keeper"), col("ph").as("k_ph"))
-      .unionByName(idxPhs)
-    phashVerify(cand, feat.select(col("media_id"), col("ph").as("d_ph")), kPh)
-  }
+      split: Long, shards: Int = Similarity.minhashIndexShards): DataFrame =
+    Similarity.probeIncrIndex(s, indexPath, split, shards, phFamily,
+      Similarity.cachedFeature(s, s"mm_phash_incr:$dir:incr$split") {
+        phashFeatOf(media(s, dir).filter(col("media_id") >= lit(split)))
+      })
 
   /** pHash instantiation of [[Similarity.ensureVersionedIndex]]. */
   def ensurePhashIndex(s: SparkSession, dir: String): (String, Long) =

@@ -939,25 +939,46 @@ object Similarity {
       shards: Int): org.apache.spark.sql.Column =
     band.cast("long") * lit(shards.toLong) + bshard.cast("long")
 
-  /** Ingest-time half of incremental dedup: persists the corpus's
-    * (band, bucket, keeper) frame partitioned by (band, bshard), plus a
-    * (doc_id, toks) side table for exactly the docs that are bucket
-    * keepers (only they can be elected by a probe — verify needs no
-    * other corpus tokens). The corpus is scanned ONCE here, at ingest;
-    * every later increment dedups against these files without touching
-    * the corpus again — the append-only ingest pattern of the
-    * reference's identity stream (merkle.ts:116-125), applied to the
-    * dedup family the way [[writeIvfIndex]] applies it to ANN cells. */
-  def writeMinhashIndex(s: SparkSession, dir: String, indexPath: String,
-      split: Long, shards: Int = minhashIndexShards): Unit = {
-    // a direct filtered scan (doc_id pushed to parquet), NOT the
-    // full-corpus cache: ingest reads the corpus slice once, and the
-    // cache serves this function's two write branches
-    val feat = cachedFeature(s, s"dd_minhash_incr:$dir:corpus$split") {
-      minhashFeatOf(T(s, dir).documents.filter(col("doc_id") < lit(split)))
-    }
-    bandedOf(feat).groupBy(col("band"), col("bucket"))
-      .agg(min(col("doc_id")).as("keeper"))
+  /** The column-level shape of one incremental index family — the
+    * second axis of genericity next to [[ensureVersionedIndex]] (which
+    * owns versioning/publish): everything the shared
+    * [[writeIncrIndex]]/[[probeIncrIndex]] bodies need to serve
+    * MinHash, SimHash, image pHash and embedding LSH from ONE
+    * implementation, so a pruning or merge fix can never land in one
+    * family and drift from the others.
+    *
+    * `idCol` — the corpus id (doc_id/media_id/vec_id; ids are
+    * append-only, which is what makes least-merge the true bucket
+    * minimum). `featSubdir`/`featShardCol` — the keeper side table's
+    * layout. `bandedOf` — feature frame → (id, band, bucket).
+    * `sideOf` — feature frame → the keeper side projection (id +
+    * verify features), applied identically at build and probe time so
+    * both paths drop degenerate rows at the SAME stage. `kRename` — a
+    * side frame → keeper-join names (keeper, k_*). `verify` —
+    * (candidates, increment feature frame, keeper side) → result. */
+  private[operators] final case class IncrFamily(
+      what: String,
+      idCol: String,
+      featSubdir: String,
+      featShardCol: String,
+      bandedOf: DataFrame => DataFrame,
+      sideOf: DataFrame => DataFrame,
+      kRename: DataFrame => DataFrame,
+      verify: (DataFrame, DataFrame, DataFrame) => DataFrame)
+
+  /** Ingest-time half shared by every family: persists the corpus's
+    * (band, bucket, keeper) frame partitioned by (band, bshard), plus
+    * the keeper side table (only bucket keepers can be elected by a
+    * probe — verify needs no other corpus features). The corpus is
+    * scanned ONCE here, at ingest; every later increment dedups against
+    * these files without touching the corpus again — the append-only
+    * ingest pattern of the reference's identity stream
+    * (merkle.ts:116-125), applied to the dedup family the way
+    * [[writeIvfIndex]] applies it to ANN cells. */
+  private[operators] def writeIncrIndex(s: SparkSession, indexPath: String,
+      shards: Int, fam: IncrFamily, feat: DataFrame): Unit = {
+    fam.bandedOf(feat).groupBy(col("band"), col("bucket"))
+      .agg(min(col(fam.idCol)).as("keeper"))
       .withColumn("bshard", pmod(col("bucket"), lit(shards.toLong)))
       .write.mode("overwrite").partitionBy("band", "bshard")
       .parquet(s"$indexPath/bands")
@@ -965,18 +986,93 @@ object Similarity {
     // evaluation of the keepers frame — the banding + election shuffle
     // (the dominant ingest cost) runs exactly once per index build
     val storedKeepers = s.read.parquet(s"$indexPath/bands")
-      .select(col("keeper").as("doc_id")).distinct()
-    // same size(toks) > 0 guard the probe applies to its verify frame:
-    // both paths must drop empty-token keepers at the SAME stage, so
-    // probe ≡ batch equality never depends on the Jaccard threshold
-    // happening to discard empty-k_toks pairs
-    feat.select(col("doc_id"), col("toks"))
-      .filter(size(col("toks")) > lit(0))
-      .join(storedKeepers, Seq("doc_id"))
-      .withColumn("tshard", pmod(col("doc_id"), lit(shards.toLong)))
-      .write.mode("overwrite").partitionBy("tshard")
-      .parquet(s"$indexPath/toks")
+      .select(col("keeper").as(fam.idCol)).distinct()
+    fam.sideOf(feat)
+      .join(storedKeepers, Seq(fam.idCol))
+      .withColumn(fam.featShardCol, pmod(col(fam.idCol), lit(shards.toLong)))
+      .write.mode("overwrite").partitionBy(fam.featShardCol)
+      .parquet(s"$indexPath/${fam.featSubdir}")
   }
+
+  /** Query-time half shared by every family: dedups the increment
+    * (id >= split) against the persisted index WITHOUT re-scanning the
+    * corpus. The bands read is pruned to the (band, bshard) partitions
+    * the increment's own banding touches (bounded collect, ≤ nBands ×
+    * shards values no matter the corpus size); per-bucket keepers merge
+    * as `least(index keeper, increment min)` — with append-only ids
+    * that IS the bucket minimum over corpus ∪ increment, so the output
+    * equals the full batch recompute restricted to the increment, a
+    * property each family's equality spec asserts literally. Verify
+    * features come from the increment frame plus the index's keeper
+    * side table, the latter pruned to the shards the elected CORPUS
+    * keepers occupy (a second bounded collect — candidates are ≤ one
+    * per increment row). Both prunings are real when the increment is
+    * small next to the corpus — the steady-state ingest case — and
+    * degrade to full index reads (never corpus reads) for bulk
+    * increments like the test's 20% slice. */
+  private[operators] def probeIncrIndex(s: SparkSession, indexPath: String,
+      split: Long, shards: Int, fam: IncrFamily, feat: DataFrame): DataFrame = {
+    val effShards = effShardsOf(indexPath, shards, fam.what)
+    val banded = fam.bandedOf(feat)
+    val incrKeepers = banded.groupBy(col("band"), col("bucket"))
+      .agg(min(col(fam.idCol)).as("ikeeper"))
+    val touched = banded
+      .select(mhPartKey(col("band"),
+        pmod(col("bucket"), lit(effShards.toLong)), effShards).as("pk"))
+      .distinct().collect().map(_.getLong(0)) // bounded: ≤ nBands × shards
+    val idx = s.read.parquet(s"$indexPath/bands")
+      .filter(mhPartKey(col("band"), col("bshard"), effShards)
+        .isin(touched.map(x => x: Any): _*))
+      .select(col("band").cast("int").as("band"), col("bucket"), col("keeper"))
+    // least() skips nulls: unseen-by-corpus buckets fall to the
+    // increment's own minimum, known buckets to the true merged min
+    val merged = incrKeepers.join(idx, Seq("band", "bucket"), "left")
+      .select(col("band"), col("bucket"),
+        least(col("keeper"), col("ikeeper")).as("keeper"))
+    val cand = banded.join(merged, Seq("band", "bucket"))
+      .filter(col("keeper") < col(fam.idCol))
+      .groupBy(col(fam.idCol)).agg(min(col("keeper")).as("keeper"))
+    // prune the keeper side-table read to the shards the elected CORPUS
+    // keepers live in (increment keepers' features come from `feat`,
+    // not the index) — without this the verify join would re-read
+    // features for ~every corpus row, and the probe would be
+    // corpus-scale I/O after all
+    val candShards = cand.filter(col("keeper") < lit(split))
+      .select(pmod(col("keeper"), lit(effShards.toLong)).as("cs"))
+      .distinct().collect().map(_.getLong(0)) // bounded: ≤ shards
+    val idxSide = s.read.parquet(s"$indexPath/${fam.featSubdir}")
+      .filter(col(fam.featShardCol).isin(candShards.map(x => x: Any): _*))
+      .drop(fam.featShardCol)
+    val kSide = fam.kRename(fam.sideOf(feat))
+      .unionByName(fam.kRename(idxSide))
+    fam.verify(cand, feat, kSide)
+  }
+
+  /** MinHash family shape. The size(toks) > 0 guard lives in `sideOf`,
+    * applied identically at build and probe, so probe ≡ batch equality
+    * never depends on the Jaccard threshold happening to discard
+    * empty-k_toks pairs. */
+  private val mhFamily = IncrFamily(
+    what = "probeMinhashIndex",
+    idCol = "doc_id", featSubdir = "toks", featShardCol = "tshard",
+    bandedOf = bandedOf,
+    sideOf = f => f.select(col("doc_id"), col("toks"))
+      .filter(size(col("toks")) > lit(0)),
+    kRename = d => d.select(col("doc_id").as("keeper"), col("toks").as("k_toks")),
+    verify = (cand, feat, kSide) =>
+      jaccardVerify(cand,
+        feat.select(col("doc_id"), col("toks"))
+          .filter(size(col("toks")) > lit(0)), kSide))
+
+  def writeMinhashIndex(s: SparkSession, dir: String, indexPath: String,
+      split: Long, shards: Int = minhashIndexShards): Unit =
+    // a direct filtered scan (doc_id pushed to parquet), NOT the
+    // full-corpus cache: ingest reads the corpus slice once, and the
+    // cache serves the build's two write branches
+    writeIncrIndex(s, indexPath, shards, mhFamily,
+      cachedFeature(s, s"dd_minhash_incr:$dir:corpus$split") {
+        minhashFeatOf(T(s, dir).documents.filter(col("doc_id") < lit(split)))
+      })
 
   /** Query-time half: dedups the increment (doc_id >= split) against the
     * persisted index WITHOUT re-scanning the corpus. The increment is
@@ -998,51 +1094,15 @@ object Similarity {
     * degrade to full index reads (never corpus reads) for bulk
     * increments like the test's 20% slice. */
   def probeMinhashIndex(s: SparkSession, dir: String, indexPath: String,
-      split: Long, shards: Int = minhashIndexShards): DataFrame = {
-    val effShards = effShardsOf(indexPath, shards, "probeMinhashIndex")
+      split: Long, shards: Int = minhashIndexShards): DataFrame =
     // increment-only scan (doc_id >= split pushed into the parquet
     // read): at probe time the corpus proper is never touched — only
     // the increment rows and the index files. Cached: the frame feeds
-    // banding, the doc verify side and the candidate-shard collect
-    val feat = cachedFeature(s, s"dd_minhash_incr:$dir:incr$split") {
-      minhashFeatOf(T(s, dir).documents.filter(col("doc_id") >= lit(split)))
-    }
-    val d = feat.select(col("doc_id"), col("toks"))
-      .filter(size(col("toks")) > lit(0))
-    val banded = bandedOf(feat)
-    val incrKeepers = banded.groupBy(col("band"), col("bucket"))
-      .agg(min(col("doc_id")).as("ikeeper"))
-    val touched = banded
-      .select(mhPartKey(col("band"),
-        pmod(col("bucket"), lit(effShards.toLong)), effShards).as("pk"))
-      .distinct().collect().map(_.getLong(0)) // bounded: ≤ 8 × shards
-    val idx = s.read.parquet(s"$indexPath/bands")
-      .filter(mhPartKey(col("band"), col("bshard"), effShards)
-        .isin(touched.map(x => x: Any): _*))
-      .select(col("band").cast("int").as("band"), col("bucket"), col("keeper"))
-    // least() skips nulls: unseen-by-corpus buckets fall to the
-    // increment's own minimum, known buckets to the true merged min
-    val merged = incrKeepers.join(idx, Seq("band", "bucket"), "left")
-      .select(col("band"), col("bucket"),
-        least(col("keeper"), col("ikeeper")).as("keeper"))
-    val cand = banded.join(merged, Seq("band", "bucket"))
-      .filter(col("keeper") < col("doc_id"))
-      .groupBy(col("doc_id")).agg(min(col("keeper")).as("keeper"))
-    // prune the keeper-toks read to the shards the elected CORPUS
-    // keepers live in (increment keepers' tokens come from `d`, not the
-    // index) — without this the verify join would re-read token sets
-    // for ~every corpus doc, and the probe would be corpus-scale I/O
-    // after all
-    val candShards = cand.filter(col("keeper") < lit(split))
-      .select(pmod(col("keeper"), lit(effShards.toLong)).as("ts"))
-      .distinct().collect().map(_.getLong(0)) // bounded: ≤ shards
-    val idxToks = s.read.parquet(s"$indexPath/toks")
-      .filter(col("tshard").isin(candShards.map(x => x: Any): _*))
-      .select(col("doc_id").as("keeper"), col("toks").as("k_toks"))
-    val keeperToks = d.select(col("doc_id").as("keeper"), col("toks").as("k_toks"))
-      .unionByName(idxToks)
-    jaccardVerify(cand, d, keeperToks)
-  }
+    // banding, the verify side and the candidate-shard collect
+    probeIncrIndex(s, indexPath, split, shards, mhFamily,
+      cachedFeature(s, s"dd_minhash_incr:$dir:incr$split") {
+        minhashFeatOf(T(s, dir).documents.filter(col("doc_id") >= lit(split)))
+      })
 
   /** Root under which versioned index directories are published.
     * Defaults to the local tmpdir; a production deploy points it at a
@@ -1073,6 +1133,16 @@ object Similarity {
   private[graft] var minhashReapGraceMs: Long = 15 * 60 * 1000L
 
   private val idxLock = new Object
+
+  /** Default corpus-identity reader: max doc_id of the documents table.
+    * A single-column bounded agg, not the feature cache — warming the
+    * full-corpus frame here would undo the probe's increment-only read. */
+  private def documentsMaxId(s: SparkSession, dir: String): Long = {
+    val maxRow = T(s, dir).documents.agg(max(col("doc_id"))).head()
+    require(!maxRow.isNullAt(0),
+      s"index build: documents corpus at $dir is empty — nothing to index")
+    maxRow.getLong(0)
+  }
 
   /** The versioned-publish machinery shared by every incremental index
     * family (MinHash and SimHash today — any future pHash/embedding
@@ -1108,16 +1178,6 @@ object Similarity {
     * name — the subsystem-wide default under its historical name — then
     * to the JVM-wide default vars; `parts` are the layout subdirs that
     * must exist before the marker may bless a version. */
-  /** Default corpus-identity reader: max doc_id of the documents table.
-    * A single-column bounded agg, not the feature cache — warming the
-    * full-corpus frame here would undo the probe's increment-only read. */
-  private def documentsMaxId(s: SparkSession, dir: String): Long = {
-    val maxRow = T(s, dir).documents.agg(max(col("doc_id"))).head()
-    require(!maxRow.isNullAt(0),
-      s"index build: documents corpus at $dir is empty — nothing to index")
-    maxRow.getLong(0)
-  }
-
   private[graft] def ensureVersionedIndex(
       s: SparkSession, dir: String, famPrefix: String, confFamily: String,
       parts: Seq[String], build: (String, Long, Int) => Unit,
@@ -1376,26 +1436,24 @@ object Similarity {
     * elected by a probe — the hamming verify needs no other corpus
     * fingerprints), partitioned by sshard. The corpus is scanned ONCE
     * here, at ingest. */
+  /** SimHash family shape for [[writeIncrIndex]]/[[probeIncrIndex]]. */
+  private val shFamily = IncrFamily(
+    what = "probeSimhashIndex",
+    idCol = "doc_id", featSubdir = "sims", featShardCol = "sshard",
+    bandedOf = simhashBandedOf,
+    sideOf = identity,
+    kRename = d => d.select(col("doc_id").as("keeper"),
+      col("simhash").as("k_sim")),
+    verify = (cand, feat, kSide) =>
+      hammingVerify(cand,
+        feat.select(col("doc_id"), col("simhash").as("d_sim")), kSide))
+
   def writeSimhashIndex(s: SparkSession, dir: String, indexPath: String,
-      split: Long, shards: Int = minhashIndexShards): Unit = {
-    val feat = cachedFeature(s, s"dd_simhash_incr:$dir:corpus$split") {
-      simhashFeatOf(T(s, dir).documents.filter(col("doc_id") < lit(split)))
-    }
-    simhashBandedOf(feat).groupBy(col("band"), col("bucket"))
-      .agg(min(col("doc_id")).as("keeper"))
-      .withColumn("bshard", pmod(col("bucket"), lit(shards.toLong)))
-      .write.mode("overwrite").partitionBy("band", "bshard")
-      .parquet(s"$indexPath/bands")
-    // keeper fingerprints come from the JUST-WRITTEN bands files, not a
-    // second evaluation of the keepers frame — the banding + election
-    // shuffle runs exactly once per index build
-    val storedKeepers = s.read.parquet(s"$indexPath/bands")
-      .select(col("keeper").as("doc_id")).distinct()
-    feat.join(storedKeepers, Seq("doc_id"))
-      .withColumn("sshard", pmod(col("doc_id"), lit(shards.toLong)))
-      .write.mode("overwrite").partitionBy("sshard")
-      .parquet(s"$indexPath/sims")
-  }
+      split: Long, shards: Int = minhashIndexShards): Unit =
+    writeIncrIndex(s, indexPath, shards, shFamily,
+      cachedFeature(s, s"dd_simhash_incr:$dir:corpus$split") {
+        simhashFeatOf(T(s, dir).documents.filter(col("doc_id") < lit(split)))
+      })
 
   /** Query-time half: dedups the increment (doc_id >= split) against
     * the persisted simhash index WITHOUT re-scanning the corpus — the
@@ -1410,44 +1468,11 @@ object Similarity {
     * side table, the latter pruned to the sshard partitions the elected
     * corpus keepers occupy. */
   def probeSimhashIndex(s: SparkSession, dir: String, indexPath: String,
-      split: Long, shards: Int = minhashIndexShards): DataFrame = {
-    val effShards = effShardsOf(indexPath, shards, "probeSimhashIndex")
-    val feat = cachedFeature(s, s"dd_simhash_incr:$dir:incr$split") {
-      simhashFeatOf(T(s, dir).documents.filter(col("doc_id") >= lit(split)))
-    }
-    val banded = simhashBandedOf(feat)
-    val incrKeepers = banded.groupBy(col("band"), col("bucket"))
-      .agg(min(col("doc_id")).as("ikeeper"))
-    val touched = banded
-      .select(mhPartKey(col("band"),
-        pmod(col("bucket"), lit(effShards.toLong)), effShards).as("pk"))
-      .distinct().collect().map(_.getLong(0)) // bounded: ≤ 8 × shards
-    val idx = s.read.parquet(s"$indexPath/bands")
-      .filter(mhPartKey(col("band"), col("bshard"), effShards)
-        .isin(touched.map(x => x: Any): _*))
-      .select(col("band").cast("int").as("band"), col("bucket"), col("keeper"))
-    // least() skips nulls: unseen-by-corpus buckets fall to the
-    // increment's own minimum, known buckets to the true merged min
-    val merged = incrKeepers.join(idx, Seq("band", "bucket"), "left")
-      .select(col("band"), col("bucket"),
-        least(col("keeper"), col("ikeeper")).as("keeper"))
-    val cand = banded.join(merged, Seq("band", "bucket"))
-      .filter(col("keeper") < col("doc_id"))
-      .groupBy(col("doc_id")).agg(min(col("keeper")).as("keeper"))
-    // prune the keeper-fingerprint read to the shards the elected
-    // CORPUS keepers live in (increment keepers' simhashes come from
-    // `feat`, not the index)
-    val candShards = cand.filter(col("keeper") < lit(split))
-      .select(pmod(col("keeper"), lit(effShards.toLong)).as("ss"))
-      .distinct().collect().map(_.getLong(0)) // bounded: ≤ shards
-    val idxSims = s.read.parquet(s"$indexPath/sims")
-      .filter(col("sshard").isin(candShards.map(x => x: Any): _*))
-      .select(col("doc_id").as("keeper"), col("simhash").as("k_sim"))
-    val kSim = feat.select(col("doc_id").as("keeper"), col("simhash").as("k_sim"))
-      .unionByName(idxSims)
-    hammingVerify(cand,
-      feat.select(col("doc_id"), col("simhash").as("d_sim")), kSim)
-  }
+      split: Long, shards: Int = minhashIndexShards): DataFrame =
+    probeIncrIndex(s, indexPath, split, shards, shFamily,
+      cachedFeature(s, s"dd_simhash_incr:$dir:incr$split") {
+        simhashFeatOf(T(s, dir).documents.filter(col("doc_id") >= lit(split)))
+      })
 
   /** SimHash instantiation of [[ensureVersionedIndex]]: builds/adopts
     * the (bands, sims) layout for `dir`'s corpus slice and returns
@@ -1482,26 +1507,24 @@ object Similarity {
     * the bucket keepers (only they can be elected by a probe — the
     * cosine verify needs no other corpus vectors), partitioned by
     * vshard. The corpus is banded ONCE here, at ingest. */
+  /** Embedding family shape for [[writeIncrIndex]]/[[probeIncrIndex]]. */
+  private val embFamily = IncrFamily(
+    what = "probeEmbeddingIndex",
+    idCol = "vec_id", featSubdir = "vecs", featShardCol = "vshard",
+    bandedOf = embBandedOf,
+    sideOf = f => f.select(col("vec_id"), col("v"), col("norm")),
+    kRename = d => d.select(col("vec_id").as("keeper"), col("v").as("kv"),
+      col("norm").as("kn")),
+    verify = (cand, feat, kSide) =>
+      cosineVerify(cand,
+        feat.select(col("vec_id"), col("v"), col("norm")), kSide))
+
   def writeEmbeddingIndex(s: SparkSession, dir: String, indexPath: String,
-      split: Long, shards: Int = minhashIndexShards): Unit = {
-    val feat = cachedFeature(s, s"dd_embedding_incr:$dir:corpus$split") {
-      embFeatOf(T(s, dir).embeddings.filter(col("vec_id") < lit(split)))
-    }
-    embBandedOf(feat).groupBy(col("band"), col("bucket"))
-      .agg(min(col("vec_id")).as("keeper"))
-      .withColumn("bshard", pmod(col("bucket"), lit(shards.toLong)))
-      .write.mode("overwrite").partitionBy("band", "bshard")
-      .parquet(s"$indexPath/bands")
-    // keeper vectors come from the JUST-WRITTEN bands files — the
-    // banding + election shuffle runs exactly once per index build
-    val storedKeepers = s.read.parquet(s"$indexPath/bands")
-      .select(col("keeper").as("vec_id")).distinct()
-    feat.select(col("vec_id"), col("v"), col("norm"))
-      .join(storedKeepers, Seq("vec_id"))
-      .withColumn("vshard", pmod(col("vec_id"), lit(shards.toLong)))
-      .write.mode("overwrite").partitionBy("vshard")
-      .parquet(s"$indexPath/vecs")
-  }
+      split: Long, shards: Int = minhashIndexShards): Unit =
+    writeIncrIndex(s, indexPath, shards, embFamily,
+      cachedFeature(s, s"dd_embedding_incr:$dir:corpus$split") {
+        embFeatOf(T(s, dir).embeddings.filter(col("vec_id") < lit(split)))
+      })
 
   /** Query-time half: dedups the increment's vectors (vec_id >= split)
     * against the persisted index WITHOUT re-banding the corpus — the
@@ -1512,40 +1535,11 @@ object Similarity {
     * the shared tail. Output equals the full [[ddEmbedding]] recompute
     * restricted to the increment (bit-equal, spec-asserted). */
   def probeEmbeddingIndex(s: SparkSession, dir: String, indexPath: String,
-      split: Long, shards: Int = minhashIndexShards): DataFrame = {
-    val effShards = effShardsOf(indexPath, shards, "probeEmbeddingIndex")
-    val feat = cachedFeature(s, s"dd_embedding_incr:$dir:incr$split") {
-      embFeatOf(T(s, dir).embeddings.filter(col("vec_id") >= lit(split)))
-    }
-    val banded = embBandedOf(feat)
-    val incrKeepers = banded.groupBy(col("band"), col("bucket"))
-      .agg(min(col("vec_id")).as("ikeeper"))
-    val touched = banded
-      .select(mhPartKey(col("band"),
-        pmod(col("bucket"), lit(effShards.toLong)), effShards).as("pk"))
-      .distinct().collect().map(_.getLong(0)) // bounded: ≤ 8 × shards
-    val idx = s.read.parquet(s"$indexPath/bands")
-      .filter(mhPartKey(col("band"), col("bshard"), effShards)
-        .isin(touched.map(x => x: Any): _*))
-      .select(col("band").cast("int").as("band"), col("bucket"), col("keeper"))
-    val merged = incrKeepers.join(idx, Seq("band", "bucket"), "left")
-      .select(col("band"), col("bucket"),
-        least(col("keeper"), col("ikeeper")).as("keeper"))
-    val cand = banded.join(merged, Seq("band", "bucket"))
-      .filter(col("keeper") < col("vec_id"))
-      .groupBy(col("vec_id")).agg(min(col("keeper")).as("keeper"))
-    val candShards = cand.filter(col("keeper") < lit(split))
-      .select(pmod(col("keeper"), lit(effShards.toLong)).as("vs"))
-      .distinct().collect().map(_.getLong(0)) // bounded: ≤ shards
-    val idxVecs = s.read.parquet(s"$indexPath/vecs")
-      .filter(col("vshard").isin(candShards.map(x => x: Any): _*))
-      .select(col("vec_id").as("keeper"), col("v").as("kv"),
-        col("norm").as("kn"))
-    val kSide = feat.select(col("vec_id").as("keeper"), col("v").as("kv"),
-      col("norm").as("kn")).unionByName(idxVecs)
-    cosineVerify(cand,
-      feat.select(col("vec_id"), col("v"), col("norm")), kSide)
-  }
+      split: Long, shards: Int = minhashIndexShards): DataFrame =
+    probeIncrIndex(s, indexPath, split, shards, embFamily,
+      cachedFeature(s, s"dd_embedding_incr:$dir:incr$split") {
+        embFeatOf(T(s, dir).embeddings.filter(col("vec_id") >= lit(split)))
+      })
 
   /** Embedding instantiation of [[ensureVersionedIndex]] — versioned by
     * the EMBEDDINGS table's max id and mtime. */
