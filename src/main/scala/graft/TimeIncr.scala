@@ -1,16 +1,23 @@
 package graft
 
-/** Decade measurement for the INCREMENTAL minhash probe — the artifact
-  * behind `dd_minhash_incr`'s O(increment) claim (SURVEY §6.3): build the
-  * band index per tier, then probe a FIXED-size increment against each.
-  * Build must scale with the corpus; probe must stay ~flat (it reads the
-  * increment slice plus pruned index partitions, never the corpus).
+/** Decade measurement for the INCREMENTAL index probes — the artifact
+  * behind the `_incr` family's O(increment) claim (SURVEY §6.3/§6.5):
+  * build the band index per tier, then probe a FIXED-size increment
+  * against each. Build must scale with the corpus; probe must stay
+  * ~flat (it reads the increment slice plus pruned index partitions,
+  * never the corpus).
   *
   * Usage:
   * {{{
   * sbt "runMain graft.TimeIncr /root/testdata/sf0.1 /tmp/graft-sf1"
+  * sbt "runMain graft.TimeIncr family=phash /root/testdata/sf0.1 /tmp/graft-sf1"
   * sbt "runMain graft.TimeIncr spans=500,1000,2000,4000 /tmp/graft-sf1"
   * }}}
+  *
+  * `family=` selects the index family (minhash default, simhash, phash,
+  * embedding) — all four ride the same [[operators.Similarity.writeIncrIndex]]/
+  * [[operators.Similarity.probeIncrIndex]] core, so this harness measures
+  * the shared machinery under each family's feature kernel.
   *
   * The increment is the FIRST tier's natural 20% id slice; the SAME id
   * count is carved off the top of every later tier's id range, so the
@@ -28,17 +35,50 @@ package graft
   * per-pass times go to stderr, one `INCR` line per tier plus a `RATIO`
   * line to stdout. */
 object TimeIncr {
+
+  /** One family's harness surface: index write/probe plus the corpus
+    * relation whose max id anchors the split. */
+  private final case class Fam(
+      write: (org.apache.spark.sql.SparkSession, String, String, Long, Int) => Unit,
+      probe: (org.apache.spark.sql.SparkSession, String, String, Long, Int) =>
+        org.apache.spark.sql.DataFrame,
+      corpus: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame,
+      idCol: String)
+
+  private val fams = Map(
+    "minhash" -> Fam(operators.Similarity.writeMinhashIndex,
+      operators.Similarity.probeMinhashIndex,
+      (s, d) => Tables(s, d).documents, "doc_id"),
+    "simhash" -> Fam(operators.Similarity.writeSimhashIndex,
+      operators.Similarity.probeSimhashIndex,
+      (s, d) => Tables(s, d).documents, "doc_id"),
+    "phash" -> Fam(operators.Multimodal.writePhashIndex,
+      operators.Multimodal.probePhashIndex,
+      (s, d) => Tables(s, d).documents, "doc_id"),
+    "embedding" -> Fam(operators.Similarity.writeEmbeddingIndex,
+      operators.Similarity.probeEmbeddingIndex,
+      (s, d) => Tables(s, d).embeddings, "vec_id"))
+
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: TimeIncr [spans=a,b,...] <dir> [dir2 ...]")
-    val spansArg = args.headOption.filter(_.startsWith("spans="))
-      .map(_.stripPrefix("spans=").split(",").toSeq.map(_.trim.toLong))
-    val dirs = (if (spansArg.isDefined) args.drop(1) else args).toSeq
-    require(dirs.nonEmpty, "usage: TimeIncr [spans=a,b,...] <dir> [dir2 ...]")
+    val usage = "usage: TimeIncr [family=minhash|simhash|phash|embedding] " +
+      "[spans=a,b,...] <dir> [dir2 ...]"
+    var rest = args.toSeq
+    val family = rest.headOption.filter(_.startsWith("family="))
+      .map { a => rest = rest.drop(1); a.stripPrefix("family=") }
+      .getOrElse("minhash")
+    val fam = fams.getOrElse(family,
+      throw new IllegalArgumentException(s"unknown family '$family'; $usage"))
+    val spansArg = rest.headOption.filter(_.startsWith("spans="))
+      .map { a => rest = rest.drop(1); a.stripPrefix("spans=")
+        .split(",").toSeq.map(_.trim.toLong) }
+    val dirs = rest
+    require(dirs.nonEmpty, usage)
     val spark = Engine.session(appName = "graft-time-incr")
     import org.apache.spark.sql.functions.{col, count, max, when}
     val maxIds = dirs.map { dir =>
-      val r = Tables(spark, dir).documents.agg(max(col("doc_id"))).head()
-      require(!r.isNullAt(0), s"empty documents corpus at $dir")
+      val r = fam.corpus(spark, dir).agg(max(col(fam.idCol))).head()
+      require(!r.isNullAt(0), s"empty ${fam.idCol} corpus at $dir")
       dir -> r.getLong(0)
     }.toMap
     val spans = spansArg.getOrElse(Seq(maxIds(dirs.head) / 5)) // natural slice
@@ -47,9 +87,9 @@ object TimeIncr {
     val shards = operators.Similarity.confShards(spark)
     val tiers = for (dir <- dirs; span <- spans) yield {
       val split = maxIds(dir) - span
-      val cnt = Tables(spark, dir).documents.agg(
-        count(when(col("doc_id") >= split, 1)).as("incr"),
-        count(when(col("doc_id") < split, 1)).as("corpus")).head()
+      val cnt = fam.corpus(spark, dir).agg(
+        count(when(col(fam.idCol) >= split, 1)).as("incr"),
+        count(when(col(fam.idCol) < split, 1)).as("corpus")).head()
       (dir, split, cnt.getLong(0), cnt.getLong(1))
     }
     val samples = scala.collection.mutable.Map
@@ -62,11 +102,11 @@ object TimeIncr {
       try {
         operators.Similarity.clearFeatureCache()
         val b0 = System.nanoTime()
-        operators.Similarity.writeMinhashIndex(spark, dir, idx, split, shards)
+        fam.write(spark, dir, idx, split, shards)
         val bSec = (System.nanoTime() - b0) / 1e9
         operators.Similarity.clearFeatureCache()
         val p0 = System.nanoTime()
-        operators.Similarity.probeMinhashIndex(spark, dir, idx, split, shards)
+        fam.probe(spark, dir, idx, split, shards)
           .write.format("noop").mode("overwrite").save()
         val pSec = (System.nanoTime() - p0) / 1e9
         samples(("build", s"$dir@$split")) =
@@ -74,20 +114,20 @@ object TimeIncr {
         samples(("probe", s"$dir@$split")) =
           pSec :: samples(("probe", s"$dir@$split"))
         System.err.println(
-          f"[incr] pass $pass $dir split=$split build=$bSec%.2f s probe=$pSec%.2f s")
+          f"[incr] $family pass $pass $dir split=$split build=$bSec%.2f s probe=$pSec%.2f s")
       } finally org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(idx))
     }
     for ((dir, split, rows, corpus) <- tiers) {
       val b = samples(("build", s"$dir@$split")).min
       val p = samples(("probe", s"$dir@$split")).min
-      println(f"INCR $dir corpus=$corpus incrRows=$rows split=$split " +
+      println(f"INCR family=$family $dir corpus=$corpus incrRows=$rows split=$split " +
         f"shards=$shards build=$b%.3f probe=$p%.3f")
     }
     if (spans.length == 1 && dirs.length >= 2) {
       val k0 = s"${tiers.head._1}@${tiers.head._2}"
       val kN = s"${tiers.last._1}@${tiers.last._2}"
-      println(f"RATIO corpus=${tiers.last._4.toDouble / tiers.head._4}%.2f " +
+      println(f"RATIO family=$family corpus=${tiers.last._4.toDouble / tiers.head._4}%.2f " +
         f"build=${samples(("build", kN)).min / samples(("build", k0)).min}%.2f " +
         f"probe=${samples(("probe", kN)).min / samples(("probe", k0)).min}%.2f")
     }
