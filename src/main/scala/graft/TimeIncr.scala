@@ -36,42 +36,62 @@ package graft
   * line to stdout. */
 object TimeIncr {
 
-  /** One family's harness surface: index write/probe plus the corpus
-    * relation whose max id anchors the split. */
+  /** One family's harness surface: index write/probe, the corpus
+    * relation whose max id anchors the split, and the ROW-COUNTED frame
+    * — what the index actually fingerprints, which for phash is only
+    * the image third of the documents ids (counting the full relation
+    * would overstate the indexed/probed workload ~3×). */
   private final case class Fam(
       write: (org.apache.spark.sql.SparkSession, String, String, Long, Int) => Unit,
       probe: (org.apache.spark.sql.SparkSession, String, String, Long, Int) =>
         org.apache.spark.sql.DataFrame,
       corpus: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame,
-      idCol: String)
+      idCol: String,
+      counted: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)
 
-  private val fams = Map(
-    "minhash" -> Fam(operators.Similarity.writeMinhashIndex,
-      operators.Similarity.probeMinhashIndex,
-      (s, d) => Tables(s, d).documents, "doc_id"),
-    "simhash" -> Fam(operators.Similarity.writeSimhashIndex,
-      operators.Similarity.probeSimhashIndex,
-      (s, d) => Tables(s, d).documents, "doc_id"),
-    "phash" -> Fam(operators.Multimodal.writePhashIndex,
-      operators.Multimodal.probePhashIndex,
-      (s, d) => Tables(s, d).documents, "doc_id"),
-    "embedding" -> Fam(operators.Similarity.writeEmbeddingIndex,
-      operators.Similarity.probeEmbeddingIndex,
-      (s, d) => Tables(s, d).embeddings, "vec_id"))
+  private val fams: Map[String, Fam] = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = (s: org.apache.spark.sql.SparkSession, d: String) =>
+      Tables(s, d).documents
+    val embs = (s: org.apache.spark.sql.SparkSession, d: String) =>
+      Tables(s, d).embeddings
+    Map(
+      "minhash" -> Fam(operators.Similarity.writeMinhashIndex,
+        operators.Similarity.probeMinhashIndex, docs, "doc_id", docs),
+      "simhash" -> Fam(operators.Similarity.writeSimhashIndex,
+        operators.Similarity.probeSimhashIndex, docs, "doc_id", docs),
+      "phash" -> Fam(operators.Multimodal.writePhashIndex,
+        operators.Multimodal.probePhashIndex, docs, "doc_id",
+        // only doc_id % 3 == 0 ids are image media (Multimodal.media)
+        (s, d) => docs(s, d).filter(pmod(col("doc_id"), lit(3)) === lit(0))),
+      "embedding" -> Fam(operators.Similarity.writeEmbeddingIndex,
+        operators.Similarity.probeEmbeddingIndex, embs, "vec_id", embs))
+  }
 
   def main(args: Array[String]): Unit = {
     val usage = "usage: TimeIncr [family=minhash|simhash|phash|embedding] " +
       "[spans=a,b,...] <dir> [dir2 ...]"
+    // options are key=value and may appear in any order before the dirs;
+    // an unknown key fails loudly rather than silently benchmarking the
+    // default family under a typo
     var rest = args.toSeq
-    val family = rest.headOption.filter(_.startsWith("family="))
-      .map { a => rest = rest.drop(1); a.stripPrefix("family=") }
-      .getOrElse("minhash")
+    var family = "minhash"
+    var spansArg: Option[Seq[Long]] = None
+    while (rest.headOption.exists(a => a.contains("=") && !a.startsWith("/"))) {
+      val a = rest.head
+      rest = rest.tail
+      a.split("=", 2) match {
+        case Array("family", v) => family = v
+        case Array("spans", v) =>
+          spansArg = Some(v.split(",").toSeq.map(_.trim.toLong))
+        case _ =>
+          throw new IllegalArgumentException(s"unknown option '$a'; $usage")
+      }
+    }
     val fam = fams.getOrElse(family,
       throw new IllegalArgumentException(s"unknown family '$family'; $usage"))
-    val spansArg = rest.headOption.filter(_.startsWith("spans="))
-      .map { a => rest = rest.drop(1); a.stripPrefix("spans=")
-        .split(",").toSeq.map(_.trim.toLong) }
     val dirs = rest
     require(dirs.nonEmpty, usage)
     val spark = Engine.session(appName = "graft-time-incr")
@@ -87,7 +107,7 @@ object TimeIncr {
     val shards = operators.Similarity.confShards(spark)
     val tiers = for (dir <- dirs; span <- spans) yield {
       val split = maxIds(dir) - span
-      val cnt = fam.corpus(spark, dir).agg(
+      val cnt = fam.counted(spark, dir).agg(
         count(when(col(fam.idCol) >= split, 1)).as("incr"),
         count(when(col(fam.idCol) < split, 1)).as("corpus")).head()
       (dir, split, cnt.getLong(0), cnt.getLong(1))

@@ -179,23 +179,33 @@ object Sinks {
   }
 
   /** One manifest file's parse — shared by the newest-resolution read
-    * and the reap pass's retained-set computation. */
+    * and the reap pass's retained-set computation. Manifests are
+    * IMMUTABLE once published (single-writer, staged + renamed), so
+    * each file is parsed once per JVM and served from a bounded cache
+    * thereafter: a grace window can retain hundreds of manifests, and
+    * re-opening all of them per upsert would be O(retained) small-file
+    * GETs on an object store. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Manifest]()
+
   private def parseManifest(
-      fs: org.apache.hadoop.fs.FileSystem, p: Path): Manifest = {
-    val in = fs.open(p)
-    val bytes = try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
-      out.toByteArray
-    } finally in.close()
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
-    import scala.jdk.CollectionConverters._
-    Manifest(
-      node.get("gen").asLong(),
-      node.get("buckets").asInt(),
-      node.get("map").properties().asScala.iterator
-        .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap)
-  }
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): Manifest =
+    manifestCache.computeIfAbsent(p.toString, _ => {
+      if (manifestCache.size > 4096) manifestCache.clear() // bound, rare
+      val in = fs.open(p)
+      val bytes = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        out.toByteArray
+      } finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      import scala.jdk.CollectionConverters._
+      Manifest(
+        node.get("gen").asLong(),
+        node.get("buckets").asInt(),
+        node.get("map").properties().asScala.iterator
+          .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap)
+    })
 
   /** Stages the manifest under a hidden name, then renames it visible —
     * the table's one atomic operation. A failed rename means another

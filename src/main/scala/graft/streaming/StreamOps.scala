@@ -702,23 +702,24 @@ object StreamOps {
     * room broadcast (a reconnecting client re-receives the tail);
     * readers needing exactly-once dedup by event id downstream.
     *
-    * `checkpoint` is REQUIRED for any production run: without it Spark
-    * falls back to a discarded temp checkpoint and a restarted query
-    * re-reads the source from its initial offsets — re-appending the
-    * ENTIRE history, not one micro-batch. StreamingSpec asserts the
+    * `checkpoint` is mandatory by signature, not just by doc: without
+    * one Spark falls back to a discarded temp checkpoint and a
+    * restarted query re-reads the source from its initial offsets —
+    * re-appending the ENTIRE history, not one micro-batch. An API that
+    * merely recommends the checkpoint leaves that data-duplicating mode
+    * reachable through the default. StreamingSpec asserts the
     * checkpointed restart resumes without duplication. */
   def partitionedFanout(df: DataFrame, path: String, key: String,
-      checkpoint: Option[String] = None):
-      org.apache.spark.sql.streaming.StreamingQuery = {
-    val w = df.writeStream
+      checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
       .outputMode("append")
+      .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.sources.Sinks.partitionedSink(batch, path, key,
           org.apache.spark.sql.SaveMode.Append)
       }
-    checkpoint.foreach(c => w.option("checkpointLocation", c))
-    w.start()
-  }
+      .start()
 
   /** Convenience: the driver test `events` parquet as a typed stream via
     * a file source — replay = initial batch, increments = new files

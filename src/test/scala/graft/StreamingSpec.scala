@@ -43,7 +43,7 @@ class StreamingSpec extends SparkSpec {
     val ckpt = base.resolve("ckpt").toString
     val mem = MemoryStream[(Long, String)]
     val q = StreamOps.partitionedFanout(
-      mem.toDF().toDF("event_id", "room"), path, "room", Some(ckpt))
+      mem.toDF().toDF("event_id", "room"), path, "room", ckpt)
     try {
       mem.addData((1L, "alpha"), (2L, "beta")); q.processAllAvailable()
       mem.addData((3L, "alpha"), (4L, "gamma")); q.processAllAvailable()
@@ -61,7 +61,7 @@ class StreamingSpec extends SparkSpec {
     // checkpointed restart: the resumed query must NOT re-append the
     // already-committed history — only new data lands
     val q2 = StreamOps.partitionedFanout(
-      mem.toDF().toDF("event_id", "room"), path, "room", Some(ckpt))
+      mem.toDF().toDF("event_id", "room"), path, "room", ckpt)
     try {
       mem.addData((5L, "beta")); q2.processAllAvailable()
     } finally q2.stop()
