@@ -104,7 +104,12 @@ object Sinks {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+    // repartition by bucket before the partitioned write: without it
+    // every shuffle task writes a file into every bucket dir it touches
+    // (tasks × buckets small files at scale); clustered, each bucket's
+    // rows land in one task's files
     merged.withColumn("__b", bucketOf)
+      .repartition(col("__b"))
       .write.mode(SaveMode.Overwrite).partitionBy("__b")
       .parquet(s"$path/data/g$gen")
     publishManifest(spark, path, Manifest(gen, nB,
