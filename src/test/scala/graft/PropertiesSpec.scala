@@ -39,6 +39,50 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("S6 upsert table equals the last-writer-wins map model over random batch sequences") {
+    import graft.sources.Sinks
+    // model: key → (version, payload) folded batch by batch, keep-max
+    // version. Generated versions are UNIQUE per key across the run, so
+    // LWW is unambiguous and the model total; replay idempotence is
+    // exercised by re-applying a randomly chosen earlier batch
+    // verbatim, which must be a no-op.
+    val batchesGen = for {
+      nBatches <- Gen.choose(2, 5)
+      batches <- Gen.listOfN(nBatches, Gen.listOfN(8,
+        Gen.zip(Gen.choose(1L, 12L), Gen.choose(0, 1000))))
+    } yield batches
+    samples(Gen.zip(batchesGen, Gen.choose(2, 9)), 6, seed = 77L)
+      .zipWithIndex.foreach { case ((rawBatches, buckets), i) =>
+        // stamp globally unique versions: batch index × 1000 + row index
+        val batches = rawBatches.zipWithIndex.map { case (b, bi) =>
+          b.zipWithIndex.map { case ((k, payload), ri) =>
+            (k, s"p$payload", bi * 1000L + ri)
+          }
+        }
+        val path = java.nio.file.Files
+          .createTempDirectory(s"graft-upsert-prop$i").resolve("t").toString
+        var model = Map.empty[Long, (Long, String)]
+        batches.foreach { b =>
+          Sinks.upsertByKey(spark, path,
+            b.toDF("id", "payload", "version"), "id", "version",
+            buckets = buckets)
+          b.foreach { case (k, p, v) =>
+            if (model.get(k).forall(_._1 < v)) model += k -> ((v, p))
+          }
+        }
+        // replay an earlier batch verbatim: versions are all below the
+        // model's maxima for those keys, so nothing may change
+        Sinks.upsertByKey(spark, path,
+          batches.head.toDF("id", "payload", "version"), "id", "version",
+          buckets = buckets)
+        val got = Sinks.readUpserted(spark, path).collect()
+          .map(r => r.getAs[Long]("id") ->
+            ((r.getAs[Long]("version"), r.getAs[String]("payload")))).toMap
+        assert(got === model,
+          s"sample $i (buckets=$buckets): table diverged from the LWW model")
+      }
+  }
+
   test("W2 pagination partitions the ordered relation exactly (indexer.ts:64-83)") {
     val rowsGen = Gen.listOfN(60, Gen.choose(0L, 1000000L)).map(_.distinct)
     val pageGen = Gen.choose(1, 17)
