@@ -977,6 +977,13 @@ object Similarity {
     * [[writeIvfIndex]] applies it to ANN cells. */
   private[operators] def writeIncrIndex(s: SparkSession, indexPath: String,
       shards: Int, fam: IncrFamily, feat: DataFrame): Unit = {
+    // a 0-row partitioned parquet write produces NO data files and the
+    // probe's later read fails with an opaque schema-inference error —
+    // a 1-row corpus (split lands at its only id) hits this; name the
+    // cause instead. Cheap: limit-1 over the cached feature frame.
+    require(!feat.isEmpty,
+      s"${fam.what}: corpus slice below the split is empty — an " +
+        "incremental index needs at least one corpus row to index")
     fam.bandedOf(feat).groupBy(col("band"), col("bucket"))
       .agg(min(col(fam.idCol)).as("keeper"))
       .withColumn("bshard", pmod(col("bucket"), lit(shards.toLong)))

@@ -372,6 +372,21 @@ class SemanticsSpec extends SparkSpec {
     assert(e.getMessage.contains("empty"), s"message must name the cause: ${e.getMessage}")
   }
 
+  test("minhash index: a 1-doc corpus (empty sub-split slice) fails loudly, not with a schema error") {
+    import graft.operators.Similarity
+    // maxId=1 → split=1 → corpus slice doc_id<1 is EMPTY; a 0-row
+    // partitioned write would leave an unreadable bands dir and the
+    // probe would die later with an opaque schema-inference error
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-onedoc").toString
+    Seq((1L, "only document here", "en", "t"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ensureMinhashIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("corpus slice"), e.getMessage)
+  }
+
   test("simhash keeper election: planted exact dup flagged, unrelated doc not a dup") {
     val docs = Seq(
       (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
