@@ -372,6 +372,28 @@ class SemanticsSpec extends SparkSpec {
     assert(e.getMessage.contains("empty"), s"message must name the cause: ${e.getMessage}")
   }
 
+  test("simhash index: husk reclaim works through the generic machinery with family parts and confs") {
+    import graft.operators.Similarity
+    // the husk/racer discipline is shared code, but the parts gate
+    // ("bands","sims" here) and the family conf namespace are per-family
+    // surface — regress either and only a simhash-side spec catches it
+    val (p1, split1) = Similarity.ensureSimhashIndex(spark, sf001)
+    val ver = new java.io.File(p1)
+    assert(new java.io.File(ver, "_PUBLISHED").delete())
+    deleteAll(new java.io.File(ver, "sims")) // structurally incomplete husk
+    // family-specific conf must govern (and fall back cleanly afterwards)
+    spark.conf.set("spark.graft.simhash.reapGraceMs", "1500")
+    val (p2, split2) =
+      try Similarity.ensureSimhashIndex(spark, sf001)
+      finally spark.conf.unset("spark.graft.simhash.reapGraceMs")
+    assert((p2, split2) === ((p1, split1)))
+    assert(new java.io.File(ver, "_PUBLISHED").isFile)
+    assert(new java.io.File(ver, "sims").isDirectory,
+      "the husk must be rebuilt whole — the parts gate must check the FAMILY's subdirs")
+    val probed = Similarity.probeSimhashIndex(spark, sf001, p2, split2)
+    assert(probed.collect().nonEmpty, "republished simhash index must serve the probe")
+  }
+
   test("minhash index: a 1-doc corpus (empty sub-split slice) fails loudly, not with a schema error") {
     import graft.operators.Similarity
     // maxId=1 → split=1 → corpus slice doc_id<1 is EMPTY; a 0-row
