@@ -103,8 +103,11 @@ object TimeIncr {
     }.toMap
     val spans = spansArg.getOrElse(Seq(maxIds(dirs.head) / 5)) // natural slice
     // honor the session's shard conf so the harness measures the layout a
-    // deployment actually configures (build and probe stay paired)
-    val shards = operators.Similarity.confShards(spark)
+    // deployment actually configures (build and probe stay paired) — the
+    // FAMILY's conf, resolved exactly as the production ensure path
+    // resolves it (family name → minhash fallback → default), so a
+    // per-family override measures the layout that family actually uses
+    val shards = operators.Similarity.confShards(spark, family)
     val tiers = for (dir <- dirs; span <- spans) yield {
       val split = maxIds(dir) - span
       val cnt = fam.counted(spark, dir).agg(

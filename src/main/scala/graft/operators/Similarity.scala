@@ -899,13 +899,19 @@ object Similarity {
     "(^|/)v\\d+-\\d+-s(\\d{1,9})/*$".r
       .findFirstMatchIn(indexPath).map(_.group(2).toInt)
 
-  /** Session shard count: conf first, [[minhashIndexShards]] default —
-    * the single reader, so build/probe/version-name can never disagree
+  /** Session shard count: the family's own conf first, then the
+    * `minhash` name (the subsystem default under its historical name),
+    * then [[minhashIndexShards]] — the SAME resolution order as
+    * [[ensureVersionedIndex]], and its single reader, so build, probe,
+    * version-name and any measurement harness can never disagree
     * within a session. */
-  private[graft] def confShards(s: SparkSession): Int = {
-    val n = s.conf
-      .get("spark.graft.minhash.indexShards", minhashIndexShards.toString).toInt
-    require(n > 0, s"spark.graft.minhash.indexShards must be positive, got $n")
+  private[graft] def confShards(
+      s: SparkSession, confFamily: String = "minhash"): Int = {
+    val n = s.conf.getOption(s"spark.graft.$confFamily.indexShards")
+      .orElse(s.conf.getOption("spark.graft.minhash.indexShards"))
+      .getOrElse(minhashIndexShards.toString).toInt
+    require(n > 0,
+      s"spark.graft.$confFamily.indexShards must be positive, got $n")
     n
   }
 
@@ -979,12 +985,17 @@ object Similarity {
       shards: Int, fam: IncrFamily, feat: DataFrame): Unit = {
     // a 0-row partitioned parquet write produces NO data files and the
     // probe's later read fails with an opaque schema-inference error —
-    // a 1-row corpus (split lands at its only id) hits this; name the
-    // cause instead. Cheap: limit-1 over the cached feature frame.
-    require(!feat.isEmpty,
-      s"${fam.what}: corpus slice below the split is empty — an " +
-        "incremental index needs at least one corpus row to index")
-    fam.bandedOf(feat).groupBy(col("band"), col("bucket"))
+    // name the cause instead. The guard must test the BANDED frame, not
+    // the feature frame: a slice can hold rows yet band to nothing
+    // (minhash emits no bands for a doc with no >3-char tokens), and
+    // only "zero bands" produces the fileless write. Cheap: limit-1.
+    val bands = fam.bandedOf(feat)
+    require(!bands.isEmpty,
+      s"${fam.what}: corpus slice below the split produced no index " +
+        "bands (the slice is empty, or every row in it is " +
+        "band-degenerate) — an incremental index needs at least one " +
+        "banded corpus row")
+    bands.groupBy(col("band"), col("bucket"))
       .agg(min(col(fam.idCol)).as("keeper"))
       .withColumn("bshard", pmod(col("bucket"), lit(shards.toLong)))
       .write.mode("overwrite").partitionBy("band", "bshard")
@@ -1139,7 +1150,18 @@ object Similarity {
     * (see [[ensureMinhashIndex]]); local/test runs keep the raw conf. */
   private[graft] var minhashReapGraceMs: Long = 15 * 60 * 1000L
 
-  private val idxLock = new Object
+  /** One lock PER INDEX BASE directory, not one global: the publish
+    * loop deliberately polls (up to grace + 30 s) while holding its
+    * lock, and a single shared lock would convoy every other family's
+    * — and every other corpus's — ensure behind one slow cross-JVM
+    * marker wait. Serializing builders per base is the whole invariant;
+    * distinct bases cannot race each other's publishes. The map is
+    * bounded by the number of distinct (family, corpus) bases a JVM
+    * ever touches. */
+  private val idxLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def idxLockFor(base: String): Object =
+    idxLocks.computeIfAbsent(base, _ => new Object)
 
   /** Default corpus-identity reader: max doc_id of the documents table.
     * A single-column bounded agg, not the feature cache — warming the
@@ -1190,7 +1212,7 @@ object Similarity {
       parts: Seq[String], build: (String, Long, Int) => Unit,
       srcFile: String = "documents.parquet",
       maxIdOf: (SparkSession, String) => Long = documentsMaxId): (String, Long) =
-    idxLock.synchronized {
+    {
       import org.apache.hadoop.fs.Path
       def conf(key: String, dflt: String): String =
         s.conf.getOption(s"spark.graft.$confFamily.$key")
@@ -1214,11 +1236,7 @@ object Similarity {
       // one JVM may legitimately differ
       val idxBase = conf("indexBase", minhashIndexBase)
       val confGraceMs = conf("reapGraceMs", minhashReapGraceMs.toString).toLong
-      val shards = {
-        val n = conf("indexShards", minhashIndexShards.toString).toInt
-        require(n > 0, s"$confFamily indexShards must be positive, got $n")
-        n
-      }
+      val shards = confShards(s, confFamily)
       val base = new Path(idxBase,
         s"graft-$famPrefix-idx-" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "-" + dirHash)
       val fs = base.getFileSystem(hconf)
@@ -1244,7 +1262,10 @@ object Similarity {
       val tierPrefix = s"v$split-$srcMtime-"
       val ver = new Path(base, tierPrefix + s"s$shards")
       val marker = new Path(ver, "_PUBLISHED")
-      if (!fs.exists(marker)) {
+      // fast path outside the lock (published is the steady state);
+      // re-checked under the base's lock before building
+      if (!fs.exists(marker)) idxLockFor(base.toString).synchronized {
+        if (!fs.exists(marker)) {
         fs.mkdirs(base)
         // var: the photo-finish unwind below may relocate the build to a
         // fresh staging name when the original cannot be renamed back
@@ -1323,13 +1344,14 @@ object Similarity {
         // atomic-rename stores the racer's rename→marker window is
         // milliseconds, so the poll exits almost immediately.
         //
-        // INVARIANT: this polls while holding [[idxLock]] — correct,
-        // not a hazard to "fix". The lock is per-JVM and serializes
-        // only this JVM's builders; the publisher being waited on is a
-        // DIFFERENT JVM (a Verify run next to a test suite), which
-        // does not contend on this lock. Releasing it here would let a
-        // second local builder start a redundant full build behind the
-        // wait.
+        // INVARIANT: this polls while holding this BASE's lock
+        // ([[idxLockFor]]) — correct, not a hazard to "fix". The lock
+        // is per-JVM, per-base, and serializes only this JVM's builders
+        // of THIS index; the publisher being waited on is a DIFFERENT
+        // JVM (a Verify run next to a test suite), which does not
+        // contend on this lock, and other families/corpora hold other
+        // locks. Releasing it here would let a second local builder
+        // start a redundant full build behind the wait.
         val deadline = System.currentTimeMillis() + graceMs + 30000L
         var emptySince = 0L
         var reclaims = 0
@@ -1390,7 +1412,7 @@ object Similarity {
                 fs.exists(new Path(st.getPath, "_PUBLISHED"))
             // LIST-cost short-circuit: newestIn is a full recursive
             // listing per sibling, a large object-store LIST bill inside
-            // idxLock on every rebuild. A dir young at depth 1 can only
+            // the base's lock on every rebuild. A dir young at depth 1 can only
             // get YOUNGER with children, so only depth-1-old candidates
             // (and mtime-0 pseudo-dirs, age unknown) pay the recursion.
             !currentTierPublished &&
@@ -1400,7 +1422,7 @@ object Similarity {
               }
           }
           .foreach(st => fs.delete(st.getPath, true))
-      }
+      } }
       (ver.toString, split)
     }
 

@@ -35,9 +35,9 @@ object Sinks {
     * snapshot-isolated format built from two parts the way the MinHash
     * index publish gates reads behind a marker:
     *
-    *   path/_graft_manifest/m-<gen>.json   bucket → generation map; the
-    *                                       newest manifest IS the table
-    *   path/data/g<gen>/__b=<b>/part-*     immutable bucket data files
+    *   path/_graft_manifest/m-<gen>.json     bucket → data-dir map; the
+    *                                         newest manifest IS the table
+    *   path/data/g<gen>-<tok>/__b=<b>/part-* immutable bucket data files
     *
     * Each upsert hashes its keys into `buckets` stable buckets
     * (`pmod(xxhash64(key), n)`), reads ONLY the current generation of
@@ -59,7 +59,13 @@ object Sinks {
     * it references can disappear. Single-writer per table,
     * like the reference's program-authority accounts; a lost
     * manifest-rename race fails loudly rather than silently dropping a
-    * generation. */
+    * generation — and HARMLESSLY: each writer stages its generation
+    * under a writer-unique dir name (`g<gen>-<tok>`), so a racing
+    * loser's Overwrite can never delete the winner's already-published
+    * data out from under the winner's manifest; the loser's orphan dir
+    * is unreferenced and reaped by the next successful upsert. Null
+    * keys are legal: `xxhash64` hashes a null to its seed, so they
+    * land deterministically in one bucket and LWW-merge like any key. */
   def upsertByKey(
       spark: SparkSession,
       path: String,
@@ -68,6 +74,7 @@ object Sinks {
       versionCol: String,
       buckets: Int = 16,
       graceMs: Long = 15 * 60 * 1000L): Unit = {
+    require(buckets > 0, s"upsertByKey: buckets must be positive, got $buckets")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val current = readManifest(spark, path)
     // a manifest-less path that nonetheless holds files is NOT an empty
@@ -89,12 +96,18 @@ object Sinks {
     // would route keys to buckets the existing data was not hashed into)
     val nB = current.map(_.buckets).getOrElse(buckets)
     val gen = current.map(_.gen + 1).getOrElse(0L)
-    val bmap = current.map(_.map).getOrElse(Map.empty[Int, Long])
+    val bmap = current.map(_.map).getOrElse(Map.empty[Int, String])
     val bucketOf = pmod(xxhash64(col(key)), lit(nB.toLong)).cast("int")
     val affected = updates.select(bucketOf.as("__b")).distinct()
       .collect().map(_.getInt(0)).sorted // bounded: ≤ buckets
+    // a zero-row upsert is a NO-OP, not a new generation: publishing an
+    // empty-map manifest on first write would create a "table" no read
+    // can resolve, and bumping the generation on an established table
+    // would churn manifests for nothing (an empty streaming micro-batch
+    // routed through here would otherwise do exactly that)
+    if (affected.isEmpty) return
     val livePaths = affected.toSeq.flatMap(b =>
-      bmap.get(b).map(g => s"$path/data/g$g/__b=$b"))
+      bmap.get(b).map(dn => s"$path/data/$dn/__b=$b"))
     val existing =
       if (livePaths.isEmpty) updates.limit(0)
       else spark.read.parquet(livePaths: _*)
@@ -104,6 +117,13 @@ object Sinks {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+    // the generation dir name is WRITER-UNIQUE (g<gen>-<token>): two
+    // racing writers computing the same next gen therefore write into
+    // DISJOINT dirs, and the race is decided only at the manifest
+    // rename — the loser fails loudly with the winner's published data
+    // untouched (an Overwrite into a shared g<gen> would have deleted
+    // the winner's files BEFORE the rename could detect the race)
+    val genDir = f"g$gen%d-${java.util.UUID.randomUUID().toString.take(8)}"
     // repartition by bucket before the partitioned write: without it
     // every shuffle task writes a file into every bucket dir it touches
     // (tasks × buckets small files at scale); clustered, each bucket's
@@ -111,9 +131,9 @@ object Sinks {
     merged.withColumn("__b", bucketOf)
       .repartition(col("__b"))
       .write.mode(SaveMode.Overwrite).partitionBy("__b")
-      .parquet(s"$path/data/g$gen")
+      .parquet(s"$path/data/$genDir")
     publishManifest(spark, path, Manifest(gen, nB,
-      bmap ++ affected.map(_ -> gen)))
+      bmap ++ affected.map(_ -> genDir)))
     // Reap discipline. The grace that protects an in-flight reader must
     // be measured from SUPERSESSION, not from write time: a bucket
     // written an hour ago and superseded a millisecond ago may be
@@ -141,8 +161,8 @@ object Sinks {
     // every bucket generation referenced by a retained manifest is live
     val liveSet = fs.listStatus(mdir)
       .filter(_.getPath.getName.matches("m-\\d{12}\\.json"))
-      .flatMap(st => parseManifest(fs, st.getPath).map.map {
-        case (b, g) => s"g$g/__b=$b"
+      .flatMap(st => parseManifest(fs, st).map.map {
+        case (b, dn) => s"$dn/__b=$b"
       }).toSet
     val dataDir = new Path(s"$path/data")
     if (fs.exists(dataDir))
@@ -163,9 +183,10 @@ object Sinks {
   }
 
   /** The manifest record: table generation, fixed bucket count, and the
-    * bucket → generation map resolving each bucket's current data dir. */
+    * bucket → data-dir-name map resolving each bucket's current data
+    * dir under `path/data/` (writer-unique `g<gen>-<tok>` names). */
   private[sources] final case class Manifest(
-      gen: Long, buckets: Int, map: Map[Int, Long])
+      gen: Long, buckets: Int, map: Map[Int, String])
 
   private def manifestDir(path: String) = new Path(s"$path/_graft_manifest")
 
@@ -176,11 +197,11 @@ object Sinks {
     val dir = manifestDir(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return None
-    val names = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.matches("m-\\d{12}\\.json"))
-    if (names.isEmpty) return None
-    val newest = names.max // zero-padded: lexicographic = numeric order
-    Some(parseManifest(fs, new Path(dir, newest)))
+    val sts = fs.listStatus(dir)
+      .filter(_.getPath.getName.matches("m-\\d{12}\\.json"))
+    if (sts.isEmpty) return None
+    // zero-padded: lexicographic = numeric order
+    Some(parseManifest(fs, sts.maxBy(_.getPath.getName)))
   }
 
   /** One manifest file's parse — shared by the newest-resolution read
@@ -189,14 +210,24 @@ object Sinks {
     * each file is parsed once per JVM and served from a bounded cache
     * thereafter: a grace window can retain hundreds of manifests, and
     * re-opening all of them per upsert would be O(retained) small-file
-    * GETs on an object store. */
+    * GETs on an object store. The cache key includes the file's
+    * (mtime, length), NOT just its path: a table deleted and rebuilt at
+    * the same path re-mints the same manifest NAMES (m-000000000000…),
+    * and a path-only key would serve the dead table's records — wrong
+    * bucket count, dangling data dirs — to the new one. */
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, Manifest]()
 
   private def parseManifest(
-      fs: org.apache.hadoop.fs.FileSystem, p: Path): Manifest =
-    manifestCache.computeIfAbsent(p.toString, _ => {
-      if (manifestCache.size > 4096) manifestCache.clear() // bound, rare
+      fs: org.apache.hadoop.fs.FileSystem,
+      st: org.apache.hadoop.fs.FileStatus): Manifest = {
+    // evict OUTSIDE computeIfAbsent: CHM's mapping function must not
+    // update other mappings of the same map (clear() inside it is
+    // undefined behavior against the in-flight bin reservation)
+    if (manifestCache.size > 4096) manifestCache.clear() // bound, rare
+    val p = st.getPath
+    val key = s"$p@${st.getModificationTime}:${st.getLen}"
+    manifestCache.computeIfAbsent(key, _ => {
       val in = fs.open(p)
       val bytes = try {
         val out = new java.io.ByteArrayOutputStream()
@@ -209,8 +240,14 @@ object Sinks {
         node.get("gen").asLong(),
         node.get("buckets").asInt(),
         node.get("map").properties().asScala.iterator
-          .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap)
+          .map { e =>
+            // pre-writer-unique-dir manifests recorded a bare numeric
+            // generation; its dir name was g<gen>
+            val v = e.getValue.asText()
+            e.getKey.toInt -> (if (v.forall(_.isDigit)) s"g$v" else v)
+          }.toMap)
     })
+  }
 
   /** Stages the manifest under a hidden name, then renames it visible —
     * the table's one atomic operation. A failed rename means another
@@ -224,7 +261,7 @@ object Sinks {
     fs.mkdirs(dir)
     val body = s"""{"gen":${m.gen},"buckets":${m.buckets},"map":{""" +
       m.map.toSeq.sortBy(_._1)
-        .map { case (b, g) => s""""$b":$g""" }.mkString(",") + "}}"
+        .map { case (b, dn) => s""""$b":"$dn"""" }.mkString(",") + "}}"
     val tmp = new Path(dir, s".m-tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -245,7 +282,14 @@ object Sinks {
     val m = readManifest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no upsert table at $path"))
     val paths = m.map.toSeq.sortBy(_._1)
-      .map { case (b, g) => s"$path/data/g$g/__b=$b" }
+      .map { case (b, dn) => s"$path/data/$dn/__b=$b" }
+    // unreachable through upsertByKey (a zero-row upsert is a no-op, so
+    // a published manifest always references ≥1 bucket) — but a foreign
+    // or hand-edited manifest should name the problem, not die in
+    // parquet schema inference over an empty path list
+    require(paths.nonEmpty,
+      s"upsert table at $path has a manifest referencing no buckets — " +
+        "corrupt or foreign manifest")
     spark.read.parquet(paths: _*)
   }
 

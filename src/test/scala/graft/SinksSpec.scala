@@ -76,8 +76,13 @@ class SinksSpec extends SparkSpec {
     val one = Seq((7L, "p7-v2", 2L)).toDF("id", "payload", "version")
     Sinks.upsertByKey(spark, path, one, "id", "version", buckets = 8)
     // generation 1 holds exactly the single bucket id 7 hashes into;
-    // the other 7 buckets' data files were not rewritten
-    val g1Buckets = Files.list(java.nio.file.Paths.get(s"$path/data/g1"))
+    // the other 7 buckets' data files were not rewritten. The gen dir
+    // name is writer-unique (g1-<tok>) so a racing loser could never
+    // overwrite it.
+    val g1Dirs = Files.list(java.nio.file.Paths.get(s"$path/data"))
+      .toArray.map(_.toString).filter(_.matches(".*/g1-[0-9a-f]{8}$"))
+    assert(g1Dirs.length === 1, s"expected one unique g1-<tok> dir, got ${g1Dirs.length}")
+    val g1Buckets = Files.list(java.nio.file.Paths.get(g1Dirs.head))
       .toArray.map(_.toString).count(_.contains("__b="))
     assert(g1Buckets === 1, s"single-key upsert must rewrite 1 bucket, got $g1Buckets")
     val got = Sinks.readUpserted(spark, path)
@@ -112,10 +117,48 @@ class SinksSpec extends SparkSpec {
     // superseded GEN dirs are fully gone — a committer _SUCCESS marker
     // must not pin an empty generation husk forever
     val genDirs = Files.list(java.nio.file.Paths.get(s"$path/data"))
-      .toArray.map(_.toString).count(_.matches(".*/g\\d+$"))
+      .toArray.map(_.toString).count(_.matches(".*/g\\d+-[0-9a-f]{8}$"))
     assert(genDirs <= 2, s"superseded generation husks must reap, got $genDirs")
     val got = Sinks.readUpserted(spark, path).collect()
     assert(got.length === 1 && got.head.getAs[String]("payload") === "p6")
+  }
+
+  test("S6 zero-row upsert is a no-op: no table created, no generation churned") {
+    val path = tmp()
+    val none = Seq.empty[(Long, String, Long)].toDF("id", "payload", "version")
+    // on a fresh path: nothing is created (no empty-map manifest a read
+    // could resolve to an unreadable "table")
+    Sinks.upsertByKey(spark, path, none, "id", "version")
+    intercept[IllegalArgumentException] { Sinks.readUpserted(spark, path) }
+    // on an established table: no new manifest/generation
+    Sinks.upsertByKey(spark, path,
+      Seq((1L, "a", 1L)).toDF("id", "payload", "version"), "id", "version")
+    val before = Files.list(java.nio.file.Paths.get(s"$path/_graft_manifest"))
+      .toArray.map(_.toString).count(_.endsWith(".json"))
+    Sinks.upsertByKey(spark, path, none, "id", "version")
+    val after = Files.list(java.nio.file.Paths.get(s"$path/_graft_manifest"))
+      .toArray.map(_.toString).count(_.endsWith(".json"))
+    assert(after === before, "empty upsert must not publish a new manifest")
+    assert(Sinks.readUpserted(spark, path).count() === 1)
+  }
+
+  test("S6 table rebuilt at the same path is served fresh, not from a stale manifest cache") {
+    val path = tmp()
+    Sinks.upsertByKey(spark, path,
+      Seq((1L, "old", 1L)).toDF("id", "payload", "version"),
+      "id", "version", buckets = 4)
+    assert(Sinks.readUpserted(spark, path).count() === 1)
+    // ordinary reprocessing: drop the table dir and rebuild at the SAME
+    // path — the new table re-mints the same manifest names, so a
+    // path-keyed parse cache would resurrect the old bucket map
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    Thread.sleep(5) // ms-resolution mtimes: let the new manifest's tick differ
+    val fresh = (1L to 20L).map(i => (i, s"new$i", 1L))
+      .toDF("id", "payload", "version")
+    Sinks.upsertByKey(spark, path, fresh, "id", "version", buckets = 2)
+    val got = Sinks.readUpserted(spark, path)
+    assert(got.count() === 20, "rebuilt table must serve the new manifest")
+    assert(got.filter($"payload".startsWith("old")).count() === 0)
   }
 
   test("S6 upsert refuses to shadow a manifest-less legacy table as empty") {
