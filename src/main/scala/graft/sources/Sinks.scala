@@ -93,7 +93,8 @@ object Sinks {
     }
     // bucket count is table-layout identity: fixed at first write, the
     // manifest's record wins thereafter (a caller-supplied mismatch
-    // would route keys to buckets the existing data was not hashed into)
+    // would route keys to buckets the existing data was not hashed
+    // into); [[rebucket]] is the explicit growth path
     val nB = current.map(_.buckets).getOrElse(buckets)
     val gen = current.map(_.gen + 1).getOrElse(0L)
     val bmap = current.map(_.map).getOrElse(Map.empty[Int, String])
@@ -134,17 +135,24 @@ object Sinks {
       .parquet(s"$path/data/$genDir")
     publishManifest(spark, path, Manifest(gen, nB,
       bmap ++ affected.map(_ -> genDir)))
-    // Reap discipline. The grace that protects an in-flight reader must
-    // be measured from SUPERSESSION, not from write time: a bucket
-    // written an hour ago and superseded a millisecond ago may be
-    // mid-scan right now. A manifest's supersession instant is its
-    // SUCCESSOR's mtime (until a successor exists it is the newest and
-    // a reader may resolve it at any moment), so: retain the newest
-    // manifest plus every manifest whose successor is younger than
-    // grace; then a bucket generation is live exactly while ANY
-    // retained manifest references it. A reader always resolves a
-    // then-newest manifest, so it gets at least the full grace window
-    // of scan time before anything it references can disappear.
+    reapSuperseded(fs, path, graceMs)
+  }
+
+  /** Reap discipline shared by [[upsertByKey]] and [[rebucket]]. The
+    * grace that protects an in-flight reader must
+    * be measured from SUPERSESSION, not from write time: a bucket
+    * written an hour ago and superseded a millisecond ago may be
+    * mid-scan right now. A manifest's supersession instant is its
+    * SUCCESSOR's mtime (until a successor exists it is the newest and
+    * a reader may resolve it at any moment), so: retain the newest
+    * manifest plus every manifest whose successor is younger than
+    * grace; then a bucket generation is live exactly while ANY
+    * retained manifest references it. A reader always resolves a
+    * then-newest manifest, so it gets at least the full grace window
+    * of scan time before anything it references can disappear. */
+  private def reapSuperseded(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String, graceMs: Long): Unit = {
     val now = System.currentTimeMillis()
     val mdir = manifestDir(path)
     val manifests = fs.listStatus(mdir)
@@ -180,6 +188,57 @@ object Sinks {
               .exists(_.getPath.getName.startsWith("__b=")))
             fs.delete(genSt.getPath, true)
         }
+  }
+
+  /** Re-buckets an upsert table to `newBuckets` — the GROWTH path.
+    * The bucket count is fixed at first write (the manifest's record
+    * wins over the caller's argument, because re-hashing only some
+    * keys would tear routing), which is right for every upsert but
+    * wrong FOREVER on a table that grows orders of magnitude: a 100 TB
+    * table stuck at its day-one 16 buckets rewrites ~6 TB per
+    * single-key upsert. Rebucketing pays the whole-table rewrite ONCE,
+    * explicitly and operator-scheduled, redistributing every row into
+    * `newBuckets` dirs under a fresh generation and publishing a
+    * manifest that carries the new count — after which every upsert is
+    * O(table/newBuckets) again. The swap is the same single-file
+    * manifest rename as an upsert: a concurrent reader resolves either
+    * the old or the new manifest, each a complete table, and keeps the
+    * old generations for the grace window while mid-scan. Same-count
+    * rebucket is a no-op. Single-writer, like every other mutation of
+    * this table format. */
+  def rebucket(
+      spark: SparkSession,
+      path: String,
+      key: String,
+      newBuckets: Int,
+      graceMs: Long = 15 * 60 * 1000L): Unit = {
+    require(newBuckets > 0,
+      s"rebucket: newBuckets must be positive, got $newBuckets")
+    val current = readManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no upsert table at $path"))
+    if (current.buckets == newBuckets) return
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = current.gen + 1
+    val genDir = f"g$gen%d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val bucketOf =
+      pmod(xxhash64(col(key)), lit(newBuckets.toLong)).cast("int")
+    readUpserted(spark, path)
+      .withColumn("__b", bucketOf)
+      .repartition(col("__b"))
+      .write.mode(SaveMode.Overwrite).partitionBy("__b")
+      .parquet(s"$path/data/$genDir")
+    // the manifest must reference exactly the buckets that hold rows:
+    // list them from the JUST-WRITTEN layout (one shallow LIST) rather
+    // than re-evaluating the table a second time for a distinct()
+    val present = fs.listStatus(new Path(s"$path/data/$genDir"))
+      .map(_.getPath.getName).filter(_.startsWith("__b="))
+      .map(_.stripPrefix("__b=").toInt)
+    require(present.nonEmpty,
+      s"rebucket: rewrite of $path produced no buckets — refusing to " +
+        "publish an empty manifest over a table that had data")
+    publishManifest(spark, path, Manifest(gen, newBuckets,
+      present.map(_ -> genDir).toMap))
+    reapSuperseded(fs, path, graceMs)
   }
 
   /** The manifest record: table generation, fixed bucket count, and the

@@ -161,6 +161,42 @@ class SinksSpec extends SparkSpec {
     assert(got.filter($"payload".startsWith("old")).count() === 0)
   }
 
+  test("S6 rebucket migrates the table to a new bucket count; later upserts rewrite 1 of N") {
+    val path = tmp()
+    val seed = (1L to 100L).map(i => (i, s"p$i", 1L))
+      .toDF("id", "payload", "version")
+    Sinks.upsertByKey(spark, path, seed, "id", "version", buckets = 2)
+    Sinks.rebucket(spark, path, "id", 16)
+    // migration preserves every row
+    val migrated = Sinks.readUpserted(spark, path)
+    assert(migrated.count() === 100)
+    // the new layout spreads past the old 2-bucket ceiling
+    val rebucketDirs = Files.list(java.nio.file.Paths.get(s"$path/data"))
+      .toArray.map(_.toString).filter(_.matches(".*/g1-[0-9a-f]{8}$"))
+    assert(rebucketDirs.length === 1)
+    val spread = Files.list(java.nio.file.Paths.get(rebucketDirs.head))
+      .toArray.map(_.toString).count(_.contains("__b="))
+    assert(spread > 2, s"100 keys over 16 buckets must spread past 2, got $spread")
+    // a follow-up single-key upsert rewrites exactly one of the NEW buckets
+    Sinks.upsertByKey(spark, path,
+      Seq((7L, "p7-v2", 2L)).toDF("id", "payload", "version"), "id", "version")
+    val g2Dirs = Files.list(java.nio.file.Paths.get(s"$path/data"))
+      .toArray.map(_.toString).filter(_.matches(".*/g2-[0-9a-f]{8}$"))
+    val g2Buckets = Files.list(java.nio.file.Paths.get(g2Dirs.head))
+      .toArray.map(_.toString).count(_.contains("__b="))
+    assert(g2Buckets === 1, s"post-rebucket single-key upsert must rewrite 1 bucket, got $g2Buckets")
+    val got = Sinks.readUpserted(spark, path)
+    assert(got.count() === 100)
+    assert(got.filter($"id" === 7L).select($"payload").head().getString(0) === "p7-v2")
+    // same-count rebucket is a no-op: no new manifest published
+    val before = Files.list(java.nio.file.Paths.get(s"$path/_graft_manifest"))
+      .toArray.map(_.toString).count(_.endsWith(".json"))
+    Sinks.rebucket(spark, path, "id", 16)
+    val after = Files.list(java.nio.file.Paths.get(s"$path/_graft_manifest"))
+      .toArray.map(_.toString).count(_.endsWith(".json"))
+    assert(after === before, "same-count rebucket must be a no-op")
+  }
+
   test("S6 upsert refuses to shadow a manifest-less legacy table as empty") {
     val path = tmp()
     // a plain-parquet table at the target path (the OLD upsert layout)
