@@ -112,7 +112,16 @@ object ScaleOps {
     * `last(ignoreNulls)` carries the latest right row forward — never a
     * range-predicate join. Ties: right rows sort before left rows at
     * equal time (inclusive as-of), and among equal-time right rows the
-    * struct-greatest wins (deterministic when right rows are distinct).
+    * struct-greatest wins (deterministic when right rows are distinct;
+    * this tiebreak orders by the payload struct, so right's columns
+    * must be orderable types — no maps). SQL join semantics on NULLs:
+    * right rows with a null key or null `rightTime` can never satisfy
+    * `key = key AND rightTime <= leftTime` and are dropped up front —
+    * without that filter a null-time right row would sort FIRST in the
+    * window (ASC puts nulls first) and be carried to left rows that no
+    * real right row precedes, and null-key rows would "match" null-key
+    * left rows through the window partitioning. A left row with a null
+    * key or time gets a null `asof`.
     * Column names must not collide with the three internal `__asof_*`
     * tags; `left`/`right` may not share column names except via the
     * returned struct. */
@@ -130,6 +139,7 @@ object ScaleOps {
       .withColumn("__asof_tag", lit(1))
       .withColumn("__asof_r", lit(null).cast(rType))
     val r = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
       .select(col(key), col(rightTime).as("__asof_t"), lit(0).as("__asof_tag"),
         rStruct.as("__asof_r"))
     // align schemas: right rows carry nulls for left's payload columns
@@ -231,9 +241,15 @@ object ScaleOps {
       iter += 1
     }
     unpersistCheckpoint(sym)
-    if (changed > 0L)
+    if (changed > 0L) {
+      // free the last iteration's checkpoint before throwing: the error
+      // path must not pin O(V) blocks (and reliable-mode files) forever —
+      // a retry loop would otherwise leak one orphaned snapshot per
+      // attempt, the leak class ccCheckpoints exists to prevent
+      scala.util.Try(unpersistCheckpoint(labels))
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations")
+    }
     // the returned frame is itself a checkpoint and would otherwise stay
     // pinned until driver GC triggers ContextCleaner — register it so
     // harness resets (Bench / TimeQueries cold runs) free it

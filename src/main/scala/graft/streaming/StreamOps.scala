@@ -118,14 +118,20 @@ final case class BufferResult(
   */
 object StreamOps {
 
+  /** Shared event-time preamble: every stateful operator derives its
+    * watermark from the same `ts_ms` → `event_time` mapping; one
+    * definition means a change to the derivation (source column, clamp)
+    * cannot silently skip one of the nine call sites. */
+  private def withEventTime(df: DataFrame, watermark: String): DataFrame =
+    df.withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", watermark)
+
   /** ST1: deadline-window vote tally (lib.rs:93-176). 1-hour tumbling
     * windows on event time; rows after the window's deadline
     * (start + 45 min) are rejected like the on-chain `VotingEnded` error;
     * the watermark bounds state and drops stragglers entirely. */
   def deadlineTally(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events
-      .withColumn("event_time", timestamp_millis(col("ts_ms")))
-      .withWatermark("event_time", watermark)
+    withEventTime(events, watermark)
       .filter(col("event_type").isin("purchase", "error"))
       .filter(expr("(ts_ms % 3600000) < 2700000")) // deadline gate
       .groupBy(window(col("event_time"), "1 hour"))
@@ -207,9 +213,7 @@ object StreamOps {
       maxVotes: Long = 10000L): Dataset[DeadlineResult] = {
     val sess = events.sparkSession
     import sess.implicits._
-    events
-      .withColumn("event_time", timestamp_millis(col("ts_ms")))
-      .withWatermark("event_time", watermark)
+    withEventTime(events, watermark)
       .filter(col("event_type").isin("view", "purchase"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("ts_ms"), col("event_time"))
@@ -230,7 +234,12 @@ object StreamOps {
           } else {
             var s = state.getOption.getOrElse(
               DeadlineSession(0L, 0L, 0L, Double.MaxValue, Long.MaxValue))
-            evs.foreach { e =>
+            // sort like rapidReversal/asofAttr: the group iterator's
+            // partition order is not deterministic, and the maxVotes cap
+            // makes ACCEPTANCE order-dependent — two in-phase reveals
+            // straddling the cap would otherwise pick a nondeterministic
+            // winner across batch splits
+            evs.toSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
               val off = e.ts_ms % 3600000L
               // a capped session rejects every further event, in-phase or
               // not — same counters as the reference's ordered require!s,
@@ -261,9 +270,7 @@ object StreamOps {
   /** ST5: streaming dedup by event id within the watermark horizon
     * (nullifier replay prevention, client.ts:1753-1762). */
   def dedup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events
-      .withColumn("event_time", timestamp_millis(col("ts_ms")))
-      .withWatermark("event_time", watermark)
+    withEventTime(events, watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
   /** ST6: bounded replay buffer — last `cap` events per key, oldest
@@ -281,12 +288,16 @@ object StreamOps {
         GroupStateTimeout.NoTimeout) {
         case (userId, evs, state) =>
           var (seen, buf) = state.getOption.getOrElse((0L, Seq.empty[(Long, Long)]))
-          evs.foreach { e =>
-            seen += 1
-            buf = ((e.ts_ms, e.event_id) +: buf)
-              .sortBy { case (ts, id) => (-ts, -id) }
-              .take(cap)
-          }
+          // one sort per (key, batch), not per event: keeping the top-cap
+          // after a global sort is equivalent to inserting one-by-one and
+          // truncating (tournament property), and at the reference's
+          // cap≈1000 a per-event re-sort would pay m·cap·log(cap) per
+          // micro-batch for nothing
+          val incoming = evs.map(e => (e.ts_ms, e.event_id)).toSeq
+          seen += incoming.size
+          buf = (incoming ++ buf)
+            .sortBy { case (ts, id) => (-ts, -id) }
+            .take(cap)
           state.update((seen, buf))
           BufferResult(userId, seen, buf.size.toLong, seen - buf.size,
             buf.map(_._2).sorted.mkString(","))
@@ -299,9 +310,7 @@ object StreamOps {
     * streaming agg — partial aggregation per micro-batch, exactly the
     * incremental maintenance the reference does per on-chain event. */
   def epochAgg(events: DataFrame, watermark: String = "2 days"): DataFrame =
-    events
-      .withColumn("event_time", timestamp_millis(col("ts_ms")))
-      .withWatermark("event_time", watermark)
+    withEventTime(events, watermark)
       .groupBy(window(col("event_time"), "1 day"))
       .agg(
         count(lit(1)).as("total_signals"),
@@ -319,9 +328,7 @@ object StreamOps {
     * activity counts. A member is "active" in every hourly slide that
     * overlaps one of their events. */
   def slidingActivity(events: DataFrame, watermark: String = "2 days"): DataFrame =
-    events
-      .withColumn("event_time", timestamp_millis(col("ts_ms")))
-      .withWatermark("event_time", watermark)
+    withEventTime(events, watermark)
       .groupBy(window(col("event_time"), "24 hours", "1 hour"), col("user_id"))
       .agg(count(lit(1)).as("events_24h"), max(col("ts_ms")).as("last_seen_ms"))
       .withColumn("active", col("events_24h") > lit(0L))
@@ -332,9 +339,7 @@ object StreamOps {
     * `st9_daily_limit` (lib/hive-api.ts:44-62): per (user, epoch-day)
     * purchase cents against a 500.00 daily cap, integer pct clamp. */
   def dailyLimit(events: DataFrame, watermark: String = "2 days"): DataFrame =
-    events
-      .withColumn("event_time", timestamp_millis(col("ts_ms")))
-      .withWatermark("event_time", watermark)
+    withEventTime(events, watermark)
       .filter(col("event_type") === lit("purchase"))
       .withColumn("cents", round(col("value") * lit(100), 0).cast("long"))
       .groupBy(window(col("event_time"), "1 day"), col("user_id"))
@@ -510,9 +515,7 @@ object StreamOps {
   def gapSessions(
       events: DataFrame, gap: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =
-    events
-      .withColumn("event_time", timestamp_millis(col("ts_ms")))
-      .withWatermark("event_time", watermark)
+    withEventTime(events, watermark)
       .groupBy(col("user_id"), session_window(col("event_time"), gap))
       .agg(
         min(col("ts_ms")).as("session_start_ms"),
@@ -532,10 +535,7 @@ object StreamOps {
     * trade of streaming ingest; the batch keeper election is the exact
     * full-corpus form). Expects (doc_id, text, ts_ms) rows; append mode. */
   def corpusCleanStream(docs: DataFrame, watermark: String = "2 hours"): DataFrame =
-    graft.operators.Text.corpusGates(
-      docs
-        .withColumn("event_time", timestamp_millis(col("ts_ms")))
-        .withWatermark("event_time", watermark))
+    graft.operators.Text.corpusGates(withEventTime(docs, watermark))
       .dropDuplicatesWithinWatermark("fp")
       .select(col("doc_id"), col("quality_score"),
         col("n_words").as("tokens"), col("fp"))
@@ -551,9 +551,7 @@ object StreamOps {
       watermark: String = "2 hours"): Dataset[TtlResult] = {
     val s = events.sparkSession
     import s.implicits._
-    events
-      .withColumn("event_time", timestamp_millis(col("ts_ms")))
-      .withWatermark("event_time", watermark)
+    withEventTime(events, watermark)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("ts_ms"), col("event_time"))
       .as[EvT]
@@ -569,7 +567,13 @@ object StreamOps {
             var (n, lastTs) = state.getOption.getOrElse((0L, 0L))
             evs.foreach { e => n += 1; lastTs = math.max(lastTs, e.ts_ms) }
             state.update((n, lastTs))
-            state.setTimeoutTimestamp(lastTs + ttlMs)
+            // must stay ahead of the current watermark or Spark rejects
+            // the timestamp and kills the query — a backfill batch can
+            // deliver rows so old that last_seen + ttl is already past
+            // (they pass the late filter against the PREVIOUS batch's
+            // watermark); such a key evicts at the next watermark tick
+            state.setTimeoutTimestamp(
+              math.max(lastTs + ttlMs, state.getCurrentWatermarkMs() + 1L))
             TtlResult(uid, n, expired = false)
           }
       }
@@ -631,8 +635,18 @@ object StreamOps {
     * them (r7 judge note #3). */
   def merkleAppend(commitments: DataFrame, depth: Int,
       onBatch: (graft.functions.Merkle.Incremental, Long) => Unit = (_, _) => (),
-      maxPending: Int = 1 << 16, recentTail: Int = 1024): MerkleAppendHandle = {
-    val tree = new graft.functions.Merkle.Incremental(depth)
+      maxPending: Int = 1 << 16, recentTail: Int = 1024,
+      checkpoint: Option[String] = None,
+      resume: Option[graft.functions.Merkle.Incremental] = None):
+      MerkleAppendHandle = {
+    // `resume` is the restart path's other half: a tree restored from a
+    // persisted snapshot (validated by Incremental.restore) picks up at
+    // its committed count, and with `checkpoint` set the source resumes
+    // at committed offsets — together a restart re-reads nothing and
+    // re-applies nothing
+    val tree = resume.getOrElse(new graft.functions.Merkle.Incremental(depth))
+    require(tree.snapshot._3.length == depth,
+      s"merkleAppend: resumed tree depth ${tree.snapshot._3.length} != $depth")
     val unchecked = new java.util.concurrent.atomic.AtomicLong(0L)
     // driver-side maintainer state, touched only by the (serialized)
     // micro-batch thread: ahead-of-count leaves + the replay-check tail
@@ -645,8 +659,17 @@ object StreamOps {
       recentOrder.append(idx)
       while (recentOrder.length > recentTail) recent.remove(recentOrder.removeHead())
     }
-    val q = commitments.writeStream
-      .outputMode("append")
+    // production restarts should pass `checkpoint` AND restore the tree
+    // from a persisted snapshot: resuming from committed offsets means
+    // the re-read history is zero instead of the whole commitment stream
+    // — without it a restart's full-history replay floods past the
+    // recentTail detection horizon and lands as unchecked (counted)
+    // skips. Tests drive MemoryStream sources, which have no durable
+    // offsets; hence optional rather than mandatory like
+    // [[partitionedFanout]]'s (whose sink would DUPLICATE data, a worse
+    // failure than counted-but-unchecked replays).
+    val base = commitments.writeStream.outputMode("append")
+    val q = checkpoint.fold(base)(c => base.option("checkpointLocation", c))
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val leaves = batch
           .select(col("leaf_index").cast("long"), col("leaf"))

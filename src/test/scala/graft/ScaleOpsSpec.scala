@@ -137,6 +137,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.collect().toSeq === want.collect().toSeq)
   }
 
+  test("asofJoin: null right times/keys never match; null-key left rows get null asof") {
+    // SQL semantics: a right row with null key or null time can never
+    // satisfy `key = key AND rightTime <= leftTime` — without the
+    // up-front filter it would sort FIRST in the window (nulls-first
+    // ASC) and be carried to left rows no real right row precedes
+    val left = Seq(
+      (1L, java.lang.Long.valueOf(1L), java.lang.Long.valueOf(100L)),
+      (2L, java.lang.Long.valueOf(1L), java.lang.Long.valueOf(5L)),
+      (3L, null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(100L)))
+      .toDF("l_id", "k", "lt")
+    val right = Seq(
+      (10L, java.lang.Long.valueOf(1L), java.lang.Long.valueOf(50L)),
+      (11L, java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long]),
+      (12L, null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(1L)))
+      .toDF("r_id", "k", "rt")
+    val got = graft.operators.ScaleOps.asofJoin(left, right, "k", "lt", "rt")
+    val byId = got.select($"l_id", $"asof.r_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(byId(1L) === 10L, "real preceding right row must match")
+    assert(byId(2L) === -1L,
+      "left row earlier than every real right row must get null, not the null-time row")
+    assert(byId(3L) === -1L, "null-key left row must not match the null-key right row")
+  }
+
   test("pipe_decontam_bloom: the Bloom pre-filter never changes the confirmed result") {
     val bloom = run("pipe_decontam_bloom").collect().map(_.toSeq).toSeq
     val exact = run("pipe_decontam").collect().map(_.toSeq).toSeq

@@ -399,6 +399,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST7 ttlEvict survives backfill under an aggressively jumping watermark") {
+    // The timeout guard clamps last_seen + ttl to watermark + 1 (same
+    // guard commitRevealDeadline carries): Spark validates
+    // setTimeoutTimestamp against the CURRENT eviction watermark while
+    // late rows are filtered with a value that can lag it, so an
+    // engine-delivered row older than watermark − ttl would otherwise
+    // kill the query with IllegalArgumentException. The lag window is
+    // not reproducible through MemoryStream + processAllAvailable (the
+    // watermark-advance batch between triggers closes it), so this spec
+    // pins the observable contract around it: day-scale watermark jumps
+    // interleaved with a tiny ttl and an old backfill row never kill
+    // the query, and eviction still works.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.ttlEvict(mem.toDF(), ttlMs = 10L, watermark = "0 seconds")
+      .toDF()
+      .writeStream.format("memory").queryName("st7_backfill_stream")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val t0 = 1706486400000L
+      mem.addData(Seq(Ev(1L, 2L, "view", 1.0, t0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Ev(2L, 2L, "view", 1.0, t0 + 10L * 86400000L)))
+      q.processAllAvailable()
+      // ~10-days-old backfill row against a tiny ttl: late-dropped or
+      // clamped, but never fatal
+      mem.addData(Seq(Ev(3L, 1L, "view", 1.0, t0 + 1000L)))
+      q.processAllAvailable()
+      mem.addData(Seq(Ev(4L, 2L, "view", 1.0, t0 + 10L * 86400000L + 1000L)))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val rows = spark.table("st7_backfill_stream")
+        .select($"user_id", $"n_events", $"expired").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(rows.contains((2L, 3L, false)),
+        s"active key must keep accumulating through the jumps: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("ST11 streaming gap sessions (native session_window) converge to the batch twin") {
     // append-mode session windows emit only once the watermark passes the
     // session end; a far-future sentinel event closes every real session
@@ -567,6 +606,39 @@ class StreamingSpec extends SparkSpec {
       h.query.processAllAvailable()
       assert(h.uncheckedReplays === 1L, "a verified in-horizon replay must not count")
     } finally h.query.stop()
+  }
+
+  test("merkleAppend: checkpoint + restored snapshot restart re-reads nothing") {
+    import graft.functions.{Merkle, Poseidon}
+    val in = java.nio.file.Files.createTempDirectory("graft-mk-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mk-ck").toString
+    val leaves = (0L until 32L).map(i => i -> Poseidon.toBytes32(BigInt(i * 11 + 3)))
+    val schema = leaves.take(1).toDF("leaf_index", "leaf").schema
+    def source = spark.readStream.schema(schema).parquet(s"$in/leaves.parquet")
+    leaves.take(16).toDF("leaf_index", "leaf").write.parquet(s"$in/leaves.parquet")
+    // run 1: first half, offsets committed to the checkpoint
+    val h1 = StreamOps.merkleAppend(source, depth = 20,
+      checkpoint = Some(ckpt))
+    try h1.query.processAllAvailable() finally h1.query.stop()
+    assert(h1.tree.count === 16L)
+    val (n, r, frontier) = h1.tree.snapshot // the persisted-state analog
+    // run 2: second half lands; a RESTORED tree + the same checkpoint
+    // resumes at committed offsets — a restart without the checkpoint
+    // would re-read part1, and with the driver-side recent map empty
+    // every historical leaf would land as an unchecked replay
+    leaves.drop(16).toDF("leaf_index", "leaf").write.mode("append")
+      .parquet(s"$in/leaves.parquet")
+    val restored = new Merkle.Incremental(20)
+    restored.restore(n, r, frontier)
+    val h2 = StreamOps.merkleAppend(source, depth = 20,
+      checkpoint = Some(ckpt), resume = Some(restored))
+    try h2.query.processAllAvailable() finally h2.query.stop()
+    assert(h2.tree.count === 32L, "restart must apply exactly the new half")
+    assert(h2.uncheckedReplays === 0L,
+      "offset-resumed restart must re-read nothing (no replay flood)")
+    assert(h2.tree.root === Merkle.rootDistributed(
+      spark, leaves.toDF("leaf_index", "leaf"), depth = 20, blockDepth = 4),
+      "restored + resumed root diverged from the batch recompute")
   }
 
   test("ST6 streaming bounded buffer matches the batch twin") {
