@@ -171,7 +171,91 @@ object Crypto {
     },
     oracle = None)
 
+  /** crypto_groth16_verify: REAL Groth16 verification over BN254 — the
+    * cryptographic tier of the reference's reputation gate
+    * (shadow-id-gate.ts:158-183 routes `encodedProof` through
+    * `zk.verifier`; reputation-prover-impl.ts:162-207 produces the
+    * proofs), complementing the structural tier `crypto_verify_proof`
+    * already implements (:127-137). Each row derives a synthetic
+    * Groth16 instance from its doc_id — the five trapdoor scalars are
+    * fixed, C's scalar is forced by the acceptance equation, so the
+    * proof is valid BY CONSTRUCTION without a prover — encodes it in
+    * the reference's exact 256-byte on-chain layout
+    * (reputation-prover-impl.ts:171-186: A pre-negated, pi_b
+    * imaginary-first), applies a doc_id-classed tamper (none /
+    * flipped byte / wrong public input / truncation), then decodes
+    * and verifies with the full pairing check
+    * ([[graft.functions.BN254.groth16Verify]]: on-curve + subgroup
+    * guards, e(−A,B)·e(α,β)·e(X,γ)·e(C,δ) = 1 with one shared final
+    * exponentiation). Only the untampered class may verify.
+    *
+    * Pure per-row scalar kernel (~4 Miller loops per row, no shuffle)
+    * — embarrassingly parallel over a 100 TB proofs table, though the
+    * realistic workload is the reference's: a handful of proofs per
+    * gate call. Rows-only: DuckDB has no pairing (BN254Spec pins the
+    * pairing algebra; the equality below pins the catalog wiring). */
+  val cryptoGroth16Verify = QueryDef(
+    "crypto_groth16_verify",
+    (s, dir) => {
+      import graft.functions.BN254._
+      val (alphaS, betaS, gammaS, deltaS) =
+        (BigInt(5), BigInt(7), BigInt(11), BigInt(13))
+      val icS = IndexedSeq(BigInt(3), BigInt(29))
+      val vk = VerifyingKey(
+        G1.gen * alphaS, G2.gen * betaS, G2.gen * gammaS, G2.gen * deltaS,
+        icS.map(G1.gen * _))
+      // per-row synthetic instance + tamper class, emitted as the same
+      // (proof bytes, public-input strings) surface a real proofs table
+      // carries — so the query exercises the PUBLIC verifier UDF, not a
+      // private fused path
+      val proofGenUdf = udf((docId: Long) => {
+        val cls = (docId % 4).toInt
+        val pub = BigInt(docId) + 17
+        val aS = BigInt(101) + docId
+        val bS = BigInt(103) + 2 * docId
+        val ell = icS.head + pub * icS(1)
+        val cS = ((aS * bS - alphaS * betaS - ell * gammaS) *
+          deltaS.modInverse(R)).mod(R)
+        val bytes0 = encodeProofBytes(
+          Proof(G1.gen * aS, G2.gen * bS, G1.gen * cS))
+        val bytes = cls match {
+          case 1 => bytes0.updated(5, (bytes0(5) ^ 0x01).toByte) // corrupt A.x
+          case 3 => bytes0.take(255) // truncated
+          case _ => bytes0
+        }
+        val checkPub = if (cls == 2) pub + 1 else pub
+        (bytes, Seq(checkPub.toString))
+      })
+      T(s, dir).documents
+        .filter(col("doc_id") < lit(8L))
+        .select(col("doc_id"), proofGenUdf(col("doc_id")).as("p"))
+        .select(col("doc_id"),
+          groth16VerifyUdf(vk)(col("p._1"), col("p._2")).as("r"))
+        .select(col("doc_id"), col("r._1").as("decoded"),
+          col("r._2").as("valid"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = None)
+
+  /** Library surface of the Groth16 tier: a reusable verifier UDF over
+    * any proofs table — (proof bytes in the reference's 256-byte
+    * layout, public inputs as decimal strings, since field elements
+    * exceed long) → struct(decoded, valid). False-not-throw on every
+    * malformed input, per the gate's error contract. */
+  def groth16VerifyUdf(vk: graft.functions.BN254.VerifyingKey)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte], pubs: Seq[String]) => {
+      import graft.functions.BN254._
+      val parsed =
+        if (pubs == null) None
+        else scala.util.Try(pubs.map(BigInt(_))).toOption
+      val decoded = decodeProofBytes(bytes)
+      ( decoded.isDefined,
+        (for { p <- decoded; xs <- parsed }
+          yield groth16Verify(vk, p, xs)).getOrElse(false))
+    }).asNonNullable()
+
   val defs: Seq[QueryDef] = Seq(
     cryptoCommitment, cryptoNullifierDedup, cryptoMerkleRoot,
-    cryptoShaCommitment, cryptoMerkleVerify)
+    cryptoShaCommitment, cryptoMerkleVerify, cryptoGroth16Verify)
 }

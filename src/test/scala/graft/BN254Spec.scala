@@ -1,0 +1,219 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.BN254
+import graft.functions.BN254._
+
+/** Proves the BN254 pairing stack bottom-up: field-tower axioms (the
+  * hand-rolled inversion formulas are the riskiest lines), the
+  * hardcoded generator constants (on-curve + order-r — the spec PROVES
+  * the constants rather than trusting transcription), pairing
+  * bilinearity/non-degeneracy (which any correct Miller loop + final
+  * exponentiation must satisfy, and which no plausible arithmetic bug
+  * survives), and the Groth16 predicate end-to-end on synthetic
+  * proofs built from scalar identities — c = (ab − αβ − ℓγ)/δ makes
+  * e(A,B) = e(α,β)·e(X,γ)·e(C,δ) hold by construction, so acceptance
+  * is checkable without a prover, and every single-component tamper
+  * must flip it to reject. */
+class BN254Spec extends AnyFunSuite {
+
+  // deterministic pseudo-random field elements (no Date/Random in specs)
+  private def lcg(seed: Long): Iterator[BigInt] =
+    Iterator.iterate(BigInt(seed))(x => (x * 6364136223846793005L + 1442695040888963407L)
+      .mod(BigInt(2).pow(128)))
+      .map(x => (x * x + 7).mod(Q))
+
+  private def fp2s(seed: Long): Iterator[Fp2] =
+    lcg(seed).grouped(2).map(g => Fp2(g(0), g(1)))
+  private def fp6s(seed: Long): Iterator[Fp6] =
+    fp2s(seed).grouped(3).map(g => Fp6(g(0), g(1), g(2)))
+  private def fp12s(seed: Long): Iterator[Fp12] =
+    fp6s(seed).grouped(2).map(g => Fp12(g(0), g(1)))
+
+  test("field tower: inversion round-trips and ring axioms hold") {
+    val xs2 = fp2s(1).take(25).toSeq
+    xs2.filterNot(_.isZero).foreach(x => assert(x * x.inv == Fp2.one))
+    val xs6 = fp6s(2).take(15).toSeq
+    xs6.filterNot(_.isZero).foreach(x => assert(x * x.inv == Fp6.one))
+    val xs12 = fp12s(3).take(10).toSeq
+    xs12.foreach(x => assert(x * x.inv == Fp12.one))
+    // associativity + distributivity spot checks across the tower
+    val Seq(a, b, c) = fp12s(4).take(3).toSeq
+    assert((a * b) * c == a * (b * c))
+    assert(a * (b + c) == a * b + a * c)
+    // w² = v: squaring the pure-w element must land in the v slot
+    val w = Fp12(Fp6.zero, Fp6.one)
+    assert(w.sq == Fp12(Fp6(Fp2.zero, Fp2.one, Fp2.zero), Fp6.zero))
+    // u² = −1 and v³ = ξ, the tower's defining relations
+    assert(Fp2(BigInt(0), BigInt(1)).sq == Fp2(Q - 1, BigInt(0)))
+    val v = Fp6(Fp2.zero, Fp2.one, Fp2.zero)
+    assert(v * v * v == Fp6(Fp2.xi, Fp2.zero, Fp2.zero))
+  }
+
+  test("generators: hardcoded constants are on-curve with order exactly r") {
+    assert(G1.gen.onCurve)
+    assert((G1.gen * R).isInfinity)
+    assert(!(G1.gen * (R - 1)).isInfinity) // order divides r and is not 1
+    assert(G2.gen.onCurve)
+    assert((G2.gen * R).isInfinity)
+    assert(!(G2.gen * (R - 1)).isInfinity)
+    // the twist constant itself: b' = 3/ξ
+    assert(G2.b * Fp2.xi == Fp2(BigInt(3), BigInt(0)))
+  }
+
+  test("curve groups: add/double/negate are consistent") {
+    val p2 = G1.gen + G1.gen
+    val p3 = p2 + G1.gen
+    assert(p3 == G1.gen * 3)
+    assert((p3 + (-p3)).isInfinity)
+    assert(G1.gen + G1.infinity == G1.gen)
+    val q2 = G2.gen + G2.gen
+    assert(q2 + G2.gen == G2.gen * 3)
+    assert((q2 + (-q2)).isInfinity)
+    assert(G2.gen.inSubgroup)
+  }
+
+  test("pairing: bilinear, non-degenerate, r-torsion") {
+    val e = pairing(G1.gen, G2.gen)
+    assert(e != Fp12.one, "pairing must be non-degenerate on the generators")
+    assert(e.pow(R) == Fp12.one, "pairing value must lie in mu_r")
+    // e(aP, bQ) = e(P, Q)^(ab)
+    val (a, b) = (BigInt(6), BigInt(11))
+    assert(pairing(G1.gen * a, G2.gen * b) == e.pow(a * b))
+    // additivity in each slot
+    val (p1, p2) = (G1.gen * 5, G1.gen * 9)
+    assert(pairing(p1 + p2, G2.gen) == pairing(p1, G2.gen) * pairing(p2, G2.gen))
+    val (q1, q2) = (G2.gen * 4, G2.gen * 7)
+    assert(pairing(G1.gen, q1 + q2) == pairing(G1.gen, q1) * pairing(G1.gen, q2))
+    // degenerate inputs pair to 1 (EIP-197 precompile convention)
+    assert(pairing(G1.infinity, G2.gen) == Fp12.one)
+    assert(pairing(G1.gen, G2.infinity) == Fp12.one)
+  }
+
+  test("pairingProduct: shared final exponentiation equals the plain product") {
+    val pairs = Seq(
+      (G1.gen * 3, G2.gen * 5),
+      (G1.gen * 7, G2.gen * 2),
+      (-(G1.gen * 4), G2.gen * 9))
+    assert(pairingProduct(pairs) ==
+      pairs.map { case (p, q) => pairing(p, q) }.reduce(_ * _))
+    // the cancellation identity every pairing verifier rests on:
+    // e(aP, Q) · e(−aP, Q) = 1
+    assert(pairingProduct(Seq(
+      (G1.gen * 21, G2.gen), (-(G1.gen * 21), G2.gen))) == Fp12.one)
+  }
+
+  /** Synthetic Groth16 instance: all five trapdoor scalars chosen, so
+    * C's scalar is forced by the acceptance equation — a valid proof
+    * without a prover. */
+  private val (alphaS, betaS, gammaS, deltaS) =
+    (BigInt(5), BigInt(7), BigInt(11), BigInt(13))
+  private val icS = IndexedSeq(BigInt(3), BigInt(29), BigInt(31))
+  private val pubIn = Seq(BigInt(19), BigInt(23))
+  private val vk = VerifyingKey(
+    G1.gen * alphaS, G2.gen * betaS, G2.gen * gammaS, G2.gen * deltaS,
+    icS.map(G1.gen * _))
+  private def proofFor(aS: BigInt, bS: BigInt,
+      inputs: Seq[BigInt] = pubIn): Proof = {
+    val ell = icS.head + inputs.zip(icS.drop(1)).map { case (x, k) => x * k }
+      .foldLeft(BigInt(0))(_ + _)
+    val cS = ((aS * bS - alphaS * betaS - ell * gammaS) *
+      deltaS.modInverse(R)).mod(R)
+    Proof(G1.gen * aS, G2.gen * bS, G1.gen * cS)
+  }
+
+  test("groth16: synthetic valid proof accepts; every tamper rejects") {
+    val proof = proofFor(BigInt(101), BigInt(103))
+    assert(groth16Verify(vk, proof, pubIn))
+    // a second, unrelated witness for the same statement also accepts
+    assert(groth16Verify(vk, proofFor(BigInt(1717), BigInt(9999)), pubIn))
+    // single-component tampers all reject
+    assert(!groth16Verify(vk, proof.copy(a = proof.a + G1.gen), pubIn))
+    assert(!groth16Verify(vk, proof.copy(b = proof.b + G2.gen), pubIn))
+    assert(!groth16Verify(vk, proof.copy(c = proof.c + G1.gen), pubIn))
+    assert(!groth16Verify(vk, proof, Seq(BigInt(19), BigInt(24))))
+    assert(!groth16Verify(vk.copy(delta = G2.gen * (deltaS + 1)), proof, pubIn))
+    // malformed inputs reject rather than throw
+    assert(!groth16Verify(vk, proof, pubIn :+ BigInt(1)), "arity mismatch")
+    assert(!groth16Verify(vk, proof, Seq(BigInt(19), R)), "input >= r")
+    assert(!groth16Verify(vk, proof.copy(a = G1.infinity), pubIn))
+    assert(!groth16Verify(vk, proof.copy(a = G1(BigInt(1), BigInt(3))), pubIn),
+      "off-curve A")
+  }
+
+  /** Fp2 square root for q ≡ 3 (mod 4) (the "complex" method): for
+    * c = a + bu with u² = −1, norm n = a² + b², s = n^((q+1)/4),
+    * t = (a ± s)/2 whichever is a QR, x = t^((q+1)/4), y = b/(2x).
+    * Returns None when c is a non-residue — verified by re-squaring. */
+  private def fp2Sqrt(c: Fp2): Option[Fp2] = {
+    val e = (Q + 1) / 4
+    def fpPow(x: BigInt, k: BigInt) = x.modPow(k, Q)
+    val cand =
+      if (c.b.signum == 0) {
+        val r1 = fpPow(c.a, e)
+        if (r1.modPow(2, Q) == c.a) Some(Fp2(r1, BigInt(0)))
+        else Some(Fp2(BigInt(0), fpPow((Q - c.a).mod(Q), e))) // (xu)² = −x²
+      } else {
+        val s = fpPow((c.a * c.a + c.b * c.b).mod(Q), e)
+        val half = BigInt(2).modInverse(Q)
+        Seq((c.a + s).mod(Q) * half, (c.a - s).mod(Q) * half)
+          .map(_.mod(Q)).flatMap { t =>
+            val x = fpPow(t, e)
+            if (x.modPow(2, Q) == t)
+              Some(Fp2(x, (c.b * (2 * x).modInverse(Q)).mod(Q)))
+            else None
+          }.headOption
+      }
+    cand.filter(r => r.sq == c)
+  }
+
+  test("groth16: on-curve but off-subgroup G2 points are rejected") {
+    // walk x' = k + u until x'³ + b is a square: an on-curve twist
+    // point that, with overwhelming probability, has full order
+    // r·(2q−r) — i.e. is NOT in G2
+    val offSub = Iterator.from(1).flatMap { k =>
+      val x = Fp2(BigInt(k), BigInt(1))
+      fp2Sqrt(x.sq * x + G2.b).map(y => G2(x, y))
+    }.find(p => !(p * R).isInfinity).get
+    assert(offSub.onCurve)
+    assert(!offSub.inSubgroup)
+    // cofactor-clearing it lands back inside G2
+    val cleared = offSub * (2 * Q - R)
+    assert(cleared.inSubgroup)
+    assert(!cleared.isInfinity, "cofactor clearance should not degenerate here")
+    // and the verifier refuses it as a proof point
+    val proof = proofFor(BigInt(101), BigInt(103))
+    assert(!groth16Verify(vk, proof.copy(b = offSub), pubIn))
+  }
+
+  test("groth16: reference proof byte layout round-trips (prover-impl.ts:171-186)") {
+    val proof = proofFor(BigInt(211), BigInt(223))
+    val bytes = encodeProofBytes(proof)
+    assert(bytes.length == 256)
+    // A is stored pre-negated: slot 1 holds q − A.y
+    assert(BigInt(1, bytes.slice(32, 64)) == (Q - proof.a.y).mod(Q))
+    // pi_b imaginary-first: slot 2 is x.b (the u coefficient)
+    assert(BigInt(1, bytes.slice(64, 96)) == proof.b.x.b)
+    assert(decodeProofBytes(bytes).contains(proof))
+    assert(groth16Verify(vk, decodeProofBytes(bytes).get, pubIn))
+    // wrong length, non-canonical coordinate, null: None, never throw
+    assert(decodeProofBytes(bytes.take(255)).isEmpty)
+    assert(decodeProofBytes(null).isEmpty)
+    val nonCanon = bytes.clone()
+    be32Into(Q, nonCanon, 0) // x coordinate = q itself: non-canonical
+    assert(decodeProofBytes(nonCanon).isEmpty)
+    // a flipped byte anywhere yields either a decode failure or a
+    // verification reject — never an accept
+    (0 until 256 by 17).foreach { i =>
+      val t = bytes.clone(); t(i) = (t(i) ^ 0x01).toByte
+      assert(!decodeProofBytes(t).exists(p => groth16Verify(vk, p, pubIn)),
+        s"tampered byte $i must not verify")
+    }
+  }
+
+  private def be32Into(x: BigInt, dest: Array[Byte], off: Int): Unit = {
+    val raw = x.toByteArray.dropWhile(_ == 0)
+    java.util.Arrays.fill(dest, off, off + 32 - raw.length, 0.toByte)
+    System.arraycopy(raw, 0, dest, off + 32 - raw.length, raw.length)
+  }
+}

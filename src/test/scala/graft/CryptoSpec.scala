@@ -177,4 +177,21 @@ class CryptoSpec extends SparkSpec {
     assert(rows.forall(!_.getAs[Boolean]("tampered_valid")))
   }
 
+  test("crypto_groth16_verify: only the untampered class verifies, truncation fails decode") {
+    // doc_id % 4: 0 = valid, 1 = flipped proof byte, 2 = wrong public
+    // input, 3 = truncated bytes (decode failure). The pairing algebra
+    // itself is pinned by BN254Spec; this pins the catalog wiring and
+    // the tamper-class outcomes end-to-end through the byte codec.
+    val rows = graft.operators.Crypto.cryptoGroth16Verify
+      .run(spark, sf001).collect()
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      val cls = r.getAs[Long]("doc_id") % 4
+      assert(r.getAs[Boolean]("decoded") === (cls != 3),
+        s"doc ${r.getAs[Long]("doc_id")}: decode outcome")
+      assert(r.getAs[Boolean]("valid") === (cls == 0),
+        s"doc ${r.getAs[Long]("doc_id")}: verify outcome")
+    }
+  }
+
 }
