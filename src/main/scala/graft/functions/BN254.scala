@@ -421,4 +421,44 @@ object BN254 {
       G2(Fp2(coords(3), coords(2)), Fp2(coords(5), coords(4))),
       G1(coords(6), coords(7))))
   }
+
+  /** Big-endian 64-byte G1 encoding; infinity is all zeros (the
+    * precompile/syscall convention). */
+  def encodeG1(p: G1): Array[Byte] = be32(p.x) ++ be32(p.y)
+
+  /** Big-endian 128-byte G2 encoding, IMAGINARY-FIRST per coordinate —
+    * the groth16-solana / EIP-197 convention the reference's proof_b
+    * slices already use (prover.ts:587-591). */
+  def encodeG2(q: G2): Array[Byte] =
+    be32(q.x.b) ++ be32(q.x.a) ++ be32(q.y.b) ++ be32(q.y.a)
+
+  /** The Groth16 check as a pairing-syscall input blob: 4 × 192-byte
+    * (G1 ‖ G2) pairs in groth16-solana's documented order
+    * e(−A,B)·e(C,δ)·e(X,γ)·e(α,β) = 1 (prover.ts:567-568 — the
+    * reference's on-chain verification path; A arrives pre-negated in
+    * its proof bytes for exactly this construction). The same 768
+    * bytes are a valid EIP-197 `ecPairing` precompile input (identical
+    * point encoding; the product is commutative so pair order is
+    * immaterial there), which is what makes this blob an OFFLINE-MINTED
+    * cross-engine test vector: any independent BN254 implementation
+    * must pairing-check it to 1 — see VECTORS.md.
+    *
+    * Throws on malformed inputs (unlike [[groth16Verify]]'s
+    * false-not-throw): this is the SUBMISSION side — encoding a proof
+    * that cannot verify is a caller bug to surface, not a verdict. */
+  def encodePairingCheck(vk: VerifyingKey, proof: Proof,
+      publicInputs: Seq[BigInt]): Array[Byte] = {
+    require(publicInputs.length == vk.ic.length - 1,
+      s"public input arity ${publicInputs.length} != ${vk.ic.length - 1}")
+    require(publicInputs.forall(x => x.signum >= 0 && x < R),
+      "public input out of field range")
+    val vkx = publicInputs.zip(vk.ic.drop(1))
+      .foldLeft(vk.ic.head) { case (acc, (x, p)) => acc + p * x }
+    Seq(
+      (-proof.a, proof.b),
+      (proof.c, vk.delta),
+      (vkx, vk.gamma),
+      (vk.alpha, vk.beta))
+      .flatMap { case (p, q) => encodeG1(p) ++ encodeG2(q) }.toArray
+  }
 }

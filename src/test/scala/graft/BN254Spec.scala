@@ -211,6 +211,36 @@ class BN254Spec extends AnyFunSuite {
     }
   }
 
+  test("pairing-check blob: syscall encoding decodes to pairs that check to 1") {
+    val proof = proofFor(BigInt(101), BigInt(103))
+    val blob = encodePairingCheck(vk, proof, pubIn)
+    assert(blob.length == 768)
+    // decode the groth16-solana/EIP-197 layout back (G2 imaginary-first)
+    def g1At(o: Int) = G1(
+      BigInt(1, blob.slice(o, o + 32)), BigInt(1, blob.slice(o + 32, o + 64)))
+    def g2At(b: Array[Byte], o: Int) = G2(
+      Fp2(BigInt(1, b.slice(o + 32, o + 64)), BigInt(1, b.slice(o, o + 32))),
+      Fp2(BigInt(1, b.slice(o + 96, o + 128)), BigInt(1, b.slice(o + 64, o + 96))))
+    val pairs = (0 until 4).map(i => (g1At(i * 192), g2At(blob, i * 192 + 64)))
+    assert(pairs.forall { case (p, q) => p.onCurve && q.inSubgroup })
+    assert(pairingProduct(pairs) == Fp12.one,
+      "the encoded pairing check must hold — this blob is the on-chain submission")
+    // a wrong public input encodes to a blob whose product is NOT 1
+    val bad = encodePairingCheck(vk, proof, Seq(BigInt(19), BigInt(24)))
+    val badPairs = (0 until 4).map(i =>
+      (G1(BigInt(1, bad.slice(i * 192, i * 192 + 32)),
+        BigInt(1, bad.slice(i * 192 + 32, i * 192 + 64))), g2At(bad, i * 192 + 64)))
+    assert(pairingProduct(badPairs) != Fp12.one)
+    // the deterministic instance's blob is the VECTORS.md cross-engine
+    // vector — pin its digest so the recorded hex can never drift from
+    // what the encoder emits
+    val sha = java.security.MessageDigest.getInstance("SHA-256").digest(blob)
+      .map("%02x".format(_)).mkString
+    assert(sha ===
+      "b9ec0223d7ef0d1ab47273e3afca1876bfd359aaae01506b67be2caf09736f6c",
+      "the VECTORS.md cross-engine vector must match what the encoder emits")
+  }
+
   private def be32Into(x: BigInt, dest: Array[Byte], off: Int): Unit = {
     val raw = x.toByteArray.dropWhile(_ == 0)
     java.util.Arrays.fill(dest, off, off + 32 - raw.length, 0.toByte)
