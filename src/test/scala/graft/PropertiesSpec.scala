@@ -62,13 +62,20 @@ class PropertiesSpec extends SparkSpec {
         val path = java.nio.file.Files
           .createTempDirectory(s"graft-upsert-prop$i").resolve("t").toString
         var model = Map.empty[Long, (Long, String)]
-        batches.foreach { b =>
+        batches.zipWithIndex.foreach { case (b, bi) =>
           Sinks.upsertByKey(spark, path,
             b.toDF("id", "payload", "version"), "id", "version",
             buckets = buckets)
           b.foreach { case (k, p, v) =>
             if (model.get(k).forall(_._1 < v)) model += k -> ((v, p))
           }
+          // interleave the growth path: rebucketing between any two
+          // batches is LAYOUT-only — the model does not change, and the
+          // remaining upserts must keep converging against the re-hashed
+          // routing (deterministic pseudo-random count; same-count picks
+          // exercise the no-op branch)
+          if ((i + bi) % 2 == 0)
+            Sinks.rebucket(spark, path, "id", 2 + ((i * 31 + bi * 7) % 9))
         }
         // replay an earlier batch verbatim: versions are all below the
         // model's maxima for those keys, so nothing may change
