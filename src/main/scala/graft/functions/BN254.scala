@@ -145,6 +145,21 @@ object BN254 {
       }
       acc
     }
+    /** Multiply by a Miller-loop line value, which is SPARSE in this
+      * basis: a + b·v + d·(v·w) — slots (c0.c0, c0.c1, c1.c1), all
+      * others zero. 18 Fq2 products instead of the generic 27; the
+      * hot-path win is measured in the spec's latency envelope.
+      * Derivation: with L0 = (a, b, 0), L1 = (0, d, 0) over Fq6,
+      * result = (c0·L0 + v·(c1·L1), c0·L1 + c1·L0). */
+    def mulLine(a: Fp2, b: Fp2, d: Fp2): Fp12 = {
+      def mul01(x: Fp6): Fp6 = Fp6( // ×(a + b·v): 6 products
+        x.c0 * a + Fp2.xi * (x.c2 * b),
+        x.c0 * b + x.c1 * a,
+        x.c1 * b + x.c2 * a)
+      def mul1(x: Fp6): Fp6 = // ×(d·v): 3 products
+        Fp6(Fp2.xi * (x.c2 * d), x.c0 * d, x.c1 * d)
+      Fp12(mul01(c0) + mul1(c1).mulV, mul1(c0) + mul01(c1))
+    }
   }
   object Fp12 {
     val zero = Fp12(Fp6.zero, Fp6.zero)
@@ -261,27 +276,23 @@ object BN254 {
   // Pairing.
   // ---------------------------------------------------------------------
 
-  /** Untwist ψ(x', y') = (x'·w², y'·w³) ∈ E(Fq¹²): with w² = v and
-    * v³ = ξ this lands on y² = x³ + 3 exactly when (x', y') is on the
-    * twist. Qx sits in the even subfield (c1-of-c0 slot), which is
-    * what licenses denominator elimination. */
-  private def untwist(q: G2): (Fp12, Fp12) = (
-    Fp12(Fp6(Fp2.zero, q.x, Fp2.zero), Fp6.zero),
-    Fp12(Fp6.zero, Fp6(Fp2.zero, q.y, Fp2.zero)))
-
-  /** Line through (affine, non-vertical) evaluation at untwisted Q:
-    * λ(Qx − xt) − (Qy − yt), all Fq scalars promoted coefficientwise. */
-  private def lineEval(lambda: BigInt, xt: BigInt, yt: BigInt,
-      qx: Fp12, qy: Fp12): Fp12 =
-    (qx - Fp12.scalar(xt)) * lambda - (qy - Fp12.scalar(yt))
-
-  /** Miller loop f_{r,P}(ψ(Q)) with denominator elimination. P must be
-    * a non-infinity G1 point (order r — infinity is handled by the
-    * callers as a degenerate pairing = 1); Q non-infinity on the twist.
-    * All T arithmetic is over Fq; T never reaches O mid-loop (odd
-    * prime order), and the final add step's vertical line is elided. */
+  /** Miller loop f_{r,P}(ψ(Q)) with denominator elimination, over the
+    * UNTWISTED Q: ψ(x', y') = (x'·w², y'·w³) — with w² = v and v³ = ξ
+    * this lands on y² = x³ + 3 exactly when (x', y') is on the twist,
+    * and Qx sits in the even subfield, which is what licenses
+    * denominator elimination. The line value λ(Qx − xt) − (Qy − yt)
+    * therefore has exactly three nonzero Fq2 slots — scalar part
+    * (yt − λxt), λx' in the v slot, −y' in the v·w slot — consumed by
+    * the sparse [[Fp12.mulLine]] instead of a generic product; the −y'
+    * component is loop-invariant.
+    *
+    * P must be a non-infinity G1 point (order r — infinity is handled
+    * by the callers as a degenerate pairing = 1); Q non-infinity on
+    * the twist. All T arithmetic is over Fq; T never reaches O
+    * mid-loop (odd prime order), and the final add step's vertical
+    * line is elided. */
   private def miller(p: G1, q: G2): Fp12 = {
-    val (qx, qy) = untwist(q)
+    val negQy = -q.y
     var f = Fp12.one
     var xt = p.x; var yt = p.y
     var tInf = false
@@ -290,7 +301,7 @@ object BN254 {
       // doubling step
       if (!tInf) {
         val l = fq(3 * xt * xt * fq(2 * yt).modInverse(Q))
-        f = f.sq * lineEval(l, xt, yt, qx, qy)
+        f = f.sq.mulLine(Fp2(fq(yt - l * xt), BigInt(0)), q.x * l, negQy)
         val x3 = fq(l * l - 2 * xt)
         yt = fq(l * (xt - x3) - yt); xt = x3
       } else f = f.sq
@@ -302,7 +313,7 @@ object BN254 {
             tInf = true
           } else {
             val l = fq((p.y - yt) * fq(p.x - xt).modInverse(Q))
-            f = f * lineEval(l, xt, yt, qx, qy)
+            f = f.mulLine(Fp2(fq(yt - l * xt), BigInt(0)), q.x * l, negQy)
             val x3 = fq(l * l - xt - p.x)
             yt = fq(l * (xt - x3) - yt); xt = x3
           }
@@ -315,15 +326,47 @@ object BN254 {
 
   /** (q¹² − 1)/r exponentiation, split as (q⁶−1) · (q²+1) ·
     * ((q⁴−q²+1)/r): the first factor is conj·inv (one cheap Frobenius
-    * plus one inversion), the rest plain square-and-multiply — simple
-    * over fast, per the module's correctness-first contract. */
+    * plus one inversion), the q²-power is the coefficient-wise
+    * [[frobenius2]] below, and the hard part stays plain
+    * square-and-multiply — simple over fast, per the module's
+    * correctness-first contract. */
   private val hardExp: BigInt = (Q.pow(4) - Q.pow(2) + 1) / R
   require((Q.pow(4) - Q.pow(2) + 1).mod(R).signum == 0,
     "BN254: r must divide q^4 - q^2 + 1")
 
+  /** q²-Frobenius multipliers λ_m = w^(m·(q²−1)) for basis slot
+    * v^j·w^k (m = 2j + k): x^(q²) multiplies each Fq2 coefficient by
+    * the SCALAR λ_m. DERIVED at init, not transcribed — λ_1 =
+    * ξ^((q²−1)/6) computed by Fq2 exponentiation, the rest its powers
+    * — and each is REQUIRED to be a real scalar (imaginary part 0), so
+    * a wrong tower relation fails loudly at class load instead of
+    * corrupting every final exponentiation. (q² ≡ 1 mod 6 makes the
+    * basis slots Frobenius²-stable; the divisibility is checked.) */
+  private val frob2: Array[BigInt] = {
+    require(((Q * Q - 1) % 6).signum == 0, "BN254: 6 must divide q^2 - 1")
+    def fp2pow(x: Fp2, e: BigInt): Fp2 = {
+      var acc = Fp2.one; var i = e.bitLength - 1
+      while (i >= 0) { acc = acc.sq; if (e.testBit(i)) acc = acc * x; i -= 1 }
+      acc
+    }
+    val l1 = fp2pow(Fp2.xi, (Q * Q - 1) / 6) // w^(q²−1), in Fq2 a priori
+    (0 until 6).map { m =>
+      val lm = fp2pow(l1, BigInt(m))
+      require(lm.b.signum == 0,
+        s"BN254: Frobenius² multiplier for slot $m is not a scalar")
+      lm.a
+    }.toArray
+  }
+
+  /** x^(q²) via the derived per-slot scalars — replaces a 508-bit
+    * generic exponentiation in the final-exponentiation easy part. */
+  private def frobenius2(x: Fp12): Fp12 = Fp12(
+    Fp6(x.c0.c0 * frob2(0), x.c0.c1 * frob2(2), x.c0.c2 * frob2(4)),
+    Fp6(x.c1.c0 * frob2(1), x.c1.c1 * frob2(3), x.c1.c2 * frob2(5)))
+
   private def finalExp(f: Fp12): Fp12 = {
-    val easy = f.conj * f.inv            // f^(q⁶−1)
-    val easy2 = easy.pow(Q * Q) * easy   // ^(q²+1)
+    val easy = f.conj * f.inv                 // f^(q⁶−1)
+    val easy2 = frobenius2(easy) * easy       // ^(q²+1)
     easy2.pow(hardExp)
   }
 

@@ -241,6 +241,22 @@ class BN254Spec extends AnyFunSuite {
       "the VECTORS.md cross-engine vector must match what the encoder emits")
   }
 
+  test("groth16 verify latency stays in the per-proof scalar-kernel envelope") {
+    val proof = proofFor(BigInt(101), BigInt(103))
+    groth16Verify(vk, proof, pubIn) // warm-up (JIT)
+    val t0 = System.nanoTime()
+    val n = 4
+    (0 until n).foreach(_ => assert(groth16Verify(vk, proof, pubIn)))
+    val ms = (System.nanoTime() - t0) / 1e6 / n
+    info(f"groth16Verify: $ms%.0f ms/proof")
+    // envelope, not a micro-benchmark: a verify is 4 Miller loops + one
+    // shared final exponentiation of pure BigInt math — regression past
+    // 2 s would mean an accidental algorithmic change (e.g. per-pair
+    // final exponentiation), which this catches without flaking on slow
+    // hosts
+    assert(ms < 2000, f"groth16Verify took $ms%.0f ms/proof")
+  }
+
   private def be32Into(x: BigInt, dest: Array[Byte], off: Int): Unit = {
     val raw = x.toByteArray.dropWhile(_ == 0)
     java.util.Arrays.fill(dest, off, off + 32 - raw.length, 0.toByte)
