@@ -44,10 +44,14 @@ package graft.functions
   * never double to O mid-loop).
   *
   * Scale posture: verification is a bounded per-row scalar kernel
-  * (~4 Miller loops + 1 shared final exponentiation per proof, a few
-  * hundred ms of pure BigInt math, no allocation beyond the tower) —
-  * the same "opaque deterministic function over row bytes" shape as
-  * `poseidon_hash`, embarrassingly parallel over a proofs table. */
+  * (~4 Miller loops + 1 shared final exponentiation per proof,
+  * ~180 ms of pure BigInt math on a warmed JVM — latency-envelope
+  * spec — no allocation beyond the tower) — the same "opaque
+  * deterministic function over row bytes" shape as `poseidon_hash`,
+  * embarrassingly parallel over a proofs table. Cross-engine parity
+  * with the ate form is additionally settled by an independent
+  * Python implementation over the VECTORS.md pairing blob
+  * (`scripts/check_pairing_vector.py`). */
 object BN254 {
 
   /** Base field modulus q (EIP-196). */
