@@ -249,12 +249,12 @@ class BN254Spec extends AnyFunSuite {
     (0 until n).foreach(_ => assert(groth16Verify(vk, proof, pubIn)))
     val ms = (System.nanoTime() - t0) / 1e6 / n
     info(f"groth16Verify: $ms%.0f ms/proof")
-    // envelope, not a micro-benchmark: a verify is 4 Miller loops + one
-    // shared final exponentiation of pure BigInt math — regression past
-    // 2 s would mean an accidental algorithmic change (e.g. per-pair
-    // final exponentiation), which this catches without flaking on slow
-    // hosts
-    assert(ms < 2000, f"groth16Verify took $ms%.0f ms/proof")
+    // envelope, not a micro-benchmark: ~180 ms/proof measured warm
+    // (SURVEY §6.5), so the 3 s bound only trips on an
+    // order-of-magnitude regression — an accidentally quadratic loop, a
+    // lost sparse/Frobenius path AND heavy host contention together —
+    // while a 15× host-load spike alone cannot flake it
+    assert(ms < 3000, f"groth16Verify took $ms%.0f ms/proof")
   }
 
   private def be32Into(x: BigInt, dest: Array[Byte], off: Int): Unit = {
