@@ -416,7 +416,13 @@ object Governance {
     *   2. proof must be exactly 256 bytes else 'Invalid proof length'
     *   3. marker-prefixed structural proofs: rejected when require_crypto
     *      (production), accepted-with-warning otherwise
-    *   4. non-structural proofs need the (absent offline) ZK verifier.
+    *   4. non-structural proofs fall to the ZK verifier, which this query
+    *      deliberately models as ABSENT — the reference's own
+    *      verifier-unavailable mode ('Cryptographic verification
+    *      required but verifier not available', shadow-id-gate.ts:184-191).
+    *      The verifier-PRESENT path is the round-11 sibling
+    *      [[graft.operators.Crypto.cryptoGroth16Verify]] (real BN254
+    *      pairing check); this one stays oracle-exact on the cascade.
     * Result struct {valid, threshold, cryptographic, error} flattened to
     * columns. Proof fixtures are synthesized per document to cover every
     * branch; both engines build identical bytes, so the cascade — byte
