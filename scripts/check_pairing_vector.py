@@ -23,6 +23,7 @@ Exits 0 and prints PASS lines when every check agrees.
 Pure stdlib; ~10 s (pure-Python big-int pairing, 4 Miller loops + final
 exponentiations).
 """
+import hashlib
 import re
 import sys
 
@@ -262,10 +263,49 @@ def parse_blob(blob):
     return pairs
 
 
+# sha256 of the blob as pinned by BN254Spec ("the VECTORS.md cross-engine
+# vector must match what the encoder emits") — re-pinned here so the parse
+# below can never silently check the wrong bytes: if VECTORS.md grows
+# another 64-hex-line block, a positional extraction would pick it up,
+# pass or fail against the wrong data, and nobody would know.
+PINNED_SHA256 = "b9ec0223d7ef0d1ab47273e3afca1876bfd359aaae01506b67be2caf09736f6c"
+
+HEADING = "# BN254 Groth16 cross-engine pairing vector"
+
+
+def extract_blob(path):
+    """The 24 x 64-hex-char lines of the pairing-vector section, anchored
+    to its heading (not position in the file) and digest-verified against
+    the BN254Spec pin before any math runs on them."""
+    lines = open(path).read().splitlines()
+    starts = [i for i, l in enumerate(lines) if l.startswith(HEADING)]
+    assert len(starts) == 1, f"expected exactly one '{HEADING}' section, got {len(starts)}"
+    # the section runs to the next top-level heading (or EOF); a "# …"
+    # line inside a ``` code fence is a shell comment, not a heading
+    section, fenced = [], False
+    for l in lines[starts[0] + 1 :]:
+        if l.strip().startswith("```"):
+            fenced = not fenced
+        elif not fenced and l.startswith("# "):
+            break
+        section.append(l.strip())
+    hexlines = [l for l in section if re.fullmatch(r"[0-9a-f]{64}", l)]
+    assert len(hexlines) == 24, (
+        f"pairing-vector section holds {len(hexlines)} 64-hex lines, expected 24 "
+        "— the section was edited; re-pin the vector or fix the parse"
+    )
+    blob = bytes.fromhex("".join(hexlines))
+    got = hashlib.sha256(blob).hexdigest()
+    assert got == PINNED_SHA256, (
+        f"sha256(blob) = {got} != BN254Spec pin {PINNED_SHA256} — "
+        "VECTORS.md drifted from what the encoder emits"
+    )
+    return blob
+
+
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "VECTORS.md"
-    hexlines = [l.strip() for l in open(path) if re.fullmatch(r"[0-9a-f]{64}", l.strip())]
-    blob = bytes.fromhex("".join(hexlines[-24:]))
+    blob = extract_blob(path)
     assert len(blob) == 768, f"expected 768-byte blob, got {len(blob)}"
 
     # self-check the independent implementation before judging the blob

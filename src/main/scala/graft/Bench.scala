@@ -79,6 +79,26 @@ object Bench {
       .getOrElse((fallbackSf01Sec, fallbackSf1Ratios))
   }
 
+  /** Per-query MIN sf0.1 seconds across ALL parseable driver records —
+    * the anchor for the sf0.1 adaptive re-measure. The newest record is
+    * the right anchor for round-over-round SWING detection, but wrong
+    * for a window-escape trigger: a noisy record (r11 shipped +19%
+    * host inflation) would ratchet the anchor up and an equally-noisy
+    * next round would read as "unchanged" against it. The best
+    * historical time is, by min-of-passes construction, quiet-window
+    * evidence of what the (frozen) plan can actually do; reading above
+    * it by the trigger margin is regression-or-window either way, and
+    * two extra samples answer which. Falls back to the embedded
+    * constants when no record parses. */
+  private[graft] def loadBestSf01Anchors(
+      dir: java.io.File = new java.io.File(".")): Map[String, Double] = {
+    val all = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .flatMap(parseDriverRecord).map(_._1)
+    if (all.isEmpty) fallbackSf01Sec
+    else all.flatten.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+  }
+
   /** One record's parse attempt; None (not a throw) on any failure so
     * [[loadPrevDriverRecord]] can walk back to an older record. */
   private def parseDriverRecord(rec: java.io.File):
@@ -184,6 +204,28 @@ object Bench {
     ss.nonEmpty && sf01Base > 0 && ss.min / sf01Base > 2.5
   }
 
+  /** Adaptive sf0.1 re-measure trigger (r12 — the r11 verdict's #1 ask):
+    * the sf0.1 tier is the BINDING number — it totals into the
+    * 2×-baseline bar AND is every sf1 ratio's denominator — yet until
+    * r12 it had no bad-window escape, and r11's driver record shipped a
+    * +19% pure-noise inflation straight into it (8.66 s vs the same
+    * jar's 7.55–7.76 s quiet-window self-runs). Unlike sf1 there is no
+    * intrinsic scaling base to test against, so the anchor is the BEST
+    * HISTORICAL driver record ([[loadBestSf01Anchors]]): a measured min
+    * > 1.2× the best time any round recorded, with a catalog frozen
+    * round-over-round, is either a real regression or a contaminated
+    * window — and extra
+    * samples minutes later distinguish them (min is an order statistic:
+    * a real regression just confirms itself; a window is escaped).
+    * Like [[needsRemeasure]], deliberately NOT spread-gated — the bad
+    * windows outlast all three interleaved samples. No anchor (new
+    * query, unparseable record) or no valid sample → no re-measure. */
+  private[graft] def needsRemeasureSf01(
+      samples: Seq[Double], prevSec: Double): Boolean = {
+    val ss = samples.filter(_ >= 0)
+    ss.nonEmpty && prevSec > 0 && ss.min / prevSec > 1.2
+  }
+
   private[graft] def samplesJson(names: Seq[String],
       samples: collection.Map[String, collection.Seq[Double]]): String =
     names.map { n =>
@@ -207,11 +249,27 @@ object Bench {
     * the (reconstructible) evidence fields, never the measurements.
     * Package-private so the spec pins both shapes against the loader. */
   private[graft] def recordLines(total: Double, qs: String, qSamples: String,
-      sfDir: String, sf1Full: String, sf1Summary: String): (String, String) = (
+      sfDir: String, sf1Full: String, sf1Summary: String,
+      sf01Extra: String = ""): (String, String) = (
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_samples":$qSamples,"sf":"$sfDir"$sf1Full}""",
+      s""""queries_samples":$qSamples,"sf":"$sfDir"$sf01Extra$sf1Full}""",
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir"$sf1Summary,"summary":true}""")
+
+  /** `,"<field>":{"name":prelimMin,…}` (or "" when no query re-measured)
+    * — the transparency record for an adaptive re-measure pass. Min over
+    * more samples is monotone non-increasing, so the correction can only
+    * LOWER a number; without this field a reader reconstructing the
+    * trigger's effect has to infer it from pass counts. With it, the
+    * artifact itself says which queries were re-measured and what their
+    * min read BEFORE the extras, so the before/after of every adaptive
+    * correction is a recorded pair, not archaeology. */
+  private[graft] def remeasuredJson(field: String,
+      prelim: Seq[(String, Double)]): String =
+    if (prelim.isEmpty) ""
+    else prelim.map { case (n, v) =>
+      "\"" + n + "\":" + math.round(v * 1000) / 1000.0
+    }.mkString(s""","$field":{""", ",", "}")
 
   /** Synthesizes the 10× tier from sf0.1 by key-offset replication:
     * fact tables (lineitem, orders, customer, events, documents,
@@ -333,9 +391,59 @@ object Bench {
           buf += -1.0 // marks WHICH sample failed
         }
     }
+    // ADAPTIVE sf0.1 re-measure (r12 — the binding tier finally gets the
+    // same bad-window escape the sf1 tier got in r11). Two triggers, both
+    // anchored on the best historical driver record:
+    //   • per-query ([[needsRemeasureSf01]]): min > 1.2× its best
+    //     recorded time — with the catalog frozen, regression-or-window;
+    //   • suite-wide: the preliminary comparable TOTAL > 1.15× the best
+    //     record's — the uniform-inflation signature (r7: every query
+    //     +10–35%, r11: +19% total) that no per-query trigger can see;
+    //     widens the suspect set to every healthy query.
+    // Suspects get up to two extra interleaved samples, minutes after
+    // the contested ones, appended to the SAME buffers so
+    // queries_samples carries them (entries 4-5) and the prelim→final
+    // pair is recorded in sf01_remeasured. A failed EXTRA sample is a
+    // -1 marker in the evidence but never fails the query — pass-0..2
+    // health alone decides that, as before.
+    def prelimOf(q: QueryDef): Double = {
+      val main = bufs(q.name).take(3)
+      if (main.contains(-1.0)) -1.0 else main.tail.min
+    }
+    // anchors: per-query BEST across all records (window-escape bar);
+    // the suite-wide bar is 1.15× not 1.1× because a sum of per-query
+    // historical minima is itself biased low (sum-of-mins ≤ min-of-sums)
+    val bestSf01 = loadBestSf01Anchors()
+    val sf01Armed = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    val healthy = headline.filterNot(q => bufs(q.name).take(3).contains(-1.0))
+    val comparable = healthy.flatMap(q =>
+      bestSf01.get(q.name).filter(_ > 0).map(p => (prelimOf(q), p)))
+    val totalInflated = comparable.nonEmpty &&
+      comparable.map(_._1).sum / comparable.map(_._2).sum > 1.15
+    val sf01Suspects =
+      if (!sf01Armed) Seq.empty
+      else if (totalInflated) healthy
+      else healthy.filter(q => needsRemeasureSf01(
+        bufs(q.name).take(3).tail.toSeq, bestSf01.getOrElse(q.name, -1.0)))
+    val sf01Prelim = sf01Suspects.map(q => q.name -> prelimOf(q))
+    if (sf01Suspects.nonEmpty) {
+      System.err.println("[bench] sf0.1 adaptive re-measure" +
+        (if (totalInflated) " (suite-wide: total inflated >1.1x vs prev record)"
+         else "") + ": " + sf01Suspects.map(_.name).mkString(", "))
+      for (p <- 3 until 5; q <- sf01Suspects) {
+        val buf = bufs(q.name)
+        try buf += time(q, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} pass $p failed: ${e.getMessage}")
+          buf += -1.0
+        }
+      }
+    }
     val results = headline.map { q =>
       val buf = bufs(q.name)
-      q.name -> (if (buf.contains(-1.0)) -1.0 else buf.tail.min)
+      val main = buf.take(3)
+      q.name -> (if (main.contains(-1.0)) -1.0
+                 else (main.tail ++ buf.drop(3)).filter(_ >= 0).min)
     }
     // sf0.1-side swing trigger (r6 blind spot): a >2× move vs the
     // previous driver record dumps the same plan + stage evidence the
@@ -499,16 +607,20 @@ object Bench {
         // record
         val passJson = samplesJson(headline.map(_.name),
           headline.map(q => q.name -> allPasses.flatMap(_.get(q.name))).toMap)
+        // which queries the adaptive trigger re-measured, with the min
+        // their first 3 passes read BEFORE the extras ([[remeasuredJson]])
+        val sf1Rem = remeasuredJson("sf1_remeasured", suspects.map { q =>
+          q.name -> passes.flatMap(_.get(q.name)).filter(_ >= 0).min })
         (s""","sf1_total":$t1,"sf1_queries":$q1,"sf1_ratio_vs_sf01":$ratios,""" +
-          s""""sf1_passes":$passJson,"sf1_gen_sec":$genSec""",
+          s""""sf1_passes":$passJson,"sf1_gen_sec":$genSec$sf1Rem""",
          s""","sf1_total":$t1,"sf1_queries":$q1,"sf1_ratio_vs_sf01":$ratios""")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 tier skipped: ${e.getMessage}")
         ("", "")
       }
 
-    val (fullLine, summaryLine) =
-      recordLines(total, qs, qSamples, sfDir, sf1Section, sf1Summary)
+    val (fullLine, summaryLine) = recordLines(total, qs, qSamples, sfDir,
+      sf1Section, sf1Summary, remeasuredJson("sf01_remeasured", sf01Prelim))
     println(fullLine)
     println(summaryLine) // LAST stdout line — the driver's tail keeps the end
     spark.stop()

@@ -168,6 +168,70 @@ class CatalogSpec extends SparkSpec {
     assert(!Bench.needsRemeasure(Seq(4.04, 4.55, 3.70), sf01Base = -1.0))
   }
 
+  test("adaptive sf0.1 re-measure triggers on a min above the best record") {
+    // r11's j1_fk_join: best recorded 1.04 s, measured min 1.39 s
+    // (1.34×) — the binding tier's number inflated by a host window;
+    // MUST re-measure (this is exactly the case r11 shipped un-escaped)
+    assert(Bench.needsRemeasureSf01(Seq(1.39, 1.52), prevSec = 1.04))
+    // r11's q1_agg: 0.82 vs best 0.80 (1.03×) — normal variance, leave it
+    assert(!Bench.needsRemeasureSf01(Seq(0.82, 0.85), prevSec = 0.80))
+    // exactly at the bar (1.2×): no churn
+    assert(!Bench.needsRemeasureSf01(Seq(1.2, 1.3), prevSec = 1.0))
+    // failed samples ignored; no anchor or no valid sample → no trigger
+    assert(Bench.needsRemeasureSf01(Seq(-1.0, 1.39), prevSec = 1.04))
+    assert(!Bench.needsRemeasureSf01(Seq(-1.0, -1.0), prevSec = 1.04))
+    assert(!Bench.needsRemeasureSf01(Seq(1.39, 1.52), prevSec = -1.0))
+  }
+
+  test("best-historical sf0.1 anchors take the per-query min across records") {
+    // the re-measure anchor must NOT ratchet up when a noisy record
+    // ships: r11's 8.66 s record would otherwise become the bar and an
+    // equally-noisy r12 would read as unchanged. Best-across-records is
+    // the quiet-window evidence of what the frozen plan can do.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-best").toFile
+    def write(name: String, line: String): Unit = {
+      val node = mapper.createObjectNode()
+      node.putNull("parsed"); node.put("tail", s"[info] $line\n")
+      val w = new java.io.PrintWriter(new java.io.File(dir, name))
+      w.write(mapper.writeValueAsString(node)); w.close()
+    }
+    def line(q1: Double, j1: Double): String =
+      s"""{"metric":"total","value":${q1 + j1},"unit":"sec",""" +
+        s""""queries":{"q1_agg":$q1,"j1_fk_join":$j1},"sf":"/x/sf0.1"}"""
+    write("BENCH_r10.json", line(0.80, 1.04)) // quiet round
+    write("BENCH_r11.json", line(0.82, 1.39)) // noisy round (newest)
+    assert(Bench.loadBestSf01Anchors(dir) ===
+      Map("q1_agg" -> 0.80, "j1_fk_join" -> 1.04),
+      "per-query min across records, not the newest record's values")
+    // newest-record loader is unchanged — swing detection stays
+    // round-over-round
+    assert(Bench.loadPrevDriverRecord(dir)._1 ===
+      Map("q1_agg" -> 0.82, "j1_fk_join" -> 1.39))
+    // no parseable record → embedded fallback, never an empty anchor map
+    val empty = java.nio.file.Files.createTempDirectory("graft-bench-none").toFile
+    assert(Bench.loadBestSf01Anchors(empty) === Bench.fallbackSf01Sec)
+  }
+
+  test("remeasuredJson records the prelim-min transparency field") {
+    // min over more samples is monotone non-increasing, so an adaptive
+    // correction can only lower a number — the artifact must say which
+    // queries were re-measured and what they read BEFORE the extras
+    val json = Bench.remeasuredJson("sf01_remeasured",
+      Seq("j1_fk_join" -> 1.3911, "dd_minhash" -> 1.08))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree("{" + json.drop(1) + "}") // strip leading comma
+    assert(node.get("sf01_remeasured").get("j1_fk_join").asDouble() === 1.391)
+    assert(node.get("sf01_remeasured").get("dd_minhash").asDouble() === 1.08)
+    assert(Bench.remeasuredJson("sf01_remeasured", Nil) === "",
+      "no re-measure → no field, not an empty object")
+    // and it embeds into a parseable full record line
+    val (full, _) = Bench.recordLines(1.0, """{"q1_agg":1.0}""",
+      """{"q1_agg":[1.2,1.0,1.1]}""", "/x/sf0.1", "", "", json)
+    assert(mapper.readTree(full).get("sf01_remeasured")
+      .get("j1_fk_join").asDouble() === 1.391)
+  }
+
   test("every query runs at sf0.001 with rows and unique column names") {
     val failures = QueryDef.catalogs.flatMap { q =>
       try {
