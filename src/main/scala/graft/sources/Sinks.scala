@@ -26,6 +26,37 @@ object Sinks {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(key).parquet(path)
 
+  /** ST8 streaming micro-batch append, EFFECTIVELY EXACTLY-ONCE (r12 —
+    * upgrades the documented at-least-once window of plain Append).
+    * Each micro-batch lands under its own `__batch=<id>` subpartition
+    * of the key layout (`path/<key>=…/__batch=<id>/part-*`) and the
+    * write is a DYNAMIC partition overwrite: only partitions this batch
+    * actually holds are replaced. A replayed batch — foreachBatch
+    * re-runs a batch whenever the sink write completed but the crash
+    * landed before the checkpoint's offset commit — therefore REWRITES
+    * exactly its own (key, batchId) partitions with the same rows
+    * instead of appending a second copy; batch ids never repeat across
+    * a checkpoint's lifetime otherwise, so distinct batches never touch
+    * each other's partitions. Holds given Structured Streaming's replay
+    * contract (replayable source + deterministic transforms ⇒ the
+    * re-run batch carries the same rows); a non-deterministic transform
+    * upstream voids it, as it does every exactly-once sink.
+    *
+    * Read side: `__batch` surfaces as an extra partition column —
+    * metadata, droppable by consumers; key-filter partition pruning is
+    * unchanged because `<key>=` remains the top directory level. At
+    * scale the per-batch dirs add directories, not files (one dir per
+    * touched key per batch — same file count as plain append), and
+    * age-out/compaction can fold old batches without touching the
+    * live tail. */
+  def idempotentFanoutBatch(batch: DataFrame, path: String, key: String,
+      batchId: Long): Unit =
+    batch.withColumn("__batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(key, "__batch")
+      .parquet(path)
+
   /** S6: keyed upsert (PDA-keyed account create-or-update, lib.rs:237-251;
     * Prisma create-returning, runs/route.ts:101-118). Last-writer-wins by
     * `versionCol` per `key`; equal-version ties broken deterministically
@@ -350,6 +381,55 @@ object Sinks {
       s"upsert table at $path has a manifest referencing no buckets — " +
         "corrupt or foreign manifest")
     spark.read.parquet(paths: _*)
+  }
+
+  /** Point/multi-key lookup against an upsert table — the reference's
+    * PDA `findUnique` shape (runs/[runId]/route.ts:23-26) — reading
+    * ONLY the buckets the keys hash into instead of the whole table.
+    * [[readUpserted]] scans every bucket; at 100 TB a single-key read
+    * through it scans ~the corpus, where this reads 1 of N bucket dirs.
+    *
+    * The bucket of each key is computed with the SAME expression the
+    * writer used (`pmod(xxhash64(key), n)`) — evaluated over one local
+    * row, with each key literal CAST to the table's key column type
+    * first, because xxhash64 is type-sensitive: an Int literal hashed
+    * as-is would route to a different bucket than the Long column it
+    * queries. Rows are then filtered to the exact keys (a bucket holds
+    * other keys too). A null key is legal in the table (it buckets by
+    * the hash seed) and is matched with an explicit isNull arm — isin
+    * alone would never match it. Keys hashing to buckets the manifest
+    * does not reference (never written) contribute nothing; all keys
+    * absent → empty frame with the table schema. */
+  def readUpsertedForKeys(
+      spark: SparkSession,
+      path: String,
+      key: String,
+      keys: Seq[Any]): DataFrame = {
+    require(keys.nonEmpty, "readUpsertedForKeys: no keys given")
+    val m = readManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no upsert table at $path"))
+    require(m.map.nonEmpty,
+      s"upsert table at $path has a manifest referencing no buckets — " +
+        "corrupt or foreign manifest")
+    // table schema from one referenced bucket (footer-only read) — the
+    // key column's type is what the writer's xxhash64 actually hashed
+    val (b0, dn0) = m.map.minBy(_._1)
+    val sample = spark.read.parquet(s"$path/data/$dn0/__b=$b0")
+    val keyType = sample.schema(key).dataType
+    val bucketExprs = keys.map(k =>
+      pmod(xxhash64(lit(k).cast(keyType)), lit(m.buckets.toLong)).cast("int"))
+    // one local row; |keys| is point-lookup-bounded by contract
+    val wanted = spark.range(1).select(bucketExprs: _*)
+      .head().toSeq.map(_.asInstanceOf[Int]).toSet
+    val paths = m.map.toSeq.filter { case (b, _) => wanted(b) }
+      .sortBy(_._1).map { case (b, dn) => s"$path/data/$dn/__b=$b" }
+    if (paths.isEmpty) return sample.limit(0)
+    val df = spark.read.parquet(paths: _*)
+    val (nulls, nonNulls) = keys.partition(_ == null)
+    val matches = (if (nonNulls.nonEmpty)
+        Seq(col(key).isin(nonNulls.map(lit(_).cast(keyType)): _*)) else Nil) ++
+      (if (nulls.nonEmpty) Seq(col(key).isNull) else Nil)
+    df.filter(matches.reduce(_ || _))
   }
 
   /** Bucketed table writer — the 100 TB co-located-join path: both sides

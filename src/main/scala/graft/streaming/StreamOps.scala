@@ -666,8 +666,11 @@ object StreamOps {
     // recentTail detection horizon and lands as unchecked (counted)
     // skips. Tests drive MemoryStream sources, which have no durable
     // offsets; hence optional rather than mandatory like
-    // [[partitionedFanout]]'s (whose sink would DUPLICATE data, a worse
-    // failure than counted-but-unchecked replays).
+    // [[partitionedFanout]]'s (where a checkpoint-less restart restarts
+    // the batch-id sequence at 0 and replays history into a layout
+    // whose ids mean OTHER batches — the idempotent sink's per-batch
+    // overwrite cannot recognize that as a replay, a worse failure
+    // than counted-but-unchecked skips).
     val base = commitments.writeStream.outputMode("append")
     val q = checkpoint.fold(base)(c => base.option("checkpointLocation", c))
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -719,11 +722,16 @@ object StreamOps {
     * analog of per-room delivery), continuously as events arrive. The
     * batch sink IS the streaming sink's body: one layout, one set of
     * read-side pruning guarantees, exercised by both SinksSpec (batch)
-    * and StreamingSpec (live). foreachBatch is at-least-once, so a
-    * crash between the append and the offset commit can duplicate a
-    * micro-batch — the same delivery contract as the reference's
-    * room broadcast (a reconnecting client re-receives the tail);
-    * readers needing exactly-once dedup by event id downstream.
+    * and StreamingSpec (live). Delivery is EFFECTIVELY EXACTLY-ONCE
+    * (r12): foreachBatch itself is at-least-once — a crash between the
+    * sink write and the offset commit re-runs the batch — but each
+    * batch writes via [[graft.sources.Sinks.idempotentFanoutBatch]]
+    * into its own `__batch=<id>` subpartitions with dynamic partition
+    * overwrite, so the re-run REWRITES the same partitions instead of
+    * appending a duplicate copy. This is STRONGER than the reference's
+    * own room-broadcast contract (ws-server.ts:120-156: a reconnecting
+    * client re-receives the tail and dedups client-side); readers here
+    * see each event once with no downstream dedup.
     *
     * `checkpoint` is mandatory by signature, not just by doc: without
     * one Spark falls back to a discarded temp checkpoint and a
@@ -738,9 +746,8 @@ object StreamOps {
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.sources.Sinks.partitionedSink(batch, path, key,
-          org.apache.spark.sql.SaveMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.Sinks.idempotentFanoutBatch(batch, path, key, batchId)
       }
       .start()
 

@@ -90,6 +90,47 @@ class SinksSpec extends SparkSpec {
     assert(got.filter($"id" === 7L).select($"payload").head().getString(0) === "p7-v2")
   }
 
+  test("S6 keyed read prunes to the keys' buckets: 1 of 8 for a point lookup") {
+    val path = tmp()
+    val seed = (1L to 200L).map(i => (i, s"p$i", 1L))
+      .toDF("id", "payload", "version")
+    Sinks.upsertByKey(spark, path, seed, "id", "version", buckets = 8)
+    // the point lookup (the reference's PDA findUnique shape) must
+    // read exactly ONE of the 8 bucket dirs — assert it from the scan's
+    // root paths, not just the result
+    val one = Sinks.readUpsertedForKeys(spark, path, "id", Seq(7L))
+    val scannedDirs = one.queryExecution.executedPlan.collectLeaves()
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString)
+      }.flatten.distinct
+    assert(scannedDirs.length === 1,
+      s"single-key read must scan 1 bucket dir of 8, got $scannedDirs")
+    assert(scannedDirs.head.matches(".*/data/g0-[0-9a-f]{8}/__b=\\d+$"))
+    assert(one.collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("payload"))).toSeq === Seq((7L, "p7")))
+    // an Int key against the Long column routes to the SAME bucket the
+    // writer hashed the Long into (the cast-before-hash contract)
+    assert(Sinks.readUpsertedForKeys(spark, path, "id", Seq(7))
+      .select($"payload").head().getString(0) === "p7")
+    // multi-key: results complete, scanned dirs = the keys' distinct buckets
+    val multi = Sinks.readUpsertedForKeys(spark, path, "id", Seq(7L, 8L, 9L))
+    assert(multi.select($"id").as[Long].collect().sorted.toSeq === Seq(7L, 8L, 9L))
+    val multiDirs = multi.queryExecution.executedPlan.collectLeaves()
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString)
+      }.flatten.distinct
+    assert(multiDirs.length <= 3 && multiDirs.length >= 1)
+    // an absent key reads its (existing) bucket but matches nothing;
+    // the lookup stays a pruned scan either way
+    assert(Sinks.readUpsertedForKeys(spark, path, "id", Seq(100000L)).count() === 0)
+    // the lookup sees the table's current state across generations:
+    // update one key, then point-read it — the fresher generation wins
+    Sinks.upsertByKey(spark, path,
+      Seq((7L, "p7-v2", 2L)).toDF("id", "payload", "version"), "id", "version")
+    assert(Sinks.readUpsertedForKeys(spark, path, "id", Seq(7L))
+      .select($"payload").head().getString(0) === "p7-v2")
+  }
+
   test("S6 upsert reaps superseded manifests and bucket generations past grace") {
     val path = tmp()
     // grace 0: a manifest is reapable the moment its successor exists

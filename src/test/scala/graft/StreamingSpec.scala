@@ -67,6 +67,44 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
     assert(spark.read.parquet(path).count() === 5,
       "restart from checkpoint must resume, not replay history")
+    // the live path stamps real batch ids: three processed micro-batches
+    // → three distinct __batch subpartitions in the layout
+    assert(spark.read.parquet(path).select($"__batch").distinct().count() === 3)
+  }
+
+  test("ST8 replayed micro-batch lands exactly once (crash between append and offset commit)") {
+    // foreachBatch's at-least-once window: the sink write completes,
+    // the crash lands before the offset commit, and on restart Spark
+    // re-runs the SAME batch id with the same rows. The fan-out sink
+    // must absorb that as a rewrite, not an append — drive the sink
+    // body directly with a repeated batchId to simulate it.
+    import graft.sources.Sinks
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-st8-replay").resolve("t").toString
+    val b0 = Seq((1L, "alpha"), (2L, "beta")).toDF("event_id", "room")
+    Sinks.idempotentFanoutBatch(b0, path, "room", batchId = 0L)
+    Sinks.idempotentFanoutBatch(b0, path, "room", batchId = 0L) // the replay
+    assert(spark.read.parquet(path).select($"event_id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L),
+      "a replayed batch must rewrite its own partitions, not duplicate them")
+    // distinct batches still accumulate — idempotence is per batch id,
+    // not a table overwrite
+    val b1 = Seq((3L, "alpha")).toDF("event_id", "room")
+    Sinks.idempotentFanoutBatch(b1, path, "room", batchId = 1L)
+    assert(spark.read.parquet(path).select($"event_id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // and a replay of an OLD batch after newer ones landed (restart
+    // from an older checkpoint offset) still cannot disturb them
+    Sinks.idempotentFanoutBatch(b0, path, "room", batchId = 0L)
+    assert(spark.read.parquet(path).select($"event_id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L, 3L),
+      "replaying an old batch must leave newer batches intact")
+    // key-filter partition pruning survives the extra __batch level
+    val one = spark.read.parquet(path).filter($"room" === "alpha")
+    val scan = one.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      !scan.contains("PartitionFilters: []"),
+      s"per-room read lost partition pruning under __batch: $scan")
   }
 
   /** Deterministic latest-row-per-key extraction for update-mode memory
