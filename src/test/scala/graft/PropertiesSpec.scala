@@ -87,6 +87,18 @@ class PropertiesSpec extends SparkSpec {
             ((r.getAs[Long]("version"), r.getAs[String]("payload")))).toMap
         assert(got === model,
           s"sample $i (buckets=$buckets): table diverged from the LWW model")
+        // keyed-read equivalence (r12): for a mixed present/absent key
+        // set, the bucket-pruned read returns exactly the model's rows
+        // for those keys — against whatever bucket count the
+        // interleaved rebuckets left behind, which is what proves the
+        // reader's cast-then-hash routing tracks the manifest rather
+        // than any caller-side assumption
+        val probe = (1L to 12L).filter(k => (k * 31 + i) % 3 != 0) :+ 99L
+        val keyed = Sinks.readUpsertedForKeys(spark, path, "id", probe)
+          .collect().map(r => r.getAs[Long]("id") ->
+            ((r.getAs[Long]("version"), r.getAs[String]("payload")))).toMap
+        assert(keyed === model.filter { case (k, _) => probe.contains(k) },
+          s"sample $i: keyed read diverged from the model's restriction")
       }
   }
 
