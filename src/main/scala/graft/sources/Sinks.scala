@@ -50,12 +50,16 @@ object Sinks {
     * age-out/compaction can fold old batches without touching the
     * live tail. */
   def idempotentFanoutBatch(batch: DataFrame, path: String, key: String,
-      batchId: Long): Unit =
+      batchId: Long): Unit = {
+    require(!batch.columns.contains("__batch"),
+      "idempotentFanoutBatch: the batch already has a __batch column — " +
+        "it is this sink's replay-identity partition; rename the data column")
     batch.withColumn("__batch", lit(batchId))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(key, "__batch")
       .parquet(path)
+  }
 
   /** S6: keyed upsert (PDA-keyed account create-or-update, lib.rs:237-251;
     * Prisma create-returning, runs/route.ts:101-118). Last-writer-wins by

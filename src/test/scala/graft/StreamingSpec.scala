@@ -99,6 +99,13 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(path).select($"event_id").as[Long]
       .collect().sorted.toSeq === Seq(1L, 2L, 3L),
       "replaying an old batch must leave newer batches intact")
+    // a batch already carrying a __batch column would collide with the
+    // sink's replay-identity partition — refused loudly, not shadowed
+    intercept[IllegalArgumentException] {
+      Sinks.idempotentFanoutBatch(
+        Seq((9L, "alpha", 0L)).toDF("event_id", "room", "__batch"),
+        path, "room", batchId = 2L)
+    }
     // key-filter partition pruning survives the extra __batch level
     val one = spark.read.parquet(path).filter($"room" === "alpha")
     val scan = one.queryExecution.executedPlan.collectLeaves().head.toString
