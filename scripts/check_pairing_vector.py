@@ -278,7 +278,14 @@ def extract_blob(path):
     to its heading (not position in the file) and digest-verified against
     the BN254Spec pin before any math runs on them."""
     lines = open(path).read().splitlines()
-    starts = [i for i, l in enumerate(lines) if l.startswith(HEADING)]
+    # fence-aware like the section-end scan below: a quoted heading
+    # inside a ``` example block must not count as a section start
+    starts, fenced = [], False
+    for i, l in enumerate(lines):
+        if l.strip().startswith("```"):
+            fenced = not fenced
+        elif not fenced and l.startswith(HEADING):
+            starts.append(i)
     assert len(starts) == 1, f"expected exactly one '{HEADING}' section, got {len(starts)}"
     # the section runs to the next top-level heading (or EOF); a "# …"
     # line inside a ``` code fence is a shell comment, not a heading

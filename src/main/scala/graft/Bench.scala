@@ -428,7 +428,7 @@ object Bench {
     val sf01Prelim = sf01Suspects.map(q => q.name -> prelimOf(q))
     if (sf01Suspects.nonEmpty) {
       System.err.println("[bench] sf0.1 adaptive re-measure" +
-        (if (totalInflated) " (suite-wide: total inflated >1.1x vs prev record)"
+        (if (totalInflated) " (suite-wide: total inflated >1.15x vs best-anchor sum)"
          else "") + ": " + sf01Suspects.map(_.name).mkString(", "))
       for (p <- 3 until 5; q <- sf01Suspects) {
         val buf = bufs(q.name)
@@ -454,7 +454,7 @@ object Bench {
     // the recorded anchors are sf0.1 times, meaningless against any
     // other scale.
     results.filter { case (k, v) =>
-      sfDir.replaceAll("/+$", "").endsWith("sf0.1") &&
+      sf01Armed &&
         v > 0 && prevSf01Sec.get(k).exists(p => v / p > 2.0 || p / v > 2.0)
     }.foreach { case (k, v) =>
       headline.find(_.name == k).foreach { q =>
@@ -493,8 +493,7 @@ object Bench {
     // Returns (full-line fields incl. per-pass samples, compact summary
     // fields) for [[recordLines]].
     val (sf1Section, sf1Summary) =
-      if (!sfDir.replaceAll("/+$", "").endsWith("sf0.1") ||
-          sys.env.get("SPARK_GRAFT_SF1").contains("0")) ("", "")
+      if (!sf01Armed || sys.env.get("SPARK_GRAFT_SF1").contains("0")) ("", "")
       else try {
         val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
         val g0 = System.nanoTime()

@@ -54,6 +54,57 @@ object Sinks {
     require(!batch.columns.contains("__batch"),
       "idempotentFanoutBatch: the batch already has a __batch column — " +
         "it is this sink's replay-identity partition; rename the data column")
+    // Batch-id HIGH-WATER MARK guard. The overwrite that makes replays
+    // idempotent is only safe while batch ids mean what they meant when
+    // the data was written — i.e. within ONE checkpoint's lifetime. Two
+    // scenarios break that and must be refused, not absorbed:
+    //   • checkpoint loss / a fresh checkpoint over an established
+    //     table: Spark restarts ids at 0, and "batch 0" (the whole
+    //     re-read history) would DYNAMIC-OVERWRITE the real batch 0's
+    //     partitions — silent deletion of committed data, strictly
+    //     worse than the duplication a plain Append sink risked;
+    //   • a pre-r12 FLAT layout (path/<key>=…/part-*) under the same
+    //     root: mixed partition depths fail every subsequent read with
+    //     "Conflicting directory structures", armed silently by a
+    //     successful write.
+    // The mark is written BEFORE the data (mark-then-data), so any
+    // table holding __batch data always carries a mark ≥ its max
+    // batch id: a legal crash replay re-runs id == mark (accepted, the
+    // guard is strictly <), while a regressed id < mark or a markless
+    // non-empty dir fails loudly with the operator's next step named.
+    // Single-writer per (table, checkpoint), like the upsert table.
+    val p = new Path(path)
+    val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val hwmPath = new Path(p, "_graft_fanout_hwm")
+    val hwm: Option[Long] =
+      if (!fs.exists(hwmPath)) None
+      else {
+        val in = fs.open(hwmPath)
+        val bytes = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+          out.toByteArray
+        } finally in.close()
+        Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      }
+    hwm match {
+      case Some(h) => require(batchId >= h,
+        s"idempotentFanoutBatch: batch id $batchId regressed below the " +
+          s"table's high-water mark $h at $path — this is a NEW checkpoint " +
+          "replaying history over an established table, and the per-batch " +
+          "overwrite would silently delete committed data. Resume from the " +
+          "original checkpoint, or fan out to a fresh path")
+      case None => require(!fs.exists(p) || fs.listStatus(p).isEmpty,
+        s"idempotentFanoutBatch: $path holds data but no _graft_fanout_hwm " +
+          "mark — a pre-batch-layout (flat) fan-out table or a foreign " +
+          "directory; migrate it (rewrite under __batch=<id> partitions " +
+          "with a mark) or fan out to a fresh path")
+    }
+    if (hwm.forall(_ < batchId)) {
+      val out = fs.create(hwmPath, true)
+      try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     batch.withColumn("__batch", lit(batchId))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -133,7 +184,7 @@ object Sinks {
     val nB = current.map(_.buckets).getOrElse(buckets)
     val gen = current.map(_.gen + 1).getOrElse(0L)
     val bmap = current.map(_.map).getOrElse(Map.empty[Int, String])
-    val bucketOf = pmod(xxhash64(col(key)), lit(nB.toLong)).cast("int")
+    val bucketOf = bucketExpr(col(key), nB)
     val affected = updates.select(bucketOf.as("__b")).distinct()
       .collect().map(_.getInt(0)).sorted // bounded: ≤ buckets
     // a zero-row upsert is a NO-OP, not a new generation: publishing an
@@ -255,8 +306,7 @@ object Sinks {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gen = current.gen + 1
     val genDir = f"g$gen%d-${java.util.UUID.randomUUID().toString.take(8)}"
-    val bucketOf =
-      pmod(xxhash64(col(key)), lit(newBuckets.toLong)).cast("int")
+    val bucketOf = bucketExpr(col(key), newBuckets)
     readUpserted(spark, path)
       .withColumn("__b", bucketOf)
       .repartition(col("__b"))
@@ -275,6 +325,17 @@ object Sinks {
       present.map(_ -> genDir).toMap))
     reapSuperseded(fs, path, graceMs)
   }
+
+  /** THE bucket-routing expression — the single definition every
+    * writer (upsertByKey), migrator (rebucket) and pruned reader
+    * (readUpsertedForKeys) shares. Routing correctness is byte-level:
+    * a reader whose hash, seed, cast or modulus drifts from the
+    * writer's scans the wrong bucket and reports present keys as
+    * absent — silently, since absence is a legal outcome. One
+    * definition makes that drift impossible. */
+  private def bucketExpr(
+      keyCol: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(keyCol), lit(n.toLong)).cast("int")
 
   /** The manifest record: table generation, fixed bucket count, and the
     * bucket → data-dir-name map resolving each bucket's current data
@@ -420,8 +481,7 @@ object Sinks {
     val (b0, dn0) = m.map.minBy(_._1)
     val sample = spark.read.parquet(s"$path/data/$dn0/__b=$b0")
     val keyType = sample.schema(key).dataType
-    val bucketExprs = keys.map(k =>
-      pmod(xxhash64(lit(k).cast(keyType)), lit(m.buckets.toLong)).cast("int"))
+    val bucketExprs = keys.map(k => bucketExpr(lit(k).cast(keyType), m.buckets))
     // one local row; |keys| is point-lookup-bounded by contract
     val wanted = spark.range(1).select(bucketExprs: _*)
       .head().toSeq.map(_.asInstanceOf[Int]).toSet

@@ -666,11 +666,11 @@ object StreamOps {
     // recentTail detection horizon and lands as unchecked (counted)
     // skips. Tests drive MemoryStream sources, which have no durable
     // offsets; hence optional rather than mandatory like
-    // [[partitionedFanout]]'s (where a checkpoint-less restart restarts
-    // the batch-id sequence at 0 and replays history into a layout
-    // whose ids mean OTHER batches — the idempotent sink's per-batch
-    // overwrite cannot recognize that as a replay, a worse failure
-    // than counted-but-unchecked skips).
+    // [[partitionedFanout]]'s (where a checkpoint-less restart would
+    // restart the batch-id sequence at 0 against a layout whose ids
+    // mean OTHER batches — the sink's high-water-mark guard refuses
+    // that loudly rather than let the per-batch overwrite delete
+    // committed data).
     val base = commitments.writeStream.outputMode("append")
     val q = checkpoint.fold(base)(c => base.option("checkpointLocation", c))
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -735,11 +735,15 @@ object StreamOps {
     *
     * `checkpoint` is mandatory by signature, not just by doc: without
     * one Spark falls back to a discarded temp checkpoint and a
-    * restarted query re-reads the source from its initial offsets —
-    * re-appending the ENTIRE history, not one micro-batch. An API that
-    * merely recommends the checkpoint leaves that data-duplicating mode
+    * restarted query re-reads the source from its initial offsets,
+    * replaying the ENTIRE history under a restarted batch-id sequence.
+    * The sink's high-water-mark guard refuses that write loudly (ids
+    * regressing below the table's mark = a foreign checkpoint) — the
+    * query fails instead of the table corrupting — but an API that
+    * merely recommends the checkpoint would leave that failure mode
     * reachable through the default. StreamingSpec asserts the
-    * checkpointed restart resumes without duplication. */
+    * checkpointed restart resumes without duplication and that the
+    * id-regression and legacy-flat-layout writes are refused. */
   def partitionedFanout(df: DataFrame, path: String, key: String,
       checkpoint: String):
       org.apache.spark.sql.streaming.StreamingQuery =

@@ -93,12 +93,30 @@ class StreamingSpec extends SparkSpec {
     Sinks.idempotentFanoutBatch(b1, path, "room", batchId = 1L)
     assert(spark.read.parquet(path).select($"event_id").as[Long]
       .collect().sorted.toSeq === Seq(1L, 2L, 3L))
-    // and a replay of an OLD batch after newer ones landed (restart
-    // from an older checkpoint offset) still cannot disturb them
-    Sinks.idempotentFanoutBatch(b0, path, "room", batchId = 0L)
+    // a batch id REGRESSING below the table's high-water mark is not a
+    // legal replay (a durable checkpoint only ever re-runs the LAST
+    // batch) — it is a fresh checkpoint replaying history, whose
+    // "batch 0" would overwrite the real batch 0's partitions. Refused
+    // loudly; the data is untouched.
+    intercept[IllegalArgumentException] {
+      Sinks.idempotentFanoutBatch(b0, path, "room", batchId = 0L)
+    }
     assert(spark.read.parquet(path).select($"event_id").as[Long]
       .collect().sorted.toSeq === Seq(1L, 2L, 3L),
-      "replaying an old batch must leave newer batches intact")
+      "a refused checkpoint-regression write must leave the table intact")
+    // re-running the CURRENT batch id (the one legal crash-replay
+    // shape) is still accepted after newer... i.e. id == mark
+    Sinks.idempotentFanoutBatch(b1, path, "room", batchId = 1L)
+    assert(spark.read.parquet(path).count() === 3)
+    // a pre-batch-layout (flat) fan-out table under the same root would
+    // arm "Conflicting directory structures" on every future read —
+    // the markless non-empty dir is refused before any write happens
+    val legacy = java.nio.file.Files
+      .createTempDirectory("graft-st8-legacy").resolve("t").toString
+    Sinks.partitionedSink(b0, legacy, "room")
+    intercept[IllegalArgumentException] {
+      Sinks.idempotentFanoutBatch(b1, legacy, "room", batchId = 0L)
+    }
     // a batch already carrying a __batch column would collide with the
     // sink's replay-identity partition — refused loudly, not shadowed
     intercept[IllegalArgumentException] {
