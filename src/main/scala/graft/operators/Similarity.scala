@@ -104,8 +104,46 @@ object Similarity {
       // a long-lived driver that cycles SparkSessions must not accumulate
       // entries (and persisted frames) for sessions that are already gone
       featCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      // …and cycled sessions usually share one long-lived SparkContext,
+      // so the isStopped sweep alone never fires for them: a NEW session
+      // re-requesting a key would stack a second persisted copy of the
+      // same data while the abandoned session's copy pins the cache
+      // manager forever. One frame per LOGICAL key (the key with its
+      // `@<mtime>` source-version component stripped): another
+      // session's frame for this key, or this session's frame for a
+      // superseded source version, is unpersisted and dropped before
+      // this session builds its own. (Two live sessions alternating
+      // over one key would thrash — re-persist per swap — but never
+      // leak; a single-driver engine has no such pattern.)
+      val logical = key.replaceAll("@\\d+", "")
+      featCache.filterInPlace { case ((sess, k), df) =>
+        val stale = k.replaceAll("@\\d+", "") == logical &&
+          !(k == key && (sess eq s))
+        if (stale) scala.util.Try(df.unpersist())
+        !stale
+      }
       featCache.getOrElseUpdate((s, key), build.persist(StorageLevel.MEMORY_AND_DISK))
     }
+
+  /** Max mtime of `dir/<file>` — the same dir-or-file rule the index
+    * versioning uses for its `srcMtime` component — folded into every
+    * feature-cache key. Without it, an in-place corpus regeneration
+    * within one session (the driver regenerates test parquet between
+    * rounds; [[graft.Bench.ensureSf1]] documents the same hazard for
+    * its tier) would keep serving the PRE-regeneration persisted frame
+    * — and `ensureVersionedIndex`, whose version name carries this very
+    * mtime precisely to catch regeneration, would then publish a
+    * fresh-named index built from the stale cache. */
+  private[operators] def srcVersion(s: SparkSession, dir: String, file: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val src = new Path(s"$dir/$file")
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(src)
+    if (st.isDirectory)
+      (st.getModificationTime +:
+        fs.listStatus(src).map(_.getModificationTime).toSeq).max
+    else st.getModificationTime
+  }
 
   /** Unpersists and forgets every memoized feature frame. Bench calls
     * this before each timed run so headline dedup numbers measure the
@@ -144,14 +182,18 @@ object Similarity {
     * deterministically from `seed`, each vector's sign signature packed
     * into `nBands` band values (nPlanes/nBands bits each). Shared by the
     * LSH top-k probe (24 planes, seed 42) and the embedding near-dup
-    * (16 planes, seed 1337) so the two copies cannot drift; null vector
-    * → no bands, row drops out. */
+    * (16 planes, seed 1337) so the two copies cannot drift; null OR
+    * ragged vector (length ≠ dim) → no bands, row drops out — a
+    * truncated vector must surface as malformed at the signature
+    * stage, not band plausibly from a partial dot product while its
+    * verify dot nulls out (the same silent-truncation behavior the
+    * DotLong/DotFloat rewrite deliberately tightened to null). */
   private def hyperplaneBandsUdf(dim: Int, nPlanes: Int, nBands: Int, seed: Long) = {
     val rng = new java.util.Random(seed)
     val planes: Array[Array[Double]] =
       Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
     udf((v: Seq[Float]) => {
-      if (v == null) Array.empty[Long]
+      if (v == null || v.length != dim) Array.empty[Long]
       else {
         val sig = new Array[Int](nPlanes)
         var p = 0
@@ -159,7 +201,7 @@ object Similarity {
           val pl = planes(p)
           var d = 0.0
           var i = 0
-          val n = math.min(pl.length, v.length)
+          val n = pl.length
           while (i < n) { d += pl(i) * v(i); i += 1 }
           sig(p) = if (d >= 0.0) 1 else 0
           p += 1
@@ -389,7 +431,7 @@ object Similarity {
     if (text == null) Array.empty[Long]
     else {
       val mins = Array.fill(mhHashes)(Long.MaxValue)
-      text.toLowerCase(java.util.Locale.ROOT).split(" ").foreach { t =>
+      Text.lowerLikeSpark(text).split(" ").foreach { t =>
         if (t.length > 3) {
           val th = fnv64(t)
           var i = 0
@@ -419,7 +461,7 @@ object Similarity {
       Text.tokens(col("text")).as("toks"))
 
   private def minhashFeat(s: SparkSession, dir: String): DataFrame =
-    cachedFeature(s, s"dd_minhash:$dir") {
+    cachedFeature(s, s"dd_minhash:$dir@${srcVersion(s, dir, "documents.parquet")}") {
       minhashFeatOf(T(s, dir).documents)
     }
 
@@ -517,24 +559,21 @@ object Similarity {
       val feat = minhashFeat(s, dir)
       val d = feat.select(col("doc_id"), col("toks"))
         .filter(size(col("toks")) > lit(0))
-      val banded = feat
-        .select(col("doc_id"), posexplode(col("bands")))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val banded = bandedOf(feat)
       val keepers = banded.groupBy(col("band"), col("bucket"))
         .agg(min(col("doc_id")).as("keeper"))
       // distinct star edges (a doc pairs with ≤ nBands bucket-mins)
       val candEdges = banded.join(keepers, Seq("band", "bucket"))
         .filter(col("keeper") < col("doc_id"))
-        .select(col("doc_id").as("a"), col("keeper").as("b"))
+        .select(col("doc_id"), col("keeper"))
         .distinct()
-      // exact verify every edge: only true near-dup links may merge
-      val verified = candEdges
-        .join(d.select(col("doc_id").as("a"), col("toks").as("a_toks")), Seq("a"))
-        .join(d.select(col("doc_id").as("b"), col("toks").as("b_toks")), Seq("b"))
-        .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))).cast("long"))
-        .withColumn("uni", size(array_union(col("a_toks"), col("b_toks"))).cast("long"))
-        .filter(col("uni") > lit(0L) && expr("(inter * 100) div uni") >= lit(50L))
-        .select(col("a"), col("b"))
+      // exact verify every edge through the ONE shared Jaccard tail
+      // (threshold and integer-div expression live in jaccardVerify
+      // alone — cc edges must merge under the same bar the keeper
+      // dedup reports): only true near-dup links may merge
+      val verified = jaccardVerify(candEdges, d,
+          d.select(col("doc_id").as("keeper"), col("toks").as("k_toks")))
+        .select(col("doc_id").as("a"), col("keeper").as("b"))
       val comp = ScaleOps.connectedComponents(verified, "a", "b")
       comp
         .join(comp.groupBy(col("label")).agg(count(lit(1)).as("cluster_size")),
@@ -566,7 +605,7 @@ object Similarity {
       val seen = new java.util.HashSet[String]()
       val counts = new Array[Int](64)
       var any = false
-      text.toLowerCase(java.util.Locale.ROOT).split(" ").foreach { t =>
+      Text.lowerLikeSpark(text).split(" ").foreach { t =>
         if (t.length > 3 && seen.add(t)) {
           any = true
           val h = fmix64(fnv64(t))
@@ -638,7 +677,7 @@ object Similarity {
     // ONE kernel pass over documents, persisted: the banded branch and
     // both sides of the hamming verify read the narrow (doc_id, simhash)
     // cache instead of re-running the kernel per plan branch
-    (s, dir) => simhashDedupOf(cachedFeature(s, s"dd_simhash:$dir") {
+    (s, dir) => simhashDedupOf(cachedFeature(s, s"dd_simhash:$dir@${srcVersion(s, dir, "documents.parquet")}") {
       simhashFeatOf(T(s, dir).documents)
     }),
     oracle = None)
@@ -672,13 +711,23 @@ object Similarity {
 
   /** The exact-cosine verify tail shared by [[embDedupOf]] and
     * [[probeEmbeddingIndex]] — ONE definition, so the probe==batch
-    * equality contract cannot drift on the score or threshold. */
+    * equality contract cannot drift on the score or threshold.
+    * Degenerate pairs are EXCLUDED like [[rankTop5]]'s guard, not
+    * emitted: a zero-norm side would make cos 0/0 = NaN — which
+    * `round(..).cast("long")` throws on under ANSI mode (this engine
+    * never disables it) and which compares NaN-greatest without it,
+    * marking garbage a duplicate — and a ragged/null-element side
+    * nulls the dot, which would emit a three-valued (NULL, NULL)
+    * verdict row no boolean consumer expects. The other two verify
+    * tails already guard their analogs (`uni > 0`, simhash isNotNull). */
   private def cosineVerify(cand: DataFrame, dSide: DataFrame,
       kSide: DataFrame): DataFrame =
     cand
       .join(dSide, Seq("vec_id"))
       .join(kSide, Seq("keeper"))
-      .withColumn("cos", dotDouble(col("v"), col("kv")) / (col("norm") * col("kn")))
+      .withColumn("cos", when(col("norm") > lit(0.0) && col("kn") > lit(0.0),
+        dotDouble(col("v"), col("kv")) / (col("norm") * col("kn"))))
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
       .withColumn("is_dup", col("cos") >= lit(0.40))
       .select(col("vec_id"), col("keeper"),
         round(col("cos") * lit(1000000), 0).cast("long").as("cos_q6"),
@@ -706,7 +755,7 @@ object Similarity {
     "dd_embedding",
     // ONE pass over embeddings: LSH bands + norm per vector, persisted
     // for the banding branch and both exact-verify join sides
-    (s, dir) => embDedupOf(cachedFeature(s, s"dd_embedding:$dir") {
+    (s, dir) => embDedupOf(cachedFeature(s, s"dd_embedding:$dir@${srcVersion(s, dir, "embeddings.parquet")}") {
       embFeatOf(T(s, dir).embeddings)
     }),
     oracle = None)
@@ -1047,9 +1096,20 @@ object Similarity {
     val merged = incrKeepers.join(idx, Seq("band", "bucket"), "left")
       .select(col("band"), col("bucket"),
         least(col("keeper"), col("ikeeper")).as("keeper"))
-    val cand = banded.join(merged, Seq("band", "bucket"))
-      .filter(col("keeper") < col(fam.idCol))
-      .groupBy(col(fam.idCol)).agg(min(col("keeper")).as("keeper"))
+    // registered in the shared feature memo: the candidate frame feeds
+    // TWO consumers — the bounded candShards collect below and the
+    // returned verify plan — and its lineage (banding, pruned index
+    // read, two shuffles) is the probe's dominant cost; unpersisted,
+    // the whole chain would run twice per probe. The key rides the
+    // version-unique indexPath (mtime + shards + split baked into the
+    // version name), so a stale entry for a regenerated corpus is
+    // unreachable by construction, and Bench's clearFeatureCache
+    // manages its lifecycle like every other probe frame.
+    val cand = cachedFeature(s, s"incrcand:${fam.what}:$indexPath:$split") {
+      banded.join(merged, Seq("band", "bucket"))
+        .filter(col("keeper") < col(fam.idCol))
+        .groupBy(col(fam.idCol)).agg(min(col("keeper")).as("keeper"))
+    }
     // prune the keeper side-table read to the shards the elected CORPUS
     // keepers live in (increment keepers' features come from `feat`,
     // not the index) — without this the verify join would re-read
@@ -1088,7 +1148,7 @@ object Similarity {
     // full-corpus cache: ingest reads the corpus slice once, and the
     // cache serves the build's two write branches
     writeIncrIndex(s, indexPath, shards, mhFamily,
-      cachedFeature(s, s"dd_minhash_incr:$dir:corpus$split") {
+      cachedFeature(s, s"dd_minhash_incr:$dir@${srcVersion(s, dir, "documents.parquet")}:corpus$split") {
         minhashFeatOf(T(s, dir).documents.filter(col("doc_id") < lit(split)))
       })
 
@@ -1118,7 +1178,7 @@ object Similarity {
     // the increment rows and the index files. Cached: the frame feeds
     // banding, the verify side and the candidate-shard collect
     probeIncrIndex(s, indexPath, split, shards, mhFamily,
-      cachedFeature(s, s"dd_minhash_incr:$dir:incr$split") {
+      cachedFeature(s, s"dd_minhash_incr:$dir@${srcVersion(s, dir, "documents.parquet")}:incr$split") {
         minhashFeatOf(T(s, dir).documents.filter(col("doc_id") >= lit(split)))
       })
 
@@ -1480,7 +1540,7 @@ object Similarity {
   def writeSimhashIndex(s: SparkSession, dir: String, indexPath: String,
       split: Long, shards: Int = minhashIndexShards): Unit =
     writeIncrIndex(s, indexPath, shards, shFamily,
-      cachedFeature(s, s"dd_simhash_incr:$dir:corpus$split") {
+      cachedFeature(s, s"dd_simhash_incr:$dir@${srcVersion(s, dir, "documents.parquet")}:corpus$split") {
         simhashFeatOf(T(s, dir).documents.filter(col("doc_id") < lit(split)))
       })
 
@@ -1499,7 +1559,7 @@ object Similarity {
   def probeSimhashIndex(s: SparkSession, dir: String, indexPath: String,
       split: Long, shards: Int = minhashIndexShards): DataFrame =
     probeIncrIndex(s, indexPath, split, shards, shFamily,
-      cachedFeature(s, s"dd_simhash_incr:$dir:incr$split") {
+      cachedFeature(s, s"dd_simhash_incr:$dir@${srcVersion(s, dir, "documents.parquet")}:incr$split") {
         simhashFeatOf(T(s, dir).documents.filter(col("doc_id") >= lit(split)))
       })
 
@@ -1551,7 +1611,7 @@ object Similarity {
   def writeEmbeddingIndex(s: SparkSession, dir: String, indexPath: String,
       split: Long, shards: Int = minhashIndexShards): Unit =
     writeIncrIndex(s, indexPath, shards, embFamily,
-      cachedFeature(s, s"dd_embedding_incr:$dir:corpus$split") {
+      cachedFeature(s, s"dd_embedding_incr:$dir@${srcVersion(s, dir, "embeddings.parquet")}:corpus$split") {
         embFeatOf(T(s, dir).embeddings.filter(col("vec_id") < lit(split)))
       })
 
@@ -1566,7 +1626,7 @@ object Similarity {
   def probeEmbeddingIndex(s: SparkSession, dir: String, indexPath: String,
       split: Long, shards: Int = minhashIndexShards): DataFrame =
     probeIncrIndex(s, indexPath, split, shards, embFamily,
-      cachedFeature(s, s"dd_embedding_incr:$dir:incr$split") {
+      cachedFeature(s, s"dd_embedding_incr:$dir@${srcVersion(s, dir, "embeddings.parquet")}:incr$split") {
         embFeatOf(T(s, dir).embeddings.filter(col("vec_id") >= lit(split)))
       })
 

@@ -30,6 +30,35 @@ object Text {
   private[operators] def tokens(c: Column): Column =
     array_distinct(filter(split(lower(c), " "), w => length(w) > lit(3)))
 
+  /** Lowercase exactly as Spark's builtin `lower` does — the JVM-kernel
+    * twin every fused tokenizer (minhash/simhash banding, shingles)
+    * must use so kernel tokens and [[tokens]]' builtin-`lower` tokens
+    * are byte-identical in EVERY environment. `UTF8String.toLowerCase`
+    * is an ASCII fast path ('A'-'Z' only) when the whole string is
+    * ASCII, else `String.toLowerCase()` under the JVM DEFAULT locale
+    * (verified against the spark-unsafe 4.1.2 bytecode) — so a kernel
+    * lowercasing with Locale.ROOT diverges from the builtin on, e.g.,
+    * a Turkish-locale JVM ('I' → 'ı' in the builtin, 'i' in ROOT),
+    * silently breaking the "no bands ⇔ no toks" invariants. Matching
+    * the builtin is the contract; on the ASCII corpora all three
+    * agree, which is why the tests cannot see the difference. */
+  private[graft] def lowerLikeSpark(s: String): String = {
+    var i = 0
+    var ascii = true
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (!ascii) s.toLowerCase()
+    else {
+      val arr = s.toCharArray
+      var j = 0
+      while (j < arr.length) {
+        val c = arr(j)
+        if (c >= 'A' && c <= 'Z') arr(j) = (c + 32).toChar
+        j += 1
+      }
+      new String(arr)
+    }
+  }
+
   /** Exact dedup by content hash (driver-requested; SO2 keyed-dedup shape).
     * Keeper = lowest doc_id per distinct text. */
   val ddExact = QueryDef(
@@ -136,14 +165,14 @@ object Text {
     * faster measured: nested higher-order lambdas are interpreted
     * per-element, the same trade as the Similarity kernels (VERDICT r3
     * accepted the measured-win standard). Tokenization matches the HOF
-    * twin: split on single spaces, drop empties, locale-free lowercase
-    * (what Spark's `lower` does — default-locale toLowerCase would
-    * diverge on Turkish dotted-I). */
+    * twin: split on single spaces, drop empties, and lowercase via
+    * [[lowerLikeSpark]] — the builtin-`lower` twin (ASCII fast path,
+    * default-locale slow path), NOT Locale.ROOT, which diverges from
+    * the builtin on a Turkish-locale JVM. */
   val shingles3 = udf((text: String) => {
     if (text == null) null
     else {
-      val toks = text.toLowerCase(java.util.Locale.ROOT)
-        .split(" ").filter(_.nonEmpty)
+      val toks = lowerLikeSpark(text).split(" ").filter(_.nonEmpty)
       if (toks.length < 3) null
       else {
         val out = new java.util.LinkedHashSet[String]()

@@ -659,4 +659,29 @@ class SemanticsSpec extends SparkSpec {
     assert(read(foreign) === exp,
       "a non-UTC session must read IDENTICAL instants — zone must not participate")
   }
+
+  test("kernel lowercase matches the builtin lower() under a Turkish-locale JVM") {
+    // the fused tokenizer kernels (minhash/simhash banding, shingles)
+    // must tokenize byte-identically to Text.tokens' builtin `lower`,
+    // or a doc can band without verifying (and vice versa). Spark's
+    // lower() is ASCII-fast-path + DEFAULT-locale String.toLowerCase
+    // for non-ASCII strings — so the old Locale.ROOT kernels diverged
+    // exactly where this test sits: dotted-I under tr_TR. local[*]
+    // executes in this JVM, so setDefault reaches the builtin's path.
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+    try {
+      val s = "VIRTUAL INDEX ĞÜNEŞI" // non-ASCII → builtin takes the slow path
+      val viaBuiltin = Seq(Tuple1(s)).toDF("text")
+        .select(lower($"text")).head().getString(0)
+      assert(graft.operators.Text.lowerLikeSpark(s) === viaBuiltin,
+        "kernel lowercase must track the builtin in every locale")
+      assert(s.toLowerCase(java.util.Locale.ROOT) !== viaBuiltin,
+        "precondition: ROOT actually diverges here — else this test is vacuous")
+      // pure-ASCII strings ride the fast path in both: identical too
+      val a = "The QUICK Brown FOX"
+      assert(graft.operators.Text.lowerLikeSpark(a) ===
+        Seq(Tuple1(a)).toDF("text").select(lower($"text")).head().getString(0))
+    } finally java.util.Locale.setDefault(prev)
+  }
 }
