@@ -257,11 +257,11 @@ object StreamingTwins {
     * member event stream — the analytics view of the channel server's
     * membership lifecycle (ws-server.ts:128-136 joinedAt / token-expiry;
     * a member whose events stop for the gap has left). A new session
-    * starts when the inactivity gap reaches 30 min; `>=` split matches
-    * Spark's native `session_window` semantics (window = [event,
-    * event + gap)), so the live stream in
-    * [[graft.streaming.StreamOps.gapSessions]] converges to this twin
-    * exactly. Classic islands form: per-user lag → new-session flag →
+    * starts when the inactivity gap reaches 30 min (`>=` split). The
+    * live stream in [[graft.streaming.StreamOps.gapSessions]] converges
+    * to this twin exactly — note the native `session_window` MERGES at
+    * an exactly-gap boundary, so the streaming side runs it with a
+    * 1 ms-short gap to realize this `>=` rule (rationale there). Classic islands form: per-user lag → new-session flag →
     * running sum — the per-user sequential window hash-partitions across
     * users, so it scales horizontally. */
   val st11GapSessions = QueryDef(

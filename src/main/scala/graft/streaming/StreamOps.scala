@@ -122,6 +122,18 @@ object StreamOps {
     * watermark from the same `ts_ms` → `event_time` mapping; one
     * definition means a change to the derivation (source column, clamp)
     * cannot silently skip one of the nine call sites. */
+  /** The typed-EvT projection the event-time-timeout operators layer on
+    * [[withEventTime]] — shared for the same one-definition reason: an
+    * EvT schema change must not be able to skip one operator and
+    * surface only as that operator's runtime AnalysisException. */
+  private def asEvT(df: DataFrame): Dataset[EvT] = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts_ms"), col("event_time"))
+      .as[EvT]
+  }
+
   private def withEventTime(df: DataFrame, watermark: String): DataFrame =
     df.withColumn("event_time", timestamp_millis(col("ts_ms")))
       .withWatermark("event_time", watermark)
@@ -213,11 +225,8 @@ object StreamOps {
       maxVotes: Long = 10000L): Dataset[DeadlineResult] = {
     val sess = events.sparkSession
     import sess.implicits._
-    withEventTime(events, watermark)
-      .filter(col("event_type").isin("view", "purchase"))
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), col("ts_ms"), col("event_time"))
-      .as[EvT]
+    asEvT(withEventTime(events, watermark)
+        .filter(col("event_type").isin("view", "purchase")))
       .groupByKey(e => (e.user_id, e.ts_ms / 3600000L))
       .mapGroupsWithState[DeadlineSession, DeadlineResult](
         GroupStateTimeout.EventTimeTimeout) {
@@ -472,8 +481,11 @@ object StreamOps {
     * (same sentinel contract as [[asofAttr]]); emission is
     * watermark-delayed, the price of the outer side. Output is one row
     * per (purchase, in-band view) pair — the PRE-aggregation form of the
-    * batch twin; `groupBy(event_id).count` over it reproduces
-    * `n_views_24h` exactly (asserted in StreamingSpec). At 100 TB this
+    * batch twin; counting NON-SENTINEL rows per purchase —
+    * `groupBy("event_id").agg(count(when($"view_event_id" =!= -1L, 1)))`
+    * — reproduces `n_views_24h` exactly (asserted in StreamingSpec; a
+    * bare `count(*)` would read each matchless purchase's sentinel row
+    * as one view). At 100 TB this
     * and the batch bucket-explode form are the same trade as everywhere
     * in this file: the stream pays state for incrementality, the batch
     * pays a shuffle for throughput. */
@@ -511,12 +523,21 @@ object StreamOps {
     * session once the watermark passes its end (append mode) — state is
     * bounded by live sessions, not stream history. Split semantics
     * (new session at inactivity ≥ gap) match the batch twin
-    * `st11_gap_sessions` exactly. */
+    * `st11_gap_sessions` exactly — via a deliberate 1 ms offset:
+    * `session_window` MERGES two events exactly `gap` apart (the window
+    * is [start, last + gap] at its end boundary — verified empirically
+    * on Spark 4.1.2, two events 30 min apart under a "30 minutes" gap
+    * land in ONE session), while the oracle-checked twin splits at
+    * inactivity ≥ gap. The native gap is therefore set one millisecond
+    * SHORT: merge iff diff ≤ gapMs−1 ⇔ split iff diff ≥ gapMs — the
+    * twin's exact rule, pinned by an exact-boundary fixture in
+    * StreamingSpec on both sides of the millisecond. */
   def gapSessions(
-      events: DataFrame, gap: String = "30 minutes",
+      events: DataFrame, gapMs: Long = 1800000L,
       watermark: String = "2 hours"): DataFrame =
     withEventTime(events, watermark)
-      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), s"${gapMs - 1} milliseconds"))
       .agg(
         min(col("ts_ms")).as("session_start_ms"),
         max(col("ts_ms")).as("session_end_ms"),
@@ -551,10 +572,7 @@ object StreamOps {
       watermark: String = "2 hours"): Dataset[TtlResult] = {
     val s = events.sparkSession
     import s.implicits._
-    withEventTime(events, watermark)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), col("ts_ms"), col("event_time"))
-      .as[EvT]
+    asEvT(withEventTime(events, watermark))
       .groupByKey(_.user_id)
       .mapGroupsWithState[(Long, Long), TtlResult](
         GroupStateTimeout.EventTimeTimeout) {

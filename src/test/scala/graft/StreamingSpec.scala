@@ -517,6 +517,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.collect().toSeq === want.collect().toSeq)
   }
 
+  test("ST11 exact-gap boundary: native merge-at-gap is offset to the twin's >=-split") {
+    // session_window MERGES two events exactly gap apart (window end is
+    // inclusive of a landing event), while the oracle-checked batch twin
+    // splits at inactivity >= gap — gapSessions runs the native window
+    // 1 ms short to realize the twin's rule. Pin both sides of the
+    // millisecond; the sf0.001 corpus happens to contain no exact-gap
+    // pair, so only this fixture can catch a regression here.
+    val t0 = 1706486400000L
+    val evs = Seq(
+      Ev(1L, 1L, "view", 0.0, t0), Ev(2L, 1L, "view", 0.0, t0 + 1800000L), // == gap → split
+      Ev(3L, 2L, "view", 0.0, t0), Ev(4L, 2L, "view", 0.0, t0 + 1799999L)) // gap−1ms → merge
+    val sentinel = Ev(999999L, 999999L, "view", 0.0, t0 + 86400000L)
+    val got = runStream("st11_boundary", Seq(evs, Seq(sentinel)),
+      ds => StreamOps.gapSessions(ds.toDF()), OutputMode.Append)
+      .filter($"user_id" =!= 999999L)
+      .select($"user_id", $"session_start_ms", $"session_end_ms", $"n_events")
+      .orderBy($"user_id", $"session_start_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      (1L, t0, t0, 1L), (1L, t0 + 1800000L, t0 + 1800000L, 1L),
+      (2L, t0, t0 + 1799999L, 2L)),
+      "exact-gap pair must split, gap-minus-1ms pair must merge — the twin's rule")
+  }
+
   test("streaming corpus-clean ingest converges to the batch pipeline") {
     implicit val sqlCtx = spark.sqlContext
     // docs fed in doc_id order with synthetic ingest times inside one
