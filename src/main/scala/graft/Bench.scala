@@ -145,10 +145,7 @@ object Bench {
       // the cold pipeline; the diagnostic re-run must match, or a
       // dedup-family dump shows warm-cache stage times that understate
       // the very number it exists to attribute
-      graft.operators.Similarity.clearFeatureCache()
-      graft.operators.ScaleOps.clearBloomCache()
-      graft.operators.ScaleOps.clearCcCheckpoints()
-      graft.operators.ScaleOps.clearKernelBroadcasts()
+      graft.operators.RunCaches.clearAll()
       val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -355,10 +352,7 @@ object Bench {
       // cold per run: drop memoized dedup feature frames, Bloom
       // broadcasts and kernel state so min-of-2 measures the full
       // pipeline, not the previous run's cache
-      graft.operators.Similarity.clearFeatureCache()
-      graft.operators.ScaleOps.clearBloomCache()
-      graft.operators.ScaleOps.clearCcCheckpoints()
-      graft.operators.ScaleOps.clearKernelBroadcasts()
+      graft.operators.RunCaches.clearAll()
       val t0 = System.nanoTime()
       q.run(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
@@ -475,10 +469,7 @@ object Bench {
       * j2@sf1 = 38.75× (vs 5.9× isolated, same plan) was exactly this
       * cross-tier contamination, invisible at the default 8g heap. */
     def resetBetweenTiers(): Unit = {
-      graft.operators.Similarity.clearFeatureCache()
-      graft.operators.ScaleOps.clearBloomCache()
-      graft.operators.ScaleOps.clearCcCheckpoints()
-      graft.operators.ScaleOps.clearKernelBroadcasts()
+      graft.operators.RunCaches.clearAll()
       spark.catalog.clearCache()
       System.gc()
     }

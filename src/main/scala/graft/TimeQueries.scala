@@ -29,10 +29,7 @@ object TimeQueries {
     }
     val spark = Engine.session(appName = "graft-time")
     def time(q: QueryDef, dir: String): Double = {
-      operators.Similarity.clearFeatureCache()
-      operators.ScaleOps.clearBloomCache()
-      operators.ScaleOps.clearCcCheckpoints()
-      operators.ScaleOps.clearKernelBroadcasts()
+      graft.operators.RunCaches.clearAll()
       val t0 = System.nanoTime()
       q.run(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9

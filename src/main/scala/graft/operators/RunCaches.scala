@@ -1,0 +1,27 @@
+package graft.operators
+
+/** The ONE registry of per-run cache clearers. Four leak-class caches
+  * exist (the Similarity feature memo, the Bloom broadcast memo, the
+  * connected-components checkpoints, the prefix-sum kernel broadcasts)
+  * and every cold-measurement harness must clear ALL of them or a warm
+  * survivor silently contaminates the run — the r12 review found the
+  * same four-call litany repeated at five harness sites, where the
+  * NEXT cache (or one forgotten line) would re-open exactly that hole.
+  * Each cache registers its clearer once at its holder's class-load;
+  * harnesses call [[clearAll]]. A cache that has never been touched has
+  * never loaded, holds no state, and correctly has nothing registered.
+  * The individual clear functions remain public for targeted specs. */
+object RunCaches {
+  private val clearers =
+    scala.collection.mutable.ArrayBuffer.empty[(String, () => Unit)]
+
+  def register(name: String)(clear: () => Unit): Unit =
+    clearers.synchronized { clearers += ((name, clear)) }
+
+  /** Runs every registered clearer; one failure must not skip the rest
+    * (same Try discipline each clearer already applies internally). */
+  def clearAll(): Unit =
+    clearers.synchronized(clearers.toList).foreach { case (_, f) =>
+      scala.util.Try(f())
+    }
+}

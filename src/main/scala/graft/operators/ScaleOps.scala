@@ -33,14 +33,30 @@ object ScaleOps {
   private val bloomCache = scala.collection.mutable.HashMap
     .empty[(SparkSession, String),
       org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]
+  RunCaches.register("scaleops-bloom-memo")(() => clearBloomCache())
+  RunCaches.register("scaleops-cc-checkpoints")(() => clearCcCheckpoints())
+  RunCaches.register("scaleops-kernel-broadcasts")(() => clearKernelBroadcasts())
   private def cachedBloom(s: SparkSession, key: String)(
       build: => org.apache.spark.util.sketch.BloomFilter)
       : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter] = {
     val k = (s, key)
-    val existing = bloomCache.synchronized {
+    // superseded-logical-key eviction, same rule as
+    // Similarity.cachedFeature: the fingerprint lives in the key after
+    // '@', so an in-session corpus rewrite otherwise leaves one dead
+    // pinned broadcast per rewrite until a harness clear. Stale entries
+    // are detached under the lock and destroyed OUTSIDE it (destroy
+    // blocks on executor-side removal — the slow-Spark-op-under-lock
+    // class this function already avoids for builds).
+    val (existing, stale) = bloomCache.synchronized {
       bloomCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      bloomCache.get(k)
+      val logical = key.replaceAll("@\\d+", "")
+      val staleKeys = bloomCache.keys.filter { case (sess, k2) =>
+        k2.replaceAll("@\\d+", "") == logical && !(k2 == key && (sess eq s))
+      }.toList
+      val detached = staleKeys.flatMap(bloomCache.remove)
+      (bloomCache.get(k), detached)
     }
+    stale.foreach(b => scala.util.Try(b.destroy()))
     existing.getOrElse {
       // build OUTSIDE the monitor (ADVICE r5): the build runs full Spark
       // jobs (count + bloomFilter treeAggregate) and holding the global
@@ -63,30 +79,25 @@ object ScaleOps {
     }
   }
 
-  /** Cheap data fingerprint for Bloom cache keys: the max lastModified
-    * under the stratum's table path. Rewriting the files within one
-    * session (driver regenerating test data, a harness rebuilding a
-    * fixture) changes the key and so invalidates the memo — a stale
-    * filter yields false NEGATIVES for new benchmark shingles, and the
-    * exact-confirm join only removes false positives, so contamination
-    * would be silently under-reported (ADVICE r5). Superseded entries
-    * (old fingerprints) are reclaimed by `clearBloomCache`/session
-    * eviction — at most one per rewrite. Goes through the Hadoop
-    * FileSystem API, not java.io.File, so the fingerprint is real on
-    * hdfs:/s3a: table paths too (a java.io.File there is a constant 0 —
-    * which would silently disable the invalidation exactly where the
-    * cluster posture needs it). A vanished path fingerprints as 0; the
-    * subsequent read fails loudly on its own. */
+  /** Cheap data fingerprint for Bloom cache keys — delegates to
+    * [[Similarity.srcVersion]], the ONE dir-or-file max-mtime rule
+    * (this was a second inline copy that could drift). Rewriting the
+    * files within one session (driver regenerating test data, a harness
+    * rebuilding a fixture) changes the key and so invalidates the memo —
+    * a stale filter yields false NEGATIVES for new benchmark shingles,
+    * and the exact-confirm join only removes false positives, so
+    * contamination would be silently under-reported (ADVICE r5).
+    * Superseded fingerprints are reclaimed by the caches' own
+    * logical-key eviction. A store with NO mtime surface — the `jdbc:`
+    * locator Tables supports, or a vanished path — fingerprints as a
+    * fresh nanoTime instead of a constant: memoization degrades to
+    * build-per-call (each build evicting its predecessor) rather than
+    * silently pinning a possibly-stale filter forever, which is the
+    * correctness-first trade for a source whose staleness is
+    * undetectable; a vanished path still fails loudly on the read. */
   private def docsFingerprint(s: SparkSession, dir: String): Long =
-    scala.util.Try {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val st = fs.getFileStatus(p)
-      if (st.isDirectory)
-        (st.getModificationTime +:
-          fs.listStatus(p).map(_.getModificationTime).toSeq).max
-      else st.getModificationTime
-    }.getOrElse(0L)
+    scala.util.Try(Similarity.srcVersion(s, dir, "documents.parquet"))
+      .getOrElse(System.nanoTime())
 
   /** Destroys and forgets every memoized Bloom broadcast (Try-wrapped:
     * one stopped session must not abort clearing the rest). Bench calls
@@ -128,10 +139,15 @@ object ScaleOps {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String): DataFrame = {
     // "asof" is reserved too: withColumn would silently REPLACE a
-    // pre-existing left column of that name instead of erroring
+    // pre-existing left column of that name instead of erroring.
+    // Compared case-INSENSITIVELY: withColumn resolves names under the
+    // default spark.sql.caseSensitive=false, so a column named "Asof"
+    // would sail past an exact-string check and still be overwritten —
+    // the very silent replacement this guard exists to prevent
     val internal = Seq("__asof_t", "__asof_tag", "__asof_r", "asof")
-    require(!(left.columns ++ right.columns).exists(internal.contains),
-      s"asofJoin reserves ${internal.mkString(", ")}; rename them on the input")
+    require(!(left.columns ++ right.columns)
+        .exists(c => internal.contains(c.toLowerCase(java.util.Locale.ROOT))),
+      s"asofJoin reserves ${internal.mkString(", ")} (any case); rename them on the input")
     val rStruct = struct(right.columns.map(col).toIndexedSeq: _*)
     val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
     val l = left
@@ -212,8 +228,14 @@ object ScaleOps {
     // iteration, and without this the caller's entire upstream pipeline
     // (e.g. dd_minhash_cc's band-explode + verify joins) would re-execute
     // per iteration — the docstring's per-iteration cost claim holds only
-    // because this is a checkpoint, not a lazy plan
+    // because this is a checkpoint, not a lazy plan. `e` is persisted
+    // across the union's TWO branches for the same reason in miniature:
+    // unpersisted, the caller's edge plan executes twice inside the one
+    // sym-checkpoint job (once per branch); freed as soon as the eager
+    // checkpoint has materialized
+    e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sym = ckpt(e.union(e.select(col("b").as("a"), col("a").as("b"))))
+    e.unpersist(blocking = false)
     var labels = ckpt(sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")))
     var iter = 0
@@ -372,8 +394,32 @@ object ScaleOps {
     val n = if (nChunks > 0) nChunks
       else spark.sessionState.conf.numShufflePartitions
     val v = "__sps_v"
-    require(!df.columns.contains(v) && !df.columns.contains(out),
-      s"strataPrefixSum reserves $v and output column $out")
+    // case-insensitive like asofJoin's guard: withColumn/select resolve
+    // under the default spark.sql.caseSensitive=false
+    require(!df.columns.exists(c =>
+        c.equalsIgnoreCase(v) || c.equalsIgnoreCase(out)),
+      s"strataPrefixSum reserves $v and output column $out (any case)")
+    // the partials bookkeeping compares strata values via JVM equality
+    // while the range partition + sort compares via Spark's ordering —
+    // types where the two diverge would silently reset every prefix to
+    // 0 (and unbound the "≤ nChunks × |strata|" collect to O(rows)):
+    // BinaryType strata box to arrays whose equals is reference
+    // identity; Float/Double strata make -0.0 == 0.0 in the sort but
+    // not in boxed equals; nested complex types inherit both hazards.
+    // Refuse them loudly — strata are categorical by nature.
+    strata.foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = df.schema(c).dataType
+      val ok = dt match {
+        case StringType | BooleanType | ByteType | ShortType | IntegerType |
+             LongType | DateType | TimestampType | TimestampNTZType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+      require(ok, s"strataPrefixSum: stratum column $c is $dt — strata " +
+        "must be string/integral/boolean/date/timestamp/decimal (JVM " +
+        "equality must agree with the sort order for the partials merge)")
+    }
     val keyCols = (strata ++ order).map(col)
     val prepared = df.withColumn(v, value.cast("long"))
       .repartitionByRange(n, keyCols: _*)
@@ -488,6 +534,17 @@ object ScaleOps {
     (s, dir) => {
       val ev = T(s, dir).events
       val views = ev.filter(col("event_type") === "view")
+        // SQL join semantics on NULLs — the same up-front guard
+        // [[asofJoin]] documents and applies: a null-user or null-ts
+        // view can never satisfy the oracle's
+        // `v.user_id = p.user_id AND v.ts_ms <= p.ts_ms`. Unfiltered,
+        // a null-ts view sorts FIRST in the window (ASC is nulls-first)
+        // and its v_id is carried by last(ignoreNulls) to purchases no
+        // real view precedes — while last_v_ts (built from a when() that
+        // nulls it) skips it, emitting a mismatched (view_id, -1) pair
+        // the oracle never produces; null-user views would likewise
+        // "match" null-user purchases through the window partitioning.
+        .filter(col("user_id").isNotNull && col("ts_ms").isNotNull)
         .select(col("user_id"), col("ts_ms"), lit(0).as("tag"),
           col("event_id").as("v_id"), lit(null).cast("long").as("p_id"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -872,13 +929,22 @@ object ScaleOps {
       val sh = T(s, dir).documents
         .select(col("doc_id"), col("source"), Text.shingles3(col("text")).as("sh"))
         .filter(col("sh").isNotNull)
-      val bench = sh.filter(col("source") === "src0")
-        .select(explode(col("sh")).as("shingle")).distinct()
+      val fp = docsFingerprint(s, dir)
+      // the distinct benchmark-shingle frame feeds THREE consumers on a
+      // cold run — the capacity count, the bloomFilter treeAggregate
+      // and the exact-confirm join below — and each would re-run the
+      // documents scan + shingle UDF + explode + distinct shuffle; one
+      // persisted copy through the shared feature memo (fingerprint-
+      // keyed like every entry there) serves all three
+      val bench = Similarity.cachedFeature(s, s"decontam_bench:$dir@$fp") {
+        sh.filter(col("source") === "src0")
+          .select(explode(col("sh")).as("shingle")).distinct()
+      }
       // capacity from the ACTUAL benchmark shingle count (a bounded
       // driver action on the small stratum, memoized with the filter):
       // a hardcoded capacity silently degrades the 1% fpp — and with it
       // the entire point of the pre-filter — once the stratum outgrows it
-      val bc = cachedBloom(s, s"decontam:$dir:${docsFingerprint(s, dir)}") {
+      val bc = cachedBloom(s, s"decontam:$dir@$fp") {
         val n = math.max(1000L, bench.count())
         bench.stat.bloomFilter("shingle", n, 0.01)
       }

@@ -93,6 +93,7 @@ object Similarity {
     * the session's lifetime. */
   private val featCache =
     scala.collection.mutable.HashMap.empty[(SparkSession, String), DataFrame]
+  RunCaches.register("similarity-feature-memo")(() => clearFeatureCache())
   // operators-visible (not just this object): mm_phash_dedup's hash frame
   // has the identical consumed-by-three-branches shape and must share the
   // one registry clearFeatureCache/Bench resets already manage

@@ -24,8 +24,10 @@ object SkewJoin {
     * silent overwrite would corrupt caller data, so it's rejected. */
   def saltedJoin(skewed: DataFrame, dims: DataFrame, key: String, n: Int): DataFrame = {
     require(n > 0, s"salt fan-out must be positive, got $n")
-    require(!skewed.columns.contains("__salt") && !dims.columns.contains("__salt"),
-      "saltedJoin reserves the __salt column; rename it on the input")
+    // case-insensitive: withColumn resolves names under the default
+    // spark.sql.caseSensitive=false, so "__SALT" would be overwritten too
+    require(!(skewed.columns ++ dims.columns).exists(_.equalsIgnoreCase("__salt")),
+      "saltedJoin reserves the __salt column (any case); rename it on the input")
     val salted = skewed.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(n.toLong)))
     val exploded = dims.withColumn("__salt",

@@ -268,6 +268,60 @@ class ScaleOpsSpec extends SparkSpec {
       "clearKernelBroadcasts left registrations behind")
   }
 
+  test("reserved-name guards reject any-case collisions (withColumn resolves case-insensitively)") {
+    // under the default spark.sql.caseSensitive=false, withColumn would
+    // silently REPLACE a caller's "Asof"/"__SALT"/"OFF" column — the
+    // guards must therefore compare case-insensitively, not exact-string
+    val l = Seq((1L, 10L, "x")).toDF("k", "t", "Asof")
+    val r = Seq((1L, 5L)).toDF("k", "rt")
+    intercept[IllegalArgumentException] {
+      graft.operators.ScaleOps.asofJoin(l, r, "k", "t", "rt")
+    }
+    val sk = Seq((1L, "a")).toDF("k", "__SALT")
+    intercept[IllegalArgumentException] {
+      graft.operators.SkewJoin.saltedJoin(sk, Seq((1L, "d")).toDF("k", "d"), "k", 4)
+    }
+    val df = Seq(("s", 1L, 1L)).toDF("src", "id", "OFF")
+    intercept[IllegalArgumentException] {
+      graft.operators.ScaleOps.strataPrefixSum(df, Seq("src"), Seq("id"), col("id"), "off")
+    }
+  }
+
+  test("strataPrefixSum refuses strata types whose JVM equality diverges from sort order") {
+    // a BinaryType stratum boxes to arrays with reference-identity
+    // equals: the partials map would get one entry per ROW (unbounded
+    // driver collect) and every output prefix would silently reset to 0
+    val bin = Seq((Array[Byte](1), 1L, 1L)).toDF("src", "id", "v")
+    intercept[IllegalArgumentException] {
+      graft.operators.ScaleOps.strataPrefixSum(bin, Seq("src"), Seq("id"), col("v"), "off")
+    }
+    // -0.0 == 0.0 under the sort but not under boxed equals
+    val dbl = Seq((0.0, 1L, 1L), (-0.0, 2L, 1L)).toDF("src", "id", "v")
+    intercept[IllegalArgumentException] {
+      graft.operators.ScaleOps.strataPrefixSum(dbl, Seq("src"), Seq("id"), col("v"), "off")
+    }
+  }
+
+  test("RunCaches.clearAll runs every registered clearer, even past a failure") {
+    var a = 0
+    var b = 0
+    graft.operators.RunCaches.register("spec-a")(() => a += 1)
+    graft.operators.RunCaches.register("spec-boom")(() => sys.error("boom"))
+    graft.operators.RunCaches.register("spec-b")(() => b += 1)
+    graft.operators.RunCaches.clearAll()
+    assert(a === 1 && b === 1, "a throwing clearer must not skip the rest")
+    // the real caches register at class load: after touching the kernel
+    // path (tests above), one clearAll must reclaim its broadcasts the
+    // same way the targeted clear does — the harness-reset contract
+    graft.operators.ScaleOps
+      .strataPrefixSum(Seq(("s", 1L, 1L)).toDF("src", "id", "v"),
+        Seq("src"), Seq("id"), col("v"), "off").collect()
+    assert(graft.operators.ScaleOps.kernelBroadcastCount >= 1)
+    graft.operators.RunCaches.clearAll()
+    assert(graft.operators.ScaleOps.kernelBroadcastCount === 0,
+      "clearAll must reach the kernel-broadcast registry")
+  }
+
   test("dd_minhash_cc: transitive chain collapses to one cluster") {
     // one-word-shift chain over 16-token docs: adjacent docs share
     // 15/17 tokens (88% — per-band collision 0.88^4 ≈ 0.60, so a missed
