@@ -39,15 +39,31 @@ object Multimodal {
         (pmod(col("doc_id"), lit(3)) + lit(1)).cast("int")).as("kind"),
       encode(col("text"), "UTF-8").as("bytes"),
       struct(
-        col("n_chars").as("n_bytes"),
+        // the PAYLOAD byte length, not n_chars: they differ on non-ASCII
+        // text (UTF-8 multi-byte), and a field named n_bytes holding the
+        // char count is a silently-wrong size for any future consumer
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
         (col("n_chars") % lit(640)).cast("int").as("width"),
         (col("n_chars") % lit(480)).cast("int").as("height")).as("meta"))
+
+  /** The fixture image dimensions (4+id%8 × 3+id%5 px) — ONE definition
+    * shared by mm_features and the phash feature frame (both oracles
+    * mirror it), so the two queries can never silently hash DIFFERENT
+    * fixture images after an edit to one copy. */
+  private def fixtureW = (lit(4) + pmod(col("media_id"), lit(8))).cast("int")
+  private def fixtureH = (lit(3) + pmod(col("media_id"), lit(5))).cast("int")
 
   /** Renders a payload into a real binary-PPM (P6) image file: ASCII
     * header + w×h RGB triples, pixel byte j cycling the payload (128s for
     * an empty payload). This is the fixture generator — the file format is
     * the published netpbm P6 layout, parseable by any image tool. */
   def ppmEncode(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    // the decoder side caps and rejects overflow explicitly; the encoder
+    // must too — 3*w*h wraps Int for w*h > ~715M (NegativeArraySize or a
+    // corrupt file whose header disagrees with its payload), and
+    // negative dims would "encode" a file ppmHeader then rejects
+    require(w > 0 && h > 0 && 3L * w * h <= Int.MaxValue - 32L,
+      s"ppmEncode: invalid dimensions ${w}x$h")
     val header = s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val n = 3 * w * h
     val out = new Array[Byte](header.length + n)
@@ -84,6 +100,10 @@ object Multimodal {
     }
     if (file.length < 2 || file(0) != 'P' || file(1) != '6') return null
     p = 2
+    // netpbm requires whitespace AFTER the magic token: "P62 2…" has the
+    // invalid magic "P62", and without this check its trailing digit
+    // would be consumed as the width — misparse, where real codecs reject
+    if (p >= file.length || !file(p).toChar.isWhitespace) return null
     ws(); val w = int(); ws(); val h = int(); ws(); val maxv = int()
     if (w <= 0 || h <= 0 || maxv != 255 || p >= file.length) return null
     // exactly one whitespace byte separates header from pixels; anything
@@ -139,8 +159,12 @@ object Multimodal {
     var sum = 0L
     var bi = 0
     while (bi < 64) {
-      val x = (bi % 8) * w / 8
-      val y = (bi / 8) * h / 8
+      // grid coords in Long: the header admits w (or h) up to ~715M,
+      // where (bi%8)*w overflows Int — a negative x would throw on the
+      // array read and a wrapped-positive one silently hashes the wrong
+      // cell. The final offset fits Int by construction (< file.length).
+      val x = ((bi % 8).toLong * w / 8).toInt
+      val y = ((bi / 8).toLong * h / 8).toInt
       val p = off + 3 * (y * w + x)
       val g = ((file(p) & 0xff) + (file(p + 1) & 0xff) + (file(p + 2) & 0xff)) / 3
       gray(bi) = g
@@ -200,15 +224,18 @@ object Multimodal {
       media(s, dir)
         .select(col("media_id"), col("bytes"),
           // deterministic small dimensions per id: 4..11 × 3..7 px
-          (lit(4) + pmod(col("media_id"), lit(8))).cast("int").as("w"),
-          (lit(3) + pmod(col("media_id"), lit(5))).cast("int").as("h"))
+          fixtureW.as("w"), fixtureH.as("h"))
         .mapPartitions { rows =>
           // batch-shaped: codec context would be initialized once per
           // partition here; each row round-trips payload→file→features
           rows.flatMap { r =>
-            val file = ppmEncode(r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3))
-            Option(ppmDecode(file)).map(f =>
-              Row(r.getLong(0), f.w.toLong, f.h.toLong, f.rSum, f.gSum, f.bSum))
+            // NULL text encodes to a NULL bytes payload — malformed input,
+            // dropped like every other reject in this file, never an NPE
+            Option(r.getAs[Array[Byte]](1)).flatMap { pl =>
+              val file = ppmEncode(pl, r.getInt(2), r.getInt(3))
+              Option(ppmDecode(file)).map(f =>
+                Row(r.getLong(0), f.w.toLong, f.h.toLong, f.rSum, f.gSum, f.bSum))
+            }
           }
         }(enc)
         .orderBy(col("media_id"))
@@ -263,7 +290,8 @@ object Multimodal {
           rows.flatMap { r =>
             val id = r.getLong(0)
             val pcm = r.getAs[Array[Byte]](1)
-            val nFrames = pcm.length / frameLen
+            // NULL payload (NULL text) → no frames, not an executor NPE
+            val nFrames = if (pcm == null) 0 else pcm.length / frameLen
             (0 until nFrames).iterator.map { j =>
               var peak = 0L
               var sumsq = 0L
@@ -328,7 +356,8 @@ object Multimodal {
           rows.flatMap { r =>
             val id = r.getLong(0)
             val b = r.getAs[Array[Byte]](1)
-            val nFrames = b.length / frameLen
+            // NULL payload (NULL text) → no frames, not an executor NPE
+            val nFrames = if (b == null) 0 else b.length / frameLen
             (0 until nFrames).iterator.map { j =>
               var sig = 0L
               var i = j * frameLen
@@ -460,13 +489,15 @@ object Multimodal {
     imgs
       .filter(col("kind") === lit("image"))
       .select(col("media_id"), col("bytes"),
-        // the mm_features fixture dimensions: 4..11 × 3..7 px per id
-        (lit(4) + pmod(col("media_id"), lit(8))).cast("int").as("w"),
-        (lit(3) + pmod(col("media_id"), lit(5))).cast("int").as("h"))
+        // the mm_features fixture dimensions (shared definition)
+        fixtureW.as("w"), fixtureH.as("h"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          val file = ppmEncode(r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3))
-          Option(ppmAvgHash(file)).map(bands => Row(r.getLong(0), bands.toSeq))
+          // NULL payload (NULL text) → dropped like malformed, never NPE
+          Option(r.getAs[Array[Byte]](1)).flatMap { pl =>
+            val file = ppmEncode(pl, r.getInt(2), r.getInt(3))
+            Option(ppmAvgHash(file)).map(bands => Row(r.getLong(0), bands.toSeq))
+          }
         }
       }(enc)
   }
@@ -513,11 +544,14 @@ object Multimodal {
       phashFeatOf(media(s, dir))
     }
 
-  val mmPhashDedup = QueryDef(
-    "mm_phash_dedup",
-    (s, dir) => phashDedupOf(phashFeat(s, dir)),
-    oracle = Some("""
-      WITH m AS (
+  /** The ONE phash election pipeline in oracle SQL — fixture dims,
+    * hash formula, bit layout, keeper election and hamming≤6 verify —
+    * shared by BOTH [[mmPhashDedup]]'s and [[mmPhashIncr]]'s oracle
+    * strings. These 38 lines were previously duplicated verbatim; an
+    * edit to the hash or threshold had to be hand-synced across the two
+    * strings, a miss surfacing only in a full Verify run. `where`
+    * injects the incr oracle's split restriction into the final join. */
+  private val phashOracleCtes = """m AS (
         SELECT doc_id AS media_id,
           hex(encode(text)) AS hx,
           octet_length(encode(text)) AS len,
@@ -554,15 +588,23 @@ object Multimodal {
       cand AS (
         SELECT b.media_id, MIN(k.keeper) AS keeper
         FROM bands b JOIN keep k ON k.band = b.band AND k.bucket = b.bucket
-        WHERE k.keeper < b.media_id GROUP BY b.media_id)
-      SELECT c.media_id, c.keeper,
+        WHERE k.keeper < b.media_id GROUP BY b.media_id)"""
+
+  private def phashOracleTail(where: String) = s"""SELECT c.media_id, c.keeper,
         CAST(SUM(bit_count(xor(db.bucket, kb.bucket))) AS BIGINT) AS hamming,
         CAST(SUM(bit_count(xor(db.bucket, kb.bucket))) AS BIGINT) <= 6 AS is_dup
       FROM cand c
       JOIN bands db ON db.media_id = c.media_id
       JOIN bands kb ON kb.media_id = c.keeper AND kb.band = db.band
-      GROUP BY c.media_id, c.keeper
-      ORDER BY c.media_id"""))
+      ${where}GROUP BY c.media_id, c.keeper
+      ORDER BY c.media_id"""
+
+  val mmPhashDedup = QueryDef(
+    "mm_phash_dedup",
+    (s, dir) => phashDedupOf(phashFeat(s, dir)),
+    oracle = Some(s"""
+      WITH $phashOracleCtes
+      ${phashOracleTail("")}"""))
 
   /** Ingest-time half of INCREMENTAL image dedup — the third
     * instantiation of [[Similarity.ensureVersionedIndex]] (after
@@ -624,56 +666,11 @@ object Multimodal {
       // no shards argument: the path's -sN suffix is authoritative
       probePhashIndex(s, dir, idx, split)
     },
-    oracle = Some("""
+    oracle = Some(s"""
       WITH sp AS (
         SELECT MAX(doc_id) - MAX(doc_id) // 5 AS split FROM documents),
-      m AS (
-        SELECT doc_id AS media_id,
-          hex(encode(text)) AS hx,
-          octet_length(encode(text)) AS len,
-          4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h
-        FROM documents WHERE doc_id % 3 = 0),
-      cells0 AS (
-        SELECT media_id, len, hx, w, h, unnest(range(0, 64)) AS bi
-        FROM m),
-      cells AS (
-        SELECT media_id, len, hx, bi,
-          ((((bi // 8) * h) // 8) * w + (((bi % 8) * w) // 8)) AS p
-        FROM cells0),
-      g AS (
-        SELECT media_id, bi,
-          (CASE WHEN len = 0 THEN 128 ELSE
-            ('0x' || substr(hx, 2 * CAST((3 * p) % len AS INT) + 1, 2))::INTEGER END
-          + CASE WHEN len = 0 THEN 128 ELSE
-            ('0x' || substr(hx, 2 * CAST((3 * p + 1) % len AS INT) + 1, 2))::INTEGER END
-          + CASE WHEN len = 0 THEN 128 ELSE
-            ('0x' || substr(hx, 2 * CAST((3 * p + 2) % len AS INT) + 1, 2))::INTEGER END
-          ) // 3 AS gray
-        FROM cells),
-      st AS (
-        SELECT media_id, CAST(SUM(gray) AS BIGINT) // 64 AS mean
-        FROM g GROUP BY media_id),
-      bands AS (
-        SELECT g.media_id, bi // 8 AS band,
-          CAST(SUM(CASE WHEN gray > mean THEN 1 << (bi % 8) ELSE 0 END) AS INT) AS bucket
-        FROM g JOIN st ON st.media_id = g.media_id
-        GROUP BY g.media_id, bi // 8),
-      keep AS (
-        SELECT band, bucket, MIN(media_id) AS keeper
-        FROM bands GROUP BY band, bucket),
-      cand AS (
-        SELECT b.media_id, MIN(k.keeper) AS keeper
-        FROM bands b JOIN keep k ON k.band = b.band AND k.bucket = b.bucket
-        WHERE k.keeper < b.media_id GROUP BY b.media_id)
-      SELECT c.media_id, c.keeper,
-        CAST(SUM(bit_count(xor(db.bucket, kb.bucket))) AS BIGINT) AS hamming,
-        CAST(SUM(bit_count(xor(db.bucket, kb.bucket))) AS BIGINT) <= 6 AS is_dup
-      FROM cand c
-      JOIN bands db ON db.media_id = c.media_id
-      JOIN bands kb ON kb.media_id = c.keeper AND kb.band = db.band
-      WHERE c.media_id >= (SELECT split FROM sp)
-      GROUP BY c.media_id, c.keeper
-      ORDER BY c.media_id"""))
+      $phashOracleCtes
+      ${phashOracleTail("WHERE c.media_id >= (SELECT split FROM sp)\n      ")}"""))
 
   val defs: Seq[QueryDef] =
     Seq(mmIngest, mmFeatures, mmAudioLevels, mmSceneCut, mmResize,

@@ -270,6 +270,19 @@ class PropertiesSpec extends SparkSpec {
       assert(f.gSum === px.zipWithIndex.collect { case (v, j) if j % 3 == 1 => v }.sum)
       assert(f.bSum === px.zipWithIndex.collect { case (v, j) if j % 3 == 2 => v }.sum)
     }
+    // r12 review: netpbm requires whitespace AFTER the magic — "P62 2…"
+    // has the invalid magic "P62" and must be rejected, not have its
+    // trailing digit consumed as the width (a real codec rejects it)
+    val corrupt = "P62 2\n255\n".getBytes("US-ASCII") ++ Array.fill[Byte](12)(0)
+    assert(ppmDecode(corrupt) == null,
+      "corrupt magic 'P62' must be rejected, not misparsed as 2x2")
+    assert(ppmDecode(("P6\n2 2\n255\n").getBytes("US-ASCII") ++
+      Array.fill[Byte](12)(0)) != null, "the valid form still parses")
+    // encoder half of the codec guards its inputs like the decoder:
+    // 3*w*h overflowing Int (or negative dims) is refused loudly, not a
+    // NegativeArraySizeException / corrupt self-rejecting file
+    intercept[IllegalArgumentException] { ppmEncode(Array[Byte](1), 40000, 20000) }
+    intercept[IllegalArgumentException] { ppmEncode(Array[Byte](1), -1, 5) }
   }
 
   test("ppmAvgHash never throws on arbitrary bytes and matches the direct grid model") {
