@@ -61,8 +61,15 @@ object Governance {
     * null under legacy — neither is a stable contract). Full-range
     * readBigUInt64LE semantics would decode to decimal(20,0); no
     * reference field uses the high bit. Pinned by AccountsSpec. */
-  private def decLE(recCol: String, off: Int, nBytes: Int): Column = {
-    val bytes = (nBytes - 1) to 0 by -1 map (i => s"substring($recCol, ${off + i}, 1)")
+  private def decLE(recCol: String, off: Int, nBytes: Int): Column =
+    decLEAt(recCol, off.toString, nBytes)
+
+  /** [[decLE]] with a DYNAMIC offset expression (count-prefixed layouts
+    * address trailing fields past a variable-length body). One body for
+    * both: decodePubkeyList previously inlined this expression, forking
+    * the u64/u8 decode semantics from any future decLE fix. */
+  private def decLEAt(recCol: String, offExpr: String, nBytes: Int): Column = {
+    val bytes = (nBytes - 1) to 0 by -1 map (i => s"substring($recCol, ($offExpr) + $i, 1)")
     expr(s"try_cast(conv(hex(concat(${bytes.mkString(",")})), 16, 10) AS bigint)")
   }
 
@@ -102,6 +109,7 @@ object Governance {
     decLE(rec, 114, 1).as("bump"))
 
   def registryFields(rec: String): Seq[Column] = Seq(
+    length(col(rec)).cast("long").as("rec_len"), // pinned 103 (8+32+32+4*3+8*2+1*3)
     dec32hex(rec, 9).as("authority_hex"),
     dec32hex(rec, 41).as("agents_root_hex"),
     decLE(rec, 73, 4).as("agent_count"),
@@ -217,6 +225,7 @@ object Governance {
       .orderBy(col("registry_id")),
     oracle = Some("""
       SELECT n_nationkey AS registry_id,
+        CAST(103 AS BIGINT) AS rec_len,
         sha256(n_name) AS authority_hex,
         sha256(CAST(n_regionkey AS VARCHAR)) AS agents_root_hex,
         n_nationkey * 3 AS agent_count,
@@ -382,8 +391,7 @@ object Governance {
         ${encLE("bump_u8", 1)})"""))
       // decode side: everything below reads ONLY `rec`
       .withColumn("cnt", decLE("rec", 41, 4))
-      .withColumn("bump", expr(
-        "try_cast(conv(hex(substring(rec, 45 + cast(cnt as int) * 32, 1)), 16, 10) AS bigint)"))
+      .withColumn("bump", decLEAt("rec", "45 + cast(cnt as int) * 32", 1))
       .select(
         col("n_nationkey").as("list_id"),
         dec32hex("rec", 9).as("admin_hex"),
@@ -463,7 +471,9 @@ object Governance {
               lit("Structural proofs not accepted in production mode"))
             .when(col("is_structural"),
               lit("Warning: structural proof accepted (development mode only)"))
-            .otherwise(lit("Cryptographic verification unavailable")).as("error"))
+            .otherwise(lit(
+              "Cryptographic verification required but verifier not available"))
+            .as("error"))
         .orderBy(col("doc_id"))
     },
     oracle = Some("""
@@ -502,7 +512,7 @@ object Governance {
                THEN 'Structural proofs not accepted in production mode'
              WHEN is_structural
                THEN 'Warning: structural proof accepted (development mode only)'
-             ELSE 'Cryptographic verification unavailable' END AS error
+             ELSE 'Cryptographic verification required but verifier not available' END AS error
       FROM c ORDER BY doc_id"""))
 
   /** vote_weight composed operator (lib/governance.ts:282-302): token
@@ -524,43 +534,59 @@ object Governance {
         round(col("c_acctbal") * lit(100), 0).cast("long").as("balance_c"))
       val stakes = t.orders
         .groupBy(col("o_custkey"))
+        // the EARLIEST order is the stake position, as documented: keyed
+        // on (o_orderdate, o_orderkey), not o_orderkey alone — order
+        // keys are not date-ordered in this data, so a key-only min
+        // picked a wrong (often later) order for most customers
         .agg(min_by(
           struct(round(col("o_totalprice") * lit(100), 0).cast("long").as("staked_c"),
             col("o_orderdate").cast("date").as("start")),
-          col("o_orderkey")).as("pos"))
+          struct(col("o_orderdate"), col("o_orderkey"))).as("pos"))
         .select(col("o_custkey").as("address"),
           col("pos.staked_c").as("staked_c"), col("pos.start").as("start"))
       balances.join(stakes, Seq("address"), "left_outer")
+        // as-of AFTER the data's last order date (orders extend to
+        // 2001-08): the reference computes duration = now − start, which
+        // is never negative — the old 1998-12-31 as-of predated 40% of
+        // stake starts, collapsing them to the base tier through a
+        // semantically impossible negative duration
         .withColumn("duration_days",
-          datediff(lit("1998-12-31").cast("date"), col("start")).cast("long"))
+          datediff(lit("2002-01-01").cast("date"), col("start")).cast("long"))
         .withColumn("mult_bps", Tiers.multiplierBps(col("duration_days")))
         .withColumn("weight",
           col("balance_c") + coalesce(
             expr("(staked_c * mult_bps) div 10000"), lit(0L)))
         .select(col("address"), col("balance_c"),
           coalesce(col("staked_c"), lit(0L)).as("staked_c"),
-          coalesce(col("mult_bps"), lit(10000L)).as("mult_bps"),
+          // no coalesce: multiplierBps is TOTAL (otherwise-clause), so
+          // even a no-orders customer's null duration yields 10000
+          col("mult_bps"),
           col("weight"))
         .orderBy(col("address"))
     },
     oracle = Some("""
-      WITH stakes AS (
+      WITH ranked AS (
+        SELECT o_custkey, o_totalprice, o_orderdate,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders),
+      stakes AS (
         SELECT o_custkey AS address,
-          arg_min(CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderkey) AS staked_c,
-          arg_min(CAST(o_orderdate AS DATE), o_orderkey) AS start
-        FROM orders GROUP BY 1),
+          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS staked_c,
+          CAST(o_orderdate AS DATE) AS start
+        FROM ranked WHERE rn = 1),
       j AS (
         SELECT c.c_custkey AS address,
           CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS balance_c,
           s.staked_c,
-          date_diff('day', s.start, DATE '1998-12-31') AS duration_days
+          date_diff('day', s.start, DATE '2002-01-01') AS duration_days
         FROM customer c LEFT JOIN stakes s ON s.address = c.c_custkey)
       SELECT address, balance_c,
         COALESCE(staked_c, 0) AS staked_c,
-        CAST(COALESCE(CASE WHEN duration_days >= 180 THEN 20000
+        CAST(CASE WHEN duration_days >= 180 THEN 20000
                   WHEN duration_days >= 90 THEN 15000
                   WHEN duration_days >= 30 THEN 12000
-                  ELSE 10000 END, 10000) AS BIGINT) AS mult_bps,
+                  ELSE 10000 END AS BIGINT) AS mult_bps,
         balance_c + COALESCE(
           (staked_c * (CASE WHEN duration_days >= 180 THEN 20000
                             WHEN duration_days >= 90 THEN 15000

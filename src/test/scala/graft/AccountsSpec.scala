@@ -233,22 +233,30 @@ class AccountsSpec extends SparkSpec {
     assert(out.contains("Invalid proof length"))
     assert(out.get("Structural proofs not accepted in production mode") === Some(false))
     assert(out.get("Warning: structural proof accepted (development mode only)") === Some(true))
-    assert(out.get("Cryptographic verification unavailable") === Some(false))
+    // the reference's exact verifier-absent message (shadow-id-gate.ts:
+    // 184-191), not a paraphrase — the other branches are verbatim too
+    assert(out.get(
+      "Cryptographic verification required but verifier not available") === Some(false))
   }
 
   test("vote_weight: stake tiers and the missing-position fallback (governance.ts:282-302)") {
     // fixture: customer 5 has no stake position at all (the :290 guard);
-    // the others hit each duration tier against the 1998-12-31 as-of date
+    // the others hit each duration tier against the 2002-01-01 as-of
+    // date (after the data's last order date, so durations are never
+    // negative — the reference's now − start shape)
     val dir = java.nio.file.Files.createTempDirectory("graft-vw").toString
     Seq((1L, 10.00), (2L, 20.00), (3L, 30.00), (4L, 40.00), (5L, 50.00))
       .toDF("c_custkey", "c_acctbal")
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     Seq( // (orderkey, custkey, totalprice, orderdate)
-      (10L, 1L, 100.00, "1998-12-25"), //   6 days → 10000 bps
-      (20L, 2L, 100.00, "1998-11-01"), //  60 days → 12000
-      (30L, 3L, 100.00, "1998-08-01"), // 152 days → 15000
-      (40L, 4L, 100.00, "1997-06-01"), // 578 days → 20000
-      (41L, 4L, 999.00, "1998-12-31")) // later orderkey — must be ignored
+      (10L, 1L, 100.00, "2001-12-26"), //   6 days → 10000 bps
+      (20L, 2L, 100.00, "2001-11-02"), //  60 days → 12000
+      (30L, 3L, 100.00, "2001-08-02"), // 152 days → 15000
+      (45L, 4L, 100.00, "2000-06-01"), // 579 days → 20000; HIGHER key but
+                                       // EARLIEST date — must be the stake
+      (40L, 4L, 999.00, "2001-12-31")) // lower key, later date — ignored
+                                       // (the stake is the earliest ORDER,
+                                       // keyed (date, key), not min key)
       .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
       .withColumn("o_orderdate", $"o_orderdate".cast("date"))
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
