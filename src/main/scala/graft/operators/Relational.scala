@@ -250,7 +250,15 @@ object Relational {
     (s, dir) => {
       val t = T(s, dir)
       t.lineitem
-        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        // no broadcast() HINT: part is a lookup side that SCALES with SF
+        // (TPC-H part = 200k rows × SF), and a forced broadcast ignores
+        // the size threshold at ANY scale — at the 100 TB posture it
+        // hits Spark's hard 8 GB broadcast limit and fails outright.
+        // Left to the optimizer, part broadcasts wherever it fits (the
+        // plan PlanSpec asserts at test scale, and what AQE re-derives
+        // per-run at any scale) and degrades to a shuffle join when it
+        // cannot — the j1 docstring's rule, applied consistently.
+        .join(t.part, col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(
           sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
@@ -322,15 +330,25 @@ object Relational {
         WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       ORDER BY c_custkey"""))
 
+  /** `customer LEFT JOIN (orders GROUP BY o_custkey agg …)` — the
+    * per-customer order-enrichment shape four queries share (j9, a10,
+    * a11, f_tier). ONE definition of the join keys and outer side, the
+    * Tiers.scala rationale applied to the join shape: a null-handling
+    * or key fix reaches all four instead of drifting across hand-kept
+    * copies. Aggregate columns stay per-query; callers coalesce their
+    * own nulls (each oracle mirrors its own COALESCE). */
+  private def customerWithOrderAgg(t: Tables, aggs: Column*): DataFrame =
+    t.customer.join(
+      t.orders.groupBy(col("o_custkey")).agg(aggs.head, aggs.tail: _*),
+      col("c_custkey") === col("o_custkey"), "left_outer")
+
   /** J9 left-outer enrichment + coalesce defaults (governance.ts:282-302). */
   val j9LeftOuter = QueryDef(
     "j9_left_outer",
     (s, dir) => {
       val t = T(s, dir)
-      val agg = t.orders.groupBy(col("o_custkey"))
-        .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("spent_dec"))
-      t.customer
-        .join(agg, col("c_custkey") === col("o_custkey"), "left_outer")
+      customerWithOrderAgg(t,
+        count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("spent_dec"))
         .select(
           col("c_custkey"),
           coalesce(col("cnt"), lit(0L)).as("n_orders"),
@@ -420,15 +438,17 @@ object Relational {
     "a5_time_buckets",
     (s, dir) => T(s, dir).events
       .agg(
-        sum(when(col("ts_ms") >= lit(1706572800000L), dec(col("value")))
-          .otherwise(lit(null))).cast("double").as("today_sum"),
-        sum(when(col("ts_ms") >= lit(1706054400000L), dec(col("value")))
-          .otherwise(lit(null))).cast("double").as("week_sum"),
+        // bare when(): no-otherwise already yields NULL — the same
+        // no-ELSE form the oracle's CASE expressions use
+        sum(when(col("ts_ms") >= lit(1706572800000L), dec(col("value"))))
+          .cast("double").as("today_sum"),
+        sum(when(col("ts_ms") >= lit(1706054400000L), dec(col("value"))))
+          .cast("double").as("week_sum"),
         sum(dec(col("value"))).cast("double").as("month_sum"),
-        sum(when(col("event_type") === lit("purchase"), dec(col("value")))
-          .otherwise(lit(null))).cast("double").as("released_sum"),
-        sum(when(col("event_type") === lit("view"), dec(col("value")))
-          .otherwise(lit(null))).cast("double").as("pending_sum"),
+        sum(when(col("event_type") === lit("purchase"), dec(col("value"))))
+          .cast("double").as("released_sum"),
+        sum(when(col("event_type") === lit("view"), dec(col("value"))))
+          .cast("double").as("pending_sum"),
         count(lit(1)).as("transaction_count")),
     oracle = Some("""
       SELECT
@@ -491,9 +511,7 @@ object Relational {
     "a10_discovery_score",
     (s, dir) => {
       val t = T(s, dir)
-      val cnt = t.orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
-      t.customer
-        .join(cnt, col("c_custkey") === col("o_custkey"), "left_outer")
+      customerWithOrderAgg(t, count(lit(1)).as("cnt"))
         .withColumn("n_orders", coalesce(col("cnt"), lit(0L)))
         .withColumn("score",
           lit(0.4) * greatest(lit(0.0), least(col("c_acctbal"), lit(5000.0)) / lit(5000.0)) +
@@ -522,11 +540,9 @@ object Relational {
     "a11_success_rate",
     (s, dir) => {
       val t = T(s, dir)
-      val agg = t.orders.groupBy(col("o_custkey")).agg(
+      customerWithOrderAgg(t,
         count(lit(1)).as("tasks"),
         count_if(col("o_orderstatus") === lit("F")).as("disputes"))
-      t.customer
-        .join(agg, col("c_custkey") === col("o_custkey"), "left_outer")
         .withColumn("tasks", coalesce(col("tasks"), lit(0L)))
         .withColumn("disputes", coalesce(col("disputes"), lit(0L)))
         .withColumn("success_pct",
@@ -783,9 +799,7 @@ object Relational {
     "f_tier",
     (s, dir) => {
       val t = T(s, dir)
-      val cnt = t.orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
-      t.customer
-        .join(cnt, col("c_custkey") === col("o_custkey"), "left_outer")
+      customerWithOrderAgg(t, count(lit(1)).as("cnt"))
         .withColumn("n_orders", coalesce(col("cnt"), lit(0L)))
         .withColumn("tier",
           when(col("c_acctbal") >= lit(8000.0) && col("n_orders") >= lit(3L), lit("elite"))
@@ -811,11 +825,20 @@ object Relational {
   val fJsonExtract = QueryDef(
     "f_json_extract",
     (s, dir) => T(s, dir).events
+      .withColumn("k_str", get_json_object(col("props"), "$.k"))
+      // STRICT integer-string parse, identical on both engines: DuckDB's
+      // CAST('1.5' AS BIGINT) ROUNDS where Spark's string cast does not,
+      // so a bare cast twins only because the pinned corpora always
+      // carry integer $.k — under the jdbc: store tier props is
+      // arbitrary and the sides would silently diverge. Integer-or-null
+      // is exactly expressible in both.
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        when(col("k_str").rlike("^-?[0-9]+$"), col("k_str").cast("long")).as("k"))
       .orderBy(col("event_id")),
     oracle = Some("""
-      SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      SELECT event_id,
+        CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+             THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
       FROM events ORDER BY event_id"""))
 
   /** Deterministic content hash (private-escrow.ts:100-105 commitments). */
@@ -837,9 +860,19 @@ object Relational {
       .select(
         col("event_id"),
         expr("ts div 86400000000000").as("epoch_day"),
-        date_format(col("event_time"), "yyyy-MM-dd").as("day_str"),
-        hour(col("event_time")).cast("long").as("hr"),
-        minute(col("event_time")).cast("long").as("mins"))
+        // ZONE-FREE decomposition: date_format/hour/minute on the
+        // event_time INSTANT render in the session zone, and the
+        // driver's session is not guaranteed UTC (Tables.tsAsNanos made
+        // the READ zone-free; formatting must be too, or every row
+        // shifts by the zone offset against the oracle's naive
+        // strftime). Integer epoch math + DateType formatting (dates
+        // are zoneless) is zone-independent by construction.
+        date_format(
+          date_add(lit("1970-01-01").cast("date"),
+            expr("cast(ts_ms div 86400000 as int)")),
+          "yyyy-MM-dd").as("day_str"),
+        expr("(ts_ms div 3600000) % 24").cast("long").as("hr"),
+        expr("(ts_ms div 60000) % 60").cast("long").as("mins"))
       .orderBy(col("event_id")),
     oracle = Some("""
       SELECT event_id,

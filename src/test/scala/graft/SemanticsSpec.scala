@@ -658,6 +658,16 @@ class SemanticsSpec extends SparkSpec {
     foreign.conf.set("spark.sql.session.timeZone", "America/New_York")
     assert(read(foreign) === exp,
       "a non-UTC session must read IDENTICAL instants — zone must not participate")
+    // r12: formatting must be zone-free too, not just the read —
+    // f_datetime's day/hour/minute decomposition previously rendered
+    // the instant in the session zone, shifting every row under a
+    // non-UTC driver session while the oracle's naive strftime did not
+    val utcRows = graft.operators.Relational.fDatetime.run(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    val foreignRows = graft.operators.Relational.fDatetime.run(foreign, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(foreignRows === utcRows,
+      "f_datetime must decompose identically in any session zone")
   }
 
   test("kernel lowercase matches the builtin lower() under a Turkish-locale JVM") {
