@@ -66,7 +66,10 @@ object Text {
     (s, dir) => T(s, dir).documents
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keeper_doc"), count(lit(1)).as("n_copies"))
-      .orderBy(col("text_hash")),
+      // nulls LAST, pinned: Spark defaults NULLS FIRST where DuckDB
+      // defaults NULLS LAST — one NULL-text doc (md5 → NULL key) would
+      // shift the whole in-order compare otherwise
+      .orderBy(col("text_hash").asc_nulls_last),
     oracle = Some("""
       SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc,
         COUNT(*) AS n_copies
@@ -84,7 +87,7 @@ object Text {
         trim(regexp_replace(lower(col("text")), "[ \\t\\n\\r\\f]+", " ")))
       .groupBy(md5(col("norm_text")).as("norm_hash"))
       .agg(min(col("doc_id")).as("keeper_doc"), count(lit(1)).as("n_copies"))
-      .orderBy(col("norm_hash")),
+      .orderBy(col("norm_hash").asc_nulls_last), // nulls last, as dd_exact
     oracle = Some("""
       SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g'))) AS norm_hash,
         MIN(doc_id) AS keeper_doc, COUNT(*) AS n_copies
@@ -96,9 +99,17 @@ object Text {
   val a12OverlapScore = QueryDef(
     "a12_overlap_score",
     (s, dir) => {
-      val d = T(s, dir).documents.select(
-        col("doc_id"), tokens(col("text")).as("toks"),
-        length(col("text")).cast("long").as("len"))
+      // the self-join's two branches would otherwise each scan AND
+      // re-tokenize the whole corpus (Spark shares no subplans across
+      // DataFrame branches) — the same one-scan rationale as
+      // Similarity.minhashFeat, via the same mtime-keyed memo. Shared
+      // with dd_jaccard, which reads the toks column of this frame.
+      val d = Similarity.cachedFeature(s,
+        s"txt_pairs:$dir@${Similarity.srcVersion(s, dir, "documents.parquet")}") {
+        T(s, dir).documents.select(
+          col("doc_id"), tokens(col("text")).as("toks"),
+          length(col("text")).cast("long").as("len"))
+      }
       val spec = d.select(col("doc_id").as("spec_id"), col("toks").as("spec_toks"),
         col("len").as("spec_len"))
       val deliv = d.select(col("doc_id").as("deliv_id"), col("toks").as("deliv_toks"),
@@ -133,12 +144,22 @@ object Text {
   val ddJaccard = QueryDef(
     "dd_jaccard",
     (s, dir) => {
-      val d = T(s, dir).documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+      // one corpus scan for both join branches (see a12's rationale) —
+      // same cache key as a12: the frames are identical
+      val d = Similarity.cachedFeature(s,
+        s"txt_pairs:$dir@${Similarity.srcVersion(s, dir, "documents.parquet")}") {
+        T(s, dir).documents.select(
+          col("doc_id"), tokens(col("text")).as("toks"),
+          length(col("text")).cast("long").as("len"))
+      }
       val a = d.select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
       val b = d.select(col("doc_id").as("b_id"), col("toks").as("b_toks"))
       a.join(b, col("b_id") === col("a_id") + lit(1))
         .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))).cast("long"))
         .withColumn("uni", size(array_union(col("a_toks"), col("b_toks"))).cast("long"))
+        // a NULL-text side nulls the union and this filter drops the
+        // pair; the oracle's explicit IS NOT NULL guard matches (DuckDB
+        // list_concat(NULL, l) returns l, which would KEEP the pair)
         .filter(col("uni") > lit(0L))
         .select(col("a_id"), col("b_id"),
           expr("(inter * 100) div uni").as("jaccard_pct"))
@@ -153,7 +174,8 @@ object Text {
         (CAST(length(list_intersect(a.toks, b.toks)) AS BIGINT) * 100)
           // CAST(length(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT) AS jaccard_pct
       FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1
-      WHERE length(list_distinct(list_concat(a.toks, b.toks))) > 0
+      WHERE a.toks IS NOT NULL AND b.toks IS NOT NULL
+        AND length(list_distinct(list_concat(a.toks, b.toks))) > 0
       ORDER BY a_id"""),
     headline = true)
 
@@ -195,9 +217,14 @@ object Text {
   val ddShingleJaccard = QueryDef(
     "dd_shingle_jaccard",
     (s, dir) => {
-      val d = T(s, dir).documents
-        .select(col("doc_id"), shingles3(col("text")).as("sh"))
-        .filter(col("sh").isNotNull)
+      // the shingles3 kernel is the expensive per-row step here — run
+      // it once, not once per join branch (see a12's rationale)
+      val d = Similarity.cachedFeature(s,
+        s"txt_shingles:$dir@${Similarity.srcVersion(s, dir, "documents.parquet")}") {
+        T(s, dir).documents
+          .select(col("doc_id"), shingles3(col("text")).as("sh"))
+          .filter(col("sh").isNotNull)
+      }
       val a = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
       val b = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
       a.join(b, col("b_id") === col("a_id") + lit(1))
@@ -225,13 +252,29 @@ object Text {
       WHERE length(list_distinct(list_concat(a.sh, b.sh))) > 0
       ORDER BY a_id"""))
 
+  /** The two stopword lists and the word/stopword feature + integer
+    * quality-score columns — ONE definition each, consumed by
+    * txt_langid, txt_quality, [[corpusGates]] and the quality-gate
+    * tiers' shared frame. Previously the formula existed verbatim in
+    * three places and each list in two; an edit that missed one copy
+    * silently de-synced txt_quality from pipe_corpus_clean with no
+    * compile-time signal — the Tiers.scala rationale, applied here. */
+  private[operators] val enStopwords = Seq("the", "and", "of", "to", "a", "in", "is", "for")
+  private[operators] val qualityStopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+  private def nWordsCol =
+    size(filter(split(col("text"), " "), w => length(w) > lit(0))).cast("long")
+  private def stopCntCol = size(filter(split(lower(col("text")), " "),
+    w => w.isin(qualityStopwords.map(x => x: Any): _*))).cast("long")
+  private def enHitsCol = size(filter(split(lower(col("text")), " "),
+    w => w.isin(enStopwords.map(x => x: Any): _*))).cast("long")
+  private def qualityScoreCol(nWords: Column, stopCnt: Column): Column =
+    least(lit(100L), nWords * lit(2L)) + least(lit(50L), stopCnt * lit(5L))
+
   /** Language-ID n-gram/stopword heuristic (driver-requested; deterministic). */
   val txtLangId = QueryDef(
     "txt_langid",
     (s, dir) => {
-      val words = split(lower(col("text")), " ")
-      val en = Seq("the", "and", "of", "to", "a", "in", "is", "for")
-      val enHits = size(filter(words, w => w.isin(en.map(x => x: Any): _*))).cast("long")
+      val enHits = enHitsCol
       T(s, dir).documents
         .select(col("doc_id"), enHits.as("en_hits"),
           when(enHits >= lit(2L), lit("en")).otherwise(lit("unk")).as("guessed_lang"))
@@ -251,21 +294,15 @@ object Text {
   val txtQuality = QueryDef(
     "txt_quality",
     (s, dir) => {
-      val words = filter(split(col("text"), " "), w => length(w) > lit(0))
-      val nWords = size(words).cast("long")
-      val stops = Seq("the", "a", "and", "of", "to", "in", "is")
-      val stopCnt = size(filter(split(lower(col("text")), " "),
-        w => w.isin(stops.map(x => x: Any): _*))).cast("long")
       T(s, dir).documents
-        .withColumn("n_words", nWords)
-        .withColumn("stop_cnt", stopCnt)
+        .withColumn("n_words", nWordsCol)
+        .withColumn("stop_cnt", stopCntCol)
         .filter(col("n_words") > lit(0L))
         .select(
           col("doc_id"), col("n_words"), col("stop_cnt"),
           expr("(stop_cnt * 100) div n_words").as("stop_pct"),
           expr("n_chars div n_words").as("avg_word_len_floor"),
-          (least(lit(100L), col("n_words") * lit(2L)) +
-            least(lit(50L), col("stop_cnt") * lit(5L))).as("quality_score"))
+          qualityScoreCol(col("n_words"), col("stop_cnt")).as("quality_score"))
         .orderBy(col("doc_id"))
     },
     oracle = Some("""
@@ -290,13 +327,16 @@ object Text {
         col("doc_id"),
         size(filter(split(col("text"), " "), w => length(w) > lit(0)))
           .cast("long").as("tok_ws"),
-        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+        // explicit whitespace class, NOT \s: Java's \s includes
+        // vertical tab where DuckDB's RE2 \s does not — the classes
+        // must be spelled out to agree (ddExactNorm's rule)
+        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\f\\r]"))
           .cast("long").as("tok_re"))
       .orderBy(col("doc_id")),
     oracle = Some("""
       SELECT doc_id,
         CAST(length(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS BIGINT) AS tok_ws,
-        CAST(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS tok_re
+        CAST(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\f\r]')) AS BIGINT) AS tok_re
       FROM documents ORDER BY doc_id"""))
 
   /** Document fingerprint: first-8-hex of md5 as a bucket key + per-bucket
@@ -310,7 +350,7 @@ object Text {
       .select(col("doc_id"), substring(md5(col("text")), 1, 8).as("fp"))
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
-      .orderBy(col("fp")),
+      .orderBy(col("fp").asc_nulls_last), // nulls last, as dd_exact
     oracle = Some("""
       SELECT substring(md5(text), 1, 8) AS fp, COUNT(*) AS n,
         MIN(doc_id) AS first_doc
@@ -333,11 +373,14 @@ object Text {
     },
     oracle = Some("""
       SELECT doc_id,
-        lower(to_base(abs(list_reduce(
-          list_prepend(0::BIGINT,
-            list_transform(string_split(text, ''), c -> unicode(c)::BIGINT)),
-          (h, c) -> ((h * 31 + c + 2147483648) % 4294967296 + 4294967296)
-                      % 4294967296 - 2147483648)), 36)) AS spec_hash
+        CASE WHEN text IS NULL THEN NULL
+             WHEN length(text) = 0 THEN '0'
+             ELSE lower(to_base(abs(list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(string_split(text, ''), c -> unicode(c)::BIGINT)),
+               (h, c) -> ((h * 31 + c + 2147483648) % 4294967296 + 4294967296)
+                           % 4294967296 - 2147483648)), 36))
+        END AS spec_hash
       FROM documents ORDER BY doc_id"""))
 
   /** End-to-end corpus-cleaning pipeline — the composed 100 TB
@@ -353,24 +396,16 @@ object Text {
     * ([[graft.streaming.StreamOps.corpusCleanStream]]); only the dedup
     * step differs (keeper election in batch, within-watermark first-seen
     * in streaming). */
-  def corpusGates(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val en = Seq("the", "and", "of", "to", "a", "in", "is", "for")
-    val stops = Seq("the", "a", "and", "of", "to", "in", "is")
-    val loWords = split(lower(col("text")), " ")
-    val enHits = size(filter(loWords, w => w.isin(en.map(x => x: Any): _*))).cast("long")
-    val nWords = size(filter(split(col("text"), " "), w => length(w) > lit(0))).cast("long")
-    val stopCnt = size(filter(loWords, w => w.isin(stops.map(x => x: Any): _*))).cast("long")
+  def corpusGates(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df
-      .withColumn("en_hits", enHits)
-      .withColumn("n_words", nWords)
-      .withColumn("stop_cnt", stopCnt)
+      .withColumn("en_hits", enHitsCol)
+      .withColumn("n_words", nWordsCol)
+      .withColumn("stop_cnt", stopCntCol)
       .filter(col("en_hits") >= lit(2L) && col("n_words") > lit(0L))
       .withColumn("quality_score",
-        least(lit(100L), col("n_words") * lit(2L)) +
-          least(lit(50L), col("stop_cnt") * lit(5L)))
+        qualityScoreCol(col("n_words"), col("stop_cnt")))
       .filter(col("quality_score") >= lit(60L))
       .withColumn("fp", md5(col("text")))
-  }
 
   val pipeCorpusClean = QueryDef(
     "pipe_corpus_clean",
@@ -408,20 +443,13 @@ object Text {
   /** The scored frame BOTH quality-gate tiers read (txt_quality's integer
     * score per document + its language) — one definition, so the exact
     * and sketch gates can never drift on what they are thresholding. */
-  private def qualityScored(s: SparkSession, dir: String): DataFrame = {
-    val words = filter(split(col("text"), " "), w => length(w) > lit(0))
-    val nWords = size(words).cast("long")
-    val stops = Seq("the", "a", "and", "of", "to", "in", "is")
-    val stopCnt = size(filter(split(lower(col("text")), " "),
-      w => w.isin(stops.map(x => x: Any): _*))).cast("long")
+  private def qualityScored(s: SparkSession, dir: String): DataFrame =
     T(s, dir).documents
-      .withColumn("n_words", nWords)
-      .withColumn("stop_cnt", stopCnt)
+      .withColumn("n_words", nWordsCol)
+      .withColumn("stop_cnt", stopCntCol)
       .filter(col("n_words") > lit(0L))
       .select(col("doc_id"), col("lang"),
-        (least(lit(100L), col("n_words") * lit(2L)) +
-          least(lit(50L), col("stop_cnt") * lit(5L))).as("quality_score"))
-  }
+        qualityScoreCol(col("n_words"), col("stop_cnt")).as("quality_score"))
 
   /** Per-language quality-percentile corpus gate: keep each language's
     * documents scoring at or above that language's MEDIAN quality — the
@@ -520,7 +548,7 @@ object Text {
         .agg(count(lit(1)).as("df"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= lit(10L))
-        .orderBy(col("lang"), col("rk"))
+        .orderBy(col("lang").asc_nulls_last, col("rk")) // lang is nullable
     },
     oracle = Some("""
       WITH tok AS (
@@ -560,7 +588,7 @@ object Text {
           count(when(col("n_chars") < lit(100L), lit(1))).as("n_short"),
           count(when(col("text").isNull || length(col("text")) === lit(0),
             lit(1))).as("n_empty"))
-        .orderBy(col("lang"))
+        .orderBy(col("lang").asc_nulls_last) // lang is nullable
     },
     oracle = Some("""
       SELECT lang,
