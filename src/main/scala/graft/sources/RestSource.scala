@@ -50,23 +50,33 @@ class RestSource extends TableProvider {
     val s = StructType.fromDDL(
       Option(options.get("schema")).getOrElse(
         throw new IllegalArgumentException("RestSource requires a 'schema' DDL option")))
-    // the JSON row reader materializes exactly these types; anything else
-    // (FLOAT, DATE, DECIMAL, …) would silently land as a string in an
-    // InternalRow slot Catalyst reads as the declared type — fail at
-    // schema parse, not with a ClassCastException mid-query
+    validateSchema(s)
+    s
+  }
+
+  /** The JSON row reader materializes exactly these types; anything else
+    * (FLOAT, DATE, DECIMAL, …) would silently land as a string in an
+    * InternalRow slot Catalyst reads as the declared type — fail at plan
+    * time, not with a ClassCastException mid-query. Applied in BOTH
+    * entry points: inferSchema (the 'schema' option) AND getTable —
+    * supportsExternalMetadata() = true means a user-supplied
+    * `.schema(…)` reaches getTable without inferSchema ever running,
+    * which previously bypassed this guard entirely. */
+  private def validateSchema(s: StructType): Unit = {
     val supported: Set[org.apache.spark.sql.types.DataType] =
       Set(LongType, IntegerType, DoubleType, BooleanType, StringType)
     val bad = s.fields.filterNot(f => supported.contains(f.dataType))
     require(bad.isEmpty,
       s"RestSource supports BIGINT/INT/DOUBLE/BOOLEAN/STRING columns only; " +
         s"unsupported: ${bad.map(f => s"${f.name} ${f.dataType.simpleString}").mkString(", ")}")
-    s
   }
 
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
+      properties: JMap[String, String]): Table = {
+    validateSchema(schema)
     new RestTable(schema, properties.asScala.toMap)
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -296,15 +306,43 @@ final class RestReader(
     }
   }
 
+  /** Spark-semantics comparator for pushed filter/TopN evaluation. The
+    * source TRUSTS its pushdown (residual filters are removed,
+    * isPartiallyPushed = false), so every ordering decision here must
+    * match what Spark itself would have computed:
+    * — strings compare as UTF-8 BYTES (UTF8String's binary order);
+    *   Java's UTF-16 code-unit compareTo diverges above the BMP, where
+    *   a supplementary char's surrogates (e.g. U+1F600 → D83D DE00)
+    *   sort below BMP chars like U+FB00 that UTF-8 orders first;
+    * — doubles normalize -0.0 to 0.0 before comparing (SQL double
+    *   equality treats them equal; Double.compare does not), while
+    *   keeping Double.compare's NaN-greatest/NaN==NaN, which IS
+    *   Spark's semantics. */
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (null, null) => 0
     case (null, _) => -1
     case (_, null) => 1
     case (x: Long, y: Number) => java.lang.Long.compare(x, y.longValue())
     case (x: Int, y: Number) => java.lang.Long.compare(x.toLong, y.longValue())
-    case (x: Double, y: Number) => java.lang.Double.compare(x, y.doubleValue())
+    case (x: Double, y: Number) =>
+      java.lang.Double.compare(norm0(x), norm0(y.doubleValue()))
     case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
-    case (x, y) => x.toString.compareTo(y.toString)
+    case (x, y) => utf8Cmp(x.toString, y.toString)
+  }
+
+  private def norm0(d: Double): Double = if (d == 0.0d) 0.0d else d
+
+  private def utf8Cmp(a: String, b: String): Int = {
+    val xa = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val xb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(xa.length, xb.length)
+    while (i < n) {
+      val c = (xa(i) & 0xff) - (xb(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    xa.length - xb.length
   }
 
   private def eval(f: Filter, n: JsonNode): Boolean = f match {

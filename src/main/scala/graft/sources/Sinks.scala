@@ -72,21 +72,26 @@ object Sinks {
     // batch id: a legal crash replay re-runs id == mark (accepted, the
     // guard is strictly <), while a regressed id < mark or a markless
     // non-empty dir fails loudly with the operator's next step named.
+    // The mark is a DIRECTORY of content-free per-batch files
+    // (_graft_fanout_marks/b-<id>, the id in the NAME), resolved as the
+    // max — never a single file rewritten in place, whose
+    // truncate-then-write window a crash could turn into an empty file
+    // that unparses forever, wedging the stream AND destroying the very
+    // value needed to recover. File creation is atomic; marks older
+    // than the previous batch are pruned on each write (≤ 2 retained).
     // Single-writer per (table, checkpoint), like the upsert table.
     val p = new Path(path)
     val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-    val hwmPath = new Path(p, "_graft_fanout_hwm")
+    val marksDir = new Path(p, "_graft_fanout_marks")
+    def markId(name: String): Option[Long] =
+      if (name.startsWith("b-")) name.drop(2).toLongOption else None
     val hwm: Option[Long] =
-      if (!fs.exists(hwmPath)) None
-      else {
-        val in = fs.open(hwmPath)
-        val bytes = try {
-          val out = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
-          out.toByteArray
-        } finally in.close()
-        Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      }
+      if (!fs.exists(marksDir)) None
+      else fs.listStatus(marksDir).toSeq
+        .flatMap(st => markId(st.getPath.getName)) match {
+          case Nil => None
+          case ids => Some(ids.max)
+        }
     hwm match {
       case Some(h) => require(batchId >= h,
         s"idempotentFanoutBatch: batch id $batchId regressed below the " +
@@ -94,16 +99,27 @@ object Sinks {
           "replaying history over an established table, and the per-batch " +
           "overwrite would silently delete committed data. Resume from the " +
           "original checkpoint, or fan out to a fresh path")
-      case None => require(!fs.exists(p) || fs.listStatus(p).isEmpty,
-        s"idempotentFanoutBatch: $path holds data but no _graft_fanout_hwm " +
-          "mark — a pre-batch-layout (flat) fan-out table or a foreign " +
-          "directory; migrate it (rewrite under __batch=<id> partitions " +
-          "with a mark) or fan out to a fresh path")
+      case None =>
+        // ignore the marks dir itself: a crash between its mkdirs and
+        // the first mark's create must read as "fresh table", not as
+        // foreign content that wedges the stream
+        val foreign = if (!fs.exists(p)) Array.empty[String]
+          else fs.listStatus(p).map(_.getPath.getName)
+            .filterNot(_ == "_graft_fanout_marks")
+        require(foreign.isEmpty,
+          s"idempotentFanoutBatch: $path holds data but no batch marks " +
+            "— a pre-batch-layout (flat) fan-out table or a foreign " +
+            "directory; migrate it (rewrite under __batch=<id> partitions " +
+            "with marks) or fan out to a fresh path")
     }
     if (hwm.forall(_ < batchId)) {
-      val out = fs.create(hwmPath, true)
-      try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      fs.mkdirs(marksDir)
+      fs.create(new Path(marksDir, s"b-$batchId"), true).close()
+      // prune: keep the current mark and its predecessor only
+      fs.listStatus(marksDir).toSeq
+        .flatMap(st => markId(st.getPath.getName).map(_ -> st.getPath))
+        .sortBy(-_._1).drop(2)
+        .foreach { case (_, old) => fs.delete(old, false) }
     }
     batch.withColumn("__batch", lit(batchId))
       .write.mode(SaveMode.Overwrite)
@@ -132,12 +148,12 @@ object Sinks {
     * Cost is O(affected buckets), never O(table) — at 100 TB a
     * single-key upsert rewrites one bucket, not the corpus.
     *
-    * The swap is the manifest file itself: it is staged under a hidden
-    * name and renamed into place — a single-FILE rename (atomic on
-    * local/HDFS) and a single-object PUT on S3 (also atomic), so a
-    * concurrent reader resolves either the old or the new manifest,
-    * each describing a COMPLETE table; there is no window in which the
-    * table half-exists, unlike a delete-then-rename of the data dir.
+    * The swap is the manifest file itself, written CREATE-EXCLUSIVE at
+    * its final name (single-object PUT on S3): a concurrent reader
+    * resolves the newest PARSEABLE manifest — either the old or the new
+    * one, each describing a COMPLETE table (a torn file from a crashed
+    * writer is skipped) — so there is no window in which the table
+    * half-exists, unlike a delete-then-rename of the data dir.
     * Superseded manifests — and the bucket generations only they
     * reference — are reaped once their SUPERSESSION is older than
     * `graceMs`: a reader always resolved a then-newest manifest, so it
@@ -161,6 +177,12 @@ object Sinks {
       buckets: Int = 16,
       graceMs: Long = 15 * 60 * 1000L): Unit = {
     require(buckets > 0, s"upsertByKey: buckets must be positive, got $buckets")
+    // case-insensitive like every reserved-name guard in the engine:
+    // withColumn would silently REPLACE a caller's __rn/__b data column
+    // (then drop it from the published table — silent data loss)
+    require(!updates.columns.exists(c =>
+        c.equalsIgnoreCase("__rn") || c.equalsIgnoreCase("__b")),
+      "upsertByKey reserves __rn and __b (any case); rename them on the input")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val current = readManifest(spark, path)
     // a manifest-less path that nonetheless holds files is NOT an empty
@@ -255,9 +277,9 @@ object Sinks {
     // every bucket generation referenced by a retained manifest is live
     val liveSet = fs.listStatus(mdir)
       .filter(_.getPath.getName.matches("m-\\d{12}\\.json"))
-      .flatMap(st => parseManifest(fs, st).map.map {
-        case (b, dn) => s"$dn/__b=$b"
-      }).toSet
+      .flatMap(st => scala.util.Try(parseManifest(fs, st)).toOption.toSeq
+        .flatMap(_.map.map { case (b, dn) => s"$dn/__b=$b" }))
+      .toSet
     val dataDir = new Path(s"$path/data")
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).filter(_.getPath.getName.startsWith("g"))
@@ -337,6 +359,19 @@ object Sinks {
       keyCol: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(keyCol), lit(n.toLong)).cast("int")
 
+  /** Reads a small control file fully into memory — shared by the
+    * manifest parser (and previously duplicated inline); control files
+    * here are bytes-sized, never data. */
+  private def readFully(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      out.toByteArray
+    } finally in.close()
+  }
+
   /** The manifest record: table generation, fixed bucket count, and the
     * bucket → data-dir-name map resolving each bucket's current data
     * dir under `path/data/` (writer-unique `g<gen>-<tok>` names). */
@@ -355,8 +390,14 @@ object Sinks {
     val sts = fs.listStatus(dir)
       .filter(_.getPath.getName.matches("m-\\d{12}\\.json"))
     if (sts.isEmpty) return None
-    // zero-padded: lexicographic = numeric order
-    Some(parseManifest(fs, sts.maxBy(_.getPath.getName)))
+    // zero-padded: lexicographic = numeric order. Newest PARSEABLE wins:
+    // with create-exclusive publishes a crashed writer can leave a TORN
+    // manifest at the final name — skipping it falls back to the
+    // previous generation, a complete table; the recovering writer
+    // replaces the torn file at its next publish.
+    sts.sortBy(_.getPath.getName).reverseIterator
+      .flatMap(st => scala.util.Try(parseManifest(fs, st)).toOption)
+      .nextOption()
   }
 
   /** One manifest file's parse — shared by the newest-resolution read
@@ -383,12 +424,7 @@ object Sinks {
     val p = st.getPath
     val key = s"$p@${st.getModificationTime}:${st.getLen}"
     manifestCache.computeIfAbsent(key, _ => {
-      val in = fs.open(p)
-      val bytes = try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
-        out.toByteArray
-      } finally in.close()
+      val bytes = readFully(fs, p)
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
       import scala.jdk.CollectionConverters._
       Manifest(
@@ -404,29 +440,52 @@ object Sinks {
     })
   }
 
-  /** Stages the manifest under a hidden name, then renames it visible —
-    * the table's one atomic operation. A failed rename means another
-    * writer published this generation first: fail loudly (the engine's
-    * contract is single-writer; silently losing a generation would drop
-    * acknowledged upserts). */
+  /** Publishes the manifest by CREATE-EXCLUSIVE write at its final name
+    * — the table's one atomic race arbiter. The previous stage+rename
+    * design claimed "a lost rename race fails loudly", but Hadoop's
+    * LocalFileSystem rename delegates to File.renameTo, which on POSIX
+    * silently OVERWRITES an existing destination and returns true — the
+    * loud-failure guarantee was a no-op exactly where the specs run,
+    * and a racing loser would silently bury the winner's acknowledged
+    * generation. create(dest, overwrite = false) throws
+    * FileAlreadyExistsException atomically on local and HDFS instead.
+    * The trade: a crashed writer can leave a TORN manifest at the final
+    * name — so readers and the reaper skip unparseable manifests
+    * (previous generation = still a complete table), and the single
+    * recovering writer, finding its next generation's name occupied by
+    * an UNPARSEABLE file, replaces it; a PARSEABLE occupant is a
+    * genuine concurrent writer and fails loudly (single-writer
+    * contract). */
   private def publishManifest(
       spark: SparkSession, path: String, m: Manifest): Unit = {
     val dir = manifestDir(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
-    val body = s"""{"gen":${m.gen},"buckets":${m.buckets},"map":{""" +
+    val body = (s"""{"gen":${m.gen},"buckets":${m.buckets},"map":{""" +
       m.map.toSeq.sortBy(_._1)
-        .map { case (b, dn) => s""""$b":"$dn"""" }.mkString(",") + "}}"
-    val tmp = new Path(dir, s".m-tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+        .map { case (b, dn) => s""""$b":"$dn"""" }.mkString(",") + "}}")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val dest = new Path(dir, f"m-${m.gen}%012d.json")
-    require(fs.rename(tmp, dest), {
-      fs.delete(tmp, false)
-      s"upsert manifest publish lost a race at $dest — concurrent writer " +
-        "detected; this table is single-writer"
-    })
+    def writeExclusive(): Boolean =
+      try {
+        val out = fs.create(dest, false)
+        try out.write(body) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      }
+    if (!writeExclusive()) {
+      val occupantParses =
+        scala.util.Try(parseManifest(fs, fs.getFileStatus(dest))).isSuccess
+      require(!occupantParses,
+        s"upsert manifest publish lost a race at $dest — concurrent " +
+          "writer detected; this table is single-writer")
+      // torn leftover from this writer's own earlier crash: replace it
+      fs.delete(dest, false)
+      require(writeExclusive(),
+        s"upsert manifest publish raced twice at $dest — concurrent " +
+          "writer detected; this table is single-writer")
+    }
   }
 
   /** Read side of [[upsertByKey]]: resolves the newest manifest and

@@ -131,6 +131,35 @@ class SinksSpec extends SparkSpec {
       .select($"payload").head().getString(0) === "p7-v2")
   }
 
+  test("S6 reserved columns are refused any-case; a torn manifest is skipped and replaced") {
+    // __rn/__b are internal: withColumn would silently REPLACE a
+    // caller's same-named data column and drop it from the table
+    val path = tmp()
+    intercept[IllegalArgumentException] {
+      Sinks.upsertByKey(spark, path,
+        Seq((1L, 1L, "x")).toDF("id", "version", "__RN"), "id", "version")
+    }
+    // torn-manifest recovery: a crashed writer leaves garbage at the
+    // next generation's FINAL name (create-exclusive design). Readers
+    // must skip it (previous generation = complete table), and the
+    // recovering single writer must replace it and publish.
+    Sinks.upsertByKey(spark, path,
+      Seq((1L, 1L, "a")).toDF("id", "version", "payload"), "id", "version",
+      buckets = 2)
+    val torn = new java.io.PrintWriter(
+      s"$path/_graft_manifest/m-000000000001.json")
+    torn.write("{\"gen\": 1, \"buck") // mid-write crash
+    torn.close()
+    assert(Sinks.readUpserted(spark, path).count() === 1,
+      "a torn newest manifest must fall back to the previous generation")
+    Sinks.upsertByKey(spark, path,
+      Seq((2L, 1L, "b")).toDF("id", "version", "payload"), "id", "version")
+    val got = Sinks.readUpserted(spark, path).orderBy($"id")
+      .collect().map(_.getAs[String]("payload")).toSeq
+    assert(got === Seq("a", "b"),
+      "the recovering writer must replace its own torn manifest and publish")
+  }
+
   test("S6 upsert reaps superseded manifests and bucket generations past grace") {
     val path = tmp()
     // grace 0: a manifest is reapable the moment its successor exists

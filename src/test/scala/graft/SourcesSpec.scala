@@ -84,6 +84,17 @@ class SourcesSpec extends SparkSpec {
         .load()
     }
     assert(e.getMessage.contains("price float"), e.getMessage)
+    // r12: supportsExternalMetadata = true means a user-supplied
+    // .schema(...) reaches getTable WITHOUT inferSchema — the guard
+    // must live on that entry point too, or the DATE column lands as a
+    // string slot Catalyst reads with a mid-query ClassCastException
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.RestSource")
+        .schema("id BIGINT, d DATE")
+        .option("path", "/tmp/nonexistent")
+        .load()
+    }
+    assert(e2.getMessage.contains("d date"), e2.getMessage)
   }
 
   test("unsupported predicate is declined and applied client-side, result unchanged") {

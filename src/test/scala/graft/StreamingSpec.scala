@@ -124,6 +124,12 @@ class StreamingSpec extends SparkSpec {
         Seq((9L, "alpha", 0L)).toDF("event_id", "room", "__batch"),
         path, "room", batchId = 2L)
     }
+    // mark hygiene: the per-batch mark files prune to the newest two
+    // (a long-lived stream must not accumulate one tiny file per batch)
+    val marks = new java.io.File(s"$path/_graft_fanout_marks")
+      .listFiles().map(_.getName).filter(_.startsWith("b-")).sorted
+    assert(marks.length <= 2 && marks.contains("b-1"),
+      s"marks must prune to the newest two, got ${marks.toSeq}")
     // key-filter partition pruning survives the extra __batch level
     val one = spark.read.parquet(path).filter($"room" === "alpha")
     val scan = one.queryExecution.executedPlan.collectLeaves().head.toString
