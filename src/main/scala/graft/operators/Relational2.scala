@@ -80,23 +80,37 @@ object Relational2 {
         .groupBy(col("n_name"))
         .agg(
           count(lit(1)).as("n_nodes"),
-          round(avg(col("s_acctbal")), 0).cast("long").as("avg_trust"))
+          // integer-cents average, decimal-exact: round(avg(double))
+          // made a .5-boundary group's verdict a function of float
+          // SUMMATION ORDER (Spark's partial-agg merge vs DuckDB's
+          // sequential scan). sum of cents is exact; the decimal
+          // division + half-up round is order-free on both engines —
+          // j5/a7's integer-cents convention, applied to the average.
+          round(sum(round(col("s_acctbal") * lit(100), 0).cast("long"))
+              .cast("decimal(38,2)") / (count(lit(1)) * lit(100)), 0)
+            .cast("long").as("avg_trust"))
         .orderBy(col("n_name"))
     },
     oracle = Some("""
       SELECT n_name, COUNT(*) AS n_nodes,
-        CAST(ROUND(AVG(s_acctbal)) AS BIGINT) AS avg_trust
+        CAST(ROUND(CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS DECIMAL(38,2))
+               / (COUNT(*) * 100), 0) AS BIGINT) AS avg_trust
       FROM supplier JOIN nation ON s_nationkey = n_nationkey
       GROUP BY n_name ORDER BY n_name"""))
 
   /** A7 pool totals: totalStaked + duration-weighted total in bps integer
-    * math (stake/page.tsx:92-102 with the W6 multiplier cascade). */
+    * math (stake/page.tsx:92-102 with the W6 multiplier cascade). The
+    * as-of deadline sits INSIDE the data's order-date range (orders run
+    * to 2001-08-01) so ages span <30 through ≥180 and ALL FOUR tiers of
+    * the cascade are live under the oracle gate — the previous
+    * 2001-12-31 deadline made every age ≥152 days, leaving the
+    * 12000/10000 branches permanently unexercised on both sides. */
   val a7PoolTotals = QueryDef(
     "a7_pool_totals",
     (s, dir) => T(s, dir).orders
       .withColumn("stake_c", round(col("o_totalprice") * lit(100), 0).cast("long"))
       .withColumn("age_days",
-        datediff(lit("2001-12-31").cast("date"), col("o_orderdate").cast("date")).cast("long"))
+        datediff(lit("2001-08-15").cast("date"), col("o_orderdate").cast("date")).cast("long"))
       .withColumn("mult_bps", Tiers.multiplierBps(col("age_days")))
       .groupBy(col("o_orderpriority"))
       .agg(
@@ -107,9 +121,9 @@ object Relational2 {
       WITH s AS (
         SELECT o_orderpriority,
           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS stake_c,
-          CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-12-31') >= 180 THEN 20000
-               WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-12-31') >= 90 THEN 15000
-               WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-12-31') >= 30 THEN 12000
+          CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-08-15') >= 180 THEN 20000
+               WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-08-15') >= 90 THEN 15000
+               WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-08-15') >= 30 THEN 12000
                ELSE 10000 END AS mult_bps
         FROM orders)
       SELECT o_orderpriority,
@@ -186,6 +200,11 @@ object Relational2 {
     * from_json into a declared struct, defaulted when absent/invalid). */
   val fJsonStruct = QueryDef(
     "f_json_struct",
+    // the oracle mirrors from_json's TYPED semantics via the RAW json
+    // text (json_extract, not _string): a JSON string "7" or float 1.9
+    // does NOT coerce into the declared bigint field (from_json nulls
+    // the row; a bare CAST of the string form would return 7 / throw),
+    // so the integer-shape regexp over the raw token is the equivalence
     (s, dir) => T(s, dir).events
       .withColumn("j", from_json(col("props"), lit("struct<k: bigint>")))
       .select(col("event_id"),
@@ -193,7 +212,11 @@ object Relational2 {
       .orderBy(col("event_id")),
     oracle = Some("""
       SELECT event_id,
-        COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k_or_default
+        COALESCE(CASE WHEN json_valid(props) THEN
+          CASE WHEN regexp_matches(
+                 CAST(json_extract(props, '$.k') AS VARCHAR), '^-?[0-9]+$')
+               THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END
+        END, -1) AS k_or_default
       FROM events ORDER BY event_id"""))
 
   /** Dirty-JSON recovery (swarm-llm.server.ts:17-37): every LLM
@@ -232,7 +255,11 @@ object Relational2 {
             ELSE 'Result: {oops ' || props || ' trailing }'
           END AS raw
         FROM events),
-      t AS (SELECT event_id, trim(raw) AS s FROM d),
+      -- Java String.trim strips every char <= 0x20; DuckDB's bare
+      -- trim() strips spaces ONLY, so edge \n/\t would diverge
+      t AS (SELECT event_id,
+              trim(raw, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) AS s
+            FROM d),
       b AS (SELECT event_id, s, strpos(s, '{') AS st,
               CASE WHEN strpos(reverse(s), '}') = 0 THEN 0
                    ELSE length(s) - strpos(reverse(s), '}') + 1 END AS en
@@ -283,24 +310,34 @@ object Relational2 {
     (s, dir) => T(s, dir).events
       .withColumn("epoch_day", expr("ts div 86400000000000"))
       .cube(col("event_type"), col("epoch_day"))
+      // the rollup label comes from grouping(), NOT coalesce: a genuine
+      // NULL event_type would otherwise be relabeled 'ALL' too, colliding
+      // with the rollup rows on the sort key and making the ordered
+      // compare flap between equal-key rows; data NULLs stay NULL (and
+      // sort pinned nulls-last, DuckDB's default)
       .agg(
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        grouping(col("event_type")).as("g_et"),
+        grouping(col("epoch_day")).as("g_ed"))
       .select(
-        coalesce(col("event_type"), lit("ALL")).as("event_type"),
-        coalesce(col("epoch_day").cast("string"), lit("ALL")).as("epoch_day"),
+        when(col("g_et") === 1, lit("ALL"))
+          .otherwise(col("event_type")).as("event_type"),
+        when(col("g_ed") === 1, lit("ALL"))
+          .otherwise(col("epoch_day").cast("string")).as("epoch_day"),
         col("sum_value"), col("n"))
-      .orderBy(col("event_type"), col("epoch_day")),
+      .orderBy(col("event_type").asc_nulls_last, col("epoch_day").asc_nulls_last),
     oracle = Some("""
       WITH e AS (
         SELECT event_type, epoch_ms(ts) // 86400000 AS epoch_day, value
         FROM events)
-      SELECT COALESCE(event_type, 'ALL') AS event_type,
-        COALESCE(CAST(epoch_day AS VARCHAR), 'ALL') AS epoch_day,
+      SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+        CASE WHEN GROUPING(epoch_day) = 1 THEN 'ALL'
+             ELSE CAST(epoch_day AS VARCHAR) END AS epoch_day,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         COUNT(*) AS n
       FROM e GROUP BY CUBE(event_type, epoch_day)
-      ORDER BY event_type, epoch_day"""))
+      ORDER BY event_type NULLS LAST, epoch_day NULLS LAST"""))
 
   /** Heuristic planner expansion (plan/route.ts:47-126): one mission row
     * generates its ordered step rows — the deterministic fallback the
