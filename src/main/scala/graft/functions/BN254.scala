@@ -181,6 +181,14 @@ object BN254 {
     * convention the reference's on-chain path inherits. */
   final case class G1(x: BigInt, y: BigInt) {
     def isInfinity: Boolean = x.signum == 0 && y.signum == 0
+    /** Coordinates in canonical reduced form [0, q). The group law
+      * detects doubling/negation by EXACT BigInt equality, so a
+      * congruent-but-unreduced coordinate (x + q) would take the
+      * distinct-x add branch and hit a zero slope denominator
+      * (modInverse throws) instead of doubling — every verifier entry
+      * point must reject non-canonical points up front. */
+    def canonical: Boolean =
+      x.signum >= 0 && x < Q && y.signum >= 0 && y < Q
     def onCurve: Boolean =
       isInfinity || fq(y * y - x * x * x - 3).signum == 0
     def unary_- : G1 = if (isInfinity) this else G1(x, fq(-y))
@@ -224,6 +232,9 @@ object BN254 {
   /** Affine twist point over Fq2 on y² = x³ + 3/ξ; (0,0) = infinity. */
   final case class G2(x: Fp2, y: Fp2) {
     def isInfinity: Boolean = x.isZero && y.isZero
+    /** All four coordinates reduced to [0, q) — see [[G1.canonical]]. */
+    def canonical: Boolean =
+      Seq(x.a, x.b, y.a, y.b).forall(v => v.signum >= 0 && v < Q)
     def onCurve: Boolean =
       isInfinity || (y.sq - x.sq * x - G2.b).isZero
     def unary_- : G2 = if (isInfinity) this else G2(x, -y)
@@ -411,11 +422,30 @@ object BN254 {
     * inputs — matching the reference gate's "return { valid: false }"
     * error contract (shadow-id-gate.ts:126-137). */
   def groth16Verify(vk: VerifyingKey, proof: Proof,
+      publicInputs: Seq[BigInt]): Boolean =
+    vkValid(vk) && groth16VerifyTrustedVk(vk, proof, publicInputs)
+
+  /** The constant-per-table half of the verification: canonical form,
+    * curve membership and (expensive — a full 254-bit scalar mult per
+    * point) G2 subgroup checks over alpha/beta/gamma/delta/IC. Validate
+    * ONCE per verifying key and use [[groth16VerifyTrustedVk]] per row —
+    * re-running three constant G2 subgroup checks per proof roughly
+    * quadruples the per-row pairing budget for nothing. */
+  def vkValid(vk: VerifyingKey): Boolean =
+    (vk.alpha +: vk.ic).forall(p => p.canonical && p.onCurve) &&
+      Seq(vk.beta, vk.gamma, vk.delta).forall(q => q.canonical && q.inSubgroup)
+
+  /** Per-row half: validates ONLY the proof (and public-input range) and
+    * assumes the verifying key already passed [[vkValid]]. Canonicality
+    * is checked before any group arithmetic — a congruent-but-unreduced
+    * coordinate would otherwise throw from a zero slope inversion
+    * instead of returning false (see [[G1.canonical]]). */
+  def groth16VerifyTrustedVk(vk: VerifyingKey, proof: Proof,
       publicInputs: Seq[BigInt]): Boolean = {
     if (publicInputs.length != vk.ic.length - 1) return false
     if (publicInputs.exists(x => x.signum < 0 || x >= R)) return false
-    val g1ok = (proof.a +: proof.c +: vk.alpha +: vk.ic).forall(_.onCurve)
-    val g2ok = Seq(proof.b, vk.beta, vk.gamma, vk.delta).forall(_.inSubgroup)
+    val g1ok = Seq(proof.a, proof.c).forall(p => p.canonical && p.onCurve)
+    val g2ok = proof.b.canonical && proof.b.inSubgroup
     if (!g1ok || !g2ok) return false
     // proof points must not be degenerate: an infinity A or B pairs to
     // 1 and would let a zeroed proof satisfy a zeroed equation
@@ -434,6 +464,10 @@ object BN254 {
   // ---------------------------------------------------------------------
 
   private def be32(x: BigInt): Array[Byte] = {
+    // signum guard: a negative BigInt's two's-complement toByteArray
+    // starts with 0xFF bytes that dropWhile(_ == 0) keeps, so e.g. -1
+    // would encode identically to 255 instead of failing loudly
+    require(x.signum >= 0, s"field element must be non-negative, got sign ${x.signum}")
     val raw = x.toByteArray.dropWhile(_ == 0)
     require(raw.length <= 32, "field element exceeds 32 bytes")
     Array.fill[Byte](32 - raw.length)(0) ++ raw

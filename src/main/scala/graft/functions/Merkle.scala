@@ -53,9 +53,16 @@ object Merkle {
     pyramid(level0, nLevels, z, zOff).last.headOption.getOrElse(z(zOff + nLevels))
 
   /** Reference semantics (merkle.ts:84-110): fold one level at a time;
-    * an odd tail pairs with the current level's zero hash. */
-  def rootLocal(leaves: Seq[BigInt], depth: Int): BigInt =
+    * an odd tail pairs with the current level's zero hash. Rejects more
+    * than 2^depth leaves the way the reference and [[Incremental.append]]
+    * do — folding on would silently return the root of only the leftmost
+    * full subtree (the pyramid top would still hold >1 node and
+    * `headOption` would drop the rest). */
+  def rootLocal(leaves: Seq[BigInt], depth: Int): BigInt = {
+    require(depth < 63 && leaves.size <= (1L << depth),
+      s"tree is full: ${leaves.size} leaves exceed 2^$depth (merkle.ts:118-120)")
     foldRoot(leaves.toVector, depth, zeroHashes(depth), 0)
+  }
 
   /** Distributed root over a DataFrame of (leaf_index: long, leaf: 32-byte
     * binary): [[proofDistributed]]'s block pipeline with no targets —
@@ -72,6 +79,8 @@ object Merkle {
     * level (zero-hash when absent) + path bit (1 = current is right). */
   def proof(leaves: Seq[BigInt], index: Int, depth: Int): (Seq[BigInt], Seq[Int]) = {
     require(index >= 0 && index < leaves.size, "invalid leaf index")
+    require(depth < 63 && leaves.size <= (1L << depth),
+      s"tree is full: ${leaves.size} leaves exceed 2^$depth (merkle.ts:118-120)")
     val z = zeroHashes(depth)
     pathFromPyramid(pyramid(leaves.toVector, depth, z, 0), index, depth, z, 0)
   }
@@ -115,7 +124,7 @@ object Merkle {
       targets: Seq[Long],
       depth: Int,
       blockDepth: Int = 10): (BigInt, Map[Long, (Seq[BigInt], Seq[Int])]) = {
-    require(depth > blockDepth, "depth must exceed blockDepth")
+    require(depth > blockDepth && depth < 63, "depth must exceed blockDepth (and fit a Long)")
     val z = zeroHashes(depth)
     val blockSize = 1L << blockDepth
     val targetsByBlock: Map[Long, Seq[Long]] =
@@ -130,7 +139,16 @@ object Merkle {
         .groupByKey(_._1)
         .mapGroups { (block, rows) =>
           val zb = zeroHashes(blockDepth)
-          val vec = rows.toSeq.sortBy(_._2).map(r => Poseidon.fromBytes32(r._3)).toVector
+          val all = rows.toSeq
+          // per-row range guard HERE, not just on the collected block ids:
+          // a negative leaf_index truncates into block 0 under `div` and
+          // would otherwise displace leaf 0 silently; an over-capacity one
+          // fails the same way Incremental.append refuses a full tree
+          all.foreach(r => require(r._2 >= 0 && r._2 < (1L << depth),
+            s"leaf_index ${r._2} outside [0, 2^$depth) (merkle.ts:118-120)"))
+          require(all.map(_._2).distinct.size == all.size,
+            s"duplicate leaf_index in block $block — left-filled leaves must be unique")
+          val vec = all.sortBy(_._2).map(r => Poseidon.fromBytes32(r._3)).toVector
           val levels = pyramid(vec, blockDepth, zb, 0)
           val base = block * blockSize
           val local = targetsByBlock.getOrElse(block, Seq.empty).flatMap { t =>
@@ -146,6 +164,16 @@ object Merkle {
         }
         .collect().toSeq // bounded: ≤ 2^(depth-blockDepth) rows
     val byBlock = perBlock.map { case (b, r, _) => b -> Poseidon.fromBytes32(r) }.toMap
+    // leaf_index range guard BEFORE the (0 to maxBlock) materialization:
+    // one corrupt row with a huge index would otherwise have the driver
+    // allocate a Vector sized by that index (OOM, violating the bounded-
+    // collect contract above), and a negative index would silently skew
+    // the fold toward a wrong root instead of failing like
+    // [[Incremental.append]] does.
+    val blockCap = 1L << (depth - blockDepth)
+    byBlock.keys.foreach(b => require(b >= 0 && b < blockCap,
+      s"leaf_index out of range: block $b outside [0, $blockCap) " +
+        s"for depth $depth / blockDepth $blockDepth (merkle.ts:118-120)"))
     val maxBlock = if (byBlock.isEmpty) -1L else byBlock.keys.max
     val tops = (0L to maxBlock).map(b => byBlock.getOrElse(b, z(blockDepth))).toVector
     val levels = pyramid(tops, depth - blockDepth, z, blockDepth)
@@ -245,12 +273,21 @@ object Merkle {
   }
 
   /** Proof verification (merkle.ts:171-195): recompute the root from the
-    * leaf along the path. */
-  def verify(leaf: BigInt, proofSibs: Seq[BigInt], pathBits: Seq[Int], root: BigInt): Boolean = {
-    var h = leaf
-    proofSibs.zip(pathBits).foreach { case (sib, bit) =>
-      h = if (bit == 1) Poseidon.hash2(sib, h) else Poseidon.hash2(h, sib)
+    * leaf along the path. The proof length is PINNED to the tree depth
+    * and a short/mismatched proof returns false rather than throwing —
+    * adversarial proofs are a verifier's normal input. Without the pin,
+    * `zip` silently truncates to the shorter list: the empty proof
+    * "verifies" the root as its own leaf, and any known internal node at
+    * height h forges membership with a (depth−h)-length path — the
+    * classic shortened-proof attack on fixed-depth trees (the reference
+    * always verifies full-depth paths, merkle.ts:171-195). */
+  def verify(leaf: BigInt, proofSibs: Seq[BigInt], pathBits: Seq[Int],
+      root: BigInt, depth: Int): Boolean =
+    proofSibs.length == depth && pathBits.length == depth && {
+      var h = leaf
+      proofSibs.zip(pathBits).foreach { case (sib, bit) =>
+        h = if (bit == 1) Poseidon.hash2(sib, h) else Poseidon.hash2(h, sib)
+      }
+      h == root
     }
-    h == root
-  }
 }

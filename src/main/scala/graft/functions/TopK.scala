@@ -31,9 +31,13 @@ final case class TopKBuf[P](items: Seq[Scored[P]])
   *
   * Ordering matches the windows it replaces exactly — score descending,
   * id ascending on ties — so ranked output is bit-identical for any total
-  * order (null scores must be filtered by the caller; NaN never wins a
-  * `>` comparison and is effectively excluded, whereas a desc window
-  * sorts NaN first — no catalog input produces NaN).
+  * order (null scores must be filtered by the caller). NaN-scored
+  * candidates are DROPPED at insert: NaN loses every `>` comparison in
+  * BOTH directions, so without the explicit drop a NaN arriving at a
+  * not-yet-full buffer would land at position 0, never be displaced, and
+  * once the buffer filled would block every real candidate behind it —
+  * an arrival-order-dependent wrong top-k. (A desc window sorts NaN
+  * first; callers that must rank NaN pre-filter, as rankTop5 does.)
   *
   * The buffer encoder comes in implicitly (concrete call sites summon it
   * via `Encoders.product[TopKBuf[...]]`), since a generic payload has no
@@ -41,12 +45,15 @@ final case class TopKBuf[P](items: Seq[Scored[P]])
 final class TopKAggregator[P](k: Int)(implicit enc: Encoder[TopKBuf[P]])
     extends Aggregator[Scored[P], TopKBuf[P], TopKBuf[P]] with Serializable {
 
+  require(k > 0, s"top-k size must be positive, got $k")
+
   private def beats(a: Scored[P], b: Scored[P]): Boolean =
     a.score > b.score || (a.score == b.score && a.id < b.id)
 
   /** Insert preserving order, capped at k. O(k) per row with k tiny. */
   private def insert(items: Seq[Scored[P]], x: Scored[P]): Seq[Scored[P]] =
-    if (items.length >= k && !beats(x, items.last)) items
+    if (x.score.isNaN) items // not a total order under beats(): see Scaladoc
+    else if (items.length >= k && !beats(x, items.last)) items
     else {
       val (pre, post) = items.span(beats(_, x))
       ((pre :+ x) ++ post).take(k)

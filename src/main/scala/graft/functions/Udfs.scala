@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions.udf
 
@@ -29,7 +28,7 @@ object Udfs {
     java.lang.Long.toString(abs, 36)
   }
 
-  def specHashBase36(spark: SparkSession): UserDefinedFunction =
+  def specHashBase36: UserDefinedFunction =
     udf((s: String) => if (s == null) null else specHash(s))
 
   // ----------------------------------------------------------------- base58
@@ -56,13 +55,18 @@ object Udfs {
     ("1" * zeros) + sb.reverse.toString
   }
 
+  /** Null on ANY invalid character ('0', 'O', 'I', 'l', non-ASCII…) —
+    * dirty pubkey columns are the normal input, and a throwing decode
+    * would fail the whole stage for one malformed row. Same
+    * adversarial-input-is-normal contract as [[jsonScan]] (→ null) and
+    * the proof decoders (→ None/false). */
   def base58Decode(s: String): Array[Byte] = {
     if (s == null) return null
     val ones = s.takeWhile(_ == '1').length
     var num = BigInt(0)
     s.foreach { c =>
       val v = if (c < 128) B58Idx(c.toInt) else -1
-      require(v >= 0, s"invalid base58 char '$c'")
+      if (v < 0) return null
       num = num * 58 + v
     }
     val body = if (num == 0) Array.emptyByteArray

@@ -70,8 +70,14 @@ object Crypto {
       val spark = s
       import spark.implicits._
       val depth = 12
+      // c_custkey is 0-BASED in this corpus (min(c_custkey) = 0 at every
+      // SF) and the tree wants left-filled indices from 0, so the key IS
+      // the leaf index. The former `- 1` shifted a spurious leaf −1 into
+      // block 0 (65 leaves in a 64-capacity block), which the pyramid
+      // fold silently truncated — caught the moment proofDistributed
+      // grew its leaf_index range guard (r13 functions sweep).
       val leaves = T(s, dir).customer
-        .select((col("c_custkey") - 1).cast("long").as("leaf_index"),
+        .select(col("c_custkey").cast("long").as("leaf_index"),
           unhex(md5(col("c_name"))).as("leaf"))
       val root = graft.functions.Merkle.rootDistributed(s, leaves, depth, blockDepth = 6)
       val n = leaves.count()
@@ -160,7 +166,7 @@ object Crypto {
         (leaf: Array[Byte], sibs: Seq[Array[Byte]], bits: Seq[Int], tamper: Boolean) => {
           val sib0 = if (tamper) sibs.updated(0, Array.fill(32)(0x5a.toByte)) else sibs
           M.verify(P.fromBytes32(leaf), sib0.map(P.fromBytes32),
-            bits, P.fromBytes32(rootBytes))
+            bits, P.fromBytes32(rootBytes), depth)
         })
       proofRows.toDF("leaf_index", "leaf", "sibs", "bits")
         .withColumn("valid", verifyUdf(col("leaf"), col("sibs"), col("bits"), lit(false)))
@@ -243,7 +249,12 @@ object Crypto {
     * exceed long) → struct(decoded, valid). False-not-throw on every
     * malformed input, per the gate's error contract. */
   def groth16VerifyUdf(vk: graft.functions.BN254.VerifyingKey)
-      : org.apache.spark.sql.expressions.UserDefinedFunction =
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    // vk validation ONCE at construction, not per row: the three G2
+    // subgroup checks on beta/gamma/delta are full 254-bit scalar
+    // multiplications (~380 modular inversions each) over points that
+    // never change across the table — per row only proof.b pays one
+    val vkOk = graft.functions.BN254.vkValid(vk)
     udf((bytes: Array[Byte], pubs: Seq[String]) => {
       import graft.functions.BN254._
       val parsed =
@@ -251,9 +262,10 @@ object Crypto {
         else scala.util.Try(pubs.map(BigInt(_))).toOption
       val decoded = decodeProofBytes(bytes)
       ( decoded.isDefined,
-        (for { p <- decoded; xs <- parsed }
-          yield groth16Verify(vk, p, xs)).getOrElse(false))
+        vkOk && (for { p <- decoded; xs <- parsed }
+          yield groth16VerifyTrustedVk(vk, p, xs)).getOrElse(false))
     }).asNonNullable()
+  }
 
   val defs: Seq[QueryDef] = Seq(
     cryptoCommitment, cryptoNullifierDedup, cryptoMerkleRoot,

@@ -540,7 +540,7 @@ object Multimodal {
   /** The full-corpus phash feature frame, persisted through the shared
     * feature-cache registry (three plan branches consume it). */
   private[graft] def phashFeat(s: SparkSession, dir: String): DataFrame =
-    Similarity.cachedFeature(s, s"mm_phash:$dir@${Similarity.srcVersion(s, dir, "documents.parquet")}") {
+    Similarity.cachedFeature(s, s"mm_phash:$dir", Similarity.srcVersion(s, dir, "documents.parquet")) {
       phashFeatOf(media(s, dir))
     }
 
@@ -628,7 +628,7 @@ object Multimodal {
   def writePhashIndex(s: SparkSession, dir: String, indexPath: String,
       split: Long, shards: Int = Similarity.minhashIndexShards): Unit =
     Similarity.writeIncrIndex(s, indexPath, shards, phFamily,
-      Similarity.cachedFeature(s, s"mm_phash_incr:$dir@${Similarity.srcVersion(s, dir, "documents.parquet")}:corpus$split") {
+      Similarity.cachedFeature(s, s"mm_phash_incr:$dir:corpus$split", Similarity.srcVersion(s, dir, "documents.parquet")) {
         phashFeatOf(media(s, dir).filter(col("media_id") < lit(split)))
       })
 
@@ -642,7 +642,7 @@ object Multimodal {
   def probePhashIndex(s: SparkSession, dir: String, indexPath: String,
       split: Long, shards: Int = Similarity.minhashIndexShards): DataFrame =
     Similarity.probeIncrIndex(s, indexPath, split, shards, phFamily,
-      Similarity.cachedFeature(s, s"mm_phash_incr:$dir@${Similarity.srcVersion(s, dir, "documents.parquet")}:incr$split") {
+      Similarity.cachedFeature(s, s"mm_phash_incr:$dir:incr$split", Similarity.srcVersion(s, dir, "documents.parquet")) {
         phashFeatOf(media(s, dir).filter(col("media_id") >= lit(split)))
       })
 

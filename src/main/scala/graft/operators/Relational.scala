@@ -831,13 +831,17 @@ object Relational {
       // so a bare cast twins only because the pinned corpora always
       // carry integer $.k — under the jdbc: store tier props is
       // arbitrary and the sides would silently diverge. Integer-or-null
-      // is exactly expressible in both.
+      // is exactly expressible in both. The digit count is bounded at 18
+      // (every 18-digit integer fits a Long) because an out-of-range
+      // token passing an unbounded regexp CRASHES both engines instead
+      // of folding to null — Spark's ANSI cast throws overflow, DuckDB's
+      // CAST errors the whole oracle query (ADVICE r12).
       .select(col("event_id"),
-        when(col("k_str").rlike("^-?[0-9]+$"), col("k_str").cast("long")).as("k"))
+        when(col("k_str").rlike("^-?[0-9]{1,18}$"), col("k_str").cast("long")).as("k"))
       .orderBy(col("event_id")),
     oracle = Some("""
       SELECT event_id,
-        CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+        CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]{1,18}$')
              THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
       FROM events ORDER BY event_id"""))
 

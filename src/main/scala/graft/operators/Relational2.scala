@@ -204,7 +204,11 @@ object Relational2 {
     // text (json_extract, not _string): a JSON string "7" or float 1.9
     // does NOT coerce into the declared bigint field (from_json nulls
     // the row; a bare CAST of the string form would return 7 / throw),
-    // so the integer-shape regexp over the raw token is the equivalence
+    // so the integer-shape regexp over the raw token is the equivalence.
+    // TRY_CAST, not CAST, behind the regexp: an out-of-Long-range
+    // integer token (e.g. 20 digits) passes the shape test but
+    // permissive from_json nulls it → -1, while a plain CAST would
+    // error the whole oracle query (ADVICE r12)
     (s, dir) => T(s, dir).events
       .withColumn("j", from_json(col("props"), lit("struct<k: bigint>")))
       .select(col("event_id"),
@@ -215,7 +219,7 @@ object Relational2 {
         COALESCE(CASE WHEN json_valid(props) THEN
           CASE WHEN regexp_matches(
                  CAST(json_extract(props, '$.k') AS VARCHAR), '^-?[0-9]+$')
-               THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END
+               THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END
         END, -1) AS k_or_default
       FROM events ORDER BY event_id"""))
 
@@ -240,8 +244,15 @@ object Relational2 {
         .otherwise(concat(lit("Result: {oops "), col("props"), lit(" trailing }")))
       T(s, dir).events
         .withColumn("json_out", graft.functions.Udfs.jsonScanUdf(dirty))
+        // same bounded integer-shape guard as f_json_extract: a bare
+        // ANSI cast would throw on a non-integral or out-of-range token
+        // under the arbitrary-store tier (DuckDB's bare CAST errors the
+        // oracle in the same scenario), where integer-or-null is the
+        // semantics both engines express exactly (ADVICE r12 sibling)
+        .withColumn("k_str", get_json_object(col("json_out"), "$.k"))
         .select(col("event_id"), col("json_out"),
-          get_json_object(col("json_out"), "$.k").cast("long").as("k"))
+          when(col("k_str").rlike("^-?[0-9]{1,18}$"),
+            col("k_str").cast("long")).as("k"))
         .orderBy(col("event_id"))
     },
     oracle = Some("""
@@ -273,7 +284,10 @@ object Relational2 {
                    ELSE NULL END AS json_out
             FROM b)
       SELECT event_id, json_out,
-        CAST(json_extract_string(json_out, '$.k') AS BIGINT) AS k
+        CASE WHEN regexp_matches(
+               json_extract_string(json_out, '$.k'), '^-?[0-9]{1,18}$')
+             THEN CAST(json_extract_string(json_out, '$.k') AS BIGINT)
+        END AS k
       FROM x ORDER BY event_id"""))
 
   /** Countdown decomposition d/h/m (governance/[id]/page.tsx:18-25):

@@ -32,31 +32,44 @@ object ScaleOps {
     * an explicit clear for harnesses that want cold runs. */
   private val bloomCache = scala.collection.mutable.HashMap
     .empty[(SparkSession, String),
-      org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]
+      (Long, org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])]
   RunCaches.register("scaleops-bloom-memo")(() => clearBloomCache())
   RunCaches.register("scaleops-cc-checkpoints")(() => clearCcCheckpoints())
   RunCaches.register("scaleops-kernel-broadcasts")(() => clearKernelBroadcasts())
-  private def cachedBloom(s: SparkSession, key: String)(
+  private def cachedBloom(s: SparkSession, key: String, version: Long)(
       build: => org.apache.spark.util.sketch.BloomFilter)
       : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter] = {
     val k = (s, key)
-    // superseded-logical-key eviction, same rule as
-    // Similarity.cachedFeature: the fingerprint lives in the key after
-    // '@', so an in-session corpus rewrite otherwise leaves one dead
-    // pinned broadcast per rewrite until a harness clear. Stale entries
-    // are detached under the lock and destroyed OUTSIDE it (destroy
-    // blocks on executor-side removal — the slow-Spark-op-under-lock
-    // class this function already avoids for builds).
-    val (existing, stale) = bloomCache.synchronized {
+    // Superseded-logical-key eviction, same key/version split as
+    // Similarity.cachedFeature (the fingerprint is its OWN field, never
+    // recovered from the key string — ADVICE r12): an in-session corpus
+    // rewrite otherwise leaves one dead pinned broadcast per rewrite
+    // until a harness clear. Stale entries are detached under the lock
+    // and reclaimed OUTSIDE it (both reclaim calls block on
+    // executor-side removal — the slow-Spark-op-under-lock class this
+    // function already avoids for builds). Reclaim severity depends on
+    // the owner: THIS session's superseded-version entry is destroyed
+    // (nothing here can still need it, and its session can observe the
+    // swap); another LIVE session's entry is only unpersist(false)ed and
+    // dropped from the map — destroy() fails that session's in-flight
+    // jobs still referencing the variable, while unpersist frees the
+    // executor copies and allows a transparent rebroadcast, and the
+    // dropped driver reference leaves the rest to the ContextCleaner
+    // (ADVICE r12: the cross-session swap must be a re-persist, never a
+    // query failure).
+    val (existing, destroyable, detachOnly) = bloomCache.synchronized {
       bloomCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      val logical = key.replaceAll("@\\d+", "")
-      val staleKeys = bloomCache.keys.filter { case (sess, k2) =>
-        k2.replaceAll("@\\d+", "") == logical && !(k2 == key && (sess eq s))
+      val staleKeys = bloomCache.collect {
+        case ((sess, k2), (ver, _))
+            if k2 == key && !((sess eq s) && ver == version) => (sess, k2)
       }.toList
-      val detached = staleKeys.flatMap(bloomCache.remove)
-      (bloomCache.get(k), detached)
+      val (own, other) = staleKeys.partition { case (sess, _) => sess eq s }
+      (bloomCache.get(k).map(_._2),
+        own.flatMap(bloomCache.remove).map(_._2),
+        other.flatMap(bloomCache.remove).map(_._2))
     }
-    stale.foreach(b => scala.util.Try(b.destroy()))
+    destroyable.foreach(b => scala.util.Try(b.destroy()))
+    detachOnly.foreach(b => scala.util.Try(b.unpersist(false)))
     existing.getOrElse {
       // build OUTSIDE the monitor (ADVICE r5): the build runs full Spark
       // jobs (count + bloomFilter treeAggregate) and holding the global
@@ -68,8 +81,8 @@ object ScaleOps {
       val fresh = s.sparkContext.broadcast(build)
       val winner = bloomCache.synchronized {
         bloomCache.get(k) match {
-          case Some(w) => Some(w)
-          case None => bloomCache.update(k, fresh); None
+          case Some((_, w)) => Some(w)
+          case None => bloomCache.update(k, (version, fresh)); None
         }
       }
       winner match {
@@ -107,7 +120,7 @@ object ScaleOps {
     // detach under the lock, destroy outside it (blocking destroys must
     // not stall concurrent cachedBloom lookups)
     val detached = bloomCache.synchronized {
-      val vs = bloomCache.values.toList
+      val vs = bloomCache.values.map(_._2).toList
       bloomCache.clear()
       vs
     }
@@ -936,7 +949,7 @@ object ScaleOps {
       // documents scan + shingle UDF + explode + distinct shuffle; one
       // persisted copy through the shared feature memo (fingerprint-
       // keyed like every entry there) serves all three
-      val bench = Similarity.cachedFeature(s, s"decontam_bench:$dir@$fp") {
+      val bench = Similarity.cachedFeature(s, s"decontam_bench:$dir", fp) {
         sh.filter(col("source") === "src0")
           .select(explode(col("sh")).as("shingle")).distinct()
       }
@@ -944,7 +957,7 @@ object ScaleOps {
       // driver action on the small stratum, memoized with the filter):
       // a hardcoded capacity silently degrades the 1% fpp — and with it
       // the entire point of the pre-filter — once the stratum outgrows it
-      val bc = cachedBloom(s, s"decontam:$dir@$fp") {
+      val bc = cachedBloom(s, s"decontam:$dir", fp) {
         val n = math.max(1000L, bench.count())
         bench.stat.bloomFilter("shingle", n, 0.01)
       }

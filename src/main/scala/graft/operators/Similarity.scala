@@ -92,12 +92,23 @@ object Similarity {
     * each run would stack a NEW persisted copy in the cache manager for
     * the session's lifetime. */
   private val featCache =
-    scala.collection.mutable.HashMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), (Long, DataFrame)]
   RunCaches.register("similarity-feature-memo")(() => clearFeatureCache())
   // operators-visible (not just this object): mm_phash_dedup's hash frame
   // has the identical consumed-by-three-branches shape and must share the
-  // one registry clearFeatureCache/Bench resets already manage
-  private[operators] def cachedFeature(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+  // one registry clearFeatureCache/Bench resets already manage.
+  //
+  // `key` is the LOGICAL identity (query family + source dir + any split
+  // suffix); `version` is the source fingerprint (max mtime) as its OWN
+  // field, never embedded in the key string. The r11 shape folded the
+  // version in as `…@<mtime>` and recovered the logical key with a
+  // global `replaceAll("@\\d+", "")` — which also stripped `@<digits>`
+  // occurring inside the dir path itself, collapsing distinct dirs like
+  // `/data/run@1` and `/data/run@2` into one logical key and evicting
+  // each other's live frames (ADVICE r12). A typed field cannot be
+  // confused with path bytes.
+  private[operators] def cachedFeature(s: SparkSession, key: String,
+      version: Long = 0L)(build: => DataFrame): DataFrame =
     // synchronized, not TrieMap.getOrElseUpdate: a concurrent first call
     // there can evaluate build.persist() twice, orphaning a persisted
     // copy that clearFeatureCache never sees
@@ -109,21 +120,19 @@ object Similarity {
       // so the isStopped sweep alone never fires for them: a NEW session
       // re-requesting a key would stack a second persisted copy of the
       // same data while the abandoned session's copy pins the cache
-      // manager forever. One frame per LOGICAL key (the key with its
-      // `@<mtime>` source-version component stripped): another
-      // session's frame for this key, or this session's frame for a
-      // superseded source version, is unpersisted and dropped before
-      // this session builds its own. (Two live sessions alternating
-      // over one key would thrash — re-persist per swap — but never
-      // leak; a single-driver engine has no such pattern.)
-      val logical = key.replaceAll("@\\d+", "")
-      featCache.filterInPlace { case ((sess, k), df) =>
-        val stale = k.replaceAll("@\\d+", "") == logical &&
-          !(k == key && (sess eq s))
+      // manager forever. One frame per logical key: another session's
+      // frame for this key, or this session's frame for a superseded
+      // source version, is unpersisted and dropped before this session
+      // builds its own. (Two live sessions alternating over one key
+      // would thrash — re-persist per swap — but never leak; a
+      // single-driver engine has no such pattern.)
+      featCache.filterInPlace { case ((sess, k), (ver, df)) =>
+        val stale = k == key && !((sess eq s) && ver == version)
         if (stale) scala.util.Try(df.unpersist())
         !stale
       }
-      featCache.getOrElseUpdate((s, key), build.persist(StorageLevel.MEMORY_AND_DISK))
+      featCache.getOrElseUpdate((s, key),
+        (version, build.persist(StorageLevel.MEMORY_AND_DISK)))._2
     }
 
   /** Max mtime of `dir/<file>` — the same dir-or-file rule the index
@@ -153,7 +162,7 @@ object Similarity {
     * stacking, not to flatter the benchmark. Each unpersist is wrapped in
     * Try: one stopped session must not abort clearing the rest. */
   def clearFeatureCache(): Unit = featCache.synchronized {
-    featCache.values.foreach(df => scala.util.Try(df.unpersist()))
+    featCache.values.foreach { case (_, df) => scala.util.Try(df.unpersist()) }
     featCache.clear()
   }
 
@@ -462,7 +471,7 @@ object Similarity {
       Text.tokens(col("text")).as("toks"))
 
   private def minhashFeat(s: SparkSession, dir: String): DataFrame =
-    cachedFeature(s, s"dd_minhash:$dir@${srcVersion(s, dir, "documents.parquet")}") {
+    cachedFeature(s, s"dd_minhash:$dir", srcVersion(s, dir, "documents.parquet")) {
       minhashFeatOf(T(s, dir).documents)
     }
 
@@ -678,7 +687,7 @@ object Similarity {
     // ONE kernel pass over documents, persisted: the banded branch and
     // both sides of the hamming verify read the narrow (doc_id, simhash)
     // cache instead of re-running the kernel per plan branch
-    (s, dir) => simhashDedupOf(cachedFeature(s, s"dd_simhash:$dir@${srcVersion(s, dir, "documents.parquet")}") {
+    (s, dir) => simhashDedupOf(cachedFeature(s, s"dd_simhash:$dir", srcVersion(s, dir, "documents.parquet")) {
       simhashFeatOf(T(s, dir).documents)
     }),
     oracle = None)
@@ -756,7 +765,7 @@ object Similarity {
     "dd_embedding",
     // ONE pass over embeddings: LSH bands + norm per vector, persisted
     // for the banding branch and both exact-verify join sides
-    (s, dir) => embDedupOf(cachedFeature(s, s"dd_embedding:$dir@${srcVersion(s, dir, "embeddings.parquet")}") {
+    (s, dir) => embDedupOf(cachedFeature(s, s"dd_embedding:$dir", srcVersion(s, dir, "embeddings.parquet")) {
       embFeatOf(T(s, dir).embeddings)
     }),
     oracle = None)
@@ -1149,7 +1158,7 @@ object Similarity {
     // full-corpus cache: ingest reads the corpus slice once, and the
     // cache serves the build's two write branches
     writeIncrIndex(s, indexPath, shards, mhFamily,
-      cachedFeature(s, s"dd_minhash_incr:$dir@${srcVersion(s, dir, "documents.parquet")}:corpus$split") {
+      cachedFeature(s, s"dd_minhash_incr:$dir:corpus$split", srcVersion(s, dir, "documents.parquet")) {
         minhashFeatOf(T(s, dir).documents.filter(col("doc_id") < lit(split)))
       })
 
@@ -1179,7 +1188,7 @@ object Similarity {
     // the increment rows and the index files. Cached: the frame feeds
     // banding, the verify side and the candidate-shard collect
     probeIncrIndex(s, indexPath, split, shards, mhFamily,
-      cachedFeature(s, s"dd_minhash_incr:$dir@${srcVersion(s, dir, "documents.parquet")}:incr$split") {
+      cachedFeature(s, s"dd_minhash_incr:$dir:incr$split", srcVersion(s, dir, "documents.parquet")) {
         minhashFeatOf(T(s, dir).documents.filter(col("doc_id") >= lit(split)))
       })
 
@@ -1541,7 +1550,7 @@ object Similarity {
   def writeSimhashIndex(s: SparkSession, dir: String, indexPath: String,
       split: Long, shards: Int = minhashIndexShards): Unit =
     writeIncrIndex(s, indexPath, shards, shFamily,
-      cachedFeature(s, s"dd_simhash_incr:$dir@${srcVersion(s, dir, "documents.parquet")}:corpus$split") {
+      cachedFeature(s, s"dd_simhash_incr:$dir:corpus$split", srcVersion(s, dir, "documents.parquet")) {
         simhashFeatOf(T(s, dir).documents.filter(col("doc_id") < lit(split)))
       })
 
@@ -1560,7 +1569,7 @@ object Similarity {
   def probeSimhashIndex(s: SparkSession, dir: String, indexPath: String,
       split: Long, shards: Int = minhashIndexShards): DataFrame =
     probeIncrIndex(s, indexPath, split, shards, shFamily,
-      cachedFeature(s, s"dd_simhash_incr:$dir@${srcVersion(s, dir, "documents.parquet")}:incr$split") {
+      cachedFeature(s, s"dd_simhash_incr:$dir:incr$split", srcVersion(s, dir, "documents.parquet")) {
         simhashFeatOf(T(s, dir).documents.filter(col("doc_id") >= lit(split)))
       })
 
@@ -1612,7 +1621,7 @@ object Similarity {
   def writeEmbeddingIndex(s: SparkSession, dir: String, indexPath: String,
       split: Long, shards: Int = minhashIndexShards): Unit =
     writeIncrIndex(s, indexPath, shards, embFamily,
-      cachedFeature(s, s"dd_embedding_incr:$dir@${srcVersion(s, dir, "embeddings.parquet")}:corpus$split") {
+      cachedFeature(s, s"dd_embedding_incr:$dir:corpus$split", srcVersion(s, dir, "embeddings.parquet")) {
         embFeatOf(T(s, dir).embeddings.filter(col("vec_id") < lit(split)))
       })
 
@@ -1627,7 +1636,7 @@ object Similarity {
   def probeEmbeddingIndex(s: SparkSession, dir: String, indexPath: String,
       split: Long, shards: Int = minhashIndexShards): DataFrame =
     probeIncrIndex(s, indexPath, split, shards, embFamily,
-      cachedFeature(s, s"dd_embedding_incr:$dir@${srcVersion(s, dir, "embeddings.parquet")}:incr$split") {
+      cachedFeature(s, s"dd_embedding_incr:$dir:incr$split", srcVersion(s, dir, "embeddings.parquet")) {
         embFeatOf(T(s, dir).embeddings.filter(col("vec_id") >= lit(split)))
       })
 

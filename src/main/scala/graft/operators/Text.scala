@@ -104,8 +104,7 @@ object Text {
       // DataFrame branches) — the same one-scan rationale as
       // Similarity.minhashFeat, via the same mtime-keyed memo. Shared
       // with dd_jaccard, which reads the toks column of this frame.
-      val d = Similarity.cachedFeature(s,
-        s"txt_pairs:$dir@${Similarity.srcVersion(s, dir, "documents.parquet")}") {
+      val d = Similarity.cachedFeature(s, s"txt_pairs:$dir", Similarity.srcVersion(s, dir, "documents.parquet")) {
         T(s, dir).documents.select(
           col("doc_id"), tokens(col("text")).as("toks"),
           length(col("text")).cast("long").as("len"))
@@ -146,8 +145,7 @@ object Text {
     (s, dir) => {
       // one corpus scan for both join branches (see a12's rationale) —
       // same cache key as a12: the frames are identical
-      val d = Similarity.cachedFeature(s,
-        s"txt_pairs:$dir@${Similarity.srcVersion(s, dir, "documents.parquet")}") {
+      val d = Similarity.cachedFeature(s, s"txt_pairs:$dir", Similarity.srcVersion(s, dir, "documents.parquet")) {
         T(s, dir).documents.select(
           col("doc_id"), tokens(col("text")).as("toks"),
           length(col("text")).cast("long").as("len"))
@@ -219,8 +217,7 @@ object Text {
     (s, dir) => {
       // the shingles3 kernel is the expensive per-row step here — run
       // it once, not once per join branch (see a12's rationale)
-      val d = Similarity.cachedFeature(s,
-        s"txt_shingles:$dir@${Similarity.srcVersion(s, dir, "documents.parquet")}") {
+      val d = Similarity.cachedFeature(s, s"txt_shingles:$dir", Similarity.srcVersion(s, dir, "documents.parquet")) {
         T(s, dir).documents
           .select(col("doc_id"), shingles3(col("text")).as("sh"))
           .filter(col("sh").isNotNull)
@@ -366,7 +363,7 @@ object Text {
   val txtFingerprintRolling = QueryDef(
     "txt_fingerprint_rolling",
     (s, dir) => {
-      val f = graft.functions.Udfs.specHashBase36(s)
+      val f = graft.functions.Udfs.specHashBase36
       T(s, dir).documents
         .select(col("doc_id"), f(col("text")).as("spec_hash"))
         .orderBy(col("doc_id"))

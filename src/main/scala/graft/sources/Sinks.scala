@@ -51,7 +51,10 @@ object Sinks {
     * live tail. */
   def idempotentFanoutBatch(batch: DataFrame, path: String, key: String,
       batchId: Long): Unit = {
-    require(!batch.columns.contains("__batch"),
+    // any-case guard: withColumn resolves case-insensitively under the
+    // default spark.sql.caseSensitive=false, so a caller's `__Batch`
+    // would silently be replaced by the batch id without this
+    require(!batch.columns.exists(_.equalsIgnoreCase("__batch")),
       "idempotentFanoutBatch: the batch already has a __batch column — " +
         "it is this sink's replay-identity partition; rename the data column")
     // Batch-id HIGH-WATER MARK guard. The overwrite that makes replays

@@ -139,6 +139,29 @@ class BN254Spec extends AnyFunSuite {
     assert(!groth16Verify(vk, proof.copy(a = G1.infinity), pubIn))
     assert(!groth16Verify(vk, proof.copy(a = G1(BigInt(1), BigInt(3))), pubIn),
       "off-curve A")
+    // non-canonical (congruent mod q but unreduced) coordinates return
+    // false instead of throwing: the group law's exact-equality doubling
+    // detection would otherwise hit a zero slope inversion when an
+    // unreduced copy of a point meets its reduced twin (ADVICE r13)
+    assert(!groth16Verify(vk, proof.copy(a = G1(proof.a.x + Q, proof.a.y)), pubIn),
+      "unreduced A.x must reject, not crash")
+    assert(!groth16Verify(vk, proof.copy(a = G1(proof.a.x, proof.a.y - Q)), pubIn),
+      "negative A.y must reject, not crash")
+    assert(!groth16Verify(
+      vk, proof.copy(b = G2(Fp2(proof.b.x.a + Q, proof.b.x.b), proof.b.y)), pubIn),
+      "unreduced B must reject, not crash")
+    // the split validation halves agree with the monolithic predicate
+    assert(vkValid(vk))
+    assert(!vkValid(vk.copy(beta = G2(Fp2(vk.beta.x.a + Q, vk.beta.x.b), vk.beta.y))),
+      "unreduced vk coordinate fails the one-time check")
+    assert(groth16VerifyTrustedVk(vk, proof, pubIn))
+    assert(!groth16VerifyTrustedVk(vk, proof.copy(a = proof.a + G1.gen), pubIn))
+    // the encode side keeps its throw-on-misuse contract even for
+    // negative coordinates, which two's-complement byte encoding would
+    // otherwise silently mint as a wrong-but-well-formed blob
+    intercept[IllegalArgumentException] {
+      encodeProofBytes(proof.copy(c = G1(BigInt(-1), proof.c.y)))
+    }
   }
 
   /** Fp2 square root for q ≡ 3 (mod 4) (the "complex" method): for

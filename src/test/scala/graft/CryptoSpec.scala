@@ -81,8 +81,40 @@ class CryptoSpec extends SparkSpec {
     val root = Merkle.rootLocal(leaves, 8)
     for (idx <- Seq(0, 1, 17, 36)) {
       val (sibs, bits) = Merkle.proof(leaves, idx, 8)
-      assert(Merkle.verify(leaves(idx), sibs, bits, root), s"idx=$idx")
-      assert(!Merkle.verify(leaves(idx) + 1, sibs, bits, root))
+      assert(Merkle.verify(leaves(idx), sibs, bits, root, 8), s"idx=$idx")
+      assert(!Merkle.verify(leaves(idx) + 1, sibs, bits, root, 8))
+    }
+    // shortened-proof forgeries are refused by the depth pin (ADVICE r13
+    // functions sweep): the empty proof must not verify the root as its
+    // own leaf, and an internal node must not pass with a short path
+    assert(!Merkle.verify(root, Nil, Nil, root, 8))
+    val (s0, b0) = Merkle.proof(leaves, 0, 8)
+    assert(!Merkle.verify(leaves(0), s0.tail, b0.tail, root, 8))
+  }
+
+  test("overfull trees and out-of-range leaf indices are refused, not truncated") {
+    // rootLocal with > 2^depth leaves used to silently return the root
+    // of only the leftmost full subtree; now it refuses like the
+    // reference's addLeaf (merkle.ts:118-120) and Incremental.append
+    val five = (1 to 5).map(BigInt(_))
+    intercept[IllegalArgumentException](Merkle.rootLocal(five, 2))
+    intercept[IllegalArgumentException](Merkle.proof(five, 0, 2))
+    assert(Merkle.rootLocal(five, 3) === Merkle.rootLocal(five, 3)) // 2^3 fits
+    // distributed path: a corrupt huge/negative leaf_index must fail the
+    // job loudly — the huge one would otherwise size a driver Vector by
+    // the index (OOM); the negative one would displace leaf 0 silently
+    import spark.implicits._
+    for (badIdx <- Seq(1L << 40, -3L)) {
+      val df = (Seq((0L, Poseidon.toBytes32(BigInt(7)))) :+
+        (badIdx, Poseidon.toBytes32(BigInt(9))))
+        .toDF("leaf_index", "leaf")
+      val e = intercept[Exception](
+        Merkle.rootDistributed(spark, df, depth = 12, blockDepth = 6))
+      def all(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: all(t.getCause)
+      assert(all(e).exists(_.getMessage != null) &&
+        all(e).flatMap(t => Option(t.getMessage)).mkString
+          .contains("leaf_index"), s"badIdx=$badIdx: $e")
     }
   }
   test("depth-20 distributed proof generation: proofs bit-identical to the local path, block-bounded driver fold") {
@@ -103,7 +135,7 @@ class CryptoSpec extends SparkSpec {
     assert(proofs.keySet === targets.filter(_ < n).toSet) // absent leaf → no proof
     for (t <- targets.filter(_ < n)) {
       val (sibs, bits) = proofs(t)
-      assert(Merkle.verify(leaves(t.toInt), sibs, bits, root), s"t=$t")
+      assert(Merkle.verify(leaves(t.toInt), sibs, bits, root, 20), s"t=$t")
       val (lSibs, lBits) = Merkle.proof(leaves, t.toInt, 20)
       assert(sibs === lSibs && bits === lBits, s"t=$t distributed != local path")
     }

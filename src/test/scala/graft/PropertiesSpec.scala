@@ -353,6 +353,29 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("TopKAggregator drops NaN candidates in any arrival order (ADVICE r13 functions sweep)") {
+    import graft.functions.{Scored, TopKAggregator, TopKBuf}
+    implicit val bufEnc = org.apache.spark.sql.Encoders.product[TopKBuf[Long]]
+    val agg = new TopKAggregator[Long](3)
+    val real = Seq(5.0, 9.0, 1.0, 7.0, 3.0).zipWithIndex
+      .map { case (s, i) => Scored(s, i.toLong, i.toLong) }
+    val model = real.sortBy(x => (-x.score, x.id)).take(3)
+    val nan = Scored(Double.NaN, 99L, 99L)
+    // NaN first into an empty buffer (the old bug: it landed at index 0,
+    // could never be displaced, and once full blocked every real row),
+    // NaN mid-stream, and NaN into a full buffer — all must be no-ops
+    assert(real.foldLeft(agg.reduce(agg.zero, nan))(agg.reduce).items === model)
+    assert((real.take(2) ++ Seq(nan) ++ real.drop(2))
+      .foldLeft(agg.zero)(agg.reduce).items === model)
+    assert(agg.reduce(real.foldLeft(agg.zero)(agg.reduce), nan).items === model)
+    // merge path too: a buffer that never saw NaN merges clean
+    val halves = Seq(real.take(2) :+ nan, nan +: real.drop(2))
+      .map(_.foldLeft(agg.zero)(agg.reduce))
+    assert(halves.foldLeft(agg.zero)(agg.merge).items === model)
+    // misuse guard: non-positive k fails at construction, not mid-query
+    intercept[IllegalArgumentException](new TopKAggregator[Long](0))
+  }
+
   test("sf1 synthesis: 10x facts with preserved join fan-out, fixed dims, multi-file layout") {
     // the bench scale tier is measurement infrastructure — if key-offset
     // replication broke FK pairing, the sf1 join ratios would measure a

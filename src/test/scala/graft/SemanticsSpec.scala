@@ -694,4 +694,35 @@ class SemanticsSpec extends SparkSpec {
         Seq(Tuple1(a)).toDF("text").select(lower($"text")).head().getString(0))
     } finally java.util.Locale.setDefault(prev)
   }
+
+  test("JSON integer extraction folds overflow/non-integral tokens to null, not a crash (ADVICE r12)") {
+    val rows = Seq(
+      """{"k": 7}""",                    // in-range
+      """{"k": 9223372036854775807}""",  // Long.Max — 19 digits, still valid
+      """{"k": 99999999999999999999}""", // 20 digits — out of Long range
+      """{"k": 1.9}""",                  // non-integral
+      """{"k": "7"}""")                  // JSON string, not a number
+      .toDF("props")
+    // f_json_struct shape: permissive from_json NULLS the overflow row
+    // (this is the exact behavior the oracle's TRY_CAST now mirrors —
+    // a plain CAST there would error the whole oracle query instead)
+    val structed = rows
+      .withColumn("j", from_json($"props", lit("struct<k: bigint>")))
+      .select(coalesce($"j.k", lit(-1L)).as("k_or_default"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(structed === Seq(7L, Long.MaxValue, -1L, -1L, -1L))
+    // f_json_extract / f_json_scan shape: the 18-digit-bounded shape
+    // guard rejects the overflow token BEFORE the ANSI cast can throw;
+    // the oracle carries the identical bound so both sides agree. The
+    // JSON string "7" extracts as 7: get_json_object UNQUOTES string
+    // values exactly as DuckDB's json_extract_string does — the typed
+    // from_json path above rejects it, and both differences are
+    // oracle-mirrored per query.
+    val extracted = rows
+      .withColumn("k_str", get_json_object($"props", "$.k"))
+      .select(when($"k_str".rlike("^-?[0-9]{1,18}$"),
+        $"k_str".cast("long")).as("k"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(extracted === Seq(Some(7L), None, None, None, Some(7L)))
+  }
 }

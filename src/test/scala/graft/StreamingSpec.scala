@@ -124,6 +124,14 @@ class StreamingSpec extends SparkSpec {
         Seq((9L, "alpha", 0L)).toDF("event_id", "room", "__batch"),
         path, "room", batchId = 2L)
     }
+    // …and ANY-CASE: withColumn resolves case-insensitively under the
+    // default caseSensitive=false, so `__Batch` would be silently
+    // replaced by the batch id if the guard were exact-case (ADVICE r12)
+    intercept[IllegalArgumentException] {
+      Sinks.idempotentFanoutBatch(
+        Seq((9L, "alpha", 0L)).toDF("event_id", "room", "__Batch"),
+        path, "room", batchId = 2L)
+    }
     // mark hygiene: the per-batch mark files prune to the newest two
     // (a long-lived stream must not accumulate one tiny file per batch)
     val marks = new java.io.File(s"$path/_graft_fanout_marks")

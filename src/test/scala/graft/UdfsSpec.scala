@@ -43,6 +43,16 @@ class UdfsSpec extends AnyFunSuite {
     }
   }
 
+  test("base58 decode nulls on invalid characters instead of failing the row") {
+    // '0', 'O', 'I', 'l' are excluded from the Bitcoin alphabet; dirty
+    // pubkey columns are normal input, so the decode must follow the
+    // jsonScan null-on-bad-input contract, not throw mid-stage
+    for (bad <- Seq("0", "O", "I", "l", "abcO123", "ключ", "a b"))
+      assert(Udfs.base58Decode(bad) === null, s"'$bad' must decode to null")
+    assert(Udfs.base58Decode(null) === null)
+    assert(Udfs.base58Decode("").toSeq === Seq.empty) // empty is valid: zero bytes
+  }
+
   test("jsonValid accepts/rejects the RFC-8259 boundary vectors") {
     val valid = Seq(
       """{}""", """[]""", """{"k": 69}""", """{"a":{"b":[1,2,{"c":null}]}}""",
