@@ -27,7 +27,13 @@ final case class Tables(spark: SparkSession, dir: String) {
     * layout (Postgres via prisma/schema.prisma:10-171) — with zero query
     * changes, since every operator reads through this facade. Predicate
     * and column pushdown reach the database (JDBC scan prints
-    * PushedFilters like the parquet one). For a big table set the
+    * PushedFilters like the parquet one) — for predicates over RAW
+    * columns; filters over the DERIVED [[events]] columns (`ts_ms`,
+    * `event_time` — expressions over `ts`) are not translatable and
+    * evaluate Spark-side after the scan, so a time-bounded query
+    * against a relational events store streams the full table unless
+    * the store exposes an indexed raw column to filter on. For a big
+    * table set the
     * partitioned-read envs (SPARK_GRAFT_JDBC_PARTTABLE names the table;
     * PARTCOL/LOWER/UPPER/NUM describe its split column) so that scan
     * parallelizes across executors instead of streaming through one
@@ -40,14 +46,27 @@ final case class Tables(spark: SparkSession, dir: String) {
       val r = spark.read.format("jdbc")
         .option("url", dir)
         .option("dbtable", name)
-      val part = for {
-        t <- sys.env.get("SPARK_GRAFT_JDBC_PARTTABLE") if t == name
-        c <- sys.env.get("SPARK_GRAFT_JDBC_PARTCOL")
-        lo <- sys.env.get("SPARK_GRAFT_JDBC_LOWER")
-        hi <- sys.env.get("SPARK_GRAFT_JDBC_UPPER")
-        n <- sys.env.get("SPARK_GRAFT_JDBC_NUM")
-      } yield r.option("partitionColumn", c).option("lowerBound", lo)
-        .option("upperBound", hi).option("numPartitions", n)
+      val part = sys.env.get("SPARK_GRAFT_JDBC_PARTTABLE").filter(_ == name)
+        .map { _ =>
+          // all-or-nothing: a HALF-specified partition spec (PARTTABLE
+          // set but one of COL/LOWER/UPPER/NUM missing or typoed) must
+          // fail here, not silently fall back to a single-split scan —
+          // at the 100 TB posture that fallback is an undiagnosed
+          // one-connection stall, the exact failure mode the spec exists
+          // to prevent (r13 sweep)
+          val vals = Seq("PARTCOL", "LOWER", "UPPER", "NUM").map { k =>
+            val full = s"SPARK_GRAFT_JDBC_$k"
+            full -> sys.env.get(full)
+          }
+          val missing = vals.collect { case (k, None) => k }
+          require(missing.isEmpty,
+            s"SPARK_GRAFT_JDBC_PARTTABLE=$name is set but ${missing.mkString(", ")} " +
+              "missing — a partitioned JDBC read needs all of PARTCOL/LOWER/UPPER/NUM " +
+              "(a silent single-split fallback would stream the whole table through one connection)")
+          val Seq(c, lo, hi, n) = vals.map(_._2.get)
+          r.option("partitionColumn", c).option("lowerBound", lo)
+            .option("upperBound", hi).option("numPartitions", n)
+        }
       part.getOrElse(r).load()
     } else spark.read.parquet(s"$dir/$name.parquet")
 
@@ -102,7 +121,12 @@ object Tables {
     * participates), reproducing the UTC interpretation under any session
     * timezone. Any other type is an explicit error: silently treating an
     * epoch-MILLIS bigint as nanos would corrupt every windowed result by
-    * 10^6, which is worse than failing. */
+    * 10^6, which is worse than failing. Nanos overflow (instants past
+    * 2262-04-11, e.g. a 9999-12-31 sentinel) fails LOUDLY at read time:
+    * the sessions run ANSI mode (Spark 4 default, never overridden
+    * here), where the ×1000 long multiply throws ARITHMETIC_OVERFLOW
+    * instead of wrapping — verified empirically; keep ANSI on or this
+    * becomes silent corruption. */
   private[graft] def tsAsNanos(
       dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
     dt match {

@@ -247,7 +247,7 @@ object Governance {
     * | volume_in_window u64 | window_start u64 | rapid_reversals u8
     * | is_flagged bool | bump u8 — after the 8-byte discriminator.
     * This is the per-owner anti-wash-trade state the reference's hook
-    * maintains on-chain; [[StreamingTwins.rapidReversal]] recomputes it
+    * maintains on-chain; [[StreamingTwins.st12RapidReversal]] recomputes it
     * from raw transfer events. */
   def transferStateFields(rec: String): Seq[Column] = Seq(
     length(col(rec)).cast("long").as("rec_len"), // pinned 78

@@ -65,9 +65,12 @@ object StreamingTwins {
     headline = true)
 
   /** ST2 commit-reveal session result (swarm-types.ts:104-136): per key,
-    * commit phase counts `view` events, reveal phase takes the max-value
-    * `purchase` as the winning bid (argmax, ties → lowest event_id —
-    * the running-max semantics of swarm-types.ts:118-119). */
+    * commit phase counts `view` events; `winning_bid` is the max reveal
+    * (`purchase`) value and `first_reveal_event` the lowest reveal
+    * event_id — two INDEPENDENT aggregates, not an argmax (the id is the
+    * first reveal, not the winning reveal's; oracle and the streaming
+    * CommitRevealState implement the same pair). The argmax-with-tiebreak
+    * form lives in ST2b ([[st2DeadlineWinner]]'s `winner_event`). */
   val st2CommitReveal = QueryDef(
     "st2_commit_reveal",
     (s, dir) => T(s, dir).events
@@ -118,8 +121,13 @@ object StreamingTwins {
         count_if(col("phase") === lit("rejected")).as("n_rejected"),
         max(when(col("phase") === lit("reveal"), col("value"))).as("winning_bid"),
         // winner = lexicographic min over (-bid, event_id): highest bid,
-        // ties to the earliest event — null (non-reveal) rows skipped
-        min(when(col("phase") === lit("reveal"),
+        // ties to the earliest event — null (non-reveal) rows skipped.
+        // The null-BID guard matters separately from the phase guard: a
+        // reveal row with NULL value would produce a non-null struct
+        // whose null nv field sorts FIRST in Spark's struct min (DuckDB
+        // sorts it last), electing the null bid as winner and diverging
+        // from winning_bid's MAX(value), which skips nulls (r13 sweep)
+        min(when(col("phase") === lit("reveal") && col("value").isNotNull,
           struct((-col("value")).as("nv"), col("event_id").as("eid"))))
           .as("ws"))
       .withColumn("winner_event", col("ws.eid")).drop("ws")
@@ -141,7 +149,7 @@ object StreamingTwins {
         COUNT(*) FILTER (WHERE phase = 'rejected') AS n_rejected,
         MAX(value) FILTER (WHERE phase = 'reveal') AS winning_bid,
         (MIN(struct_pack(nv := -value, eid := event_id))
-          FILTER (WHERE phase = 'reveal')).eid AS winner_event,
+          FILTER (WHERE phase = 'reveal' AND value IS NOT NULL)).eid AS winner_event,
         COUNT(*) FILTER (WHERE phase = 'reveal') > 0 AS revealed
       FROM p GROUP BY user_id, window_hour
       ORDER BY user_id, window_hour"""))
@@ -375,7 +383,11 @@ object StreamingTwins {
         SELECT *,
           COALESCE(prev_out AND NOT outbound
                    AND ts_ms - prev_ts <= 300000, FALSE) AS is_reversal,
-          ts_ms - ts_ms % 3600000 AS window_start_ms
+          -- floor-mod, NOT bare %: DuckDB % truncates toward zero while
+          -- the Spark side uses pmod (floor semantics, matching the
+          -- streaming twin's Math.floorMod), so a pre-1970 ts_ms would
+          -- land in a different window under bare % (r13 sweep)
+          ts_ms - ((ts_ms % 3600000 + 3600000) % 3600000) AS window_start_ms
         FROM l),
       a AS (
         SELECT *,

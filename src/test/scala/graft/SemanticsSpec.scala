@@ -725,4 +725,22 @@ class SemanticsSpec extends SparkSpec {
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
     assert(extracted === Seq(Some(7L), None, None, None, Some(7L)))
   }
+
+  test("ST2b winner argmax must skip NULL bids: Spark's struct min sorts a null field FIRST") {
+    val df = Seq((Option(5.0), 10L), (Option.empty[Double], 7L), (Option(9.0), 20L))
+      .toDF("value", "event_id")
+    // precondition: the UNguarded struct-min elects the null-bid row
+    // (null nv sorts first in Spark; DuckDB sorts it last — the exact
+    // cross-engine divergence the isNotNull guard closes, r13 sweep)
+    val unguarded = df
+      .agg(min(struct((-$"value").as("nv"), $"event_id".as("eid"))).as("ws"))
+      .select($"ws.eid").head().getLong(0)
+    assert(unguarded === 7L, "precondition gone: struct-min null ordering changed")
+    // the shipped guarded form picks the real max bid, ties to low id
+    val guarded = df
+      .agg(min(when($"value".isNotNull,
+        struct((-$"value").as("nv"), $"event_id".as("eid")))).as("ws"))
+      .select($"ws.eid").head().getLong(0)
+    assert(guarded === 20L)
+  }
 }
