@@ -162,7 +162,17 @@ object Bench {
       try {
         val qe = q.run(spark, dir).queryExecution
         qe.toRdd.count()
-        Thread.sleep(500) // listener bus is async; let stage events drain
+        // listener bus is async; poll until the stage list stops growing
+        // (bounded at 5 s). A fixed 500 ms could truncate the evidence
+        // exactly when it matters — this dump fires during loaded
+        // windows, when the bus drains slowest (r13 sweep).
+        var seen = -1
+        var waited = 0
+        while (stages.size() != seen && waited < 5000) {
+          seen = stages.size()
+          Thread.sleep(500)
+          waited += 500
+        }
         System.err.println(s"[bench] $tag ${q.name} $why;$samplesNote stage times:\n" +
           stages.toArray.mkString("\n") + s"\n[bench] $tag ${q.name} final plan:\n" +
           qe.executedPlan.toString.linesIterator.take(40).mkString("\n"))
@@ -247,11 +257,17 @@ object Bench {
     * Package-private so the spec pins both shapes against the loader. */
   private[graft] def recordLines(total: Double, qs: String, qSamples: String,
       sfDir: String, sf1Full: String, sf1Summary: String,
-      sf01Extra: String = ""): (String, String) = (
+      sf01Extra: String = ""): (String, String) = {
+    // sfDir is the one free-text string in these driver-parsed lines —
+    // escape it (shared rule with oracle_sql.json) so a quote or
+    // backslash in the path can't invalidate the round's record and
+    // silently walk the loader back to an older one (r13 sweep)
+    val sfJ = Verify.jsonStr(sfDir)
+    (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_samples":$qSamples,"sf":$sfJ$sf01Extra$sf1Full}""",
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_samples":$qSamples,"sf":"$sfDir"$sf01Extra$sf1Full}""",
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir"$sf1Summary,"summary":true}""")
+      s""""sf":$sfJ$sf1Summary,"summary":true}""")
+  }
 
   /** `,"<field>":{"name":prelimMin,…}` (or "" when no query re-measured)
     * — the transparency record for an adaptive re-measure pass. Min over
@@ -283,12 +299,19 @@ object Bench {
     // must invalidate a cached tier built by an older generator
     val marker = new java.io.File(s"$outDir/_GRAFT_SF1_READY_v3")
     // staleness guard: regenerate when the source tier is newer than the
-    // cached marker (driver may regenerate test data between rounds)
-    val srcMtime = {
-      val d = new java.io.File(s"$sf01Dir/lineitem.parquet")
-      if (d.isDirectory) (d.lastModified +: d.listFiles().map(_.lastModified).toSeq).max
+    // cached marker (driver may regenerate test data between rounds).
+    // Max over EVERY replicated source table, not just lineitem: the
+    // driver has regenerated single tables before (events.ts encoding in
+    // r9), and a lineitem-only key would keep serving a 10× copy of the
+    // OLD table for the others — sf1 ratios computed over mismatched
+    // tiers with no error (r13 sweep).
+    val srcMtime = Seq("lineitem", "orders", "customer", "events",
+      "documents", "embeddings").map { t =>
+      val d = new java.io.File(s"$sf01Dir/$t.parquet")
+      if (d.isDirectory)
+        (d.lastModified +: d.listFiles().map(_.lastModified).toSeq).max
       else d.lastModified
-    }
+    }.max
     if (marker.exists() && marker.lastModified() >= srcMtime) return
     marker.delete()
     val t = Tables(spark, sf01Dir)
@@ -553,7 +576,7 @@ object Bench {
         val t1 = r1.map(_._2).filter(_ >= 0).sum
         // per-query scaling ratio vs the sf0.1 min (10× data →
         // ≤ ~12× time for a linear plan; fixed costs favor lower)
-        val sf01 = results.toMap
+        val sf01 = sf01Min
         val ratioVals = r1.map { case (k, v) =>
           val base = sf01.getOrElse(k, -1.0)
           k -> (if (v >= 0 && base > 0) math.round(v / base * 100) / 100.0 else -1.0)
