@@ -411,7 +411,11 @@ object Relational {
   val a3EpochAgg = QueryDef(
     "a3_epoch_agg",
     (s, dir) => T(s, dir).events
-      .withColumn("epoch_day", expr("ts div 86400000000000"))
+      // FLOOR bucketing (pmod), matching the reference's
+      // floor(unix_ms/86400000) and the live epochAgg's window() starts
+      // — bare div truncates toward zero on pre-1970 rows (r13 sweep)
+      .withColumn("epoch_day",
+        expr("(ts - pmod(ts, 86400000000000)) div 86400000000000"))
       .groupBy(col("epoch_day"))
       .agg(
         count(lit(1)).as("total_signals"),
@@ -422,7 +426,8 @@ object Relational {
         max(col("ts_ms")).as("last_updated_ms"))
       .orderBy(col("epoch_day")),
     oracle = Some("""
-      SELECT epoch_ms(ts) // 86400000 AS epoch_day,
+      SELECT (epoch_ms(ts) - ((epoch_ms(ts) % 86400000 + 86400000) % 86400000))
+               // 86400000 AS epoch_day,
         COUNT(*) AS total_signals,
         COUNT(*) FILTER (WHERE event_type = 'purchase') AS long_count,
         COUNT(*) FILTER (WHERE event_type = 'error') AS short_count,

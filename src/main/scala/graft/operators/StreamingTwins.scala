@@ -30,8 +30,14 @@ object StreamingTwins {
     "st1_deadline_tally",
     (s, dir) => T(s, dir).events
       .filter(col("event_type").isin("purchase", "error"))
-      .withColumn("window_hour", expr("ts_ms div 3600000"))
-      .withColumn("late", expr("(ts_ms % 3600000) >= 2700000"))
+      // FLOOR bucketing (pmod), not truncation: the live twin derives
+      // window_hour from window() starts, which are floor-aligned, and
+      // the reference rule is floor(unix_ms / …) — bare div would put a
+      // pre-1970 event in a different (and off-by-one) bucket than the
+      // stream reports for the same row (r13 sweep)
+      .withColumn("window_hour",
+        expr("(ts_ms - pmod(ts_ms, 3600000)) div 3600000"))
+      .withColumn("late", expr("pmod(ts_ms, 3600000) >= 2700000"))
       .groupBy(col("window_hour"))
       .agg(
         count_if(!col("late") && col("event_type") === lit("purchase")).as("votes_for"),
@@ -45,8 +51,13 @@ object StreamingTwins {
       .orderBy(col("window_hour")),
     oracle = Some("""
       WITH v AS (
-        SELECT epoch_ms(ts) // 3600000 AS window_hour,
-          epoch_ms(ts) % 3600000 >= 2700000 AS late, event_type
+        -- floor-mod forms: DuckDB // and % truncate toward zero, so the
+        -- bare operators would diverge from the Spark side's pmod floor
+        -- bucketing on pre-1970 rows
+        SELECT (epoch_ms(ts) - ((epoch_ms(ts) % 3600000 + 3600000) % 3600000))
+                 // 3600000 AS window_hour,
+          ((epoch_ms(ts) % 3600000 + 3600000) % 3600000) >= 2700000 AS late,
+          event_type
         FROM events WHERE event_type IN ('purchase','error')),
       t AS (
         SELECT window_hour,
@@ -245,7 +256,10 @@ object StreamingTwins {
     "st9_daily_limit",
     (s, dir) => T(s, dir).events
       .filter(col("event_type") === lit("purchase"))
-      .withColumn("epoch_day", expr("ts div 86400000000000"))
+      // floor bucketing on the nanos column — same rule as st1's
+      // window_hour (the live dailyLimit buckets by window() starts)
+      .withColumn("epoch_day",
+        expr("(ts - pmod(ts, 86400000000000)) div 86400000000000"))
       .withColumn("cents", round(col("value") * lit(100), 0).cast("long"))
       .groupBy(col("user_id"), col("epoch_day"))
       .agg(sum(col("cents")).as("spend_c"), count(lit(1)).as("n_draws"))
@@ -253,7 +267,9 @@ object StreamingTwins {
       .withColumn("over_limit", col("spend_c") > lit(50000L))
       .orderBy(col("user_id"), col("epoch_day")),
     oracle = Some("""
-      SELECT user_id, epoch_ms(ts) // 86400000 AS epoch_day,
+      SELECT user_id,
+        (epoch_ms(ts) - ((epoch_ms(ts) % 86400000 + 86400000) % 86400000))
+          // 86400000 AS epoch_day,
         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS spend_c,
         COUNT(*) AS n_draws,
         CAST(LEAST(100, (SUM(CAST(ROUND(value * 100) AS BIGINT)) * 100) // 50000) AS BIGINT) AS spend_pct,

@@ -5,20 +5,30 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Typed event row for the stateful streaming operators. Mirrors the
-  * `events` table (ts in epoch-millis for exact integer window math). */
+  * `events` table (ts in epoch-millis for exact integer window math).
+  * `value` is an Option: the column is nullable in every store tier, and
+  * a non-nullable Double here would KILL the whole streaming query on
+  * one null-value row ("Null value appeared in non-nullable field")
+  * while the oracle-checked batch twins compute over that row — counting
+  * it, skipping only its value in MAX/SUM (r13 sweep). */
 final case class Ev(
     event_id: Long,
     user_id: Long,
     event_type: String,
-    value: Double,
+    value: Option[Double],
     ts_ms: Long)
 
 /** Commit-reveal session state (ST2): commit phase counts, reveal phase
   * running argmax — the incremental maintenance the reference does
-  * on-chain per event (swarm-types.ts:104-136). */
+  * on-chain per event (swarm-types.ts:104-136). `nBids` counts reveals
+  * that carried a non-null bid: the batch twin's MAX(value) skips nulls
+  * while COUNT counts them, so "has any reveal" and "has any bid" are
+  * distinct facts and the winningBid sentinel alone cannot encode the
+  * all-null-bids session. */
 final case class CommitRevealState(
     nCommits: Long,
     nReveals: Long,
+    nBids: Long,
     winningBid: Double,
     firstRevealEvent: Long)
 
@@ -31,11 +41,19 @@ final case class CommitRevealResult(
     has_winner: Boolean)
 
 /** Dual-deadline commit-reveal session state (ST2b): bounded per-key —
-  * five scalars regardless of stream length. */
+  * seven scalars regardless of stream length. `nBids` as in
+  * [[CommitRevealState]]: null-bid reveals count but never win. `maxBid`
+  * (MAX semantics: NaN greatest) is tracked SEPARATELY from the
+  * (winNegBid, winEvent) argmax because the batch twin's two columns
+  * genuinely diverge under a NaN bid — MAX(value) elects NaN while the
+  * struct-min argmax sorts -NaN last — and the stream must reproduce
+  * both columns, not a reconciled fiction. */
 final case class DeadlineSession(
     nCommits: Long,
     nReveals: Long,
     nRejected: Long,
+    nBids: Long,
+    maxBid: Double,
     winNegBid: Double, // -bid, so lexicographic min = (max bid, min event)
     winEvent: Long)
 
@@ -92,7 +110,7 @@ final case class EvT(
     event_id: Long,
     user_id: Long,
     event_type: String,
-    value: Double,
+    value: Option[Double], // nullable in every store tier — see [[Ev]]
     ts_ms: Long,
     event_time: java.sql.Timestamp)
 
@@ -118,14 +136,11 @@ final case class BufferResult(
   */
 object StreamOps {
 
-  /** Shared event-time preamble: every stateful operator derives its
-    * watermark from the same `ts_ms` → `event_time` mapping; one
-    * definition means a change to the derivation (source column, clamp)
-    * cannot silently skip one of the nine call sites. */
   /** The typed-EvT projection the event-time-timeout operators layer on
-    * [[withEventTime]] — shared for the same one-definition reason: an
-    * EvT schema change must not be able to skip one operator and
-    * surface only as that operator's runtime AnalysisException. */
+    * [[withEventTime]] — shared for the same one-definition reason as
+    * that preamble: an EvT schema change must not be able to skip one
+    * operator and surface only as that operator's runtime
+    * AnalysisException. */
   private def asEvT(df: DataFrame): Dataset[EvT] = {
     val s = df.sparkSession
     import s.implicits._
@@ -134,6 +149,10 @@ object StreamOps {
       .as[EvT]
   }
 
+  /** Shared event-time preamble: every stateful operator derives its
+    * watermark from the same `ts_ms` → `event_time` mapping; one
+    * definition means a change to the derivation (source column, clamp)
+    * cannot silently skip one of the nine call sites. */
   private def withEventTime(df: DataFrame, watermark: String): DataFrame =
     df.withColumn("event_time", timestamp_millis(col("ts_ms")))
       .withWatermark("event_time", watermark)
@@ -145,7 +164,9 @@ object StreamOps {
   def deadlineTally(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     withEventTime(events, watermark)
       .filter(col("event_type").isin("purchase", "error"))
-      .filter(expr("(ts_ms % 3600000) < 2700000")) // deadline gate
+      // deadline gate in FLOOR offset (pmod), coherent with the floor-
+      // aligned window() buckets and the batch twin's pmod gate
+      .filter(expr("pmod(ts_ms, 3600000) < 2700000"))
       .groupBy(window(col("event_time"), "1 hour"))
       .agg(
         count_if(col("event_type") === lit("purchase")).as("votes_for"),
@@ -179,25 +200,41 @@ object StreamOps {
       .mapGroupsWithState[CommitRevealState, CommitRevealResult](
         GroupStateTimeout.NoTimeout) {
         case (userId, evs, state: GroupState[CommitRevealState]) =>
-          var s = state.getOption.getOrElse(CommitRevealState(0L, 0L, Double.MinValue, Long.MaxValue))
+          var s = state.getOption.getOrElse(
+            CommitRevealState(0L, 0L, 0L, Double.MinValue, Long.MaxValue))
           evs.foreach { e =>
             if (e.event_type == "view") s = s.copy(nCommits = s.nCommits + 1)
             else {
-              val better = e.value > s.winningBid
-              s = s.copy(
+              // a null bid counts as a reveal (the twin's COUNT does) but
+              // never enters the max (the twin's MAX skips nulls); a
+              // non-null bid compares under SPARK's double total order
+              // (cmpD: NaN greatest) — a bare `>` would silently skip a
+              // NaN bid that the twin's MAX elects (r13 sweep)
+              val withBid = e.value match {
+                case Some(v) if s.nBids == 0L || cmpD(v, s.winningBid) > 0 =>
+                  s.copy(nBids = s.nBids + 1, winningBid = v)
+                case Some(_) => s.copy(nBids = s.nBids + 1)
+                case None => s
+              }
+              s = withBid.copy(
                 nReveals = s.nReveals + 1,
-                winningBid = if (better) e.value else s.winningBid,
                 firstRevealEvent = math.min(s.firstRevealEvent, e.event_id))
             }
           }
           state.update(s)
           CommitRevealResult(
             userId, s.nCommits, s.nReveals,
-            if (s.nReveals > 0) Some(s.winningBid) else None,
+            if (s.nBids > 0) Some(s.winningBid) else None,
             if (s.nReveals > 0) Some(s.firstRevealEvent) else None,
             s.nReveals > 0)
       }
   }
+
+  /** Spark's total order over doubles (NaN greater than everything,
+    * matching MAX/struct-min semantics) — the running comparisons must
+    * use it or a NaN bid diverges from the oracle-checked batch twins. */
+  @inline private def cmpD(a: Double, b: Double): Int =
+    java.lang.Double.compare(a, b)
 
   /** ST2b: commit-reveal with DUAL DEADLINES inside the stateful op —
     * the full fast-vote lifecycle (lib.rs:93-176): sessions keyed by
@@ -233,16 +270,16 @@ object StreamOps {
         case ((uid, hour), evs, state: GroupState[DeadlineSession]) =>
           def result(s: DeadlineSession) =
             DeadlineResult(uid, hour, s.nCommits, s.nReveals, s.nRejected,
-              if (s.nReveals > 0) Some(-s.winNegBid) else None,
-              if (s.nReveals > 0) Some(s.winEvent) else None,
+              if (s.nBids > 0) Some(s.maxBid) else None,
+              if (s.nBids > 0) Some(s.winEvent) else None,
               s.nReveals > 0)
           if (state.hasTimedOut) {
             val fin = state.get
             state.remove() // session hour fully past the watermark → evict
             result(fin)
           } else {
-            var s = state.getOption.getOrElse(
-              DeadlineSession(0L, 0L, 0L, Double.MaxValue, Long.MaxValue))
+            var s = state.getOption.getOrElse(DeadlineSession(
+              0L, 0L, 0L, 0L, Double.MinValue, Double.MaxValue, Long.MaxValue))
             // sort like rapidReversal/asofAttr: the group iterator's
             // partition order is not deterministic, and the maxVotes cap
             // makes ACCEPTANCE order-dependent — two in-phase reveals
@@ -258,12 +295,23 @@ object StreamOps {
               else if (e.event_type == "view" && off < 1800000L)
                 s = s.copy(nCommits = s.nCommits + 1)
               else if (e.event_type == "purchase" && off >= 1800000L && off < 2700000L) {
-                val better = -e.value < s.winNegBid ||
-                  (-e.value == s.winNegBid && e.event_id < s.winEvent)
-                s = s.copy(
-                  nReveals = s.nReveals + 1,
-                  winNegBid = if (better) -e.value else s.winNegBid,
-                  winEvent = if (better) e.event_id else s.winEvent)
+                // null bids count as reveals but never win (the batch
+                // twin's struct-min carries the same isNotNull guard);
+                // comparisons under cmpD so a NaN bid loses the argmax
+                // exactly as the twin's struct-min sorts it last
+                val withBid = e.value match {
+                  case Some(v) =>
+                    val c = cmpD(-v, s.winNegBid)
+                    val better = s.nBids == 0L || c < 0 ||
+                      (c == 0 && e.event_id < s.winEvent)
+                    s.copy(nBids = s.nBids + 1,
+                      maxBid = if (s.nBids == 0L || cmpD(v, s.maxBid) > 0) v
+                               else s.maxBid,
+                      winNegBid = if (better) -v else s.winNegBid,
+                      winEvent = if (better) e.event_id else s.winEvent)
+                  case None => s
+                }
+                s = withBid.copy(nReveals = s.nReveals + 1)
               } else s = s.copy(nRejected = s.nRejected + 1)
             }
             state.update(s)
@@ -389,9 +437,15 @@ object StreamOps {
             val outb = e.event_type == "purchase" || e.event_type == "click"
             // cents via BigDecimal HALF_UP — what Spark's round() and
             // DuckDB's ROUND both do; math.round would diverge on
-            // negative (refund-shaped) amounts (-0.5 → 0, not -1)
-            val amt = java.math.BigDecimal.valueOf(e.value * 100)
-              .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+            // negative (refund-shaped) amounts (-0.5 → 0, not -1).
+            // A null value contributes 0 cents but the transfer still
+            // counts (the twin's SUM skips the null while COUNT keeps
+            // the row; the one divergence is an all-null window, where
+            // the twin's SUM is null and this stream reports 0 — the
+            // typed result column is non-nullable by design)
+            val amt = e.value.fold(0L)(v =>
+              java.math.BigDecimal.valueOf(v * 100)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
             val rev = s.hasLast && s.lastOut && !outb &&
               e.ts_ms - s.lastTs <= cooldownMs
             val ws = e.ts_ms - java.lang.Math.floorMod(e.ts_ms, windowMs)
@@ -534,7 +588,14 @@ object StreamOps {
     * StreamingSpec on both sides of the millisecond. */
   def gapSessions(
       events: DataFrame, gapMs: Long = 1800000L,
-      watermark: String = "2 hours"): DataFrame =
+      watermark: String = "2 hours"): DataFrame = {
+    // the 1 ms-short native gap means gapMs = 1 would render a
+    // "0 milliseconds" session gap, which Spark rejects at query start
+    // with an unrelated-looking AnalysisException — surface the floor
+    // here with the reason attached
+    require(gapMs >= 2L,
+      s"gapSessions: gapMs must be >= 2 (got $gapMs) — the >=-split rule is " +
+        "implemented as a native session gap of gapMs-1 ms, which must be positive")
     withEventTime(events, watermark)
       .groupBy(col("user_id"),
         session_window(col("event_time"), s"${gapMs - 1} milliseconds"))
@@ -544,6 +605,7 @@ object StreamOps {
         count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_start_ms"),
         col("session_end_ms"), col("n_events"))
+  }
 
   /** Streaming corpus-clean ingest — the live form of the
     * `pipe_corpus_clean` batch pipeline, the shape a 100 TB training-data
@@ -583,6 +645,22 @@ object StreamOps {
             TtlResult(uid, n, expired = true)
           } else {
             var (n, lastTs) = state.getOption.getOrElse((0L, 0L))
+            // same-trigger expiry: Spark only invokes hasTimedOut for
+            // keys with NO data in the trigger, so a key whose TTL
+            // deadline passed in the very trigger that also carries its
+            // fresh data would SKIP the reset (and the deadline would be
+            // pushed forward) — making the count depend on how the
+            // stream happened to split into micro-batches. Check the
+            // stored deadline against the current watermark here and
+            // reset first, exactly as a data-less trigger would have
+            // (the expired tombstone itself cannot be emitted from
+            // mapGroupsWithState's single return row — the reset, which
+            // is what determines every later count, must not be lost).
+            // strict <, matching Spark's own rule (a timeout fires when
+            // the watermark advances BEYOND the set timestamp)
+            if (n > 0 && lastTs + ttlMs < state.getCurrentWatermarkMs()) {
+              n = 0; lastTs = 0L
+            }
             evs.foreach { e => n += 1; lastTs = math.max(lastTs, e.ts_ms) }
             state.update((n, lastTs))
             // must stay ahead of the current watermark or Spark rejects
@@ -663,8 +741,8 @@ object StreamOps {
     // at committed offsets — together a restart re-reads nothing and
     // re-applies nothing
     val tree = resume.getOrElse(new graft.functions.Merkle.Incremental(depth))
-    require(tree.snapshot._3.length == depth,
-      s"merkleAppend: resumed tree depth ${tree.snapshot._3.length} != $depth")
+    require(tree.depth == depth,
+      s"merkleAppend: resumed tree depth ${tree.depth} != $depth")
     val unchecked = new java.util.concurrent.atomic.AtomicLong(0L)
     // driver-side maintainer state, touched only by the (serialized)
     // micro-batch thread: ahead-of-count leaves + the replay-check tail
@@ -698,6 +776,13 @@ object StreamOps {
         leaves.foreach { r =>
           val idx = r.getLong(0)
           val leaf = graft.functions.Poseidon.fromBytes32(r.getAs[Array[Byte]](1))
+          // a negative index is corrupt input, not a replay: without this
+          // guard it satisfies idx < tree.count, misses the recent tail,
+          // and lands in the unchecked-replays counter — a false alarm
+          // for the horizon AND a silently dropped integrity violation,
+          // where every other violation in this maintainer throws
+          require(idx >= 0,
+            s"merkleAppend: corrupt leaf_index $idx (negative) in batch $batchId")
           if (idx < tree.count) {
             // replay: must match what was applied (within the tail window)
             recent.get(idx) match {

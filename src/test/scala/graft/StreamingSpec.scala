@@ -210,6 +210,54 @@ class StreamingSpec extends SparkSpec {
     assert(latest.collect().toSeq === want.collect().toSeq)
   }
 
+  test("ST2/ST2b null and NaN bids: stream matches the twins instead of crashing (r13 sweep)") {
+    // the three classes the sweep flagged: a NULL bid (nullable value
+    // column — previously killed the stream's non-nullable decode), a
+    // NaN bid (previously skipped by the bare `>` running max while the
+    // twin's MAX elects it), and their interaction with the argmax
+    // (where NaN must LOSE — the twin's struct-min sorts -NaN last, so
+    // winning_bid and winner_event genuinely diverge on mixed bids)
+    val t0 = 1706000400000L - (1706000400000L % 3600000L) // hour-aligned
+    def commit(id: Long) = Ev(id, 1L, "view", Some(1.0), t0 + id)
+    def reveal(id: Long, uid: Long, v: Option[Double]) =
+      Ev(id, uid, "purchase", v, t0 + 1800000L + id)
+    val evs = Seq(
+      commit(1L), commit(2L),
+      reveal(10L, 1L, Some(5.0)), reveal(11L, 1L, None),
+      reveal(12L, 1L, Some(Double.NaN)), reveal(13L, 1L, Some(9.0)),
+      reveal(20L, 2L, None),             // only a null bid: revealed, no winner
+      reveal(30L, 3L, Some(Double.NaN))) // only a NaN bid: NaN wins by default
+    val dir = java.nio.file.Files.createTempDirectory("graft-st2nan").toString
+    evs.map(e => (e.event_id, e.ts_ms * 1000000L, e.user_id, e.event_type, e.value))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // ST2
+    val got2 = latestBy(runStream("st2_nan", Seq(evs),
+      ds => StreamOps.commitReveal(ds).toDF(), OutputMode.Update), "user_id")
+      .select($"user_id", $"n_commits", $"n_reveals", $"winning_bid",
+        $"first_reveal_event", $"has_winner").orderBy($"user_id")
+    val want2 = graft.operators.StreamingTwins.st2CommitReveal.run(spark, dir)
+      .select($"user_id", $"n_commits", $"n_reveals", $"winning_bid",
+        $"first_reveal_event", $"has_winner").orderBy($"user_id")
+    assert(got2.collect().toSeq === want2.collect().toSeq)
+    // ST2b
+    val cols = Seq($"user_id", $"window_hour", $"n_commits", $"n_reveals",
+      $"n_rejected", $"winning_bid", $"winner_event", $"revealed")
+    val got2b = latestBy(runStream("st2b_nan", Seq(evs),
+      ds => StreamOps.commitRevealDeadline(ds.toDF()).toDF(), OutputMode.Update),
+      "user_id", "window_hour")
+      .select(cols: _*).orderBy($"user_id", $"window_hour")
+    val want2b = graft.operators.StreamingTwins.st2DeadlineWinner.run(spark, dir)
+      .select(cols: _*).orderBy($"user_id", $"window_hour")
+    assert(got2b.collect().toSeq === want2b.collect().toSeq)
+    // the mixed-bid divergence is REAL and reproduced, not reconciled:
+    // user 1's winning_bid is NaN (MAX semantics) while its winner_event
+    // is the 9.0 reveal (argmax where NaN sorts last)
+    val u1 = got2b.filter($"user_id" === 1L).head()
+    assert(u1.getAs[Double]("winning_bid").isNaN)
+    assert(u1.getAs[Long]("winner_event") === 13L)
+  }
+
   test("ST2b vote cap: >10k events for one session stay capped, excess rejected (lib.rs:21-22,104)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
@@ -218,8 +266,8 @@ class StreamingSpec extends SparkSpec {
       .outputMode(OutputMode.Update).start()
     try {
       val t0 = 1706486400000L // 2024-01-29T00:00Z — hour-aligned
-      def commit(i: Long) = Ev(i, 1L, "view", 1.0, t0 + (i % 1000L)) // off < 30 min
-      def reveal(i: Long, v: Double) = Ev(i, 1L, "purchase", v, t0 + 1800000L + (i % 1000L))
+      def commit(i: Long) = Ev(i, 1L, "view", Some(1.0), t0 + (i % 1000L)) // off < 30 min
+      def reveal(i: Long, v: Double) = Ev(i, 1L, "purchase", Some(v), t0 + 1800000L + (i % 1000L))
       // 9,900 commits across two micro-batches (cap must merge across batches)
       mem.addData((1L to 6000L).map(commit)); q.processAllAvailable()
       mem.addData((6001L to 9900L).map(commit)); q.processAllAvailable()
@@ -309,7 +357,8 @@ class StreamingSpec extends SparkSpec {
       })
       Ev(i, rng.nextInt(7).toLong, // 7 hot owners → long per-key chains
         Seq("purchase", "click", "view", "error")(rng.nextInt(4)),
-        (rng.nextInt(40000) - 20000) / 100.0 + (if (rng.nextBoolean()) 0.005 else -0.005),
+        Some((rng.nextInt(40000) - 20000) / 100.0 +
+          (if (rng.nextBoolean()) 0.005 else -0.005)),
         ts)
     }
     val dir = java.nio.file.Files.createTempDirectory("graft-st12").toString
@@ -358,9 +407,9 @@ class StreamingSpec extends SparkSpec {
     // (late cross-batch arrival) and then a purchase. The state's
     // monotonic guard must keep the newer view as the attribution —
     // exactly what the batch twin computes for the same rows.
-    val b1 = Seq(Ev(7L, 1L, "view", 0.0, 200L))
-    val b2 = Seq(Ev(3L, 1L, "view", 0.0, 100L),
-      Ev(9L, 1L, "purchase", 0.0, 300L))
+    val b1 = Seq(Ev(7L, 1L, "view", Some(0.0), 200L))
+    val b2 = Seq(Ev(3L, 1L, "view", Some(0.0), 100L),
+      Ev(9L, 1L, "purchase", Some(0.0), 300L))
     val got = runStream("asof_stream_late_view", Seq(b1, b2),
       ds => StreamOps.asofAttr(ds).toDF(), OutputMode.Append).collect()
     assert(got.length === 1)
@@ -377,8 +426,8 @@ class StreamingSpec extends SparkSpec {
     // every real event before the comparison
     val maxTs = allEvents.map(_.ts_ms).max
     val sentinel = Seq(
-      Ev(900001L, 999999L, "view", 0.0, maxTs + 10L * 86400000L),
-      Ev(900002L, 999999L, "purchase", 0.0, maxTs + 10L * 86400000L))
+      Ev(900001L, 999999L, "view", Some(0.0), maxTs + 10L * 86400000L),
+      Ev(900002L, 999999L, "purchase", Some(0.0), maxTs + 10L * 86400000L))
     val ordered = allEvents.sortBy(e => (e.ts_ms, e.event_id))
     val got = runStream("j12_stream", ordered.grouped(400).toSeq :+ sentinel,
       ds => StreamOps.rangeAttr(ds.toDF()), OutputMode.Append)
@@ -460,12 +509,12 @@ class StreamingSpec extends SparkSpec {
     try {
       val t0 = 1706486400000L // 2024-01-29T00:00Z
       // user 1 is active once, then goes silent
-      mem.addData(Seq(Ev(1L, 1L, "view", 1.0, t0), Ev(2L, 1L, "view", 1.0, t0 + 1000)))
+      mem.addData(Seq(Ev(1L, 1L, "view", Some(1.0), t0), Ev(2L, 1L, "view", Some(1.0), t0 + 1000)))
       q.processAllAvailable()
       // user 2's much later events push the watermark past user 1's TTL
-      mem.addData(Seq(Ev(3L, 2L, "view", 1.0, t0 + 10L * 86400000L)))
+      mem.addData(Seq(Ev(3L, 2L, "view", Some(1.0), t0 + 10L * 86400000L)))
       q.processAllAvailable()
-      mem.addData(Seq(Ev(4L, 2L, "view", 1.0, t0 + 10L * 86400000L + 1000)))
+      mem.addData(Seq(Ev(4L, 2L, "view", Some(1.0), t0 + 10L * 86400000L + 1000)))
       q.processAllAvailable()
       val rows = spark.table("st7_stream")
         .select($"user_id", $"n_events", $"expired").collect()
@@ -473,6 +522,46 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains((1L, 2L, true)))  // tombstone: state pruned at eviction
       assert(rows.contains((1L, 2L, false))) // the pre-eviction live emission
       assert(!rows.contains((2L, 2L, true))) // active key never evicted
+    } finally q.stop()
+  }
+
+  test("ST7 ttlEvict: a count never continues across an expired deadline, however batches split (r13 sweep)") {
+    // Spark only invokes hasTimedOut for keys with NO data in the
+    // trigger, so a key whose fresh data arrives in the very trigger
+    // its timeout would fire takes the data branch — previously that
+    // path continued the stale count, making the result depend on how
+    // the stream split into micro-batches. The data branch now checks
+    // the stored deadline against the current watermark itself; this
+    // spec pins the OBSERVABLE contract (the count restarts at 1 after
+    // the TTL passed, never continues at 3) — which branch performs the
+    // reset depends on trigger scheduling that MemoryStream +
+    // processAllAvailable cannot pin (an interim no-data trigger may
+    // fire the timeout first; the in-branch guard covers engines whose
+    // triggers don't idle-fire).
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.ttlEvict(mem.toDF(), ttlMs = 1000L, watermark = "0 seconds")
+      .toDF()
+      .writeStream.format("memory").queryName("st7_same_trigger")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val t0 = 1706486400000L
+      mem.addData(Seq(Ev(1L, 1L, "view", Some(1.0), t0),
+        Ev(2L, 1L, "view", Some(1.0), t0 + 100)))
+      q.processAllAvailable() // watermark → t0 + 100; deadline t0 + 1100
+      // advance the watermark past user 1's deadline via user 2's data
+      mem.addData(Seq(Ev(3L, 2L, "view", Some(1.0), t0 + 50000L)))
+      q.processAllAvailable() // watermark → t0 + 50000
+      // fresh user-1 data strictly NEWER than the watermark (an event at
+      // exactly the watermark is dropped as late)
+      mem.addData(Seq(Ev(4L, 1L, "view", Some(1.0), t0 + 60000L)))
+      q.processAllAvailable()
+      val u1 = spark.table("st7_same_trigger")
+        .filter($"user_id" === 1L && !$"expired")
+        .select($"n_events").collect().map(_.getLong(0)).toSeq
+      assert(u1.contains(2L), s"pre-expiry count missing: $u1")
+      assert(u1.contains(1L) && !u1.contains(3L),
+        s"count must restart at 1 after the TTL passed, got $u1")
     } finally q.stop()
   }
 
@@ -496,15 +585,15 @@ class StreamingSpec extends SparkSpec {
       .outputMode(OutputMode.Update).start()
     try {
       val t0 = 1706486400000L
-      mem.addData(Seq(Ev(1L, 2L, "view", 1.0, t0)))
+      mem.addData(Seq(Ev(1L, 2L, "view", Some(1.0), t0)))
       q.processAllAvailable()
-      mem.addData(Seq(Ev(2L, 2L, "view", 1.0, t0 + 10L * 86400000L)))
+      mem.addData(Seq(Ev(2L, 2L, "view", Some(1.0), t0 + 10L * 86400000L)))
       q.processAllAvailable()
       // ~10-days-old backfill row against a tiny ttl: late-dropped or
       // clamped, but never fatal
-      mem.addData(Seq(Ev(3L, 1L, "view", 1.0, t0 + 1000L)))
+      mem.addData(Seq(Ev(3L, 1L, "view", Some(1.0), t0 + 1000L)))
       q.processAllAvailable()
-      mem.addData(Seq(Ev(4L, 2L, "view", 1.0, t0 + 10L * 86400000L + 1000L)))
+      mem.addData(Seq(Ev(4L, 2L, "view", Some(1.0), t0 + 10L * 86400000L + 1000L)))
       q.processAllAvailable()
       assert(q.exception.isEmpty, s"query died: ${q.exception}")
       val rows = spark.table("st7_backfill_stream")
@@ -519,7 +608,7 @@ class StreamingSpec extends SparkSpec {
     // append-mode session windows emit only once the watermark passes the
     // session end; a far-future sentinel event closes every real session
     val maxTs = allEvents.map(_.ts_ms).max
-    val sentinel = Ev(999999L, 999999L, "view", 0.0, maxTs + 86400000L)
+    val sentinel = Ev(999999L, 999999L, "view", Some(0.0), maxTs + 86400000L)
     val got = runStream("st11_stream", batches :+ Seq(sentinel),
       ds => StreamOps.gapSessions(ds.toDF()), OutputMode.Append)
       .filter($"user_id" =!= 999999L)
@@ -540,9 +629,9 @@ class StreamingSpec extends SparkSpec {
     // pair, so only this fixture can catch a regression here.
     val t0 = 1706486400000L
     val evs = Seq(
-      Ev(1L, 1L, "view", 0.0, t0), Ev(2L, 1L, "view", 0.0, t0 + 1800000L), // == gap → split
-      Ev(3L, 2L, "view", 0.0, t0), Ev(4L, 2L, "view", 0.0, t0 + 1799999L)) // gap−1ms → merge
-    val sentinel = Ev(999999L, 999999L, "view", 0.0, t0 + 86400000L)
+      Ev(1L, 1L, "view", Some(0.0), t0), Ev(2L, 1L, "view", Some(0.0), t0 + 1800000L), // == gap → split
+      Ev(3L, 2L, "view", Some(0.0), t0), Ev(4L, 2L, "view", Some(0.0), t0 + 1799999L)) // gap−1ms → merge
+    val sentinel = Ev(999999L, 999999L, "view", Some(0.0), t0 + 86400000L)
     val got = runStream("st11_boundary", Seq(evs, Seq(sentinel)),
       ds => StreamOps.gapSessions(ds.toDF()), OutputMode.Append)
       .filter($"user_id" =!= 999999L)
