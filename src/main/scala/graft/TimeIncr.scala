@@ -123,11 +123,16 @@ object TimeIncr {
       // each pass pays the full cold ingest; the finally keeps tier-scale
       // builds from accumulating in tmp even when a pass fails
       try {
-        operators.Similarity.clearFeatureCache()
+        // the FULL registry, not a hand-picked cache: TimeIncr is a
+        // cold-measurement harness, and the RunCaches contract is that
+        // clearing anything less silently lets a warm survivor deflate
+        // the next pass's samples the moment a probed pipeline adopts a
+        // new registered cache (r13 sweep)
+        operators.RunCaches.clearAll()
         val b0 = System.nanoTime()
         fam.write(spark, dir, idx, split, shards)
         val bSec = (System.nanoTime() - b0) / 1e9
-        operators.Similarity.clearFeatureCache()
+        operators.RunCaches.clearAll()
         val p0 = System.nanoTime()
         fam.probe(spark, dir, idx, split, shards)
           .write.format("noop").mode("overwrite").save()

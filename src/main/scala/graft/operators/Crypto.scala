@@ -69,7 +69,6 @@ object Crypto {
     (s, dir) => {
       val spark = s
       import spark.implicits._
-      val depth = 12
       // c_custkey is 0-BASED in this corpus (min(c_custkey) = 0 at every
       // SF) and the tree wants left-filled indices from 0, so the key IS
       // the leaf index. The former `- 1` shifted a spurious leaf −1 into
@@ -79,8 +78,20 @@ object Crypto {
       val leaves = T(s, dir).customer
         .select(col("c_custkey").cast("long").as("leaf_index"),
           unhex(md5(col("c_name"))).as("leaf"))
+      // depth sized to the CORPUS, floored at the old demo depth 12: a
+      // hard-coded 12 caps the tree at 4096 leaves and the range guard
+      // rightly refuses sf0.1's 15000 customers (r13 sweep). The sizing
+      // action is a key-column-only agg (count(*) is metadata-only on
+      // parquet; max prunes to one column) — the full (key, leaf) scan
+      // happens once, inside the distributed fold, and n comes from the
+      // same agg rather than a second count().
+      val Array(sized) = leaves
+        .agg(count(lit(1)).as("n"), max(col("leaf_index")).as("mx")).collect()
+      val n = sized.getLong(0)
+      val maxIdx = if (n == 0) -1L else sized.getLong(1)
+      val depth = math.max(12,
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxIdx)))
       val root = graft.functions.Merkle.rootDistributed(s, leaves, depth, blockDepth = 6)
-      val n = leaves.count()
       Seq((depth, n, graft.functions.Poseidon.toBytes32(root)
         .map("%02x".format(_)).mkString))
         .toDF("depth", "n_leaves", "root_hex")

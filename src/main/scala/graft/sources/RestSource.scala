@@ -184,9 +184,14 @@ final class RestScanBuilder(fullSchema: StructType, props: Map[String, String])
     RestSource.lastPushed = RestSource.Pushed(
       pushedF.toSeq, projected.fieldNames.toSeq, sortKeys, offsetN, limitN)
     // option keys arrive lowercased through CaseInsensitiveStringMap
+    val pageSize = props.getOrElse("pagesize", "2000").toInt
+    // validated here, at planning, where the option name is in hand: 0
+    // would reach the partition math as a bare divide-by-zero and a
+    // negative value makes every page's [lo, hi) empty — a silently
+    // EMPTY result, the worst failure mode for a source (r13 sweep)
+    require(pageSize > 0, s"rest source: pageSize must be positive, got $pageSize")
     new RestScan(props("path"), fullSchema, projected, pushedF.toSeq,
-      sortKeys, offsetN, limitN,
-      props.getOrElse("pagesize", "2000").toInt)
+      sortKeys, offsetN, limitN, pageSize)
   }
 }
 
@@ -291,8 +296,15 @@ final class RestReader(
   private val mapper = new ObjectMapper()
   private val sources = scala.collection.mutable.ArrayBuffer.empty[scala.io.Source]
 
+  // name → type built once: typeOf sits on the connector's hot path
+  // (every pushed-filter eval, both sides of every sort comparison, and
+  // every projected field of every emitted row) — a linear
+  // fields.find per access is O(|schema|) string compares multiplied by
+  // all of that (r13 sweep)
+  private val typeByName: Map[String, DataType] =
+    fullSchema.fields.map(f => f.name -> f.dataType).toMap
   private def typeOf(field: String): DataType =
-    fullSchema.fields.find(_.name == field).map(_.dataType).getOrElse(StringType)
+    typeByName.getOrElse(field, StringType)
 
   private def value(n: JsonNode, field: String): Any = {
     val v = n.get(field)
