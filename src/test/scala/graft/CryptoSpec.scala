@@ -99,7 +99,10 @@ class CryptoSpec extends SparkSpec {
     val five = (1 to 5).map(BigInt(_))
     intercept[IllegalArgumentException](Merkle.rootLocal(five, 2))
     intercept[IllegalArgumentException](Merkle.proof(five, 0, 2))
-    assert(Merkle.rootLocal(five, 3) === Merkle.rootLocal(five, 3)) // 2^3 fits
+    // 2^3 fits — pinned against an independent form (explicit zero
+    // leaves ≡ zero-padding), not a tautological self-compare
+    assert(Merkle.rootLocal(five, 3) ===
+      Merkle.rootLocal(five ++ Seq.fill(3)(BigInt(0)), 3))
     // distributed path: a corrupt huge/negative leaf_index must fail the
     // job loudly — the huge one would otherwise size a driver Vector by
     // the index (OOM); the negative one would displace leaf 0 silently

@@ -10,10 +10,14 @@ class SemanticsSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def deleteAll(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteAll)
-    f.delete(): Unit
-  }
+  // delegate to commons-io (already on the test classpath and used by
+  // SinksSpec) instead of a third hand-rolled tree walk; tolerant of a
+  // missing path and of plain-file arguments, which the library call is not
+  private def deleteAll(f: java.io.File): Unit =
+    if (f.exists()) {
+      if (f.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(f)
+      else { f.delete(): Unit }
+    }
 
   test("A2 quorum+threshold uses truncating integer division (lib.rs:145-149)") {
     // 2 for / 3 total = 66.67% → int div = 66, fails a 67 threshold
@@ -198,20 +202,27 @@ class SemanticsSpec extends SparkSpec {
     mtime0Empty.mkdirs()
     assert(mtime0Empty.setLastModified(0L))
     deleteAll(ver)
-    val (p3, _) = Similarity.ensureMinhashIndex(spark, sf001)
-    assert(p3 === p1, "same (split, mtime) must republish under the same version")
-    assert(ver.isDirectory, "rebuild must publish the version directory")
-    assert(new java.io.File(ver, "_PUBLISHED").isFile,
-      "publish must land the completion marker (the S3-posture read gate)")
-    assert(!staleOld.exists, "a build must reap past-grace stale versions")
-    assert(!stagingOld.exists, "a build must reap past-grace crashed staging dirs")
-    assert(stagingYoung.exists,
-      "a build must NOT reap young staging dirs — a concurrent build may own them")
-    assert(mtime0Live.exists,
-      "an mtime-0 dir with a young child is a LIVE build on an object store — must survive")
-    assert(mtime0Empty.exists,
-      "an mtime-0 empty dir has unknown age — must never be reaped")
-    deleteAll(stagingYoung); deleteAll(mtime0Live); deleteAll(mtime0Empty)
+    // finally-guarded: these planted dirs live in the SHARED published-
+    // index base that the later minhash tests (husk-reclaim, racer,
+    // shard-count) list and reap — one assertion failure here must not
+    // cascade into misleading failures downstream (r13 test sweep)
+    try {
+      val (p3, _) = Similarity.ensureMinhashIndex(spark, sf001)
+      assert(p3 === p1, "same (split, mtime) must republish under the same version")
+      assert(ver.isDirectory, "rebuild must publish the version directory")
+      assert(new java.io.File(ver, "_PUBLISHED").isFile,
+        "publish must land the completion marker (the S3-posture read gate)")
+      assert(!staleOld.exists, "a build must reap past-grace stale versions")
+      assert(!stagingOld.exists, "a build must reap past-grace crashed staging dirs")
+      assert(stagingYoung.exists,
+        "a build must NOT reap young staging dirs — a concurrent build may own them")
+      assert(mtime0Live.exists,
+        "an mtime-0 dir with a young child is a LIVE build on an object store — must survive")
+      assert(mtime0Empty.exists,
+        "an mtime-0 empty dir has unknown age — must never be reaped")
+    } finally {
+      deleteAll(stagingYoung); deleteAll(mtime0Live); deleteAll(mtime0Empty)
+    }
   }
 
   test("minhash index: a marker-less husk is reclaimed, never marker-blessed with nested junk") {

@@ -27,9 +27,14 @@ class SinksSpec extends SparkSpec {
       .select($"event_id", $"event_type", $"user_id")
     Sinks.partitionedSink(ev, path, "event_type")
     val one = spark.read.parquet(path).filter($"event_type" === "purchase")
-    // partition pruning visible in the scan: only one directory read
+    // partition pruning ASSERTED in the scan, not just computed: losing
+    // read-side pruning (scan all 5 dirs, filter rows after) keeps every
+    // count below identical (r13 test sweep — the val was dead)
     val scanned = one.queryExecution.executedPlan.collectLeaves()
       .head.toString
+    assert(scanned.contains("PartitionFilters: [") &&
+      !scanned.contains("PartitionFilters: []"),
+      s"per-key read is not partition-pruned: $scanned")
     assert(one.count() ===
       Tables(spark, sf001).events.filter($"event_type" === "purchase").count())
     assert(Files.list(java.nio.file.Paths.get(path)).toArray

@@ -73,7 +73,11 @@ class SourcesSpec extends SparkSpec {
     assert(desc === Seq(3L, 5L, 1L), s"desc top-3 must be the non-null rows, got $desc")
     val asc = df.orderBy($"v".asc).limit(3)
       .select($"id").collect().map(_.getLong(0)).toSeq
-    assert(asc.toSet === Set(2L, 4L) + asc.last, s"asc default is NULLS FIRST, got $asc")
+    // the two null rows lead in either order; the SMALLEST non-null
+    // (v=10, id 1) must be third — a self-referential `+ asc.last`
+    // previously left that slot unconstrained (r13 test sweep)
+    assert(asc.toSet === Set(2L, 4L, 1L) && asc.last === 1L,
+      s"asc default is NULLS FIRST then smallest value, got $asc")
   }
 
   test("unsupported schema types are rejected at load, not mid-query") {

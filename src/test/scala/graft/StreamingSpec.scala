@@ -278,9 +278,10 @@ class StreamingSpec extends SparkSpec {
       // bid (999) must NOT become the winner (MaxVotesReached, lib.rs:104)
       mem.addData((1L to 200L).map(i => reveal(30000L + i, 999.0)))
       q.processAllAvailable()
-      val r = spark.table("st2b_cap_stream")
-        .withColumn("__ord", monotonically_increasing_id())
-        .orderBy($"__ord".desc).limit(1).collect().head
+      // the suite's latestBy carries the documented caveat about why the
+      // naive orderBy+dropDuplicates form is unsafe — one codepath only
+      val r = latestBy(spark.table("st2b_cap_stream"),
+        "user_id", "window_hour").collect().head
       assert(r.getAs[Long]("n_commits") === 9900L)
       assert(r.getAs[Long]("n_reveals") === 100L)   // capped at 10,000 accepted
       assert(r.getAs[Long]("n_rejected") === 200L)  // the post-cap excess
