@@ -640,11 +640,13 @@ object Multimodal {
     * minimum over corpus ∪ increment), pruned keeper-hash read. Output
     * equals the full [[mmPhashDedup]] restricted to the increment. */
   def probePhashIndex(s: SparkSession, dir: String, indexPath: String,
-      split: Long, shards: Int = Similarity.minhashIndexShards): DataFrame =
+      split: Long, shards: Int = Similarity.minhashIndexShards): DataFrame = {
+    val srcVer = Similarity.srcVersion(s, dir, "documents.parquet")
     Similarity.probeIncrIndex(s, indexPath, split, shards, phFamily,
-      Similarity.cachedFeature(s, s"mm_phash_incr:$dir:incr$split", Similarity.srcVersion(s, dir, "documents.parquet")) {
+      Similarity.cachedFeature(s, s"mm_phash_incr:$dir:incr$split", srcVer) {
         phashFeatOf(media(s, dir).filter(col("media_id") >= lit(split)))
-      })
+      }, srcVer)
+  }
 
   /** pHash instantiation of [[Similarity.ensureVersionedIndex]]. */
   def ensurePhashIndex(s: SparkSession, dir: String): (String, Long) =

@@ -108,11 +108,8 @@ object Similarity {
   // each other's live frames (ADVICE r12). A typed field cannot be
   // confused with path bytes.
   private[operators] def cachedFeature(s: SparkSession, key: String,
-      version: Long = 0L)(build: => DataFrame): DataFrame =
-    // synchronized, not TrieMap.getOrElseUpdate: a concurrent first call
-    // there can evaluate build.persist() twice, orphaning a persisted
-    // copy that clearFeatureCache never sees
-    featCache.synchronized {
+      version: Long = 0L)(build: => DataFrame): DataFrame = {
+    val hit = featCache.synchronized {
       // a long-lived driver that cycles SparkSessions must not accumulate
       // entries (and persisted frames) for sessions that are already gone
       featCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
@@ -131,9 +128,35 @@ object Similarity {
         if (stale) scala.util.Try(df.unpersist())
         !stale
       }
-      featCache.getOrElseUpdate((s, key),
-        (version, build.persist(StorageLevel.MEMORY_AND_DISK)))._2
+      featCache.get((s, key)).map(_._2)
     }
+    hit.getOrElse {
+      // build OUTSIDE the monitor (same rule as ScaleOps.cachedBloom):
+      // the by-name build constructs plans and reads parquet footers /
+      // file indexes — driver I/O a slow store can stretch, and holding
+      // the single global lock through it would convoy every other
+      // feature-cache consumer behind one round-trip (r13 re-sweep).
+      // persist() itself is lazy registration, not a job.
+      // Check-then-publish: a concurrent duplicate build of the SAME
+      // version loses the race and is unpersisted; a DIFFERENT version
+      // racing in (corpus regenerated mid-flight) supersedes whatever
+      // landed first — latest version wins, loser unpersisted.
+      val fresh = build.persist(StorageLevel.MEMORY_AND_DISK)
+      val winner = featCache.synchronized {
+        featCache.get((s, key)) match {
+          case Some((ver, w)) if ver == version => Some(w)
+          case other =>
+            other.foreach { case (_, w) => scala.util.Try(w.unpersist()) }
+            featCache.update((s, key), (version, fresh))
+            None
+        }
+      }
+      winner match {
+        case Some(w) => scala.util.Try(fresh.unpersist()); w
+        case None => fresh
+      }
+    }
+  }
 
   /** Max mtime of `dir/<file>` — the same dir-or-file rule the index
     * versioning uses for its `srcMtime` component — folded into every
@@ -143,17 +166,30 @@ object Similarity {
     * its tier) would keep serving the PRE-regeneration persisted frame
     * — and `ensureVersionedIndex`, whose version name carries this very
     * mtime precisely to catch regeneration, would then publish a
-    * fresh-named index built from the stale cache. */
-  private[operators] def srcVersion(s: SparkSession, dir: String, file: String): Long = {
-    import org.apache.hadoop.fs.Path
-    val src = new Path(s"$dir/$file")
-    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(src)
-    if (st.isDirectory)
-      (st.getModificationTime +:
-        fs.listStatus(src).map(_.getModificationTime).toSeq).max
-    else st.getModificationTime
-  }
+    * fresh-named index built from the stale cache.
+    *
+    * A store with NO mtime surface — the `jdbc:` table-set locator
+    * Tables supports with zero query changes, or a vanished path —
+    * fingerprints as a fresh nanoTime instead of throwing: memoization
+    * degrades to build-per-call (each build superseding its
+    * predecessor) rather than killing every dedup query on a store tier
+    * the read facade itself handles fine; a genuinely vanished path
+    * still fails loudly at the read (the same posture
+    * [[graft.operators.ScaleOps]]'s Bloom fingerprint documents — it
+    * delegates here). `ensureVersionedIndex` keeps its OWN loud
+    * `getFileStatus`: a versioned index NAMED by source mtime is
+    * meaningless over a store with no mtime, and must say so. */
+  private[operators] def srcVersion(s: SparkSession, dir: String, file: String): Long =
+    scala.util.Try {
+      import org.apache.hadoop.fs.Path
+      val src = new Path(s"$dir/$file")
+      val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(src)
+      if (st.isDirectory)
+        (st.getModificationTime +:
+          fs.listStatus(src).map(_.getModificationTime).toSeq).max
+      else st.getModificationTime
+    }.getOrElse(System.nanoTime())
 
   /** Unpersists and forgets every memoized feature frame. Bench calls
     * this before each timed run so headline dedup numbers measure the
@@ -789,15 +825,19 @@ object Similarity {
     * recomputed driver-side with the same left-to-right accumulation
     * as dotDouble, so scores are bit-identical to the join form. */
   private def collectCentroids(df: DataFrame): Array[(Long, Array[Float], Double)] =
-    // null vectors are skipped, zero-norm ones fall to the norm filter —
-    // a null/degenerate seed row must not take down quantizer training
-    df.collect().filterNot(_.isNullAt(1)).map { r =>
-      val cv = r.getSeq[Float](1).toArray
-      var acc = 0.0
-      var i = 0
-      while (i < cv.length) { acc += cv(i).toDouble * cv(i).toDouble; i += 1 }
-      (r.getLong(0), cv, math.sqrt(acc))
-    }.filter(_._3 > 0.0).sortBy(_._1)
+    // null vectors AND vectors holding a null ELEMENT are skipped,
+    // zero-norm ones fall to the norm filter — a null/degenerate seed
+    // row must not take down quantizer training (the element case NPE'd
+    // on the unboxing toArray before the r13 re-sweep)
+    df.collect()
+      .filterNot(r => r.isNullAt(1) || r.getSeq[Any](1).contains(null))
+      .map { r =>
+        val cv = r.getSeq[Float](1).toArray
+        var acc = 0.0
+        var i = 0
+        while (i < cv.length) { acc += cv(i).toDouble * cv(i).toDouble; i += 1 }
+        (r.getLong(0), cv, math.sqrt(acc))
+      }.filter(_._3 > 0.0).sortBy(_._1)
 
   /** Per-row argmax over the broadcast centroid array — no join-explode,
     * no Exchange: each row ranks all centroids locally and keeps the
@@ -808,12 +848,20 @@ object Similarity {
   private def nearestCells(cents: Array[(Long, Array[Float], Double)], keep: Int) =
     udf((v: Seq[Float], norm: Double) =>
       if (v == null || norm <= 0.0) Array.empty[Long]
-      else cents.map { case (cell, cv, cn) =>
-        var acc = 0.0
-        var i = 0
-        val n = math.min(v.length, cv.length)
-        while (i < n) { acc += v(i).toDouble * cv(i).toDouble; i += 1 }
-        (acc / (norm * cn), cell)
+      else cents.flatMap { case (cell, cv, cn) =>
+        // dimension mismatch = malformed, same contract as the LSH
+        // banding kernel ("a truncated vector must surface as malformed
+        // at the signature stage, not band plausibly from a partial dot
+        // product"): a ragged vector matches NO cell (empty array ⇒ the
+        // row is excluded as degenerate) instead of being indexed under
+        // a shared-prefix score (r13 re-sweep)
+        if (v.length != cv.length) None
+        else {
+          var acc = 0.0
+          var i = 0
+          while (i < v.length) { acc += v(i).toDouble * cv(i).toDouble; i += 1 }
+          Some((acc / (norm * cn), cell))
+        }
       }.sortBy { case (ccos, cell) => (-ccos, cell) }.take(keep).map(_._2))
 
   /** One-Lloyd-step coarse quantizer over a (vec_id, v, norm) frame:
@@ -1088,7 +1136,8 @@ object Similarity {
     * degrade to full index reads (never corpus reads) for bulk
     * increments like the test's 20% slice. */
   private[operators] def probeIncrIndex(s: SparkSession, indexPath: String,
-      split: Long, shards: Int, fam: IncrFamily, feat: DataFrame): DataFrame = {
+      split: Long, shards: Int, fam: IncrFamily, feat: DataFrame,
+      srcVer: Long = 0L): DataFrame = {
     val effShards = effShardsOf(indexPath, shards, fam.what)
     val banded = fam.bandedOf(feat)
     val incrKeepers = banded.groupBy(col("band"), col("bucket"))
@@ -1110,12 +1159,17 @@ object Similarity {
     // TWO consumers — the bounded candShards collect below and the
     // returned verify plan — and its lineage (banding, pruned index
     // read, two shuffles) is the probe's dominant cost; unpersisted,
-    // the whole chain would run twice per probe. The key rides the
-    // version-unique indexPath (mtime + shards + split baked into the
-    // version name), so a stale entry for a regenerated corpus is
-    // unreachable by construction, and Bench's clearFeatureCache
-    // manages its lifecycle like every other probe frame.
-    val cand = cachedFeature(s, s"incrcand:${fam.what}:$indexPath:$split") {
+    // the whole chain would run twice per probe. Version = the caller's
+    // CORPUS fingerprint (srcVer — the increment feat frame's identity)
+    // mixed with the index's bands mtime: the managed
+    // ensureVersionedIndex path also bakes identity into the indexPath
+    // name, but the public probe*Index API accepts a CUSTOM fixed path,
+    // where an in-place mode("overwrite") rebuild or a corpus
+    // regeneration would otherwise serve this persisted frame stale
+    // (r13 re-sweep).
+    val idxVer = srcVersion(s, indexPath, "bands")
+    val cand = cachedFeature(s, s"incrcand:${fam.what}:$indexPath:$split",
+        java.lang.Long.rotateLeft(srcVer, 21) ^ idxVer) {
       banded.join(merged, Seq("band", "bucket"))
         .filter(col("keeper") < col(fam.idCol))
         .groupBy(col(fam.idCol)).agg(min(col("keeper")).as("keeper"))
@@ -1187,10 +1241,13 @@ object Similarity {
     // read): at probe time the corpus proper is never touched — only
     // the increment rows and the index files. Cached: the frame feeds
     // banding, the verify side and the candidate-shard collect
+    {
+    val srcVer = srcVersion(s, dir, "documents.parquet")
     probeIncrIndex(s, indexPath, split, shards, mhFamily,
-      cachedFeature(s, s"dd_minhash_incr:$dir:incr$split", srcVersion(s, dir, "documents.parquet")) {
+      cachedFeature(s, s"dd_minhash_incr:$dir:incr$split", srcVer) {
         minhashFeatOf(T(s, dir).documents.filter(col("doc_id") >= lit(split)))
-      })
+      }, srcVer)
+  }
 
   /** Root under which versioned index directories are published.
     * Defaults to the local tmpdir; a production deploy points it at a
@@ -1568,10 +1625,13 @@ object Similarity {
     * corpus keepers occupy. */
   def probeSimhashIndex(s: SparkSession, dir: String, indexPath: String,
       split: Long, shards: Int = minhashIndexShards): DataFrame =
+    {
+    val srcVer = srcVersion(s, dir, "documents.parquet")
     probeIncrIndex(s, indexPath, split, shards, shFamily,
-      cachedFeature(s, s"dd_simhash_incr:$dir:incr$split", srcVersion(s, dir, "documents.parquet")) {
+      cachedFeature(s, s"dd_simhash_incr:$dir:incr$split", srcVer) {
         simhashFeatOf(T(s, dir).documents.filter(col("doc_id") >= lit(split)))
-      })
+      }, srcVer)
+  }
 
   /** SimHash instantiation of [[ensureVersionedIndex]]: builds/adopts
     * the (bands, sims) layout for `dir`'s corpus slice and returns
@@ -1635,10 +1695,13 @@ object Similarity {
     * restricted to the increment (bit-equal, spec-asserted). */
   def probeEmbeddingIndex(s: SparkSession, dir: String, indexPath: String,
       split: Long, shards: Int = minhashIndexShards): DataFrame =
+    {
+    val srcVer = srcVersion(s, dir, "embeddings.parquet")
     probeIncrIndex(s, indexPath, split, shards, embFamily,
-      cachedFeature(s, s"dd_embedding_incr:$dir:incr$split", srcVersion(s, dir, "embeddings.parquet")) {
+      cachedFeature(s, s"dd_embedding_incr:$dir:incr$split", srcVer) {
         embFeatOf(T(s, dir).embeddings.filter(col("vec_id") >= lit(split)))
-      })
+      }, srcVer)
+  }
 
   /** Embedding instantiation of [[ensureVersionedIndex]] — versioned by
     * the EMBEDDINGS table's max id and mtime. */

@@ -754,4 +754,26 @@ class SemanticsSpec extends SparkSpec {
       .select($"ws.eid").head().getLong(0)
     assert(guarded === 20L)
   }
+
+  test("IVF quantizer survives null-element and ragged seed vectors (r13 re-sweep)") {
+    // embeddings fixture: 20 clean 4-dim vectors, one with a NULL
+    // element inside the seed range (previously an NPE in centroid
+    // collection), one ragged 2-dim vector (previously cell-assigned
+    // from a partial dot; must be excluded as malformed instead)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfnull").toString
+    val rows = (0L until 20L).map { i =>
+      (i, Seq[java.lang.Float](1f + i, 2f, 3f, 4f).map(Option(_)), 0)
+    } :+ ((20L, Seq[Option[java.lang.Float]](Some(1f), None, Some(3f), Some(4f)), 0)) :+
+      ((21L, Seq[java.lang.Float](9f, 9f).map(Option(_)), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfnull-idx").toString
+    val cents = graft.operators.Similarity.writeIvfIndex(spark, dir, idx, nCells = 4)
+    assert(cents.nonEmpty, "training must survive the degenerate rows")
+    // the stored index contains only well-formed full-dimension vectors
+    val stored = spark.read.parquet(idx).select($"vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!stored.contains(21L), "a ragged vector must not be indexed")
+    assert(stored.subsetOf((0L until 21L).toSet))
+  }
 }
