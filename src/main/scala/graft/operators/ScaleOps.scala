@@ -64,9 +64,15 @@ object ScaleOps {
             if k2 == key && !((sess eq s) && ver == version) => (sess, k2)
       }.toList
       val (own, other) = staleKeys.partition { case (sess, _) => sess eq s }
-      (bloomCache.get(k).map(_._2),
-        own.flatMap(bloomCache.remove).map(_._2),
-        other.flatMap(bloomCache.remove).map(_._2))
+      // removals STRICTLY BEFORE the hit lookup (tuple elements evaluate
+      // left-to-right, so the lookup must not share the tuple): a
+      // superseded same-(session, key) entry is in staleKeys, and a
+      // lookup taken first would return the very broadcast the caller
+      // then destroys — a destroyed, wrong-version filter instead of a
+      // rebuild (r13 re-sweep; the pre-r13 code had this order right)
+      val ownB = own.flatMap(bloomCache.remove).map(_._2)
+      val otherB = other.flatMap(bloomCache.remove).map(_._2)
+      (bloomCache.get(k).map(_._2), ownB, otherB)
     }
     destroyable.foreach(b => scala.util.Try(b.destroy()))
     detachOnly.foreach(b => scala.util.Try(b.unpersist(false)))
@@ -74,17 +80,25 @@ object ScaleOps {
       // build OUTSIDE the monitor (ADVICE r5): the build runs full Spark
       // jobs (count + bloomFilter treeAggregate) and holding the global
       // lock across them would serialize every concurrent query and
-      // clearBloomCache() for the duration. Check-then-publish: a rare
-      // concurrent duplicate build loses the race and is destroyed —
-      // also outside the monitor (destroy blocks on executor-side
-      // removal, the same slow-Spark-op-under-lock class).
+      // clearBloomCache() for the duration. Check-then-publish WITH the
+      // version compared (same rule as Similarity.cachedFeature): a
+      // concurrent duplicate build of the SAME version loses the race
+      // and is destroyed; a DIFFERENT stored version (corpus rewritten
+      // mid-flight) is superseded — latest fingerprint wins, because
+      // silently returning the stale filter would under-report
+      // contamination via false negatives (r13 re-sweep). Reclaims run
+      // outside the monitor (destroy blocks on executor-side removal,
+      // the same slow-Spark-op-under-lock class).
       val fresh = s.sparkContext.broadcast(build)
-      val winner = bloomCache.synchronized {
+      val (winner, superseded) = bloomCache.synchronized {
         bloomCache.get(k) match {
-          case Some((_, w)) => Some(w)
-          case None => bloomCache.update(k, (version, fresh)); None
+          case Some((ver, w)) if ver == version => (Some(w), None)
+          case other =>
+            bloomCache.update(k, (version, fresh))
+            (None, other.map(_._2))
         }
       }
+      superseded.foreach(b => scala.util.Try(b.destroy()))
       winner match {
         case Some(w) => scala.util.Try(fresh.destroy()); w
         case None => fresh
@@ -101,16 +115,12 @@ object ScaleOps {
     * and the exact-confirm join only removes false positives, so
     * contamination would be silently under-reported (ADVICE r5).
     * Superseded fingerprints are reclaimed by the caches' own
-    * logical-key eviction. A store with NO mtime surface — the `jdbc:`
-    * locator Tables supports, or a vanished path — fingerprints as a
-    * fresh nanoTime instead of a constant: memoization degrades to
-    * build-per-call (each build evicting its predecessor) rather than
-    * silently pinning a possibly-stale filter forever, which is the
-    * correctness-first trade for a source whose staleness is
-    * undetectable; a vanished path still fails loudly on the read. */
+    * logical-key eviction. The no-mtime-store fallback (jdbc locator,
+    * vanished path → fresh nanoTime, memoization degrading to
+    * build-per-call) lives INSIDE srcVersion since r13 — no second
+    * Try here, the exact drift this delegate exists to avoid. */
   private def docsFingerprint(s: SparkSession, dir: String): Long =
-    scala.util.Try(Similarity.srcVersion(s, dir, "documents.parquet"))
-      .getOrElse(System.nanoTime())
+    Similarity.srcVersion(s, dir, "documents.parquet")
 
   /** Destroys and forgets every memoized Bloom broadcast (Try-wrapped:
     * one stopped session must not abort clearing the rest). Bench calls
@@ -304,9 +314,17 @@ object ScaleOps {
     * blocks, and for reliable checkpoints the files too (Try-wrapped: a
     * stopped session must not abort the rest). Only safe once consumers
     * have materialized; the frames are not recomputable afterwards. */
-  def clearCcCheckpoints(): Unit = ccCheckpoints.synchronized {
-    ccCheckpoints.foreach(df => scala.util.Try(unpersistCheckpoint(df)))
-    ccCheckpoints.clear()
+  def clearCcCheckpoints(): Unit = {
+    // detach under the lock, reclaim outside it — unpersistCheckpoint
+    // issues filesystem deletes for reliable checkpoints, and a slow
+    // namenode must not block a concurrent connectedComponents at its
+    // registration point (same split as the other two clears)
+    val detached = ccCheckpoints.synchronized {
+      val vs = ccCheckpoints.toList
+      ccCheckpoints.clear()
+      vs
+    }
+    detached.foreach(df => scala.util.Try(unpersistCheckpoint(df)))
   }
 
   /** Offsets broadcasts created by [[strataPrefixSum]] — each is

@@ -167,6 +167,41 @@ class ScaleOpsSpec extends SparkSpec {
     assert(bloom === exact)
   }
 
+  test("decontam Bloom memo: an in-session corpus rewrite rebuilds, never serves a destroyed filter (r13 re-sweep)") {
+    // the superseded-version eviction detaches and destroys the old
+    // broadcast — an eviction that looked the entry up BEFORE removing
+    // it returned the very broadcast it then destroyed, so the second
+    // run after a rewrite crashed with "Attempted to use Broadcast
+    // after it was destroyed"
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloomver").toString
+    def write(rows: Seq[(Long, String, String)], bumpMs: Long): Unit = {
+      rows.toDF("doc_id", "text", "source")
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // force a fingerprint change even within mtime granularity
+      val d = new java.io.File(s"$dir/documents.parquet")
+      (d +: d.listFiles().toSeq)
+        .foreach(f => f.setLastModified(System.currentTimeMillis() + bumpMs))
+    }
+    write(Seq((0L, "alpha bravo charlie delta", "src0"),
+      (1L, "alpha bravo charlie echo", "src1"),
+      (2L, "zulu yankee xray whiskey", "src1")), 0L)
+    val r1 = graft.SparkEntry.queries("pipe_decontam_bloom")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(r1 === graft.SparkEntry.queries("pipe_decontam")(spark, dir)
+      .collect().map(_.toSeq).toSeq)
+    write(Seq((0L, "alpha bravo charlie delta", "src0"),
+      (1L, "foo bar baz qux quux", "src1"),
+      (2L, "alpha bravo charlie whiskey", "src1")), 5000L)
+    val r2 = graft.SparkEntry.queries("pipe_decontam_bloom")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(r2 === graft.SparkEntry.queries("pipe_decontam")(spark, dir)
+      .collect().map(_.toSeq).toSeq,
+      "post-rewrite run must rebuild the filter and match the exact twin")
+    assert(r1 !== r2, "vacuous: the rewrite did not change the result")
+  }
+
   test("connectedComponents matches union-find on random graphs") {
     val rng = new scala.util.Random(1234)
     for (trial <- 1 to 3) {
