@@ -454,19 +454,23 @@ object Governance {
         .withColumn("require_crypto", pmod(col("doc_id"), lit(3L)) === lit(0L))
         .withColumn("is_structural",
           expr("substring(proof, 1, 34)") === encode(lit(marker), "UTF-8"))
+        // fmt_ok/len_ok materialized ONCE, exactly like the oracle's `c`
+        // CTE: the same regex/length rules previously appeared inline
+        // three times each across valid/threshold_out/error, and a
+        // missed copy on edit would silently de-sync the columns
+        .withColumn("fmt_ok", col("commitment").rlike("^[a-f0-9]{64}$"))
+        .withColumn("len_ok", length(col("proof")) === lit(256))
         .select(
           col("doc_id"),
-          when(!col("commitment").rlike("^[a-f0-9]{64}$"), lit(false))
-            .when(length(col("proof")) =!= lit(256), lit(false))
+          when(!col("fmt_ok") || !col("len_ok"), lit(false))
             .when(col("is_structural") && col("require_crypto"), lit(false))
             .when(col("is_structural"), lit(true))
             .otherwise(lit(false)).as("valid"),
-          when(!col("commitment").rlike("^[a-f0-9]{64}$"), lit(0L))
-            .when(length(col("proof")) =!= lit(256), lit(0L))
+          when(!col("fmt_ok") || !col("len_ok"), lit(0L))
             .otherwise(col("threshold")).as("threshold_out"),
           lit(false).as("cryptographic"), // offline: no ZK verifier available
-          when(!col("commitment").rlike("^[a-f0-9]{64}$"), lit("Invalid commitment format"))
-            .when(length(col("proof")) =!= lit(256), lit("Invalid proof length"))
+          when(!col("fmt_ok"), lit("Invalid commitment format"))
+            .when(!col("len_ok"), lit("Invalid proof length"))
             .when(col("is_structural") && col("require_crypto"),
               lit("Structural proofs not accepted in production mode"))
             .when(col("is_structural"),

@@ -322,8 +322,9 @@ object Text {
     (s, dir) => T(s, dir).documents
       .select(
         col("doc_id"),
-        size(filter(split(col("text"), " "), w => length(w) > lit(0)))
-          .cast("long").as("tok_ws"),
+        // the ONE shared word-count rule — an inline copy here is the
+        // exact silent-de-sync hazard nWordsCol was consolidated for
+        nWordsCol.as("tok_ws"),
         // explicit whitespace class, NOT \s: Java's \s includes
         // vertical tab where DuckDB's RE2 \s does not — the classes
         // must be spelled out to agree (ddExactNorm's rule)
@@ -407,7 +408,13 @@ object Text {
   val pipeCorpusClean = QueryDef(
     "pipe_corpus_clean",
     (s, dir) => {
-      val gated = corpusGates(T(s, dir).documents)
+      // memoized: `gated` feeds the keeper aggregation AND the join-back
+      // — unmemoized, both branches re-scanned the corpus and re-ran the
+      // three split+filter gate columns (r13 sweep)
+      val gated = Similarity.cachedFeature(s, s"txt_corpus_gated:$dir",
+          Similarity.srcVersion(s, dir, "documents.parquet")) {
+        corpusGates(T(s, dir).documents)
+      }
       // keeper per fingerprint via partial-aggregating groupBy + join —
       // same scale-safe shape as the LSH keeper election (no window over
       // potentially huge duplicate clusters)
@@ -439,14 +446,22 @@ object Text {
 
   /** The scored frame BOTH quality-gate tiers read (txt_quality's integer
     * score per document + its language) — one definition, so the exact
-    * and sketch gates can never drift on what they are thresholding. */
+    * and sketch gates can never drift on what they are thresholding.
+    * Memoized: each gate query consumes it in TWO plan branches (the
+    * thresholds aggregation and the join-back), and Spark shares no
+    * subplans across DataFrame branches — unmemoized, every gate run
+    * re-scanned the corpus and re-tokenized the scores once per branch
+    * (r13 sweep; same rationale as the txt_pairs memo). */
   private def qualityScored(s: SparkSession, dir: String): DataFrame =
-    T(s, dir).documents
-      .withColumn("n_words", nWordsCol)
-      .withColumn("stop_cnt", stopCntCol)
-      .filter(col("n_words") > lit(0L))
-      .select(col("doc_id"), col("lang"),
-        qualityScoreCol(col("n_words"), col("stop_cnt")).as("quality_score"))
+    Similarity.cachedFeature(s, s"txt_quality_scored:$dir",
+        Similarity.srcVersion(s, dir, "documents.parquet")) {
+      T(s, dir).documents
+        .withColumn("n_words", nWordsCol)
+        .withColumn("stop_cnt", stopCntCol)
+        .filter(col("n_words") > lit(0L))
+        .select(col("doc_id"), col("lang"),
+          qualityScoreCol(col("n_words"), col("stop_cnt")).as("quality_score"))
+    }
 
   /** Per-language quality-percentile corpus gate: keep each language's
     * documents scoring at or above that language's MEDIAN quality — the
