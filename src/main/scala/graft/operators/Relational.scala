@@ -376,7 +376,7 @@ object Relational {
         count_if(col("event_type") === lit("purchase")).as("votes_for"),
         count_if(col("event_type") === lit("error")).as("votes_against"),
         count(lit(1)).as("vote_count"))
-      .orderBy(col("user_id")),
+      .orderBy(col("user_id").asc_nulls_last),
     oracle = Some("""
       SELECT user_id,
         COUNT(*) FILTER (WHERE event_type = 'purchase') AS votes_for,
@@ -396,7 +396,7 @@ object Relational {
         count(lit(1)).as("total"))
       .withColumn("approval_pct", expr("(votes_for * 100) div total"))
       .withColumn("passed", col("total") >= lit(2L) && col("approval_pct") >= lit(50L))
-      .orderBy(col("user_id")),
+      .orderBy(col("user_id").asc_nulls_last),
     oracle = Some("""
       SELECT user_id,
         COUNT(*) FILTER (WHERE event_type = 'purchase') AS votes_for,
@@ -424,7 +424,7 @@ object Relational {
         count_if(!col("event_type").isin("purchase", "error")).as("neutral_count"),
         sum(dec(col("value"))).cast("double").as("sum_value"),
         max(col("ts_ms")).as("last_updated_ms"))
-      .orderBy(col("epoch_day")),
+      .orderBy(col("epoch_day").asc_nulls_last),
     oracle = Some("""
       SELECT (epoch_ms(ts) - ((epoch_ms(ts) % 86400000 + 86400000) % 86400000))
                // 86400000 AS epoch_day,
@@ -477,7 +477,7 @@ object Relational {
         .filter(col("rn") === lit(1))
         .select(col("event_type"), col("event_id").as("winner_event"),
           col("user_id").as("winner_user"), col("value").as("winning_value"))
-        .orderBy(col("event_type"))
+        .orderBy(col("event_type").asc_nulls_last)
     },
     oracle = Some("""
       SELECT event_type, event_id AS winner_event, user_id AS winner_user,
@@ -579,7 +579,7 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"))
-      .orderBy(col("event_type")),
+      .orderBy(col("event_type").asc_nulls_last),
     oracle = Some("""
       SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
       FROM events GROUP BY event_type ORDER BY event_type"""))
@@ -595,7 +595,7 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
         count(lit(1)).as("n_events"))
-      .orderBy(col("event_type")),
+      .orderBy(col("event_type").asc_nulls_last),
     oracle = None)
 
   // ------------------------------------------------------------ windows/sorts
@@ -622,7 +622,7 @@ object Relational {
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= lit(3L))
         .select(col("user_id"), col("rn"), col("event_id"), col("event_type"))
-        .orderBy(col("user_id"), col("rn"))
+        .orderBy(col("user_id").asc_nulls_last, col("rn"))
     },
     oracle = Some("""
       SELECT user_id, rn, event_id, event_type
@@ -662,13 +662,20 @@ object Relational {
       val top3 = udaf(new graft.functions.TopKAggregator[String](3),
         org.apache.spark.sql.Encoders.product[graft.functions.Scored[String]])
       T(s, dir).events
+        // the typed aggregator's Scored.score/id are primitive fields —
+        // TopK.scala's documented "null scores must be filtered by the
+        // caller" contract; unfiltered, one null-ts row under a nullable
+        // store tier kills the whole query in the input encoder, where
+        // the window twin simply sorts it last (a null-ts event is never
+        // among the 3 most recent here — the deliberate narrowing)
+        .filter(col("ts_ms").isNotNull && col("event_id").isNotNull)
         .groupBy(col("user_id"))
         .agg(top3(col("ts_ms").cast("double"), -col("event_id"),
           col("event_type")).as("top"))
         .select(col("user_id"), posexplode(col("top.items")))
         .select(col("user_id"), (col("pos") + lit(1)).cast("long").as("rn"),
           (-col("col.id")).as("event_id"), col("col.pay").as("event_type"))
-        .orderBy(col("user_id"), col("rn"))
+        .orderBy(col("user_id").asc_nulls_last, col("rn"))
     },
     oracle = Some("""
       SELECT user_id, rn, event_id, event_type
@@ -689,7 +696,7 @@ object Relational {
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= lit(2L))
         .select(col("user_id"), col("rn"), col("event_id"))
-        .orderBy(col("user_id"), col("rn"))
+        .orderBy(col("user_id").asc_nulls_last, col("rn"))
     },
     oracle = Some("""
       SELECT user_id, rn, event_id
@@ -744,7 +751,7 @@ object Relational {
     (s, dir) => T(s, dir).events
       .groupBy(col("user_id"), col("event_type"))
       .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n"))
-      .orderBy(col("user_id"), col("event_type")),
+      .orderBy(col("user_id").asc_nulls_last, col("event_type").asc_nulls_last),
     oracle = Some("""
       SELECT user_id, event_type, MIN(event_id) AS first_event, COUNT(*) AS n
       FROM events GROUP BY user_id, event_type
@@ -757,7 +764,7 @@ object Relational {
       val t = T(s, dir)
       val a = t.events.filter(col("event_type") === lit("purchase")).select(col("user_id"))
       val b = t.events.filter(col("event_type") === lit("signup")).select(col("user_id"))
-      a.union(b).distinct().orderBy(col("user_id"))
+      a.union(b).distinct().orderBy(col("user_id").asc_nulls_last)
     },
     oracle = Some("""
       SELECT user_id FROM events WHERE event_type = 'purchase'
@@ -790,12 +797,16 @@ object Relational {
   val fSlug = QueryDef(
     "f_slug",
     (s, dir) => T(s, dir).customer
+      // the whitespace class is spelled out on BOTH sides (ddExactNorm's
+      // rule): Java's \s includes vertical tab 0x0B where RE2's does
+      // not, so the shorthand classes have different acceptance sets
       .select(col("c_custkey"),
-        regexp_replace(trim(lower(col("c_name"))), "[\\s_]+", "-").as("slug"))
+        regexp_replace(trim(lower(col("c_name"))),
+          "[ \\t\\n\\x0B\\f\\r_]+", "-").as("slug"))
       .orderBy(col("c_custkey")),
     oracle = Some("""
       SELECT c_custkey,
-        regexp_replace(trim(lower(c_name)), '[\s_]+', '-', 'g') AS slug
+        regexp_replace(trim(lower(c_name)), '[ \t\n\x0B\f\r_]+', '-', 'g') AS slug
       FROM customer ORDER BY c_custkey"""))
 
   /** Payment-tier classification (reputation-tiers.ts:1-16): rep∧tx
@@ -846,8 +857,14 @@ object Relational {
       .orderBy(col("event_id")),
     oracle = Some("""
       SELECT event_id,
-        CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]{1,18}$')
-             THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+        -- json_valid gate first (nested CASE, not AND — SQL does not
+        -- guarantee short-circuit): a malformed props row would error
+        -- json_extract_string's implicit JSON cast and abort the WHOLE
+        -- oracle query, while Spark's get_json_object nulls that row
+        CASE WHEN json_valid(props) THEN
+          CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]{1,18}$')
+               THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END
+        END AS k
       FROM events ORDER BY event_id"""))
 
   /** Deterministic content hash (private-escrow.ts:100-105 commitments). */
@@ -868,7 +885,12 @@ object Relational {
     (s, dir) => T(s, dir).events
       .select(
         col("event_id"),
-        expr("ts div 86400000000000").as("epoch_day"),
+        // FLOOR bucketing and pmod offsets throughout (a3's rule): the
+        // oracle's strftime/date_part are CALENDAR functions — floor
+        // semantics — so a truncating div would shift every pre-1970
+        // row's day/hour/minute against them (r13 sweep)
+        expr("(ts - pmod(ts, 86400000000000)) div 86400000000000")
+          .as("epoch_day"),
         // ZONE-FREE decomposition: date_format/hour/minute on the
         // event_time INSTANT render in the session zone, and the
         // driver's session is not guaranteed UTC (Tables.tsAsNanos made
@@ -878,14 +900,17 @@ object Relational {
         // are zoneless) is zone-independent by construction.
         date_format(
           date_add(lit("1970-01-01").cast("date"),
-            expr("cast(ts_ms div 86400000 as int)")),
+            expr("cast((ts_ms - pmod(ts_ms, 86400000)) div 86400000 as int)")),
           "yyyy-MM-dd").as("day_str"),
-        expr("(ts_ms div 3600000) % 24").cast("long").as("hr"),
-        expr("(ts_ms div 60000) % 60").cast("long").as("mins"))
+        expr("pmod((ts_ms - pmod(ts_ms, 3600000)) div 3600000, 24)")
+          .cast("long").as("hr"),
+        expr("pmod((ts_ms - pmod(ts_ms, 60000)) div 60000, 60)")
+          .cast("long").as("mins"))
       .orderBy(col("event_id")),
     oracle = Some("""
       SELECT event_id,
-        epoch_ms(ts) // 86400000 AS epoch_day,
+        (epoch_ms(ts) - ((epoch_ms(ts) % 86400000 + 86400000) % 86400000))
+          // 86400000 AS epoch_day,
         strftime(ts, '%Y-%m-%d') AS day_str,
         CAST(date_part('hour', ts) AS BIGINT) AS hr,
         CAST(date_part('minute', ts) AS BIGINT) AS mins

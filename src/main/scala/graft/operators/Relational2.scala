@@ -21,7 +21,12 @@ object Relational2 {
     (s, dir) => {
       val t = T(s, dir)
       t.events
-        .join(broadcast(t.customer), col("user_id") === col("c_custkey"))
+        // NO forced broadcast: customer SCALES with SF (j2's rule — a
+        // broadcast() hint on a scaling side becomes a hard 8 GB failure
+        // at the 100 TB posture, where unhinted the optimizer broadcasts
+        // only while the dim actually fits and degrades to a shuffle
+        // join beyond that; r13 sweep)
+        .join(t.customer, col("user_id") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_members"))
@@ -266,10 +271,12 @@ object Relational2 {
             ELSE 'Result: {oops ' || props || ' trailing }'
           END AS raw
         FROM events),
-      -- Java String.trim strips every char <= 0x20; DuckDB's bare
-      -- trim() strips spaces ONLY, so edge \n/\t would diverge
+      -- Java String.trim strips EVERY char <= 0x20 (not just the five
+      -- classic whitespace chars — e.g. a leading 0x01 goes too), so the
+      -- twin must strip the full [\x00-\x20] range; a chr-list trim that
+      -- stopped at \r diverged on exotic control-char padding (r13 sweep)
       t AS (SELECT event_id,
-              trim(raw, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) AS s
+              regexp_replace(raw, '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g') AS s
             FROM d),
       b AS (SELECT event_id, s, strpos(s, '{') AS st,
               CASE WHEN strpos(reverse(s), '}') = 0 THEN 0
@@ -322,7 +329,10 @@ object Relational2 {
   val a5CubeMatrix = QueryDef(
     "a5_cube_matrix",
     (s, dir) => T(s, dir).events
-      .withColumn("epoch_day", expr("ts div 86400000000000"))
+      // floor bucketing, a3's rule — bare div truncates pre-1970 rows
+      // into a different day cell than a3/the streaming window() starts
+      .withColumn("epoch_day",
+        expr("(ts - pmod(ts, 86400000000000)) div 86400000000000"))
       .cube(col("event_type"), col("epoch_day"))
       // the rollup label comes from grouping(), NOT coalesce: a genuine
       // NULL event_type would otherwise be relabeled 'ALL' too, colliding
@@ -343,7 +353,9 @@ object Relational2 {
       .orderBy(col("event_type").asc_nulls_last, col("epoch_day").asc_nulls_last),
     oracle = Some("""
       WITH e AS (
-        SELECT event_type, epoch_ms(ts) // 86400000 AS epoch_day, value
+        SELECT event_type,
+          (epoch_ms(ts) - ((epoch_ms(ts) % 86400000 + 86400000) % 86400000))
+            // 86400000 AS epoch_day, value
         FROM events)
       SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
         CASE WHEN GROUPING(epoch_day) = 1 THEN 'ALL'
@@ -448,8 +460,11 @@ object Relational2 {
     * endpoints (`:226-228`). Re-expressed integer-exact: endpoints live on
     * a deterministic integer grid derived from supplier keys, the lerp is
     * ×1000 fixed-point computed as a weighted sum `(a·(N+1−n) + b·n)·1000
-    * div (N+1)` — numerator non-negative, so Spark's truncating `div` and
-    * DuckDB's flooring `//` agree — and the only float op is the
+    * div (N+1)` — numerator non-negative, so sign semantics are moot
+    * (and both `div` and DuckDB's `//` TRUNCATE toward zero anyway —
+    * verified `-7 // 4 = -1`; an earlier comment here claimed `//`
+    * floors, contradicting the Relational.scala header) — and the only
+    * float op is the
     * IEEE-correctly-rounded `sqrt` of an exact integer, identical in both
     * engines. (The reference's per-particle seeded jitter `:230-236` is
     * display-only noise and intentionally dropped — positions here are the
