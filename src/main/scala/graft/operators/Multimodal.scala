@@ -246,7 +246,9 @@ object Multimodal {
           hex(encode(text)) AS hx,
           octet_length(encode(text)) AS len,
           4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h
-        FROM documents),
+        -- NULL payloads are dropped like the kernel drops them — the
+        -- unguarded CTE emitted a concrete all-zero row instead
+        FROM documents WHERE text IS NOT NULL),
       px AS (
         SELECT media_id, hx, len, w, h,
           unnest(range(0, 3 * w * h)) AS j
@@ -556,7 +558,11 @@ object Multimodal {
           hex(encode(text)) AS hx,
           octet_length(encode(text)) AS len,
           4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h
-        FROM documents WHERE doc_id % 3 = 0),
+        -- text IS NOT NULL mirrors the Spark kernel's Option(bytes)
+        -- reject: a NULL-text doc would otherwise gray to NULL, fold to
+        -- band bucket 0 via the CASE's ELSE, and contaminate the keeper
+        -- election for every real image in that bucket (r13 sweep)
+        FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL),
       cells0 AS (
         SELECT media_id, len, hx, w, h, unnest(range(0, 64)) AS bi
         FROM m),

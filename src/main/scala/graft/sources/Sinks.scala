@@ -209,44 +209,64 @@ object Sinks {
     val nB = current.map(_.buckets).getOrElse(buckets)
     val gen = current.map(_.gen + 1).getOrElse(0L)
     val bmap = current.map(_.map).getOrElse(Map.empty[Int, String])
+    // the key's TYPE is layout identity too: xxhash64 hashes the key's
+    // bytes, so the same logical keys arriving as a different numeric
+    // type would route to different buckets — the merge would never see
+    // the existing rows and publish permanent duplicates. Unknown (old
+    // manifests) is accepted once and recorded going forward.
+    val kt = updates.select(col(key)).schema.head.dataType.sql
+    current.map(_.keyType).filter(_.nonEmpty).foreach(prev =>
+      require(prev == kt,
+        s"upsertByKey: key '$key' arrives as $kt but the table was " +
+          s"bucketed with $prev — cast the update frame's key to $prev " +
+          "(bucket routing is type-sensitive)"))
     val bucketOf = bucketExpr(col(key), nB)
-    val affected = updates.select(bucketOf.as("__b")).distinct()
-      .collect().map(_.getInt(0)).sorted // bounded: ≤ buckets
-    // a zero-row upsert is a NO-OP, not a new generation: publishing an
-    // empty-map manifest on first write would create a "table" no read
-    // can resolve, and bumping the generation on an established table
-    // would churn manifests for nothing (an empty streaming micro-batch
-    // routed through here would otherwise do exactly that)
-    if (affected.isEmpty) return
-    val livePaths = affected.toSeq.flatMap(b =>
-      bmap.get(b).map(dn => s"$path/data/$dn/__b=$b"))
-    val existing =
-      if (livePaths.isEmpty) updates.limit(0)
-      else spark.read.parquet(livePaths: _*)
-    val w = Window.partitionBy(col(key))
-      .orderBy(col(versionCol).desc, xxhash64(struct(col("*"))).asc)
-    val merged = existing.unionByName(updates)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-    // the generation dir name is WRITER-UNIQUE (g<gen>-<token>): two
-    // racing writers computing the same next gen therefore write into
-    // DISJOINT dirs, and the race is decided only at the manifest
-    // rename — the loser fails loudly with the winner's published data
-    // untouched (an Overwrite into a shared g<gen> would have deleted
-    // the winner's files BEFORE the rename could detect the race)
-    val genDir = f"g$gen%d-${java.util.UUID.randomUUID().toString.take(8)}"
-    // repartition by bucket before the partitioned write: without it
-    // every shuffle task writes a file into every bucket dir it touches
-    // (tasks × buckets small files at scale); clustered, each bucket's
-    // rows land in one task's files
-    merged.withColumn("__b", bucketOf)
-      .repartition(col("__b"))
-      .write.mode(SaveMode.Overwrite).partitionBy("__b")
-      .parquet(s"$path/data/$genDir")
-    publishManifest(spark, path, Manifest(gen, nB,
-      bmap ++ affected.map(_ -> genDir)))
-    reapSuperseded(fs, path, graceMs)
+    // persisted across its TWO consumers (the affected-bucket collect
+    // and the merged write): a non-deterministic updates plan
+    // re-evaluated between them could write buckets the manifest never
+    // references — acknowledged rows invisible to every read and reaped
+    // as unreferenced — and even a deterministic plan would pay its
+    // full upstream lineage twice (r13 sweep)
+    val up = updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val affected = up.select(bucketOf.as("__b")).distinct()
+        .collect().map(_.getInt(0)).sorted // bounded: ≤ buckets
+      // a zero-row upsert is a NO-OP, not a new generation: publishing an
+      // empty-map manifest on first write would create a "table" no read
+      // can resolve, and bumping the generation on an established table
+      // would churn manifests for nothing (an empty streaming micro-batch
+      // routed through here would otherwise do exactly that)
+      if (affected.isEmpty) return
+      val livePaths = affected.toSeq.flatMap(b =>
+        bmap.get(b).map(dn => s"$path/data/$dn/__b=$b"))
+      val existing =
+        if (livePaths.isEmpty) up.limit(0)
+        else spark.read.parquet(livePaths: _*)
+      val w = Window.partitionBy(col(key))
+        .orderBy(col(versionCol).desc, xxhash64(struct(col("*"))).asc)
+      val merged = existing.unionByName(up)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+      // the generation dir name is WRITER-UNIQUE (g<gen>-<token>): two
+      // racing writers computing the same next gen therefore write into
+      // DISJOINT dirs, and the race is decided only at the manifest
+      // rename — the loser fails loudly with the winner's published data
+      // untouched (an Overwrite into a shared g<gen> would have deleted
+      // the winner's files BEFORE the rename could detect the race)
+      val genDir = f"g$gen%d-${java.util.UUID.randomUUID().toString.take(8)}"
+      // repartition by bucket before the partitioned write: without it
+      // every shuffle task writes a file into every bucket dir it touches
+      // (tasks × buckets small files at scale); clustered, each bucket's
+      // rows land in one task's files
+      merged.withColumn("__b", bucketOf)
+        .repartition(col("__b"))
+        .write.mode(SaveMode.Overwrite).partitionBy("__b")
+        .parquet(s"$path/data/$genDir")
+      publishManifest(spark, path, Manifest(gen, nB,
+        bmap ++ affected.map(_ -> genDir), kt))
+      reapSuperseded(fs, path, graceMs)
+    } finally { up.unpersist(); () }
   }
 
   /** Reap discipline shared by [[upsertByKey]] and [[rebucket]]. The
@@ -346,8 +366,12 @@ object Sinks {
     require(present.nonEmpty,
       s"rebucket: rewrite of $path produced no buckets — refusing to " +
         "publish an empty manifest over a table that had data")
+    // carry the key type forward (derive it for pre-field tables from
+    // the data just read — the rewrite preserves the schema)
+    val kt = if (current.keyType.nonEmpty) current.keyType
+      else readUpserted(spark, path).select(col(key)).schema.head.dataType.sql
     publishManifest(spark, path, Manifest(gen, newBuckets,
-      present.map(_ -> genDir).toMap))
+      present.map(_ -> genDir).toMap, kt))
     reapSuperseded(fs, path, graceMs)
   }
 
@@ -378,8 +402,15 @@ object Sinks {
   /** The manifest record: table generation, fixed bucket count, and the
     * bucket → data-dir-name map resolving each bucket's current data
     * dir under `path/data/` (writer-unique `g<gen>-<tok>` names). */
+  /** `keyType` is part of the layout identity alongside the bucket
+    * count: bucket routing hashes the key's BYTES, so the same logical
+    * keys arriving as a different type (int vs long) route to different
+    * buckets — a writer must refuse the mismatch or last-writer-wins
+    * silently breaks with permanently duplicated keys. Empty for
+    * manifests written before the field existed (accepted as unknown;
+    * the next publish records the type going forward). */
   private[sources] final case class Manifest(
-      gen: Long, buckets: Int, map: Map[Int, String])
+      gen: Long, buckets: Int, map: Map[Int, String], keyType: String = "")
 
   private def manifestDir(path: String) = new Path(s"$path/_graft_manifest")
 
@@ -439,7 +470,8 @@ object Sinks {
             // generation; its dir name was g<gen>
             val v = e.getValue.asText()
             e.getKey.toInt -> (if (v.forall(_.isDigit)) s"g$v" else v)
-          }.toMap)
+          }.toMap,
+        Option(node.get("keyType")).map(_.asText()).getOrElse(""))
     })
   }
 
@@ -464,18 +496,33 @@ object Sinks {
     val dir = manifestDir(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
-    val body = (s"""{"gen":${m.gen},"buckets":${m.buckets},"map":{""" +
+    val body = (s"""{"gen":${m.gen},"buckets":${m.buckets},""" +
+      s""""keyType":"${m.keyType}","map":{""" +
       m.map.toSeq.sortBy(_._1)
         .map { case (b, dn) => s""""$b":"$dn"""" }.mkString(",") + "}}")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val dest = new Path(dir, f"m-${m.gen}%012d.json")
     def writeExclusive(): Boolean =
       try {
-        val out = fs.create(dest, false)
-        try out.write(body) finally out.close()
+        if (fs.getScheme == "file") {
+          // RawLocalFileSystem.create(dest, overwrite=false) is
+          // exists()-then-open — CHECK-THEN-ACT, not O_EXCL — so two
+          // JVMs inside the race window would both "succeed" and the
+          // later close would silently bury the first writer's
+          // generation. NIO's createFile IS atomic exclusive create on
+          // POSIX; the write after it can still tear on a crash, which
+          // the torn-manifest recovery below already absorbs (r13 sweep)
+          val local = java.nio.file.Paths.get(dest.toUri.getPath)
+          java.nio.file.Files.createFile(local)
+          java.nio.file.Files.write(local, body)
+        } else {
+          val out = fs.create(dest, false)
+          try out.write(body) finally out.close()
+        }
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
       }
     if (!writeExclusive()) {
       val occupantParses =
@@ -593,6 +640,9 @@ object Sinks {
           df
       }
     }
-    def loadedAt: Option[Long] = snapshot.map(_._1)
+    // synchronized like get(): an unsynchronized read of the mutable
+    // field has no happens-before edge with the writer and could
+    // observe a stale None/timestamp (r13 sweep)
+    def loadedAt: Option[Long] = synchronized(snapshot.map(_._1))
   }
 }

@@ -379,4 +379,25 @@ class SinksSpec extends SparkSpec {
     src.get(nowMs = 1500L)
     assert(loads === 2) // expired: reloaded
   }
+
+  test("upsert refuses a key-type change: bucket routing is type-sensitive (r13 sweep)") {
+    val path = tmp()
+    // first write buckets under INT keys
+    Sinks.upsertByKey(spark, path,
+      Seq((1, "a", 1L)).toDF("k", "v", "ver"), "k", "ver")
+    // the same logical key arriving as LONG would hash to a different
+    // bucket — the merge would never see the existing row and publish a
+    // permanent duplicate; refused loudly instead
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertByKey(spark, path,
+        Seq((1L, "b", 2L)).toDF("k", "v", "ver"), "k", "ver")
+    }
+    assert(e.getMessage.contains("type-sensitive"), e.getMessage)
+    // a same-typed upsert still LWW-merges
+    Sinks.upsertByKey(spark, path,
+      Seq((1, "b", 2L)).toDF("k", "v", "ver"), "k", "ver")
+    val rows = Sinks.readUpserted(spark, path)
+      .select($"k", $"v").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq === Seq((1, "b")))
+  }
 }
