@@ -47,7 +47,14 @@ object Crypto {
     (s, dir) => {
       val f = poseidon2Udf
       T(s, dir).events
-        .withColumn("epoch_day", expr("ts div 86400000000000"))
+        // floor form, not bare `div` (truncation): the reference derives
+        // the epoch with JS Math.floor (client.ts:1753-1762), which
+        // floors a pre-1970 timestamp to the previous day where
+        // truncation rounds it toward zero — a different nullifier for
+        // the same (user, day). Corpus-neutral (no pre-1970 ts at any
+        // SF); same rule as st1/st2's pmod floor forms (r13 sweep).
+        .withColumn("epoch_day",
+          expr("(ts - pmod(ts, 86400000000000)) div 86400000000000"))
         .withColumn("nullifier", lower(hex(f(
           unhex(lpad(hex(col("user_id")), 64, "0")),
           unhex(lpad(hex(col("epoch_day")), 64, "0"))))))

@@ -681,7 +681,14 @@ object Relational {
       SELECT user_id, rn, event_id, event_type
       FROM (SELECT user_id, event_id, event_type,
               ROW_NUMBER() OVER (PARTITION BY user_id
-                ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn FROM events)
+                ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+            -- mirrors the Spark side's null pre-filter (the typed
+            -- aggregator cannot hold null scores/ids): without it a
+            -- user with < 3 non-null-ts events would get a null-ts row
+            -- at rn=3 here that the aggregator form never emits. This
+            -- is the ONE deliberate divergence from w3_recent_per_key,
+            -- whose window ranks null-ts rows last.
+            FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL)
       WHERE rn <= 3 ORDER BY user_id, rn"""))
 
   /** W5 before-cursor pagination (message-store.ts:38-44): history strictly

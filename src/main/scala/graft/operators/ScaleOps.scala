@@ -45,37 +45,32 @@ object ScaleOps {
     // recovered from the key string — ADVICE r12): an in-session corpus
     // rewrite otherwise leaves one dead pinned broadcast per rewrite
     // until a harness clear. Stale entries are detached under the lock
-    // and reclaimed OUTSIDE it (both reclaim calls block on
-    // executor-side removal — the slow-Spark-op-under-lock class this
-    // function already avoids for builds). Reclaim severity depends on
-    // the owner: THIS session's superseded-version entry is destroyed
-    // (nothing here can still need it, and its session can observe the
-    // swap); another LIVE session's entry is only unpersist(false)ed and
-    // dropped from the map — destroy() fails that session's in-flight
-    // jobs still referencing the variable, while unpersist frees the
-    // executor copies and allows a transparent rebroadcast, and the
-    // dropped driver reference leaves the rest to the ContextCleaner
-    // (ADVICE r12: the cross-session swap must be a re-persist, never a
-    // query failure).
-    val (existing, destroyable, detachOnly) = bloomCache.synchronized {
+    // and reclaimed OUTSIDE it (the reclaim blocks on executor-side
+    // removal — the slow-Spark-op-under-lock class this function
+    // already avoids for builds). Every eviction reclaim is
+    // unpersist(false) + drop, NEVER destroy — a CONCURRENT caller (any
+    // session, including this one: two threads of one session can race
+    // a corpus rewrite) may hold the broadcast mid-query, and destroy()
+    // fails that in-flight job where unpersist only re-ships the value
+    // on next use; the dropped driver reference leaves final reclaim to
+    // the ContextCleaner (r13 diff re-review — the earlier 'own session
+    // may destroy' rationale was false for concurrent threads).
+    val (existing, detached) = bloomCache.synchronized {
       bloomCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
       val staleKeys = bloomCache.collect {
         case ((sess, k2), (ver, _))
             if k2 == key && !((sess eq s) && ver == version) => (sess, k2)
       }.toList
-      val (own, other) = staleKeys.partition { case (sess, _) => sess eq s }
       // removals STRICTLY BEFORE the hit lookup (tuple elements evaluate
       // left-to-right, so the lookup must not share the tuple): a
       // superseded same-(session, key) entry is in staleKeys, and a
       // lookup taken first would return the very broadcast the caller
-      // then destroys — a destroyed, wrong-version filter instead of a
+      // then reclaims — a reclaimed, wrong-version filter instead of a
       // rebuild (r13 re-sweep; the pre-r13 code had this order right)
-      val ownB = own.flatMap(bloomCache.remove).map(_._2)
-      val otherB = other.flatMap(bloomCache.remove).map(_._2)
-      (bloomCache.get(k).map(_._2), ownB, otherB)
+      val staleB = staleKeys.flatMap(bloomCache.remove).map(_._2)
+      (bloomCache.get(k).map(_._2), staleB)
     }
-    destroyable.foreach(b => scala.util.Try(b.destroy()))
-    detachOnly.foreach(b => scala.util.Try(b.unpersist(false)))
+    detached.foreach(b => scala.util.Try(b.unpersist(false)))
     existing.getOrElse {
       // build OUTSIDE the monitor (ADVICE r5): the build runs full Spark
       // jobs (count + bloomFilter treeAggregate) and holding the global
@@ -87,8 +82,10 @@ object ScaleOps {
       // mid-flight) is superseded — latest fingerprint wins, because
       // silently returning the stale filter would under-report
       // contamination via false negatives (r13 re-sweep). Reclaims run
-      // outside the monitor (destroy blocks on executor-side removal,
-      // the same slow-Spark-op-under-lock class).
+      // outside the monitor; a superseded entry is unpersist-detached
+      // (a concurrent thread may be mid-query on it — see the eviction
+      // comment), while the same-version race LOSER is destroyed
+      // outright: `fresh` was never published or returned to anyone.
       val fresh = s.sparkContext.broadcast(build)
       val (winner, superseded) = bloomCache.synchronized {
         bloomCache.get(k) match {
@@ -98,7 +95,7 @@ object ScaleOps {
             (None, other.map(_._2))
         }
       }
-      superseded.foreach(b => scala.util.Try(b.destroy()))
+      superseded.foreach(b => scala.util.Try(b.unpersist(false)))
       winner match {
         case Some(w) => scala.util.Try(fresh.destroy()); w
         case None => fresh

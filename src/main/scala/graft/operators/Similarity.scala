@@ -180,7 +180,7 @@ object Similarity {
     * `getFileStatus`: a versioned index NAMED by source mtime is
     * meaningless over a store with no mtime, and must say so. */
   private[operators] def srcVersion(s: SparkSession, dir: String, file: String): Long =
-    scala.util.Try {
+    try {
       import org.apache.hadoop.fs.Path
       val src = new Path(s"$dir/$file")
       val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -189,7 +189,23 @@ object Similarity {
         (st.getModificationTime +:
           fs.listStatus(src).map(_.getModificationTime).toSeq).max
       else st.getModificationTime
-    }.getOrElse(System.nanoTime())
+    } catch {
+      // ONLY the documented no-mtime-surface shapes fall back to the
+      // build-per-call nanoTime: an unresolvable scheme (the jdbc:
+      // locator), an unparseable locator URI, or a vanished path (which
+      // still fails loudly at the READ). A TRANSIENT store error — auth
+      // expiry, throttling — on a store that HAS an mtime surface must
+      // propagate loudly, not silently collapse memoization into
+      // rebuild-per-call cache thrash (r13 diff re-review narrowed this
+      // from a Throwable-broad Try).
+      case _: java.io.FileNotFoundException => System.nanoTime()
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException => System.nanoTime()
+      case _: IllegalArgumentException => System.nanoTime()
+      case e: java.io.IOException
+          if e.getMessage != null &&
+            e.getMessage.contains("No FileSystem for scheme") =>
+        System.nanoTime()
+    }
 
   /** Unpersists and forgets every memoized feature frame. Bench calls
     * this before each timed run so headline dedup numbers measure the

@@ -116,8 +116,13 @@ object StreamingTwins {
     "st2_deadline_winner",
     (s, dir) => T(s, dir).events
       .filter(col("event_type").isin("view", "purchase"))
-      .withColumn("window_hour", expr("ts_ms div 3600000"))
-      .withColumn("off_ms", expr("ts_ms % 3600000"))
+      // floor forms (st1's rule, r13): truncating div/% misbuckets
+      // pre-1970 rows and — worse — yields a NEGATIVE offset that the
+      // `< 30 min` commit gate ACCEPTS for an event just before an hour
+      // boundary, where the floor offset (always in [0, 1h)) rejects it
+      .withColumn("window_hour",
+        expr("(ts_ms - pmod(ts_ms, 3600000)) div 3600000"))
+      .withColumn("off_ms", expr("pmod(ts_ms, 3600000)"))
       .withColumn("phase",
         when(col("event_type") === lit("view") && col("off_ms") < lit(1800000L),
           lit("commit"))
@@ -146,12 +151,17 @@ object StreamingTwins {
       .orderBy(col("user_id"), col("window_hour")),
     oracle = Some("""
       WITH p AS (
-        SELECT user_id, epoch_ms(ts) // 3600000 AS window_hour,
+        SELECT user_id,
+          (epoch_ms(ts) - ((epoch_ms(ts) % 3600000 + 3600000) % 3600000))
+            // 3600000 AS window_hour,
           event_id, value,
-          CASE WHEN event_type = 'view' AND epoch_ms(ts) % 3600000 < 1800000
+          CASE WHEN event_type = 'view'
+                AND ((epoch_ms(ts) % 3600000 + 3600000) % 3600000) < 1800000
                  THEN 'commit'
-               WHEN event_type = 'purchase' AND epoch_ms(ts) % 3600000 >= 1800000
-                AND epoch_ms(ts) % 3600000 < 2700000 THEN 'reveal'
+               WHEN event_type = 'purchase'
+                AND ((epoch_ms(ts) % 3600000 + 3600000) % 3600000) >= 1800000
+                AND ((epoch_ms(ts) % 3600000 + 3600000) % 3600000) < 2700000
+                 THEN 'reveal'
                ELSE 'rejected' END AS phase
         FROM events WHERE event_type IN ('view','purchase'))
       SELECT user_id, window_hour,

@@ -496,8 +496,14 @@ object Sinks {
     val dir = manifestDir(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
+    // keyType is ESCAPED (the one free-text field here — DataType.sql
+    // can carry quotes/backslashes via struct field names), sharing
+    // Verify.jsonStr, the same rule Bench.recordLines applies to its
+    // free-text field: an unescaped value would make every manifest
+    // unparseable and the newest-PARSEABLE-wins read silently walk back
+    // to a stale generation forever (r13 diff re-review)
     val body = (s"""{"gen":${m.gen},"buckets":${m.buckets},""" +
-      s""""keyType":"${m.keyType}","map":{""" +
+      s""""keyType":${graft.Verify.jsonStr(m.keyType)},"map":{""" +
       m.map.toSeq.sortBy(_._1)
         .map { case (b, dn) => s""""$b":"$dn"""" }.mkString(",") + "}}")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)

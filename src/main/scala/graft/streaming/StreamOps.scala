@@ -264,7 +264,9 @@ object StreamOps {
     import sess.implicits._
     asEvT(withEventTime(events, watermark)
         .filter(col("event_type").isin("view", "purchase")))
-      .groupByKey(e => (e.user_id, e.ts_ms / 3600000L))
+      // floorDiv/floorMod, matching the batch twin's pmod floor forms
+      // (truncation would misbucket and mis-phase pre-1970 events)
+      .groupByKey(e => (e.user_id, Math.floorDiv(e.ts_ms, 3600000L)))
       .mapGroupsWithState[DeadlineSession, DeadlineResult](
         GroupStateTimeout.EventTimeTimeout) {
         case ((uid, hour), evs, state: GroupState[DeadlineSession]) =>
@@ -286,7 +288,7 @@ object StreamOps {
             // straddling the cap would otherwise pick a nondeterministic
             // winner across batch splits
             evs.toSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
-              val off = e.ts_ms % 3600000L
+              val off = Math.floorMod(e.ts_ms, 3600000L)
               // a capped session rejects every further event, in-phase or
               // not — same counters as the reference's ordered require!s,
               // since both paths only ever increment the reject count

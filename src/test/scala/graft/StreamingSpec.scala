@@ -258,6 +258,53 @@ class StreamingSpec extends SparkSpec {
     assert(u1.getAs[Long]("winner_event") === 13L)
   }
 
+  test("ST2b pre-1970 events: twin floor bucketing; stream drops them at the epoch-0 watermark (r13 sweep)") {
+    // floor-vs-truncate is invisible to the oracle corpus (no pre-1970
+    // ts at any SF), so this spec is the only guard on the floor forms:
+    // with truncating div/% a view 1 ms before a pre-1970 hour boundary
+    // gets off_ms = -1 — which the `< 30 min` commit gate ACCEPTS — and
+    // lands in the wrong (toward-zero) hour bucket. Floor forms put it
+    // at off_ms = 3599999 in its own hour: rejected.
+    val t0 = -5L * 3600000L // hour −5, pre-1970, hour-aligned
+    val evs = Seq(
+      Ev(1L, 1L, "view", Some(1.0), t0 + 1000L),              // commit
+      Ev(2L, 1L, "purchase", Some(7.0), t0 + 1800000L + 5L),  // reveal, wins
+      Ev(3L, 2L, "view", Some(1.0), t0 + 3599999L))           // boundary view
+    val dir = java.nio.file.Files.createTempDirectory("graft-st2neg").toString
+    evs.map(e => (e.event_id, e.ts_ms * 1000000L, e.user_id, e.event_type, e.value))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val cols = Seq($"user_id", $"window_hour", $"n_commits", $"n_reveals",
+      $"n_rejected", $"winning_bid", $"winner_event", $"revealed")
+    // BATCH TWIN: pin the absolute floor semantics — everything lives in
+    // hour −5, user 1's session completes, user 2's boundary view is
+    // REJECTED (off_ms 3599999), not accepted as a commit (off_ms −1)
+    val rows = graft.operators.StreamingTwins.st2DeadlineWinner.run(spark, dir)
+      .select(cols: _*).orderBy($"user_id", $"window_hour").collect()
+    assert(rows.map(_.getAs[Long]("window_hour")).toSeq === Seq(-5L, -5L))
+    val u1 = rows(0)
+    assert(u1.getAs[Long]("n_commits") === 1L &&
+      u1.getAs[Long]("n_reveals") === 1L &&
+      u1.getAs[Double]("winning_bid") === 7.0)
+    val u2 = rows(1)
+    assert(u2.getAs[Long]("n_commits") === 0L &&
+      u2.getAs[Long]("n_rejected") === 1L)
+    // LIVE STREAM: stream ≡ twin CANNOT hold here and this pins why —
+    // Structured Streaming initializes the event-time watermark at
+    // epoch 0, so every pre-1970 row is already "late" in batch 0 and
+    // FlatMapGroupsWithStateExec (EventTimeTimeout) filters it before
+    // the state function runs. The divergence is Spark's watermark
+    // floor, not a graft bucketing bug; StreamOps still uses
+    // floorDiv/floorMod so the two sides agree on semantics wherever
+    // rows DO flow. If a Spark upgrade ever lets these rows through,
+    // this assert fails and the equivalence check should be restored.
+    val got = latestBy(runStream("st2b_neg", Seq(evs),
+      ds => StreamOps.commitRevealDeadline(ds.toDF()).toDF(), OutputMode.Update),
+      "user_id", "window_hour")
+    assert(got.isEmpty,
+      s"pre-1970 rows unexpectedly passed the epoch-0 watermark: ${got.collect().toSeq}")
+  }
+
   test("ST2b vote cap: >10k events for one session stay capped, excess rejected (lib.rs:21-22,104)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
