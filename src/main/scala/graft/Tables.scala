@@ -92,12 +92,20 @@ final case class Tables(spark: SparkSession, dir: String) {
     * windowed result by 10^6, which is worse than failing. */
   def events: DataFrame = {
     val raw = load("events")
-    // integer `div`, not `/`: epoch-nanos (~1.7e18) exceeds a double's 2^53
-    // exact-integer range, so floating division would corrupt low bits.
+    // integer floor-div ([[graft.functions.FloorTime]]), not `/` and not
+    // bare `div`: epoch-nanos (~1.7e18) exceeds a double's 2^53
+    // exact-integer range, so floating division would corrupt low bits,
+    // and truncating `div` would round a pre-1970 sub-ms instant UP into
+    // the next millisecond — feeding the downstream floor-bucketed
+    // phase/window operators a 1970 instant for a 1969 event (the same
+    // bug class st1/st2 fixed one layer up). Corpus-neutral (every
+    // driver `ts` is post-2023), pinned by spec, not the oracle gate —
+    // DuckDB's `epoch_ms()` truncates (see FloorTime's scaladoc).
     raw
       .withColumn("ts", Tables.tsAsNanos(raw.schema("ts").dataType))
-      .withColumn("ts_ms", expr("ts div 1000000"))
-      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts_ms", graft.functions.FloorTime.floorDiv("ts", 1000000L))
+      .withColumn("event_time",
+        expr(s"timestamp_micros(${graft.functions.FloorTime.floorDivSql("ts", 1000L)})"))
   }
 }
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.functions.FloorTime
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -54,7 +55,7 @@ object Crypto {
         // the same (user, day). Corpus-neutral (no pre-1970 ts at any
         // SF); same rule as st1/st2's pmod floor forms (r13 sweep).
         .withColumn("epoch_day",
-          expr("(ts - pmod(ts, 86400000000000)) div 86400000000000"))
+          FloorTime.floorDiv("ts", 86400000000000L))
         .withColumn("nullifier", lower(hex(f(
           unhex(lpad(hex(col("user_id")), 64, "0")),
           unhex(lpad(hex(col("epoch_day")), 64, "0"))))))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.functions.FloorTime
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -415,7 +416,7 @@ object Relational {
       // floor(unix_ms/86400000) and the live epochAgg's window() starts
       // — bare div truncates toward zero on pre-1970 rows (r13 sweep)
       .withColumn("epoch_day",
-        expr("(ts - pmod(ts, 86400000000000)) div 86400000000000"))
+        FloorTime.floorDiv("ts", 86400000000000L))
       .groupBy(col("epoch_day"))
       .agg(
         count(lit(1)).as("total_signals"),
@@ -896,7 +897,7 @@ object Relational {
         // oracle's strftime/date_part are CALENDAR functions — floor
         // semantics — so a truncating div would shift every pre-1970
         // row's day/hour/minute against them (r13 sweep)
-        expr("(ts - pmod(ts, 86400000000000)) div 86400000000000")
+        FloorTime.floorDiv("ts", 86400000000000L)
           .as("epoch_day"),
         // ZONE-FREE decomposition: date_format/hour/minute on the
         // event_time INSTANT render in the session zone, and the
@@ -907,11 +908,11 @@ object Relational {
         // are zoneless) is zone-independent by construction.
         date_format(
           date_add(lit("1970-01-01").cast("date"),
-            expr("cast((ts_ms - pmod(ts_ms, 86400000)) div 86400000 as int)")),
+            expr(s"cast(${FloorTime.floorDivSql("ts_ms", 86400000L)} as int)")),
           "yyyy-MM-dd").as("day_str"),
-        expr("pmod((ts_ms - pmod(ts_ms, 3600000)) div 3600000, 24)")
+        expr(s"pmod(${FloorTime.floorDivSql("ts_ms", 3600000L)}, 24)")
           .cast("long").as("hr"),
-        expr("pmod((ts_ms - pmod(ts_ms, 60000)) div 60000, 60)")
+        expr(s"pmod(${FloorTime.floorDivSql("ts_ms", 60000L)}, 60)")
           .cast("long").as("mins"))
       .orderBy(col("event_id")),
     oracle = Some("""

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.functions.FloorTime
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -332,7 +333,7 @@ object Relational2 {
       // floor bucketing, a3's rule — bare div truncates pre-1970 rows
       // into a different day cell than a3/the streaming window() starts
       .withColumn("epoch_day",
-        expr("(ts - pmod(ts, 86400000000000)) div 86400000000000"))
+        FloorTime.floorDiv("ts", 86400000000000L))
       .cube(col("event_type"), col("epoch_day"))
       // the rollup label comes from grouping(), NOT coalesce: a genuine
       // NULL event_type would otherwise be relabeled 'ALL' too, colliding

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.functions.FloorTime
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -636,12 +637,13 @@ object ScaleOps {
       val band = rangeBandMs
       val ev = T(s, dir).events
       val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), expr(s"ts_ms div $band").as("bucket"),
+        .select(col("user_id"), FloorTime.floorDiv("ts_ms", band).as("bucket"),
           col("ts_ms").as("v_ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts_ms"))
         .withColumn("bucket",
-          explode(array(expr(s"ts_ms div $band - 1"), expr(s"ts_ms div $band"))))
+          explode(array(FloorTime.floorDiv("ts_ms", band) - lit(1L),
+            FloorTime.floorDiv("ts_ms", band))))
       purchases.join(views, Seq("user_id", "bucket"), "left")
         .groupBy(col("event_id"), col("user_id"), col("ts_ms"))
         .agg(count(when(

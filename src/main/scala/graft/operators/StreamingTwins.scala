@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.functions.FloorTime
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -30,14 +31,13 @@ object StreamingTwins {
     "st1_deadline_tally",
     (s, dir) => T(s, dir).events
       .filter(col("event_type").isin("purchase", "error"))
-      // FLOOR bucketing (pmod), not truncation: the live twin derives
-      // window_hour from window() starts, which are floor-aligned, and
-      // the reference rule is floor(unix_ms / …) — bare div would put a
-      // pre-1970 event in a different (and off-by-one) bucket than the
-      // stream reports for the same row (r13 sweep)
-      .withColumn("window_hour",
-        expr("(ts_ms - pmod(ts_ms, 3600000)) div 3600000"))
-      .withColumn("late", expr("pmod(ts_ms, 3600000) >= 2700000"))
+      // FLOOR bucketing ([[graft.functions.FloorTime]]), not truncation:
+      // the live twin derives window_hour from window() starts, which
+      // are floor-aligned, and the reference rule is floor(unix_ms / …)
+      // — bare div would put a pre-1970 event in a different (and
+      // off-by-one) bucket than the stream reports for the same row
+      .withColumn("window_hour", FloorTime.floorDiv("ts_ms", 3600000L))
+      .withColumn("late", FloorTime.floorMod("ts_ms", 3600000L) >= lit(2700000L))
       .groupBy(col("window_hour"))
       .agg(
         count_if(!col("late") && col("event_type") === lit("purchase")).as("votes_for"),
@@ -116,13 +116,13 @@ object StreamingTwins {
     "st2_deadline_winner",
     (s, dir) => T(s, dir).events
       .filter(col("event_type").isin("view", "purchase"))
-      // floor forms (st1's rule, r13): truncating div/% misbuckets
-      // pre-1970 rows and — worse — yields a NEGATIVE offset that the
-      // `< 30 min` commit gate ACCEPTS for an event just before an hour
-      // boundary, where the floor offset (always in [0, 1h)) rejects it
-      .withColumn("window_hour",
-        expr("(ts_ms - pmod(ts_ms, 3600000)) div 3600000"))
-      .withColumn("off_ms", expr("pmod(ts_ms, 3600000)"))
+      // floor forms (st1's rule, [[graft.functions.FloorTime]]):
+      // truncating div/% misbuckets pre-1970 rows and — worse — yields a
+      // NEGATIVE offset that the `< 30 min` commit gate ACCEPTS for an
+      // event just before an hour boundary, where the floor offset
+      // (always in [0, 1h)) rejects it
+      .withColumn("window_hour", FloorTime.floorDiv("ts_ms", 3600000L))
+      .withColumn("off_ms", FloorTime.floorMod("ts_ms", 3600000L))
       .withColumn("phase",
         when(col("event_type") === lit("view") && col("off_ms") < lit(1800000L),
           lit("commit"))
@@ -268,8 +268,7 @@ object StreamingTwins {
       .filter(col("event_type") === lit("purchase"))
       // floor bucketing on the nanos column — same rule as st1's
       // window_hour (the live dailyLimit buckets by window() starts)
-      .withColumn("epoch_day",
-        expr("(ts - pmod(ts, 86400000000000)) div 86400000000000"))
+      .withColumn("epoch_day", FloorTime.floorDiv("ts", 86400000000000L))
       .withColumn("cents", round(col("value") * lit(100), 0).cast("long"))
       .groupBy(col("user_id"), col("epoch_day"))
       .agg(sum(col("cents")).as("spend_c"), count(lit(1)).as("n_draws"))

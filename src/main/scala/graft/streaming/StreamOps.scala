@@ -354,8 +354,11 @@ object StreamOps {
           // micro-batch for nothing
           val incoming = evs.map(e => (e.ts_ms, e.event_id)).toSeq
           seen += incoming.size
+          // descending via Ordering.reverse, NOT key negation: -x
+          // overflows at Long.MinValue and would pin that event as
+          // permanently "newest" (r13 sweep)
           buf = (incoming ++ buf)
-            .sortBy { case (ts, id) => (-ts, -id) }
+            .sorted(Ordering[(Long, Long)].reverse)
             .take(cap)
           state.update((seen, buf))
           BufferResult(userId, seen, buf.size.toLong, seen - buf.size,
@@ -869,6 +872,8 @@ object StreamOps {
       .schema(schema)
       .parquet(s"$dir/events.parquet")
       .withColumn("ts", graft.Tables.tsAsNanos(schema("ts").dataType))
-      .withColumn("ts_ms", expr("ts div 1000000"))
+      // floor form, same as the batch facade (Tables.events): truncation
+      // would round a pre-1970 sub-ms instant into the next millisecond
+      .withColumn("ts_ms", graft.functions.FloorTime.floorDiv("ts", 1000000L))
   }
 }

@@ -879,6 +879,23 @@ class StreamingSpec extends SparkSpec {
       "restored + resumed root diverged from the batch recompute")
   }
 
+  test("ST6 bounded buffer: Long.MinValue ts_ms is the OLDEST event, not a negation-overflow pin (r13 sweep)") {
+    // the pre-fix sort key negated ts_ms; -Long.MinValue == Long.MinValue,
+    // so that event sorted as the NEWEST possible and squatted a buffer
+    // slot forever. With Ordering.reverse it is evicted first.
+    val evs = Seq(
+      Ev(1L, 1L, "view", Some(1.0), Long.MinValue),
+      Ev(2L, 1L, "view", Some(1.0), 100L),
+      Ev(3L, 1L, "view", Some(1.0), 200L),
+      Ev(4L, 1L, "view", Some(1.0), 300L))
+    val got = latestBy(runStream("st6_minval", Seq(evs),
+      ds => StreamOps.boundedBuffer(ds, cap = 3).toDF(), OutputMode.Update),
+      "user_id").collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[String]("buffer_ids") === "2,3,4",
+      "Long.MinValue event must be evicted first, not retained as newest")
+  }
+
   test("ST6 streaming bounded buffer matches the batch twin") {
     val got = runStream("st6_stream", batches,
       ds => StreamOps.boundedBuffer(ds, cap = 3).toDF(), OutputMode.Update)
