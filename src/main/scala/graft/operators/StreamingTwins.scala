@@ -381,7 +381,7 @@ object StreamingTwins {
             (col("ts_ms") - col("prev_ts")) <= lit(300000L), lit(false)))
         .withColumn("rapid_reversals",
           sum(col("is_reversal").cast("long")).over(run))
-        .withColumn("window_start_ms", col("ts_ms") - pmod(col("ts_ms"), lit(3600000L)))
+        .withColumn("window_start_ms", FloorTime.floorAlign("ts_ms", 3600000L))
         .withColumn("transfers_in_window", count(lit(1)).over(inWindow))
         .withColumn("volume_in_window", sum(col("amount_c")).over(inWindow))
         .withColumn("is_flagged",

@@ -164,9 +164,9 @@ object StreamOps {
   def deadlineTally(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     withEventTime(events, watermark)
       .filter(col("event_type").isin("purchase", "error"))
-      // deadline gate in FLOOR offset (pmod), coherent with the floor-
-      // aligned window() buckets and the batch twin's pmod gate
-      .filter(expr("pmod(ts_ms, 3600000) < 2700000"))
+      // deadline gate in FLOOR offset, coherent with the floor-aligned
+      // window() buckets and the batch twin's gate
+      .filter(graft.functions.FloorTime.floorMod("ts_ms", 3600000L) < lit(2700000L))
       .groupBy(window(col("event_time"), "1 hour"))
       .agg(
         count_if(col("event_type") === lit("purchase")).as("votes_for"),

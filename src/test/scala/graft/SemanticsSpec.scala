@@ -37,6 +37,31 @@ class SemanticsSpec extends SparkSpec {
     assert(m("a3") === (100L, false)) // quorum gate
   }
 
+  test("Tables.events ns→ms conversion FLOORS sub-ms pre-1970 instants and survives Long.MinValue (r13 sweep)") {
+    // the only pre-1970 spec before this one (ST2b) wrote whole-ms nanos,
+    // where floor == truncate — so a revert of the ts_ms derivation to
+    // truncating `div` passed every gate. This pins the sub-ms layer:
+    //   -1 ns  is a 1969 instant → ms floor −1 (truncate says 0 = 1970)
+    //   Long.MinValue must not underflow the floor-div rewrite
+    val dir = java.nio.file.Files.createTempDirectory("graft-negms").toString
+    Seq(
+      (1L, -1L, 7L, "view", Some(1.0)),
+      (2L, 999999L, 7L, "view", Some(1.0)),           // 1970 sub-ms → ms 0
+      (3L, Long.MinValue, 7L, "view", Some(1.0)),
+      (4L, -1000001L, 7L, "view", Some(1.0)))          // just past −1 ms
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Tables(spark, dir).events
+      .select($"event_id", $"ts_ms").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === -1L, "floor, not truncate: -1 ns is in ms -1")
+    assert(got(2L) === 0L)
+    assert(got(3L) === Math.floorDiv(Long.MinValue, 1000000L),
+      "floor-div must not underflow at Long.MinValue")
+    assert(got(4L) === -2L)
+    deleteAll(new java.io.File(dir))
+  }
+
   test("W6 stake-duration multiplier cascade (stake/page.tsx:143-149)") {
     val df = Seq(0L, 29L, 30L, 89L, 90L, 179L, 180L, 400L).toDF("days")
       .withColumn("bps",
