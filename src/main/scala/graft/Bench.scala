@@ -71,13 +71,23 @@ object Bench {
     * run. Jackson is used directly (already on the Spark classpath);
     * package-private so the parse is spec-testable. */
   private[graft] def loadPrevDriverRecord(dir: java.io.File = new java.io.File(".")):
-      (Map[String, Double], Map[String, Double]) = {
-    val recs = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      .sortBy(f => -f.getName.replaceAll("\\D", "").toInt)
-    recs.iterator.flatMap(parseDriverRecord).nextOption()
+      (Map[String, Double], Map[String, Double]) =
+    parsedRecordsNewestFirst(dir).headOption
       .getOrElse((fallbackSf01Sec, fallbackSf1Ratios))
-  }
+
+  /** Every parseable driver record, newest round first — the ONE
+    * listing+parse pass both anchor loaders (and main, once per run)
+    * derive from. The sort key is Try-guarded: a hostile-length round
+    * number in a filename (BENCH_r99999999999.json) must sort last, not
+    * throw out of the listing layer and kill the bench before a single
+    * measurement (the loaders' never-break-the-run contract). */
+  private[graft] def parsedRecordsNewestFirst(dir: java.io.File):
+      Seq[(Map[String, Double], Map[String, Double])] =
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(f => -scala.util.Try(
+        f.getName.replaceAll("\\D", "").toLong).getOrElse(-1L))
+      .flatMap(parseDriverRecord).toSeq
 
   /** Per-query MIN sf0.1 seconds across ALL parseable driver records —
     * the anchor for the sf0.1 adaptive re-measure. The newest record is
@@ -91,13 +101,12 @@ object Bench {
     * two extra samples answer which. Falls back to the embedded
     * constants when no record parses. */
   private[graft] def loadBestSf01Anchors(
-      dir: java.io.File = new java.io.File(".")): Map[String, Double] = {
-    val all = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      .flatMap(parseDriverRecord).map(_._1)
+      dir: java.io.File = new java.io.File(".")): Map[String, Double] =
+    bestSf01Of(parsedRecordsNewestFirst(dir).map(_._1))
+
+  private[graft] def bestSf01Of(all: Seq[Map[String, Double]]): Map[String, Double] =
     if (all.isEmpty) fallbackSf01Sec
     else all.flatten.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
-  }
 
   /** One record's parse attempt; None (not a throw) on any failure so
     * [[loadPrevDriverRecord]] can walk back to an older record. */
@@ -181,18 +190,6 @@ object Bench {
       System.err.println(s"[bench] $tag ${q.name} $why; plan dump failed: ${e.getMessage}")
     }
 
-  /** `{"name":[s0,s1,s2],…}` — every raw timing sample per query, emitted
-    * into the bench record itself. The per-query swing triggers can only
-    * see a SINGLE query moving; a broad host throttle window inflates the
-    * whole suite uniformly (r7: every query +10–35%, no trigger fired)
-    * and the only attribution evidence — the per-sample times — lived on
-    * stderr, outside the record. With the samples in the JSON, any future
-    * number, individual or total, is attributable from the artifact
-    * alone: consistent samples = real cost, one slow outlier among
-    * consistent fast ones = a window. Insertion order = catalog order;
-    * a failed sample is a -1 marker IN PLACE, so "ran twice then died"
-    * keeps its two real samples and is distinguishable from "never
-    * ran" (an empty array). */
   /** Adaptive sf1 re-measure trigger: the preliminary min reads
     * SUPERLINEAR vs its sf0.1 base (> 2.5× for 10× data — every
     * headline plan is ~linear, so past that bar the number is either a
@@ -233,6 +230,19 @@ object Bench {
     ss.nonEmpty && prevSec > 0 && ss.min / prevSec > 1.2
   }
 
+  /** `{"name":[s0,s1,s2,…]}` — every raw timing sample per query, emitted
+    * into the bench record itself (`queries_samples` / `sf1_passes`).
+    * The per-query swing triggers can only see a SINGLE query moving; a
+    * broad host throttle window inflates the whole suite uniformly (r7:
+    * every query +10–35%, no trigger fired) and the only attribution
+    * evidence — the per-sample times — lived on stderr, outside the
+    * record. With the samples in the JSON, any future number, individual
+    * or total, is attributable from the artifact alone: consistent
+    * samples = real cost, one slow outlier among consistent fast ones =
+    * a window. Insertion order = catalog order; a failed sample is a -1
+    * marker IN PLACE, so "ran twice then died" keeps its two real
+    * samples and is distinguishable from "never ran" (an empty array);
+    * adaptively re-measured queries carry extra entries (4-5 total). */
   private[graft] def samplesJson(names: Seq[String],
       samples: collection.Map[String, collection.Seq[Double]]): String =
     names.map { n =>
@@ -284,6 +294,40 @@ object Bench {
       "\"" + n + "\":" + math.round(v * 1000) / 1000.0
     }.mkString(s""","$field":{""", ",", "}")
 
+  /** One cold timed run of `q` over `dir` through the noop sink — THE
+    * measurement protocol, shared with [[TimeQueries]] (its protocol
+    * twin) so a change here (e.g. the RunCaches clearing, added r6)
+    * cannot silently leave the twin measuring something else. Memoized
+    * dedup feature frames, Bloom broadcasts and kernel state are dropped
+    * first so every sample pays the full cold pipeline; the noop sink
+    * materializes every row without write cost. */
+  private[graft] def timeOnce(spark: SparkSession)(q: QueryDef, dir: String): Double = {
+    graft.operators.RunCaches.clearAll()
+    val t0 = System.nanoTime()
+    q.run(spark, dir).write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Minimum wall-clock spacing enforced before each ADAPTIVE extras
+    * pass: the re-measure exists to escape throttle windows the file
+    * documents as lasting on the order of a minute, but with a small
+    * suspect set the extras would otherwise run back-to-back ~seconds
+    * after the contested pass-2 samples — inside the very window the
+    * trigger fired on, and the record would then claim "re-measured,
+    * confirmed real" for a window artifact. With many suspects the
+    * suite's own runtime provides the gap and the sleep tops up only
+    * the difference; worst case (one suspect) costs ≤ 2 sleeps. */
+  private[graft] val extrasGapMs = 60000L
+
+  private def pauseForWindowEscape(sinceNanos: Long): Unit = {
+    val sleepMs = extrasGapMs - (System.nanoTime() - sinceNanos) / 1000000L
+    if (sleepMs > 0) {
+      System.err.println(s"[bench] extras pass: sleeping ${sleepMs / 1000.0} s " +
+        "to space re-measure samples out of the contested window")
+      Thread.sleep(sleepMs)
+    }
+  }
+
   /** Synthesizes the 10× tier from sf0.1 by key-offset replication:
     * fact tables (lineitem, orders, customer, events, documents,
     * embeddings) get 10 copies with join keys offset per copy — FK pairs
@@ -300,13 +344,13 @@ object Bench {
     val marker = new java.io.File(s"$outDir/_GRAFT_SF1_READY_v3")
     // staleness guard: regenerate when the source tier is newer than the
     // cached marker (driver may regenerate test data between rounds).
-    // Max over EVERY replicated source table, not just lineitem: the
-    // driver has regenerated single tables before (events.ts encoding in
-    // r9), and a lineitem-only key would keep serving a 10× copy of the
-    // OLD table for the others — sf1 ratios computed over mismatched
-    // tiers with no error (r13 sweep).
+    // Max over EVERY source table this tier copies — the six replicated
+    // facts AND the four copied dims: the driver has regenerated single
+    // tables before (events.ts encoding in r9), and a facts-only key
+    // would keep serving the OLD copy of a regenerated dim — sf1 ratios
+    // computed over mismatched tiers with no error (r13 sweeps).
     val srcMtime = Seq("lineitem", "orders", "customer", "events",
-      "documents", "embeddings").map { t =>
+      "documents", "embeddings", "nation", "region", "part", "supplier").map { t =>
       val d = new java.io.File(s"$sf01Dir/$t.parquet")
       if (d.isDirectory)
         (d.lastModified +: d.listFiles().map(_.lastModified).toSeq).max
@@ -370,16 +414,14 @@ object Bench {
     val spark = Engine.session(appName = "graft-bench")
 
     val headline = QueryDef.catalogs.filter(_.headline)
-    val (prevSf01Sec, prevDriverRatios) = loadPrevDriverRecord()
-    def time(q: QueryDef, dir: String): Double = {
-      // cold per run: drop memoized dedup feature frames, Bloom
-      // broadcasts and kernel state so min-of-2 measures the full
-      // pipeline, not the previous run's cache
-      graft.operators.RunCaches.clearAll()
-      val t0 = System.nanoTime()
-      q.run(spark, dir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // ONE listing+parse pass over the BENCH_r*.json records feeds both
+    // anchors (newest record for swing detection, per-query best for the
+    // window-escape trigger) — the two loaders stay as spec-tested
+    // views over the same parse
+    val driverRecords = parsedRecordsNewestFirst(new java.io.File("."))
+    val (prevSf01Sec, prevDriverRatios) =
+      driverRecords.headOption.getOrElse((fallbackSf01Sec, fallbackSf1Ratios))
+    val time = timeOnce(spark) _
     // per-query samples kept (warm-up + 2 measured) so a triggered dump
     // can show whether the min hides a slow outlier sample; appended
     // one at a time so a query that dies on its 2nd or 3rd sample keeps
@@ -430,7 +472,7 @@ object Bench {
     // anchors: per-query BEST across all records (window-escape bar);
     // the suite-wide bar is 1.15× not 1.1× because a sum of per-query
     // historical minima is itself biased low (sum-of-mins ≤ min-of-sums)
-    val bestSf01 = loadBestSf01Anchors()
+    val bestSf01 = bestSf01Of(driverRecords.map(_._1))
     val sf01Armed = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
     val healthy = headline.filterNot(q => bufs(q.name).take(3).contains(-1.0))
     val comparable = healthy.flatMap(q =>
@@ -447,13 +489,21 @@ object Bench {
       System.err.println("[bench] sf0.1 adaptive re-measure" +
         (if (totalInflated) " (suite-wide: total inflated >1.15x vs best-anchor sum)"
          else "") + ": " + sf01Suspects.map(_.name).mkString(", "))
-      for (p <- 3 until 5; q <- sf01Suspects) {
-        val buf = bufs(q.name)
-        try buf += time(q, sfDir)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} pass $p failed: ${e.getMessage}")
-          buf += -1.0
+      // each extras pass is SPACED ([[extrasGapMs]]) so the new samples
+      // actually sit outside the contested window even when the suspect
+      // set is small enough to run in seconds
+      var lastPassEnd = System.nanoTime()
+      for (p <- 3 until 5) {
+        pauseForWindowEscape(lastPassEnd)
+        for (q <- sf01Suspects) {
+          val buf = bufs(q.name)
+          try buf += time(q, sfDir)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} pass $p failed: ${e.getMessage}")
+            buf += -1.0
+          }
         }
+        lastPassEnd = System.nanoTime()
       }
     }
     val results = headline.map { q =>
@@ -498,8 +548,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // all three raw samples per query (warm-up first) — the record-side
-    // evidence for uniform host inflation no per-query trigger can see
+    // all raw samples per query (warm-up first, 4-5 entries when the
+    // adaptive extras fired) — the record-side evidence for uniform host
+    // inflation no per-query trigger can see
     val qSamples = samplesJson(headline.map(_.name), samplesByQ)
     val total = results.map(_._2).filter(_ >= 0).sum
 
@@ -553,8 +604,12 @@ object Bench {
         val extraPasses = if (suspects.isEmpty) Seq.empty else {
           System.err.println(s"[bench] sf1 adaptive re-measure: " +
             suspects.map(_.name).mkString(", "))
+          // spaced like the sf0.1 extras: a sole suspect's two extras
+          // must not land seconds after its contested samples
+          var lastPassEnd = System.nanoTime()
           (3 until 5).map { p =>
-            suspects.map { q =>
+            pauseForWindowEscape(lastPassEnd)
+            val m = suspects.map { q =>
               try { System.gc(); q.name -> time(q, sf1Dir) }
               catch { case e: Throwable =>
                 System.err.println(
@@ -562,6 +617,8 @@ object Bench {
                 q.name -> -1.0
               }
             }.toMap
+            lastPassEnd = System.nanoTime()
+            m
           }
         }
         val allPasses = passes ++ extraPasses
@@ -576,9 +633,8 @@ object Bench {
         val t1 = r1.map(_._2).filter(_ >= 0).sum
         // per-query scaling ratio vs the sf0.1 min (10× data →
         // ≤ ~12× time for a linear plan; fixed costs favor lower)
-        val sf01 = sf01Min
         val ratioVals = r1.map { case (k, v) =>
-          val base = sf01.getOrElse(k, -1.0)
+          val base = sf01Min.getOrElse(k, -1.0)
           k -> (if (v >= 0 && base > 0) math.round(v / base * 100) / 100.0 else -1.0)
         }
         // a suspicious ratio gets its FINAL adaptive sf1 plan plus

@@ -28,12 +28,9 @@ object TimeQueries {
         .getOrElse(sys.error(s"unknown catalog query: $n"))
     }
     val spark = Engine.session(appName = "graft-time")
-    def time(q: QueryDef, dir: String): Double = {
-      graft.operators.RunCaches.clearAll()
-      val t0 = System.nanoTime()
-      q.run(spark, dir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // the ONE measurement protocol, shared with Bench so the twins
+    // cannot drift (cache clearing, noop-sink materialization)
+    val time = Bench.timeOnce(spark) _
     val samples = scala.collection.mutable.Map
       .empty[(String, String), List[Double]].withDefaultValue(Nil)
     for (pass <- 0 until 3; dir <- dirs; q <- defs) {

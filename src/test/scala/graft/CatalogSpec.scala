@@ -81,6 +81,12 @@ class CatalogSpec extends SparkSpec {
         """"sf":"/x/sf0.01","sf1_ratio_vs_sf01":{}}}""")
     assert(Bench.loadPrevDriverRecord(dir)._1 === Map("q1_agg" -> 3.25),
       "wrong-scale newest → older sf0.1 record")
+    // a round number too long for Int/Long must sort LAST (oldest), not
+    // throw out of the listing layer and kill the bench at startup —
+    // the loader's never-break-the-run contract covers filenames too
+    write("BENCH_r99999999999999999999.json", "{}")
+    assert(Bench.loadPrevDriverRecord(dir)._1 === Map("q1_agg" -> 3.25),
+      "overlong round number in a filename must not throw or win the sort")
   }
 
   test("Bench record lines: summary last, loader prefers it, both parse") {
