@@ -97,7 +97,15 @@ object RestSource {
     * otherwise the s3 queries would silently read old data while the
     * oracle reads fresh parquet. */
   def snapshot(spark: SparkSession, sfDir: String, table: String): String = {
-    val key = s"$sfDir/$table".replaceAll("[^A-Za-z0-9._-]", "_")
+    val raw = s"$sfDir/$table"
+    // readable sanitized prefix + an md5 of the RAW pair: sanitization
+    // alone is lossy ('/a/sf0.1' and '/a/sf0_1' both sanitize to the
+    // same key), and a collision silently serves the OTHER table's
+    // snapshot through the staleness guard (r13 sweep)
+    val key = raw.replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-rest/$key"
     val marker = new java.io.File(s"$dir/_GRAFT_READY")
     val src = new java.io.File(s"$sfDir/$table.parquet")
@@ -190,7 +198,10 @@ final class RestScanBuilder(fullSchema: StructType, props: Map[String, String])
     // negative value makes every page's [lo, hi) empty — a silently
     // EMPTY result, the worst failure mode for a source (r13 sweep)
     require(pageSize > 0, s"rest source: pageSize must be positive, got $pageSize")
-    new RestScan(props("path"), fullSchema, projected, pushedF.toSeq,
+    val path = props.getOrElse("path",
+      throw new IllegalArgumentException(
+        "RestSource requires a 'path' option (JSONL file or directory)"))
+    new RestScan(path, fullSchema, projected, pushedF.toSeq,
       sortKeys, offsetN, limitN, pageSize)
   }
 }
@@ -236,10 +247,11 @@ final class RestScan(
       // rebased onto that sublist — so a page read costs O(pageSize),
       // instead of every reader re-walking the whole snapshot from line 0
       // (O(pages × total) overall).
-      val counts = fs.map { p =>
-        val src = scala.io.Source.fromFile(p, "UTF-8")
-        try (p, src.getLines().size.toLong) finally src.close()
-      }
+      // memoized per (path, mtime, length): the snapshot is immutable
+      // between rebuilds, and an uncached count re-reads every byte
+      // serially ON THE DRIVER at every re-plan of every unsorted query
+      // (the bench runs the same scan dozens of times) — r13 sweep
+      val counts = fs.map(p => (p, RestScan.lineCount(p)))
       val total = counts.iterator.map(_._2).sum
       val pages = math.max(1L, (total + pageSize - 1) / pageSize)
       Array.tabulate(pages.toInt) { i =>
@@ -262,8 +274,26 @@ final class RestScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RestReaderFactory(fullSchema.toDDL, projected.toDDL, filters,
+    new RestReaderFactory(fullSchema, projected, filters,
       sort, offset, limit)
+}
+
+object RestScan {
+  /** Line counts memoized by (path, mtime, length) — identity of an
+    * immutable snapshot file. Bounded clear-all at 4096 entries (the
+    * Sinks manifest-cache rule): snapshots are few, the cap is a leak
+    * guard, and on overflow a re-count is a cheap re-read. */
+  private val lineCounts =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Long]()
+  private[sources] def lineCount(p: String): Long = {
+    val f = new java.io.File(p)
+    val key = (p, f.lastModified(), f.length())
+    if (lineCounts.size() > 4096) lineCounts.clear()
+    lineCounts.computeIfAbsent(key, { _ =>
+      val src = scala.io.Source.fromFile(p, "UTF-8")
+      try src.getLines().size.toLong finally src.close()
+    })
+  }
 }
 
 /** A page of the snapshot: line range [startLine, endLine) counted over
@@ -272,17 +302,17 @@ final case class RestPage(files: Seq[String], startLine: Long, endLine: Long)
     extends InputPartition
 
 final class RestReaderFactory(
-    fullDDL: String, projectedDDL: String, filters: Seq[Filter],
+    fullSchema: StructType, projected: StructType, filters: Seq[Filter],
     sort: Seq[SortKey], offset: Option[Int], limit: Option[Int])
     extends PartitionReaderFactory {
-  // a count() prunes the selection set to ZERO columns → empty DDL
-  private def parse(ddl: String): StructType =
-    if (ddl.trim.isEmpty) new StructType() else StructType.fromDDL(ddl)
-
+  // StructType is Serializable (this factory already ships Seq[Filter]
+  // and Seq[SortKey] the same way), so the schemas travel as-is — the
+  // old DDL round-trip needed a special case for the zero-column
+  // count() pruning (empty DDL doesn't re-parse) and was one more
+  // encoding that could drift from the planned schema (r13 sweep)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new RestReader(partition.asInstanceOf[RestPage],
-      parse(fullDDL), parse(projectedDDL),
-      filters, sort, offset, limit)
+      fullSchema, projected, filters, sort, offset, limit)
 }
 
 /** Evaluates the pushed request exactly like the endpoint would: parse →
@@ -306,15 +336,28 @@ final class RestReader(
   private def typeOf(field: String): DataType =
     typeByName.getOrElse(field, StringType)
 
+  /** Typed extraction with SPARK's JSON reading semantics, not Jackson's
+    * coercions: asLong/asBoolean silently turn a non-conforming value
+    * ({"n_chars":"oops"} under BIGINT) into 0/false — a pushed filter
+    * then silently drops or keeps the wrong rows and IsNotNull reads
+    * TRUE for what Spark's own reader surfaces as null. Non-conforming
+    * values are null here, like a PERMISSIVE from_json (r13 sweep).
+    * Integral bounds are checked (canConvertToLong/Int); STRING accepts
+    * any scalar's literal text (Spark keeps the raw token for a string
+    * field) and a container's JSON text. */
   private def value(n: JsonNode, field: String): Any = {
     val v = n.get(field)
     if (v == null || v.isNull) null
     else typeOf(field) match {
-      case LongType => v.asLong()
-      case IntegerType => v.asInt()
-      case DoubleType => v.asDouble()
-      case BooleanType => v.asBoolean()
-      case _ => v.asText()
+      // isIntegralNumber, not just canConvertToLong: the latter is only
+      // a RANGE check and would round 700.5 into a fabricated 700
+      case LongType =>
+        if (v.isIntegralNumber && v.canConvertToLong) v.asLong() else null
+      case IntegerType =>
+        if (v.isIntegralNumber && v.canConvertToInt) v.asInt() else null
+      case DoubleType => if (v.isNumber) v.asDouble() else null
+      case BooleanType => if (v.isBoolean) v.asBoolean() else null
+      case _ => if (v.isContainerNode) v.toString else v.asText()
     }
   }
 
@@ -357,15 +400,18 @@ final class RestReader(
     xa.length - xb.length
   }
 
+  // each arm extracts the field ONCE — the old `value(n,a) != null &&
+  // cmp(value(n,a), v)` form paid the JSON lookup + type dispatch + box
+  // twice per row per filter, and In re-extracted per list element
   private def eval(f: Filter, n: JsonNode): Boolean = f match {
-    case EqualTo(a, v) => value(n, a) != null && cmp(value(n, a), v) == 0
-    case GreaterThan(a, v) => value(n, a) != null && cmp(value(n, a), v) > 0
-    case GreaterThanOrEqual(a, v) => value(n, a) != null && cmp(value(n, a), v) >= 0
-    case LessThan(a, v) => value(n, a) != null && cmp(value(n, a), v) < 0
-    case LessThanOrEqual(a, v) => value(n, a) != null && cmp(value(n, a), v) <= 0
+    case EqualTo(a, v) => val x = value(n, a); x != null && cmp(x, v) == 0
+    case GreaterThan(a, v) => val x = value(n, a); x != null && cmp(x, v) > 0
+    case GreaterThanOrEqual(a, v) => val x = value(n, a); x != null && cmp(x, v) >= 0
+    case LessThan(a, v) => val x = value(n, a); x != null && cmp(x, v) < 0
+    case LessThanOrEqual(a, v) => val x = value(n, a); x != null && cmp(x, v) <= 0
     case IsNotNull(a) => value(n, a) != null
     case IsNull(a) => value(n, a) == null
-    case In(a, vs) => value(n, a) != null && vs.exists(v => cmp(value(n, a), v) == 0)
+    case In(a, vs) => val x = value(n, a); x != null && vs.exists(v => cmp(x, v) == 0)
     case _ => true // unreachable: unsupported filters were declined
   }
 
@@ -413,20 +459,38 @@ final class RestReader(
 
   private val iter: Iterator[InternalRow] = {
     var matched = lines().filter(n => filters.forall(eval(_, n)))
-    if (sort.nonEmpty) matched = matched.toVector.sorted(ordering).iterator
+    if (sort.nonEmpty) matched = limit match {
+      // bounded top-k, not a full materialize+sort: pushTopN always
+      // carries a limit (which already includes the offset), and the
+      // single ordered partition would otherwise buffer EVERY matching
+      // row in one task's heap — O(n log n) time and an OOM risk at
+      // snapshot scale, vs O(n log k) / O(k) for a size-k max-heap that
+      // evicts the worst-ordered element as it fills (r13 sweep)
+      case Some(k) =>
+        val heap = new java.util.PriorityQueue[JsonNode](
+          math.max(1, k), ordering.reverse)
+        matched.foreach { n =>
+          heap.offer(n)
+          if (heap.size() > k) heap.poll()
+        }
+        heap.asScala.toVector.sorted(ordering).iterator
+      case None => matched.toVector.sorted(ordering).iterator
+    }
     // Spark's paging convention (V2ScanRelationPushDown): the pushed
     // limit already INCLUDES the offset (LIMIT l OFFSET o arrives as
     // pushLimit(o+l) + pushOffset(o)), so the page is take-then-drop
     limit.foreach(l => matched = matched.take(l))
     offset.foreach(o => matched = matched.drop(o))
+    val fields = projected.fields // hoisted: no per-row tuple-array alloc
     matched.map { n =>
-      val out = new GenericInternalRow(projected.length)
-      projected.fields.zipWithIndex.foreach { case (f, i) =>
-        val v = value(n, f.name) match {
+      val out = new GenericInternalRow(fields.length)
+      var i = 0
+      while (i < fields.length) {
+        out.update(i, value(n, fields(i).name) match {
           case s: String => UTF8String.fromString(s)
           case other => other
-        }
-        out.update(i, v)
+        })
+        i += 1
       }
       out
     }

@@ -80,6 +80,52 @@ class SourcesSpec extends SparkSpec {
       s"asc default is NULLS FIRST then smallest value, got $asc")
   }
 
+  test("non-conforming JSON values read as NULL, never Jackson-coerced to 0/false (r13 sweep)") {
+    // asLong("oops") is 0 in Jackson: a pushed `n > 500` filter would
+    // silently drop the row, IsNotNull would accept it, and the emitted
+    // row would carry a fabricated 0 — Spark's PERMISSIVE reader nulls
+    // the field instead, and the endpoint must match Spark's semantics
+    val dir = java.nio.file.Files.createTempDirectory("graft-restbad").toFile
+    val pw = new java.io.PrintWriter(new java.io.File(dir, "part-0.json"))
+    Seq("""{"id":1,"n":600,"ok":true}""",
+      """{"id":2,"n":"oops","ok":"yes"}""",          // mistyped n + ok
+      """{"id":3,"n":99999999999999999999,"ok":false}""", // > Long.MaxValue
+      """{"id":4,"n":700.5,"ok":true}""").foreach(pw.println)
+    pw.close()
+    val df = spark.read.format("graft.sources.RestSource")
+      .option("path", dir.getPath)
+      .option("schema", "id BIGINT, n BIGINT, ok BOOLEAN")
+      .load()
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(rows(2L) === ((None, None)), "mistyped values must be null, not 0/false")
+    assert(rows(3L) === ((None, Some(false))), "out-of-Long-range must be null")
+    assert(rows(4L) === ((None, Some(true))), "a non-integral number is not a BIGINT")
+    // pushed filter + IsNotNull agree with the null reading
+    val kept = df.filter($"n".isNotNull && $"n" > 500L)
+      .select($"id").collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(1L))
+  }
+
+  test("snapshot cache keys cannot collide across sanitization (r13 sweep)") {
+    // '/x/sf0.1' and '/x/sf0_1' sanitize to the same characters; the
+    // raw-pair hash must keep their snapshot dirs distinct or one
+    // would silently serve the other's data through the mtime guard
+    val a = java.nio.file.Files.createTempDirectory("graft-snap.a").toString
+    val b = a.replace("graft-snap.a", "graft-snap_a")
+    for (d <- Seq(a, b)) {
+      new java.io.File(d).mkdirs()
+      Seq((1L, d)).toDF("id", "src").write.mode("overwrite")
+        .parquet(s"$d/t.parquet")
+    }
+    val da = graft.sources.RestSource.snapshot(spark, a, "t")
+    val db = graft.sources.RestSource.snapshot(spark, b, "t")
+    assert(da !== db, "sanitization-colliding dirs must get distinct snapshots")
+    val ra = spark.read.schema("id BIGINT, src STRING").json(da)
+      .select($"src").head().getString(0)
+    assert(ra === a, "snapshot content must come from its own source dir")
+  }
+
   test("unsupported schema types are rejected at load, not mid-query") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format("graft.sources.RestSource")
