@@ -26,12 +26,15 @@ abstract class DotProductBase extends BinaryExpression with ImplicitCastInputTyp
     with Serializable {
   // always nullable: the ragged-pair null exists even over non-null inputs
   override def nullable: Boolean = true
-  override def prettyName: String = getClass.getSimpleName.stripSuffix("$").toLowerCase
+  // the REGISTERED catalog name, not a class-name derivation: analyzer
+  // errors and EXPLAIN print prettyName, and "dotlong" is a function a
+  // user who copies it from the message cannot resolve (r13 sweep)
 }
 
 /** `dot_long(array<bigint>, array<bigint>) → bigint` — exact integer
   * inner product (the quantized similarity tier). */
 final case class DotLong(left: Expression, right: Expression) extends DotProductBase {
+  override def prettyName: String = "dot_long"
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
@@ -82,6 +85,7 @@ final case class DotLong(left: Expression, right: Expression) extends DotProduct
   * product accumulated in double, strictly left-to-right (bit-identical
   * to the UDF kernel it replaces). */
 final case class DotFloat(left: Expression, right: Expression) extends DotProductBase {
+  override def prettyName: String = "dot_float"
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType

@@ -130,15 +130,20 @@ object Merkle {
     val targetsByBlock: Map[Long, Seq[Long]] =
       targets.filter(_ >= 0).groupBy(_ / blockSize)
     import spark.implicits._
+    // hoisted: recomputing the zero-hash table inside mapGroups paid
+    // blockDepth Poseidon permutations per BLOCK for an identical
+    // table (at the blockDepth-4 cryptoMerkleVerify call that was ~13%
+    // of the block's hash work) — plain BigInts, serializes fine
+    val zbShared = zeroHashes(blockDepth)
     // one distributed pass: per block, subtree root + local target paths
-    val perBlock: Seq[(Long, Array[Byte], Seq[(Long, Seq[Array[Byte]], Seq[Int])])] =
+    val perBlock: Seq[(Long, Long, Array[Byte], Seq[(Long, Seq[Array[Byte]], Seq[Int])])] =
       leaves
         .select(expr(s"leaf_index div $blockSize").as("block"),
           col("leaf_index"), col("leaf"))
         .as[(Long, Long, Array[Byte])]
         .groupByKey(_._1)
         .mapGroups { (block, rows) =>
-          val zb = zeroHashes(blockDepth)
+          val zb = zbShared
           val all = rows.toSeq
           // per-row range guard HERE, not just on the collected block ids:
           // a negative leaf_index truncates into block 0 under `div` and
@@ -148,9 +153,20 @@ object Merkle {
             s"leaf_index ${r._2} outside [0, 2^$depth) (merkle.ts:118-120)"))
           require(all.map(_._2).distinct.size == all.size,
             s"duplicate leaf_index in block $block — left-filled leaves must be unique")
-          val vec = all.sortBy(_._2).map(r => Poseidon.fromBytes32(r._3)).toVector
-          val levels = pyramid(vec, blockDepth, zb, 0)
+          val sorted = all.sortBy(_._2)
           val base = block * blockSize
+          // positions are assigned by sort ORDER, so a gap inside the
+          // block would silently shift every later leaf one slot left
+          // and hash a DIFFERENT tree — the left-filled contract is
+          // loud here like every other malformed input (the silent-
+          // truncation class Crypto.scala:82-85 records shipping once)
+          sorted.iterator.zipWithIndex.foreach { case (r, i) =>
+            require(r._2 == base + i,
+              s"leaves not left-filled: block $block expects contiguous " +
+                s"indices from $base, found ${r._2} at offset $i")
+          }
+          val vec = sorted.map(r => Poseidon.fromBytes32(r._3)).toVector
+          val levels = pyramid(vec, blockDepth, zb, 0)
           val local = targetsByBlock.getOrElse(block, Seq.empty).flatMap { t =>
             val li = (t - base).toInt
             if (li >= vec.size) Seq.empty
@@ -160,10 +176,10 @@ object Merkle {
             }
           }
           val broot = levels.last.headOption.getOrElse(zb(blockDepth))
-          (block, Poseidon.toBytes32(broot), local)
+          (block, vec.size.toLong, Poseidon.toBytes32(broot), local)
         }
         .collect().toSeq // bounded: ≤ 2^(depth-blockDepth) rows
-    val byBlock = perBlock.map { case (b, r, _) => b -> Poseidon.fromBytes32(r) }.toMap
+    val byBlock = perBlock.map { case (b, _, r, _) => b -> Poseidon.fromBytes32(r) }.toMap
     // leaf_index range guard BEFORE the (0 to maxBlock) materialization:
     // one corrupt row with a huge index would otherwise have the driver
     // allocate a Vector sized by that index (OOM, violating the bounded-
@@ -175,10 +191,21 @@ object Merkle {
       s"leaf_index out of range: block $b outside [0, $blockCap) " +
         s"for depth $depth / blockDepth $blockDepth (merkle.ts:118-120)"))
     val maxBlock = if (byBlock.isEmpty) -1L else byBlock.keys.max
+    // cross-block left-filled guards, same loud contract as in-block: a
+    // MISSING middle block would silently zero-fill below, and a
+    // partially-filled non-final block would shift the next block's
+    // subtree — both hash a different tree than the reference's
+    require(byBlock.size.toLong == maxBlock + 1,
+      s"leaves not left-filled: ${maxBlock + 1 - byBlock.size} empty " +
+        s"block(s) below block $maxBlock")
+    perBlock.foreach { case (b, sz, _, _) =>
+      require(b == maxBlock || sz == blockSize,
+        s"leaves not left-filled: non-final block $b holds $sz of $blockSize leaves")
+    }
     val tops = (0L to maxBlock).map(b => byBlock.getOrElse(b, z(blockDepth))).toVector
     val levels = pyramid(tops, depth - blockDepth, z, blockDepth)
     val root = levels.last.headOption.getOrElse(z(depth))
-    val localProofs = perBlock.flatMap(_._3).map { case (t, sibs, bits) =>
+    val localProofs = perBlock.flatMap(_._4).map { case (t, sibs, bits) =>
       t -> ((sibs.map(Poseidon.fromBytes32), bits))
     }.toMap
     val proofs = localProofs.map { case (t, (ls, lb)) =>
@@ -207,6 +234,10 @@ object Merkle {
     * is still k) — a torn snapshot persisted for restart would silently
     * diverge every subsequent root. */
   final class Incremental(val depth: Int) {
+    // same bound every sibling entry point enforces: at depth 63,
+    // 1L << 63 is Long.MinValue and the capacity check in append/restore
+    // compares against garbage (an empty tree reports "full")
+    require(depth >= 0 && depth < 63, s"depth $depth must be in [0, 63)")
     private val z = zeroHashes(depth)
     private val filled = Array.fill[BigInt](depth)(BigInt(0))
     private var n = 0L

@@ -119,6 +119,27 @@ class CryptoSpec extends SparkSpec {
         all(e).flatMap(t => Option(t.getMessage)).mkString
           .contains("leaf_index"), s"badIdx=$badIdx: $e")
     }
+    // non-left-filled leaf sets must fail LOUDLY too (r13 sweep): block
+    // positions come from sort order, so a gap would silently shift
+    // every later leaf one slot left and hash a different tree.
+    // Three shapes: in-block gap, missing middle block, partial
+    // non-final block (blockDepth 2 → blockSize 4).
+    def tree(idxs: Long*) = idxs.map(i => (i, Poseidon.toBytes32(BigInt(i + 1))))
+      .toDF("leaf_index", "leaf")
+    for ((bad, tag) <- Seq(
+        (tree(0L, 2L), "gap inside block 0"),
+        (tree(0L, 1L, 2L, 3L, 8L), "missing middle block"),
+        (tree(0L, 1L, 2L, 4L), "partial non-final block"))) {
+      val e = intercept[Exception](
+        Merkle.rootDistributed(spark, bad, depth = 12, blockDepth = 2))
+      def all(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: all(t.getCause)
+      assert(all(e).flatMap(t => Option(t.getMessage)).mkString
+        .contains("left-filled"), s"$tag: $e")
+    }
+    // Incremental refuses the depths whose capacity check is garbage
+    intercept[IllegalArgumentException](new Merkle.Incremental(63))
+    intercept[IllegalArgumentException](new Merkle.Incremental(64))
   }
   test("depth-20 distributed proof generation: proofs bit-identical to the local path, block-bounded driver fold") {
     import spark.implicits._

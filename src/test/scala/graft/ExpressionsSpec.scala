@@ -65,7 +65,9 @@ class ExpressionsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     // the `*(n)` prefix marks a WholeStageCodegen span; the projection
     // evaluating the kernel must sit inside one
-    assert("""\*\(\d+\) Project \[dotfloat""".r.findFirstIn(plan).isDefined, plan)
+    // prettyName is the REGISTERED catalog name (dot_float), so plan
+    // output and analyzer errors print a name a user can resolve
+    assert("""\*\(\d+\) Project \[dot_float""".r.findFirstIn(plan).isDefined, plan)
     assert(!plan.contains("ScalaUDF"), plan)
     assert(!plan.contains("BatchEvalPython"), plan)
   }
