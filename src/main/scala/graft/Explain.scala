@@ -15,13 +15,25 @@ object Explain {
     val keep = Seq("Scan", "Join", "Exchange", "HashAggregate", "SortAggregate",
       "ObjectHashAggregate", "WholeStageCodegen", "Window", "TakeOrdered",
       "Sort ", "Expand", "Generate", "MapPartitions", "BroadcastNestedLoop")
+    // a typo'd name must fail loudly (TimeIncr's rule), not print
+    // nothing and exit 0 with the user auditing a missing section
+    val known = QueryDef.catalogs.map(_.name).toSet
+    val unknown = names.diff(known)
+    require(unknown.isEmpty, s"unknown catalog queries: ${unknown.mkString(", ")}")
     QueryDef.catalogs
       .filter(q => names.isEmpty || names(q.name))
       .foreach { q =>
         println(s"===== ${q.name} =====")
         try {
-          val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
-          plan.split("\n").filter(l => keep.exists(l.contains)).foreach(println)
+          // EXECUTE first (noop sink), then print: with AQE on, the
+          // unexecuted executedPlan is the initial AdaptiveSparkPlan
+          // (isFinalPlan=false) — auditing it misses exactly the
+          // runtime join-strategy/skew rewrites this tool exists to
+          // surface (r13 sweep)
+          val qe = q.run(spark, sfDir).queryExecution
+          qe.toRdd.count(): Unit
+          qe.executedPlan.toString
+            .split("\n").filter(l => keep.exists(l.contains)).foreach(println)
         } catch { case e: Throwable => println(s"  ERROR: ${e.getMessage}") }
       }
     spark.stop()

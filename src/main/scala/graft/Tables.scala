@@ -46,7 +46,16 @@ final case class Tables(spark: SparkSession, dir: String) {
       val r = spark.read.format("jdbc")
         .option("url", dir)
         .option("dbtable", name)
-      val part = sys.env.get("SPARK_GRAFT_JDBC_PARTTABLE").filter(_ == name)
+      val partTable = sys.env.get("SPARK_GRAFT_JDBC_PARTTABLE")
+      // the TABLE name is validated against the catalog too: a typo'd
+      // value (`event`) would otherwise never match any load, the
+      // all-or-nothing guard below would never run, and every fact scan
+      // would silently stream through one connection — the exact
+      // fallback the guard exists to prevent (r13 sweep)
+      partTable.foreach(t => require(Tables.catalogTables.contains(t),
+        s"SPARK_GRAFT_JDBC_PARTTABLE=$t names no catalog table " +
+          s"(${Tables.catalogTables.mkString(", ")})"))
+      val part = partTable.filter(_ == name)
         .map { _ =>
           // all-or-nothing: a HALF-specified partition spec (PARTTABLE
           // set but one of COL/LOWER/UPPER/NUM missing or typoed) must
@@ -110,6 +119,12 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
+  /** Every table the facade can load — the validation set for the
+    * partitioned-JDBC env spec. */
+  val catalogTables: Set[String] = Set("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
   /** `ts` → epoch-nanos Long, shared by the batch facade and the streaming
     * file source so both read every store tier the same way. Accepted
     * arrivals: epoch-nanos BIGINT (parquet TIMESTAMP(NANOS) under

@@ -110,6 +110,15 @@ object TimeIncr {
     val shards = operators.Similarity.confShards(spark, family)
     val tiers = for (dir <- dirs; span <- spans) yield {
       val split = maxIds(dir) - span
+      // the span must carve a real increment out of a real corpus: a
+      // span ≥ the tier's max id (oversized spans= arg, or dirs passed
+      // largest-first so the head tier's natural slice exceeds a later
+      // tier's id range) makes split ≤ 0 — the whole corpus becomes the
+      // "increment", corpus=0, and the RATIO line divides by zero — a
+      // silently-garbage O(increment) measurement instead of the loud
+      // failure every other option here gets (r13 sweep)
+      require(span > 0 && split > 0,
+        s"span $span must be in (0, max ${fam.idCol}=${maxIds(dir)}) for $dir")
       val cnt = fam.counted(spark, dir).agg(
         count(when(col(fam.idCol) >= split, 1)).as("incr"),
         count(when(col(fam.idCol) < split, 1)).as("corpus")).head()

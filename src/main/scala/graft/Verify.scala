@@ -36,12 +36,16 @@ object Verify {
         // a failed query must leave NO parquet behind: outDir is reused
         // across runs, and a stale previous-round result under this name
         // would verify green against the oracle for a query that no
-        // longer runs at all (r13 sweep)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(s"$outDir/$name"))
+        // longer runs at all. commons-io (on the Spark classpath), not a
+        // hand-rolled walk that ignored delete() failures — and a
+        // residual survivor is reported loudly, not silently verified
+        val stale = new java.io.File(s"$outDir/$name")
+        scala.util.Try {
+          if (stale.exists())
+            org.apache.commons.io.FileUtils.deleteDirectory(stale)
+        }.failed.foreach(t => System.err.println(
+          s"[verify] $name: stale result dir not removed " +
+            s"(may verify green for a dead query): ${t.getMessage}"))
       }
     }
     val json = SparkEntry.oracleSql

@@ -19,9 +19,14 @@ object RunCaches {
     clearers.synchronized { clearers += ((name, clear)) }
 
   /** Runs every registered clearer; one failure must not skip the rest
-    * (same Try discipline each clearer already applies internally). */
+    * (same Try discipline each clearer already applies internally) — but
+    * it must be LOUD: a silently-broken clearer leaves warm state, and
+    * the cold-measurement harnesses would report deflated numbers
+    * indistinguishable from a real speedup (r13 sweep). */
   def clearAll(): Unit =
-    clearers.synchronized(clearers.toList).foreach { case (_, f) =>
-      scala.util.Try(f())
+    clearers.synchronized(clearers.toList).foreach { case (name, f) =>
+      scala.util.Try(f()).failed.foreach(t =>
+        System.err.println(s"[run-caches] clearer '$name' failed " +
+          s"(state may stay warm): ${t.getMessage}"))
     }
 }
