@@ -84,7 +84,12 @@ object Udfs {
 
   /** Strict RFC-8259 JSON validity over the FULL string — the acceptance
     * set shared by JS `JSON.parse` and DuckDB `json_valid`, which is what
-    * makes [[jsonScan]]'s oracle exact. Hand-rolled recursive descent
+    * makes [[jsonScan]]'s oracle exact. (One input class where the two
+    * anchors DISAGREE: JSON.parse tolerates lone surrogate escapes like
+    * `"\uD800"`, DuckDB/yyjson rejects them — this validator sides with
+    * DuckDB and the RFC's valid-Unicode reading, keeping the oracle
+    * exact; similarly only ASCII digits are digits, as in both anchors.)
+    * Hand-rolled recursive descent
     * instead of a classpath parser so acceptance never shifts with a
     * Jackson feature flag (default Jackson tolerates trailing tokens —
     * exactly the case the bracket scan must treat as invalid). Scalars
@@ -120,8 +125,25 @@ object Udfs {
             case '"' | '\\' | '/' | 'b' | 'f' | 'n' | 'r' | 't' => i += 1
             case 'u' =>
               if (i + 4 < n && isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2)) &&
-                isHex(s.charAt(i + 3)) && isHex(s.charAt(i + 4))) i += 5
-              else fail()
+                isHex(s.charAt(i + 3)) && isHex(s.charAt(i + 4))) {
+                val cp = Integer.parseInt(s.substring(i + 1, i + 5), 16)
+                i += 5
+                // surrogate escapes must PAIR (high then low): DuckDB's
+                // json_valid (yyjson) rejects a lone \uD800-class escape
+                // while JSON.parse tolerates it — the one place the two
+                // anchors disagree; this validator sides with DuckDB and
+                // RFC-8259's valid-Unicode reading, and the divergence
+                // from JS is documented in the scaladoc (r13 sweep,
+                // empirically confirmed against both anchors)
+                if (cp >= 0xD800 && cp <= 0xDBFF) {
+                  if (i + 5 < n && s.charAt(i) == '\\' && s.charAt(i + 1) == 'u' &&
+                    isHex(s.charAt(i + 2)) && isHex(s.charAt(i + 3)) &&
+                    isHex(s.charAt(i + 4)) && isHex(s.charAt(i + 5))) {
+                    val lo = Integer.parseInt(s.substring(i + 2, i + 6), 16)
+                    if (lo >= 0xDC00 && lo <= 0xDFFF) i += 6 else fail()
+                  } else fail()
+                } else if (cp >= 0xDC00 && cp <= 0xDFFF) fail()
+              } else fail()
             case _ => fail()
           }
         } else if (c < ' ') fail() // raw control chars must be escaped
@@ -129,9 +151,14 @@ object Udfs {
       }
       if (!closed) fail()
     }
+    // ASCII 0-9 ONLY: Char.isDigit accepts every Unicode Nd digit
+    // (Arabic-Indic ٢, fullwidth ０), which BOTH anchors reject —
+    // "1٢" would validate here but fail JSON.parse and json_valid,
+    // breaking the exact-acceptance-set contract (r13 sweep)
+    def isAsciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
     def digits(): Unit = {
-      if (i >= n || !s.charAt(i).isDigit) fail()
-      else while (i < n && s.charAt(i).isDigit) i += 1
+      if (i >= n || !isAsciiDigit(s.charAt(i))) fail()
+      else while (i < n && isAsciiDigit(s.charAt(i))) i += 1
     }
     def number(): Unit = {
       if (i < n && s.charAt(i) == '-') i += 1

@@ -70,7 +70,12 @@ object BinaryOps {
     * must render identical uppercase hex of the UTF-8 bytes. */
   val s2Hex = QueryDef(
     "s2_hex",
+    // text IS NOT NULL on BOTH sides: a null-text row would make the
+    // === comparison NULL while the oracle hard-codes TRUE — today's
+    // fixtures are null-free, but sibling layers (Multimodal, Text)
+    // already guard this exact regeneration hazard (r13 sweep)
     (s, dir) => T(s, dir).documents
+      .filter(col("text").isNotNull)
       .select(
         col("doc_id"),
         hex(encode(substring(col("text"), 1, 16), "UTF-8")).as("hex16"),
@@ -80,7 +85,7 @@ object BinaryOps {
     oracle = Some("""
       SELECT doc_id, upper(hex(substring(text, 1, 16))) AS hex16,
         TRUE AS roundtrip_ok
-      FROM documents ORDER BY doc_id"""))
+      FROM documents WHERE text IS NOT NULL ORDER BY doc_id"""))
 
   /** Base58 encode/decode round-trip (hive-api.ts:29-30) over md5 digests.
     * DuckDB has no base58, so the checkable output is the round-trip truth
@@ -91,6 +96,7 @@ object BinaryOps {
       val enc = graft.functions.Udfs.base58EncodeUdf
       val dec = graft.functions.Udfs.base58DecodeUdf
       T(s, dir).documents
+        .filter(col("text").isNotNull) // same null-text guard as s2_hex
         .withColumn("digest", unhex(md5(col("text"))))
         .select(
           col("doc_id"),
@@ -99,7 +105,7 @@ object BinaryOps {
     },
     oracle = Some("""
       SELECT doc_id, TRUE AS roundtrip_ok
-      FROM documents ORDER BY doc_id"""))
+      FROM documents WHERE text IS NOT NULL ORDER BY doc_id"""))
 
   val defs: Seq[QueryDef] =
     Seq(s2DecodeFixed, s2DecodeLenPrefix, s2Hex, s2Base58Roundtrip)

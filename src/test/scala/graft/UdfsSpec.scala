@@ -59,13 +59,20 @@ class UdfsSpec extends AnyFunSuite {
       """[1, -0.5, 1e5, 2E-3, 0.25, true, false, null, "s"]""",
       "42", "-0", "\"str\"", "true", "null",
       """  {"ws" : "around"}  """,
-      """{"esc":"a\n\t\"\\\/éb"}""")
+      """{"esc":"a\n\t\"\\\/éb"}""",
+      "\"\\ud83d\\ude00\"" /* paired surrogate escape (😀) */)
     val invalid = Seq(
       "", " ", "{", "}", "{]", """{"k":}""", """{"k":1,}""", """[1,]""",
       """{k:1}""", """{'k':1}""", "01", "+1", "1.", ".5", "1e", "--1",
       "tru", "nulll" /* trailing token */, """{"a":1} {"b":2}""",
       """{"a":1} trailing""", "\"unterminated", "\"raw\tcontrol\"",
-      """{"a":"bad \x esc"}""", "NaN", "Infinity")
+      """{"a":"bad \x esc"}""", "NaN", "Infinity",
+      // Unicode Nd digits: Char.isDigit accepts them, BOTH anchors
+      // reject (DuckDB json_valid re-confirmed in-container, r13)
+      "1٢", "-٢", "1e٥", "１",
+      // lone/misordered surrogate escapes: DuckDB/yyjson rejects,
+      // validator sides with it (divergence from JSON.parse documented)
+      "\"\\ud800\"", "\"\\ud800x\"", "\"\\ude00\"", "\"\\ude00\\ud800\"")
     valid.foreach(v => assert(Udfs.jsonValid(v), s"should accept: $v"))
     invalid.foreach(v => assert(!Udfs.jsonValid(v), s"should reject: $v"))
     // deep nesting (r6 ADVICE closed): the explicit-stack traversal has
