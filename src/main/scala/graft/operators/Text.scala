@@ -96,19 +96,27 @@ object Text {
   /** A12 text-overlap similarity score (oracle.ts:146-175), evaluated over
     * adjacent doc pairs: overlap = |spec∩deliv| / |spec|;
     * score = round((0.6*overlap + 0.4*min(1, len_ratio)) * 100). */
+  /** The ONE (doc_id, toks, len) frame a12 and dd_jaccard both read —
+    * hoisted because the two copies shared a cache key, so whichever
+    * query ran first published its builder's frame for BOTH: an edit to
+    * one copy would have silently served the other query a different
+    * frame depending on execution order (r13 sweep). The self-join's two
+    * branches would otherwise each scan AND re-tokenize the whole corpus
+    * (Spark shares no subplans across DataFrame branches) — the same
+    * one-scan rationale as Similarity.minhashFeat, via the same
+    * mtime-keyed memo. */
+  private def tokPairsFrame(s: SparkSession, dir: String): DataFrame =
+    Similarity.cachedFeature(s, s"txt_pairs:$dir",
+        Similarity.srcVersion(s, dir, "documents.parquet")) {
+      T(s, dir).documents.select(
+        col("doc_id"), tokens(col("text")).as("toks"),
+        length(col("text")).cast("long").as("len"))
+    }
+
   val a12OverlapScore = QueryDef(
     "a12_overlap_score",
     (s, dir) => {
-      // the self-join's two branches would otherwise each scan AND
-      // re-tokenize the whole corpus (Spark shares no subplans across
-      // DataFrame branches) — the same one-scan rationale as
-      // Similarity.minhashFeat, via the same mtime-keyed memo. Shared
-      // with dd_jaccard, which reads the toks column of this frame.
-      val d = Similarity.cachedFeature(s, s"txt_pairs:$dir", Similarity.srcVersion(s, dir, "documents.parquet")) {
-        T(s, dir).documents.select(
-          col("doc_id"), tokens(col("text")).as("toks"),
-          length(col("text")).cast("long").as("len"))
-      }
+      val d = tokPairsFrame(s, dir)
       val spec = d.select(col("doc_id").as("spec_id"), col("toks").as("spec_toks"),
         col("len").as("spec_len"))
       val deliv = d.select(col("doc_id").as("deliv_id"), col("toks").as("deliv_toks"),
@@ -116,6 +124,12 @@ object Text {
       spec
         .join(deliv, col("deliv_id") === col("spec_id") + lit(1))
         .filter(size(col("spec_toks")) > lit(0) && col("spec_len") > lit(0L))
+        // deliv-side null guard, mirrored in the oracle: without it a
+        // NULL-text deliv row scores NULL here but 40 in DuckDB —
+        // list_intersect(x, NULL) is [] (not NULL) and LEAST(1.0, NULL)
+        // is 1.0, so the oracle would fabricate the length-ratio term
+        // (r13 sweep, empirically confirmed; dd_jaccard's pair-drop rule)
+        .filter(col("deliv_toks").isNotNull && col("deliv_len").isNotNull)
         .select(
           col("spec_id"), col("deliv_id"),
           round((lit(0.6) *
@@ -136,33 +150,32 @@ object Text {
           + 0.4 * LEAST(1.0, CAST(b.len AS DOUBLE) / CAST(a.len AS DOUBLE))) * 100) AS BIGINT) AS score
       FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1
       WHERE length(a.toks) > 0 AND a.len > 0
+        AND b.toks IS NOT NULL AND b.len IS NOT NULL
       ORDER BY spec_id"""))
 
   /** N-gram (word) Jaccard near-dup over adjacent pairs, integer pct via
     * truncating division so the check is float-free. */
+  /** Adjacent-pair integer-pct Jaccard tail shared by dd_jaccard and
+    * dd_shingle_jaccard (the copies had already drifted: the null-union
+    * rationale existed in only one). A NULL array side nulls the union
+    * and the `uni > 0` filter drops the pair; the oracles' explicit
+    * IS NOT NULL guards match (DuckDB list_concat(NULL, l) returns l,
+    * which would KEEP the pair). */
+  private def adjacentJaccardPct(d: DataFrame, arr: String): DataFrame = {
+    val a = d.select(col("doc_id").as("a_id"), col(arr).as("a_arr"))
+    val b = d.select(col("doc_id").as("b_id"), col(arr).as("b_arr"))
+    a.join(b, col("b_id") === col("a_id") + lit(1))
+      .withColumn("inter", size(array_intersect(col("a_arr"), col("b_arr"))).cast("long"))
+      .withColumn("uni", size(array_union(col("a_arr"), col("b_arr"))).cast("long"))
+      .filter(col("uni") > lit(0L))
+      .select(col("a_id"), col("b_id"),
+        expr("(inter * 100) div uni").as("jaccard_pct"))
+      .orderBy(col("a_id"))
+  }
+
   val ddJaccard = QueryDef(
     "dd_jaccard",
-    (s, dir) => {
-      // one corpus scan for both join branches (see a12's rationale) —
-      // same cache key as a12: the frames are identical
-      val d = Similarity.cachedFeature(s, s"txt_pairs:$dir", Similarity.srcVersion(s, dir, "documents.parquet")) {
-        T(s, dir).documents.select(
-          col("doc_id"), tokens(col("text")).as("toks"),
-          length(col("text")).cast("long").as("len"))
-      }
-      val a = d.select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
-      val b = d.select(col("doc_id").as("b_id"), col("toks").as("b_toks"))
-      a.join(b, col("b_id") === col("a_id") + lit(1))
-        .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))).cast("long"))
-        .withColumn("uni", size(array_union(col("a_toks"), col("b_toks"))).cast("long"))
-        // a NULL-text side nulls the union and this filter drops the
-        // pair; the oracle's explicit IS NOT NULL guard matches (DuckDB
-        // list_concat(NULL, l) returns l, which would KEEP the pair)
-        .filter(col("uni") > lit(0L))
-        .select(col("a_id"), col("b_id"),
-          expr("(inter * 100) div uni").as("jaccard_pct"))
-        .orderBy(col("a_id"))
-    },
+    (s, dir) => adjacentJaccardPct(tokPairsFrame(s, dir), "toks"),
     oracle = Some("""
       WITH tok AS (
         SELECT doc_id,
@@ -222,15 +235,7 @@ object Text {
           .select(col("doc_id"), shingles3(col("text")).as("sh"))
           .filter(col("sh").isNotNull)
       }
-      val a = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
-      val b = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-      a.join(b, col("b_id") === col("a_id") + lit(1))
-        .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("long"))
-        .withColumn("uni", size(array_union(col("a_sh"), col("b_sh"))).cast("long"))
-        .filter(col("uni") > lit(0L))
-        .select(col("a_id"), col("b_id"),
-          expr("(inter * 100) div uni").as("jaccard_pct"))
-        .orderBy(col("a_id"))
+      adjacentJaccardPct(d, "sh")
     },
     oracle = Some("""
       WITH t AS (
@@ -341,7 +346,8 @@ object Text {
     * counts (driver-requested fingerprinting; grouping tests the shuffle
     * key). The reference's 31-based rolling hash lives in
     * [[graft.functions.Udfs.specHashBase36]] (exact 32-bit wrap) and is
-    * exercised by `txt_fingerprint_rolling` (rows-only check). */
+    * exercised by `txt_fingerprint_rolling` (which carries a full exact
+    * DuckDB oracle — the wrap re-derived as a BIGINT fold). */
   val txtFingerprint = QueryDef(
     "txt_fingerprint",
     (s, dir) => T(s, dir).documents
@@ -487,8 +493,13 @@ object Text {
         .withColumn("rn", row_number().over(wOrd).cast("long"))
         .withColumn("n", count(lit(1)).over(wAll))
         .filter(col("rn") === expr("(n + 1) div 2"))
-        .select(col("lang"), col("quality_score").as("lang_median"))
-      scored.join(broadcast(thresholds), Seq("lang"))
+        .select(col("lang").as("t_lang"), col("quality_score").as("lang_median"))
+      // NULL-SAFE join back (<=>): the window above computes a median
+      // for the null-lang stratum, but a plain equi-join would drop it
+      // (NULL != NULL) — silently deleting an entire stratum from a
+      // gate whose whole purpose is per-stratum retention; the oracle
+      // joins IS NOT DISTINCT FROM to match (r13 sweep)
+      scored.join(broadcast(thresholds), col("lang") <=> col("t_lang"))
         .filter(col("quality_score") >= col("lang_median"))
         .select(col("doc_id"), col("lang"), col("quality_score"), col("lang_median"))
         .orderBy(col("doc_id"))
@@ -511,7 +522,7 @@ object Text {
         FROM sc),
       t AS (SELECT lang, quality_score AS lang_median FROM r WHERE rn = (n + 1) // 2)
       SELECT sc.doc_id, sc.lang, sc.quality_score, t.lang_median
-      FROM sc JOIN t USING (lang)
+      FROM sc JOIN t ON sc.lang IS NOT DISTINCT FROM t.lang
       WHERE sc.quality_score >= t.lang_median
       ORDER BY sc.doc_id"""))
 
@@ -533,7 +544,9 @@ object Text {
       val thresholds = scored.groupBy(col("lang"))
         .agg(percentile_approx(col("quality_score"), lit(0.5), lit(10000))
           .as("lang_median"))
-      scored.join(broadcast(thresholds), Seq("lang"))
+        .withColumnRenamed("lang", "t_lang")
+      // null-safe join, same rationale as the exact tier
+      scored.join(broadcast(thresholds), col("lang") <=> col("t_lang"))
         .filter(col("quality_score") >= col("lang_median"))
         .select(col("doc_id"), col("lang"), col("quality_score"), col("lang_median"))
         .orderBy(col("doc_id"))
