@@ -110,10 +110,14 @@ object Multimodal {
     // else is a corrupt header — reject, don't misparse with a 1-byte shift
     if (!file(p).toChar.isWhitespace) return null
     p += 1
-    // pixel count in Long: huge header dims would overflow 3*w*h in Int
-    // and wrap PAST the truncation check, accepting a corrupt file with
-    // garbage features (e.g. 47722×30000 wraps to 12,704)
-    if (file.length.toLong - p < 3L * w * h) return null // truncated pixels
+    // pixel count compared OVERFLOW-FREE: huge header dims would
+    // overflow 3*w*h in Int (47722×30000 wraps to 12,704) — and `3L*w*h`
+    // itself overflows LONG for w,h near Int.MaxValue (3·(2^31-1)² ≈
+    // 1.4e19 wraps negative, bypassing the guard and crashing the
+    // decoder on a 29-byte crafted header — r13 sweep). w.toLong*h maxes
+    // at ~4.6e18 < Long.MaxValue, and floor((len-p)/3) >= w*h ⇔
+    // len-p >= 3*w*h exactly, so this form is equivalent and safe.
+    if ((file.length.toLong - p) / 3 < w.toLong * h) return null // truncated pixels
     (w, h, p)
   }
 
@@ -185,9 +189,14 @@ object Multimodal {
     * (byte length must equal the source text's UTF-8 length). */
   val mmIngest = QueryDef(
     "mm_ingest",
+    // n_bytes comes from the TYPED metadata struct, not a recompute off
+    // the payload: the meta field is the relation's contract and this
+    // oracle check is what keeps it honest — a recompute here left
+    // meta.n_bytes consumer-less, so a drift (e.g. someone "fixing" it
+    // to n_chars) would have verified green (r13 sweep)
     (s, dir) => media(s, dir)
       .select(col("media_id"), col("kind"),
-        length(col("bytes")).cast("long").as("n_bytes"),
+        col("meta.n_bytes").as("n_bytes"),
         col("meta.width").cast("long").as("width"),
         col("meta.height").cast("long").as("height"))
       .orderBy(col("media_id")),

@@ -630,6 +630,14 @@ class SemanticsSpec extends SparkSpec {
     assert(ppmDecode("P6\n2 1\n254\n".getBytes("US-ASCII") ++
       Array.fill[Byte](6)(0)) === null)                                     // wrong maxval
     assert(ppmDecode(Array.empty[Byte]) === null)
+    // LONG-level overflow in the truncation guard (r13 sweep): dims of
+    // Int.MaxValue each make 3L*w*h wrap negative, which accepted this
+    // 29-byte file and crashed the decoder with an array read instead
+    // of returning null (the fuzzer's <=200 random bytes can't reach a
+    // parseable header this shape)
+    assert(ppmDecode("P6\n2147483647 2147483647\n255\n".getBytes("US-ASCII")) === null)
+    assert(graft.operators.Multimodal.ppmAvgHash(
+      "P6\n2147483647 2147483647\n255\n".getBytes("US-ASCII")) === null)
   }
 
   test("ppmAvgHash: planted near-dup images land under the hamming threshold, unrelated far over") {
