@@ -373,7 +373,17 @@ object StreamingTwins {
         .select(
           col("user_id").as("owner"), col("event_id"), col("ts_ms"),
           col("event_type").isin("purchase", "click").as("outbound"),
-          round(col("value") * lit(100), 0).cast("long").as("amount_c"))
+          // guarded cents cast: a bare round(..).cast("long") throws
+          // under ANSI on NaN (round passes non-finite through) and on
+          // |cents| ≥ 2^63, where integer-or-null is the semantics all
+          // three engines (this twin, the stream kernel, DuckDB) can
+          // express exactly — abs(r) < 2^63 is false for NaN/±Inf on
+          // both SQL engines (DuckDB sorts NaN above everything), and
+          // CaseWhen evaluates the ANSI cast only on guarded rows
+          // (r13 sweep; same class as f_json_extract's bounded cast)
+          when(abs(round(col("value") * lit(100), 0)) <
+              lit(9.223372036854776e18),
+            round(col("value") * lit(100), 0).cast("long")).as("amount_c"))
         .withColumn("prev_out", lag(col("outbound"), 1).over(byOwner))
         .withColumn("prev_ts", lag(col("ts_ms"), 1).over(byOwner))
         .withColumn("is_reversal",
@@ -397,7 +407,12 @@ object StreamingTwins {
       WITH e AS (
         SELECT user_id AS owner, event_id, epoch_ms(ts) AS ts_ms,
           event_type IN ('purchase','click') AS outbound,
-          CAST(ROUND(value * 100) AS BIGINT) AS amount_c
+          -- same abs(round) < 2^63 guard as the Spark twin: NaN/±Inf
+          -- fail the comparison (DuckDB sorts NaN above everything) and
+          -- out-of-range cents fold to NULL instead of erroring the
+          -- whole oracle query on the CAST
+          CASE WHEN ABS(ROUND(value * 100)) < 9223372036854775808.0
+               THEN CAST(ROUND(value * 100) AS BIGINT) END AS amount_c
         FROM events),
       l AS (
         SELECT *,

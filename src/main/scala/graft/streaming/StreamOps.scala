@@ -440,17 +440,37 @@ object StreamOps {
               reversals = 0L, windowStart = -1L, nWindow = 0L, volWindow = 0L))
           val out = evs.toSeq.sortBy(e => (e.ts_ms, e.event_id)).map { e =>
             val outb = e.event_type == "purchase" || e.event_type == "click"
-            // cents via BigDecimal HALF_UP — what Spark's round() and
-            // DuckDB's ROUND both do; math.round would diverge on
-            // negative (refund-shaped) amounts (-0.5 → 0, not -1).
-            // A null value contributes 0 cents but the transfer still
-            // counts (the twin's SUM skips the null while COUNT keeps
-            // the row; the one divergence is an all-null window, where
-            // the twin's SUM is null and this stream reports 0 — the
-            // typed result column is non-nullable by design)
-            val amt = e.value.fold(0L)(v =>
-              java.math.BigDecimal.valueOf(v * 100)
-                .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+            // cents via EXACTLY Spark's round(double) kernel —
+            // BigDecimal.valueOf(c).setScale(0, HALF_UP).doubleValue is
+            // what Round codegens for DoubleType, and DuckDB's ROUND
+            // agrees at scale 0; math.round would diverge on negative
+            // (refund-shaped) amounts (-0.5 → 0, not -1). The rounded
+            // DOUBLE (not the BigDecimal) is what converts to cents:
+            // materializing the decimal string form first diverges from
+            // the twin's cast for |cents| ≥ 2^53, where the shortest
+            // decimal repr is not the double's binary value. Amounts
+            // whose |cents| reaches 2^63, and non-finite amounts (NaN
+            // rounds through, ±Inf fails abs < 2^63 on both engines —
+            // DuckDB sorts NaN above everything), fold to the same null
+            // the twin's guarded cast yields, instead of throwing
+            // (poison-pill micro-batch, every restart replays and dies
+            // again) or silently wrapping to the low 64 bits (r13
+            // sweep). A null amount contributes 0 cents but the
+            // transfer still counts (the twin's SUM skips the null
+            // while COUNT keeps the row; the one divergence is an
+            // all-null window, where the twin's SUM is null and this
+            // stream reports 0 — the typed result column is
+            // non-nullable by design)
+            val amt = e.value.fold(0L) { v =>
+              val c = v * 100
+              // Round's own NaN/±Inf pass-through guard — valueOf throws
+              // on non-finite input, which is the poison pill this closes
+              val r = if (java.lang.Double.isFinite(c))
+                java.math.BigDecimal.valueOf(c)
+                  .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue
+              else c
+              if (math.abs(r) < 9.223372036854776e18) r.toLong else 0L
+            }
             val rev = s.hasLast && s.lastOut && !outb &&
               e.ts_ms - s.lastTs <= cooldownMs
             val ws = e.ts_ms - java.lang.Math.floorMod(e.ts_ms, windowMs)
@@ -649,7 +669,22 @@ object StreamOps {
             state.remove() // watermark passed last_seen + ttl → prune
             TtlResult(uid, n, expired = true)
           } else {
-            var (n, lastTs) = state.getOption.getOrElse((0L, 0L))
+            // no-data floor is Long.MinValue, NOT 0: a 0 floor would
+            // survive the max() fold over pre-1970 (negative ts_ms)
+            // events as a phantom 1970 last-seen, deferring eviction
+            // and the same-trigger reset by up to a full TTL past
+            // epoch. UNREACHABLE through today's engine — Spark's
+            // watermark is zero-initialized and EventTimeTimeout
+            // late-drops every row below it, so a negative ts_ms never
+            // reaches this kernel — but the floor costs nothing and
+            // keeps the kernel correct on its own terms rather than by
+            // grace of the engine's drop rule (r13 sweep; same
+            // pre-1970 class as FloorTime). Deadlines are computed
+            // with a saturating add so the floor (and any absurd
+            // far-future ts) cannot wrap.
+            def deadline(ts: Long): Long =
+              if (ts > Long.MaxValue - ttlMs) Long.MaxValue else ts + ttlMs
+            var (n, lastTs) = state.getOption.getOrElse((0L, Long.MinValue))
             // same-trigger expiry: Spark only invokes hasTimedOut for
             // keys with NO data in the trigger, so a key whose TTL
             // deadline passed in the very trigger that also carries its
@@ -663,8 +698,8 @@ object StreamOps {
             // is what determines every later count, must not be lost).
             // strict <, matching Spark's own rule (a timeout fires when
             // the watermark advances BEYOND the set timestamp)
-            if (n > 0 && lastTs + ttlMs < state.getCurrentWatermarkMs()) {
-              n = 0; lastTs = 0L
+            if (n > 0 && deadline(lastTs) < state.getCurrentWatermarkMs()) {
+              n = 0; lastTs = Long.MinValue
             }
             evs.foreach { e => n += 1; lastTs = math.max(lastTs, e.ts_ms) }
             state.update((n, lastTs))
@@ -674,7 +709,7 @@ object StreamOps {
             // (they pass the late filter against the PREVIOUS batch's
             // watermark); such a key evicts at the next watermark tick
             state.setTimeoutTimestamp(
-              math.max(lastTs + ttlMs, state.getCurrentWatermarkMs() + 1L))
+              math.max(deadline(lastTs), state.getCurrentWatermarkMs() + 1L))
             TtlResult(uid, n, expired = false)
           }
       }

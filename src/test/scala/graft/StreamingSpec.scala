@@ -421,6 +421,52 @@ class StreamingSpec extends SparkSpec {
     assert(got.collect().toSeq === want.collect().toSeq)
   }
 
+  test("ST12 twins agree on non-finite, out-of-range and 2^53+ amounts (r13 sweep)") {
+    // the amount classes the pinned corpus can't produce: NaN/±Inf
+    // (pre-fix: NumberFormatException poison pill in the kernel, ANSI
+    // cast error in the twin), |cents| ≥ 2^63 (pre-fix: silent Long
+    // wrap vs CAST_OVERFLOW), the exact 2^63 double boundary, and
+    // in-range cents ≥ 2^53 where the kernel's old decimal-string
+    // longValue diverged from the twin's binary double cast. Each
+    // special shares its hour window with one small finite amount so
+    // the twin's windowed SUM is never all-null (the documented
+    // all-null-window divergence is out of this spec's scope), and
+    // specials sit 2 h apart so an in-range huge amount cannot
+    // overflow the SUM.
+    val base = 1699999200000L // hour-aligned (472222 * 3600000) + 60 s
+    val specials = Seq[Option[Double]](
+      Some(Double.NaN), Some(Double.PositiveInfinity),
+      Some(Double.NegativeInfinity),
+      Some(1.0e17), Some(-1.0e17), // 1e19 cents: out of Long range
+      Some(9.0e16), Some(-9.0e16), // 9e18 cents: in range, > 2^53
+      Some(92233720368547758.08), // cents = the 2^63 double exactly
+      Some(1.2345678901234567e15), // cents > 2^53, shortest-repr trap
+      None, Some(12.345), Some(-0.005))
+    val evs = specials.zipWithIndex.flatMap { case (v, i) =>
+      val ts = base + 60000L + i * 7200000L
+      Seq(
+        Ev(200L + 2 * i, 2L + i % 2, "purchase", Some(1.23), ts),
+        // "view" 10 s after a purchase: a rapid reversal, so the flag
+        // logic runs with the special amount in state
+        Ev(201L + 2 * i, 2L + i % 2, "view", v, ts + 10000L))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-st12-edge").toString
+    evs.map(e => (e.event_id, e.ts_ms * 1000000L, e.user_id, e.event_type, e.value))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val want = graft.operators.StreamingTwins.st12RapidReversal.run(spark, dir)
+    val got = runStream("st12_edge",
+      evs.sortBy(e => (e.ts_ms, e.event_id)).grouped(7).toSeq,
+      ds => StreamOps.rapidReversal(ds).toDF(), OutputMode.Append)
+      .orderBy($"owner", $"ts_ms", $"event_id")
+    assert(got.collect().toSeq === want.collect().toSeq)
+    // the out-of-range and non-finite amounts fold to null/0, never
+    // wrap: no negative volume can appear in a corpus of non-negative
+    // companions and folded specials except the in-range -9e18 window
+    val vols = got.select($"volume_in_window").as[Long].collect()
+    assert(vols.count(_ < 0L) === 1L, s"unexpected wrapped volumes: ${vols.filter(_ < 0).mkString(",")}")
+  }
+
   test("streaming as-of attribution converges to the batch as-of join") {
     // the streaming form keeps two scalars per user (latest view); the
     // batch twin is the union+window as-of join j10_asof_attr — same
