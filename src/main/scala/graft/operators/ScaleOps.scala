@@ -58,9 +58,14 @@ object ScaleOps {
     // may destroy' rationale was false for concurrent threads).
     val (existing, detached) = bloomCache.synchronized {
       bloomCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      // same ordering rule as Similarity.cachedFeature's eviction: a
+      // same-session entry yields only to a strictly NEWER caller
+      // fingerprint (a mid-regeneration stale caller must not evict the
+      // fresher filter a concurrent caller already built); other
+      // sessions' entries always yield — one filter per logical key
       val staleKeys = bloomCache.collect {
         case ((sess, k2), (ver, _))
-            if k2 == key && !((sess eq s) && ver == version) => (sess, k2)
+            if k2 == key && (!(sess eq s) || ver < version) => (sess, k2)
       }.toList
       // removals STRICTLY BEFORE the hit lookup (tuple elements evaluate
       // left-to-right, so the lookup must not share the tuple): a
@@ -77,29 +82,37 @@ object ScaleOps {
       // jobs (count + bloomFilter treeAggregate) and holding the global
       // lock across them would serialize every concurrent query and
       // clearBloomCache() for the duration. Check-then-publish WITH the
-      // version compared (same rule as Similarity.cachedFeature): a
+      // version ORDERED (same rule as Similarity.cachedFeature —
+      // fingerprints are mtimes or the monotonic nanoTime fallback): a
       // concurrent duplicate build of the SAME version loses the race
-      // and is destroyed; a DIFFERENT stored version (corpus rewritten
-      // mid-flight) is superseded — latest fingerprint wins, because
-      // silently returning the stale filter would under-report
-      // contamination via false negatives (r13 re-sweep). Reclaims run
+      // and is destroyed; a STRICTLY OLDER stored version (corpus
+      // rewritten mid-flight) is superseded — latest fingerprint wins,
+      // because silently returning the stale filter would under-report
+      // contamination via false negatives (r13 re-sweep). A stale build
+      // that finds a FRESHER entry already published must NOT overwrite
+      // it (the old `case other` branch was last-publisher-wins): it
+      // returns its own filter un-memoized — the caller asked for that
+      // fingerprint — and the unreferenced broadcast is reclaimed by
+      // the ContextCleaner once the caller drops it. Reclaims run
       // outside the monitor; a superseded entry is unpersist-detached
       // (a concurrent thread may be mid-query on it — see the eviction
       // comment), while the same-version race LOSER is destroyed
       // outright: `fresh` was never published or returned to anyone.
       val fresh = s.sparkContext.broadcast(build)
-      val (winner, superseded) = bloomCache.synchronized {
+      val outcome = bloomCache.synchronized {
         bloomCache.get(k) match {
-          case Some((ver, w)) if ver == version => (Some(w), None)
+          case Some((ver, w)) if ver == version => Left(w)
+          case Some((ver, _)) if ver > version => Right(None)
           case other =>
             bloomCache.update(k, (version, fresh))
-            (None, other.map(_._2))
+            Right(other.map(_._2))
         }
       }
-      superseded.foreach(b => scala.util.Try(b.unpersist(false)))
-      winner match {
-        case Some(w) => scala.util.Try(fresh.destroy()); w
-        case None => fresh
+      outcome match {
+        case Left(w) => scala.util.Try(fresh.destroy()); w
+        case Right(superseded) =>
+          superseded.foreach(b => scala.util.Try(b.unpersist(false)))
+          fresh
       }
     }
   }
@@ -179,9 +192,17 @@ object ScaleOps {
       .filter(col(key).isNotNull && col(rightTime).isNotNull)
       .select(col(key), col(rightTime).as("__asof_t"), lit(0).as("__asof_tag"),
         rStruct.as("__asof_r"))
-    // align schemas: right rows carry nulls for left's payload columns
+    // align schemas: right rows carry nulls for left's payload columns.
+    // Presence is checked case-INSENSITIVELY like the reserved-name
+    // guard above: withColumn resolves under the default
+    // spark.sql.caseSensitive=false, so an exact-string check against a
+    // case-variant key column (left "UserId", right "USERID") would
+    // miss it and the withColumn would silently REPLACE the right
+    // side's key with nulls — every right row then lands in the
+    // null-key window partition and the join returns asof = null for
+    // all rows (r13 third sweep)
     val rAligned = l.columns.foldLeft(r) { (df, c) =>
-      if (df.columns.contains(c)) df
+      if (df.columns.exists(_.equalsIgnoreCase(c))) df
       else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
     }.select(l.columns.map(col).toIndexedSeq: _*)
     val w = Window.partitionBy(key)

@@ -48,9 +48,20 @@ object Similarity {
   }
 
   /** embedding: Array[Float] → integer grid (×1000, rounded). Exact both
-    * engines; all downstream math is Long. */
+    * engines; all downstream math is Long. A vector holding any
+    * non-finite, null, or out-of-envelope (|x| > 1000) component folds
+    * to null WHOLE — the engine's malformed-vector posture (DotLong
+    * nulls ragged pairs, the LSH kernel drops null-element vectors) —
+    * instead of throwing on the ANSI long cast: floats reach 3.4e38 and
+    * cast(NaN as long) is a SparkArithmeticException, which would kill
+    * the query for the whole corpus over one bad row. The 1000 envelope
+    * is the documented exactness bound (|q| ≤ 10^6 keeps a 64-dim dot
+    * near 2^46, exact under the heap's double compare); both oracles
+    * carry the identical guard. */
   private def quantized(c: Column): Column =
-    transform(c, x => round(x.cast("double") * lit(1000), 0).cast("long"))
+    when(exists(c, x => x.isNull || isnan(x) || abs(x) > lit(1000.0f)),
+      lit(null).cast("array<long>"))
+      .otherwise(transform(c, x => round(x.cast("double") * lit(1000), 0).cast("long")))
 
   /** Inner products via the native Catalyst expressions
     * ([[graft.functions.DotLong]] / [[graft.functions.DotFloat]]): the
@@ -124,7 +135,14 @@ object Similarity {
       // would thrash — re-persist per swap — but never leak; a
       // single-driver engine has no such pattern.)
       featCache.filterInPlace { case ((sess, k), (ver, df)) =>
-        val stale = k == key && !((sess eq s) && ver == version)
+        // same-session entries are superseded only by a strictly NEWER
+        // caller fingerprint (versions are ordered — mtime or monotonic
+        // nanoTime): a caller that computed its version just before a
+        // regeneration must not evict the fresher frame a concurrent
+        // caller already built (the publish side enforces the same
+        // ordering). Other sessions' entries always yield — one frame
+        // per logical key.
+        val stale = k == key && (!(sess eq s) || ver < version)
         if (stale) scala.util.Try(df.unpersist())
         !stale
       }
@@ -138,22 +156,32 @@ object Similarity {
       // feature-cache consumer behind one round-trip (r13 re-sweep).
       // persist() itself is lazy registration, not a job.
       // Check-then-publish: a concurrent duplicate build of the SAME
-      // version loses the race and is unpersisted; a DIFFERENT version
-      // racing in (corpus regenerated mid-flight) supersedes whatever
-      // landed first — latest version wins, loser unpersisted.
+      // version loses the race and adopts the winner; a STRICTLY OLDER
+      // entry (corpus regenerated mid-flight) is superseded and
+      // unpersisted. The version compare is what makes "latest version
+      // wins" literally true — versions are mtimes (or the monotonic
+      // nanoTime fallback), so ordered: without it, a slow stale-version
+      // build finishing AFTER a fresher publish would overwrite the
+      // fresh entry (last-publisher-wins, r13 third sweep). A stale
+      // build that finds a fresher entry installed returns its own
+      // frame un-memoized (the caller asked for that version) with the
+      // persist dropped, so nothing leaks in the cache manager.
       val fresh = build.persist(StorageLevel.MEMORY_AND_DISK)
-      val winner = featCache.synchronized {
+      val outcome = featCache.synchronized {
         featCache.get((s, key)) match {
-          case Some((ver, w)) if ver == version => Some(w)
+          case Some((ver, w)) if ver == version => Left(w)
+          case Some((ver, _)) if ver > version => Right(false)
           case other =>
             other.foreach { case (_, w) => scala.util.Try(w.unpersist()) }
             featCache.update((s, key), (version, fresh))
-            None
+            Right(true)
         }
       }
-      winner match {
-        case Some(w) => scala.util.Try(fresh.unpersist()); w
-        case None => fresh
+      outcome match {
+        case Left(w) => scala.util.Try(fresh.unpersist()); w
+        case Right(installed) =>
+          if (!installed) scala.util.Try(fresh.unpersist())
+          fresh
       }
     }
   }
@@ -254,8 +282,13 @@ object Similarity {
     val rng = new java.util.Random(seed)
     val planes: Array[Array[Double]] =
       Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
-    udf((v: Seq[Float]) => {
-      if (v == null || v.length != dim) Array.empty[Long]
+    // boxed element type: a vector holding a null ELEMENT is the same
+    // malformed-input class as a ragged one and must drop out as
+    // band-less, not NPE the deserializer — every other vector kernel
+    // (DotLong/DotFloat null-fold, collectCentroids' element filter)
+    // already treats it as representable input (r13 third sweep)
+    udf((v: Seq[java.lang.Float]) => {
+      if (v == null || v.length != dim || v.contains(null)) Array.empty[Long]
       else {
         val sig = new Array[Int](nPlanes)
         var p = 0
@@ -264,7 +297,7 @@ object Similarity {
           var d = 0.0
           var i = 0
           val n = pl.length
-          while (i < n) { d += pl(i) * v(i); i += 1 }
+          while (i < n) { d += pl(i) * v(i).floatValue; i += 1 }
           sig(p) = if (d >= 0.0) 1 else 0
           p += 1
         }
@@ -318,8 +351,13 @@ object Similarity {
     },
     oracle = Some("""
       WITH e AS (
+        -- the malformed-vector guard mirrors quantized(): any null /
+        -- NaN / out-of-envelope component nulls the whole vector
         SELECT vec_id,
-          list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+          CASE WHEN len(list_filter(embedding,
+                 x -> x IS NULL OR isnan(x) OR abs(x) > 1000)) > 0 THEN NULL
+          ELSE list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+          END AS q
         FROM embeddings),
       pairs AS (
         SELECT a.vec_id AS qid, b.vec_id AS nid,
@@ -329,7 +367,7 @@ object Similarity {
       ranked AS (
         SELECT qid, nid, dot,
           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, nid ASC) AS rank
-        FROM pairs)
+        FROM pairs WHERE dot IS NOT NULL)
       SELECT qid, rank, nid, dot FROM ranked WHERE rank <= 5
       ORDER BY qid, rank"""),
     headline = true)
@@ -380,8 +418,13 @@ object Similarity {
     },
     oracle = Some("""
       WITH e AS (
+        -- the malformed-vector guard mirrors quantized(): any null /
+        -- NaN / out-of-envelope component nulls the whole vector
         SELECT vec_id,
-          list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+          CASE WHEN len(list_filter(embedding,
+                 x -> x IS NULL OR isnan(x) OR abs(x) > 1000)) > 0 THEN NULL
+          ELSE list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+          END AS q
         FROM embeddings),
       n AS (
         SELECT vec_id, q,
@@ -399,7 +442,11 @@ object Similarity {
           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
             CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(nn2 AS DOUBLE))) DESC,
             nid ASC) AS rank
-        FROM pairs)
+        -- qn2/nn2 > 0 mirrors rankTop5's NaN exclusion (a zero-norm side
+        -- makes cos 0/0 = NaN, which Spark drops BEFORE the heap; DuckDB
+        -- would rank NaN above every real score and then error on the
+        -- ROUND cast); dot IS NOT NULL mirrors the null-score drop
+        FROM pairs WHERE dot IS NOT NULL AND qn2 > 0 AND nn2 > 0)
       SELECT qid, rank, nid,
         CAST(ROUND(cos * 1000000) AS BIGINT) AS cos_q6
       FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""))
@@ -539,7 +586,7 @@ object Similarity {
     * token sides and keep pairs at ≥ 50% Jaccard. ONE definition — the
     * probe==batch equality contract rests on the threshold and the
     * integer-div expression never diverging between the two callers. */
-  private def jaccardVerify(cand: DataFrame, d: DataFrame,
+  private def jaccardVerifyRaw(cand: DataFrame, d: DataFrame,
       keeperToks: DataFrame): DataFrame =
     cand
       .join(d, Seq("doc_id"))
@@ -548,7 +595,15 @@ object Similarity {
       .withColumn("uni", size(array_union(col("toks"), col("k_toks"))).cast("long"))
       .filter(col("uni") > lit(0L) && expr("(inter * 100) div uni") >= lit(50L))
       .select(col("doc_id"), col("keeper"), expr("(inter * 100) div uni").as("jaccard_pct"))
-      .orderBy(col("doc_id"))
+
+  /** Presentation form: the raw verify plus the catalog ordering. The
+    * cc query consumes [[jaccardVerifyRaw]] directly — its edges feed
+    * straight into connectedComponents' own repartitioning, and a
+    * global range-sort exchange of the edge set would be pure waste
+    * there (r13 third sweep). */
+  private def jaccardVerify(cand: DataFrame, d: DataFrame,
+      keeperToks: DataFrame): DataFrame =
+    jaccardVerifyRaw(cand, d, keeperToks).orderBy(col("doc_id"))
 
   /** [[ddMinhash]]'s whole election + verify pipeline over a
     * (doc_id, bands, toks) feature frame — factored so the incremental
@@ -633,7 +688,7 @@ object Similarity {
       // (threshold and integer-div expression live in jaccardVerify
       // alone — cc edges must merge under the same bar the keeper
       // dedup reports): only true near-dup links may merge
-      val verified = jaccardVerify(candEdges, d,
+      val verified = jaccardVerifyRaw(candEdges, d,
           d.select(col("doc_id").as("keeper"), col("toks").as("k_toks")))
         .select(col("doc_id").as("a"), col("keeper").as("b"))
       val comp = ScaleOps.connectedComponents(verified, "a", "b")
@@ -863,7 +918,15 @@ object Similarity {
     * which this engine never disables. */
   private def nearestCells(cents: Array[(Long, Array[Float], Double)], keep: Int) =
     udf((v: Seq[Float], norm: Double) =>
-      if (v == null || norm <= 0.0) Array.empty[Long]
+      // `!(norm > 0.0)` (not `norm <= 0.0`) so a NaN norm — one NaN
+      // component poisons the dot — is degenerate too: NaN fails every
+      // comparison, so the old form assigned the vector a cell and the
+      // Lloyd step's ANSI decimal cast then threw on the NaN component.
+      // The 1e18 ceiling keeps every |component| (≤ norm) inside
+      // decimal(28,10)'s 18 integer digits for the same cast; +Inf norms
+      // land here as well. Degenerate ⇒ empty array ⇒ row excluded,
+      // the documented posture for zero-norm/ragged vectors.
+      if (v == null || !(norm > 0.0) || norm >= 1e18) Array.empty[Long]
       else cents.flatMap { case (cell, cv, cn) =>
         // dimension mismatch = malformed, same contract as the LSH
         // banding kernel ("a truncated vector must surface as malformed

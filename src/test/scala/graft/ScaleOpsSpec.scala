@@ -137,6 +137,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.collect().toSeq === want.collect().toSeq)
   }
 
+  test("asofJoin: a case-variant right key column still aligns instead of being nulled out") {
+    // withColumn resolves case-insensitively under the default
+    // spark.sql.caseSensitive=false; the alignment fold's presence check
+    // must match, or a right side whose key differs only in case gets
+    // its key column silently REPLACED with nulls — every right row
+    // then lands in the null-key partition and asof is null everywhere
+    // (r13 third sweep)
+    val left = Seq((1L, 100L), (2L, 5L)).toDF("UserId", "lt")
+    val right = Seq((1L, 50L, "p50"), (1L, 80L, "p80")).toDF("USERID", "rt", "payload")
+    val got = graft.operators.ScaleOps.asofJoin(left, right, "UserId", "lt", "rt")
+      .select($"lt", $"asof.payload".as("p")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) "-" else r.getString(1))).toMap
+    assert(got(100L) === "p80", "latest preceding right row must attach")
+    assert(got(5L) === "-", "no preceding right row → null asof")
+  }
+
   test("asofJoin: null right times/keys never match; null-key left rows get null asof") {
     // SQL semantics: a right row with null key or null time can never
     // satisfy `key = key AND rightTime <= leftTime` — without the

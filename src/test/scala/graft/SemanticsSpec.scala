@@ -517,6 +517,56 @@ class SemanticsSpec extends SparkSpec {
     assert(cents.nonEmpty)
   }
 
+  test("NaN / infinite / null-element / out-of-envelope vectors pass every similarity query without an ANSI crash") {
+    // the malformed-vector posture, pinned end-to-end (r13 third sweep):
+    // quantized() folds any NaN / non-finite / |x|>1000 / null-element
+    // vector to null instead of throwing on the ANSI long cast; the LSH
+    // band kernel drops null-element vectors instead of NPE'ing the
+    // deserializer; the IVF cell kernel treats a NaN/Inf norm as
+    // degenerate instead of letting the Lloyd step's decimal cast throw.
+    // Malformed rows drop out; every query still answers for the rest.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dim = 64 // the LSH kernel's wired dim — other lengths are ragged
+    val rng = new scala.util.Random(23)
+    def vec(): Seq[java.lang.Float] =
+      Seq.fill(dim)(java.lang.Float.valueOf(rng.nextGaussian().toFloat))
+    def doctored(base: Seq[java.lang.Float], i: Int, v: java.lang.Float) =
+      base.updated(i, v)
+    val rows: Seq[Row] = (0L until 12L).map(i => Row(i, vec())) ++ Seq(
+      Row(20L, doctored(vec(), 3, java.lang.Float.valueOf(Float.NaN))),
+      Row(21L, doctored(vec(), 5, null)),
+      Row(22L, doctored(vec(), 0, java.lang.Float.valueOf(Float.PositiveInfinity))),
+      Row(23L, doctored(vec(), 7, java.lang.Float.valueOf(2.5e3f))))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    val dir = java.nio.file.Files.createTempDirectory("graft-badvec").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // the quantized queries exclude all four (envelope |x| ≤ 1000); the
+    // float-path queries exclude only the NaN/null-element pair — an
+    // Inf norm is degenerate, but a big FINITE component (23) is a
+    // legitimate float vector there
+    for ((q, malformed) <- Seq(
+        graft.operators.Similarity.simTopkDot -> Set(20L, 21L, 22L, 23L),
+        graft.operators.Similarity.simTopkCosineQ -> Set(20L, 21L, 22L, 23L),
+        graft.operators.Similarity.simLshTopk -> Set(20L, 21L, 22L),
+        graft.operators.Similarity.simIvfTopk -> Set(20L, 21L, 22L))) {
+      val out = q.run(spark, dir).collect() // must not throw
+      assert(out.nonEmpty, s"${q.name} returned nothing for the healthy rows")
+      val nids = out.map(_.getAs[Long]("nid")).toSet
+      assert((nids intersect malformed).isEmpty,
+        s"${q.name} ranked a malformed vector as a neighbor")
+    }
+    // the embedding dedup path (band kernel + cosine verify) too
+    val dd = graft.operators.Similarity.ddEmbedding.run(spark, dir).collect()
+    val ddIds = dd.flatMap(r =>
+      Seq(r.getAs[Long]("vec_id"), r.getAs[Long]("keeper"))).toSet
+    assert((ddIds intersect Set(20L, 21L)).isEmpty,
+      "dd_embedding paired a NaN/null-element vector")
+  }
+
   test("LSH and IVF top-k recall vs the exact cosine baseline at sf0.001") {
     def pairs(q: QueryDef): Set[(Long, Long)] =
       q.run(spark, sf001).collect()
