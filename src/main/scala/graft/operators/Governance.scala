@@ -629,7 +629,11 @@ object Governance {
       .select(col("user_id"), col("violations"), col("slash_bps"),
         col("quality_score"), col("refund_pct"),
         col("amount_c"), col("agent_refund_c"), col("provider_payout_c"))
-      .orderBy(col("user_id")),
+      // nulls-last: Spark's plain asc sorts nulls FIRST where DuckDB's
+      // ORDER BY defaults LAST — one null user_id from the nullable
+      // jdbc: store tier would land at opposite ends (a1 pins the same
+      // guard on the identical all-events grouping; r13 third sweep)
+      .orderBy(col("user_id").asc_nulls_last),
     oracle = Some("""
       WITH a AS (
         SELECT user_id,
@@ -752,7 +756,8 @@ object Governance {
         .select(col("proposal_id"), col("votes_for"), col("votes_against"),
           col("total"), col("approval_bps"), col("quorum_pct"),
           col("passed"), col("reason"))
-        .orderBy(col("proposal_id"))
+        // nulls-last for DuckDB parity, same as a2's identical grouping
+        .orderBy(col("proposal_id").asc_nulls_last)
     },
     oracle = Some("""
       WITH v AS (

@@ -715,21 +715,30 @@ object Relational {
       WHERE rn <= 2 ORDER BY user_id, rn"""))
 
   /** W6 duration-tier multiplier cascade (stake/page.tsx:143-149):
-    * ≥180d→20000, ≥90d→15000, ≥30d→12000, else 10000 bps. */
+    * ≥180d→20000, ≥90d→15000, ≥30d→12000, else 10000 bps. The as-of
+    * sits INSIDE the data's order-date range (orders run to 2001-08-01)
+    * so per-order ages span <30 through ≥180 and the gate exercises ALL
+    * FOUR tiers — the old 2001-12-31 as-of made every age ≥ 152 days,
+    * leaving the 12000/10000 branches permanently dead here (a7 got the
+    * same fix in r12; this was the sibling site). f_vote_weight keeps
+    * its later as-of deliberately: its duration is measured from each
+    * customer's EARLIEST order, which the reference's `now − start`
+    * requires to be non-negative, and a min-date input can't reach the
+    * low tiers regardless. */
   val w6TierMultiplier = QueryDef(
     "w6_tier_multiplier",
     (s, dir) => T(s, dir).orders
       .withColumn("age_days",
-        datediff(lit("2001-12-31").cast("date"), col("o_orderdate").cast("date")).cast("long"))
+        datediff(lit("2001-08-15").cast("date"), col("o_orderdate").cast("date")).cast("long"))
       .withColumn("multiplier_bps", Tiers.multiplierBps(col("age_days")))
       .select(col("o_orderkey"), col("age_days"), col("multiplier_bps"))
       .orderBy(col("o_orderkey")),
     oracle = Some("""
       SELECT o_orderkey,
-        date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-12-31') AS age_days,
-        CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-12-31') >= 180 THEN 20000
-             WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-12-31') >= 90 THEN 15000
-             WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-12-31') >= 30 THEN 12000
+        date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-08-15') AS age_days,
+        CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-08-15') >= 180 THEN 20000
+             WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-08-15') >= 90 THEN 15000
+             WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-08-15') >= 30 THEN 12000
              ELSE 10000 END AS multiplier_bps
       FROM orders ORDER BY o_orderkey"""))
 

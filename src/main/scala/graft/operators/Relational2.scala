@@ -86,23 +86,36 @@ object Relational2 {
         .groupBy(col("n_name"))
         .agg(
           count(lit(1)).as("n_nodes"),
-          // integer-cents average, decimal-exact: round(avg(double))
-          // made a .5-boundary group's verdict a function of float
-          // SUMMATION ORDER (Spark's partial-agg merge vs DuckDB's
-          // sequential scan). sum of cents is exact; the decimal
-          // division + half-up round is order-free on both engines —
-          // j5/a7's integer-cents convention, applied to the average.
-          round(sum(round(col("s_acctbal") * lit(100), 0).cast("long"))
-              .cast("decimal(38,2)") / (count(lit(1)) * lit(100)), 0)
-            .cast("long").as("avg_trust"))
+          sum(round(col("s_acctbal") * lit(100), 0).cast("long")).as("sum_c"))
+        // integer-cents average, INTEGER-exact half-up: round(avg(double))
+        // made a .5-boundary group's verdict a function of float
+        // SUMMATION ORDER, and the decimal form that replaced it was
+        // double-rounded — Spark's decimal division collapses to scale 6
+        // (HALF_UP) before the outer round, so a group of >10^4 rows
+        // with fractional part .4999995 rounded up where an exact
+        // divide rounds down (r13 third sweep). Half-up over integers
+        // has no intermediate: round(S / (100n)) = (S + 50n) div (100n)
+        // for S ≥ 0, negated-magnitude for S < 0 (away-from-zero ties,
+        // both engines' ROUND), exact at any group size. Both div
+        // operands are non-negative per branch, so Spark's
+        // truncate-toward-zero div and DuckDB's floor // agree.
+        .withColumn("avg_trust",
+          when(col("sum_c") >= lit(0L),
+            expr("(sum_c + 50 * n_nodes) div (100 * n_nodes)"))
+            .otherwise(-expr("(-sum_c + 50 * n_nodes) div (100 * n_nodes)")))
+        .select(col("n_name"), col("n_nodes"), col("avg_trust"))
         .orderBy(col("n_name"))
     },
     oracle = Some("""
-      SELECT n_name, COUNT(*) AS n_nodes,
-        CAST(ROUND(CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS DECIMAL(38,2))
-               / (COUNT(*) * 100), 0) AS BIGINT) AS avg_trust
-      FROM supplier JOIN nation ON s_nationkey = n_nationkey
-      GROUP BY n_name ORDER BY n_name"""))
+      WITH g AS (
+        SELECT n_name, COUNT(*) AS n_nodes,
+          CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_c
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name)
+      SELECT n_name, n_nodes,
+        CASE WHEN sum_c >= 0 THEN (sum_c + 50 * n_nodes) // (100 * n_nodes)
+             ELSE -((-sum_c + 50 * n_nodes) // (100 * n_nodes)) END AS avg_trust
+      FROM g ORDER BY n_name"""))
 
   /** A7 pool totals: totalStaked + duration-weighted total in bps integer
     * math (stake/page.tsx:92-102 with the W6 multiplier cascade). The

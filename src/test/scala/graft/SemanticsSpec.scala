@@ -582,6 +582,18 @@ class SemanticsSpec extends SparkSpec {
     assert(ivfRecall >= 0.8, f"IVF recall $ivfRecall%.2f below floor")
   }
 
+  test("w6 tier cascade: the in-range as-of exercises all four multiplier tiers") {
+    // the dead-branch class r12 found on a7: an as-of past the data's
+    // date range leaves the low tiers of the cascade permanently
+    // unexercised by the oracle gate — a swapped threshold would pass
+    // forever. Pin that every tier actually occurs on the test corpus.
+    val vals = QueryDef.catalogs.find(_.name == "w6_tier_multiplier").get
+      .run(spark, sf001).select("multiplier_bps")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(vals === Set(10000L, 12000L, 15000L, 20000L),
+      s"tiers exercised: $vals — the oracle gate is blind to the missing branches")
+  }
+
   test("A14b HLL approx distinct stays within 5% of the exact count") {
     val exact = QueryDef.catalogs.find(_.name == "a14_distinct_count").get
       .run(spark, sf001).collect()
