@@ -613,8 +613,11 @@ object Governance {
       .groupBy(col("user_id"))
       .agg(
         count_if(col("event_type") === lit("error")).as("violations"),
+        // guarded cents (Relational.centsV): a NaN/Inf/overflow purchase
+        // amount folds to null on both engines instead of throwing the
+        // ANSI long cast (r13 third sweep, the events.value family)
         sum(when(col("event_type") === lit("purchase"),
-          round(col("value") * lit(100), 0).cast("long"))).as("amount_c"))
+          graft.operators.Relational.centsV(col("value")))).as("amount_c"))
       .withColumn("amount_c", coalesce(col("amount_c"), lit(0L)))
       .withColumn("slash_bps",
         least(lit(5000L), lit(1000L) + lit(500L) * col("violations")))
@@ -639,6 +642,7 @@ object Governance {
         SELECT user_id,
           COUNT(*) FILTER (WHERE event_type = 'error') AS violations,
           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+            AND ABS(ROUND(value * 100)) < 9223372036854775808.0
             THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT) AS amount_c
         FROM events GROUP BY user_id),
       b AS (
@@ -818,7 +822,14 @@ object Governance {
         (pmod(col("event_id"), lit(5L)) === lit(0L)).as("ok"),
         (pmod(col("event_id"), lit(2L)) === lit(1L)).as("should_continue_in"),
         (pmod(col("event_id"), lit(4L)) - lit(1L)).as("remaining_steps"),
-        round(col("value") * lit(100) / lit(7), 0).cast("long").as("budget_raw_c"))
+        // guarded like Relational.centsV (this site divides by 7 so it
+        // inlines the same fold): NaN/Inf/overflow → null, not a throw;
+        // the score clamp above needs no guard — LEAST/GREATEST sort
+        // NaN/Inf greatest on both engines, so the clamp absorbs them
+        when(abs(round(col("value") * lit(100) / lit(7), 0)) <
+            lit(9.223372036854776e18),
+          round(col("value") * lit(100) / lit(7), 0).cast("long"))
+          .as("budget_raw_c"))
       .withColumn("score",
         round(least(lit(100.0), greatest(lit(0.0), col("score_raw"))), 0).cast("long"))
       .withColumn("should_continue",
@@ -838,7 +849,8 @@ object Governance {
           event_id % 5 = 0 AS ok,
           event_id % 2 = 1 AS should_continue_in,
           event_id % 4 - 1 AS remaining_steps,
-          CAST(ROUND(value * 100 / 7) AS BIGINT) AS budget_raw_c
+          CASE WHEN ABS(ROUND(value * 100 / 7)) < 9223372036854775808.0
+               THEN CAST(ROUND(value * 100 / 7) AS BIGINT) END AS budget_raw_c
         FROM events)
       SELECT event_id,
         CAST(ROUND(LEAST(100.0, GREATEST(0.0, score_raw))) AS BIGINT) AS score,

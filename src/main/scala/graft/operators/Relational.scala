@@ -28,6 +28,31 @@ object Relational {
   private def T(s: SparkSession, dir: String) = Tables(s, dir)
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** `events.value` → DECIMAL(18,2) with non-finite and out-of-range
+    * values folded to NULL on BOTH engines — the posture the
+    * rapid-reversal queries set (r12): `value` is an external event
+    * amount, so NaN/Inf is in-domain input, and ANSI's double→decimal
+    * cast throws on it, turning one bad row into a dead query (and a
+    * poison-pill micro-batch on the streaming side, which shares this
+    * helper). abs(NaN) < bound is false on both engines, so the guard
+    * needs no isnan special case; 1e16 is DECIMAL(18,2)'s integer
+    * capacity. TPC-H-typed columns (l_quantity, o_totalprice…) keep the
+    * bare [[dec]] — their domain is schema-clean by contract.
+    * Oracle twin: CASE WHEN ABS(value) < 1e16
+    *              THEN CAST(value AS DECIMAL(18,2)) END */
+  private[graft] def decV(c: Column): Column =
+    when(abs(c) < lit(1.0e16), c).cast("decimal(18,2)")
+
+  /** `events.value` → integer cents with the same fold-to-null guard
+    * (the form st12/rapidReversal introduced, factored so the remaining
+    * cents sites cannot drift): round() passes NaN/Inf through and the
+    * ANSI long cast throws; |cents| ≥ 2^63 overflows.
+    * Oracle twin: CASE WHEN ABS(ROUND(value * 100)) < 9223372036854775808.0
+    *              THEN CAST(ROUND(value * 100) AS BIGINT) END */
+  private[graft] def centsV(c: Column): Column =
+    when(abs(round(c * lit(100), 0)) < lit(9.223372036854776e18),
+      round(c * lit(100), 0).cast("long"))
+
   // ---------------------------------------------------------------- A/W core
 
   /** TPC-H-Q1-shaped pricing summary (SURVEY A1/A5 family).
@@ -167,7 +192,7 @@ object Relational {
           .otherwise(lit("valid")))
       .groupBy(col("validity"))
       .agg(count(lit(1)).as("n"),
-        sum(dec(col("value"))).cast("double").as("total_value"))
+        sum(decV(col("value"))).cast("double").as("total_value"))
       .orderBy(col("validity")),
     oracle = Some("""
       SELECT CASE
@@ -176,7 +201,7 @@ object Relational {
           WHEN event_type NOT IN ('click','view','purchase','signup','error') THEN 'bad_type'
           ELSE 'valid' END AS validity,
         COUNT(*) AS n,
-        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        CAST(SUM(CASE WHEN ABS(value) < 1e16 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS total_value
       FROM events GROUP BY 1 ORDER BY validity"""))
 
   /** P7 sanitization projection: trim/default/clamp untrusted rows
@@ -423,7 +448,7 @@ object Relational {
         count_if(col("event_type") === lit("purchase")).as("long_count"),
         count_if(col("event_type") === lit("error")).as("short_count"),
         count_if(!col("event_type").isin("purchase", "error")).as("neutral_count"),
-        sum(dec(col("value"))).cast("double").as("sum_value"),
+        sum(decV(col("value"))).cast("double").as("sum_value"),
         max(col("ts_ms")).as("last_updated_ms"))
       .orderBy(col("epoch_day").asc_nulls_last),
     oracle = Some("""
@@ -433,7 +458,7 @@ object Relational {
         COUNT(*) FILTER (WHERE event_type = 'purchase') AS long_count,
         COUNT(*) FILTER (WHERE event_type = 'error') AS short_count,
         COUNT(*) FILTER (WHERE event_type NOT IN ('purchase','error')) AS neutral_count,
-        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        CAST(SUM(CASE WHEN ABS(value) < 1e16 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_value,
         MAX(epoch_ms(ts)) AS last_updated_ms
       FROM events GROUP BY 1 ORDER BY epoch_day"""),
     headline = true)
@@ -446,23 +471,23 @@ object Relational {
       .agg(
         // bare when(): no-otherwise already yields NULL — the same
         // no-ELSE form the oracle's CASE expressions use
-        sum(when(col("ts_ms") >= lit(1706572800000L), dec(col("value"))))
+        sum(when(col("ts_ms") >= lit(1706572800000L), decV(col("value"))))
           .cast("double").as("today_sum"),
-        sum(when(col("ts_ms") >= lit(1706054400000L), dec(col("value"))))
+        sum(when(col("ts_ms") >= lit(1706054400000L), decV(col("value"))))
           .cast("double").as("week_sum"),
-        sum(dec(col("value"))).cast("double").as("month_sum"),
-        sum(when(col("event_type") === lit("purchase"), dec(col("value"))))
+        sum(decV(col("value"))).cast("double").as("month_sum"),
+        sum(when(col("event_type") === lit("purchase"), decV(col("value"))))
           .cast("double").as("released_sum"),
-        sum(when(col("event_type") === lit("view"), dec(col("value"))))
+        sum(when(col("event_type") === lit("view"), decV(col("value"))))
           .cast("double").as("pending_sum"),
         count(lit(1)).as("transaction_count")),
     oracle = Some("""
       SELECT
-        CAST(SUM(CASE WHEN epoch_ms(ts) >= 1706572800000 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS today_sum,
-        CAST(SUM(CASE WHEN epoch_ms(ts) >= 1706054400000 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS week_sum,
-        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS month_sum,
-        CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS released_sum,
-        CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS pending_sum,
+        CAST(SUM(CASE WHEN epoch_ms(ts) >= 1706572800000 AND ABS(value) < 1e16 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS today_sum,
+        CAST(SUM(CASE WHEN epoch_ms(ts) >= 1706054400000 AND ABS(value) < 1e16 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS week_sum,
+        CAST(SUM(CASE WHEN ABS(value) < 1e16 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS month_sum,
+        CAST(SUM(CASE WHEN event_type = 'purchase' AND ABS(value) < 1e16 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS released_sum,
+        CAST(SUM(CASE WHEN event_type = 'view' AND ABS(value) < 1e16 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS pending_sum,
         COUNT(*) AS transaction_count
       FROM events"""))
 

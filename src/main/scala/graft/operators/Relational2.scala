@@ -354,7 +354,10 @@ object Relational2 {
       // compare flap between equal-key rows; data NULLs stay NULL (and
       // sort pinned nulls-last, DuckDB's default)
       .agg(
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        // guarded value→decimal (Relational.decV): NaN/Inf/out-of-range
+        // event amounts fold to null on both engines instead of an ANSI
+        // cast throw (r13 third sweep — the whole events.value family)
+        sum(Relational.decV(col("value"))).cast("double").as("sum_value"),
         count(lit(1)).as("n"),
         grouping(col("event_type")).as("g_et"),
         grouping(col("epoch_day")).as("g_ed"))
@@ -374,7 +377,7 @@ object Relational2 {
       SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
         CASE WHEN GROUPING(epoch_day) = 1 THEN 'ALL'
              ELSE CAST(epoch_day AS VARCHAR) END AS epoch_day,
-        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        CAST(SUM(CASE WHEN ABS(value) < 1e16 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_value,
         COUNT(*) AS n
       FROM e GROUP BY CUBE(event_type, epoch_day)
       ORDER BY event_type NULLS LAST, epoch_day NULLS LAST"""))

@@ -269,20 +269,30 @@ object StreamingTwins {
       // floor bucketing on the nanos column — same rule as st1's
       // window_hour (the live dailyLimit buckets by window() starts)
       .withColumn("epoch_day", FloorTime.floorDiv("ts", 86400000000000L))
-      .withColumn("cents", round(col("value") * lit(100), 0).cast("long"))
+      // guarded cents (Relational.centsV): NaN/Inf/overflow amounts fold
+      // to null instead of an ANSI cast throw — the guard st12 carries,
+      // applied to the identical expression here (r13 third sweep); the
+      // live dailyLimit and the oracle carry the same fold
+      .withColumn("cents", Relational.centsV(col("value")))
       .groupBy(col("user_id"), col("epoch_day"))
       .agg(sum(col("cents")).as("spend_c"), count(lit(1)).as("n_draws"))
-      .withColumn("spend_pct", least(lit(100L), expr("(spend_c * 100) div 50000")))
+      // div 500 + 0-floor, the live dailyLimit's overflow-free clamp
+      // (rationale there); oracle carries the same form
+      .withColumn("spend_pct",
+        least(lit(100L), greatest(lit(0L), expr("spend_c div 500"))))
       .withColumn("over_limit", col("spend_c") > lit(50000L))
       .orderBy(col("user_id"), col("epoch_day")),
     oracle = Some("""
       SELECT user_id,
         (epoch_ms(ts) - ((epoch_ms(ts) % 86400000 + 86400000) % 86400000))
           // 86400000 AS epoch_day,
-        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS spend_c,
+        CAST(SUM(CASE WHEN ABS(ROUND(value * 100)) < 9223372036854775808.0
+               THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT) AS spend_c,
         COUNT(*) AS n_draws,
-        CAST(LEAST(100, (SUM(CAST(ROUND(value * 100) AS BIGINT)) * 100) // 50000) AS BIGINT) AS spend_pct,
-        SUM(CAST(ROUND(value * 100) AS BIGINT)) > 50000 AS over_limit
+        CAST(LEAST(100, GREATEST(0, SUM(CASE WHEN ABS(ROUND(value * 100)) < 9223372036854775808.0
+               THEN CAST(ROUND(value * 100) AS BIGINT) END) // 500)) AS BIGINT) AS spend_pct,
+        SUM(CASE WHEN ABS(ROUND(value * 100)) < 9223372036854775808.0
+               THEN CAST(ROUND(value * 100) AS BIGINT) END) > 50000 AS over_limit
       FROM events WHERE event_type = 'purchase'
       GROUP BY 1, 2 ORDER BY user_id, epoch_day"""))
 

@@ -230,11 +230,18 @@ object StreamOps {
       }
   }
 
-  /** Spark's total order over doubles (NaN greater than everything,
-    * matching MAX/struct-min semantics) — the running comparisons must
-    * use it or a NaN bid diverges from the oracle-checked batch twins. */
+  /** Spark's comparison semantics over doubles (nanSafeCompareDoubles:
+    * NaN greater than everything, and -0.0 EQUAL to 0.0) — the running
+    * comparisons must use it or a bid diverges from the oracle-checked
+    * batch twins. Bare Double.compare has both properties wrong ways:
+    * it already handled NaN, but ordered -0.0 < 0.0, so a -0.0 bid
+    * followed by a 0.0 bid read as strictly better and STOLE the
+    * winner-event tie-break that the twin's struct-min resolves by
+    * min event_id over the equal pair (r13 third sweep). The IEEE
+    * `a == b` short-circuit restores zero-equality; NaN==NaN is false
+    * and falls through to Double.compare's 0 for that pair. */
   @inline private def cmpD(a: Double, b: Double): Int =
-    java.lang.Double.compare(a, b)
+    if (a == b) 0 else java.lang.Double.compare(a, b)
 
   /** ST2b: commit-reveal with DUAL DEADLINES inside the stateful op —
     * the full fast-vote lifecycle (lib.rs:93-176): sessions keyed by
@@ -379,7 +386,11 @@ object StreamOps {
         count_if(col("event_type") === lit("purchase")).as("long_count"),
         count_if(col("event_type") === lit("error")).as("short_count"),
         count_if(!col("event_type").isin("purchase", "error")).as("neutral_count"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        // guarded value→decimal, same fold-to-null as the a3 batch twin:
+        // an unguarded ANSI cast makes one NaN event a poison pill — the
+        // micro-batch throws, and every restart replays it and dies again
+        sum(graft.operators.Relational.decV(col("value")))
+          .cast("double").as("sum_value"),
         max(col("ts_ms")).as("last_updated_ms"))
       .withColumn("epoch_day", expr("unix_millis(window.start) div 86400000"))
       .drop("window")
@@ -403,10 +414,20 @@ object StreamOps {
   def dailyLimit(events: DataFrame, watermark: String = "2 days"): DataFrame =
     withEventTime(events, watermark)
       .filter(col("event_type") === lit("purchase"))
-      .withColumn("cents", round(col("value") * lit(100), 0).cast("long"))
+      // guarded cents (Relational.centsV), matching the st9 batch twin:
+      // a bare round().cast("long") throws under ANSI on NaN/Inf or
+      // |cents| ≥ 2^63 and poison-pills the micro-batch forever
+      .withColumn("cents", graft.operators.Relational.centsV(col("value")))
       .groupBy(window(col("event_time"), "1 day"), col("user_id"))
       .agg(sum(col("cents")).as("spend_c"), count(lit(1)).as("n_draws"))
-      .withColumn("spend_pct", least(lit(100L), expr("(spend_c * 100) div 50000")))
+      // spend_c div 500, not (spend_c * 100) div 50000: algebraically
+      // identical, but the multiply overflows Long for |spend_c| ≥ 2^63
+      // /100 — a representable daily sum (the ST3/ST9 edge spec caught
+      // this live). The 0-floor clamp also reconciles Spark's
+      // truncating div with DuckDB's flooring // on a refund-negative
+      // day (they differ by 1 below zero; both clamp to 0).
+      .withColumn("spend_pct",
+        least(lit(100L), greatest(lit(0L), expr("spend_c div 500"))))
       .withColumn("over_limit", col("spend_c") > lit(50000L))
       .withColumn("epoch_day", expr("unix_millis(window.start) div 86400000"))
       .drop("window")
@@ -812,8 +833,17 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val leaves = batch
           .select(col("leaf_index").cast("long"), col("leaf"))
-          .collect().sortBy(_.getLong(0))
+          .collect()
+        // null index/leaf is the same corrupt-input class as a negative
+        // index and gets the same NAMED diagnostic — without the checks
+        // the sortBy/getLong NPEs with a bare executor stack instead
         leaves.foreach { r =>
+          require(!r.isNullAt(0),
+            s"merkleAppend: corrupt null leaf_index in batch $batchId")
+          require(!r.isNullAt(1),
+            s"merkleAppend: corrupt null leaf (index ${r.getLong(0)}) in batch $batchId")
+        }
+        leaves.sortBy(_.getLong(0)).foreach { r =>
           val idx = r.getLong(0)
           val leaf = graft.functions.Poseidon.fromBytes32(r.getAs[Array[Byte]](1))
           // a negative index is corrupt input, not a replay: without this

@@ -467,6 +467,49 @@ class StreamingSpec extends SparkSpec {
     assert(vols.count(_ < 0L) === 1L, s"unexpected wrapped volumes: ${vols.filter(_ < 0).mkString(",")}")
   }
 
+  test("ST3/ST9 twins agree on non-finite and out-of-range amounts (r13 third sweep)") {
+    // the same adversarial amount classes as the ST12 edge spec, now
+    // through the OTHER two value-aggregating pairs: pre-fix, one NaN
+    // event made epochAgg/dailyLimit a poison-pill micro-batch (ANSI
+    // decimal/long cast throw) while the batch twins died identically —
+    // equivalence hid the gap. Post-fix both sides fold to null and the
+    // healthy rows keep aggregating.
+    val base = 1699999200000L // hour-aligned
+    val specials = Seq[Option[Double]](
+      Some(Double.NaN), Some(Double.PositiveInfinity),
+      Some(Double.NegativeInfinity),
+      Some(1.0e17), Some(-1.0e17), // out of range for cents AND decimal
+      Some(9.0e16),                // cents-representable, decimal-folded
+      None, Some(12.345), Some(-0.005))
+    val evs = specials.zipWithIndex.flatMap { case (v, i) =>
+      val ts = base + 60000L + i * 7200000L
+      Seq(
+        Ev(300L + 2 * i, 2L + i % 3, "purchase", Some(4.56), ts),
+        Ev(301L + 2 * i, 2L + i % 3, "purchase", v, ts + 10000L))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-st39-edge").toString
+    evs.map(e => (e.event_id, e.ts_ms * 1000000L, e.user_id, e.event_type, e.value))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val cols3 = Seq($"epoch_day", $"total_signals", $"long_count", $"short_count",
+      $"neutral_count", $"sum_value", $"last_updated_ms")
+    val got3 = latestBy(runStream("st3_edge", Seq(evs),
+        ds => StreamOps.epochAgg(ds.toDF()), OutputMode.Update), "epoch_day")
+      .select(cols3: _*).orderBy($"epoch_day")
+    val want3 = QueryDef.catalogs.find(_.name == "a3_epoch_agg").get
+      .run(spark, dir).select(cols3: _*).orderBy($"epoch_day")
+    assert(got3.collect().toSeq === want3.collect().toSeq)
+    val cols9 = Seq($"user_id", $"epoch_day", $"spend_c", $"n_draws",
+      $"spend_pct", $"over_limit")
+    val got9 = latestBy(runStream("st9_edge", Seq(evs),
+        ds => StreamOps.dailyLimit(ds.toDF()), OutputMode.Update),
+        "user_id", "epoch_day")
+      .select(cols9: _*).orderBy($"user_id", $"epoch_day")
+    val want9 = graft.operators.StreamingTwins.st9DailyLimit.run(spark, dir)
+      .select(cols9: _*).orderBy($"user_id", $"epoch_day")
+    assert(got9.collect().toSeq === want9.collect().toSeq)
+  }
+
   test("streaming as-of attribution converges to the batch as-of join") {
     // the streaming form keeps two scalars per user (latest view); the
     // batch twin is the union+window as-of join j10_asof_attr — same
