@@ -32,7 +32,14 @@ abstract class DotProductBase extends BinaryExpression with ImplicitCastInputTyp
 }
 
 /** `dot_long(array<bigint>, array<bigint>) → bigint` — exact integer
-  * inner product (the quantized similarity tier). */
+  * inner product (the quantized similarity tier). "Exact" is enforced,
+  * not assumed: an overflowing accumulation folds to NULL (exact
+  * Math.addExact/multiplyExact, JIT intrinsics) instead of silently
+  * wrapping — this is a PUBLIC registered SQL function, and the
+  * catalog's upstream quantization envelope (|q| ≤ 10^6) does not
+  * bound what user SQL feeds it; a wrapped Long is a plausible wrong
+  * score, the exact class the ragged-pair null exists to prevent
+  * (r13 third sweep). */
 final case class DotLong(left: Expression, right: Expression) extends DotProductBase {
   override def prettyName: String = "dot_long"
   override def inputTypes: Seq[DataType] =
@@ -44,16 +51,16 @@ final case class DotLong(left: Expression, right: Expression) extends DotProduct
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) null
-    else {
+    else try {
       var acc = 0L
       var i = 0
       while (i < n) {
         if (x.isNullAt(i) || y.isNullAt(i)) return null
-        acc += x.getLong(i) * y.getLong(i)
+        acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i)))
         i += 1
       }
       acc
-    }
+    } catch { case _: ArithmeticException => null }
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -67,10 +74,13 @@ final case class DotLong(left: Expression, right: Expression) extends DotProduct
          |  ${ev.isNull} = true;
          |} else {
          |  long $acc = 0L;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += $a.getLong($i) * $b.getLong($i);
-         |  }
+         |  try {
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |      $acc = java.lang.Math.addExact($acc,
+         |        java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));
+         |    }
+         |  } catch (java.lang.ArithmeticException e) { ${ev.isNull} = true; }
          |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
        """.stripMargin

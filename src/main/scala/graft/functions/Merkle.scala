@@ -124,7 +124,12 @@ object Merkle {
       targets: Seq[Long],
       depth: Int,
       blockDepth: Int = 10): (BigInt, Map[Long, (Seq[BigInt], Seq[Int])]) = {
-    require(depth > blockDepth && depth < 63, "depth must exceed blockDepth (and fit a Long)")
+    // blockDepth >= 0 up front: a negative one passes `depth > blockDepth`,
+    // then 1L << -1 wraps (shift mod 64) and the empty pyramid dies with
+    // `empty.last` inside a distributed stage — an argument error must
+    // fail HERE, loudly, like Incremental's constructor guard
+    require(blockDepth >= 0 && depth > blockDepth && depth < 63,
+      "0 <= blockDepth < depth < 63 required")
     val z = zeroHashes(depth)
     val blockSize = 1L << blockDepth
     val targetsByBlock: Map[Long, Seq[Long]] =
@@ -151,8 +156,6 @@ object Merkle {
           // fails the same way Incremental.append refuses a full tree
           all.foreach(r => require(r._2 >= 0 && r._2 < (1L << depth),
             s"leaf_index ${r._2} outside [0, 2^$depth) (merkle.ts:118-120)"))
-          require(all.map(_._2).distinct.size == all.size,
-            s"duplicate leaf_index in block $block — left-filled leaves must be unique")
           val sorted = all.sortBy(_._2)
           val base = block * blockSize
           // positions are assigned by sort ORDER, so a gap inside the
@@ -160,10 +163,13 @@ object Merkle {
           // and hash a DIFFERENT tree — the left-filled contract is
           // loud here like every other malformed input (the silent-
           // truncation class Crypto.scala:82-85 records shipping once)
+          // this contiguity check also catches every DUPLICATE index (two
+          // equal sorted values cannot both equal base+offset), so no
+          // separate distinct-size pass is needed
           sorted.iterator.zipWithIndex.foreach { case (r, i) =>
             require(r._2 == base + i,
-              s"leaves not left-filled: block $block expects contiguous " +
-                s"indices from $base, found ${r._2} at offset $i")
+              s"leaves not left-filled (or duplicated): block $block expects " +
+                s"contiguous unique indices from $base, found ${r._2} at offset $i")
           }
           val vec = sorted.map(r => Poseidon.fromBytes32(r._3)).toVector
           val levels = pyramid(vec, blockDepth, zb, 0)

@@ -100,6 +100,12 @@ object Udfs {
     * json_valid both accept far deeper), so accepted depth is bounded
     * only by input length. */
   def jsonValid(s: String): Boolean = {
+    // null text is not-a-JSON-document, not an NPE: a SQL consumer
+    // should null-guard the COLUMN for three-valued semantics (DuckDB's
+    // json_valid(NULL) is NULL, which a Boolean method cannot return),
+    // but the strict validator itself must never crash a stage on one
+    // null row — the adversarial-input-is-normal contract above
+    if (s == null) return false
     val n = s.length
     var i = 0
     var ok = true

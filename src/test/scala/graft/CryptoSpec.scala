@@ -140,6 +140,12 @@ class CryptoSpec extends SparkSpec {
     // Incremental refuses the depths whose capacity check is garbage
     intercept[IllegalArgumentException](new Merkle.Incremental(63))
     intercept[IllegalArgumentException](new Merkle.Incremental(64))
+    // distributed entry points refuse a negative blockDepth up front —
+    // it passes `depth > blockDepth`, then 1L << -1 wraps and the
+    // failure would surface as `empty.last` inside an executor stage
+    val one = Seq((0L, Poseidon.toBytes32(BigInt(7)))).toDF("leaf_index", "leaf")
+    intercept[IllegalArgumentException](
+      Merkle.proofDistributed(spark, one, Seq(0L), depth = 12, blockDepth = -1))
   }
   test("depth-20 distributed proof generation: proofs bit-identical to the local path, block-bounded driver fold") {
     import spark.implicits._

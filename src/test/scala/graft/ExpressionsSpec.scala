@@ -40,6 +40,29 @@ class ExpressionsSpec extends SparkSpec {
     assert(got.toSeq === Seq(None, None, Some(5L)))
   }
 
+  test("dot_long: overflowing accumulation folds to null, never wraps (both codegen paths)") {
+    // dot_long is a PUBLIC registered function — the catalog's quantize
+    // envelope does not bound what user SQL feeds it, and a wrapped
+    // Long is a plausible wrong score (r13 third sweep)
+    val big = 4000000000L // big*big overflows; 2*big*big wraps positive
+    val df = Seq(
+      (Seq(big, big), Seq(big, big)),     // multiply overflow
+      (Seq(Long.MaxValue, Long.MaxValue), Seq(1L, 1L)), // add overflow
+      (Seq(3L, 4L), Seq(5L, 6L))          // fine: 39
+    ).toDF("a", "b")
+    def run(): Seq[Option[Long]] =
+      df.select(call_function("dot_long", $"a", $"b").as("d"))
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(run() === Seq(None, None, Some(39L)))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() === Seq(None, None, Some(39L)))
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("generated and interpreted paths agree") {
     val rng = new scala.util.Random(11L)
     val rows = Seq.fill(50)((Seq.fill(64)(rng.nextInt(2001).toLong - 1000),

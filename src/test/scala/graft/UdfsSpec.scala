@@ -75,6 +75,9 @@ class UdfsSpec extends AnyFunSuite {
       "\"\\ud800\"", "\"\\ud800x\"", "\"\\ude00\"", "\"\\ude00\\ud800\"")
     valid.foreach(v => assert(Udfs.jsonValid(v), s"should accept: $v"))
     invalid.foreach(v => assert(!Udfs.jsonValid(v), s"should reject: $v"))
+    // null text: not-a-document (false), never an NPE — a direct
+    // consumer without its own column guard must not crash a stage
+    assert(!Udfs.jsonValid(null))
     // deep nesting (r6 ADVICE closed): the explicit-stack traversal has
     // no depth cap, so acceptance can no longer diverge from
     // JSON.parse/json_valid on payloads nested past the old 512 line —
