@@ -267,16 +267,16 @@ object Bench {
     * Package-private so the spec pins both shapes against the loader. */
   private[graft] def recordLines(total: Double, qs: String, qSamples: String,
       sfDir: String, sf1Full: String, sf1Summary: String,
-      sf01Extra: String = ""): (String, String) = {
+      sf01Extra: String = "", extraBoth: String = ""): (String, String) = {
     // sfDir is the one free-text string in these driver-parsed lines —
     // escape it (shared rule with oracle_sql.json) so a quote or
     // backslash in the path can't invalidate the round's record and
     // silently walk the loader back to an older one (r13 sweep)
     val sfJ = Verify.jsonStr(sfDir)
     (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_samples":$qSamples,"sf":$sfJ$sf01Extra$sf1Full}""",
+      s""""queries_samples":$qSamples,"sf":$sfJ$extraBoth$sf01Extra$sf1Full}""",
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":$sfJ$sf1Summary,"summary":true}""")
+      s""""sf":$sfJ$extraBoth$sf1Summary,"summary":true}""")
   }
 
   /** `,"<field>":{"name":prelimMin,…}` (or "" when no query re-measured)
@@ -434,13 +434,11 @@ object Bench {
     // and the min could not escape it. Three full passes over the suite
     // put each query's samples minutes apart; pass 0 is the JIT/
     // page-cache warm-up, min of passes 1-2 is reported.
-    val samplesByQ =
-      scala.collection.mutable.Map.empty[String, collection.Seq[Double]]
-    val bufs = headline.map { q =>
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
-      samplesByQ(q.name) = buf
-      q.name -> buf
-    }.toMap
+    // ONE map of sample buffers (the old second samplesByQ map aliased
+    // the identical buffers — two registries to keep in lockstep for
+    // zero benefit, r13 sweep)
+    val bufs = headline.map(q =>
+      q.name -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
     for (p <- 0 until 3; q <- headline) {
       val buf = bufs(q.name)
       if (!buf.contains(-1.0)) // a failed query stays failed; keep its real samples
@@ -525,7 +523,7 @@ object Bench {
         v > 0 && prevSf01Sec.get(k).exists(p => v / p > 2.0 || p / v > 2.0)
     }.foreach { case (k, v) =>
       headline.find(_.name == k).foreach { q =>
-        val samples = samplesByQ.getOrElse(k, Nil)
+        val samples = bufs.getOrElse(k, Nil)
           .map(s => f"$s%.2f").mkString(" / ")
         dumpDiagnostic(spark, q, sfDir, "sf0.1",
           f"moved >2x vs prev driver record (${prevSf01Sec(k)}%.2f s -> $v%.2f s)",
@@ -551,7 +549,7 @@ object Bench {
     // all raw samples per query (warm-up first, 4-5 entries when the
     // adaptive extras fired) — the record-side evidence for uniform host
     // inflation no per-query trigger can see
-    val qSamples = samplesJson(headline.map(_.name), samplesByQ)
+    val qSamples = samplesJson(headline.map(_.name), bufs)
     val total = results.map(_._2).filter(_ >= 0).sum
 
     // sf1 scale tier — only on the driver's sf0.1 run, never fatal.
@@ -688,8 +686,18 @@ object Bench {
         ("", "")
       }
 
+    // a -1 (died) query is EXCLUDED from the total's sum, which would
+    // otherwise read as a speedup — the `failed` field marks the total
+    // as partial ON BOTH LINES so the 2x-baseline bar and the anchor
+    // loader can never mistake a partial round for a fast one
+    val failedBoth = {
+      val failed = results.filter(_._2 < 0).map(_._1)
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    }
     val (fullLine, summaryLine) = recordLines(total, qs, qSamples, sfDir,
-      sf1Section, sf1Summary, remeasuredJson("sf01_remeasured", sf01Prelim))
+      sf1Section, sf1Summary, remeasuredJson("sf01_remeasured", sf01Prelim),
+      failedBoth)
     println(fullLine)
     println(summaryLine) // LAST stdout line — the driver's tail keeps the end
     spark.stop()

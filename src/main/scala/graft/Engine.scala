@@ -27,6 +27,15 @@ object Engine {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // PINNED, not inherited: several loud-overflow guarantees (e.g.
+      // Tables.tsAsNanos' TIMESTAMP→nanos multiply on post-2262
+      // instants) document "keep ANSI on or this becomes silent
+      // corruption". Spark 4's default is already true, but build.sbt
+      // forwards arbitrary extra java opts and an image-level
+      // spark-defaults.conf can flip defaults — the factory whose
+      // charter is "one place for every config that affects
+      // correctness" must not leave it to the environment.
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

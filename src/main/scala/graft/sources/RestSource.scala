@@ -355,7 +355,21 @@ final class RestReader(
         if (v.isIntegralNumber && v.canConvertToLong) v.asLong() else null
       case IntegerType =>
         if (v.isIntegralNumber && v.canConvertToInt) v.asInt() else null
-      case DoubleType => if (v.isNumber) v.asDouble() else null
+      case DoubleType =>
+        if (v.isNumber) v.asDouble()
+        // the textual non-finite forms Spark's OWN JSON round-trip uses:
+        // the writer emits NaN/Infinity doubles as quoted strings and
+        // the PERMISSIVE reader parses exactly this token set back — a
+        // bare isNumber check nulled rows Spark itself would keep, so a
+        // pushed IsNotNull/comparison silently dropped them (r13 third
+        // sweep). Any other text stays null (malformed, like from_json).
+        else if (v.isTextual) v.asText() match {
+          case "NaN" => Double.NaN
+          case "Infinity" | "+Infinity" | "+INF" => Double.PositiveInfinity
+          case "-Infinity" | "-INF" => Double.NegativeInfinity
+          case _ => null
+        }
+        else null
       case BooleanType => if (v.isBoolean) v.asBoolean() else null
       case _ => if (v.isContainerNode) v.toString else v.asText()
     }
@@ -387,18 +401,10 @@ final class RestReader(
 
   private def norm0(d: Double): Double = if (d == 0.0d) 0.0d else d
 
-  private def utf8Cmp(a: String, b: String): Int = {
-    val xa = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val xb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    val n = math.min(xa.length, xb.length)
-    while (i < n) {
-      val c = (xa(i) & 0xff) - (xb(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    xa.length - xb.length
-  }
+  // UTF8String.compareTo IS Spark's binary string order — delegate to
+  // it rather than hand-roll a second copy of the semantics (r13 sweep)
+  private def utf8Cmp(a: String, b: String): Int =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
 
   // each arm extracts the field ONCE — the old `value(n,a) != null &&
   // cmp(value(n,a), v)` form paid the JSON lookup + type dispatch + box
