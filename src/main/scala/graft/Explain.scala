@@ -24,6 +24,12 @@ object Explain {
       .filter(q => names.isEmpty || names(q.name))
       .foreach { q =>
         println(s"===== ${q.name} =====")
+        // cold-plan discipline, like Bench.timeOnce: an earlier query's
+        // memoized feature frame / Bloom broadcast would otherwise leave
+        // a later query auditing a warm plan (InMemoryTableScan where
+        // Bench measures the parquet Scan) — the exact mismatch this
+        // pushdown/join-strategy audit tool exists to catch
+        graft.operators.RunCaches.clearAll()
         try {
           // EXECUTE first (noop sink), then print: with AQE on, the
           // unexecuted executedPlan is the initial AdaptiveSparkPlan

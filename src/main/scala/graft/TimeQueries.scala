@@ -34,15 +34,28 @@ object TimeQueries {
     val samples = scala.collection.mutable.Map
       .empty[(String, String), List[Double]].withDefaultValue(Nil)
     for (pass <- 0 until 3; dir <- dirs; q <- defs) {
-      val t = time(q, dir)
+      // per-sample isolation, like Bench (the declared protocol twin):
+      // one throwing (query, dir) pair must not abort the run and
+      // discard every already-collected sample — it records a -1
+      // marker and the others keep timing
+      val t = try time(q, dir) catch { case e: Throwable =>
+        System.err.println(s"[time] pass $pass ${q.name} $dir FAILED: ${e.getMessage}")
+        -1.0
+      }
       samples((q.name, dir)) = t :: samples((q.name, dir))
-      System.err.println(f"[time] pass $pass ${q.name} $dir $t%.2f s")
+      if (t >= 0) System.err.println(f"[time] pass $pass ${q.name} $dir $t%.2f s")
     }
     for (q <- defs) {
-      val mins = dirs.map(d => d -> samples((q.name, d)).min)
-      val cells = mins.map { case (d, t) => f"$d=$t%.3f" }.mkString(" ")
+      val mins = dirs.map { d =>
+        val ok = samples((q.name, d)).filter(_ >= 0)
+        d -> (if (ok.isEmpty) -1.0 else ok.min)
+      }
+      val cells = mins.map { case (d, t) =>
+        if (t < 0) s"$d=FAILED" else f"$d=$t%.3f" }.mkString(" ")
       val ratio =
-        if (dirs.length >= 2) f" ratio=${mins.last._2 / mins.head._2}%.2f" else ""
+        if (dirs.length >= 2 && mins.head._2 > 0 && mins.last._2 >= 0)
+          f" ratio=${mins.last._2 / mins.head._2}%.2f"
+        else ""
       println(s"TIME ${q.name} $cells$ratio")
     }
     spark.stop()

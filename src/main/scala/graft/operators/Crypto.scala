@@ -115,11 +115,23 @@ object Crypto {
   val cryptoShaCommitment = QueryDef(
     "crypto_sha_commitment",
     (s, dir) => {
+      // concat, NOT concat_ws: concat_ws silently SKIPS null arguments,
+      // so a null amt hashed "commitment::<blinding>" — and since
+      // amt+1 is also null, the tampered preimage was the IDENTICAL
+      // string, reporting verify_tampered = TRUE (binding "broken")
+      // while the oracle's null-propagating || yielded NULL. concat
+      // propagates null like ||, so a null amount has a null
+      // commitment on both engines (r13 third sweep).
       def commit(amount: Column, blinding: Column): Column =
-        concat(lit("0x"), sha2(concat_ws("",
-          lit("commitment:"), amount, lit(":"), blinding), 256))
+        concat(lit("0x"), sha2(concat(
+          lit("commitment:"), amount.cast("string"),
+          lit(":"), blinding.cast("string")), 256))
       Tables(s, dir).events
-        .withColumn("amt", expr("cast(floor(value * 1e9) as bigint)"))
+        // guarded lamports fold, the events.value family rule: NaN/Inf
+        // or |amount| past 2^63 folds to null instead of an ANSI throw
+        .withColumn("amt", expr("""case
+          when abs(floor(value * 1e9)) < 9.223372036854776e18
+          then cast(floor(value * 1e9) as bigint) end"""))
         .withColumn("blinding", pmod(col("event_id"), lit(1000000L)) * lit(2654435761L))
         .withColumn("commitment", commit(col("amt"), col("blinding")))
         .select(
@@ -133,12 +145,13 @@ object Crypto {
     oracle = Some("""
       WITH c AS (
         SELECT event_id,
-          CAST(FLOOR(value * 1e9) AS BIGINT) AS amt,
+          CASE WHEN ABS(FLOOR(value * 1e9)) < 9223372036854775808.0
+               THEN CAST(FLOOR(value * 1e9) AS BIGINT) END AS amt,
           (event_id % 1000000) * 2654435761 AS blinding
         FROM events)
       SELECT event_id,
         '0x' || sha256('commitment:' || amt || ':' || blinding) AS commitment,
-        TRUE AS verify_ok,
+        CASE WHEN amt IS NULL THEN NULL ELSE TRUE END AS verify_ok,
         ('0x' || sha256('commitment:' || (amt + 1) || ':' || blinding)) =
           ('0x' || sha256('commitment:' || amt || ':' || blinding)) AS verify_tampered
       FROM c ORDER BY event_id"""))
