@@ -265,15 +265,22 @@ class PlanSpec extends SparkSpec {
     // data (the trap j10/j12 are specifically formulated to avoid).
     val bounded = Set("a13_page_envelope", "st7_ttl_retention",
       "a2b_approval_bps", "sim_topk_dot", "sim_topk_cosine", "sim_topk_cosine_q")
+    // NonFatal only — an OOM/LinkageError mid-planning must abort the
+    // sweep, not leave it running on a corrupted JVM; and the skipped
+    // names are RECORDED so the -5 slack can never hide which queries
+    // stopped planning (r13 test sweep)
+    val skipped = scala.collection.mutable.ListBuffer.empty[String]
     val plans = QueryDef.catalogs.flatMap { q =>
       try Some(q.name ->
         q.run(spark, sf001).queryExecution.executedPlan.toString)
-      catch { case _: Throwable => None } // execution errors are CatalogSpec's job
+      catch { case scala.util.control.NonFatal(_) =>
+        skipped += q.name; None } // execution errors are CatalogSpec's job
     }.toMap
     // anti-vacuity: a broken fixture/planner must fail HERE, not silently
     // skip every check (the catch above is for individual stragglers)
     assert(plans.size >= QueryDef.catalogs.size - 5,
-      s"only ${plans.size}/${QueryDef.catalogs.size} queries planned")
+      s"only ${plans.size}/${QueryDef.catalogs.size} queries planned; " +
+        s"skipped: ${skipped.mkString(", ")}")
     val cartesian = plans.collect {
       case (n, p) if p.contains("CartesianProduct") => n }
     assert(cartesian.isEmpty, s"cartesian products in: $cartesian")

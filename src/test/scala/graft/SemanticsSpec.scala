@@ -304,8 +304,13 @@ class SemanticsSpec extends SparkSpec {
       val staged = Option(ver.getParentFile.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith(".build-"))
       assert(staged.isEmpty, "the losing build must discard its staging")
-    } finally racer.join()
-    sentinel.delete()
+    } finally {
+      // cleanup INSIDE the finally: a failed assert must not leave the
+      // planted part-file in the live published version that later
+      // minhash tests read (the r13 test-sweep discipline)
+      racer.join()
+      sentinel.delete(): Unit
+    }
   }
 
   test("minhash index: shard count is session conf AND version identity — probe output invariant") {
@@ -346,6 +351,10 @@ class SemanticsSpec extends SparkSpec {
     } finally {
       spark.conf.unset("spark.graft.minhash.indexShards")
       spark.conf.unset("spark.graft.minhash.reapGraceMs")
+      // the planted husk normally ages out inside ensure; if an assert
+      // failed before that, it must not survive into the shared index
+      // base that later minhash tests list and reap
+      deleteAll(huskSibling)
     }
   }
 
@@ -868,7 +877,10 @@ class SemanticsSpec extends SparkSpec {
     // the stored index contains only well-formed full-dimension vectors
     val stored = spark.read.parquet(idx).select($"vec_id")
       .collect().map(_.getLong(0)).toSet
-    assert(!stored.contains(21L), "a ragged vector must not be indexed")
-    assert(stored.subsetOf((0L until 21L).toSet))
+    // EXACT set, not subsetOf: the subset form permitted the
+    // null-element vector (20) in the index — the regression this test
+    // exists to pin — and also passed on an empty index (r13 test sweep)
+    assert(stored === (0L until 20L).toSet,
+      s"index must hold exactly the 20 well-formed vectors, got $stored")
   }
 }

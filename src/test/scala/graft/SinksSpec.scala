@@ -13,6 +13,18 @@ class SinksSpec extends SparkSpec {
   private def tmp(): String =
     Files.createTempDirectory("graft-sink").resolve("t").toString
 
+  /** fd-safe directory listing (full path strings): Files.list returns a
+    * stream backed by an open DirectoryStream the javadoc requires
+    * closing — the old toArray call sites leaked one fd each until GC.
+    * File.listFiles has nothing to leak. */
+  private def ls(dir: String): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .map(_.toString).toSeq
+
+  /** fd-safe recursive walk (dir itself included, like Files.walk). */
+  private def walk(dir: String): Seq[String] =
+    dir +: ls(dir).flatMap(walk)
+
   test("S5 append sink caps each batch and accumulates") {
     val path = tmp()
     val ev = Tables(spark, sf001).events.select($"event_id", $"user_id")
@@ -37,8 +49,7 @@ class SinksSpec extends SparkSpec {
       s"per-key read is not partition-pruned: $scanned")
     assert(one.count() ===
       Tables(spark, sf001).events.filter($"event_type" === "purchase").count())
-    assert(Files.list(java.nio.file.Paths.get(path)).toArray
-      .map(_.toString).count(_.contains("event_type=")) === 5)
+    assert(ls(path).count(_.contains("event_type=")) === 5)
   }
 
   test("persisted IVF index: probe prunes to nProbe cell partitions and equals the in-memory path") {
@@ -46,8 +57,7 @@ class SinksSpec extends SparkSpec {
     val path = tmp()
     val centroids = Similarity.writeIvfIndex(spark, sf001, path, nCells = 16)
     // the stored layout is one directory per cell
-    val cellDirs = Files.list(java.nio.file.Paths.get(path)).toArray
-      .map(_.toString).count(_.contains("cell="))
+    val cellDirs = ls(path).count(_.contains("cell="))
     assert(cellDirs > 4, s"expected cell partitions, got $cellDirs")
     val probed = Similarity.probeIvfIndex(spark, sf001, path, centroids, nProbe = 4)
     // partition pruning: the probe's parquet scan carries the cell filter
@@ -84,11 +94,9 @@ class SinksSpec extends SparkSpec {
     // the other 7 buckets' data files were not rewritten. The gen dir
     // name is writer-unique (g1-<tok>) so a racing loser could never
     // overwrite it.
-    val g1Dirs = Files.list(java.nio.file.Paths.get(s"$path/data"))
-      .toArray.map(_.toString).filter(_.matches(".*/g1-[0-9a-f]{8}$"))
+    val g1Dirs = ls(s"$path/data").filter(_.matches(".*/g1-[0-9a-f]{8}$"))
     assert(g1Dirs.length === 1, s"expected one unique g1-<tok> dir, got ${g1Dirs.length}")
-    val g1Buckets = Files.list(java.nio.file.Paths.get(g1Dirs.head))
-      .toArray.map(_.toString).count(_.contains("__b="))
+    val g1Buckets = ls(g1Dirs.head).count(_.contains("__b="))
     assert(g1Buckets === 1, s"single-key upsert must rewrite 1 bucket, got $g1Buckets")
     val got = Sinks.readUpserted(spark, path)
     assert(got.count() === 200)
@@ -183,16 +191,13 @@ class SinksSpec extends SparkSpec {
     Sinks.upsertByKey(spark, path,
       Seq((1L, "p6", 6L)).toDF("id", "payload", "version"),
       "id", "version", buckets = 4, graceMs = 0L)
-    val manifests = Files.list(java.nio.file.Paths.get(s"$path/_graft_manifest"))
-      .toArray.map(_.toString).count(_.endsWith(".json"))
+    val manifests = ls(s"$path/_graft_manifest").count(_.endsWith(".json"))
     assert(manifests <= 2, s"superseded manifests must reap, got $manifests")
-    val liveBuckets = Files.walk(java.nio.file.Paths.get(s"$path/data"))
-      .toArray.map(_.toString).count(_.matches(".*__b=\\d+$"))
+    val liveBuckets = walk(s"$path/data").count(_.matches(".*__b=\\d+$"))
     assert(liveBuckets <= 2, s"one key → ≤2 retained bucket dirs, got $liveBuckets")
     // superseded GEN dirs are fully gone — a committer _SUCCESS marker
     // must not pin an empty generation husk forever
-    val genDirs = Files.list(java.nio.file.Paths.get(s"$path/data"))
-      .toArray.map(_.toString).count(_.matches(".*/g\\d+-[0-9a-f]{8}$"))
+    val genDirs = ls(s"$path/data").count(_.matches(".*/g\\d+-[0-9a-f]{8}$"))
     assert(genDirs <= 2, s"superseded generation husks must reap, got $genDirs")
     val got = Sinks.readUpserted(spark, path).collect()
     assert(got.length === 1 && got.head.getAs[String]("payload") === "p6")
@@ -208,11 +213,9 @@ class SinksSpec extends SparkSpec {
     // on an established table: no new manifest/generation
     Sinks.upsertByKey(spark, path,
       Seq((1L, "a", 1L)).toDF("id", "payload", "version"), "id", "version")
-    val before = Files.list(java.nio.file.Paths.get(s"$path/_graft_manifest"))
-      .toArray.map(_.toString).count(_.endsWith(".json"))
+    val before = ls(s"$path/_graft_manifest").count(_.endsWith(".json"))
     Sinks.upsertByKey(spark, path, none, "id", "version")
-    val after = Files.list(java.nio.file.Paths.get(s"$path/_graft_manifest"))
-      .toArray.map(_.toString).count(_.endsWith(".json"))
+    val after = ls(s"$path/_graft_manifest").count(_.endsWith(".json"))
     assert(after === before, "empty upsert must not publish a new manifest")
     assert(Sinks.readUpserted(spark, path).count() === 1)
   }
@@ -246,29 +249,23 @@ class SinksSpec extends SparkSpec {
     val migrated = Sinks.readUpserted(spark, path)
     assert(migrated.count() === 100)
     // the new layout spreads past the old 2-bucket ceiling
-    val rebucketDirs = Files.list(java.nio.file.Paths.get(s"$path/data"))
-      .toArray.map(_.toString).filter(_.matches(".*/g1-[0-9a-f]{8}$"))
+    val rebucketDirs = ls(s"$path/data").filter(_.matches(".*/g1-[0-9a-f]{8}$"))
     assert(rebucketDirs.length === 1)
-    val spread = Files.list(java.nio.file.Paths.get(rebucketDirs.head))
-      .toArray.map(_.toString).count(_.contains("__b="))
+    val spread = ls(rebucketDirs.head).count(_.contains("__b="))
     assert(spread > 2, s"100 keys over 16 buckets must spread past 2, got $spread")
     // a follow-up single-key upsert rewrites exactly one of the NEW buckets
     Sinks.upsertByKey(spark, path,
       Seq((7L, "p7-v2", 2L)).toDF("id", "payload", "version"), "id", "version")
-    val g2Dirs = Files.list(java.nio.file.Paths.get(s"$path/data"))
-      .toArray.map(_.toString).filter(_.matches(".*/g2-[0-9a-f]{8}$"))
-    val g2Buckets = Files.list(java.nio.file.Paths.get(g2Dirs.head))
-      .toArray.map(_.toString).count(_.contains("__b="))
+    val g2Dirs = ls(s"$path/data").filter(_.matches(".*/g2-[0-9a-f]{8}$"))
+    val g2Buckets = ls(g2Dirs.head).count(_.contains("__b="))
     assert(g2Buckets === 1, s"post-rebucket single-key upsert must rewrite 1 bucket, got $g2Buckets")
     val got = Sinks.readUpserted(spark, path)
     assert(got.count() === 100)
     assert(got.filter($"id" === 7L).select($"payload").head().getString(0) === "p7-v2")
     // same-count rebucket is a no-op: no new manifest published
-    val before = Files.list(java.nio.file.Paths.get(s"$path/_graft_manifest"))
-      .toArray.map(_.toString).count(_.endsWith(".json"))
+    val before = ls(s"$path/_graft_manifest").count(_.endsWith(".json"))
     Sinks.rebucket(spark, path, "id", 16)
-    val after = Files.list(java.nio.file.Paths.get(s"$path/_graft_manifest"))
-      .toArray.map(_.toString).count(_.endsWith(".json"))
+    val after = ls(s"$path/_graft_manifest").count(_.endsWith(".json"))
     assert(after === before, "same-count rebucket must be a no-op")
   }
 
@@ -299,8 +296,12 @@ class SinksSpec extends SparkSpec {
     writer.start()
     try {
       // every read resolves ONE manifest = one complete table version:
-      // all 40 keys present and every row from the same upsert batch
-      while (writer.isAlive) {
+      // all 40 keys present and every row from the same upsert batch.
+      // BOUNDED: if the writer hangs (the concurrency-bug class this
+      // test guards), the loop must fail with a diagnostic after the
+      // deadline, not spin the suite forever (r13 test sweep).
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (writer.isAlive && System.nanoTime() < deadline) {
         val rows = Sinks.readUpserted(spark, path)
           .select($"id", $"version").collect()
         if (rows.length != keys.length)
@@ -309,7 +310,9 @@ class SinksSpec extends SparkSpec {
         if (versions.length != 1)
           errs.add(s"torn snapshot across versions ${versions.mkString(",")}")
       }
-    } finally writer.join()
+      assert(!writer.isAlive,
+        "writer still alive after 120 s — upsert hangs under a concurrent reader")
+    } finally writer.join(10000L) // bounded: a hung writer must not pin the finally too
     assert(errs.isEmpty, errs.toArray.mkString("; "))
     val finalRead = Sinks.readUpserted(spark, path)
     assert(finalRead.filter($"version" === 5L).count() === keys.length)

@@ -15,4 +15,15 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.spark
   lazy val sf001 = "/root/testdata/sf0.001"
   lazy val sf01 = "/root/testdata/sf0.01"
+
+  /** Shared events-parquet fixture writer: the table layout (TS column
+    * in epoch-NANOS — an easy multiply to get wrong) lives in ONE place
+    * instead of a copy per test (r13 test sweep). */
+  def writeEventsFixture(dir: String, evs: Seq[graft.streaming.Ev]): Unit = {
+    val sp = spark
+    import sp.implicits._
+    evs.map(e => (e.event_id, e.ts_ms * 1000000L, e.user_id, e.event_type, e.value))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
 }

@@ -34,7 +34,14 @@ class StreamingSpec extends SparkSpec {
     spark.table(name)
   }
 
-  private val batches = allEvents.grouped(400).toSeq
+  // (ts_ms, event_id) total order BEFORE batching: the stream operators
+  // sort only WITHIN each micro-batch, so equal-ts events straddling a
+  // batch boundary arrive in frame order — and orderBy(ts_ms) alone
+  // leaves the tie order unspecified, a latent equivalence flake under
+  // a different partitioning (the per-test re-sorts at st12/as-of
+  // already carried the tiebreak; the shared batches now do too)
+  private val batches =
+    allEvents.sortBy(e => (e.ts_ms, e.event_id)).grouped(400).toSeq
 
   test("ST8 live fan-out: streaming partitioned append accumulates, prunes per key, resumes from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
@@ -228,9 +235,7 @@ class StreamingSpec extends SparkSpec {
       reveal(20L, 2L, None),             // only a null bid: revealed, no winner
       reveal(30L, 3L, Some(Double.NaN))) // only a NaN bid: NaN wins by default
     val dir = java.nio.file.Files.createTempDirectory("graft-st2nan").toString
-    evs.map(e => (e.event_id, e.ts_ms * 1000000L, e.user_id, e.event_type, e.value))
-      .toDF("event_id", "ts", "user_id", "event_type", "value")
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    writeEventsFixture(dir, evs)
     // ST2
     val got2 = latestBy(runStream("st2_nan", Seq(evs),
       ds => StreamOps.commitReveal(ds).toDF(), OutputMode.Update), "user_id")
@@ -271,9 +276,7 @@ class StreamingSpec extends SparkSpec {
       Ev(2L, 1L, "purchase", Some(7.0), t0 + 1800000L + 5L),  // reveal, wins
       Ev(3L, 2L, "view", Some(1.0), t0 + 3599999L))           // boundary view
     val dir = java.nio.file.Files.createTempDirectory("graft-st2neg").toString
-    evs.map(e => (e.event_id, e.ts_ms * 1000000L, e.user_id, e.event_type, e.value))
-      .toDF("event_id", "ts", "user_id", "event_type", "value")
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    writeEventsFixture(dir, evs)
     val cols = Seq($"user_id", $"window_hour", $"n_commits", $"n_reveals",
       $"n_rejected", $"winning_bid", $"winner_event", $"revealed")
     // BATCH TWIN: pin the absolute floor semantics — everything lives in
@@ -410,9 +413,7 @@ class StreamingSpec extends SparkSpec {
         ts)
     }
     val dir = java.nio.file.Files.createTempDirectory("graft-st12").toString
-    evs.map(e => (e.event_id, e.ts_ms * 1000000L, e.user_id, e.event_type, e.value))
-      .toDF("event_id", "ts", "user_id", "event_type", "value")
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    writeEventsFixture(dir, evs)
     val want = graft.operators.StreamingTwins.st12RapidReversal.run(spark, dir)
     val got = runStream("st12_gen",
       evs.sortBy(e => (e.ts_ms, e.event_id)).grouped(500).toSeq,
@@ -451,9 +452,7 @@ class StreamingSpec extends SparkSpec {
         Ev(201L + 2 * i, 2L + i % 2, "view", v, ts + 10000L))
     }
     val dir = java.nio.file.Files.createTempDirectory("graft-st12-edge").toString
-    evs.map(e => (e.event_id, e.ts_ms * 1000000L, e.user_id, e.event_type, e.value))
-      .toDF("event_id", "ts", "user_id", "event_type", "value")
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    writeEventsFixture(dir, evs)
     val want = graft.operators.StreamingTwins.st12RapidReversal.run(spark, dir)
     val got = runStream("st12_edge",
       evs.sortBy(e => (e.ts_ms, e.event_id)).grouped(7).toSeq,
@@ -488,9 +487,7 @@ class StreamingSpec extends SparkSpec {
         Ev(301L + 2 * i, 2L + i % 3, "purchase", v, ts + 10000L))
     }
     val dir = java.nio.file.Files.createTempDirectory("graft-st39-edge").toString
-    evs.map(e => (e.event_id, e.ts_ms * 1000000L, e.user_id, e.event_type, e.value))
-      .toDF("event_id", "ts", "user_id", "event_type", "value")
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    writeEventsFixture(dir, evs)
     val cols3 = Seq($"epoch_day", $"total_signals", $"long_count", $"short_count",
       $"neutral_count", $"sum_value", $"last_updated_ms")
     val got3 = latestBy(runStream("st3_edge", Seq(evs),
