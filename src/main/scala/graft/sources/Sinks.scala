@@ -240,8 +240,29 @@ object Sinks {
       val livePaths = affected.toSeq.flatMap(b =>
         bmap.get(b).map(dn => s"$path/data/$dn/__b=$b"))
       val existing =
-        if (livePaths.isEmpty) up.limit(0)
-        else spark.read.parquet(livePaths: _*)
+        if (livePaths.nonEmpty) spark.read.parquet(livePaths: _*)
+        else {
+          // row-schema identity must hold even when every affected
+          // bucket is NEW: the unionByName below (the implicit guard)
+          // never runs on this path, so a schema-drifted update would
+          // publish mixed-schema generations — and readUpserted has no
+          // mergeSchema, so the drifted column silently vanishes (or
+          // reads as null) depending on which file Spark infers from.
+          // Enforce against any referenced bucket of the established
+          // table, loudly, like the keyType layout guard above.
+          bmap.headOption.foreach { case (b, dn) =>
+            val tbl = spark.read.parquet(s"$path/data/$dn/__b=$b").schema
+            def shape(s: org.apache.spark.sql.types.StructType) =
+              s.map(f => (f.name.toLowerCase(java.util.Locale.ROOT),
+                f.dataType)).toSet
+            require(shape(tbl) == shape(up.schema),
+              s"upsertByKey: update schema ${up.schema.simpleString} does " +
+                s"not match the table's ${tbl.simpleString} — a mixed-schema " +
+                "publish would make columns silently vanish on read; align " +
+                "the update frame first")
+          }
+          up.limit(0)
+        }
       val w = Window.partitionBy(col(key))
         .orderBy(col(versionCol).desc, xxhash64(struct(col("*"))).asc)
       val merged = existing.unionByName(up)
@@ -254,7 +275,7 @@ object Sinks {
       // rename — the loser fails loudly with the winner's published data
       // untouched (an Overwrite into a shared g<gen> would have deleted
       // the winner's files BEFORE the rename could detect the race)
-      val genDir = f"g$gen%d-${java.util.UUID.randomUUID().toString.take(8)}"
+      val genDir = genDirName(gen)
       // repartition by bucket before the partitioned write: without it
       // every shuffle task writes a file into every bucket dir it touches
       // (tasks × buckets small files at scale); clustered, each bucket's
@@ -350,9 +371,13 @@ object Sinks {
     if (current.buckets == newBuckets) return
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gen = current.gen + 1
-    val genDir = f"g$gen%d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val genDir = genDirName(gen)
     val bucketOf = bucketExpr(col(key), newBuckets)
-    readUpserted(spark, path)
+    // ONE resolution of the table: the frame serves both the rewrite
+    // and (below) the key-type derivation — a second readUpserted call
+    // paid a full second manifest-resolve + parquet footer pass
+    val table = readUpserted(spark, path)
+    table
       .withColumn("__b", bucketOf)
       .repartition(col("__b"))
       .write.mode(SaveMode.Overwrite).partitionBy("__b")
@@ -369,11 +394,19 @@ object Sinks {
     // carry the key type forward (derive it for pre-field tables from
     // the data just read — the rewrite preserves the schema)
     val kt = if (current.keyType.nonEmpty) current.keyType
-      else readUpserted(spark, path).select(col(key)).schema.head.dataType.sql
+      else table.select(col(key)).schema.head.dataType.sql
     publishManifest(spark, path, Manifest(gen, newBuckets,
       present.map(_ -> genDir).toMap, kt))
     reapSuperseded(fs, path, graceMs)
   }
+
+  /** Writer-unique generation dir name (`g<gen>-<token>`) — byte-level
+    * layout identity shared by [[upsertByKey]] and [[rebucket]]:
+    * parseManifest's legacy fallback and the reaper's dir walk both key
+    * off this exact shape, so one definition makes drift impossible
+    * (the same rule bucketExpr documents for routing). */
+  private def genDirName(gen: Long): String =
+    f"g$gen%d-${java.util.UUID.randomUUID().toString.take(8)}"
 
   /** THE bucket-routing expression — the single definition every
     * writer (upsertByKey), migrator (rebucket) and pruned reader

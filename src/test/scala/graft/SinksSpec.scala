@@ -282,6 +282,29 @@ class SinksSpec extends SparkSpec {
     assert(e.getMessage.contains("no manifest"), e.getMessage)
   }
 
+  test("S6 schema-drifted upsert is refused loudly even when it touches only NEW buckets") {
+    // the implicit unionByName guard never runs when every affected
+    // bucket is unreferenced — pre-fix, a drifted update publishing
+    // there created mixed-schema generations whose columns silently
+    // vanished on read (no mergeSchema). Single-key drifted upserts
+    // across many keys exercise BOTH paths: same-bucket (unionByName
+    // refuses) and new-bucket (the footer-schema guard refuses) —
+    // every one must throw, and the table must stay intact.
+    val path = tmp()
+    Sinks.upsertByKey(spark, path,
+      Seq((1L, "p", 1L)).toDF("id", "payload", "version"),
+      "id", "version", buckets = 8)
+    (2L to 20L).foreach { k =>
+      val drifted = Seq((k, s"x$k", 1L)).toDF("id", "payload2", "version")
+      intercept[Exception] {
+        Sinks.upsertByKey(spark, path, drifted, "id", "version")
+      }
+    }
+    val got = Sinks.readUpserted(spark, path).collect()
+    assert(got.length === 1 && got.head.getAs[String]("payload") === "p",
+      "a refused drifted upsert must leave the table untouched")
+  }
+
   test("S6 reader concurrent with upserts always sees a complete consistent snapshot") {
     val path = tmp()
     val keys = 1L to 40L
