@@ -235,6 +235,23 @@ object Similarity {
         System.nanoTime()
     }
 
+  /** Evicts (unpersist + drop) this session's memoized frames whose key
+    * starts with `prefix`, sparing `except` — the dead-key reclaim for
+    * families whose cache keys embed a version-named path: when the
+    * path moves, the old key can never be matched again and its
+    * persisted frame would otherwise stay pinned until a harness clear
+    * ([[graft.operators.Similarity.probeIncrIndex]]'s incrcand
+    * entries). */
+  private[operators] def evictFeaturePrefix(
+      s: SparkSession, prefix: String, except: String): Unit =
+    featCache.synchronized {
+      featCache.filterInPlace { case ((sess, k), (_, df)) =>
+        val drop = (sess eq s) && k.startsWith(prefix) && k != except
+        if (drop) scala.util.Try(df.unpersist())
+        !drop
+      }
+    }
+
   /** Unpersists and forgets every memoized feature frame. Bench calls
     * this before each timed run so headline dedup numbers measure the
     * full cold pipeline (tokenize + signatures + verify), not a warm
@@ -1096,8 +1113,12 @@ object Similarity {
     val n = s.conf.getOption(s"spark.graft.$confFamily.indexShards")
       .orElse(s.conf.getOption("spark.graft.minhash.indexShards"))
       .getOrElse(minhashIndexShards.toString).toInt
-    require(n > 0,
-      s"spark.graft.$confFamily.indexShards must be positive, got $n")
+    // upper bound = what indexShardsOf's 9-digit parse can read back: a
+    // 10-digit count would publish a version name the probe CANNOT
+    // parse, silently falling back to the caller's default modulus and
+    // mis-pruning — refuse here, where the layout is named
+    require(n > 0 && n <= 999999999,
+      s"spark.graft.$confFamily.indexShards must be in [1, 999999999], got $n")
     n
   }
 
@@ -1169,6 +1190,12 @@ object Similarity {
     * [[writeIvfIndex]] applies it to ANN cells. */
   private[operators] def writeIncrIndex(s: SparkSession, indexPath: String,
       shards: Int, fam: IncrFamily, feat: DataFrame): Unit = {
+    // the SAME path-suffix resolution the probe half runs: a custom
+    // indexPath that matches the version shape carries an authoritative
+    // -sN, and writing under any other modulus would make the probe's
+    // pruning silently miss duplicates (the write half used to apply
+    // the argument raw — the one place the layout rule didn't reach)
+    val effShards = effShardsOf(indexPath, shards, fam.what)
     // a 0-row partitioned parquet write produces NO data files and the
     // probe's later read fails with an opaque schema-inference error —
     // name the cause instead. The guard must test the BANDED frame, not
@@ -1183,7 +1210,7 @@ object Similarity {
         "banded corpus row")
     bands.groupBy(col("band"), col("bucket"))
       .agg(min(col(fam.idCol)).as("keeper"))
-      .withColumn("bshard", pmod(col("bucket"), lit(shards.toLong)))
+      .withColumn("bshard", pmod(col("bucket"), lit(effShards.toLong)))
       .write.mode("overwrite").partitionBy("band", "bshard")
       .parquet(s"$indexPath/bands")
     // keeper ids come from the JUST-WRITTEN bands files, not a second
@@ -1193,7 +1220,7 @@ object Similarity {
       .select(col("keeper").as(fam.idCol)).distinct()
     fam.sideOf(feat)
       .join(storedKeepers, Seq(fam.idCol))
-      .withColumn(fam.featShardCol, pmod(col(fam.idCol), lit(shards.toLong)))
+      .withColumn(fam.featShardCol, pmod(col(fam.idCol), lit(effShards.toLong)))
       .write.mode("overwrite").partitionBy(fam.featShardCol)
       .parquet(s"$indexPath/${fam.featSubdir}")
   }
@@ -1240,15 +1267,30 @@ object Similarity {
     // read, two shuffles) is the probe's dominant cost; unpersisted,
     // the whole chain would run twice per probe. Version = the caller's
     // CORPUS fingerprint (srcVer — the increment feat frame's identity)
-    // mixed with the index's bands mtime: the managed
-    // ensureVersionedIndex path also bakes identity into the indexPath
-    // name, but the public probe*Index API accepts a CUSTOM fixed path,
-    // where an in-place mode("overwrite") rebuild or a corpus
-    // regeneration would otherwise serve this persisted frame stale
-    // (r13 re-sweep).
+    // PLUS the index's bands mtime: the managed ensureVersionedIndex
+    // path also bakes identity into the indexPath name, but the public
+    // probe*Index API accepts a CUSTOM fixed path, where an in-place
+    // mode("overwrite") rebuild or a corpus regeneration would
+    // otherwise serve this persisted frame stale. The sum, NOT an xor:
+    // cachedFeature's eviction/publish contract is ORDERED (strictly
+    // newer supersedes), and an xor of two timestamps is not monotone —
+    // a rebuild's fresher mix could compare BELOW the stored one and
+    // the stale frame would keep being served (r13 third sweep).
+    // Saturating: a pathological nanoTime-fallback component must not
+    // wrap the sum negative.
     val idxVer = srcVersion(s, indexPath, "bands")
-    val cand = cachedFeature(s, s"incrcand:${fam.what}:$indexPath:$split",
-        java.lang.Long.rotateLeft(srcVer, 21) ^ idxVer) {
+    val mixedVer =
+      try Math.addExact(srcVer, idxVer)
+      catch { case _: ArithmeticException => Long.MaxValue }
+    // a regeneration/tier change mints a NEW cache key (the versioned
+    // path and split move), so the superseded entry under the OLD key
+    // could never be matched again — evict this family's other probe
+    // entries first or each regeneration strands one persisted frame
+    // until a harness clear (one live candidate frame per family is
+    // the steady state)
+    val candKey = s"incrcand:${fam.what}:$indexPath:$split"
+    evictFeaturePrefix(s, s"incrcand:${fam.what}:", except = candKey)
+    val cand = cachedFeature(s, candKey, mixedVer) {
       banded.join(merged, Seq("band", "bucket"))
         .filter(col("keeper") < col(fam.idCol))
         .groupBy(col(fam.idCol)).agg(min(col("keeper")).as("keeper"))
@@ -1607,21 +1649,32 @@ object Similarity {
             st.isDirectory && (n.startsWith("v") || n.startsWith(".build-"))
           }
           .filter { st =>
-            // a PUBLISHED shard layout of the CURRENT tier is potentially
-            // live — another session with a different indexShards conf
-            // probes its own sibling version — and is never reaped; a
-            // marker-less current-tier sibling is a crashed publish and
-            // ages out like any husk (else each abandoned shard setting
-            // would pin a corpus-scale copy until the tier regenerates)
-            val currentTierPublished =
-              st.getPath.getName.startsWith(tierPrefix) &&
-                fs.exists(new Path(st.getPath, "_PUBLISHED"))
+            // a PUBLISHED shard layout of the CURRENT tier — or of a
+            // NEWER one — is potentially live and never reaped: another
+            // session with a different indexShards conf probes its own
+            // current-tier sibling, and a builder holding a STALE
+            // srcMtime whose corpus-scale build outlasted the grace
+            // window would otherwise delete the newer tier's live index
+            // out from under the sessions probing it (a published
+            // version goes mtime-quiet the moment it lands — reads
+            // never touch it, so age proves nothing for published
+            // dirs). The tier ordering comes from the version name's
+            // own mtime component. Marker-less siblings of ANY tier are
+            // crashed publishes and age out like any husk (else each
+            // abandoned shard setting would pin a corpus-scale copy).
+            val publishedCurrentOrNewer = {
+              val n = st.getPath.getName
+              fs.exists(new Path(st.getPath, "_PUBLISHED")) && (
+                n.startsWith(tierPrefix) ||
+                  "^v\\d+-(\\d+)-s\\d{1,9}$".r.findFirstMatchIn(n)
+                    .exists(_.group(1).toLong >= srcMtime))
+            }
             // LIST-cost short-circuit: newestIn is a full recursive
             // listing per sibling, a large object-store LIST bill inside
             // the base's lock on every rebuild. A dir young at depth 1 can only
             // get YOUNGER with children, so only depth-1-old candidates
             // (and mtime-0 pseudo-dirs, age unknown) pay the recursion.
-            !currentTierPublished &&
+            !publishedCurrentOrNewer &&
               now - st.getModificationTime > graceMs && {
                 val eff = newestIn(st.getPath)
                 eff > 0L && now - eff > graceMs
@@ -1663,14 +1716,6 @@ object Similarity {
     },
     oracle = None)
 
-  /** Ingest-time half of INCREMENTAL SimHash dedup — the second
-    * instantiation of the versioned-index pattern ([[writeMinhashIndex]]
-    * is the first): persists the corpus's (band, bucket, keeper) frame
-    * partitioned by (band, bshard), plus a (doc_id, simhash) side table
-    * for exactly the docs that are bucket keepers (only they can be
-    * elected by a probe — the hamming verify needs no other corpus
-    * fingerprints), partitioned by sshard. The corpus is scanned ONCE
-    * here, at ingest. */
   /** SimHash family shape for [[writeIncrIndex]]/[[probeIncrIndex]]. */
   private val shFamily = IncrFamily(
     what = "probeSimhashIndex",
@@ -1683,6 +1728,14 @@ object Similarity {
       hammingVerify(cand,
         feat.select(col("doc_id"), col("simhash").as("d_sim")), kSide))
 
+  /** Ingest-time half of INCREMENTAL SimHash dedup — the second
+    * instantiation of the versioned-index pattern ([[writeMinhashIndex]]
+    * is the first): persists the corpus's (band, bucket, keeper) frame
+    * partitioned by (band, bshard), plus a (doc_id, simhash) side table
+    * for exactly the docs that are bucket keepers (only they can be
+    * elected by a probe — the hamming verify needs no other corpus
+    * fingerprints), partitioned by sshard. The corpus is scanned ONCE
+    * here, at ingest. */
   def writeSimhashIndex(s: SparkSession, dir: String, indexPath: String,
       split: Long, shards: Int = minhashIndexShards): Unit =
     writeIncrIndex(s, indexPath, shards, shFamily,
@@ -1737,14 +1790,6 @@ object Similarity {
     },
     oracle = None)
 
-  /** Ingest-time half of INCREMENTAL embedding dedup — the fourth
-    * [[ensureVersionedIndex]] instantiation, over the EMBEDDINGS table
-    * (the generic machinery's first non-documents corpus): persists the
-    * corpus vectors' (band, bucket, keeper) frame partitioned by
-    * (band, bshard), plus a (vec_id, v, norm) side table for exactly
-    * the bucket keepers (only they can be elected by a probe — the
-    * cosine verify needs no other corpus vectors), partitioned by
-    * vshard. The corpus is banded ONCE here, at ingest. */
   /** Embedding family shape for [[writeIncrIndex]]/[[probeIncrIndex]]. */
   private val embFamily = IncrFamily(
     what = "probeEmbeddingIndex",
@@ -1757,6 +1802,14 @@ object Similarity {
       cosineVerify(cand,
         feat.select(col("vec_id"), col("v"), col("norm")), kSide))
 
+  /** Ingest-time half of INCREMENTAL embedding dedup — the fourth
+    * [[ensureVersionedIndex]] instantiation, over the EMBEDDINGS table
+    * (the generic machinery's first non-documents corpus): persists the
+    * corpus vectors' (band, bucket, keeper) frame partitioned by
+    * (band, bshard), plus a (vec_id, v, norm) side table for exactly
+    * the bucket keepers (only they can be elected by a probe — the
+    * cosine verify needs no other corpus vectors), partitioned by
+    * vshard. The corpus is banded ONCE here, at ingest. */
   def writeEmbeddingIndex(s: SparkSession, dir: String, indexPath: String,
       split: Long, shards: Int = minhashIndexShards): Unit =
     writeIncrIndex(s, indexPath, shards, embFamily,
