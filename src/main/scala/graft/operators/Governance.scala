@@ -68,9 +68,15 @@ object Governance {
     * address trailing fields past a variable-length body). One body for
     * both: decodePubkeyList previously inlined this expression, forking
     * the u64/u8 decode semantics from any future decLE fix. */
-  private def decLEAt(recCol: String, offExpr: String, nBytes: Int): Column = {
+  private def decLEAt(recCol: String, offExpr: String, nBytes: Int): Column =
+    expr(decLESql(recCol, offExpr, nBytes))
+
+  /** SQL-text form of [[decLEAt]] — for layouts whose later offsets
+    * embed an earlier decoded field (the pubkey list's count-driven
+    * tail), where the sub-expression must be INLINED into the offset. */
+  private def decLESql(recCol: String, offExpr: String, nBytes: Int): String = {
     val bytes = (nBytes - 1) to 0 by -1 map (i => s"substring($recCol, ($offExpr) + $i, 1)")
-    expr(s"try_cast(conv(hex(concat(${bytes.mkString(",")})), 16, 10) AS bigint)")
+    s"try_cast(conv(hex(concat(${bytes.mkString(",")})), 16, 10) AS bigint)"
   }
 
   /** 32-byte field at `off`, rendered lowercase hex for comparison. */
@@ -107,6 +113,27 @@ object Governance {
     (decLE(rec, 105, 1) === lit(1L)).as("vote_value"),
     decLE(rec, 106, 8).as("voted_slot"),
     decLE(rec, 114, 1).as("bump"))
+
+  /** Decode-side field list for a pubkey-list record column — the
+    * VARIABLE layout (count-driven offsets: bump sits after the
+    * count-sized pubkey tail). Used by the catalog query and driven
+    * directly by the round-trip spec with ByteBuffer-LE-built records,
+    * like every fixed-layout decoder — the spec previously re-derived
+    * these expressions inline, which tested its own copy instead of
+    * the engine's (r13 test sweep). `pk` is the decoded pubkey-hex
+    * ARRAY; the query explodes it, the spec asserts it whole. */
+  def pubkeyListFields(rec: String): Seq[Column] = {
+    val cnt = decLESql(rec, "41", 4)
+    Seq(
+      dec32hex(rec, 9).as("admin_hex"),
+      expr(cnt).as("cnt"),
+      decLEAt(rec, s"45 + cast(($cnt) as int) * 32", 1).as("bump"),
+      // slice-over-greatest, not sequence(1, cnt): Spark's sequence
+      // DESCENDS when start > stop, so cnt=0 would yield [1,0], not []
+      expr(s"""transform(
+           slice(sequence(1, greatest(cast(($cnt) as int), 1)), 1, cast(($cnt) as int)),
+           i -> lower(hex(substring($rec, 45 + (i - 1) * 32, 32))))""").as("pk"))
+  }
 
   def registryFields(rec: String): Seq[Column] = Seq(
     length(col(rec)).cast("long").as("rec_len"), // pinned 103 (8+32+32+4*3+8*2+1*3)
@@ -389,19 +416,11 @@ object Governance {
                            cast(i - 1 as string)), 256)), '')),
           cast(unhex('') as binary)),
         ${encLE("bump_u8", 1)})"""))
-      // decode side: everything below reads ONLY `rec`
-      .withColumn("cnt", decLE("rec", 41, 4))
-      .withColumn("bump", decLEAt("rec", "45 + cast(cnt as int) * 32", 1))
-      .select(
-        col("n_nationkey").as("list_id"),
-        dec32hex("rec", 9).as("admin_hex"),
-        col("cnt"), col("bump"),
-        // slice-over-greatest, not sequence(1, cnt): Spark's sequence
-        // DESCENDS when start > stop, so cnt=0 would yield [1,0], not []
-        posexplode_outer(expr(
-          """transform(
-               slice(sequence(1, greatest(cast(cnt as int), 1)), 1, cast(cnt as int)),
-               i -> lower(hex(substring(rec, 45 + (i - 1) * 32, 32))))""")))
+      // decode side: everything below reads ONLY `rec`, through the
+      // shared pubkeyListFields (one definition, spec-driven directly)
+      .select((col("n_nationkey").as("list_id") +: pubkeyListFields("rec")): _*)
+      .select(col("list_id"), col("admin_hex"), col("cnt"), col("bump"),
+        posexplode_outer(col("pk")))
       .select(col("list_id"), col("admin_hex"), col("cnt"), col("bump"),
         col("pos").cast("long").as("idx"), col("col").as("pubkey_hex"))
       .orderBy(col("list_id"), col("idx")),

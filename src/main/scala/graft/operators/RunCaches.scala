@@ -18,6 +18,16 @@ object RunCaches {
   def register(name: String)(clear: () => Unit): Unit =
     clearers.synchronized { clearers += ((name, clear)) }
 
+  /** Removes every clearer registered under `name`. For SPECS that plant
+    * throwing/counting clearers to pin clearAll's contract: without
+    * deregistration the planted entry outlives its test in the shared
+    * JVM and every later clearAll re-runs it — a permanently-throwing
+    * one then prints the broken-clearer warning on every harness reset,
+    * burying a real failure (r13 test sweep). Production caches register
+    * once at class load and never unregister. */
+  def unregister(name: String): Unit =
+    clearers.synchronized { clearers.filterInPlace(_._1 != name); () }
+
   /** Runs every registered clearer; one failure must not skip the rest
     * (same Try discipline each clearer already applies internally) — but
     * it must be LOUD: a silently-broken clearer leaves warm state, and

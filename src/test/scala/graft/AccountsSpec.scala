@@ -205,20 +205,19 @@ class AccountsSpec extends SparkSpec {
       buf.put(bump.toByte)
       buf.array()
     }
+    // drive the ENGINE's decoder (Governance.pubkeyListFields), not a
+    // re-derived copy of its expressions: the old inline exprs validated
+    // only themselves, so a symmetric offset/endianness mistake in the
+    // engine's decode could never fail here (r13 test sweep)
     val df = Seq(0, 1, 2, 17).map(n => (n.toLong, rec(n, 200 + n)))
       .toDF("n", "rec")
-      .withColumn("cnt", expr(
-        "try_cast(conv(hex(concat(substring(rec,44,1),substring(rec,43,1),substring(rec,42,1),substring(rec,41,1))), 16, 10) AS bigint)"))
-      .withColumn("bump", expr(
-        "try_cast(conv(hex(substring(rec, 45 + cast(cnt as int) * 32, 1)), 16, 10) AS bigint)"))
-      .withColumn("pk", expr(
-        """transform(slice(sequence(1, greatest(cast(cnt as int), 1)), 1, cast(cnt as int)),
-             i -> lower(hex(substring(rec, 45 + (i - 1) * 32, 32))))"""))
+      .select((col("n") +: graft.operators.Governance.pubkeyListFields("rec")): _*)
     val rows = df.collect()
     for (r <- rows) {
       val n = r.getAs[Long]("n")
       assert(r.getAs[Long]("cnt") === n)
       assert(r.getAs[Long]("bump") === 200L + n)
+      assert(r.getAs[String]("admin_hex") === hex(sha("admin")))
       val pks = r.getSeq[String](r.fieldIndex("pk"))
       assert(pks.size === n.toInt)
       pks.zipWithIndex.foreach { case (p, i) => assert(p === hex(sha(s"pk$i"))) }
@@ -244,7 +243,7 @@ class AccountsSpec extends SparkSpec {
     // the others hit each duration tier against the 2002-01-01 as-of
     // date (after the data's last order date, so durations are never
     // negative — the reference's now − start shape)
-    val dir = java.nio.file.Files.createTempDirectory("graft-vw").toString
+    val dir = tempDir("graft-vw").toString
     Seq((1L, 10.00), (2L, 20.00), (3L, 30.00), (4L, 40.00), (5L, 50.00))
       .toDF("c_custkey", "c_acctbal")
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")

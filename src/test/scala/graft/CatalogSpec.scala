@@ -27,7 +27,7 @@ class CatalogSpec extends SparkSpec {
     // at run time (hardcoded constants went stale r5→r6 and false-fired);
     // pin the parse against both driver record shapes — raw-line-in-tail
     // and pre-parsed — plus the must-never-throw fallback
-    val dir = java.nio.file.Files.createTempDirectory("graft-bench-rec").toFile
+    val dir = tempDir("graft-bench-rec").toFile
     def write(name: String, body: String): Unit = {
       val w = new java.io.PrintWriter(new java.io.File(dir, name)); w.write(body); w.close()
     }
@@ -57,7 +57,7 @@ class CatalogSpec extends SparkSpec {
         """"sf1_ratio_vs_sf01":{"q1_agg":4.0},"sf1_passes":{"q1_agg":[13.1,13.0,-1.0]}}}""")
     assert(Bench.loadPrevDriverRecord(dir)._1 === Map("q1_agg" -> 3.25))
     // no records / garbage → embedded fallback, never a throw
-    val empty = java.nio.file.Files.createTempDirectory("graft-bench-none").toFile
+    val empty = tempDir("graft-bench-none").toFile
     assert(Bench.loadPrevDriverRecord(empty) ===
       ((Bench.fallbackSf01Sec, Bench.fallbackSf1Ratios)))
     // an unparseable NEWEST record must walk back to the newest record
@@ -83,8 +83,13 @@ class CatalogSpec extends SparkSpec {
       "wrong-scale newest → older sf0.1 record")
     // a round number too long for Int/Long must sort LAST (oldest), not
     // throw out of the listing layer and kill the bench at startup —
-    // the loader's never-break-the-run contract covers filenames too
-    write("BENCH_r99999999999999999999.json", "{}")
+    // the loader's never-break-the-run contract covers filenames too.
+    // The planted record is PARSEABLE with a distinguishable number:
+    // the old "{}" body was skipped as unparseable wherever it sorted,
+    // so only the must-not-throw half was actually bound (r13 sweep)
+    write("BENCH_r99999999999999999999.json",
+      """{"n":1,"parsed":{"metric":"total","queries":{"q1_agg":99.0},""" +
+        """"sf":"/x/sf0.1","sf1_ratio_vs_sf01":{}}}""")
     assert(Bench.loadPrevDriverRecord(dir)._1 === Map("q1_agg" -> 3.25),
       "overlong round number in a filename must not throw or win the sort")
   }
@@ -122,7 +127,7 @@ class CatalogSpec extends SparkSpec {
     // a driver tail carrying BOTH lines: the loader must take the LAST
     // metric line (the summary) — and a tail where truncation ate the
     // full line's head but kept the summary still parses
-    val dir = java.nio.file.Files.createTempDirectory("graft-bench-sum").toFile
+    val dir = tempDir("graft-bench-sum").toFile
     def rec(tail: String): String = {
       val node = mapper.createObjectNode()
       node.putNull("parsed"); node.put("tail", tail)
@@ -195,7 +200,7 @@ class CatalogSpec extends SparkSpec {
     // equally-noisy r12 would read as unchanged. Best-across-records is
     // the quiet-window evidence of what the frozen plan can do.
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val dir = java.nio.file.Files.createTempDirectory("graft-bench-best").toFile
+    val dir = tempDir("graft-bench-best").toFile
     def write(name: String, line: String): Unit = {
       val node = mapper.createObjectNode()
       node.putNull("parsed"); node.put("tail", s"[info] $line\n")
@@ -215,7 +220,7 @@ class CatalogSpec extends SparkSpec {
     assert(Bench.loadPrevDriverRecord(dir)._1 ===
       Map("q1_agg" -> 0.82, "j1_fk_join" -> 1.39))
     // no parseable record → embedded fallback, never an empty anchor map
-    val empty = java.nio.file.Files.createTempDirectory("graft-bench-none").toFile
+    val empty = tempDir("graft-bench-none").toFile
     assert(Bench.loadBestSf01Anchors(empty) === Bench.fallbackSf01Sec)
   }
 

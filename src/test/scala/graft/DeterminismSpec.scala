@@ -8,14 +8,29 @@ package graft
   * in the same session. */
 class DeterminismSpec extends SparkSpec {
 
-  test("every rows-only query is run-to-run deterministic") {
+  test("every rows-only query is deterministic across a shuffle-layout change") {
+    // the second run happens under a DIFFERENT shuffle-partition count
+    // with the run caches cleared: a back-to-back rerun in the same warm
+    // session reproduces the same partition layout and merge order, so
+    // it could never surface partition-order-dependent results — the
+    // main drift class this spec exists to close (r13 test sweep)
     val rowsOnly = QueryDef.catalogs.filter(_.oracle.isEmpty)
     assert(rowsOnly.nonEmpty)
-    val diffs = rowsOnly.flatMap { q =>
-      val a = q.run(spark, sf001).collect().map(_.toString).sorted.toSeq
-      val b = q.run(spark, sf001).collect().map(_.toString).sorted.toSeq
-      if (a != b) Some(q.name) else None
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val diffs = try {
+      rowsOnly.flatMap { q =>
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        graft.operators.RunCaches.clearAll()
+        val a = q.run(spark, sf001).collect().map(_.toString).sorted.toSeq
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        graft.operators.RunCaches.clearAll()
+        val b = q.run(spark, sf001).collect().map(_.toString).sorted.toSeq
+        if (a != b) Some(q.name) else None
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.operators.RunCaches.clearAll()
     }
-    assert(diffs.isEmpty, s"nondeterministic results: $diffs")
+    assert(diffs.isEmpty, s"layout-dependent results: $diffs")
   }
 }

@@ -59,8 +59,7 @@ class PropertiesSpec extends SparkSpec {
             (k, s"p$payload", bi * 1000L + ri)
           }
         }
-        val path = java.nio.file.Files
-          .createTempDirectory(s"graft-upsert-prop$i").resolve("t").toString
+        val path = tempDir(s"graft-upsert-prop$i").resolve("t").toString
         var model = Map.empty[Long, (Long, String)]
         batches.zipWithIndex.foreach { case (b, bi) =>
           Sinks.upsertByKey(spark, path,
@@ -381,7 +380,7 @@ class PropertiesSpec extends SparkSpec {
     // replication broke FK pairing, the sf1 join ratios would measure a
     // different query; if it wrote one row group, every map stage would
     // serialize to one task (the round-4 j1/j2 pathology)
-    val out = java.nio.file.Files.createTempDirectory("graft-sf1spec").toString
+    val out = tempDir("graft-sf1spec").toString
     Bench.ensureSf1(spark, sf001, out)
     val src = Tables(spark, sf001)
     val syn = Tables(spark, out)

@@ -54,7 +54,12 @@ class ScaleOpsSpec extends SparkSpec {
     assert(approx.keySet === exact.keySet)
     for ((flag, (e50, e90, e99)) <- exact; (a, e) <- Seq(
         approx(flag)._1 -> e50, approx(flag)._2 -> e90, approx(flag)._3 -> e99)) {
-      assert(math.abs(a - e) / e <= 0.02, s"$flag: approx $a vs exact $e")
+      // abs(e) in the denominator: dividing by a SIGNED exact value made
+      // the bound vacuously true for any negative percentile (a negative
+      // relative error is always <= 0.02) — with e == 0 the bound
+      // degenerates to exact equality, which is right (r13 test sweep)
+      assert(math.abs(a - e) <= 0.02 * math.abs(e) || a == e,
+        s"$flag: approx $a vs exact $e")
     }
   }
 
@@ -86,7 +91,7 @@ class ScaleOpsSpec extends SparkSpec {
     val docs = (1L to 40L).map(i => (i, "webcrawl", "en", s"doc $i text"))
       .toDF("doc_id", "source", "lang", "text")
       .withColumn("n_chars", length($"text").cast("long"))
-    val dir = java.nio.file.Files.createTempDirectory("graft-smp").toString
+    val dir = tempDir("graft-smp").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     // 'webcrawl'.substr(4) = 'crawl' — not an integer; a plain cast
     // throws CAST_INVALID_INPUT under the engine's default ANSI mode,
@@ -96,6 +101,13 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Int]("rate_bp") === 5000),
       "fallback stratum must carry the 50% rate_bp")
     assert(out.forall(_.getAs[String]("samp_key") < "8000"))
+    // the kept COUNT must discriminate the 50% branch from the 25% one:
+    // every key kept by the 25% threshold is also < "8000", so the
+    // forall above can't see a filter routed to the wrong branch. The
+    // hash sampler is deterministic, so the count is a fixed number;
+    // 40 docs at p=.5 concentrates well above p=.25's ~10 (r13 sweep)
+    assert(out.length >= 14 && out.length <= 27,
+      s"kept ${out.length}/40 — not consistent with the 50% fallback rate")
   }
 
   test("pipe_pack_tokens: offsets are a conserved prefix sum and bins are start-aligned") {
@@ -189,7 +201,7 @@ class ScaleOpsSpec extends SparkSpec {
     // it returned the very broadcast it then destroyed, so the second
     // run after a rewrite crashed with "Attempted to use Broadcast
     // after it was destroyed"
-    val dir = java.nio.file.Files.createTempDirectory("graft-bloomver").toString
+    val dir = tempDir("graft-bloomver").toString
     def write(rows: Seq[(Long, String, String)], bumpMs: Long): Unit = {
       rows.toDF("doc_id", "text", "source")
         .withColumn("lang", lit("en"))
@@ -277,7 +289,7 @@ class ScaleOpsSpec extends SparkSpec {
     // fault-tolerant checkpoint path (executor loss survivable at cluster
     // scale); same chain fixture, same labels, and real checkpoint files
     // must exist under the configured dir
-    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val dir = tempDir("graft-ckpt").toString
     spark.conf.set("spark.graft.checkpointDir", dir)
     try {
       val chain = (0L until 99L).map(i => (i, i + 1)).toDF("a", "b")
@@ -359,8 +371,16 @@ class ScaleOpsSpec extends SparkSpec {
     graft.operators.RunCaches.register("spec-a")(() => a += 1)
     graft.operators.RunCaches.register("spec-boom")(() => sys.error("boom"))
     graft.operators.RunCaches.register("spec-b")(() => b += 1)
-    graft.operators.RunCaches.clearAll()
-    assert(a === 1 && b === 1, "a throwing clearer must not skip the rest")
+    try {
+      graft.operators.RunCaches.clearAll()
+      assert(a === 1 && b === 1, "a throwing clearer must not skip the rest")
+    } finally
+      // deregister the planted clearers: the registry is JVM-global, and
+      // the permanently-throwing one would otherwise print its warning
+      // on EVERY later clearAll (each timed bench sample, every suite's
+      // reset) — alarm fatigue over a deliberate fixture
+      Seq("spec-a", "spec-boom", "spec-b")
+        .foreach(graft.operators.RunCaches.unregister)
     // the real caches register at class load: after touching the kernel
     // path (tests above), one clearAll must reclaim its broadcasts the
     // same way the targeted clear does — the harness-reset contract
@@ -386,7 +406,7 @@ class ScaleOpsSpec extends SparkSpec {
     val chain = (1 to 8).map(d => (d.toLong, words.slice(d - 1, d + 15).mkString(" ")))
     val docs = (chain :+ ((9L, "zulus yankee xrays whiskey victor uniform tango sierra")))
       .toDF("doc_id", "text")
-    val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    val dir = tempDir("graft-cc").toString
     docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length($"text").cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -525,7 +545,7 @@ class ScaleOpsSpec extends SparkSpec {
       .toDF("doc_id", "source", "lang", "text")
       .withColumn("n_chars",
         coalesce(length($"text").cast("long"), lit(0L)))
-    val dir = java.nio.file.Files.createTempDirectory("graft-prof").toString
+    val dir = tempDir("graft-prof").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = run("pipe_profile", dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

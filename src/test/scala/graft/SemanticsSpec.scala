@@ -43,7 +43,7 @@ class SemanticsSpec extends SparkSpec {
     // truncating `div` passed every gate. This pins the sub-ms layer:
     //   -1 ns  is a 1969 instant → ms floor −1 (truncate says 0 = 1970)
     //   Long.MinValue must not underflow the floor-div rewrite
-    val dir = java.nio.file.Files.createTempDirectory("graft-negms").toString
+    val dir = tempDir("graft-negms").toString
     Seq(
       (1L, -1L, 7L, "view", Some(1.0)),
       (2L, 999999L, 7L, "view", Some(1.0)),           // 1970 sub-ms → ms 0
@@ -103,7 +103,7 @@ class SemanticsSpec extends SparkSpec {
       (3L, "alpha bravo charlie delta echo foxtrot golf india"), // near dup of 1
       (4L, "zulu yankee xray whiskey victor uniform tango sierra")) // unrelated
       .toDF("doc_id", "text")
-    val dir = java.nio.file.Files.createTempDirectory("graft-mh").toString
+    val dir = tempDir("graft-mh").toString
     docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length($"text").cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -373,7 +373,7 @@ class SemanticsSpec extends SparkSpec {
     import graft.operators.Similarity
     val s2 = spark.newSession()
     graft.GraftExtensions.ensureRegistered(s2)
-    val base2 = java.nio.file.Files.createTempDirectory("graft-mh-conf").toString
+    val base2 = tempDir("graft-mh-conf").toString
     s2.conf.set("spark.graft.minhash.indexBase", base2)
     val (p2, _) = Similarity.ensureMinhashIndex(s2, sf001)
     assert(p2.startsWith(base2),
@@ -393,7 +393,7 @@ class SemanticsSpec extends SparkSpec {
     // per-session conf, not the JVM-global default var: concurrent
     // ensureMinhashIndex callers in other sessions stay unaffected
     spark.conf.set("spark.graft.minhash.indexBase",
-      "file:" + java.nio.file.Files.createTempDirectory("graft-mh-fs").toString)
+      "file:" + tempDir("graft-mh-fs").toString)
     try {
       val (p1, split1) = Similarity.ensureMinhashIndex(spark, sf001)
       assert(p1.startsWith("file:"), s"index must publish under the file: base, got $p1")
@@ -407,7 +407,7 @@ class SemanticsSpec extends SparkSpec {
 
   test("minhash index: empty corpus fails with an explicit message, not an NPE") {
     import graft.operators.Similarity
-    val dir = java.nio.file.Files.createTempDirectory("graft-mh-empty").toString
+    val dir = tempDir("graft-mh-empty").toString
     Seq.empty[(Long, String, String, String)]
       .toDF("doc_id", "text", "lang", "source")
       .write.parquet(s"$dir/documents.parquet")
@@ -444,7 +444,7 @@ class SemanticsSpec extends SparkSpec {
     // maxId=1 → split=1 → corpus slice doc_id<1 is EMPTY; a 0-row
     // partitioned write would leave an unreadable bands dir and the
     // probe would die later with an opaque schema-inference error
-    val dir = java.nio.file.Files.createTempDirectory("graft-mh-onedoc").toString
+    val dir = tempDir("graft-mh-onedoc").toString
     Seq((1L, "only document here", "en", "t"))
       .toDF("doc_id", "text", "lang", "source")
       .write.parquet(s"$dir/documents.parquet")
@@ -461,7 +461,7 @@ class SemanticsSpec extends SparkSpec {
       (3L, "alpha bravo charlie delta echo foxtrot golf hotel india kilos"), // near dup
       (4L, "zulu yankee xray whiskey victor uniform tango sierra romeo quebec"))
       .toDF("doc_id", "text")
-    val dir = java.nio.file.Files.createTempDirectory("graft-sh").toString
+    val dir = tempDir("graft-sh").toString
     docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length($"text").cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -485,7 +485,7 @@ class SemanticsSpec extends SparkSpec {
     val df = Seq(
       (0L, base.toSeq), (1L, base.toSeq), (2L, near.toSeq), (3L, far.toSeq))
       .toDF("vec_id", "embedding")
-    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    val dir = tempDir("graft-emb").toString
     df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = graft.operators.Similarity.ddEmbedding.run(spark, dir).collect()
     val rows = out.map(r => r.getAs[Long]("vec_id") ->
@@ -513,7 +513,7 @@ class SemanticsSpec extends SparkSpec {
       else if (i == 9L) (i, null: Seq[Float])      // null vector
       else (i, Seq.fill(dim)(rng.nextGaussian().toFloat))
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft-zvec").toString
+    val dir = tempDir("graft-zvec").toString
     rows.toDF("vec_id", "embedding")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = graft.operators.Similarity.simIvfTopk.run(spark, dir).collect()
@@ -521,7 +521,7 @@ class SemanticsSpec extends SparkSpec {
     val ids = out.map(r => r.getAs[Long]("nid")).toSet
     assert(!ids.contains(7L) && !ids.contains(9L)) // neither ever a neighbor
     // the persisted index takes the same kernel path
-    val idxPath = java.nio.file.Files.createTempDirectory("graft-zidx").toString
+    val idxPath = tempDir("graft-zidx").toString
     val cents = graft.operators.Similarity.writeIvfIndex(spark, dir, idxPath, nCells = 4)
     assert(cents.nonEmpty)
   }
@@ -550,7 +550,7 @@ class SemanticsSpec extends SparkSpec {
     val schema = StructType(Seq(
       StructField("vec_id", LongType, nullable = false),
       StructField("embedding", ArrayType(FloatType, containsNull = true))))
-    val dir = java.nio.file.Files.createTempDirectory("graft-badvec").toString
+    val dir = tempDir("graft-badvec").toString
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     // the quantized queries exclude all four (envelope |x| ≤ 1000); the
@@ -751,7 +751,7 @@ class SemanticsSpec extends SparkSpec {
     // driver-owned non-UTC session — the silent-corruption class
     // Tables.tsAsNanos exists to block. The decomposition must also be
     // exact on fractional micros and pre-1970 wall-clocks.
-    val dir = java.nio.file.Files.createTempDirectory("graft-ntz").toString
+    val dir = tempDir("graft-ntz").toString
     spark.sql(
       """SELECT * FROM VALUES
            (1L, TIMESTAMP_NTZ '2024-03-01 12:34:56.789012', 7L),
@@ -864,14 +864,14 @@ class SemanticsSpec extends SparkSpec {
     // element inside the seed range (previously an NPE in centroid
     // collection), one ragged 2-dim vector (previously cell-assigned
     // from a partial dot; must be excluded as malformed instead)
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivfnull").toString
+    val dir = tempDir("graft-ivfnull").toString
     val rows = (0L until 20L).map { i =>
       (i, Seq[java.lang.Float](1f + i, 2f, 3f, 4f).map(Option(_)), 0)
     } :+ ((20L, Seq[Option[java.lang.Float]](Some(1f), None, Some(3f), Some(4f)), 0)) :+
       ((21L, Seq[java.lang.Float](9f, 9f).map(Option(_)), 0))
     rows.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val idx = java.nio.file.Files.createTempDirectory("graft-ivfnull-idx").toString
+    val idx = tempDir("graft-ivfnull-idx").toString
     val cents = graft.operators.Similarity.writeIvfIndex(spark, dir, idx, nCells = 4)
     assert(cents.nonEmpty, "training must survive the degenerate rows")
     // the stored index contains only well-formed full-dimension vectors

@@ -11,7 +11,7 @@ class SinksSpec extends SparkSpec {
   import spark.implicits._
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-sink").resolve("t").toString
+    tempDir("graft-sink").resolve("t").toString
 
   /** fd-safe directory listing (full path strings): Files.list returns a
     * stream backed by an open DirectoryStream the javadoc requires

@@ -59,7 +59,7 @@ class SourcesSpec extends SparkSpec {
     // branches with the direction, or a pushed desc top-k returns the
     // null rows (and the source claims full pushdown, so Spark drops
     // its own Sort and trusts it verbatim).
-    val dir = java.nio.file.Files.createTempDirectory("graft-restnull").toFile
+    val dir = tempDir("graft-restnull").toFile
     val pw = new java.io.PrintWriter(new java.io.File(dir, "part-0.json"))
     Seq("""{"id":1,"v":10}""", """{"id":2,"v":null}""", """{"id":3,"v":30}""",
       """{"id":4}""", """{"id":5,"v":20}""").foreach(pw.println)
@@ -85,7 +85,7 @@ class SourcesSpec extends SparkSpec {
     // silently drop the row, IsNotNull would accept it, and the emitted
     // row would carry a fabricated 0 — Spark's PERMISSIVE reader nulls
     // the field instead, and the endpoint must match Spark's semantics
-    val dir = java.nio.file.Files.createTempDirectory("graft-restbad").toFile
+    val dir = tempDir("graft-restbad").toFile
     val pw = new java.io.PrintWriter(new java.io.File(dir, "part-0.json"))
     Seq("""{"id":1,"n":600,"ok":true}""",
       """{"id":2,"n":"oops","ok":"yes"}""",          // mistyped n + ok
@@ -111,7 +111,7 @@ class SourcesSpec extends SparkSpec {
     // '/x/sf0.1' and '/x/sf0_1' sanitize to the same characters; the
     // raw-pair hash must keep their snapshot dirs distinct or one
     // would silently serve the other's data through the mtime guard
-    val a = java.nio.file.Files.createTempDirectory("graft-snap.a").toString
+    val a = tempDir("graft-snap.a").toString
     val b = a.replace("graft-snap.a", "graft-snap_a")
     for (d <- Seq(a, b)) {
       new java.io.File(d).mkdirs()
@@ -169,16 +169,29 @@ class SourcesSpec extends SparkSpec {
     // with Spark) stands in: load the parquet nation into it, then run an
     // unmodified catalog query against the JDBC table set and demand the
     // identical result.
-    val url = "jdbc:derby:/tmp/graft-derby-test;create=true"
-    Tables(spark, sf001).nation.write
-      .mode("overwrite").format("jdbc")
-      .option("url", url).option("dbtable", "nation").save()
-    val q = graft.operators.Governance.decodeHookConfig
-    assert(q.run(spark, url).collect().toSeq === q.run(spark, sf001).collect().toSeq)
-    // pushdown smoke: the predicate reaches the database scan
-    val plan = Tables(spark, url).nation.filter($"n_nationkey" > 5)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(n_nationkey,5)"),
-      plan.linesIterator.take(6).mkString("\n"))
+    // per-run temp path + engine shutdown: the old fixed
+    // /tmp/graft-derby-test path left the database, its boot lock and
+    // derby.log behind forever, and embedded Derby allows ONE booting
+    // JVM per database — a leftover db.lck from a crashed run (or a
+    // concurrent test JVM) failed this test spuriously (r13 test sweep)
+    val db = tempDir("graft-derby")
+      .resolve("db").toString
+    val url = s"jdbc:derby:$db;create=true"
+    try {
+      Tables(spark, sf001).nation.write
+        .mode("overwrite").format("jdbc")
+        .option("url", url).option("dbtable", "nation").save()
+      val q = graft.operators.Governance.decodeHookConfig
+      assert(q.run(spark, url).collect().toSeq === q.run(spark, sf001).collect().toSeq)
+      // pushdown smoke: the predicate reaches the database scan
+      val plan = Tables(spark, url).nation.filter($"n_nationkey" > 5)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(n_nationkey,5)"),
+        plan.linesIterator.take(6).mkString("\n"))
+    } finally
+      // single-db shutdown unboots it and releases db.lck; Derby
+      // REPORTS success as an SQLException, hence the Try
+      scala.util.Try(
+        java.sql.DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true")): Unit
   }
 }

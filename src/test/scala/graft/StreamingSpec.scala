@@ -45,7 +45,7 @@ class StreamingSpec extends SparkSpec {
 
   test("ST8 live fan-out: streaming partitioned append accumulates, prunes per key, resumes from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
-    val base = java.nio.file.Files.createTempDirectory("graft-st8-live")
+    val base = tempDir("graft-st8-live")
     val path = base.resolve("t").toString
     val ckpt = base.resolve("ckpt").toString
     val mem = MemoryStream[(Long, String)]
@@ -86,8 +86,7 @@ class StreamingSpec extends SparkSpec {
     // must absorb that as a rewrite, not an append — drive the sink
     // body directly with a repeated batchId to simulate it.
     import graft.sources.Sinks
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-st8-replay").resolve("t").toString
+    val path = tempDir("graft-st8-replay").resolve("t").toString
     val b0 = Seq((1L, "alpha"), (2L, "beta")).toDF("event_id", "room")
     Sinks.idempotentFanoutBatch(b0, path, "room", batchId = 0L)
     Sinks.idempotentFanoutBatch(b0, path, "room", batchId = 0L) // the replay
@@ -118,8 +117,7 @@ class StreamingSpec extends SparkSpec {
     // a pre-batch-layout (flat) fan-out table under the same root would
     // arm "Conflicting directory structures" on every future read —
     // the markless non-empty dir is refused before any write happens
-    val legacy = java.nio.file.Files
-      .createTempDirectory("graft-st8-legacy").resolve("t").toString
+    val legacy = tempDir("graft-st8-legacy").resolve("t").toString
     Sinks.partitionedSink(b0, legacy, "room")
     intercept[IllegalArgumentException] {
       Sinks.idempotentFanoutBatch(b1, legacy, "room", batchId = 0L)
@@ -234,7 +232,7 @@ class StreamingSpec extends SparkSpec {
       reveal(12L, 1L, Some(Double.NaN)), reveal(13L, 1L, Some(9.0)),
       reveal(20L, 2L, None),             // only a null bid: revealed, no winner
       reveal(30L, 3L, Some(Double.NaN))) // only a NaN bid: NaN wins by default
-    val dir = java.nio.file.Files.createTempDirectory("graft-st2nan").toString
+    val dir = tempDir("graft-st2nan").toString
     writeEventsFixture(dir, evs)
     // ST2
     val got2 = latestBy(runStream("st2_nan", Seq(evs),
@@ -275,7 +273,7 @@ class StreamingSpec extends SparkSpec {
       Ev(1L, 1L, "view", Some(1.0), t0 + 1000L),              // commit
       Ev(2L, 1L, "purchase", Some(7.0), t0 + 1800000L + 5L),  // reveal, wins
       Ev(3L, 2L, "view", Some(1.0), t0 + 3599999L))           // boundary view
-    val dir = java.nio.file.Files.createTempDirectory("graft-st2neg").toString
+    val dir = tempDir("graft-st2neg").toString
     writeEventsFixture(dir, evs)
     val cols = Seq($"user_id", $"window_hour", $"n_commits", $"n_reveals",
       $"n_rejected", $"winning_bid", $"winner_event", $"revealed")
@@ -412,7 +410,7 @@ class StreamingSpec extends SparkSpec {
           (if (rng.nextBoolean()) 0.005 else -0.005)),
         ts)
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft-st12").toString
+    val dir = tempDir("graft-st12").toString
     writeEventsFixture(dir, evs)
     val want = graft.operators.StreamingTwins.st12RapidReversal.run(spark, dir)
     val got = runStream("st12_gen",
@@ -451,7 +449,7 @@ class StreamingSpec extends SparkSpec {
         // logic runs with the special amount in state
         Ev(201L + 2 * i, 2L + i % 2, "view", v, ts + 10000L))
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft-st12-edge").toString
+    val dir = tempDir("graft-st12-edge").toString
     writeEventsFixture(dir, evs)
     val want = graft.operators.StreamingTwins.st12RapidReversal.run(spark, dir)
     val got = runStream("st12_edge",
@@ -486,7 +484,7 @@ class StreamingSpec extends SparkSpec {
         Ev(300L + 2 * i, 2L + i % 3, "purchase", Some(4.56), ts),
         Ev(301L + 2 * i, 2L + i % 3, "purchase", v, ts + 10000L))
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft-st39-edge").toString
+    val dir = tempDir("graft-st39-edge").toString
     writeEventsFixture(dir, evs)
     val cols3 = Seq($"epoch_day", $"total_signals", $"long_count", $"short_count",
       $"neutral_count", $"sum_value", $"last_updated_ms")
@@ -589,7 +587,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("S4 events file stream: replay batch then live increments (useAgentStream.ts:16-56)") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-s4").toString
+    val dir = tempDir("graft-s4").toString
     val ev = spark.read.parquet(s"$sf001/events.parquet")
     val replay = ev.filter($"event_id" % 2 === 0)
     val live = ev.filter($"event_id" % 2 === 1)
@@ -609,9 +607,9 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("ST10 checkpoint recovery: restart resumes exactly-once (client.ts:174-232 analog)") {
-    val in = java.nio.file.Files.createTempDirectory("graft-st10-in").toString
-    val out = java.nio.file.Files.createTempDirectory("graft-st10-out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-st10-ck").toString
+    val in = tempDir("graft-st10-in").toString
+    val out = tempDir("graft-st10-out").toString
+    val ckpt = tempDir("graft-st10-ck").toString
     val ev = spark.read.parquet(s"$sf001/events.parquet")
     val first = ev.filter($"event_id" % 2 === 0)
     val second = ev.filter($"event_id" % 2 === 1)
@@ -934,8 +932,8 @@ class StreamingSpec extends SparkSpec {
 
   test("merkleAppend: checkpoint + restored snapshot restart re-reads nothing") {
     import graft.functions.{Merkle, Poseidon}
-    val in = java.nio.file.Files.createTempDirectory("graft-mk-in").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-mk-ck").toString
+    val in = tempDir("graft-mk-in").toString
+    val ckpt = tempDir("graft-mk-ck").toString
     val leaves = (0L until 32L).map(i => i -> Poseidon.toBytes32(BigInt(i * 11 + 3)))
     val schema = leaves.take(1).toDF("leaf_index", "leaf").schema
     def source = spark.readStream.schema(schema).parquet(s"$in/leaves.parquet")

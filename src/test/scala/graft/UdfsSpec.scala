@@ -1,12 +1,15 @@
 package graft
 
 import graft.functions.Udfs
-import org.scalatest.funsuite.AnyFunSuite
 
 /** Pure-JVM UDF kernels, checked against independent reimplementations
   * (the spec-hash against BigInt-mod-2^32 math; base58 against round-trip
-  * and hand vectors). Randomized cases use a fixed seed — deterministic. */
-class UdfsSpec extends AnyFunSuite {
+  * and hand vectors). Randomized cases use a fixed seed — deterministic.
+  * Extends SparkSpec (shared session) only for the UDF-wrapper null
+  * checks; the kernels themselves stay Spark-free. */
+class UdfsSpec extends SparkSpec {
+
+  import spark.implicits._
 
   private val rng = new scala.util.Random(42L)
 
@@ -29,6 +32,27 @@ class UdfsSpec extends AnyFunSuite {
       val s = rng.alphanumeric.take(rng.nextInt(64)).mkString
       assert(Udfs.specHash(s) === specHashModel(s))
     }
+    // non-ASCII / supplementary input: JS charCodeAt iterates UTF-16
+    // code UNITS (an emoji is two surrogates), and the model does the
+    // same via charAt — an alphanumeric-only corpus could never catch a
+    // refactor to code POINTS (r13 test sweep)
+    for (s <- Seq("héllo wörld", "日本語テキスト", "emoji 😀 tail",
+        "mixed éß中🍕x")) {
+      assert(Udfs.specHash(s) === specHashModel(s), s"non-ASCII: $s")
+    }
+    // the documented JS edge, driven for real: this crafted input's
+    // 32-bit hash is EXACTLY Int.MinValue (found by constructive
+    // search: last UTF-16 unit solves 31·h + c ≡ 2^31 mod 2^32), where
+    // JS Math.abs renders 2147483648 while JVM math.abs(Int.MinValue)
+    // is negative — the branch a refactor would most plausibly drop
+    val minVal = "kSEUoawHᢛ"
+    assert(Udfs.specHash(minVal) === specHashModel(minVal))
+    assert(Udfs.specHash(minVal) === java.lang.Long.toString(2147483648L, 36))
+    // null guard on the UDF wrapper: a null column value must yield
+    // null, not an NPE in the stage
+    val viaUdf = Seq((1, null: String), (2, "ok")).toDF("i", "s")
+      .select(Udfs.specHashBase36($"s").as("h")).collect()
+    assert(viaUdf(0).isNullAt(0) && viaUdf(1).getString(0) === Udfs.specHash("ok"))
   }
 
   test("base58 hand vectors (Bitcoin alphabet)") {
