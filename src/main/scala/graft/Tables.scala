@@ -46,6 +46,16 @@ final case class Tables(spark: SparkSession, dir: String) {
       val r = spark.read.format("jdbc")
         .option("url", dir)
         .option("dbtable", name)
+        // timestamp-WITHOUT-time-zone columns (the reference's prisma
+        // DateTime maps to Postgres `timestamp(3)`) arrive as
+        // TimestampNTZ instead of TimestampType: the plain TIMESTAMP
+        // materialization goes through the JVM default zone
+        // (rs.getTimestamp), so on any non-UTC driver every instant
+        // would silently shift by the zone offset — while tsAsNanos'
+        // NTZ branch decomposes the stored wall-clock zone-FREE, which
+        // is exactly the semantics a naive store column needs
+        // (r13 sweep; the same hazard the NTZ parquet branch documents)
+        .option("preferTimestampNTZ", "true")
       val partTable = sys.env.get("SPARK_GRAFT_JDBC_PARTTABLE")
       // the TABLE name is validated against the catalog too: a typo'd
       // value (`event`) would otherwise never match any load, the

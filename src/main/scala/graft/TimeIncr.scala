@@ -64,8 +64,12 @@ object TimeIncr {
         operators.Similarity.probeSimhashIndex, docs, "doc_id", docs),
       "phash" -> Fam(operators.Multimodal.writePhashIndex,
         operators.Multimodal.probePhashIndex, docs, "doc_id",
-        // only doc_id % 3 == 0 ids are image media (Multimodal.media)
-        (s, d) => docs(s, d).filter(pmod(col("doc_id"), lit(3)) === lit(0))),
+        // only doc_id % 3 == 0 ids are image media (Multimodal.media),
+        // and NULL-text docs are never fingerprinted (phashFeatOf's
+        // payload guard) — counting them would overstate the indexed/
+        // probed row basis the INCR line reports (r13 sweep)
+        (s, d) => docs(s, d).filter(
+          pmod(col("doc_id"), lit(3)) === lit(0) && col("text").isNotNull)),
       "embedding" -> Fam(operators.Similarity.writeEmbeddingIndex,
         operators.Similarity.probeEmbeddingIndex, embs, "vec_id", embs))
   }
@@ -79,7 +83,12 @@ object TimeIncr {
     var rest = args.toSeq
     var family = "minhash"
     var spansArg: Option[Seq[Long]] = None
-    while (rest.headOption.exists(a => a.contains("=") && !a.startsWith("/"))) {
+    // an option is `key=value` with a bare identifier key — a jdbc:
+    // locator also contains '=' (…?user=graft) and must stay a DIR
+    // argument, or the harness can never measure the relational tier
+    // the whole stack otherwise supports (r13 sweep)
+    while (rest.headOption.exists(a =>
+        a.matches("[A-Za-z][A-Za-z0-9_]*=.*") && !a.contains(":"))) {
       val a = rest.head
       rest = rest.tail
       a.split("=", 2) match {

@@ -120,6 +120,19 @@ object Similarity {
   // confused with path bytes.
   private[operators] def cachedFeature(s: SparkSession, key: String,
       version: Long = 0L)(build: => DataFrame): DataFrame = {
+    // 100 TB relief valve: the memoized frames are CORPUS-derived
+    // (tokenized docs, banded vectors) — at bench scale persisting them
+    // is what stops plan branches and repeated runs from re-scanning,
+    // but at corpus scales past the cluster's aggregate storage the
+    // persist itself becomes the failure (disk exhaustion / eviction
+    // thrash) where the unmemoized alternative is merely a second
+    // pushdown-pruned parquet scan. `spark.graft.featureMemoLevel=NONE`
+    // turns the memo off per session (build-per-call, nothing persisted,
+    // nothing to leak); any other value is a StorageLevel name for the
+    // persist tier (default MEMORY_AND_DISK).
+    val lvl = s.conf.get("spark.graft.featureMemoLevel", "MEMORY_AND_DISK")
+    if (lvl.equalsIgnoreCase("NONE")) return build
+    val storage = StorageLevel.fromString(lvl.toUpperCase(java.util.Locale.ROOT))
     val hit = featCache.synchronized {
       // a long-lived driver that cycles SparkSessions must not accumulate
       // entries (and persisted frames) for sessions that are already gone
@@ -166,7 +179,7 @@ object Similarity {
       // build that finds a fresher entry installed returns its own
       // frame un-memoized (the caller asked for that version) with the
       // persist dropped, so nothing leaks in the cache manager.
-      val fresh = build.persist(StorageLevel.MEMORY_AND_DISK)
+      val fresh = build.persist(storage)
       val outcome = featCache.synchronized {
         featCache.get((s, key)) match {
           case Some((ver, w)) if ver == version => Left(w)

@@ -35,8 +35,11 @@ class BN254Spec extends AnyFunSuite {
     xs2.filterNot(_.isZero).foreach(x => assert(x * x.inv == Fp2.one))
     val xs6 = fp6s(2).take(15).toSeq
     xs6.filterNot(_.isZero).foreach(x => assert(x * x.inv == Fp6.one))
+    // zero-guard like the Fp2/Fp6 loops: inversion of zero is undefined,
+    // and an unlucky future seed/count change must skip it, not crash
     val xs12 = fp12s(3).take(10).toSeq
-    xs12.foreach(x => assert(x * x.inv == Fp12.one))
+    xs12.filterNot(x => x.c0.isZero && x.c1.isZero)
+      .foreach(x => assert(x * x.inv == Fp12.one))
     // associativity + distributivity spot checks across the tower
     val Seq(a, b, c) = fp12s(4).take(3).toSeq
     assert((a * b) * c == a * (b * c))

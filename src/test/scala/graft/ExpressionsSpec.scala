@@ -30,14 +30,33 @@ class ExpressionsSpec extends SparkSpec {
   }
 
   test("null contracts: null input, ragged pair, and null element all yield null") {
+    // Option-typed ELEMENTS so the array schema is containsNull=true and
+    // the third row really carries a null element — the old fixture's
+    // title claimed this case but held no such row (r13 test sweep)
     val df = Seq(
-      (Some(Seq(1L, 2L)), None: Option[Seq[Long]]),          // null input
-      (Some(Seq(1L, 2L)), Some(Seq(1L, 2L, 3L))),            // ragged
-      (Some(Seq(1L, 2L)), Some(Seq(1L, 2L)))                 // fine
+      (Some(Seq(Some(1L), Some(2L))), None: Option[Seq[Option[Long]]]), // null input
+      (Some(Seq(Some(1L), Some(2L))), Some(Seq(Some(1L), Some(2L), Some(3L)))), // ragged
+      (Some(Seq(Some(1L), None)), Some(Seq(Some(1L), Some(2L)))),      // null ELEMENT
+      (Some(Seq(Some(1L), Some(2L))), Some(Seq(Some(1L), Some(2L))))   // fine
     ).toDF("a", "b")
     val got = df.select(call_function("dot_long", $"a", $"b").as("d"))
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
-    assert(got.toSeq === Seq(None, None, Some(5L)))
+    assert(got.toSeq === Seq(None, None, None, Some(5L)))
+  }
+
+  /** Snapshot-and-restore interpreted-mode toggle — ONE definition for
+    * every dual-path test (the copy-pasted conf blocks restored assumed
+    * defaults and could silently de-sync; r13 test sweep). */
+  private def withInterpreted[A](f: => A): A = {
+    val ws = spark.conf.get("spark.sql.codegen.wholeStage")
+    val fm = spark.conf.get("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try f
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", ws)
+      spark.conf.set("spark.sql.codegen.factoryMode", fm)
+    }
   }
 
   test("dot_long: overflowing accumulation folds to null, never wraps (both codegen paths)") {
@@ -54,13 +73,7 @@ class ExpressionsSpec extends SparkSpec {
       df.select(call_function("dot_long", $"a", $"b").as("d"))
         .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
     assert(run() === Seq(None, None, Some(39L)))
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    try assert(run() === Seq(None, None, Some(39L)))
-    finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", "true")
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
-    }
+    withInterpreted { assert(run() === Seq(None, None, Some(39L))) }
   }
 
   test("generated and interpreted paths agree") {
@@ -69,14 +82,9 @@ class ExpressionsSpec extends SparkSpec {
       Seq.fill(64)(rng.nextInt(2001).toLong - 1000)))
     val df = rows.toDF("a", "b")
     val gen = df.select(call_function("dot_long", $"a", $"b")).as[Long].collect().toSeq
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    try {
+    withInterpreted {
       val interp = df.select(call_function("dot_long", $"a", $"b")).as[Long].collect().toSeq
       assert(gen === interp)
-    } finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", "true")
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
 
