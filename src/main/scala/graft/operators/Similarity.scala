@@ -265,6 +265,11 @@ object Similarity {
       }
     }
 
+  /** Number of live memoized feature frames — spec surface for the
+    * featureMemoLevel relief valve (like ScaleOps.kernelBroadcastCount). */
+  private[graft] def featureCacheSize: Int =
+    featCache.synchronized(featCache.size)
+
   /** Unpersists and forgets every memoized feature frame. Bench calls
     * this before each timed run so headline dedup numbers measure the
     * full cold pipeline (tokenize + signatures + verify), not a warm

@@ -576,6 +576,57 @@ class SemanticsSpec extends SparkSpec {
       "dd_embedding paired a NaN/null-element vector")
   }
 
+  test("featureMemoLevel=NONE disables the corpus-frame memo; a bogus level fails loudly") {
+    import graft.operators.Similarity
+    // the 100 TB relief valve: with the memo off, dedup queries still
+    // answer (build-per-call) and NOTHING lands in the cache manager —
+    // a corpus-scale persist past the cluster's storage is the failure
+    // the conf exists to avoid
+    Similarity.clearFeatureCache()
+    spark.conf.set("spark.graft.featureMemoLevel", "NONE")
+    try {
+      val r = Similarity.ddMinhash.run(spark, sf001).collect()
+      assert(r.nonEmpty)
+      assert(Similarity.featureCacheSize === 0,
+        "memo must stay empty under featureMemoLevel=NONE")
+    } finally spark.conf.unset("spark.graft.featureMemoLevel")
+    // an unknown level is a conf typo — loud, not a silent default
+    spark.conf.set("spark.graft.featureMemoLevel", "BOGUS_LEVEL")
+    try intercept[IllegalArgumentException] {
+      Similarity.ddMinhash.run(spark, sf001).collect()
+    } finally spark.conf.unset("spark.graft.featureMemoLevel")
+    // default path restores memoization
+    assert(Similarity.ddMinhash.run(spark, sf001).collect().nonEmpty)
+    assert(Similarity.featureCacheSize >= 1)
+  }
+
+  test("JDBC timestamp-without-time-zone events arrive zone-free (preferTimestampNTZ)") {
+    // a relational store's naive timestamp column must decode to the
+    // SAME instants as the parquet nanos path regardless of the JVM
+    // zone: the reader requests NTZ so tsAsNanos' zone-free branch
+    // handles it (plain TIMESTAMP materializes through the JVM default
+    // zone — the silent-shift hazard the NTZ branch documents)
+    val db = tempDir("graft-derby-ts").resolve("db").toString
+    val url = s"jdbc:derby:$db;create=true"
+    try {
+      val evs = Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-01-15 10:30:00.123"), 7L, "view", 1.0),
+        (2L, java.sql.Timestamp.valueOf("2024-01-16 00:00:00.0"), 8L, "purchase", 2.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      evs.write.mode("overwrite").format("jdbc")
+        .option("url", url).option("dbtable", "events").save()
+      val got = Tables(spark, url).events
+        .select($"event_id", $"ts_ms").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the wall clocks above are UTC instants (session zone is UTC):
+      // 2024-01-15T10:30:00.123Z and 2024-01-16T00:00:00Z
+      assert(got(1L) === 1705314600123L)
+      assert(got(2L) === 1705363200000L)
+    } finally
+      scala.util.Try(
+        java.sql.DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true")): Unit
+  }
+
   test("LSH and IVF top-k recall vs the exact cosine baseline at sf0.001") {
     def pairs(q: QueryDef): Set[(Long, Long)] =
       q.run(spark, sf001).collect()
