@@ -74,7 +74,13 @@ object ScaleOps {
       // then reclaims — a reclaimed, wrong-version filter instead of a
       // rebuild (r13 re-sweep; the pre-r13 code had this order right)
       val staleB = staleKeys.flatMap(bloomCache.remove).map(_._2)
-      (bloomCache.get(k).map(_._2), staleB)
+      // hit only on the EXACT requested fingerprint (same rule as
+      // Similarity.cachedFeature): a surviving entry can only be
+      // same-version or strictly newer, and serving the newer filter to
+      // an older-fingerprint caller mixes versions within one query; the
+      // older caller falls through to the build path, which returns its
+      // build un-memoized when a newer entry holds the slot (ADVICE r13)
+      (bloomCache.get(k).collect { case (ver, b) if ver == version => b }, staleB)
     }
     detached.foreach(b => scala.util.Try(b.unpersist(false)))
     existing.getOrElse {

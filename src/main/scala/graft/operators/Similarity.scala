@@ -118,7 +118,7 @@ object Similarity {
   // `/data/run@1` and `/data/run@2` into one logical key and evicting
   // each other's live frames (ADVICE r12). A typed field cannot be
   // confused with path bytes.
-  private[operators] def cachedFeature(s: SparkSession, key: String,
+  private[graft] def cachedFeature(s: SparkSession, key: String,
       version: Long = 0L)(build: => DataFrame): DataFrame = {
     // 100 TB relief valve: the memoized frames are CORPUS-derived
     // (tokenized docs, banded vectors) — at bench scale persisting them
@@ -159,7 +159,16 @@ object Similarity {
         if (stale) scala.util.Try(df.unpersist())
         !stale
       }
-      featCache.get((s, key)).map(_._2)
+      // the hit applies the SAME "caller asked for that version" rule as
+      // the publish path: a surviving entry can only be same-version or
+      // strictly NEWER (older ones were just evicted), and serving the
+      // newer frame to an older-fingerprint caller would let one
+      // mid-regeneration probe mix a newer cached candidate frame with
+      // its older uncached inputs in a single result — a version-torn
+      // read. An older caller falls through to the build path, which
+      // already returns its build un-memoized when a newer entry holds
+      // the slot (ADVICE r13).
+      featCache.get((s, key)).collect { case (ver, df) if ver == version => df }
     }
     hit.getOrElse {
       // build OUTSIDE the monitor (same rule as ScaleOps.cachedBloom):
@@ -1307,7 +1316,19 @@ object Similarity {
     // until a harness clear (one live candidate frame per family is
     // the steady state)
     val candKey = s"incrcand:${fam.what}:$indexPath:$split"
-    evictFeaturePrefix(s, s"incrcand:${fam.what}:", except = candKey)
+    // the dead-key reclaim is scoped to SIBLINGS of this index location
+    // (same parent dir = superseded versions under the managed base),
+    // not the whole family: evicting family-wide unpersisted every
+    // OTHER live index's candidate frame on each probe, so a session
+    // legitimately probing two indexes of one family (multi-corpus or
+    // multi-tier) recomputed the full candidate chain per call — thrash,
+    // not incorrectness (ADVICE r13). A custom fixed path's in-place
+    // rebuild is superseded via mixedVer's ordered publish instead.
+    val idxParent = Option(new org.apache.hadoop.fs.Path(indexPath).getParent)
+    evictFeaturePrefix(s,
+      idxParent.map(p => s"incrcand:${fam.what}:$p/")
+        .getOrElse(s"incrcand:${fam.what}:"),
+      except = candKey)
     val cand = cachedFeature(s, candKey, mixedVer) {
       banded.join(merged, Seq("band", "bucket"))
         .filter(col("keeper") < col(fam.idCol))
@@ -1685,7 +1706,14 @@ object Similarity {
               fs.exists(new Path(st.getPath, "_PUBLISHED")) && (
                 n.startsWith(tierPrefix) ||
                   "^v\\d+-(\\d+)-s\\d{1,9}$".r.findFirstMatchIn(n)
-                    .exists(_.group(1).toLong >= srcMtime))
+                    // Try-guarded like Bench's record-listing sort: an
+                    // mtime component past Long range (a hostile or
+                    // corrupted sibling name) must read as
+                    // current-or-newer — never reaped, never a
+                    // NumberFormatException aborting the caller's own
+                    // build/probe (ADVICE r13)
+                    .exists(m => scala.util.Try(m.group(1).toLong)
+                      .map(_ >= srcMtime).getOrElse(true)))
             }
             // LIST-cost short-circuit: newestIn is a full recursive
             // listing per sibling, a large object-store LIST bill inside

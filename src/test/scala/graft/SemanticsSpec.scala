@@ -226,6 +226,13 @@ class SemanticsSpec extends SparkSpec {
     val mtime0Empty = new java.io.File(base, "v888-0")
     mtime0Empty.mkdirs()
     assert(mtime0Empty.setLastModified(0L))
+    // a PUBLISHED sibling whose version-name mtime component exceeds
+    // Long range: the tier-ordering parse must Try-guard it as
+    // current-or-newer — never reaped, and never a
+    // NumberFormatException aborting the build (ADVICE r14)
+    val overlong = new java.io.File(base, "v1-99999999999999999999999-s4")
+    overlong.mkdirs(); overlong.setLastModified(oldMs)
+    new java.io.File(overlong, "_PUBLISHED").createNewFile()
     deleteAll(ver)
     // finally-guarded: these planted dirs live in the SHARED published-
     // index base that the later minhash tests (husk-reclaim, racer,
@@ -245,9 +252,39 @@ class SemanticsSpec extends SparkSpec {
         "an mtime-0 dir with a young child is a LIVE build on an object store — must survive")
       assert(mtime0Empty.exists,
         "an mtime-0 empty dir has unknown age — must never be reaped")
+      assert(overlong.exists,
+        "an unparseable (overlong) published version name reads as " +
+          "current-or-newer — never reaped, never a parse throw")
     } finally {
       deleteAll(stagingYoung); deleteAll(mtime0Live); deleteAll(mtime0Empty)
+      deleteAll(overlong)
     }
+  }
+
+  test("cachedFeature: a hit is served only for the exact requested fingerprint") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    Similarity.clearFeatureCache()
+    try {
+      val key = "spec:verpin"
+      val v5 = Similarity.cachedFeature(spark, key, 5L)(Seq(5).toDF("v"))
+      assert(v5.collect().map(_.getInt(0)).toSeq === Seq(5))
+      assert(Similarity.cachedFeature(spark, key, 5L)(Seq(99).toDF("v")) eq v5,
+        "same fingerprint must hit the memoized frame")
+      // an OLDER fingerprint must NOT be served the newer cached frame
+      // (version-torn read: newer candidates joined against older
+      // uncached inputs) — it builds its own, un-memoized, and the
+      // newer entry survives (ADVICE r14)
+      val v3 = Similarity.cachedFeature(spark, key, 3L)(Seq(3).toDF("v"))
+      assert(v3.collect().map(_.getInt(0)).toSeq === Seq(3),
+        "older-fingerprint caller was served the newer cached frame")
+      assert(Similarity.cachedFeature(spark, key, 5L)(Seq(99).toDF("v")) eq v5,
+        "an older caller must not evict or replace the newer entry")
+      // a strictly NEWER fingerprint supersedes the stored entry
+      val v7 = Similarity.cachedFeature(spark, key, 7L)(Seq(7).toDF("v"))
+      assert(v7.collect().map(_.getInt(0)).toSeq === Seq(7))
+      assert(Similarity.cachedFeature(spark, key, 7L)(Seq(99).toDF("v")) eq v7)
+    } finally Similarity.clearFeatureCache()
   }
 
   test("minhash index: a marker-less husk is reclaimed, never marker-blessed with nested junk") {
