@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   * a pathological plan flip shows up as a much larger ratio and dumps
   * its final adaptive plan to stderr. The sf1 section is additive JSON
   * keys; its failure never corrupts the primary metric.
+  *
+  * Second decade (r14): a 100× "sf10" tier (~60M lineitem) is then
+  * synthesized the same way and the five most expensive queries get ONE
+  * timed pass each — `sf10_ratio_vs_sf1` is the second per-decade
+  * scaling ratio, turning the 100 TB claims into two measured decades.
+  * The compact summary line (printed last, inside the driver's tail
+  * window) carries the run's attribution: wall time, worst per-query
+  * sample spread per tier, and adaptive-remeasure prelim→final sums.
   */
 object Bench {
 
@@ -147,7 +155,7 @@ object Bench {
     * dumps per-stage wall times + the final adaptive plan to stderr.
     * Guarded: a diagnostic failure must never discard the measurements
     * it annotates. */
-  private def dumpDiagnostic(spark: SparkSession, q: QueryDef, dir: String,
+  private[graft] def dumpDiagnostic(spark: SparkSession, q: QueryDef, dir: String,
       tag: String, why: String, samplesNote: String): Unit =
     scala.util.Try {
       // the timed runs clear these caches up front, so the measurement is
@@ -156,15 +164,30 @@ object Bench {
       // the very number it exists to attribute
       graft.operators.RunCaches.clearAll()
       val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      // per-stage straggler evidence: max single-task wall and the
+      // stage's summed task time — a 7 s stage of 21 tasks reads as
+      // skew when max ≈ wall (one straggler) and as saturation when
+      // sum ≈ wall × cores (r14 sf10 attribution)
+      val taskMax = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      val taskSum = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
       val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            ev: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          Option(ev.taskInfo).filter(_.finished).foreach { ti =>
+            taskMax.merge(ev.stageId, ti.duration, math.max(_, _))
+            taskSum.merge(ev.stageId, ti.duration, _ + _)
+          }
         override def onStageCompleted(
             ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val i = ev.stageInfo
           val dur = for {
             s <- i.submissionTime; e <- i.completionTime
           } yield (e - s) / 1000.0
+          val mx = taskMax.getOrDefault(i.stageId, 0L) / 1000.0
+          val sm = taskSum.getOrDefault(i.stageId, 0L) / 1000.0
           stages.add(f"    stage ${i.stageId}: ${dur.getOrElse(-1.0)}%.2f s, " +
-            s"${i.numTasks} tasks (${i.name.linesIterator.next().take(70)})")
+            f"${i.numTasks} tasks, maxTask $mx%.2f s, sumTask $sm%.1f s " +
+            s"(${i.name.linesIterator.next().take(70)})")
         }
       }
       spark.sparkContext.addSparkListener(listener)
@@ -182,8 +205,33 @@ object Bench {
           Thread.sleep(500)
           waited += 500
         }
+        // per-operator SQL metrics (output rows, op wall time) — the
+        // stage names alone cannot say WHICH operator a straggler stage
+        // was running (r14 sf10 attribution); walk the executed tree
+        // including materialized AQE query stages
+        def metricLines(p: org.apache.spark.sql.execution.SparkPlan,
+            depth: Int): Seq[String] = {
+          val keep = p.metrics.filter { case (k, m) =>
+            (k.contains("numOutputRows") || k.contains("time")) && m.value > 0
+          }.map { case (k, m) => s"$k=${m.value}" }
+          val self =
+            if (keep.isEmpty) Seq.empty
+            else Seq(s"    ${"  " * depth}${p.nodeName}: ${keep.mkString(", ")}")
+          val kids = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              Seq(a.executedPlan)
+            case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              Seq(s.plan)
+            case other => other.children
+          }
+          self ++ kids.flatMap(metricLines(_, depth + 1))
+        }
+        val metricsDump = scala.util.Try(
+          metricLines(qe.executedPlan, 0).mkString("\n")).getOrElse("(unavailable)")
         System.err.println(s"[bench] $tag ${q.name} $why;$samplesNote stage times:\n" +
-          stages.toArray.mkString("\n") + s"\n[bench] $tag ${q.name} final plan:\n" +
+          stages.toArray.mkString("\n") +
+          s"\n[bench] $tag ${q.name} operator metrics:\n" + metricsDump +
+          s"\n[bench] $tag ${q.name} final plan:\n" +
           qe.executedPlan.toString.linesIterator.take(40).mkString("\n"))
       } finally spark.sparkContext.removeSparkListener(listener)
     }.recover { case e =>
@@ -253,6 +301,26 @@ object Bench {
       "\"" + n + "\":[" + vs.map(v => math.round(v * 1000) / 1000.0).mkString(",") + "]"
     }.mkString("{", ",", "}")
 
+  /** Worst per-query sample spread (max/min over valid samples) across
+    * the suite — the record's window-quality indicator (r13 verdict #2):
+    * interleaved samples of one query land minutes apart, so a healthy
+    * host reads ~1.0-1.3× while a load window shows up as a 3-18× spread
+    * (r13's sf1 j1 passes [44.63, 3.95, 2.53] = 17.6×). Emitted on the
+    * COMPACT summary line so a reader of the driver's truncated tail can
+    * apply the window adjudication from the artifact alone. `skipFirst`
+    * drops the warm-up sample where it measures JIT, not the host (the
+    * sf0.1 tier — the first execution of every plan); the sf1/sf10 tiers
+    * run after sf0.1 warmed the JIT, so their pass-0 spread IS host
+    * signal and is kept. 0.0 when no query has two valid samples. */
+  private[graft] def maxSpread(samples: Iterable[collection.Seq[Double]],
+      skipFirst: Boolean): Double = {
+    val spreads = samples.iterator
+      .map(ss => (if (skipFirst) ss.drop(1) else ss).filter(_ > 0))
+      .filter(_.size >= 2).map(ss => ss.max / ss.min)
+    if (spreads.isEmpty) 0.0
+    else math.round(spreads.max * 100) / 100.0
+  }
+
   /** The two stdout record lines, built from pre-rendered JSON parts.
     * The FULL line carries everything including the per-sample evidence
     * (`queries_samples`, `sf1_passes`); the COMPACT summary line
@@ -264,10 +332,15 @@ object Bench {
     * sf0.1 times) was truncated away and the round lost its headline
     * numbers. With the compact line last, truncation can only ever eat
     * the (reconstructible) evidence fields, never the measurements.
-    * Package-private so the spec pins both shapes against the loader. */
+    * `summaryExtra` lands ONLY on the summary line — the compact
+    * attribution fields (wall_sec, spreads, remeasure prelim sums, r13
+    * verdict #2) that must survive the driver's tail truncation, whose
+    * full-map twins already live on the full line. Package-private so
+    * the spec pins both shapes against the loader. */
   private[graft] def recordLines(total: Double, qs: String, qSamples: String,
       sfDir: String, sf1Full: String, sf1Summary: String,
-      sf01Extra: String = "", extraBoth: String = ""): (String, String) = {
+      sf01Extra: String = "", extraBoth: String = "",
+      summaryExtra: String = ""): (String, String) = {
     // sfDir is the one free-text string in these driver-parsed lines —
     // escape it (shared rule with oracle_sql.json) so a quote or
     // backslash in the path can't invalidate the round's record and
@@ -276,7 +349,7 @@ object Bench {
     (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_samples":$qSamples,"sf":$sfJ$extraBoth$sf01Extra$sf1Full}""",
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":$sfJ$extraBoth$sf1Summary,"summary":true}""")
+      s""""sf":$sfJ$extraBoth$sf1Summary$summaryExtra,"summary":true}""")
   }
 
   /** `,"<field>":{"name":prelimMin,…}` (or "" when no query re-measured)
@@ -328,20 +401,30 @@ object Bench {
     }
   }
 
-  /** Synthesizes the 10× tier from sf0.1 by key-offset replication:
+  /** Synthesizes an N× tier from sf0.1 by key-offset replication:
     * fact tables (lineitem, orders, customer, events, documents,
-    * embeddings) get 10 copies with join keys offset per copy — FK pairs
-    * (l_orderkey↔o_orderkey, o_custkey↔c_custkey) offset together so
-    * join fan-out is preserved — while dimension tables (nation, region,
-    * part, supplier) stay fixed, the realistic shape (dims grow slower
-    * than facts) that also keeps broadcast dims broadcast-able. Copy 0
-    * keeps original ids, so id-anchored semantics (the 5 query vectors,
-    * keeper elections) still resolve. Idempotent via a marker file. */
-  def ensureSf1(spark: SparkSession, sf01Dir: String, outDir: String): Unit = {
+    * embeddings) get `copies` copies with join keys offset per copy — FK
+    * pairs (l_orderkey↔o_orderkey, o_custkey↔c_custkey) offset together
+    * so join fan-out is preserved — while dimension tables (nation,
+    * region, part, supplier) stay fixed, the realistic shape (dims grow
+    * slower than facts) that also keeps broadcast dims broadcast-able.
+    * Copy 0 keeps original ids, so id-anchored semantics (the 5 query
+    * vectors, keeper elections) still resolve. Idempotent via a marker
+    * file. sf1 (10×) backs the per-round scaling ratios; sf10 (100×,
+    * r14 verdict #1) adds the SECOND measured decade behind the 100 TB
+    * plan-shape claims. */
+  def ensureSf1(spark: SparkSession, sf01Dir: String, outDir: String): Unit =
+    ensureScaled(spark, sf01Dir, outDir, copies = 10, "_GRAFT_SF1_READY_v3")
+
+  def ensureSf10(spark: SparkSession, sf01Dir: String, outDir: String): Unit =
+    ensureScaled(spark, sf01Dir, outDir, copies = 100, "_GRAFT_SF10_READY_v1")
+
+  private def ensureScaled(spark: SparkSession, sf01Dir: String,
+      outDir: String, copies: Int, markerName: String): Unit = {
     // marker is generator-versioned: a layout change (v2 = 32-file facts,
     // v3 = single-file dims)
     // must invalidate a cached tier built by an older generator
-    val marker = new java.io.File(s"$outDir/_GRAFT_SF1_READY_v3")
+    val marker = new java.io.File(s"$outDir/$markerName")
     // staleness guard: regenerate when the source tier is newer than the
     // cached marker (driver may regenerate test data between rounds).
     // Max over EVERY source table this tier copies — the six replicated
@@ -359,9 +442,9 @@ object Bench {
     if (marker.exists() && marker.lastModified() >= srcMtime) return
     marker.delete()
     val t = Tables(spark, sf01Dir)
-    val off = 10000000000L // far above any sf0.1 key
-    def copies(df: DataFrame): DataFrame =
-      df.withColumn("__c", explode(sequence(lit(0L), lit(9L))))
+    val off = 10000000000L // far above any sf0.1 key; 100 copies stay < 2^40
+    def replicate(df: DataFrame): DataFrame =
+      df.withColumn("__c", explode(sequence(lit(0L), lit(copies - 1L))))
     def bump(c: String): org.apache.spark.sql.Column =
       (col(c) + col("__c") * lit(off)).as(c)
     // facts are written as 32 files: the driver's source tier is a single
@@ -374,14 +457,14 @@ object Bench {
       df.drop("__c").repartition(numFiles)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
 
-    write(copies(t.lineitem).select(
+    write(replicate(t.lineitem).select(
       bump("l_orderkey") +: t.lineitem.columns.filterNot(_ == "l_orderkey")
         .map(col).toIndexedSeq: _*), "lineitem")
-    write(copies(t.orders).select(
+    write(replicate(t.orders).select(
       bump("o_orderkey") +: bump("o_custkey") +:
         t.orders.columns.filterNot(Set("o_orderkey", "o_custkey"))
           .map(col).toIndexedSeq: _*), "orders")
-    write(copies(t.customer).select(
+    write(replicate(t.customer).select(
       bump("c_custkey") +: t.customer.columns.filterNot(_ == "c_custkey")
         .map(col).toIndexedSeq: _*), "customer")
     // events.ts is read as epoch-nanos Long (legacy nanosAsLong) and
@@ -391,14 +474,14 @@ object Bench {
     // DuckDB would read this ts as BIGINT, so epoch_ms(ts)/CAST(ts AS DATE)
     // oracle SQL must never run against the sf1 dir (Bench only times it)
     val ev = spark.read.parquet(s"$sf01Dir/events.parquet")
-    write(copies(ev).select(
+    write(replicate(ev).select(
       bump("event_id") +: bump("user_id") +:
         ev.columns.filterNot(Set("event_id", "user_id"))
           .map(col).toIndexedSeq: _*), "events")
-    write(copies(t.documents).select(
+    write(replicate(t.documents).select(
       bump("doc_id") +: t.documents.columns.filterNot(_ == "doc_id")
         .map(col).toIndexedSeq: _*), "documents")
-    write(copies(t.embeddings).select(
+    write(replicate(t.embeddings).select(
       bump("vec_id") +: t.embeddings.columns.filterNot(_ == "vec_id")
         .map(col).toIndexedSeq: _*), "embeddings")
     // dims stay ONE file each: they are broadcast, not scanned in
@@ -412,6 +495,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session(appName = "graft-bench")
+    val runStart = System.nanoTime()
 
     val headline = QueryDef.catalogs.filter(_.headline)
     // ONE listing+parse pass over the BENCH_r*.json records feeds both
@@ -554,9 +638,13 @@ object Bench {
 
     // sf1 scale tier — only on the driver's sf0.1 run, never fatal.
     // Returns (full-line fields incl. per-pass samples, compact summary
-    // fields) for [[recordLines]].
-    val (sf1Section, sf1Summary) =
-      if (!sf01Armed || sys.env.get("SPARK_GRAFT_SF1").contains("0")) ("", "")
+    // fields, per-query mins — the sf10 decade's denominator, the
+    // re-measured (name, prelim, final) triples and the tier's worst
+    // sample spread — both for the summary line's attribution).
+    val sf1Skip = ("", "", Map.empty[String, Double],
+      Seq.empty[(String, Double, Double)], 0.0)
+    val (sf1Section, sf1Summary, sf1Min, sf1RemTriples, sf1Spread) =
+      if (!sf01Armed || sys.env.get("SPARK_GRAFT_SF1").contains("0")) sf1Skip
       else try {
         val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
         val g0 = System.nanoTime()
@@ -676,14 +764,71 @@ object Bench {
           headline.map(q => q.name -> allPasses.flatMap(_.get(q.name))).toMap)
         // which queries the adaptive trigger re-measured, with the min
         // their first 3 passes read BEFORE the extras ([[remeasuredJson]])
-        val sf1Rem = remeasuredJson("sf1_remeasured", suspects.map { q =>
-          q.name -> passes.flatMap(_.get(q.name)).filter(_ >= 0).min })
+        val remTriples = suspects.map { q =>
+          (q.name, passes.flatMap(_.get(q.name)).filter(_ >= 0).min,
+            r1.toMap.getOrElse(q.name, -1.0))
+        }
+        val sf1Rem = remeasuredJson("sf1_remeasured",
+          remTriples.map { case (n, prelim, _) => n -> prelim })
+        // pass-0 spread IS host signal here: the sf0.1 tier already
+        // warmed the JIT for every plan (see [[maxSpread]])
+        val spread = maxSpread(
+          headline.map(q => allPasses.flatMap(_.get(q.name))), skipFirst = false)
         (s""","sf1_total":$t1,"sf1_queries":$q1,"sf1_ratio_vs_sf01":$ratios,""" +
           s""""sf1_passes":$passJson,"sf1_gen_sec":$genSec$sf1Rem""",
-         s""","sf1_total":$t1,"sf1_queries":$q1,"sf1_ratio_vs_sf01":$ratios""")
+         s""","sf1_total":$t1,"sf1_queries":$q1,"sf1_ratio_vs_sf01":$ratios""",
+         r1.toMap.filter(_._2 >= 0), remTriples, spread)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 tier skipped: ${e.getMessage}")
-        ("", "")
+        sf1Skip
+      }
+
+    // sf10 second-decade probe (r13 verdict #1): the five most expensive
+    // headline queries, ONE timed pass each over a 100× tier (~60M
+    // lineitem rows) — evidence that every non-sort-bound plan stays
+    // sub-linear across TWO measured decades, not a binding number (no
+    // min-of-passes protocol; a loaded window shows up as an inflated
+    // ratio, and the spread fields on the summary line say whether the
+    // run's windows were quiet). sf10_ratio_vs_sf1 is the SECOND
+    // decade's per-decade ratio (sf10 time / sf1 min — ≤ ~12× for a
+    // linear plan, well under 10 for sub-linear ones with fixed costs).
+    // Default-on for the driver's sf0.1 run; SPARK_GRAFT_SF10=0 skips;
+    // never fatal, additive JSON keys only.
+    val sf10Both =
+      if (!sf01Armed || sys.env.get("SPARK_GRAFT_SF10").contains("0")) ""
+      else try {
+        val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/graft-sf10")
+        val g0 = System.nanoTime()
+        ensureSf10(spark, sfDir, sf10Dir)
+        val genSec = (System.nanoTime() - g0) / 1e9
+        resetBetweenTiers()
+        val probeNames = Seq("q1_agg", "j1_fk_join", "j2_broadcast_lookup",
+          "dd_minhash", "sim_lsh_topk")
+        val r10 = headline.filter(q => probeNames.contains(q.name)).map { q =>
+          try {
+            System.gc() // let ContextCleaner drain before each measurement
+            val t = time(q, sf10Dir)
+            System.err.println(f"[bench] sf10 ${q.name}: $t%.2f s")
+            q.name -> math.round(t * 1000) / 1000.0
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] sf10 ${q.name} failed: ${e.getMessage}")
+            q.name -> -1.0
+          }
+        }
+        val q10 = r10.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        val t10 = math.round(r10.map(_._2).filter(_ >= 0).sum * 1000) / 1000.0
+        val ratios10 = r10.map { case (k, v) =>
+          val base = sf1Min.getOrElse(k, -1.0)
+          "\"" + k + "\":" +
+            (if (v >= 0 && base > 0) math.round(v / base * 100) / 100.0 else -1.0)
+        }.mkString("{", ",", "}")
+        s""","sf10_total":$t10,"sf10_queries":$q10,""" +
+          s""""sf10_ratio_vs_sf1":$ratios10,""" +
+          s""""sf10_gen_sec":${math.round(genSec * 10) / 10.0}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sf10 tier skipped: ${e.getMessage}")
+        ""
       }
 
     // a -1 (died) query is EXCLUDED from the total's sum, which would
@@ -695,9 +840,38 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     }
+    // summary-line attribution (r13 verdict #2): the driver's artifact
+    // keeps only the trailing ~2000 chars of the run's output, and r13's
+    // inflated binding number shipped with its remeasure attribution
+    // truncated away on the full line. The compact fields below put the
+    // window adjudication in the surviving tail: run wall time (a loaded
+    // host stretches it 2-3× at unchanged plans — r13: 356 s vs r12's
+    // 127 s), the worst per-query sample spread per tier, and each
+    // adaptive re-measure's prelim→final SUM pair (full per-query maps
+    // stay on the full line).
+    val summaryExtra = {
+      def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+      val wall = s""","wall_sec":${math.round((System.nanoTime() - runStart) / 1e8) / 10.0}"""
+      val sp01 = maxSpread(headline.map(q => bufs(q.name)), skipFirst = true)
+      val sp = (if (sp01 > 0) s""","spread_sf01":$sp01""" else "") +
+        (if (sf1Spread > 0) s""","spread_sf1":$sf1Spread""" else "")
+      val rem01 =
+        if (sf01Prelim.isEmpty) ""
+        else {
+          val fin = sf01Prelim.flatMap { case (n, _) =>
+            results.toMap.get(n).filter(_ >= 0) }.sum
+          s""","sf01_remeasured_prelim":${r3(sf01Prelim.map(_._2).sum)}""" +
+            s""","sf01_remeasured_final":${r3(fin)}"""
+        }
+      val rem1 =
+        if (sf1RemTriples.isEmpty) ""
+        else s""","sf1_remeasured_prelim":${r3(sf1RemTriples.map(_._2).sum)}""" +
+          s""","sf1_remeasured_final":${r3(sf1RemTriples.map(_._3).filter(_ >= 0).sum)}"""
+      wall + sp + rem01 + rem1
+    }
     val (fullLine, summaryLine) = recordLines(total, qs, qSamples, sfDir,
       sf1Section, sf1Summary, remeasuredJson("sf01_remeasured", sf01Prelim),
-      failedBoth)
+      failedBoth + sf10Both, summaryExtra)
     println(fullLine)
     println(summaryLine) // LAST stdout line — the driver's tail keeps the end
     spark.stop()

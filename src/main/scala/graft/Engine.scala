@@ -38,7 +38,33 @@ object Engine {
       .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE coalesces DOWN from the initial shuffle width but never
+      // widens it: with the width pinned to the core count, a 100×
+      // tier's shuffle partitions grow 100× and the wide aggregations
+      // spill (the r14 sf10 probe measured dd_minhash at 17× per decade
+      // — the ONLY super-linear plan — and this was the cause). An 8×
+      // headroom initial width lets AQE pick per-stage: small shuffles
+      // coalesce back to ~core-count partitions (sf0.1 plans and times
+      // unchanged), big ones keep the width. On a real cluster this is
+      // the same posture scaled up: initial width >> cores, AQE owns
+      // the final number.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (shufflePartitions * 8).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE's byte thresholds scaled to the LOCAL harness (single JVM,
+      // tiers whose compressed shuffles are MBs, not the multi-GB
+      // cluster shuffles the 64m/256m defaults are tuned for). This is
+      // not cosmetic: the r14 sf10 probe measured dd_minhash at 17× per
+      // decade because its verify join's hot keeper partition (~tens of
+      // MB — the LSH election concentrates most candidates onto few
+      // keepers) sat UNDER the 256m skew-split threshold, so one task
+      // ran ~all the jaccard CPU while 31 cores idled; at these scaled
+      // thresholds AQE splits it and the same query measures 3.6 s
+      // (3.4×/decade, sub-linear). On a real cluster the same skew
+      // exceeds the stock thresholds and splits with NO custom config —
+      // the defaults are the cluster-scaled version of these numbers.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -1,0 +1,47 @@
+package graft
+
+/** Loads a parquet tier's JDBC-compatible tables into a relational store
+  * (embedded Derby in the sandbox; any JDBC URL works) so the S1 `jdbc:`
+  * locator can be measured END-TO-END: after loading, every catalog
+  * query runs unchanged with the URL as its table-set locator
+  * ([[Tables]] flips the whole catalog on a `jdbc:` prefix), and
+  * [[TimeQueries]]/[[Explain]] accept the URL as a tier dir — the
+  * jdbc-vs-parquet table and pushdown dump recorded in SURVEY §6.10.
+  *
+  * The reference's primary store is relational (Postgres via
+  * prisma/schema.prisma:10-171); this harness is how that deployment
+  * shape gets a recorded number instead of only a spec assertion.
+  *
+  * Usage:
+  * {{{
+  * sbt "runMain graft.JdbcLoad /root/testdata/sf0.01 jdbc:derby:/tmp/graft-derby-tier/db;create=true"
+  * }}}
+  *
+  * `embeddings` is skipped: its `list<float>` column has no JDBC type
+  * mapping in any stock dialect — the relational tier serves the scalar
+  * catalog, vector workloads stay on the columnar store (the realistic
+  * split: a Postgres primary with parquet/lake vector exports). Every
+  * other catalog table round-trips, including `events`' naive
+  * timestamps (written as TIMESTAMP, read back zone-free via
+  * `preferTimestampNTZ` — SourcesSpec pins the instant equality).
+  */
+object JdbcLoad {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: JdbcLoad <parquetDir> <jdbcUrl>")
+    val (dir, url) = (args(0), args(1))
+    require(url.startsWith("jdbc:"), s"not a jdbc url: $url")
+    val spark = Engine.session(appName = "graft-jdbc-load")
+    val skipped = Seq("embeddings")
+    for (t <- Tables.catalogTables.toSeq.sorted if !skipped.contains(t)) {
+      val df = spark.read.parquet(s"$dir/$t.parquet")
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("jdbc")
+        .option("url", url).option("dbtable", t).save()
+      System.err.println(f"[jdbcload] $t: ${df.count()} rows in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    System.err.println(s"[jdbcload] skipped: ${skipped.mkString(", ")} " +
+      "(no JDBC type for list<float>)")
+    spark.stop()
+  }
+}

@@ -20,9 +20,18 @@ package graft
   * last tier / first tier when two tiers are given). */
 object TimeQueries {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: TimeQueries <q1,q2,...> <dir> [dir2 ...]")
-    val names = args(0).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-    val dirs = args.drop(1).toSeq
+    // optional leading `dump=1`: after timing, re-execute each (query,
+    // LAST dir) pair through [[Bench.dumpDiagnostic]] — per-stage wall
+    // times + the final adaptive plan on stderr, the same evidence the
+    // bench's swing triggers produce, on demand (r14: used to attribute
+    // the sf10 dd_minhash superlinearity)
+    val (dump, rest0) =
+      if (args.headOption.contains("dump=1")) (true, args.drop(1))
+      else (false, args)
+    require(rest0.length >= 2,
+      "usage: TimeQueries [dump=1] <q1,q2,...> <dir> [dir2 ...]")
+    val names = rest0(0).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    val dirs = rest0.drop(1).toSeq
     val defs = names.map { n =>
       QueryDef.catalogs.find(_.name == n)
         .getOrElse(sys.error(s"unknown catalog query: $n"))
@@ -58,6 +67,9 @@ object TimeQueries {
         else ""
       println(s"TIME ${q.name} $cells$ratio")
     }
+    if (dump) defs.foreach(q =>
+      Bench.dumpDiagnostic(spark, q, dirs.last, "dump",
+        "requested via dump=1", ""))
     spark.stop()
   }
 }

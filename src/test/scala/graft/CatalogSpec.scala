@@ -145,6 +145,46 @@ class CatalogSpec extends SparkSpec {
       "summary alone carries every headline field the loader needs")
   }
 
+  test("summary line carries the attribution fields inside the tail window") {
+    // r13's 8.64 s binding number shipped with its remeasure attribution
+    // truncated off the full line — the summary (the line the driver's
+    // 2000-char tail always keeps) must now carry wall time, spreads and
+    // remeasure prelim→final sums itself, and stay parseable JSON
+    val (_, summary) = Bench.recordLines(
+      total = 9.5, qs = """{"q1_agg":1.5}""",
+      qSamples = """{"q1_agg":[1.9,1.5,1.6]}""", sfDir = "/x/sf0.1",
+      sf1Full = "", sf1Summary = "",
+      extraBoth = ""","sf10_total":30.0,"sf10_queries":{"q1_agg":14.0},""" +
+        """"sf10_ratio_vs_sf1":{"q1_agg":1.08},"sf10_gen_sec":60.5""",
+      summaryExtra = ""","wall_sec":356.2,"spread_sf01":1.27,"spread_sf1":17.64,""" +
+        """"sf01_remeasured_prelim":9.91,"sf01_remeasured_final":8.64""")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(summary)
+    assert(node.get("summary").asBoolean())
+    assert(node.get("wall_sec").asDouble() === 356.2)
+    assert(node.get("spread_sf1").asDouble() === 17.64)
+    assert(node.get("sf01_remeasured_prelim").asDouble() === 9.91)
+    assert(node.get("sf01_remeasured_final").asDouble() === 8.64)
+    assert(node.get("sf10_ratio_vs_sf1").get("q1_agg").asDouble() === 1.08,
+      "the second-decade ratios ride extraBoth onto the summary line too")
+    assert(summary.length < 1900,
+      s"summary line must survive the driver's ~2000-char tail: ${summary.length}")
+  }
+
+  test("maxSpread: worst per-query max/min over valid samples, warm-up skippable") {
+    // r13's sf1 j1 passes [44.63, 3.95, 2.53] — 17.64× spread — IS the
+    // host-window evidence; the sf0.1 tier's pass 0 is JIT warm-up and
+    // must be skippable so the spread measures the host, not codegen
+    assert(Bench.maxSpread(Seq(Seq(44.63, 3.95, 2.53), Seq(1.0, 1.1, 1.05)),
+      skipFirst = false) === 17.64)
+    assert(Bench.maxSpread(Seq(Seq(9.9, 1.0, 1.1)), skipFirst = true) === 1.1)
+    // -1 failure markers and single-sample queries are ignored
+    assert(Bench.maxSpread(Seq(Seq(-1.0, 2.0, 1.0), Seq(-1.0, -1.0, 3.0)),
+      skipFirst = false) === 2.0)
+    assert(Bench.maxSpread(Seq(Seq(3.0)), skipFirst = false) === 0.0)
+    assert(Bench.maxSpread(Nil, skipFirst = false) === 0.0)
+  }
+
   test("samplesJson emits parseable per-query sample arrays in catalog order") {
     // the bench record's queries_samples/sf1_passes fields are built by
     // this helper; pin that the output is strict JSON (Jackson accepts),

@@ -404,6 +404,15 @@ class PropertiesSpec extends SparkSpec {
     val dimFiles = new java.io.File(s"$out/nation.parquet")
       .listFiles().count(f => f.getName.endsWith(".parquet"))
     assert(dimFiles === 1, s"nation written as $dimFiles file(s)")
+    // the 100× sf10 tier (the second measured decade, r14) rides the
+    // same replication kernel — same FK pairing and fixed dims at its
+    // own copy count
+    val out10 = tempDir("graft-sf10spec").toString
+    Bench.ensureSf10(spark, sf001, out10)
+    val syn10 = Tables(spark, out10)
+    assert(syn10.lineitem.count() === 100 * src.lineitem.count())
+    assert(syn10.nation.count() === src.nation.count())
+    assert(joined(syn10) === 100 * joined(src))
   }
 
   test("ST12 streaming cents kernel equals Spark round() on arbitrary values, negatives included") {
