@@ -35,8 +35,19 @@ object JdbcLoad {
     for (t <- Tables.catalogTables.toSeq.sorted if !skipped.contains(t)) {
       val df = spark.read.parquet(s"$dir/$t.parquet")
       val t0 = System.nanoTime()
-      df.write.mode("overwrite").format("jdbc")
-        .option("url", url).option("dbtable", t).save()
+      // string columns are declared VARCHAR explicitly: Spark's Derby
+      // dialect defaults StringType to CLOB, and Derby refuses CLOB
+      // comparisons — every pushed string predicate (st1's
+      // event_type = 'vote') would fail AT THE SCAN. A real relational
+      // primary (the reference's Postgres) declares text/varchar, so
+      // VARCHAR is also the faithful stand-in; 32672 is Derby's max.
+      val strCols = df.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.StringType)
+        .map(f => s"${f.name} VARCHAR(32672)")
+      val w = df.write.mode("overwrite").format("jdbc")
+        .option("url", url).option("dbtable", t)
+      (if (strCols.isEmpty) w
+       else w.option("createTableColumnTypes", strCols.mkString(", "))).save()
       System.err.println(f"[jdbcload] $t: ${df.count()} rows in " +
         f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     }

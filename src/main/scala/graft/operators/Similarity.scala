@@ -636,7 +636,16 @@ object Similarity {
       .join(d, Seq("doc_id"))
       .join(keeperToks, Seq("keeper"))
       .withColumn("inter", size(array_intersect(col("toks"), col("k_toks"))).cast("long"))
-      .withColumn("uni", size(array_union(col("toks"), col("k_toks"))).cast("long"))
+      // |A∪B| = |A|+|B|−|A∩B| EXACTLY here: both sides are
+      // array_distinct token sets (minhashFeatOf) and size>0-filtered,
+      // so materializing array_union would only re-derive three known
+      // sizes — it was ~half the verify stage's CPU, which is the
+      // whole-query hot spot once LSH has cut candidates to O(docs)
+      // (r14 sf10 profile). Spark and DuckDB agree on the identity for
+      // duplicate-free arrays; the rows-only siblings' probe≡batch
+      // specs run both paths through this one definition.
+      .withColumn("uni",
+        (size(col("toks")) + size(col("k_toks"))).cast("long") - col("inter"))
       .filter(col("uni") > lit(0L) && expr("(inter * 100) div uni") >= lit(50L))
       .select(col("doc_id"), col("keeper"), expr("(inter * 100) div uni").as("jaccard_pct"))
 
