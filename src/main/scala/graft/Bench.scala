@@ -818,11 +818,21 @@ object Bench {
         val q10 = r10.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
         val t10 = math.round(r10.map(_._2).filter(_ >= 0).sum * 1000) / 1000.0
-        val ratios10 = r10.map { case (k, v) =>
+        val ratio10 = r10.map { case (k, v) =>
           val base = sf1Min.getOrElse(k, -1.0)
-          "\"" + k + "\":" +
-            (if (v >= 0 && base > 0) math.round(v / base * 100) / 100.0 else -1.0)
-        }.mkString("{", ",", "}")
+          k -> (if (v >= 0 && base > 0) math.round(v / base * 100) / 100.0 else -1.0)
+        }
+        // same evidence rule as the sf1 tier: a second-decade ratio past
+        // the linear bar dumps its final plan + stage times (this is how
+        // the r14 probe caught the dd_minhash skew-split gap — keep the
+        // attribution automatic, not a manual TimeQueries session)
+        ratio10.filter(_._2 > 12.0).foreach { case (k, r) =>
+          headline.find(_.name == k).foreach(q =>
+            dumpDiagnostic(spark, q, sf10Dir, "sf10",
+              f"second-decade ratio $r%.2f > 12", ""))
+        }
+        val ratios10 = ratio10.map { case (k, r) => "\"" + k + "\":" + r }
+          .mkString("{", ",", "}")
         s""","sf10_total":$t10,"sf10_queries":$q10,""" +
           s""""sf10_ratio_vs_sf1":$ratios10,""" +
           s""""sf10_gen_sec":${math.round(genSec * 10) / 10.0}"""
