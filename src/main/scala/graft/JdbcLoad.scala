@@ -28,9 +28,16 @@ package graft
 object JdbcLoad {
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: JdbcLoad <parquetDir> <jdbcUrl>")
-    val (dir, url) = (args(0), args(1))
-    require(url.startsWith("jdbc:"), s"not a jdbc url: $url")
     val spark = Engine.session(appName = "graft-jdbc-load")
+    load(spark, args(0), args(1))
+    spark.stop()
+  }
+
+  /** The loader body, session-supplied so specs can run it against the
+    * shared test session (main owns its own session's lifecycle). */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      dir: String, url: String): Unit = {
+    require(url.startsWith("jdbc:"), s"not a jdbc url: $url")
     val skipped = Seq("embeddings")
     for (t <- Tables.catalogTables.toSeq.sorted if !skipped.contains(t)) {
       val df = spark.read.parquet(s"$dir/$t.parquet")
@@ -53,6 +60,5 @@ object JdbcLoad {
     }
     System.err.println(s"[jdbcload] skipped: ${skipped.mkString(", ")} " +
       "(no JDBC type for list<float>)")
-    spark.stop()
   }
 }
