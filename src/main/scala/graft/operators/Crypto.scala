@@ -32,11 +32,15 @@ object Crypto {
     (s, dir) => {
       val f = poseidon2Udf
       T(s, dir).customer
+        // sort on the RAW key below the Poseidon projection (the
+        // s2_decode_fast_action rule, r14): sorted above, the range
+        // exchange's sampling pass evaluates the field-arithmetic UDF
+        // twice per row
+        .orderBy(col("c_custkey"))
         .select(col("c_custkey"),
           lower(hex(f(
             unhex(lpad(hex(col("c_custkey")), 64, "0")),
             unhex(md5(col("c_name")))))).as("commitment"))
-        .orderBy(col("c_custkey"))
     },
     oracle = None)
 
@@ -127,6 +131,11 @@ object Crypto {
           lit("commitment:"), amount.cast("string"),
           lit(":"), blinding.cast("string")), 256))
       Tables(s, dir).events
+        // global sort on the RAW key BELOW the hash projection (the
+        // s2_decode_fast_action rule, r14): sorted above, the range
+        // exchange's boundary-sampling pass would evaluate the 3×sha256
+        // per-row projection twice
+        .orderBy(col("event_id"))
         // guarded lamports fold, the events.value family rule: NaN/Inf
         // or |amount| past 2^63 folds to null instead of an ANSI throw
         .withColumn("amt", expr("""case
@@ -140,7 +149,6 @@ object Crypto {
           (commit(col("amt"), col("blinding")) === col("commitment")).as("verify_ok"),
           (commit(col("amt") + lit(1L), col("blinding")) === col("commitment"))
             .as("verify_tampered"))
-        .orderBy(col("event_id"))
     },
     oracle = Some("""
       WITH c AS (

@@ -152,7 +152,17 @@ object Governance {
     * Synthesized per order, decoded field-by-field at the exact offsets. */
   val decodeFastAction = QueryDef(
     "s2_decode_fast_action",
+    // the global sort runs on the RAW key BELOW the synthesize+decode
+    // projection: action_id decodes to exactly o_orderkey, and sorting
+    // the projected alias instead would put the Sort ABOVE the heavy
+    // Project — the range exchange then evaluates the whole 3×sha256
+    // encode + 14-field decode TWICE (boundary-sampling pass + shuffle
+    // pass; the r14 sf10 profile measured two identical ~300
+    // task-second stages). Sorted-then-projected, the sampler touches
+    // only the scan and the decode runs once, post-exchange: sf10
+    // 21.6 → ~11 s, same rows, same order, same oracle.
     (s, dir) => T(s, dir).orders
+      .orderBy(col("o_orderkey"))
       .withColumn("threshold_u8", pmod(col("o_orderkey"), lit(100L)) + lit(1L))
       .withColumn("vfor_u32", pmod(col("o_custkey"), lit(1000L)))
       .withColumn("vagainst_u32", pmod(col("o_orderkey"), lit(997L)))
@@ -176,8 +186,7 @@ object Governance {
         ${encLE("result_u8", 1)},
         unhex('00'),
         ${encLE("bump_u8", 1)})"""))
-      .select(fastActionFields("rec"): _*)
-      .orderBy(col("action_id")),
+      .select(fastActionFields("rec"): _*),
     oracle = Some("""
       SELECT CAST(145 AS BIGINT) AS rec_len,
         o_orderkey AS action_id,

@@ -205,11 +205,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("scale tier: percentile and packing windows share one key exchange; sampler shuffles nothing") {
-    // a15_percentile_disc: row_number and the partition count must reuse
-    // the single returnflag exchange; a second hash exchange means the
-    // window specs stopped aligning
+    // a15_percentile_disc (r14 histogram form): ONE partial-aggregating
+    // (flag, price) histogram exchange, then ONE flag exchange whose
+    // running-sum window walks only the DISTINCT prices — exactly two
+    // hash exchanges. The pre-r14 single-exchange form was the trap this
+    // count now guards against in the other direction: it ran
+    // row_number over ALL rows, putting each flag's entire row set in
+    // one WindowExec task (116 s at sf10). A third exchange means the
+    // window specs stopped aligning; partial_count is the histogram's
+    // map-side combine.
     val pPct = plan("a15_percentile_disc")
-    assert(pPct.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1)
+    assert(pPct.linesIterator.count(_.contains("Exchange hashpartitioning")) === 2)
+    assert(pPct.contains("partial_count"), "histogram lost map-side combine")
     assert(pPct.contains("partial_max"), "percentile extraction lost map-side combine")
     // pipe_pack_tokens: the prefix sum runs on the distributed
     // strataPrefixSum kernel — the final plan must carry NO window and NO

@@ -434,4 +434,32 @@ class PropertiesSpec extends SparkSpec {
       .collect().sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
     assert(viaSpark === kernel)
   }
+
+  test("Fr Montgomery limbs agree with BigInt field arithmetic on random values") {
+    import graft.functions.Fr
+    // the limb engine under Poseidon (r14): every mul/add must equal the
+    // BigInt reference on arbitrary field elements — including the
+    // carry-heavy top of the range near p, all-ones limbs, and 0/1
+    val p = Fr.P
+    val edge = Seq(BigInt(0), BigInt(1), p - 1, p - 2,
+      (BigInt(1) << 254) % p, (BigInt(1) << 64) - 1,
+      ((BigInt(1) << 256) - 1) % p)
+    val rnd = samples(Gen.listOfN(64, Gen.choose(0, 255)).map(bs =>
+      BigInt(1, bs.map(_.toByte).toArray.take(32)).mod(p)), 60, seed = 99L)
+    val vals = edge ++ rnd
+    for (a <- vals; b <- vals.take(12)) {
+      val out = new Array[Long](4)
+      Fr.montMul(Fr.toMont(Fr.fromBigInt(a)), Fr.toMont(Fr.fromBigInt(b)), out)
+      assert(Fr.toBigInt(Fr.fromMont(out)) === (a * b).mod(p),
+        s"montMul($a, $b)")
+      val s = new Array[Long](4)
+      Fr.add(Fr.fromBigInt(a), Fr.fromBigInt(b), s)
+      assert(Fr.toBigInt(s) === (a + b).mod(p), s"add($a, $b)")
+    }
+    // round-trips and boundary forms
+    for (a <- vals) {
+      assert(Fr.toBigInt(Fr.fromBigInt(a)) === a)
+      assert(Fr.toBigInt(Fr.fromMont(Fr.toMont(Fr.fromBigInt(a)))) === a)
+    }
+  }
 }
