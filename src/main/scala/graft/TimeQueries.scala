@@ -25,11 +25,19 @@ object TimeQueries {
     // times + the final adaptive plan on stderr, the same evidence the
     // bench's swing triggers produce, on demand (r14: used to attribute
     // the sf10 dd_minhash superlinearity)
-    val (dump, rest0) =
+    val (dump, rest1) =
       if (args.headOption.contains("dump=1")) (true, args.drop(1))
       else (false, args)
-    require(rest0.length >= 2,
-      "usage: TimeQueries [dump=1] <q1,q2,...> <dir> [dir2 ...]")
+    // optional `passes=N` (default 3): a catalog-wide evidence sweep at
+    // a big tier wants ONE pass per query (the per-query min protocol is
+    // for binding numbers; a sweep hunts order-of-magnitude offenders)
+    val (nPasses, rest0) = rest1.headOption
+      .filter(_.startsWith("passes=")) match {
+      case Some(p) => (p.stripPrefix("passes=").toInt, rest1.drop(1))
+      case None => (3, rest1)
+    }
+    require(rest0.length >= 2 && nPasses >= 1,
+      "usage: TimeQueries [dump=1] [passes=N] <q1,q2,...> <dir> [dir2 ...]")
     val names = rest0(0).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
     val dirs = rest0.drop(1).toSeq
     val defs = names.map { n =>
@@ -42,7 +50,7 @@ object TimeQueries {
     val time = Bench.timeOnce(spark) _
     val samples = scala.collection.mutable.Map
       .empty[(String, String), List[Double]].withDefaultValue(Nil)
-    for (pass <- 0 until 3; dir <- dirs; q <- defs) {
+    for (pass <- 0 until nPasses; dir <- dirs; q <- defs) {
       // per-sample isolation, like Bench (the declared protocol twin):
       // one throwing (query, dir) pair must not abort the run and
       // discard every already-collected sample — it records a -1

@@ -282,7 +282,14 @@ object ScaleOps {
     // sym-checkpoint job (once per branch); freed as soon as the eager
     // checkpoint has materialized
     e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sym = ckpt(e.union(e.select(col("b").as("a"), col("a").as("b"))))
+    // pre-partitioned on the join key: every iteration joins sym on `b`,
+    // and a checkpoint PRESERVES its physical partitioning (LogicalRDD
+    // carries it), so the E-row side shuffles ONCE here instead of once
+    // per iteration — the labels side (V rows, typically << E) is the
+    // only per-iteration shuffle into that join (r14 sf10 sweep: the CC
+    // loop was the catalog's #2 absolute cost, shuffle-dominated)
+    val sym = ckpt(e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b")))
     e.unpersist(blocking = false)
     var labels = ckpt(sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")))
