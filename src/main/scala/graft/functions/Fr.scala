@@ -49,8 +49,10 @@ private[graft] object Fr {
   val P: BigInt = BigInt(
     "21888242871839275222246405745257275088548364400416034343698204186575808495617")
 
-  /** out := a * b in Montgomery form (CIOS, 4 limbs). `out` may not
-    * alias `a` or `b`. */
+  /** out := a * b in Montgomery form (CIOS, 4 limbs). ALIAS-SAFE: every
+    * input limb is consumed into locals before `out` is written, so
+    * `montMul(x, x, x)` squares in place — the permutation relies on
+    * this to run allocation-free. */
   def montMul(a: Array[Long], b: Array[Long], out: Array[Long]): Unit = {
     // t has 5 limbs of accumulator state (t4 the running overflow)
     var t0 = 0L; var t1 = 0L; var t2 = 0L; var t3 = 0L; var t4 = 0L

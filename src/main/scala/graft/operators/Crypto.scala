@@ -24,6 +24,26 @@ object Crypto {
     else Some(graft.functions.Poseidon.toBytes32(graft.functions.Poseidon.hash2(
       graft.functions.Poseidon.fromBytes32(a), graft.functions.Poseidon.fromBytes32(b)))))
 
+  /** Long-keyed twin of [[poseidon2Udf]] for the high-volume paths whose
+    * inputs already ARE non-negative longs (user_id, epoch_day): the
+    * byte-array form forced every row through hex → lpad(64) → unhex —
+    * three string allocations per argument — purely to re-encode a long
+    * as a field element, and BigInt(long) is the identical value
+    * (nullifier digests unchanged; DeterminismSpec/CryptoSpec pin them).
+    * java.lang.Long params so a null key still surfaces as a null
+    * nullifier (primitive Long would zero-fill it — a phantom key). */
+  private def poseidon2LongUdf = udf((a: java.lang.Long, b: java.lang.Long) =>
+    if (a == null || b == null) Option.empty[Array[Byte]]
+    else Some(graft.functions.Poseidon.toBytes32(graft.functions.Poseidon.hash2(
+      unsignedBig(a.longValue), unsignedBig(b.longValue)))))
+
+  /** Long → BigInt under the byte path's UNSIGNED reading: hex(long)
+    * renders two's complement, so a negative long decoded as 2^64+x —
+    * the twin must agree bit-for-bit even on inputs the corpus never
+    * produces (pre-1970 epoch days). */
+  private def unsignedBig(x: Long): BigInt =
+    (BigInt(x >>> 1) << 1) | BigInt(x & 1L)
+
   /** Poseidon commitment per row (client.ts:147-173 commitment =
     * Poseidon(owner, agent, …)): commit customer ids with an md5-derived
     * blinding factor; emitted as hex. */
@@ -50,7 +70,7 @@ object Crypto {
   val cryptoNullifierDedup = QueryDef(
     "crypto_nullifier_dedup",
     (s, dir) => {
-      val f = poseidon2Udf
+      val f = poseidon2LongUdf
       T(s, dir).events
         // floor form, not bare `div` (truncation): the reference derives
         // the epoch with JS Math.floor (client.ts:1753-1762), which
@@ -60,9 +80,11 @@ object Crypto {
         // SF); same rule as st1/st2's pmod floor forms (r13 sweep).
         .withColumn("epoch_day",
           FloorTime.floorDiv("ts", 86400000000000L))
+        // long-keyed UDF: the byte form re-encoded two longs through
+        // hex/lpad/unhex per row — six string allocations ahead of
+        // every hash on the catalog's highest-volume Poseidon path
         .withColumn("nullifier", lower(hex(f(
-          unhex(lpad(hex(col("user_id")), 64, "0")),
-          unhex(lpad(hex(col("epoch_day")), 64, "0"))))))
+          col("user_id"), col("epoch_day")))))
         // a NULL user_id yields a null nullifier — an unattributable event
         // cannot claim a one-use slot, mirroring the reference's invalid-
         // commitment rejection (lib.rs:105)
