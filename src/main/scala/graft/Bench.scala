@@ -167,15 +167,19 @@ object Bench {
       // per-stage straggler evidence: max single-task wall and the
       // stage's summed task time — a 7 s stage of 21 tasks reads as
       // skew when max ≈ wall (one straggler) and as saturation when
-      // sum ≈ wall × cores (r14 sf10 attribution)
-      val taskMax = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
-      val taskSum = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      // sum ≈ wall × cores (r14 sf10 attribution). Keyed by
+      // (stageId, attempt), not stageId alone: a retried stage attempt
+      // would otherwise merge into its predecessor's entry — sumTask
+      // double-counting and maxTask mixing attempts in the printed
+      // evidence (ADVICE r14).
+      val taskMax = new java.util.concurrent.ConcurrentHashMap[(Int, Int), Long]()
+      val taskSum = new java.util.concurrent.ConcurrentHashMap[(Int, Int), Long]()
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             ev: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
           Option(ev.taskInfo).filter(_.finished).foreach { ti =>
-            taskMax.merge(ev.stageId, ti.duration, math.max(_, _))
-            taskSum.merge(ev.stageId, ti.duration, _ + _)
+            taskMax.merge((ev.stageId, ev.stageAttemptId), ti.duration, math.max(_, _))
+            taskSum.merge((ev.stageId, ev.stageAttemptId), ti.duration, _ + _)
           }
         override def onStageCompleted(
             ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -183,8 +187,8 @@ object Bench {
           val dur = for {
             s <- i.submissionTime; e <- i.completionTime
           } yield (e - s) / 1000.0
-          val mx = taskMax.getOrDefault(i.stageId, 0L) / 1000.0
-          val sm = taskSum.getOrDefault(i.stageId, 0L) / 1000.0
+          val mx = taskMax.getOrDefault((i.stageId, i.attemptNumber()), 0L) / 1000.0
+          val sm = taskSum.getOrDefault((i.stageId, i.attemptNumber()), 0L) / 1000.0
           stages.add(f"    stage ${i.stageId}: ${dur.getOrElse(-1.0)}%.2f s, " +
             f"${i.numTasks} tasks, maxTask $mx%.2f s, sumTask $sm%.1f s " +
             s"(${i.name.linesIterator.next().take(70)})")
@@ -786,14 +790,25 @@ object Bench {
     // sf10 second-decade probe (r13 verdict #1): the five most expensive
     // headline queries, ONE timed pass each over a 100× tier (~60M
     // lineitem rows) — evidence that every non-sort-bound plan stays
-    // sub-linear across TWO measured decades, not a binding number (no
-    // min-of-passes protocol; a loaded window shows up as an inflated
-    // ratio, and the spread fields on the summary line say whether the
-    // run's windows were quiet). sf10_ratio_vs_sf1 is the SECOND
-    // decade's per-decade ratio (sf10 time / sf1 min — ≤ ~12× for a
-    // linear plan, well under 10 for sub-linear ones with fixed costs).
-    // Default-on for the driver's sf0.1 run; SPARK_GRAFT_SF10=0 skips;
-    // never fatal, additive JSON keys only.
+    // sub-linear across TWO measured decades, not a binding number.
+    // SELF-ATTRIBUTING (r14 verdict #1): a single-pass probe has no
+    // window escape of its own, and r14's record shipped q1_agg at 117×
+    // per decade — a host-window artifact three same-day self-runs
+    // measured at ≤ 2.93× — with the correcting evidence only on
+    // truncated stderr. Now a preliminary ratio past the 12× linear bar
+    // triggers up to two EXTRA samples, spaced minutes later
+    // ([[pauseForWindowEscape]] — same protocol as the sf1/sf0.1
+    // adaptive re-measures), the reported time is the min, and the
+    // prelim→final pair lands in `sf10_remeasured` ON BOTH record lines:
+    // either the number corrects itself in-record, or five consistent
+    // slow samples prove it genuinely slow. The plan/stage dump fires on
+    // the FINAL ratio only (a window artifact no longer burns a
+    // diagnostic re-execution of a 100×-tier query).
+    // sf10_ratio_vs_sf1 is the SECOND decade's per-decade ratio
+    // (sf10 time / sf1 min — ≤ ~12× for a linear plan, well under 10
+    // for sub-linear ones with fixed costs). Default-on for the
+    // driver's sf0.1 run; SPARK_GRAFT_SF10=0 skips; never fatal,
+    // additive JSON keys only.
     val sf10Both =
       if (!sf01Armed || sys.env.get("SPARK_GRAFT_SF10").contains("0")) ""
       else try {
@@ -804,41 +819,107 @@ object Bench {
         resetBetweenTiers()
         val probeNames = Seq("q1_agg", "j1_fk_join", "j2_broadcast_lookup",
           "dd_minhash", "sim_lsh_topk")
-        val r10 = headline.filter(q => probeNames.contains(q.name)).map { q =>
+        val probes = headline.filter(q => probeNames.contains(q.name))
+        def sampleSf10(q: QueryDef, pass: Int): Double =
           try {
             System.gc() // let ContextCleaner drain before each measurement
             val t = time(q, sf10Dir)
-            System.err.println(f"[bench] sf10 ${q.name}: $t%.2f s")
-            q.name -> math.round(t * 1000) / 1000.0
+            System.err.println(f"[bench] sf10 ${q.name} pass $pass: $t%.2f s")
+            math.round(t * 1000) / 1000.0
           } catch { case e: Throwable =>
-            System.err.println(s"[bench] sf10 ${q.name} failed: ${e.getMessage}")
-            q.name -> -1.0
+            System.err.println(s"[bench] sf10 ${q.name} pass $pass failed: ${e.getMessage}")
+            -1.0
           }
+        val prelim = probes.map(q => q.name -> sampleSf10(q, 0))
+        def ratioOf(name: String, v: Double): Double = {
+          val base = sf1Min.getOrElse(name, -1.0)
+          if (v >= 0 && base > 0) math.round(v / base * 100) / 100.0 else -1.0
+        }
+        val suspects = probes.filter(q =>
+          ratioOf(q.name, prelim.toMap.getOrElse(q.name, -1.0)) > 12.0)
+        val extras: Map[String, Seq[Double]] =
+          if (suspects.isEmpty) Map.empty
+          else {
+            System.err.println("[bench] sf10 adaptive re-measure (ratio > 12): " +
+              suspects.map(_.name).mkString(", "))
+            var lastPassEnd = System.nanoTime()
+            val passes = (1 to 2).map { p =>
+              pauseForWindowEscape(lastPassEnd)
+              val m = suspects.map(q => q.name -> sampleSf10(q, p)).toMap
+              lastPassEnd = System.nanoTime()
+              m
+            }
+            suspects.map(q => q.name -> passes.map(_(q.name))).toMap
+          }
+        val r10 = prelim.map { case (k, p) =>
+          val all = (p +: extras.getOrElse(k, Nil)).filter(_ >= 0)
+          k -> (if (all.isEmpty) -1.0 else all.min)
         }
         val q10 = r10.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
         val t10 = math.round(r10.map(_._2).filter(_ >= 0).sum * 1000) / 1000.0
-        val ratio10 = r10.map { case (k, v) =>
-          val base = sf1Min.getOrElse(k, -1.0)
-          k -> (if (v >= 0 && base > 0) math.round(v / base * 100) / 100.0 else -1.0)
-        }
+        val ratio10 = r10.map { case (k, v) => k -> ratioOf(k, v) }
         // same evidence rule as the sf1 tier: a second-decade ratio past
-        // the linear bar dumps its final plan + stage times (this is how
-        // the r14 probe caught the dd_minhash skew-split gap — keep the
-        // attribution automatic, not a manual TimeQueries session)
+        // the linear bar AFTER the re-measure dumps its final plan +
+        // stage times (this is how the r14 probe caught the dd_minhash
+        // skew-split gap — the attribution stays automatic, not a
+        // manual TimeQueries session)
         ratio10.filter(_._2 > 12.0).foreach { case (k, r) =>
           headline.find(_.name == k).foreach(q =>
             dumpDiagnostic(spark, q, sf10Dir, "sf10",
-              f"second-decade ratio $r%.2f > 12", ""))
+              f"second-decade ratio $r%.2f > 12 (after re-measure)", ""))
         }
         val ratios10 = ratio10.map { case (k, r) => "\"" + k + "\":" + r }
           .mkString("{", ",", "}")
         s""","sf10_total":$t10,"sf10_queries":$q10,""" +
           s""""sf10_ratio_vs_sf1":$ratios10,""" +
-          s""""sf10_gen_sec":${math.round(genSec * 10) / 10.0}"""
+          s""""sf10_gen_sec":${math.round(genSec * 10) / 10.0}""" +
+          remeasuredJson("sf10_remeasured",
+            suspects.map(q => q.name -> prelim.toMap.apply(q.name)))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf10 tier skipped: ${e.getMessage}")
         ""
+      }
+
+    // Opt-in recorded full-catalog sf10 sweep (r14 verdict #5): the r14
+    // performance wave came from a MANUAL TimeQueries session whose
+    // ranking lived only in SURVEY prose. SPARK_GRAFT_SF10_SWEEP=1 runs
+    // EVERY catalog query once over the sf10 tier after the probes and
+    // writes `{"sweep":"sf10","sec":{name:sec|-1,…},"failed":[…]}` to
+    // SPARK_GRAFT_SF10_SWEEP_OUT (default SF10_SWEEP.json, cwd) — a
+    // committed, diffable round-over-round record of the non-headline
+    // catalog at 100×. One pass per query (the sweep hunts
+    // order-of-magnitude offenders, not binding numbers); a failing
+    // query records -1 and the sweep continues; never fatal to the
+    // bench record. Opt-in because the full catalog at 100× costs
+    // ~10 min the driver's per-round run should not pay.
+    if (sf01Armed && sys.env.get("SPARK_GRAFT_SF10_SWEEP").contains("1"))
+      try {
+        val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/graft-sf10")
+        ensureSf10(spark, sfDir, sf10Dir)
+        resetBetweenTiers()
+        val out = sys.env.getOrElse("SPARK_GRAFT_SF10_SWEEP_OUT", "SF10_SWEEP.json")
+        val secs = QueryDef.catalogs.map { q =>
+          val t = try {
+            System.gc()
+            math.round(time(q, sf10Dir) * 1000) / 1000.0
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] sf10 sweep ${q.name} failed: ${e.getMessage}")
+            -1.0
+          }
+          System.err.println(f"[bench] sf10 sweep ${q.name}: $t%.2f s")
+          q.name -> t
+        }
+        val failed = secs.filter(_._2 < 0).map(_._1)
+        val body = s"""{"sweep":"sf10","dir":${Verify.jsonStr(sf10Dir)},""" +
+          secs.map { case (k, v) => "\"" + k + "\":" + v }
+            .mkString(""""sec":{""", ",", "},") +
+          failed.map("\"" + _ + "\"").mkString(""""failed":[""", ",", "]}")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(out), body)
+        System.err.println(s"[bench] sf10 sweep written to $out " +
+          s"(${secs.count(_._2 >= 0)} timed, ${failed.size} failed)")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sf10 sweep skipped: ${e.getMessage}")
       }
 
     // a -1 (died) query is EXCLUDED from the total's sum, which would

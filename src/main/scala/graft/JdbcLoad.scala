@@ -26,6 +26,10 @@ package graft
   * `preferTimestampNTZ` — SourcesSpec pins the instant equality).
   */
 object JdbcLoad {
+  /** Derby's VARCHAR ceiling — the explicit width every string column is
+    * declared at (CLOB, the dialect default, refuses comparisons). */
+  private[graft] val varcharMax = 32672
+
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: JdbcLoad <parquetDir> <jdbcUrl>")
     val spark = Engine.session(appName = "graft-jdbc-load")
@@ -48,9 +52,29 @@ object JdbcLoad {
       // event_type = 'vote') would fail AT THE SCAN. A real relational
       // primary (the reference's Postgres) declares text/varchar, so
       // VARCHAR is also the faithful stand-in; 32672 is Derby's max.
-      val strCols = df.schema.fields
+      val strFields = df.schema.fields
         .filter(_.dataType == org.apache.spark.sql.types.StringType)
-        .map(f => s"${f.name} VARCHAR(32672)")
+        .map(_.name)
+      // preflight the declared width: VARCHAR(32672) is Derby's max, and
+      // a longer value (a bigger tier's documents.text) fails mid-load
+      // with a truncation error whose cause is otherwise silent until
+      // hit — one cheap max(length) scan per table makes the limit LOUD
+      // and names the offending column before any row is written
+      // (ADVICE r14)
+      if (strFields.nonEmpty) {
+        import org.apache.spark.sql.functions.{length, max, col}
+        val maxLens = df.agg(
+          max(length(col(strFields.head))),
+          strFields.tail.map(c => max(length(col(c)))).toIndexedSeq: _*).head()
+        strFields.zipWithIndex.foreach { case (c, i) =>
+          val m = if (maxLens.isNullAt(i)) 0 else maxLens.getInt(i)
+          require(m <= varcharMax,
+            s"$t.$c max string length $m exceeds VARCHAR($varcharMax) " +
+              "(Derby's max) — map this column to CLOB manually or keep it " +
+              "off pushed comparisons; refusing a load that would truncate")
+        }
+      }
+      val strCols = strFields.map(f => s"$f VARCHAR($varcharMax)")
       val w = df.write.mode("overwrite").format("jdbc")
         .option("url", url).option("dbtable", t)
       (if (strCols.isEmpty) w

@@ -25,19 +25,22 @@ object TimeQueries {
     // times + the final adaptive plan on stderr, the same evidence the
     // bench's swing triggers produce, on demand (r14: used to attribute
     // the sf10 dd_minhash superlinearity)
-    val (dump, rest1) =
-      if (args.headOption.contains("dump=1")) (true, args.drop(1))
-      else (false, args)
-    // optional `passes=N` (default 3): a catalog-wide evidence sweep at
-    // a big tier wants ONE pass per query (the per-query min protocol is
-    // for binding numbers; a sweep hunts order-of-magnitude offenders)
-    val (nPasses, rest0) = rest1.headOption
-      .filter(_.startsWith("passes=")) match {
-      case Some(p) => (p.stripPrefix("passes=").toInt, rest1.drop(1))
-      case None => (3, rest1)
+    // Leading key=value flags are parsed in a loop, ORDER-FREE: the old
+    // dump-then-passes sequence silently treated `passes=2 dump=1` as a
+    // query list named "passes=2" (ADVICE r14). A malformed passes value
+    // fails with the usage string, not a raw NumberFormatException.
+    val usage = "usage: TimeQueries [dump=1] [passes=N] <q1,q2,...> <dir> [dir2 ...]"
+    var dump = false
+    var nPasses = 3
+    val rest0 = args.dropWhile {
+      case "dump=1" => dump = true; true
+      case p if p.startsWith("passes=") =>
+        nPasses = scala.util.Try(p.stripPrefix("passes=").toInt)
+          .getOrElse(sys.error(s"passes= wants an integer; $usage"))
+        true
+      case _ => false
     }
-    require(rest0.length >= 2 && nPasses >= 1,
-      "usage: TimeQueries [dump=1] [passes=N] <q1,q2,...> <dir> [dir2 ...]")
+    require(rest0.length >= 2 && nPasses >= 1, usage)
     val names = rest0(0).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
     val dirs = rest0.drop(1).toSeq
     val defs = names.map { n =>

@@ -1333,10 +1333,17 @@ object Similarity {
     // multi-tier) recomputed the full candidate chain per call — thrash,
     // not incorrectness (ADVICE r13). A custom fixed path's in-place
     // rebuild is superseded via mixedVer's ordered publish instead.
-    val idxParent = Option(new org.apache.hadoop.fs.Path(indexPath).getParent)
+    // The sibling prefix is derived from the RAW indexPath string, never
+    // from hadoop Path(indexPath).getParent: Path NORMALIZES (scheme
+    // 'file:///a/b' renders as 'file:/a/b', '//' collapses, trailing
+    // slashes drop) while the cache keys embed the raw string — for any
+    // non-normalized locator the normalized prefix matched no key and
+    // the dead-sibling reclaim silently never fired (ADVICE r14).
+    val idxTrim = indexPath.stripSuffix("/")
+    val idxCut = idxTrim.lastIndexOf('/')
     evictFeaturePrefix(s,
-      idxParent.map(p => s"incrcand:${fam.what}:$p/")
-        .getOrElse(s"incrcand:${fam.what}:"),
+      if (idxCut >= 0) s"incrcand:${fam.what}:${idxTrim.substring(0, idxCut + 1)}"
+      else s"incrcand:${fam.what}:",
       except = candKey)
     val cand = cachedFeature(s, candKey, mixedVer) {
       banded.join(merged, Seq("band", "bucket"))
