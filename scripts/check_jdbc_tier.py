@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Relational (jdbc:) tier correctness artifact builder.
+
+Compares two graft.Verify output dirs — one produced against the parquet
+tier, one against the SAME tier loaded into a JDBC store (JdbcLoad) — and
+writes a per-query JSON record: bit-equal / mismatch / non-runner (with the
+Verify stderr reason). Row compare is order-INSENSITIVE multiset equality
+(sorted canonical tuples): the two runs execute identical plans, but a
+query without a total ORDER BY may legitimately emit ties in a different
+order over a different scan source.
+
+Usage:
+  python3 scripts/check_jdbc_tier.py <parquetVerifyDir> <jdbcVerifyDir> \
+      <jdbcVerifyStderrLog> <outJson> [roundN]
+"""
+import json, math, os, re, sys
+import pyarrow.parquet as pq
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return repr(v)
+
+
+def rows_of(path):
+    tbl = pq.read_table(path)
+    cols = sorted(tbl.column_names)
+    rows = [tuple(canon(tbl.column(c)[i].as_py()) for c in cols)
+            for i in range(tbl.num_rows)]
+    return cols, sorted(rows)
+
+
+def main(pq_dir, jdbc_dir, err_log, out_json, round_n):
+    # Verify's per-query failure lines name the non-runners and why
+    reasons = {}
+    if os.path.exists(err_log):
+        for line in open(err_log, errors="replace"):
+            m = re.match(r"\[verify\] (\S+) failed: (.*)", line.strip())
+            if m:
+                reasons[m.group(1)] = m.group(2)[:300]
+    names = sorted(d for d in os.listdir(pq_dir)
+                   if os.path.isdir(os.path.join(pq_dir, d)))
+    per_query, n_equal, n_mismatch = {}, 0, 0
+    for name in names:
+        jpath = os.path.join(jdbc_dir, name)
+        if not os.path.isdir(jpath):
+            per_query[name] = {
+                "status": "non-runner",
+                "reason": reasons.get(name, "no result dir (reason not captured)")}
+            continue
+        pc, prows = rows_of(os.path.join(pq_dir, name))
+        jc, jrows = rows_of(jpath)
+        if pc != jc:
+            per_query[name] = {"status": "mismatch",
+                               "detail": f"columns parquet={pc} jdbc={jc}"}
+            n_mismatch += 1
+        elif prows != jrows:
+            diff = sum(1 for a, b in zip(prows, jrows) if a != b) \
+                + abs(len(prows) - len(jrows))
+            per_query[name] = {
+                "status": "mismatch",
+                "detail": f"rows parquet={len(prows)} jdbc={len(jrows)}, "
+                          f"{diff} differing"}
+            n_mismatch += 1
+        else:
+            per_query[name] = {"status": "equal", "rows": len(prows)}
+            n_equal += 1
+    record = {
+        "round": round_n,
+        "parquet_dir": pq_dir,
+        "jdbc_dir": jdbc_dir,
+        "queries_total": len(names),
+        "runnable": n_equal + n_mismatch,
+        "equal": n_equal,
+        "mismatch": n_mismatch,
+        "non_runners": len(names) - n_equal - n_mismatch,
+        "per_query": per_query,
+    }
+    with open(out_json, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+    print(f"{n_equal} equal, {n_mismatch} mismatch, "
+          f"{len(names) - n_equal - n_mismatch} non-runners "
+          f"(of {len(names)}) -> {out_json}")
+    return 1 if n_mismatch else 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 5:
+        sys.exit(__doc__)
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4],
+                  int(sys.argv[5]) if len(sys.argv) > 5 else None))

@@ -154,9 +154,20 @@ object Bench {
     * this diagnostic exists for), with a stage listener attached, and
     * dumps per-stage wall times + the final adaptive plan to stderr.
     * Guarded: a diagnostic failure must never discard the measurements
-    * it annotates. */
+    * it annotates.
+    *
+    * Returns the re-execution's WALL seconds (-1 when the dump failed):
+    * the callers put it in the record as `diag_wall` (r14 verdict #4 —
+    * "plan/stage dump IN-RECORD"). The dump runs minutes after the
+    * contested samples, so when a window caused the slow passes this
+    * wall lands near the quiet-host time and the record self-adjudicates
+    * (r15's first use: j1_fk_join sf1 passes 33/29/12/6.5/6.1 s while
+    * the dump's re-execution ran the identical final plan in ~2.6 s —
+    * matching r13's quiet 2.53 s); a genuinely slow query simply
+    * confirms its passes one more time. Stderr keeps the full stage +
+    * plan evidence; the record keeps the number. */
   private[graft] def dumpDiagnostic(spark: SparkSession, q: QueryDef, dir: String,
-      tag: String, why: String, samplesNote: String): Unit =
+      tag: String, why: String, samplesNote: String): Double =
     scala.util.Try {
       // the timed runs clear these caches up front, so the measurement is
       // the cold pipeline; the diagnostic re-run must match, or a
@@ -196,8 +207,10 @@ object Bench {
       }
       spark.sparkContext.addSparkListener(listener)
       try {
+        val w0 = System.nanoTime()
         val qe = q.run(spark, dir).queryExecution
         qe.toRdd.count()
+        val wall = math.round((System.nanoTime() - w0) / 1e6) / 1000.0
         // listener bus is async; poll until the stage list stops growing
         // (bounded at 5 s). A fixed 500 ms could truncate the evidence
         // exactly when it matters — this dump fires during loaded
@@ -232,15 +245,18 @@ object Bench {
         }
         val metricsDump = scala.util.Try(
           metricLines(qe.executedPlan, 0).mkString("\n")).getOrElse("(unavailable)")
-        System.err.println(s"[bench] $tag ${q.name} $why;$samplesNote stage times:\n" +
+        System.err.println(s"[bench] $tag ${q.name} $why;$samplesNote " +
+          f"diag re-execution wall $wall%.2f s; stage times:\n" +
           stages.toArray.mkString("\n") +
           s"\n[bench] $tag ${q.name} operator metrics:\n" + metricsDump +
           s"\n[bench] $tag ${q.name} final plan:\n" +
           qe.executedPlan.toString.linesIterator.take(40).mkString("\n"))
+        wall
       } finally spark.sparkContext.removeSparkListener(listener)
     }.recover { case e =>
       System.err.println(s"[bench] $tag ${q.name} $why; plan dump failed: ${e.getMessage}")
-    }
+      -1.0
+    }.get
 
   /** Adaptive sf1 re-measure trigger: the preliminary min reads
     * SUPERLINEAR vs its sf0.1 base (> 2.5× for 10× data — every
@@ -598,6 +614,12 @@ object Bench {
       q.name -> (if (main.contains(-1.0)) -1.0
                  else (main.tail ++ buf.drop(3)).filter(_ >= 0).min)
     }
+    // every swing/ratio dump's re-execution wall, keyed "tier:query" —
+    // recorded on BOTH lines as `diag_wall` so the adjudication the dump
+    // prints to (truncated) stderr survives in the artifact: a wall near
+    // the quiet-host anchor proves the slow passes were a window; a wall
+    // near the passes proves them real (r14 verdict #4)
+    val diagWalls = scala.collection.mutable.LinkedHashMap[String, Double]()
     // sf0.1-side swing trigger (r6 blind spot): a >2× move vs the
     // previous driver record dumps the same plan + stage evidence the
     // sf1 ratio trigger produces — the sf0.1 side both feeds every
@@ -613,7 +635,7 @@ object Bench {
       headline.find(_.name == k).foreach { q =>
         val samples = bufs.getOrElse(k, Nil)
           .map(s => f"$s%.2f").mkString(" / ")
-        dumpDiagnostic(spark, q, sfDir, "sf0.1",
+        diagWalls(s"sf0.1:${q.name}") = dumpDiagnostic(spark, q, sfDir, "sf0.1",
           f"moved >2x vs prev driver record (${prevSf01Sec(k)}%.2f s -> $v%.2f s)",
           s" samples $samples s;")
       }
@@ -754,7 +776,8 @@ object Bench {
                else Nil)).mkString(", ")
             val perPass = allPasses.flatMap(_.get(k))
               .map(s => f"$s%.2f").mkString(" / ")
-            dumpDiagnostic(spark, q, sf1Dir, "sf1", why, s" passes $perPass s;")
+            diagWalls(s"sf1:${q.name}") =
+              dumpDiagnostic(spark, q, sf1Dir, "sf1", why, s" passes $perPass s;")
           }
         }
         val ratios = ratioVals.map { case (k, r) => "\"" + k + "\":" + r }
@@ -866,7 +889,7 @@ object Bench {
         // manual TimeQueries session)
         ratio10.filter(_._2 > 12.0).foreach { case (k, r) =>
           headline.find(_.name == k).foreach(q =>
-            dumpDiagnostic(spark, q, sf10Dir, "sf10",
+            diagWalls(s"sf10:${q.name}") = dumpDiagnostic(spark, q, sf10Dir, "sf10",
               f"second-decade ratio $r%.2f > 12 (after re-measure)", ""))
         }
         val ratios10 = ratio10.map { case (k, r) => "\"" + k + "\":" + r }
@@ -960,9 +983,16 @@ object Bench {
           s""","sf1_remeasured_final":${r3(sf1RemTriples.map(_._3).filter(_ >= 0).sum)}"""
       wall + sp + rem01 + rem1
     }
+    // re-execution walls of every diagnostic dump this run fired, on
+    // BOTH lines (the summary is the surviving tail; the full line keeps
+    // the complete context)
+    val diagJson =
+      if (diagWalls.isEmpty) ""
+      else diagWalls.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","diag_wall":{""", ",", "}")
     val (fullLine, summaryLine) = recordLines(total, qs, qSamples, sfDir,
       sf1Section, sf1Summary, remeasuredJson("sf01_remeasured", sf01Prelim),
-      failedBoth + sf10Both, summaryExtra)
+      failedBoth + sf10Both + diagJson, summaryExtra)
     println(fullLine)
     println(summaryLine) // LAST stdout line — the driver's tail keeps the end
     spark.stop()

@@ -20,10 +20,23 @@ object Verify {
   } + "\""
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [queryName...] — trailing names restrict the
+    // dump to those queries (local iteration on one family without the
+    // full 137-query sweep); the driver passes exactly two args and gets
+    // the complete catalog, unchanged.
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [query...]")
+    val (sfDir, outDir) = (args(0), args(1))
+    val only = args.drop(2).toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else {
+        val missing = only -- SparkEntry.queries.keySet
+        require(missing.isEmpty, s"unknown queries: ${missing.mkString(", ")}")
+        SparkEntry.queries.view.filterKeys(only).toMap
+      }
     val spark = Engine.session(appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       // coalesce(1), NOT repartition(1): the oracle compare is row-order
       // sensitive and coalesce concatenates the orderBy'd partitions in
       // index order inside one task, preserving the global sort;
@@ -48,7 +61,8 @@ object Verify {
             s"(may verify green for a dead query): ${t.getMessage}"))
       }
     }
-    val json = SparkEntry.oracleSql
+    val json = (if (only.isEmpty) SparkEntry.oracleSql
+                else SparkEntry.oracleSql.view.filterKeys(only).toMap)
       .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -561,24 +561,75 @@ object Similarity {
     * sides of the exact-verify join read the cache instead of re-scanning
     * and re-tokenizing (Spark shares no subplans across DataFrame
     * branches — at 100 TB this is the difference between one corpus read
-    * and three). Deterministic; rows-only check (DuckDB lacks the hash
-    * kernel). */
+    * and three). Deterministic; ORACLE-EXACT since the md5-window hash
+    * family landed (r15): every hash in the pipeline is derivable by
+    * DuckDB from the same text, so the whole election is recomputed by
+    * an independent engine (the mm_phash_dedup treatment applied to the
+    * text family). */
   /** Shared MinHash feature frame for [[ddMinhash]] / [[ddMinhashCc]]:
     * one scan of `documents` → (doc_id, bands, toks), persisted.
     *
     * Bucket values per band come from one fused JVM pass over the raw
     * text: tokenize (lower, split on space, len>3 — same rule as the
     * builtin `tokens` used by the verify joins; duplicates don't move a
-    * min, so no distinct needed) then 32 keyed minhashes folded into
-    * 8 bands of 4. Taking the string instead of a token array keeps the
-    * interpreted higher-order filter/transform lambdas out of the
-    * per-row hot path entirely. Both dedup queries share the SAME cache
-    * key, so running one warms the other — and neither ever re-scans
-    * the corpus for a second plan branch. */
+    * min, so no distinct needed), then a PORTABLE md5-derived minhash
+    * family (r15, replacing the seeded fnv/fmix kernel): one md5 per
+    * token, and permutation i (0..31) orders tokens by the 15-hex-char
+    * window read circularly from offset i of the digest, parsed as a
+    * 60-bit Long — the one-hash-many-orderings trick (cf. Li/Owen/Zhang
+    * one-permutation hashing): for uniform hex digits the 32 window
+    * orderings behave as near-independent permutations, and EVERY step
+    * is SQL-expressible (`('0x' || substr(h || h, i+1, 15))::BIGINT` in
+    * DuckDB), which is what buys the family its exact oracle. Band
+    * bucket b = the same 60-bit window at offset 0 of md5 over the
+    * band's 4 mins rendered in decimal, comma-joined — Long buckets, so
+    * the incremental index's pmod sharding and parquet layout are
+    * unchanged. Cost vs the fmix kernel: one MessageDigest MD5 per
+    * token (~0.5 µs) — measured at sf1 within noise of the old kernel
+    * (the exact-verify join dominates; SURVEY §6.12). Taking the string
+    * instead of a token array keeps the interpreted higher-order
+    * filter/transform lambdas out of the per-row hot path entirely.
+    * Both dedup queries share the SAME cache key, so running one warms
+    * the other — and neither ever re-scans the corpus for a second plan
+    * branch. */
   private val mhHashes = 32
   private val mhBands = 8
-  private lazy val mhSeeds =
-    Array.tabulate(mhHashes)(i => fmix64(0x9e3779b97f4a7c15L * (i + 1)))
+  /** MessageDigest is stateful and not thread-safe; per-token
+    * getInstance would dominate the kernel. One instance per executor
+    * thread. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexDigits = "0123456789abcdef".toCharArray
+  /** Lowercase-hex MD5 of the UTF-8 bytes — byte-identical to Spark's
+    * builtin `md5()` and DuckDB's `md5()`. */
+  private def md5Hex(s: String): Array[Char] = {
+    val d = md5Local.get()
+    d.reset()
+    val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((b(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(b(i) & 0xf)
+      i += 1
+    }
+    out
+  }
+  /** 15 hex chars of a 32-char digest read CIRCULARLY from `off`,
+    * parsed as a 60-bit non-negative Long — the SQL twin is
+    * `('0x' || substr(h || h, off + 1, 15))::BIGINT`. */
+  private def hexWindow60(h: Array[Char], off: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 15) {
+      val c = h((off + i) & 31)
+      v = (v << 4) | (if (c <= '9') c - '0' else c - 'a' + 10).toLong
+      i += 1
+    }
+    v
+  }
   private lazy val mhBandBuckets = udf((text: String) => {
     val rowsPerBand = mhHashes / mhBands
     if (text == null) Array.empty[Long]
@@ -586,21 +637,25 @@ object Similarity {
       val mins = Array.fill(mhHashes)(Long.MaxValue)
       Text.lowerLikeSpark(text).split(" ").foreach { t =>
         if (t.length > 3) {
-          val th = fnv64(t)
+          val h = md5Hex(t)
           var i = 0
           while (i < mhHashes) {
-            val h = fmix64(th ^ mhSeeds(i))
-            if (h < mins(i)) mins(i) = h
+            val hv = hexWindow60(h, i)
+            if (hv < mins(i)) mins(i) = hv
             i += 1
           }
         }
       }
       if (mins(0) == Long.MaxValue) Array.empty[Long] // no tokens → no bands
       else Array.tabulate(mhBands) { b =>
-        var acc = 1125899906842597L
+        val sb = new java.lang.StringBuilder(80)
         var j = 0
-        while (j < rowsPerBand) { acc = acc * 31 + mins(b * rowsPerBand + j); j += 1 }
-        fmix64(acc)
+        while (j < rowsPerBand) {
+          if (j > 0) sb.append(',')
+          sb.append(mins(b * rowsPerBand + j))
+          j += 1
+        }
+        hexWindow60(md5Hex(sb.toString), 0)
       }
     }
   })
@@ -680,13 +735,64 @@ object Similarity {
       d.select(col("doc_id").as("keeper"), col("toks").as("k_toks")))
   }
 
+  /** DuckDB re-derivation of the ENTIRE minhash pipeline — tokenize,
+    * per-token md5, 32 circular 15-hex windows, per-window mins, band
+    * buckets, keeper election, candidate assignment, exact-Jaccard
+    * verify — shared by the three family oracles. Every expression is
+    * the SQL twin of the fused kernel above; the `ve` CTE is the
+    * verified (doc_id, keeper, jaccard_pct) row set the batch query
+    * returns, which the incr/cc variants filter or close over. */
+  private[operators] val mhOracleCtes = """
+      tok AS (
+        SELECT doc_id,
+          unnest(list_distinct(list_filter(string_split(lower(text), ' '),
+            x -> length(x) > 3))) AS t
+        FROM documents),
+      th AS (SELECT doc_id, md5(t) AS h FROM tok),
+      mh AS (
+        SELECT doc_id, i,
+          MIN(('0x' || substr(h || h, CAST(i + 1 AS INT), 15))::BIGINT) AS m
+        FROM th, range(32) r(i) GROUP BY doc_id, i),
+      bands AS (
+        SELECT doc_id, i // 4 AS band,
+          ('0x' || substr(md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)),
+            1, 15))::BIGINT AS bucket
+        FROM mh GROUP BY doc_id, i // 4),
+      keep AS (
+        SELECT band, bucket, MIN(doc_id) AS keeper
+        FROM bands GROUP BY band, bucket),
+      cand AS (
+        SELECT b.doc_id, MIN(k.keeper) AS keeper
+        FROM bands b JOIN keep k ON k.band = b.band AND k.bucket = b.bucket
+        WHERE k.keeper < b.doc_id GROUP BY b.doc_id),
+      ts AS (
+        SELECT doc_id,
+          list_distinct(list_filter(string_split(lower(text), ' '),
+            x -> length(x) > 3)) AS toks
+        FROM documents
+        WHERE toks IS NOT NULL AND length(toks) > 0),
+      vr AS (
+        SELECT c.doc_id AS doc_id, c.keeper AS keeper,
+          CAST(length(list_intersect(a.toks, k.toks)) AS BIGINT) AS inter,
+          CAST(length(a.toks) AS BIGINT)
+            + CAST(length(k.toks) AS BIGINT) AS sz
+        FROM cand c
+        JOIN ts a ON a.doc_id = c.doc_id
+        JOIN ts k ON k.doc_id = c.keeper),
+      ve AS (
+        SELECT doc_id, keeper, (inter * 100) // (sz - inter) AS jaccard_pct
+        FROM vr
+        WHERE sz - inter > 0 AND (inter * 100) // (sz - inter) >= 50)"""
+
   val ddMinhash = QueryDef(
     "dd_minhash",
     // ONE pass over documents: band buckets + token set per doc, cached
     // for the three consumers inside (banding, verify doc side, verify
     // keeper side).
     (s, dir) => minhashDedupOf(minhashFeat(s, dir)),
-    oracle = None,
+    oracle = Some(s"""
+      WITH $mhOracleCtes
+      SELECT doc_id, keeper, jaccard_pct FROM ve ORDER BY doc_id"""),
     headline = true)
 
   /** Transitive MinHash dedup clustering: [[ddMinhash]]'s candidate
@@ -721,8 +827,13 @@ object Similarity {
     * row per clustered doc — (doc_id, cluster_id, cluster_size) with
     * cluster_id = the component's min doc_id (cluster members with
     * doc_id == cluster_id are the kept representatives; the rest are
-    * the drop set). Deterministic; rows-only check (hash-seeded
-    * banding), transitive-chain fixture in SemanticsSpec. */
+    * the drop set). Deterministic; ORACLE-EXACT (r15): DuckDB closes
+    * the verified edge set with a recursive CTE (node → reachable,
+    * label = MIN reachable) — a transitive-closure statement of the
+    * semantics that Spark must match with the actual iterative
+    * min-label/pointer-jump computation, the g1_components discipline
+    * applied to the dedup graph. Transitive-chain fixture in
+    * SemanticsSpec. */
   val ddMinhashCc = QueryDef(
     "dd_minhash_cc",
     (s, dir) => {
@@ -752,7 +863,37 @@ object Similarity {
           col("cluster_size"))
         .orderBy(col("doc_id"))
     },
-    oracle = None)
+    oracle = Some(s"""
+      WITH RECURSIVE $mhOracleCtes,
+      cande AS (
+        SELECT DISTINCT b.doc_id, k.keeper
+        FROM bands b JOIN keep k ON k.band = b.band AND k.bucket = b.bucket
+        WHERE k.keeper < b.doc_id),
+      vrc AS (
+        SELECT c.doc_id AS doc_id, c.keeper AS keeper,
+          CAST(length(list_intersect(a.toks, k.toks)) AS BIGINT) AS inter,
+          CAST(length(a.toks) AS BIGINT)
+            + CAST(length(k.toks) AS BIGINT) AS sz
+        FROM cande c
+        JOIN ts a ON a.doc_id = c.doc_id
+        JOIN ts k ON k.doc_id = c.keeper),
+      vec AS (
+        SELECT doc_id, keeper FROM vrc
+        WHERE sz - inter > 0 AND (inter * 100) // (sz - inter) >= 50),
+      edges AS (
+        SELECT doc_id AS a, keeper AS b FROM vec
+        UNION
+        SELECT keeper, doc_id FROM vec),
+      reach(n, r) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT reach.n, e.b FROM reach JOIN edges e ON e.a = reach.r),
+      lab AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n),
+      siz AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+      SELECT l.doc_id, l.cluster_id, s.cluster_size
+      FROM lab l JOIN siz s USING (cluster_id)
+      ORDER BY doc_id"""))
 
   /** SimHash near-dup: 64-bit simhash from per-token avalanche hashes,
     * banded by 8×8 bits, hamming distance verified against a ≤ 6
@@ -1751,7 +1892,15 @@ object Similarity {
     * the (bands, toks) layout for `dir`'s corpus slice and returns
     * (versionPath, split). */
   def ensureMinhashIndex(s: SparkSession, dir: String): (String, Long) =
-    ensureVersionedIndex(s, dir, "mh", "minhash", Seq("bands", "toks"),
+    // famPrefix "mh2", not "mh": the version identity (split, src mtime,
+    // shards) does NOT cover the banding kernel, and r15 replaced the
+    // seeded-fmix kernel with the md5-window family — a pre-switch index
+    // under the old base would otherwise version-match a post-switch
+    // probe and serve bands the probe's banding can never hit (silent
+    // empty dedup). A kernel change must bump this prefix; the old base
+    // simply ages out (tmpdir locally; one dead tree on a shared store,
+    // reclaimed by pointing a cleanup at the old prefix).
+    ensureVersionedIndex(s, dir, "mh2", "minhash", Seq("bands", "toks"),
       (staging, split, shards) =>
         writeMinhashIndex(s, dir, staging, split, shards))
 
@@ -1764,9 +1913,13 @@ object Similarity {
     * against it; output = [[ddMinhash]] over the full corpus restricted
     * to the increment (exact equality, spec-asserted); probe-time reads
     * are the increment slice (doc_id filter pushed to parquet) plus the
-    * pruned index partitions — never the corpus proper. Rows-only
-    * check (hash-seeded banding, like the rest of the minhash family);
-    * pinned by the equality spec + the PartitionFilters plan lock. */
+    * pruned index partitions — never the corpus proper. ORACLE-EXACT
+    * (r15, the mm_phash_incr treatment): the md5-window banding is
+    * SQL-expressible and the split is `max id − max id / 5`, so DuckDB
+    * recomputes the FULL election from the same text and restricts it
+    * to the increment — the incremental machinery is checked against an
+    * independent engine, on top of the probe≡batch equality spec and
+    * the PartitionFilters plan lock. */
   val ddMinhashIncr = QueryDef(
     "dd_minhash_incr",
     (s, dir) => {
@@ -1776,7 +1929,13 @@ object Similarity {
       // structural (immune to a conf change between ensure and probe)
       probeMinhashIndex(s, dir, idx, split)
     },
-    oracle = None)
+    oracle = Some(s"""
+      WITH sp AS (
+        SELECT MAX(doc_id) - MAX(doc_id) // 5 AS split FROM documents),
+      $mhOracleCtes
+      SELECT doc_id, keeper, jaccard_pct FROM ve
+      WHERE doc_id >= (SELECT split FROM sp)
+      ORDER BY doc_id"""))
 
   /** SimHash family shape for [[writeIncrIndex]]/[[probeIncrIndex]]. */
   private val shFamily = IncrFamily(
