@@ -904,12 +904,22 @@ object Similarity {
     * passing pairs: on a corpus with no near-dups a filtered result is
     * empty and proves nothing, while the candidate report stays
     * non-empty and checkable on any corpus (planted-dup fixture pins the
-    * verdict semantics). Deterministic; rows-only check. */
+    * verdict semantics). Deterministic; ORACLE-EXACT since the md5
+    * token hash landed (r15): the 64-bit per-token hash is the FIRST 16
+    * hex chars of md5(token), so DuckDB re-derives every bit with
+    * per-nibble arithmetic (`instr('0123456789abcdef', …) − 1` then
+    * shift/mask — no unsigned-64 type needed on either side) and
+    * recomputes the majority vote, the 8×8 banding, the election and
+    * the hamming verify from the same text. */
   /** Fused JVM simhash kernel from raw text (tokenize + set-dedupe +
     * 64-bit majority vote) — simhash bit counts DO depend on
     * multiplicity, so unlike minhash the distinct step is kept (hash
     * set). Returns null for token-free docs, which the isNotNull filter
-    * drops like minhash's size(toks)>0 guard. */
+    * drops like minhash's size(toks)>0 guard. Token hash = the md5
+    * digest's first 16 hex chars parsed unsigned (bit 0 = the LSB of
+    * hex char 16, i.e. bit i lives at char 16 − i/4, nibble bit i%4) —
+    * replacing the seeded fnv/fmix hash with the portable family that
+    * buys the oracle (r15, same move as minhash's window hashes). */
   private val simhashUdf = udf((text: String) => {
     if (text == null) Option.empty[Long]
     else {
@@ -919,7 +929,8 @@ object Similarity {
       Text.lowerLikeSpark(text).split(" ").foreach { t =>
         if (t.length > 3 && seen.add(t)) {
           any = true
-          val h = fmix64(fnv64(t))
+          val h = java.lang.Long.parseUnsignedLong(
+            new String(md5Hex(t), 0, 16), 16)
           var i = 0
           while (i < 64) {
             if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
@@ -983,6 +994,52 @@ object Similarity {
       withSim.select(col("doc_id").as("keeper"), col("simhash").as("k_sim")))
   }
 
+  /** DuckDB re-derivation of the ENTIRE simhash pipeline. Bit i of the
+    * 64-bit token hash (first 16 hex chars of md5, unsigned) lives at
+    * hex char 16 − i/4, nibble bit i%4 — extracted with
+    * `instr('0123456789abcdef', c) − 1` then shift/mask, so no side
+    * needs an unsigned-64 type: the majority vote, the 8×8-bit banding
+    * (bucket = Σ bit·2^(i mod 8) per band, a 0..255 int), the keeper
+    * election and the hamming count (Σ differing bits) are all small-
+    * integer SQL. `sb` is the per-(doc, bit) majority verdict; docs
+    * with no qualifying tokens never enter `tok` — the kernel's null
+    * return. */
+  private val shOracleCtes = """
+      tok AS (
+        SELECT doc_id,
+          unnest(list_distinct(list_filter(string_split(lower(text), ' '),
+            x -> length(x) > 3))) AS t
+        FROM documents),
+      th AS (SELECT doc_id, md5(t) AS h FROM tok),
+      bits AS (
+        SELECT doc_id, i,
+          CASE WHEN
+            ((instr('0123456789abcdef',
+                substr(h, CAST(16 - i // 4 AS INT), 1)) - 1) >> (i % 4)) & 1
+            = 1 THEN 1 ELSE -1 END AS v
+        FROM th, range(64) r(i)),
+      sb AS (
+        SELECT doc_id, i, CASE WHEN SUM(v) > 0 THEN 1 ELSE 0 END AS b
+        FROM bits GROUP BY doc_id, i),
+      bands AS (
+        SELECT doc_id, i // 8 AS band,
+          CAST(SUM(b << CAST(i % 8 AS INT)) AS BIGINT) AS bucket
+        FROM sb GROUP BY doc_id, i // 8),
+      keep AS (
+        SELECT band, bucket, MIN(doc_id) AS keeper
+        FROM bands GROUP BY band, bucket),
+      cand AS (
+        SELECT b.doc_id, MIN(k.keeper) AS keeper
+        FROM bands b JOIN keep k ON k.band = b.band AND k.bucket = b.bucket
+        WHERE k.keeper < b.doc_id GROUP BY b.doc_id),
+      ve AS (
+        SELECT c.doc_id, c.keeper,
+          CAST(SUM(CASE WHEN d.b <> k.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN sb d ON d.doc_id = c.doc_id
+        JOIN sb k ON k.doc_id = c.keeper AND k.i = d.i
+        GROUP BY c.doc_id, c.keeper)"""
+
   val ddSimhash = QueryDef(
     "dd_simhash",
     // ONE kernel pass over documents, persisted: the banded branch and
@@ -991,7 +1048,10 @@ object Similarity {
     (s, dir) => simhashDedupOf(cachedFeature(s, s"dd_simhash:$dir", srcVersion(s, dir, "documents.parquet")) {
       simhashFeatOf(T(s, dir).documents)
     }),
-    oracle = None)
+    oracle = Some(s"""
+      WITH $shOracleCtes
+      SELECT doc_id, keeper, hamming, hamming <= 6 AS is_dup FROM ve
+      ORDER BY doc_id"""))
 
   /** Embedding-cosine near-dup (driver brief's fifth dedup modality):
     * LSH band buckets propose candidate pairs, exact cosine scores each
@@ -1990,7 +2050,10 @@ object Similarity {
     * the (bands, sims) layout for `dir`'s corpus slice and returns
     * (versionPath, split). */
   def ensureSimhashIndex(s: SparkSession, dir: String): (String, Long) =
-    ensureVersionedIndex(s, dir, "sh", "simhash", Seq("bands", "sims"),
+    // "sh2", not "sh": the r15 md5 token hash changed the fingerprint
+    // kernel, and the version identity does not cover it — same
+    // prefix-bump rule as ensureMinhashIndex's mh2
+    ensureVersionedIndex(s, dir, "sh2", "simhash", Seq("bands", "sims"),
       (staging, split, shards) =>
         writeSimhashIndex(s, dir, staging, split, shards))
 
@@ -2000,8 +2063,10 @@ object Similarity {
     * Output = [[ddSimhash]] over the full corpus restricted to the
     * increment (exact equality, spec-asserted); probe-time reads are
     * the increment slice plus pruned index partitions — never the
-    * corpus proper. Rows-only check (seeded-hash fingerprints); pinned
-    * by the equality spec + the PartitionFilters plan lock. */
+    * corpus proper. ORACLE-EXACT (r15): the md5 token hash made the
+    * fingerprint SQL-derivable, so DuckDB recomputes the full election
+    * restricted to the increment (`max id − max id // 5`), on top of
+    * the probe≡batch equality spec + the PartitionFilters plan lock. */
   val ddSimhashIncr = QueryDef(
     "dd_simhash_incr",
     (s, dir) => {
@@ -2009,7 +2074,13 @@ object Similarity {
       // no shards argument: the path's -sN suffix is authoritative
       probeSimhashIndex(s, dir, idx, split)
     },
-    oracle = None)
+    oracle = Some(s"""
+      WITH sp AS (
+        SELECT MAX(doc_id) - MAX(doc_id) // 5 AS split FROM documents),
+      $shOracleCtes
+      SELECT doc_id, keeper, hamming, hamming <= 6 AS is_dup FROM ve
+      WHERE doc_id >= (SELECT split FROM sp)
+      ORDER BY doc_id"""))
 
   /** Embedding family shape for [[writeIncrIndex]]/[[probeIncrIndex]]. */
   private val embFamily = IncrFamily(
