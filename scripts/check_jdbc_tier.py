@@ -40,14 +40,30 @@ def main(pq_dir, jdbc_dir, err_log, out_json, round_n):
     reasons = {}
     if os.path.exists(err_log):
         for line in open(err_log, errors="replace"):
-            m = re.match(r"\[verify\] (\S+) failed: (.*)", line.strip())
+            # search, not match: an sbt-produced log prefixes every
+            # stderr line with "[error] ", and an anchored match would
+            # lose every reason
+            m = re.search(r"\[verify\] (\S+) failed: (.*)", line.strip())
             if m:
                 reasons[m.group(1)] = m.group(2)[:300]
-    names = sorted(d for d in os.listdir(pq_dir)
-                   if os.path.isdir(os.path.join(pq_dir, d)))
-    per_query, n_equal, n_mismatch = {}, 0, 0
+
+    def dirs_of(d):
+        return {e for e in os.listdir(d) if os.path.isdir(os.path.join(d, e))}
+
+    # enumerate from BOTH sides: a query missing from the parquet dir
+    # (env flake in that run) must appear in the record as incomparable,
+    # not silently shrink queries_total into fake full coverage
+    pq_names, jdbc_names = dirs_of(pq_dir), dirs_of(jdbc_dir)
+    names = sorted(pq_names | jdbc_names)
+    per_query, n_equal, n_mismatch, n_nopq = {}, 0, 0, 0
     for name in names:
         jpath = os.path.join(jdbc_dir, name)
+        if name not in pq_names:
+            per_query[name] = {
+                "status": "no-parquet-result",
+                "reason": "jdbc result has no parquet-side twin to compare"}
+            n_nopq += 1
+            continue
         if not os.path.isdir(jpath):
             per_query[name] = {
                 "status": "non-runner",
@@ -78,15 +94,18 @@ def main(pq_dir, jdbc_dir, err_log, out_json, round_n):
         "runnable": n_equal + n_mismatch,
         "equal": n_equal,
         "mismatch": n_mismatch,
-        "non_runners": len(names) - n_equal - n_mismatch,
+        "no_parquet_result": n_nopq,
+        "non_runners": len(names) - n_equal - n_mismatch - n_nopq,
         "per_query": per_query,
     }
     with open(out_json, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
     print(f"{n_equal} equal, {n_mismatch} mismatch, "
-          f"{len(names) - n_equal - n_mismatch} non-runners "
-          f"(of {len(names)}) -> {out_json}")
-    return 1 if n_mismatch else 0
+          f"{len(names) - n_equal - n_mismatch - n_nopq} non-runners, "
+          f"{n_nopq} without a parquet twin (of {len(names)}) -> {out_json}")
+    # incomparable coverage is a loud exit too: the artifact must not
+    # read as full bit-equality when a query was never compared
+    return 1 if (n_mismatch or n_nopq) else 0
 
 
 if __name__ == "__main__":

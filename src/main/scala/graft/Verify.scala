@@ -61,8 +61,15 @@ object Verify {
             s"(may verify green for a dead query): ${t.getMessage}"))
       }
     }
+    // Full run: every oracle entry (a failed query keeps its entry and
+    // FAILS the compare — never silently weakens to rows-only). Subset
+    // run: entries for the selected queries PLUS any sibling result dir
+    // already in outDir — a subset refresh into a reused full-run dir
+    // must not rewrite oracle_sql.json down to one entry and downgrade
+    // the 136 stale-but-checkable siblings to unchecked (review r15).
     val json = (if (only.isEmpty) SparkEntry.oracleSql
-                else SparkEntry.oracleSql.view.filterKeys(only).toMap)
+                else SparkEntry.oracleSql.view.filterKeys(k =>
+                  only(k) || new java.io.File(s"$outDir/$k").isDirectory).toMap)
       .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

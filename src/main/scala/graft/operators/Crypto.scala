@@ -103,28 +103,33 @@ object Crypto {
     (s, dir) => {
       val spark = s
       import spark.implicits._
-      // c_custkey is 0-BASED in this corpus (min(c_custkey) = 0 at every
-      // SF) and the tree wants left-filled indices from 0, so the key IS
-      // the leaf index. The former `- 1` shifted a spurious leaf −1 into
-      // block 0 (65 leaves in a 64-capacity block), which the pyramid
-      // fold silently truncated — caught the moment proofDistributed
-      // grew its leaf_index range guard (r13 functions sweep).
-      val leaves = T(s, dir).customer
-        .select(col("c_custkey").cast("long").as("leaf_index"),
+      // Leaf index = the key's DENSE RANK, not the key itself. The key
+      // was the index on the driver tiers (c_custkey is 0-based
+      // contiguous there, so this is output-identical), but the r15
+      // sf10 sweep fed a synthesized tier whose keys carry replica
+      // strides (max key 15.5e9 over 1.5M rows) and the left-filled
+      // guard rightly refused — the realistic shape too: a production
+      // key space has gaps (deletions, strides), and a tree over an
+      // append log wants positions, not keys. Derived with
+      // [[ScaleOps.strataPrefixSum]] (empty strata = one global
+      // exclusive prefix-sum of 1 in key order: range-shuffle once,
+      // bounded per-chunk collect, narrow local pass) — NEVER a
+      // single-task row_number window, the classic 100 TB scale-killer.
+      val keyed = T(s, dir).customer
+        .select(col("c_custkey").cast("long").as("leaf_key"),
           unhex(md5(col("c_name"))).as("leaf"))
+      val leaves = ScaleOps.strataPrefixSum(
+          keyed, Seq.empty, Seq("leaf_key"), lit(1L), "leaf_index")
+        .select(col("leaf_index"), col("leaf"))
       // depth sized to the CORPUS, floored at the old demo depth 12: a
       // hard-coded 12 caps the tree at 4096 leaves and the range guard
-      // rightly refuses sf0.1's 15000 customers (r13 sweep). The sizing
-      // action is a key-column-only agg (count(*) is metadata-only on
-      // parquet; max prunes to one column) — the full (key, leaf) scan
-      // happens once, inside the distributed fold, and n comes from the
-      // same agg rather than a second count().
-      val Array(sized) = leaves
-        .agg(count(lit(1)).as("n"), max(col("leaf_index")).as("mx")).collect()
-      val n = sized.getLong(0)
-      val maxIdx = if (n == 0) -1L else sized.getLong(1)
+      // rightly refuses sf0.1's 15000 customers (r13 sweep). With dense
+      // indices the max index is n−1, so one metadata-cheap count sizes
+      // the tree; the (key, leaf) scan + shuffle happens once, inside
+      // the prefix-sum kernel, whose output feeds the fold directly.
+      val n = keyed.count()
       val depth = math.max(12,
-        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxIdx)))
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
       val root = graft.functions.Merkle.rootDistributed(s, leaves, depth, blockDepth = 6)
       Seq((depth, n, graft.functions.Poseidon.toBytes32(root)
         .map("%02x".format(_)).mkString))

@@ -356,23 +356,6 @@ object Similarity {
     })
   }
 
-  /** FNV-1a over UTF-16 code units — stable, allocation-free. */
-  private def fnv64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-    h
-  }
-
-  /** 64-bit avalanche finalizer (the MurmurHash3 fmix64 constants —
-    * published mixing function, used here as a cheap keyed permutation). */
-  private def fmix64(x0: Long): Long = {
-    var x = x0
-    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
-    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
-    x ^= x >>> 33; x
-  }
-
   /** Exact top-5 neighbors by quantized inner product for query vectors
     * vec_id < 5. Integer math end-to-end → DuckDB-checkable. (The heap
     * aggregator compares the dot as a double — exact below 2^53, and a
