@@ -115,6 +115,87 @@ class SemanticsSpec extends SparkSpec {
     assert(!keepers.contains(1L))        // keeper itself is not emitted
   }
 
+  test("minhash md5-window banding: fused kernel == declarative Spark-SQL twin") {
+    // A THIRD independent derivation of the r15 portable hash family,
+    // inside the suite: the fused JVM kernel (what the catalog runs) and
+    // a declarative recomputation from Spark's own builtin md5/conv/
+    // substr — structurally the DuckDB oracle transliterated to Spark
+    // SQL. Pins the kernel's md5 hex encoding, the circular 15-hex
+    // window parse, the i-order comma-joined band digest, and the
+    // builtin-lower tokenization twin (unicode row included) against
+    // refactor drift the property specs cannot see.
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (3L, "alpha bravo charlie delta echo foxtrot golf INDIA"),
+      (4L, "Ünïcödé tökens LONGWORD another Überlang wording"),
+      (5L, "a bb ccc"), // no >3-char tokens → no bands
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val kernel = graft.operators.Similarity.minhashFeatOf(docs)
+      .select($"doc_id", $"bands").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val tok = docs.select($"doc_id",
+        explode(array_distinct(filter(split(lower($"text"), " "),
+          w => length(w) > lit(3)))).as("t"))
+      .withColumn("h", md5($"t"))
+    val mins = tok
+      .select($"doc_id", $"h", explode(sequence(lit(0), lit(31))).as("i"))
+      .withColumn("hv",
+        conv(expr("substr(concat(h, h), i + 1, 15)"), 16, 10).cast("long"))
+      .groupBy($"doc_id", $"i").agg(min($"hv").as("m"))
+    val twin = mins
+      .groupBy($"doc_id", expr("i div 4").as("band"))
+      .agg(sort_array(collect_list(struct($"i", $"m"))).as("sm"))
+      .withColumn("bucket", conv(substring(
+        md5(expr("concat_ws(',', transform(sm, x -> cast(x.m as string)))")),
+        1, 15), 16, 10).cast("long"))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"band", $"bucket"))).as("bb"))
+      .withColumn("bands", expr("transform(bb, x -> x.bucket)"))
+      .select($"doc_id", $"bands").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (id <- 1L to 6L)
+      assert(kernel.getOrElse(id, Seq.empty[Long]) ===
+        twin.getOrElse(id, Seq.empty[Long]), s"doc $id bands diverge")
+    assert(kernel(1L).size === 8 && kernel(1L) === kernel(2L))
+    assert(kernel.getOrElse(5L, Seq.empty[Long]).isEmpty)
+  }
+
+  test("simhash md5 fingerprint: fused kernel == declarative Spark-SQL twin") {
+    // Same third-derivation discipline for the simhash family: the
+    // 64-bit token hash re-derived from builtin md5 via two conv'd
+    // 32-bit halves (shiftleft|or — no unsigned parse needed), the
+    // per-bit majority vote re-aggregated with bit_or of shifted bits.
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf INDIA"),
+      (3L, "Ünïcödé tökens LONGWORD another Überlang wording"),
+      (4L, "a bb ccc"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val kernel = graft.operators.Similarity.simhashFeatOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twin = docs.select($"doc_id",
+        explode(array_distinct(filter(split(lower($"text"), " "),
+          w => length(w) > lit(3)))).as("t"))
+      .withColumn("h64",
+        expr("shiftleft(cast(conv(substr(md5(t), 1, 8), 16, 10) as long), 32)")
+          .bitwiseOR(
+            expr("cast(conv(substr(md5(t), 9, 8), 16, 10) as long)")))
+      .select($"doc_id", $"h64", explode(sequence(lit(0), lit(63))).as("i"))
+      .withColumn("v", when(
+        expr("shiftrightunsigned(h64, i)").bitwiseAND(lit(1L)) === lit(1L),
+        lit(1L)).otherwise(lit(-1L)))
+      .groupBy($"doc_id", $"i").agg(sum($"v").as("c"))
+      .groupBy($"doc_id")
+      .agg(bit_or(when($"c" > 0, expr("shiftleft(1L, i)")).otherwise(lit(0L)))
+        .as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(twin.keySet === kernel.keySet) // 4 and 5 absent from both
+    for ((id, s) <- kernel) assert(twin(id) === s, s"doc $id simhash diverges")
+  }
+
   test("dd_minhash_incr: index probe ∪ stored corpus result == full dd_minhash recompute") {
     import graft.operators.Similarity
     // the incremental contract: dedup the NEW increment against a
