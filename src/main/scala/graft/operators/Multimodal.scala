@@ -669,13 +669,15 @@ object Multimodal {
       (staging, split, shards) => writePhashIndex(s, dir, staging, split, shards))
 
   /** mm_phash_incr: incremental image dedup against the persisted phash
-    * index. Unlike the seeded-hash minhash/simhash twins this one is
-    * ORACLE-EXACT: the average-hash is portable integer math and the
-    * split is SQL-expressible (max id − max id / 5), so DuckDB
-    * recomputes the full election from the same source bytes and
-    * restricts it to the increment — the incremental machinery's output
-    * is checked against an independent engine, not just against our own
-    * batch path (which the SemanticsSpec equality additionally pins). */
+    * index. ORACLE-EXACT — the first `_incr` query to be (r11): the
+    * average-hash is portable integer math and the split is
+    * SQL-expressible (max id − max id / 5), so DuckDB recomputes the
+    * full election from the same source bytes and restricts it to the
+    * increment — the incremental machinery's output is checked against
+    * an independent engine, not just against our own batch path (which
+    * the SemanticsSpec equality additionally pins). The minhash/simhash
+    * twins followed in r15 once their kernels moved to md5-derived
+    * portable hashes. */
   val mmPhashIncr = QueryDef(
     "mm_phash_incr",
     (s, dir) => {

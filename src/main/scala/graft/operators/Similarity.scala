@@ -690,8 +690,8 @@ object Similarity {
       // sizes — it was ~half the verify stage's CPU, which is the
       // whole-query hot spot once LSH has cut candidates to O(docs)
       // (r14 sf10 profile). Spark and DuckDB agree on the identity for
-      // duplicate-free arrays; the rows-only siblings' probe≡batch
-      // specs run both paths through this one definition.
+      // duplicate-free arrays; the family's probe≡batch specs run both
+      // paths through this one definition.
       .withColumn("uni",
         (size(col("toks")) + size(col("k_toks"))).cast("long") - col("inter"))
       .filter(col("uni") > lit(0L) && expr("(inter * 100) div uni") >= lit(50L))
