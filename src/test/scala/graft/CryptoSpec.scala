@@ -256,4 +256,41 @@ class CryptoSpec extends SparkSpec {
     }
   }
 
+  test("crypto_merkle_root: gapped keys hash the same tree as contiguous ones") {
+    // The r15 sf10 sweep caught the query using c_custkey AS the leaf
+    // index, which only holds while keys are 0-based contiguous — the
+    // synthesized tier's replica-stride keys tripped the left-filled
+    // guard. The fix derives the leaf index from the key's DENSE RANK
+    // (strataPrefixSum, empty strata), so the defining property is:
+    // the root depends only on the leaves in key ORDER, never on the
+    // key VALUES. Same names under contiguous 0..n−1 keys and under
+    // gapped/strided keys (including one past 2^32) must agree; a
+    // permuted name order must not.
+    val names = (0 until 300).map(i => s"cust-$i")
+    val gapped = names.indices.map(i =>
+      7L + i.toLong * 13L + (if (i > 200) 5000000000L else 0L))
+    def write(dir: String, keys: Seq[Long], ns: Seq[String]): Unit =
+      keys.zip(ns).toDF("c_custkey", "c_name")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    def rootOf(dir: String): (Long, Long, String) = {
+      val r = graft.operators.Crypto.cryptoMerkleRoot.run(spark, dir).collect()
+      assert(r.length === 1)
+      (r(0).getAs[Long]("depth"), r(0).getAs[Long]("n_leaves"),
+        r(0).getAs[String]("root_hex"))
+    }
+    val dContig = tempDir("graft-mr-contig").toString
+    val dGapped = tempDir("graft-mr-gapped").toString
+    val dPerm = tempDir("graft-mr-perm").toString
+    write(dContig, names.indices.map(_.toLong), names)
+    write(dGapped, gapped, names)
+    // same key set, names rotated by one: order sensitivity
+    write(dPerm, gapped, names.tail :+ names.head)
+    val contig = rootOf(dContig)
+    val gap = rootOf(dGapped)
+    assert(contig === gap,
+      "dense-rank leaf index: gapped keys must hash the identical tree")
+    assert(rootOf(dPerm)._3 !== gap._3,
+      "a different leaf order must change the root")
+  }
+
 }

@@ -350,6 +350,25 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("strataPrefixSum with EMPTY strata is a global exclusive prefix sum") {
+    // the r15 crypto_merkle_root rewrite leans on this mode (dense leaf
+    // index = global prefix-sum of 1 in key order): one Nil stratum key,
+    // partials bounded by nChunks, output == row_number − 1 regardless
+    // of input partitioning
+    val n = 1000
+    val df = scala.util.Random.shuffle((0 until n).toList)
+      .map(i => (i.toLong * 7 + 3, 1L)).toDF("k", "one")
+      .repartition(13) // scrambled physical layout must not matter
+    val got = graft.operators.ScaleOps
+      .strataPrefixSum(df, Seq.empty, Seq("k"), lit(1L), "idx")
+      .select($"k", $"idx").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until n).foreach { i =>
+      assert(got(i.toLong * 7 + 3) === i.toLong,
+        s"key ${i * 7 + 3} expected dense index $i")
+    }
+  }
+
   test("strataPrefixSum refuses strata types whose JVM equality diverges from sort order") {
     // a BinaryType stratum boxes to arrays with reference-identity
     // equals: the partials map would get one entry per ROW (unbounded
