@@ -50,27 +50,41 @@ def main(pq_dir, jdbc_dir, err_log, out_json, round_n):
     def dirs_of(d):
         return {e for e in os.listdir(d) if os.path.isdir(os.path.join(d, e))}
 
-    # enumerate from BOTH sides: a query missing from the parquet dir
-    # (env flake in that run) must appear in the record as incomparable,
-    # not silently shrink queries_total into fake full coverage
+    # enumerate from BOTH sides PLUS every name the stderr reasons dict
+    # captured: a query missing from the parquet dir (env flake in that
+    # run) must appear in the record as incomparable, and a query that
+    # failed on BOTH sides (no result dir anywhere) must still be counted
+    # as a non-runner — neither may silently shrink queries_total into
+    # fake full coverage (review r15/r16)
     pq_names, jdbc_names = dirs_of(pq_dir), dirs_of(jdbc_dir)
-    names = sorted(pq_names | jdbc_names)
-    per_query, n_equal, n_mismatch, n_nopq = {}, 0, 0, 0
+    names = sorted(pq_names | jdbc_names | set(reasons))
+    per_query, n_equal, n_mismatch, n_nopq, n_unread = {}, 0, 0, 0, 0
     for name in names:
         jpath = os.path.join(jdbc_dir, name)
+        if name not in jdbc_names:
+            # jdbc side never produced a result: a non-runner whether or
+            # not the parquet side ran (double-failure is noted, not lost)
+            reason = reasons.get(name, "no result dir (reason not captured)")
+            if name not in pq_names:
+                reason += " (parquet-side result also missing)"
+            per_query[name] = {"status": "non-runner", "reason": reason}
+            continue
         if name not in pq_names:
             per_query[name] = {
                 "status": "no-parquet-result",
                 "reason": "jdbc result has no parquet-side twin to compare"}
             n_nopq += 1
             continue
-        if not os.path.isdir(jpath):
-            per_query[name] = {
-                "status": "non-runner",
-                "reason": reasons.get(name, "no result dir (reason not captured)")}
+        # a truncated/empty result dir (run died mid-write) is recorded
+        # as unreadable for that one query, not an abort of the artifact
+        try:
+            pc, prows = rows_of(os.path.join(pq_dir, name))
+            jc, jrows = rows_of(jpath)
+        except Exception as e:
+            per_query[name] = {"status": "unreadable",
+                               "detail": f"{type(e).__name__}: {e}"[:300]}
+            n_unread += 1
             continue
-        pc, prows = rows_of(os.path.join(pq_dir, name))
-        jc, jrows = rows_of(jpath)
         if pc != jc:
             per_query[name] = {"status": "mismatch",
                                "detail": f"columns parquet={pc} jdbc={jc}"}
@@ -95,17 +109,19 @@ def main(pq_dir, jdbc_dir, err_log, out_json, round_n):
         "equal": n_equal,
         "mismatch": n_mismatch,
         "no_parquet_result": n_nopq,
-        "non_runners": len(names) - n_equal - n_mismatch - n_nopq,
+        "unreadable": n_unread,
+        "non_runners": len(names) - n_equal - n_mismatch - n_nopq - n_unread,
         "per_query": per_query,
     }
     with open(out_json, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
     print(f"{n_equal} equal, {n_mismatch} mismatch, "
-          f"{len(names) - n_equal - n_mismatch - n_nopq} non-runners, "
+          f"{len(names) - n_equal - n_mismatch - n_nopq - n_unread} non-runners, "
+          f"{n_unread} unreadable, "
           f"{n_nopq} without a parquet twin (of {len(names)}) -> {out_json}")
     # incomparable coverage is a loud exit too: the artifact must not
     # read as full bit-equality when a query was never compared
-    return 1 if (n_mismatch or n_nopq) else 0
+    return 1 if (n_mismatch or n_nopq or n_unread) else 0
 
 
 if __name__ == "__main__":

@@ -19,6 +19,32 @@ object Verify {
     case c => c.toString
   } + "\""
 
+  /** Which current-catalog oracle entries survive into oracle_sql.json.
+    * Full run: all. Subset run: selected ∪ prior-file keys ∪ existing
+    * result dirs (the prior-key arm keeps a sibling that FAILED in the
+    * prior full run — entry, no dir — failing the compare; dropping it
+    * would silently downgrade the failure to unchecked, review r16). An
+    * unreadable prior file degrades to dirs-only with a loud stderr
+    * note, never a throw. */
+  private[graft] def oracleKeep(only: Set[String], outDir: String):
+      String => Boolean =
+    if (only.isEmpty) _ => true
+    else {
+      val prior = {
+        val f = new java.io.File(s"$outDir/oracle_sql.json")
+        if (!f.isFile) Set.empty[String]
+        else scala.util.Try {
+          import scala.jdk.CollectionConverters._
+          new com.fasterxml.jackson.databind.ObjectMapper()
+            .readValue(f, classOf[java.util.Map[String, String]])
+            .keySet.asScala.toSet
+        }.fold(t => { System.err.println(
+          s"[verify] prior oracle_sql.json unreadable, merging dirs only: ${t.getMessage}")
+          Set.empty[String] }, identity)
+      }
+      k => only(k) || prior(k) || new java.io.File(s"$outDir/$k").isDirectory
+    }
+
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [queryName...] — trailing names restrict the
     // dump to those queries (local iteration on one family without the
@@ -63,13 +89,16 @@ object Verify {
     }
     // Full run: every oracle entry (a failed query keeps its entry and
     // FAILS the compare — never silently weakens to rows-only). Subset
-    // run: entries for the selected queries PLUS any sibling result dir
-    // already in outDir — a subset refresh into a reused full-run dir
-    // must not rewrite oracle_sql.json down to one entry and downgrade
-    // the 136 stale-but-checkable siblings to unchecked (review r15).
-    val json = (if (only.isEmpty) SparkEntry.oracleSql
-                else SparkEntry.oracleSql.view.filterKeys(k =>
-                  only(k) || new java.io.File(s"$outDir/$k").isDirectory).toMap)
+    // run: MERGE with the oracle_sql.json already in outDir — every key
+    // the prior full run recorded keeps its entry (values refreshed from
+    // the current catalog), so a sibling that FAILED in that full run
+    // (entry present, no result dir) keeps failing the compare instead
+    // of silently downgrading to unchecked; result dirs without a prior
+    // entry are (re)added too (review r15/r16). Keys are intersected
+    // with the current catalog: a renamed/removed query's stale entry
+    // would otherwise fail the compare forever with no way to run it.
+    val keep = oracleKeep(only, outDir)
+    val json = SparkEntry.oracleSql.view.filterKeys(keep).toMap
       .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -264,6 +264,71 @@ class CatalogSpec extends SparkSpec {
     assert(Bench.loadBestSf01Anchors(empty) === Bench.fallbackSf01Sec)
   }
 
+  test("sf10 anchor is the per-query min recorded ratio; trigger is wall-or-2.5x") {
+    // r15 verdict #1: j1_fk_join shipped 10.19x/decade as a single
+    // unattributed pass under the absolute >12 wall while quiet
+    // same-day runs measured 4.43x. The per-query best recorded sf10
+    // ratio is the anchor; exceeding 2.5x of it re-measures (and, if it
+    // stands, dumps) — the wall alone no longer gates attribution.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dir = tempDir("graft-bench-sf10").toFile
+    def write(name: String, line: String): Unit = {
+      val node = mapper.createObjectNode()
+      node.putNull("parsed"); node.put("tail", s"[info] $line\n")
+      val w = new java.io.PrintWriter(new java.io.File(dir, name))
+      w.write(mapper.writeValueAsString(node)); w.close()
+    }
+    def line(j1Ratio: Double): String =
+      s"""{"metric":"total","value":9.0,"unit":"sec",""" +
+        s""""queries":{"q1_agg":0.8,"j1_fk_join":1.1},""" +
+        s""""sf10_ratio_vs_sf1":{"j1_fk_join":$j1Ratio},"sf":"/x/sf0.1"}"""
+    write("BENCH_r14.json", line(3.38)) // quiet round
+    write("BENCH_r15.json", line(10.19)) // window-inflated round (newest)
+    assert(Bench.loadBestSf10Ratios(dir) === Map("j1_fk_join" -> 3.38),
+      "per-query min recorded sf10 ratio, not the newest record's")
+    // a record with no sf10 section contributes nothing (and an empty
+    // dir yields NO fallback — the wall is the only trigger then)
+    assert(Bench.loadBestSf10Ratios(tempDir("graft-bench-sf10e").toFile)
+      === Map.empty)
+    // trigger semantics: the r15 case (10.19 vs anchor 3.38) now fires;
+    // a in-family ratio does not; the wall still covers anchorless
+    // queries; a nonpositive anchor can never arm the relative arm
+    assert(Bench.sf10Suspicious(10.19, Some(3.38)))
+    assert(!Bench.sf10Suspicious(4.0, Some(3.38)))
+    assert(!Bench.sf10Suspicious(8.44, Some(3.38)), "2.5x is exclusive")
+    assert(Bench.sf10Suspicious(12.1, None))
+    assert(!Bench.sf10Suspicious(11.9, None))
+    assert(!Bench.sf10Suspicious(5.0, Some(-1.0)))
+    assert(!Bench.sf10Suspicious(5.0, Some(0.0)))
+  }
+
+  test("Verify subset runs merge oracle entries, never dropping a prior failure") {
+    // advice r15: a query that FAILED in a prior full run has an oracle
+    // entry but no result dir; a subset refresh into the reused dir must
+    // keep that entry (so it keeps failing the compare) rather than
+    // filter it out and silently downgrade the failure to unchecked.
+    val out = tempDir("graft-verify-keep").toFile
+    // prior full run recorded two entries; 'prior_failed' never wrote a dir
+    java.nio.file.Files.writeString(
+      new java.io.File(out, "oracle_sql.json").toPath,
+      """{"prior_failed": "SELECT 1", "prior_green": "SELECT 2"}""")
+    new java.io.File(out, "prior_green").mkdirs()   // green sibling's dir
+    new java.io.File(out, "dir_only").mkdirs()      // dir with no prior entry
+    val keep = Verify.oracleKeep(Set("selected"), out.getPath)
+    assert(keep("selected"), "the refreshed query itself")
+    assert(keep("prior_failed"), "entry-no-dir sibling keeps failing the compare")
+    assert(keep("prior_green"), "green sibling stays checked")
+    assert(keep("dir_only"), "result dir without a prior entry is (re)added")
+    assert(!keep("never_seen"), "unrelated catalog keys stay out of a subset dump")
+    // full run: everything, regardless of dir state
+    assert(Verify.oracleKeep(Set.empty, out.getPath)("anything"))
+    // unreadable prior file degrades to selected ∪ dirs, never throws
+    java.nio.file.Files.writeString(
+      new java.io.File(out, "oracle_sql.json").toPath, "{not json")
+    val degraded = Verify.oracleKeep(Set("selected"), out.getPath)
+    assert(degraded("selected") && degraded("prior_green") && !degraded("prior_failed"))
+  }
+
   test("remeasuredJson records the prelim-min transparency field") {
     // min over more samples is monotone non-increasing, so an adaptive
     // correction can only lower a number — the artifact must say which
