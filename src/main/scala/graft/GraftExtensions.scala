@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotFloat, DotLong}
+import graft.functions.{BinaryToFloats, DotFloat, DotLong, FloatsToBinary}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the native Catalyst expressions as SQL functions, so both
@@ -36,6 +36,19 @@ object GraftExtensions {
       build(children(0), children(1))
     }
 
+  /** Unary twin of [[binary]] — same named-AnalysisException arity guard. */
+  private def unary(name: String)(build: Expression => Expression)
+      : Seq[Expression] => Expression =
+    children => {
+      if (children.length != 1)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> "1",
+            "actualNum" -> children.length.toString, "docroot" -> ""))
+      build(children(0))
+    }
+
   private val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("dot_long"),
@@ -45,7 +58,15 @@ object GraftExtensions {
       (FunctionIdentifier("dot_float"),
         info(classOf[DotFloat], "dot_float",
           "dot_float(a, b) - float inner product accumulated in double, left-to-right; null on null or ragged input"),
-        binary("dot_float")(DotFloat(_, _))))
+        binary("dot_float")(DotFloat(_, _))),
+      (FunctionIdentifier("float_vec_to_binary"),
+        info(classOf[FloatsToBinary], "float_vec_to_binary",
+          "float_vec_to_binary(v) - fixed-width LE IEEE-754 encoding of a float array (the relational-store vector codec); null on null input or a null element"),
+        unary("float_vec_to_binary")(FloatsToBinary(_))),
+      (FunctionIdentifier("binary_to_float_vec"),
+        info(classOf[BinaryToFloats], "binary_to_float_vec",
+          "binary_to_float_vec(b) - decode the fixed-width LE float-vector codec; null on null input or a length not divisible by 4"),
+        unary("binary_to_float_vec")(BinaryToFloats(_))))
 
   /** Registers the graft functions into an ALREADY-RUNNING session's
     * registry — the path for sessions the library does not own (the

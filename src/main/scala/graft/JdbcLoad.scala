@@ -17,13 +17,17 @@ package graft
   * sbt "runMain graft.JdbcLoad /root/testdata/sf0.01 jdbc:derby:/tmp/graft-derby-tier/db;create=true"
   * }}}
   *
-  * `embeddings` is skipped: its `list<float>` column has no JDBC type
-  * mapping in any stock dialect — the relational tier serves the scalar
-  * catalog, vector workloads stay on the columnar store (the realistic
-  * split: a Postgres primary with parquet/lake vector exports). Every
-  * other catalog table round-trips, including `events`' naive
-  * timestamps (written as TIMESTAMP, read back zone-free via
-  * `preferTimestampNTZ` — SourcesSpec pins the instant equality).
+  * `embeddings.embedding` is `list<float>`, which has no JDBC type
+  * mapping in any stock dialect — it is stored as a BLOB via the
+  * fixed-width LE codec ([[graft.functions.FloatVecCodec]]); the
+  * [[Tables]] facade decodes a BinaryType embedding column
+  * transparently on read, so the vector catalog (similarity tiers,
+  * embedding dedup) runs unchanged against the relational store — the
+  * reference's one-Postgres-primary deployment shape
+  * (prisma/schema.prisma:1-171). Every catalog table round-trips,
+  * including `events`' naive timestamps (written as TIMESTAMP, read
+  * back zone-free via `preferTimestampNTZ` — SourcesSpec pins the
+  * instant equality).
   */
 object JdbcLoad {
   /** Derby's VARCHAR ceiling — the explicit width every string column is
@@ -42,9 +46,36 @@ object JdbcLoad {
   def load(spark: org.apache.spark.sql.SparkSession,
       dir: String, url: String): Unit = {
     require(url.startsWith("jdbc:"), s"not a jdbc url: $url")
-    val skipped = Seq("embeddings")
-    for (t <- Tables.catalogTables.toSeq.sorted if !skipped.contains(t)) {
-      val df = spark.read.parquet(s"$dir/$t.parquet")
+    GraftExtensions.ensureRegistered(spark)
+    for (t <- Tables.catalogTables.toSeq.sorted) {
+      val raw = spark.read.parquet(s"$dir/$t.parquet")
+      // array<float> columns (embeddings.embedding) become BLOBs via the
+      // fixed-width codec — null-element vectors are REFUSED, not
+      // silently folded: the codec's null is the right read-time posture
+      // for malformed bytes, but a LOAD that nulls a non-null vector
+      // would corrupt the store against its parquet source
+      val vecCols = raw.schema.fields.collect {
+        case f if f.dataType ==
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType, true) ||
+          f.dataType == org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType, false) => f.name
+      }.toSeq
+      val df = vecCols.foldLeft(raw) { (d, c) =>
+        d.withColumn(c, org.apache.spark.sql.functions
+          .call_function("float_vec_to_binary",
+            org.apache.spark.sql.functions.col(c)))
+      }
+      if (vecCols.nonEmpty) {
+        import org.apache.spark.sql.functions.{call_function, col}
+        val bad = raw.filter(vecCols.map(c =>
+          col(c).isNotNull &&
+            call_function("float_vec_to_binary", col(c)).isNull).reduce(_ || _))
+        require(bad.isEmpty,
+          s"$t: a non-null ${vecCols.mkString("/")} vector holds a null " +
+            "element — the fixed-width codec cannot represent it; clean " +
+            "the source rather than load a silently-nulled vector")
+      }
       val t0 = System.nanoTime()
       // string columns are declared VARCHAR explicitly: Spark's Derby
       // dialect defaults StringType to CLOB, and Derby refuses CLOB
@@ -80,9 +111,8 @@ object JdbcLoad {
       (if (strCols.isEmpty) w
        else w.option("createTableColumnTypes", strCols.mkString(", "))).save()
       System.err.println(f"[jdbcload] $t: ${df.count()} rows in " +
-        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s" +
+        (if (vecCols.nonEmpty) s" (${vecCols.mkString(", ")} as BLOB)" else ""))
     }
-    System.err.println(s"[jdbcload] skipped: ${skipped.mkString(", ")} " +
-      "(no JDBC type for list<float>)")
   }
 }

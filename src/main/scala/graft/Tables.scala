@@ -97,7 +97,47 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame = load("orders")
   def lineitem: DataFrame = load("lineitem")
   def documents: DataFrame = load("documents")
-  def embeddings: DataFrame = load("embeddings")
+
+  /** embeddings with `embedding` normalized to `array<float>`.
+    *
+    * The parquet tier stores `list<float>` natively. A relational store
+    * (the `jdbc:` locator) has no stock type for it, so [[JdbcLoad]]
+    * writes the fixed-width LE BLOB encoding
+    * ([[graft.functions.FloatVecCodec]]) — a BinaryType arrival is
+    * decoded here, once, so every vector operator (similarity tiers,
+    * embedding dedup, incremental index) runs unchanged against either
+    * store. Any other arrival type is an explicit error, same posture
+    * as [[events]]' ts contract: silently serving a mis-typed vector
+    * column would corrupt every downstream score. */
+  def embeddings: DataFrame = {
+    val raw = load("embeddings")
+    raw.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) => raw
+      case org.apache.spark.sql.types.BinaryType =>
+        GraftExtensions.ensureRegistered(spark)
+        raw.withColumn("embedding",
+          call_function("binary_to_float_vec", col("embedding")))
+      case other => sys.error(
+        s"embeddings.embedding must be array<float> or the codec's BINARY, " +
+          s"got $other — re-export the store column through " +
+          "float_vec_to_binary (JdbcLoad's loader does)")
+    }
+  }
+
+  /** Generic by-name access with the same normalization routing as the
+    * named accessors (`events` keeps its ts contract, `embeddings` its
+    * vector decode) — the hook for machinery that is parameterized by a
+    * source FILE name ([[graft.operators.Similarity]]'s versioned-index
+    * families) and needs the corresponding table on any store tier. */
+  private[graft] def byName(name: String): DataFrame = name match {
+    case "events" => events
+    case "embeddings" => embeddings
+    case other =>
+      require(Tables.catalogTables.contains(other),
+        s"unknown catalog table $other (${Tables.catalogTables.mkString(", ")})")
+      load(other)
+  }
 
   /** events with `ts` normalized to epoch-nanos Long, plus derived columns.
     *

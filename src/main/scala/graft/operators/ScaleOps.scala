@@ -245,21 +245,21 @@ object ScaleOps {
     * posture as the IVF centroid build. Throws if `maxIter` is hit
     * before the fixpoint rather than returning a half-merged
     * clustering. */
-  def connectedComponents(edges: DataFrame, src: String, dst: String,
-      maxIter: Int = 30): DataFrame = {
-    val spark = edges.sparkSession
-    // Reliable-checkpoint option: localCheckpoint blocks die with their
-    // executor, which kills the whole fixpoint at cluster scale. When the
-    // caller sets spark.graft.checkpointDir, iteration state goes through
-    // the fault-tolerant checkpoint path instead (files under the dir;
-    // first set wins per SparkContext). Locally the default stays
-    // localCheckpoint — no filesystem churn in tests/bench.
+  /** Per-iteration checkpoint for the fixpoint algorithms
+    * ([[connectedComponents]], [[connectedComponentsStars]]).
+    * Reliable-checkpoint option: localCheckpoint blocks die with their
+    * executor, which kills the whole fixpoint at cluster scale. When the
+    * caller sets spark.graft.checkpointDir, iteration state goes through
+    * the fault-tolerant checkpoint path instead (files under the dir;
+    * first set wins per SparkContext). Locally the default stays
+    * localCheckpoint — no filesystem churn in tests/bench. */
+  private def iterCkpt(spark: SparkSession): DataFrame => DataFrame = {
     val reliable = spark.conf.getOption("spark.graft.checkpointDir")
     reliable.foreach { d =>
       if (spark.sparkContext.getCheckpointDir.isEmpty)
         spark.sparkContext.setCheckpointDir(d)
     }
-    def ckpt(df: DataFrame): DataFrame =
+    df =>
       if (reliable.isDefined) {
         // persist before checkpointing: Dataset.checkpoint runs an eager
         // count AND a separate checkpoint-write job — without a cache the
@@ -270,6 +270,12 @@ object ScaleOps {
         df.unpersist(blocking = false)
         out
       } else df.localCheckpoint()
+  }
+
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+      maxIter: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    val ckpt = iterCkpt(spark)
     val e = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
     // materialize the symmetrized edge list ONCE: it is re-read every
@@ -332,6 +338,112 @@ object ScaleOps {
     // harness resets (Bench / TimeQueries cold runs) free it
     // deterministically, the same contract as the Bloom memo
     ccCheckpoints.synchronized { ccCheckpoints += labels }
+    labels
+  }
+
+  /** Alternative connected-components realization: the alternating
+    * large-star / small-star edge rewriting (Kiveris, Lattanzi, Mirrokni,
+    * Rastogi, Vassilvitskii — "Connected Components in MapReduce and
+    * Beyond", SoCC 2014). Output contract is IDENTICAL to
+    * [[connectedComponents]]: (node, label) with label = min reachable
+    * id; ScaleOpsSpec asserts exact agreement on shared fixtures.
+    *
+    * Shape per iteration — two grouped rewrites over the EDGE set only
+    * (no separate labels relation, unlike min-label propagation):
+    * large-star attaches every neighbor LARGER than a center to the
+    * center's minimum (including itself); small-star attaches every
+    * smaller neighbor, and the center, to the minimum of the center's
+    * smaller neighborhood. Both preserve connectivity and strictly
+    * shrink the potential until the edge set is a union of stars whose
+    * hubs are the component minima; O(log² n) rounds worst case, and on
+    * high-degree (skewed) components it collapses the hub's whole
+    * neighborhood per round where label propagation moves one hop of
+    * labels through the same hub join. Convergence is detected on the
+    * edge set itself (count + one-sided except over materialized
+    * checkpoints); the converged set is additionally VALIDATED as a
+    * union of stars (no hub is a satellite, one hub per satellite) so a
+    * non-star fixpoint can never silently mislabel — same loud posture
+    * as the maxIter throw.
+    *
+    * Measured against [[connectedComponents]] at the sf10 probe before
+    * choosing g1_components' realization — see SURVEY §6.13 for the
+    * numbers and the decision record. */
+  def connectedComponentsStars(edges: DataFrame, src: String, dst: String,
+      maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    val ckpt = iterCkpt(spark)
+    val raw = edges
+      .select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    // the node set is fixed by the INPUT (edges only shrink toward
+    // stars); captured up front, one checkpoint, reused by the final join
+    raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = ckpt(raw.select(col("a").as("node"))
+      .union(raw.select(col("b").as("node"))).distinct())
+    // canonical x > y; duplicates collapsed once here and per iteration
+    // (both rewrites re-derive edges, so dedup bounds the set at |E|)
+    var e = ckpt(raw.select(greatest(col("a"), col("b")).as("x"),
+      least(col("a"), col("b")).as("y")).distinct())
+    raw.unpersist(blocking = false)
+    var cnt = e.count()
+    var iter = 0
+    var converged = cnt == 0L
+    while (!converged && iter < maxIter) {
+      // large-star: center u over BOTH directions; m = min(Γ(u) ∪ {u});
+      // every larger neighbor re-attaches to m
+      val nbr = e.select(col("x").as("u"), col("y").as("v"))
+        .union(e.select(col("y").as("u"), col("x").as("v")))
+      val mins = nbr.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // m ≤ u < v, so the output is already canonical (larger, smaller)
+      val ls = nbr.join(mins, Seq("u")).filter(col("v") > col("u"))
+        .select(col("v").as("x"), col("m").as("y")).distinct()
+      // small-star: Γ⁻(x) = smaller neighbors (the canonical form IS the
+      // grouping); m = min(Γ⁻(x)); every smaller neighbor AND the center
+      // re-attach to m
+      val m2 = ls.groupBy("x").agg(min(col("y")).as("m"))
+      val next = ckpt(
+        ls.join(m2, Seq("x")).select(col("y").as("p"), col("m").as("q"))
+          .union(m2.select(col("x").as("p"), col("m").as("q")))
+          .filter(col("p") =!= col("q"))
+          .select(greatest(col("p"), col("q")).as("x"),
+            least(col("p"), col("q")).as("y"))
+          .distinct())
+      val nextCnt = next.count()
+      // set equality over two materialized checkpoints: same cardinality
+      // + nothing new on one side ⇒ equal (both sides are distinct sets)
+      converged = nextCnt == cnt && next.except(e).limit(1).count() == 0L
+      unpersistCheckpoint(e)
+      e = next
+      cnt = nextCnt
+      iter += 1
+    }
+    if (!converged) {
+      scala.util.Try(unpersistCheckpoint(e))
+      scala.util.Try(unpersistCheckpoint(nodes))
+      throw new IllegalStateException(
+        s"connectedComponentsStars did not converge in $maxIter iterations")
+    }
+    // validate star-ness before labeling: the convergence test proves a
+    // fixpoint of the LS∘SS composite, and every such fixpoint should be
+    // a union of stars — but a wrong label is worse than a loud failure,
+    // so prove it on the converged set: no hub is also a satellite, and
+    // every satellite has exactly one hub
+    if (cnt > 0L) {
+      val hubAsSat = e.select(col("y").as("n"))
+        .intersect(e.select(col("x").as("n")))
+      val multiHub = e.groupBy("x").agg(countDistinct(col("y")).as("k"))
+        .filter(col("k") > 1)
+      require(hubAsSat.isEmpty && multiHub.isEmpty,
+        "connectedComponentsStars: converged edge set is not a union of " +
+          "stars — refusing to emit labels from a malformed fixpoint")
+    }
+    val labels = nodes
+      .join(e.select(col("x").as("node"), col("y").as("lbl")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("label"))
+    // both surviving checkpoints feed the returned lazy frame — register
+    // them for the deterministic harness reclaim like connectedComponents
+    ccCheckpoints.synchronized { ccCheckpoints += e; ccCheckpoints += nodes }
     labels
   }
 

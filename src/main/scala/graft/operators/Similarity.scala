@@ -226,9 +226,11 @@ object Similarity {
     * the read facade itself handles fine; a genuinely vanished path
     * still fails loudly at the read (the same posture
     * [[graft.operators.ScaleOps]]'s Bloom fingerprint documents — it
-    * delegates here). `ensureVersionedIndex` keeps its OWN loud
-    * `getFileStatus`: a versioned index NAMED by source mtime is
-    * meaningless over a store with no mtime, and must say so. */
+    * delegates here). `ensureVersionedIndex` does NOT share this
+    * fallback: a versioned index name must pin the corpus IDENTITY, so
+    * over a `jdbc:` locator it derives an explicit source-version token
+    * (corpus row count — see its body) and keeps a loud
+    * `getFileStatus` for filesystem stores. */
   private[operators] def srcVersion(s: SparkSession, dir: String, file: String): Long =
     try {
       import org.apache.hadoop.fs.Path
@@ -1719,14 +1721,33 @@ object Similarity {
       val maxId = maxIdOf(s, dir)
       val split = maxId - maxId / 5
       val hconf = s.sparkContext.hadoopConfiguration
-      val src = new Path(s"$dir/$srcFile")
-      val srcFs = src.getFileSystem(hconf)
-      val srcSt = srcFs.getFileStatus(src) // loud FileNotFound on a bad dir
-      val srcMtime =
-        if (srcSt.isDirectory)
-          (srcSt.getModificationTime +:
-            srcFs.listStatus(src).map(_.getModificationTime).toSeq).max
-        else srcSt.getModificationTime
+      // Source-version token, the second component of the version name
+      // (the split — max id — is the first). Filesystem store: the
+      // source's max mtime, so a driver-regenerated tier changes the
+      // name. A store with NO mtime surface (the `jdbc:` table-set
+      // locator): an EXPLICIT token — the corpus row count, one pushed
+      // count(*) per ensure. (split, count) together pin every identity
+      // change an append-only ingest corpus makes: appends move both,
+      // deletes move the count; a same-cardinality in-place mutation is
+      // outside the contract, the same granularity limit a
+      // timestamp-coalescing filesystem has. The staleness contract
+      // either way: a token mismatch mints a DIFFERENT version
+      // directory, so a stale index can never version-match a fresher
+      // corpus' probe and silently serve bands the corpus no longer
+      // implies — and the token is monotone under append-only growth,
+      // which the reap pass's current-or-newer ordering relies on.
+      val srcMtime: Long =
+        if (dir.startsWith("jdbc:"))
+          T(s, dir).byName(srcFile.stripSuffix(".parquet")).count()
+        else {
+          val src = new Path(s"$dir/$srcFile")
+          val srcFs = src.getFileSystem(hconf)
+          val srcSt = srcFs.getFileStatus(src) // loud FileNotFound on a bad dir
+          if (srcSt.isDirectory)
+            (srcSt.getModificationTime +:
+              srcFs.listStatus(src).map(_.getModificationTime).toSeq).max
+          else srcSt.getModificationTime
+        }
       val dirHash = // collision-proof component alongside the sanitized name
         f"${scala.util.hashing.MurmurHash3.stringHash(dir) & 0xffffffffL}%08x"
       // session conf wins over the JVM-wide default vars: "where do the

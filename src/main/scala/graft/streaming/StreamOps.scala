@@ -759,7 +759,12 @@ object StreamOps {
     * maintainer run forever at the reference's depth-20 / ~1M-leaf
     * registry scale. The per-batch collect is the increment itself (the
     * append stream, not the corpus — same bounded-action posture as the
-    * proofDistributed block tops); appends must be contiguous from the
+    * proofDistributed block tops), and it is CAPPED: a micro-batch
+    * holding more than `maxBatchLeaves` rows fails with a named error
+    * before the rows land on the driver (limit(cap+1), never a full
+    * collect) — the real bound is the source's trigger config, this is
+    * the loud backstop for an unbounded trigger meeting an ingest
+    * burst; appends must be contiguous from the
     * current count (left-filled tree, the reference's shape). After
     * every batch the frontier root is bit-identical to the batch
     * [[graft.functions.Merkle.rootDistributed]] over all leaves so far
@@ -794,8 +799,11 @@ object StreamOps {
       onBatch: (graft.functions.Merkle.Incremental, Long) => Unit = (_, _) => (),
       maxPending: Int = 1 << 16, recentTail: Int = 1024,
       checkpoint: Option[String] = None,
-      resume: Option[graft.functions.Merkle.Incremental] = None):
+      resume: Option[graft.functions.Merkle.Incremental] = None,
+      maxBatchLeaves: Int = 1 << 20):
       MerkleAppendHandle = {
+    require(maxBatchLeaves > 0,
+      s"merkleAppend: maxBatchLeaves must be positive, got $maxBatchLeaves")
     // `resume` is the restart path's other half: a tree restored from a
     // persisted snapshot (validated by Incremental.restore) picks up at
     // its committed count, and with `checkpoint` set the source resumes
@@ -831,9 +839,23 @@ object StreamOps {
     val base = commitments.writeStream.outputMode("append")
     val q = checkpoint.fold(base)(c => base.option("checkpointLocation", c))
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // the per-batch collect is bounded BEFORE it lands: limit(cap+1)
+        // pulls at most cap+1 rows to the driver, so an ingest-burst
+        // micro-batch fails with a NAMED error (the module's pending-
+        // buffer convention) instead of OOMing the driver mid-collect.
+        // The REAL cap is the source trigger config (maxFilesPerTrigger /
+        // maxOffsetsPerTrigger) — this guard is the loud backstop for a
+        // stream whose trigger was left unbounded (r15 verdict #6).
         val leaves = batch
           .select(col("leaf_index").cast("long"), col("leaf"))
+          .limit(maxBatchLeaves + 1)
           .collect()
+        require(leaves.length <= maxBatchLeaves,
+          s"merkleAppend: micro-batch $batchId exceeds maxBatchLeaves=" +
+            s"$maxBatchLeaves — the frontier fold is driver-side by design " +
+            "(O(depth) sequential per append); bound the source trigger " +
+            "(maxFilesPerTrigger/maxOffsetsPerTrigger) or raise " +
+            "maxBatchLeaves deliberately")
         // null index/leaf is the same corrupt-input class as a negative
         // index and gets the same NAMED diagnostic — without the checks
         // the sortBy/getLong NPEs with a bare executor stack instead

@@ -105,11 +105,64 @@ class ExpressionsSpec extends SparkSpec {
 
   test("wrong arity surfaces as an analyzer error naming the function, not an index crash") {
     for (sql <- Seq("SELECT dot_long(array(1L))",
-        "SELECT dot_float(array(1.0F), array(1.0F), array(1.0F))")) {
+        "SELECT dot_float(array(1.0F), array(1.0F), array(1.0F))",
+        "SELECT float_vec_to_binary()",
+        "SELECT binary_to_float_vec(X'00', X'00')")) {
       val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql).collect())
       val msg = e.getMessage
-      assert(msg.contains("dot_long") || msg.contains("dot_float"), msg)
+      assert(msg.contains("dot_long") || msg.contains("dot_float") ||
+        msg.contains("float_vec_to_binary") || msg.contains("binary_to_float_vec"), msg)
       assert(!msg.contains("IndexOutOfBounds"), msg)
     }
+  }
+
+  test("float-vec codec: bit-exact round-trip incl. raw NaN bits, LE layout pinned, both paths") {
+    // raw-bit fidelity: ±0, subnormal min, infinities, and a
+    // NON-CANONICAL NaN — floatToIntBits would canonicalize it to
+    // 0x7fc00000; the codec must never change stored bytes
+    val rawNan = java.lang.Float.intBitsToFloat(0x7fc00abc)
+    val vecs = Seq(
+      Seq(1.5f, -2.25f, 0.0f, -0.0f),
+      Seq(Float.MinPositiveValue, Float.MaxValue,
+        Float.NegativeInfinity, rawNan),
+      Seq.empty[Float])
+    val df = vecs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "v")
+    def bits(f: Float) = java.lang.Float.floatToRawIntBits(f)
+    def run() = df.select($"id",
+        call_function("float_vec_to_binary", $"v").as("enc"),
+        call_function("binary_to_float_vec",
+          call_function("float_vec_to_binary", $"v")).as("rt"))
+      .orderBy($"id").collect()
+    for (rows <- Seq(run(), withInterpreted(run()))) {
+      vecs.zipWithIndex.foreach { case (v, i) =>
+        assert(rows(i).getAs[Array[Byte]](1).length === v.length * 4)
+        val rt = rows(i).getSeq[Float](2)
+        assert(rt.length === v.length, s"row $i length")
+        v.indices.foreach(j =>
+          assert(bits(rt(j)) === bits(v(j)), s"row $i elem $j bits"))
+      }
+    }
+    // LITTLE-endian pin: 1.0f = 0x3f800000 → bytes 00 00 80 3f (a
+    // BE regression would still round-trip — only an absolute layout
+    // assertion catches it, and stored BLOBs outlive the codebase)
+    val one = spark.sql("SELECT float_vec_to_binary(array(CAST(1.0 AS FLOAT)))")
+      .collect().head.getAs[Array[Byte]](0)
+    assert(one.toSeq === Seq(0x00, 0x00, 0x80, 0x3f).map(_.toByte))
+  }
+
+  test("float-vec codec null contracts: null input, null element, undecodable length") {
+    val df = Seq(
+      (1, Some(Seq(Some(1.0f), Some(2.0f)))), // fine
+      (2, None: Option[Seq[Option[Float]]]),  // null input
+      (3, Some(Seq(Some(1.0f), None)))        // null ELEMENT: no fixed-width slot
+    ).toDF("id", "v")
+    val got = df.select($"id", call_function("float_vec_to_binary", $"v").as("e"))
+      .orderBy($"id").collect().map(!_.isNullAt(1)).toSeq
+    assert(got === Seq(true, false, false))
+    // decode folds a length not divisible by 4 (not this codec's output)
+    // to null instead of throwing for the whole corpus
+    val bad = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("b")
+    assert(bad.select(call_function("binary_to_float_vec", $"b"))
+      .collect().head.isNullAt(0))
   }
 }

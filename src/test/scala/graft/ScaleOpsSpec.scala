@@ -266,6 +266,49 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.forall(_._2 === 0L), "every chain node must label to the min id 0")
   }
 
+  test("connectedComponentsStars agrees with connectedComponents on every fixture shape") {
+    // the two realizations must be output-identical — the stars form is
+    // only ever adopted on measurement, never on semantics (r15 verdict
+    // #5); fixtures cover the shapes where they differ mechanically:
+    // random sparse graphs, a diameter-worst-case path, a high-degree
+    // hub (the stars algorithm's claimed win), and empty input
+    import graft.operators.ScaleOps
+    def both(edges: Seq[(Long, Long)]): (Map[Long, Long], Map[Long, Long]) = {
+      val df = edges.toDF("a", "b")
+      val cc = ScaleOps.connectedComponents(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val st = ScaleOps.connectedComponentsStars(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (cc, st)
+    }
+    try {
+      val rng = new scala.util.Random(4321)
+      for (trial <- 1 to 2) {
+        val edges = Seq.fill(80)((rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+          .filter { case (a, b) => a != b }
+        val (cc, st) = both(edges)
+        assert(st === cc, s"random trial $trial")
+      }
+      // 200-node path: diameter worst case for both fixpoints
+      val (ccChain, stChain) = both((0L until 199L).map(i => (i, i + 1)))
+      assert(stChain === ccChain)
+      assert(stChain.values.forall(_ == 0L))
+      // high-degree hub with an attached tail, plus a disjoint pair —
+      // and the hub is NOT the component min, so the star must re-root
+      val hub = (1L to 200L).map(i => (500L, 500L + i)) ++
+        Seq((500L, 3L), (3L, 7L), (900L, 901L))
+      val (ccHub, stHub) = both(hub)
+      assert(stHub === ccHub)
+      assert(stHub(500L) === 3L && stHub(700L) === 3L && stHub(900L) === 900L)
+      // empty edge set: both come back empty with the same schema
+      val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+      assert(ScaleOps.connectedComponentsStars(empty, "a", "b").collect().isEmpty)
+      // self-loops only: no node survives the a != b filter
+      assert(ScaleOps.connectedComponentsStars(
+        Seq((5L, 5L)).toDF("a", "b"), "a", "b").collect().isEmpty)
+    } finally ScaleOps.clearCcCheckpoints()
+  }
+
   test("connectedComponents frees its per-iteration checkpoints") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet

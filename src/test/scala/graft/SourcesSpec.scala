@@ -219,6 +219,71 @@ class SourcesSpec extends SparkSpec {
       val dd = QueryDef.catalogs.find(_.name == "dd_exact").get
       assert(dd.run(spark, url).collect().toSeq ===
         dd.run(spark, sf001).collect().toSeq)
+      // vector round-trip: embeddings is stored as the fixed-width BLOB
+      // codec and decoded by the facade, so a similarity-tier consumer
+      // must agree bit-for-bit with the parquet tier (the r15 jdbc
+      // artifact's 7 embeddings non-runners close through this path)
+      val sim = QueryDef.catalogs.find(_.name == "sim_topk_dot").get
+      assert(sim.run(spark, url).collect().toSeq ===
+        sim.run(spark, sf001).collect().toSeq)
+      // and the store really holds a BLOB, not a silently-skipped table
+      val md = spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "embeddings").load().schema("embedding").dataType
+      assert(md === org.apache.spark.sql.types.BinaryType, md.toString)
+    } finally
+      scala.util.Try(
+        java.sql.DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true")): Unit
+  }
+
+  test("incremental indexes over a jdbc corpus: count-token versioning and the staleness contract") {
+    // a jdbc: locator has no mtime surface, so ensureVersionedIndex
+    // versions the index by an EXPLICIT source token — the corpus row
+    // count — next to the split (max id) already in the version name.
+    // Contract under test: (1) the _incr families run at all against a
+    // relational corpus (the r15 artifact's 3 _incr non-runners),
+    // (2) probe ≡ batch-restricted-to-increment holds on that tier, and
+    // (3) STALENESS — growing the corpus mints a DIFFERENT version
+    // directory, so a stale index can never serve a fresher corpus'
+    // probe (the bands it would serve no longer cover the new docs).
+    val db = tempDir("graft-derby-incr").resolve("db").toString
+    val url = s"jdbc:derby:$db;create=true"
+    try {
+      JdbcLoad.load(spark, sf001, url)
+      val (v1, split1) = graft.operators.Similarity.ensureMinhashIndex(spark, url)
+      val n1 = Tables(spark, url).documents.count()
+      assert(v1.contains(s"v$split1-$n1-s"),
+        s"version name must carry the (split, count) token: $v1")
+      // probe ≡ batch restricted to the increment, ON the jdbc tier
+      val incr = QueryDef.catalogs.find(_.name == "dd_minhash_incr").get
+      val full = QueryDef.catalogs.find(_.name == "dd_minhash").get
+      assert(incr.run(spark, url).collect().toSeq ===
+        full.run(spark, url).filter($"doc_id" >= split1)
+          .orderBy($"doc_id").collect().toSeq)
+      // the embedding family (BLOB-decoded vectors + vec_id token) too
+      val (ev1, esplit1) = graft.operators.Similarity.ensureEmbeddingIndex(spark, url)
+      val embIncr = QueryDef.catalogs.find(_.name == "dd_embedding_incr").get
+      assert(embIncr.run(spark, url).collect().toSeq ===
+        embIncr.run(spark, sf001).collect().toSeq)
+      assert(ev1.contains(s"v$esplit1-"), ev1)
+      // STALENESS: append one doc (new max id). Both token components
+      // move — the ensure must mint a NEW version directory and the
+      // probe must reflect the grown corpus, not the stale index.
+      val docs = Tables(spark, url).documents
+      docs.orderBy($"doc_id".desc).limit(1)
+        .withColumn("doc_id", $"doc_id" + 777L)
+        .write.mode("append").format("jdbc")
+        .option("url", url).option("dbtable", "documents").save()
+      val (v2, split2) = graft.operators.Similarity.ensureMinhashIndex(spark, url)
+      assert(v2 !== v1,
+        s"a grown corpus re-served the stale index version: $v2")
+      assert(split2 > split1)
+      assert(v2.contains(s"v$split2-${n1 + 1}-s"),
+        s"version name must carry the refreshed (split, count) token: $v2")
+      // end-to-end: the incr query over the grown corpus still equals
+      // the batch recompute restricted to the NEW increment
+      assert(incr.run(spark, url).collect().toSeq ===
+        full.run(spark, url).filter($"doc_id" >= split2)
+          .orderBy($"doc_id").collect().toSeq)
     } finally
       scala.util.Try(
         java.sql.DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true")): Unit
