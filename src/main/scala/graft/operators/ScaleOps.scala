@@ -678,8 +678,20 @@ object ScaleOps {
         .select(col("o_custkey"), col("o_orderkey"))
         .withColumn("prev", lag(col("o_orderkey"), 1).over(w))
         .filter(col("prev").isNotNull)
-      connectedComponents(edges, "prev", "o_orderkey")
-        .select(col("node"), col("label").as("component"))
+      // spark.graft.ccAlgo selects the fixpoint realization — "jump"
+      // (min-label + pointer jumping, the default) or "stars"
+      // (large-star/small-star edge rewriting). Output-identical
+      // (ScaleOpsSpec pins both the kernel equivalence and this very
+      // query across the switch); the conf exists so the two can be
+      // A/B-measured under the SAME harness at the sf10 probe — the
+      // r15 verdict-#5 adjudication recorded in SURVEY §6.13.
+      val cc = s.conf.get("spark.graft.ccAlgo", "jump") match {
+        case "stars" => connectedComponentsStars(edges, "prev", "o_orderkey")
+        case "jump" => connectedComponents(edges, "prev", "o_orderkey")
+        case other => sys.error(
+          s"spark.graft.ccAlgo must be jump or stars, got $other")
+      }
+      cc.select(col("node"), col("label").as("component"))
         .orderBy(col("node"))
     },
     oracle = Some("""

@@ -306,6 +306,16 @@ class ScaleOpsSpec extends SparkSpec {
       // self-loops only: no node survives the a != b filter
       assert(ScaleOps.connectedComponentsStars(
         Seq((5L, 5L)).toDF("a", "b"), "a", "b").collect().isEmpty)
+      // the catalog query routes across the spark.graft.ccAlgo switch
+      // with identical output (and rejects an unknown algo loudly)
+      val g1 = QueryDef.catalogs.find(_.name == "g1_components").get
+      val viaJump = g1.run(spark, sf001).collect().toSeq
+      spark.conf.set("spark.graft.ccAlgo", "stars")
+      try {
+        assert(g1.run(spark, sf001).collect().toSeq === viaJump)
+        spark.conf.set("spark.graft.ccAlgo", "nope")
+        intercept[RuntimeException](g1.run(spark, sf001).collect())
+      } finally spark.conf.unset("spark.graft.ccAlgo")
     } finally ScaleOps.clearCcCheckpoints()
   }
 
