@@ -682,10 +682,14 @@ object ScaleOps {
       // (min-label + pointer jumping, the default) or "stars"
       // (large-star/small-star edge rewriting). Output-identical
       // (ScaleOpsSpec pins both the kernel equivalence and this very
-      // query across the switch); the conf exists so the two can be
+      // query across the switch); the switch exists so the two can be
       // A/B-measured under the SAME harness at the sf10 probe — the
-      // r15 verdict-#5 adjudication recorded in SURVEY §6.13.
-      val cc = s.conf.get("spark.graft.ccAlgo", "jump") match {
+      // r15 verdict-#5 adjudication recorded in SURVEY §6.13. The env
+      // fallback is the forked-harness path (sbt `run` forks, so a -D
+      // on the sbt command line never reaches the run JVM).
+      val cc = s.conf.getOption("spark.graft.ccAlgo")
+        .orElse(sys.env.get("SPARK_GRAFT_CCALGO"))
+        .getOrElse("jump") match {
         case "stars" => connectedComponentsStars(edges, "prev", "o_orderkey")
         case "jump" => connectedComponents(edges, "prev", "o_orderkey")
         case other => sys.error(
