@@ -11,7 +11,12 @@ order over a different scan source.
 
 Usage:
   python3 scripts/check_jdbc_tier.py <parquetVerifyDir> <jdbcVerifyDir> \
-      <jdbcVerifyStderrLog> <outJson> [roundN]
+      <jdbcVerifyStderrLog> <outJson> [roundN] [expectedNonRunners]
+
+expectedNonRunners (default 0) is the number of KNOWN structural
+non-runners (the REST-fixture queries); any count above it fails the
+exit code, so a regression that silently turns comparable queries into
+non-runners cannot read as green coverage.
 """
 import json, math, os, re, sys
 import pyarrow.parquet as pq
@@ -35,7 +40,7 @@ def rows_of(path):
     return cols, sorted(rows)
 
 
-def main(pq_dir, jdbc_dir, err_log, out_json, round_n):
+def main(pq_dir, jdbc_dir, err_log, out_json, round_n, expected_nonrunners=0):
     # Verify's per-query failure lines name the non-runners and why
     reasons = {}
     if os.path.exists(err_log):
@@ -120,12 +125,18 @@ def main(pq_dir, jdbc_dir, err_log, out_json, round_n):
           f"{n_unread} unreadable, "
           f"{n_nopq} without a parquet twin (of {len(names)}) -> {out_json}")
     # incomparable coverage is a loud exit too: the artifact must not
-    # read as full bit-equality when a query was never compared
-    return 1 if (n_mismatch or n_nopq or n_unread) else 0
+    # read as full bit-equality when a query was never compared —
+    # INCLUDING non-runners beyond the declared structural allowance
+    # (review r16: a run where every query crashed used to exit 0,
+    # since only mismatch/nopq/unread tripped the code)
+    n_nonrun = len(names) - n_equal - n_mismatch - n_nopq - n_unread
+    return 1 if (n_mismatch or n_nopq or n_unread
+                 or n_nonrun > expected_nonrunners) else 0
 
 
 if __name__ == "__main__":
     if len(sys.argv) < 5:
         sys.exit(__doc__)
     sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4],
-                  int(sys.argv[5]) if len(sys.argv) > 5 else None))
+                  int(sys.argv[5]) if len(sys.argv) > 5 else None,
+                  int(sys.argv[6]) if len(sys.argv) > 6 else 0))

@@ -66,16 +66,6 @@ object JdbcLoad {
           .call_function("float_vec_to_binary",
             org.apache.spark.sql.functions.col(c)))
       }
-      if (vecCols.nonEmpty) {
-        import org.apache.spark.sql.functions.{call_function, col}
-        val bad = raw.filter(vecCols.map(c =>
-          col(c).isNotNull &&
-            call_function("float_vec_to_binary", col(c)).isNull).reduce(_ || _))
-        require(bad.isEmpty,
-          s"$t: a non-null ${vecCols.mkString("/")} vector holds a null " +
-            "element — the fixed-width codec cannot represent it; clean " +
-            "the source rather than load a silently-nulled vector")
-      }
       val t0 = System.nanoTime()
       // string columns are declared VARCHAR explicitly: Spark's Derby
       // dialect defaults StringType to CLOB, and Derby refuses CLOB
@@ -83,36 +73,53 @@ object JdbcLoad {
       // event_type = 'vote') would fail AT THE SCAN. A real relational
       // primary (the reference's Postgres) declares text/varchar, so
       // VARCHAR is also the faithful stand-in; 32672 is Derby's max.
-      val strFields = df.schema.fields
+      val strFields = raw.schema.fields
         .filter(_.dataType == org.apache.spark.sql.types.StringType)
-        .map(_.name)
-      // preflight the declared width: VARCHAR(32672) is Derby's max, and
-      // a longer value (a bigger tier's documents.text) fails mid-load
-      // with a truncation error whose cause is otherwise silent until
-      // hit — one cheap max(length) scan per table makes the limit LOUD
-      // and names the offending column before any row is written
-      // (ADVICE r14)
-      if (strFields.nonEmpty) {
-        import org.apache.spark.sql.functions.{length, max, col}
-        val maxLens = df.agg(
-          max(length(col(strFields.head))),
-          strFields.tail.map(c => max(length(col(c)))).toIndexedSeq: _*).head()
+        .map(_.name).toSeq
+      // ONE preflight aggregate per table (review r16 — this was three
+      // separate scans): max string length per VARCHAR column (a longer
+      // value fails mid-load with a truncation error whose cause is
+      // otherwise silent — ADVICE r14), the null-element count per
+      // vector column (the codec cannot represent a null element, and a
+      // load that silently nulls a non-null vector would corrupt the
+      // store against its parquet source), and the row count for the
+      // log line. Everything is named and refused BEFORE any row is
+      // written. (No bare block here: `{…}` adjacent to the previous
+      // expression parses as a block ARGUMENT to it.)
+      locally {
+        import org.apache.spark.sql.functions.{call_function, col, count, length, lit, max, sum, when}
+        val aggs: Seq[org.apache.spark.sql.Column] =
+          strFields.map(c => max(length(col(c)))) ++
+            vecCols.map(c => sum(when(col(c).isNotNull &&
+              call_function("float_vec_to_binary", col(c)).isNull, 1L)
+              .otherwise(0L))) :+ count(lit(1))
+        val pre = raw.agg(aggs.head, aggs.tail: _*).head()
         strFields.zipWithIndex.foreach { case (c, i) =>
-          val m = if (maxLens.isNullAt(i)) 0 else maxLens.getInt(i)
+          val m = if (pre.isNullAt(i)) 0 else pre.getInt(i)
           require(m <= varcharMax,
             s"$t.$c max string length $m exceeds VARCHAR($varcharMax) " +
               "(Derby's max) — map this column to CLOB manually or keep it " +
               "off pushed comparisons; refusing a load that would truncate")
         }
+        vecCols.zipWithIndex.foreach { case (c, i) =>
+          // sum over an empty table is null, not 0
+          val bad = if (pre.isNullAt(strFields.length + i)) 0L
+            else pre.getLong(strFields.length + i)
+          require(bad == 0L,
+            s"$t.$c: $bad non-null vector(s) hold a null element — the " +
+              "fixed-width codec cannot represent it; clean the source " +
+              "rather than load a silently-nulled vector")
+        }
+        val rows = pre.getLong(strFields.length + vecCols.length)
+        val strCols = strFields.map(f => s"$f VARCHAR($varcharMax)")
+        val w = df.write.mode("overwrite").format("jdbc")
+          .option("url", url).option("dbtable", t)
+        (if (strCols.isEmpty) w
+         else w.option("createTableColumnTypes", strCols.mkString(", "))).save()
+        System.err.println(f"[jdbcload] $t: $rows rows in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s" +
+          (if (vecCols.nonEmpty) s" (${vecCols.mkString(", ")} as BLOB)" else ""))
       }
-      val strCols = strFields.map(f => s"$f VARCHAR($varcharMax)")
-      val w = df.write.mode("overwrite").format("jdbc")
-        .option("url", url).option("dbtable", t)
-      (if (strCols.isEmpty) w
-       else w.option("createTableColumnTypes", strCols.mkString(", "))).save()
-      System.err.println(f"[jdbcload] $t: ${df.count()} rows in " +
-        f"${(System.nanoTime() - t0) / 1e9}%.1f s" +
-        (if (vecCols.nonEmpty) s" (${vecCols.mkString(", ")} as BLOB)" else ""))
     }
   }
 }

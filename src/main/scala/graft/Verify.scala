@@ -101,6 +101,20 @@ object Verify {
     val json = SparkEntry.oracleSql.view.filterKeys(keep).toMap
       .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a subset refresh re-executes ONLY the selected queries; sibling
+    // result dirs in the reused outDir are prior-run bytes, and a code
+    // change since that run can make their green compare stale evidence
+    // — name them loudly so a local iteration never mistakes a reused
+    // dir for a current-round pass (review r16; the driver's full run
+    // re-executes everything and never hits this)
+    if (only.nonEmpty) {
+      val reused = Option(new java.io.File(outDir).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && !only(f.getName)).map(_.getName).sorted
+      if (reused.nonEmpty) System.err.println(
+        s"[verify] subset run: ${reused.length} sibling result dir(s) reused " +
+          "from a prior run, NOT re-executed this run — re-run the full " +
+          s"catalog before treating their compare as current: ${reused.mkString(", ")}")
+    }
     spark.stop()
   }
 }

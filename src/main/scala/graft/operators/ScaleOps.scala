@@ -432,11 +432,21 @@ object ScaleOps {
     if (cnt > 0L) {
       val hubAsSat = e.select(col("y").as("n"))
         .intersect(e.select(col("x").as("n")))
-      val multiHub = e.groupBy("x").agg(countDistinct(col("y")).as("k"))
+      // count(*), not countDistinct: e is a distinct set (constructed by
+      // .distinct() and kept one by the convergence invariant), so the
+      // per-x row count IS the distinct-parent count — no per-group
+      // dedup pass on the one corpus-scale validation this runs
+      val multiHub = e.groupBy("x").agg(count(lit(1)).as("k"))
         .filter(col("k") > 1)
-      require(hubAsSat.isEmpty && multiHub.isEmpty,
-        "connectedComponentsStars: converged edge set is not a union of " +
-          "stars — refusing to emit labels from a malformed fixpoint")
+      if (!hubAsSat.isEmpty || !multiHub.isEmpty) {
+        // same reclaim discipline as the maxIter throw: an error path
+        // must not pin two corpus-scale checkpoints for the session
+        scala.util.Try(unpersistCheckpoint(e))
+        scala.util.Try(unpersistCheckpoint(nodes))
+        throw new IllegalStateException(
+          "connectedComponentsStars: converged edge set is not a union " +
+            "of stars — refusing to emit labels from a malformed fixpoint")
+      }
     }
     val labels = nodes
       .join(e.select(col("x").as("node"), col("y").as("lbl")), Seq("node"), "left")

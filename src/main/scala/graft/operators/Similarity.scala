@@ -730,6 +730,31 @@ object Similarity {
       d.select(col("doc_id").as("keeper"), col("toks").as("k_toks")))
   }
 
+  /** Oracle-side exact-Jaccard verify tail — ONE definition for every
+    * pair source, mirroring the Scala side's jaccardVerifyRaw
+    * discipline: the 50% bar and the integer-division expression must
+    * never fork between the keeper-election oracles (`ve` over the
+    * per-doc min-keeper `cand`) and the cc oracle (`vec` over the full
+    * star-edge set `cande`) — a threshold edited in one CTE but not the
+    * other would silently diverge one family's oracle (review r16).
+    * Declared BEFORE [[mhOracleCtes]]: object vals initialize in order,
+    * and a forward reference here would bake a null into the SQL. */
+  private val mhJacPct = "(inter * 100) // (sz - inter)"
+  private def mhVerifyCtes(pairCte: String, vrName: String, veName: String,
+      withJaccardCol: Boolean): String = s"""
+      $vrName AS (
+        SELECT c.doc_id AS doc_id, c.keeper AS keeper,
+          CAST(length(list_intersect(a.toks, k.toks)) AS BIGINT) AS inter,
+          CAST(length(a.toks) AS BIGINT)
+            + CAST(length(k.toks) AS BIGINT) AS sz
+        FROM $pairCte c
+        JOIN ts a ON a.doc_id = c.doc_id
+        JOIN ts k ON k.doc_id = c.keeper),
+      $veName AS (
+        SELECT doc_id, keeper${if (withJaccardCol) s", $mhJacPct AS jaccard_pct" else ""}
+        FROM $vrName
+        WHERE sz - inter > 0 AND $mhJacPct >= 50)"""
+
   /** DuckDB re-derivation of the ENTIRE minhash pipeline — tokenize,
     * per-token md5, 32 circular 15-hex windows, per-window mins, band
     * buckets, keeper election, candidate assignment, exact-Jaccard
@@ -766,18 +791,7 @@ object Similarity {
             x -> length(x) > 3)) AS toks
         FROM documents
         WHERE toks IS NOT NULL AND length(toks) > 0),
-      vr AS (
-        SELECT c.doc_id AS doc_id, c.keeper AS keeper,
-          CAST(length(list_intersect(a.toks, k.toks)) AS BIGINT) AS inter,
-          CAST(length(a.toks) AS BIGINT)
-            + CAST(length(k.toks) AS BIGINT) AS sz
-        FROM cand c
-        JOIN ts a ON a.doc_id = c.doc_id
-        JOIN ts k ON k.doc_id = c.keeper),
-      ve AS (
-        SELECT doc_id, keeper, (inter * 100) // (sz - inter) AS jaccard_pct
-        FROM vr
-        WHERE sz - inter > 0 AND (inter * 100) // (sz - inter) >= 50)"""
+      """ + mhVerifyCtes("cand", "vr", "ve", withJaccardCol = true)
 
   val ddMinhash = QueryDef(
     "dd_minhash",
@@ -864,17 +878,7 @@ object Similarity {
         SELECT DISTINCT b.doc_id, k.keeper
         FROM bands b JOIN keep k ON k.band = b.band AND k.bucket = b.bucket
         WHERE k.keeper < b.doc_id),
-      vrc AS (
-        SELECT c.doc_id AS doc_id, c.keeper AS keeper,
-          CAST(length(list_intersect(a.toks, k.toks)) AS BIGINT) AS inter,
-          CAST(length(a.toks) AS BIGINT)
-            + CAST(length(k.toks) AS BIGINT) AS sz
-        FROM cande c
-        JOIN ts a ON a.doc_id = c.doc_id
-        JOIN ts k ON k.doc_id = c.keeper),
-      vec AS (
-        SELECT doc_id, keeper FROM vrc
-        WHERE sz - inter > 0 AND (inter * 100) // (sz - inter) >= 50),
+      ${mhVerifyCtes("cande", "vrc", "vec", withJaccardCol = false)},
       edges AS (
         SELECT doc_id AS a, keeper AS b FROM vec
         UNION
