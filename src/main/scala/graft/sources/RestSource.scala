@@ -90,12 +90,17 @@ object RestSource {
       sort: Seq[SortKey], offset: Option[Int], limit: Option[Int])
   @volatile var lastPushed: Pushed = Pushed(Nil, Nil, Nil, None, None)
 
-  /** Deterministic JSONL snapshot of a parquet table — the stand-in for
+  /** Deterministic JSONL snapshot of a catalog table — the stand-in for
     * the remote endpoint's dataset, cached per (sfDir, table). Staleness
-    * guard: if the source parquet is newer than the cached snapshot
-    * (test data regenerated between runs), the snapshot is rebuilt —
-    * otherwise the s3 queries would silently read old data while the
-    * oracle reads fresh parquet. */
+    * guard: a parquet source rebuilds the snapshot when it is newer than
+    * the cached one (test data regenerated between runs); a `jdbc:`
+    * table-set locator has no mtime surface, so there the freshness
+    * token is the corpus ROW COUNT stored in the marker file — the same
+    * explicit-token discipline as the versioned incremental indexes
+    * (round 16; this is what lets the two REST queries run against a
+    * relational primary, closing the jdbc artifact's last non-runners).
+    * Either way a stale snapshot would silently serve old data while
+    * the oracle reads the fresh store. */
   def snapshot(spark: SparkSession, sfDir: String, table: String): String = {
     val raw = s"$sfDir/$table"
     // readable sanitized prefix + an md5 of the RAW pair: sanitization
@@ -108,15 +113,28 @@ object RestSource {
         .take(8).map(b => f"$b%02x").mkString
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-rest/$key"
     val marker = new java.io.File(s"$dir/_GRAFT_READY")
-    val src = new java.io.File(s"$sfDir/$table.parquet")
-    def newestMtime(f: java.io.File): Long =
-      if (f.isDirectory) (f.lastModified +: f.listFiles().map(_.lastModified).toSeq).max
-      else f.lastModified
-    if (!marker.exists() || newestMtime(src) > marker.lastModified()) {
-      spark.read.parquet(src.getPath)
-        .write.mode("overwrite").json(dir)
-      marker.delete()
-      marker.createNewFile()
+    if (sfDir.startsWith("jdbc:")) {
+      val t = graft.Tables(spark, sfDir).byName(table)
+      val cnt = t.count()
+      val prior =
+        if (!marker.isFile) -1L
+        else scala.util.Try(java.nio.file.Files.readString(marker.toPath)
+          .trim.toLong).getOrElse(-1L)
+      if (cnt != prior) {
+        t.write.mode("overwrite").json(dir)
+        java.nio.file.Files.writeString(marker.toPath, cnt.toString)
+      }
+    } else {
+      val src = new java.io.File(s"$sfDir/$table.parquet")
+      def newestMtime(f: java.io.File): Long =
+        if (f.isDirectory) (f.lastModified +: f.listFiles().map(_.lastModified).toSeq).max
+        else f.lastModified
+      if (!marker.exists() || newestMtime(src) > marker.lastModified()) {
+        spark.read.parquet(src.getPath)
+          .write.mode("overwrite").json(dir)
+        marker.delete()
+        marker.createNewFile()
+      }
     }
     dir
   }

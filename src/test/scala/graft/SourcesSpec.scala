@@ -230,6 +230,13 @@ class SourcesSpec extends SparkSpec {
       val md = spark.read.format("jdbc").option("url", url)
         .option("dbtable", "embeddings").load().schema("embedding").dataType
       assert(md === org.apache.spark.sql.types.BinaryType, md.toString)
+      // REST fixture over a relational corpus: the endpoint snapshot is
+      // derived through the facade and versioned by row count (no mtime
+      // surface on a jdbc: locator) — the artifact's last non-runner
+      // class closes here (r16)
+      val rest = QueryDef.catalogs.find(_.name == "s3_rest_topn").get
+      assert(rest.run(spark, url).collect().toSeq ===
+        rest.run(spark, sf001).collect().toSeq)
     } finally
       scala.util.Try(
         java.sql.DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true")): Unit
