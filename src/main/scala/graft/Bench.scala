@@ -465,8 +465,29 @@ object Bench {
   def ensureSf10(spark: SparkSession, sf01Dir: String, outDir: String): Unit =
     ensureScaled(spark, sf01Dir, outDir, copies = 100, "_GRAFT_SF10_READY_v1")
 
+  /** sf100 (1000×, ~600M lineitem rows, ~17 GB): the THIRD measured
+    * decade. NEVER run by the per-round Bench (generation is minutes of
+    * write I/O — it would blow the driver's wall budget); generated on
+    * demand via [[MakeTier]] and probed with TimeQueries — SURVEY
+    * §6.13. Derived from the CACHED sf10 tier ×10 (ensured first),
+    * not from sf0.1 ×1000: the driver's sf0.1 facts are single-file,
+    * so a ×1000 explode runs as ONE task for hours (the §6.2 layout
+    * lesson, re-learned on the generator itself — measured ~1 core
+    * busy, 32 GB of spill, no output after 20 min), while the sf10
+    * facts are 32 files and the same job parallelizes. The copy offset
+    * is 1e12 — ABOVE sf10's own key ceiling (99 × 1e10 + source keys),
+    * so replica key ranges cannot collide — and 9 × 1e12 stays inside
+    * every Long-keyed kernel's envelope. */
+  def ensureSf100(spark: SparkSession, sf01Dir: String, outDir: String,
+      sf10Dir: String = "/tmp/graft-sf10"): Unit = {
+    ensureSf10(spark, sf01Dir, sf10Dir)
+    ensureScaled(spark, sf10Dir, outDir, copies = 10,
+      "_GRAFT_SF100_READY_v2", off = 1000000000000L)
+  }
+
   private def ensureScaled(spark: SparkSession, sf01Dir: String,
-      outDir: String, copies: Int, markerName: String): Unit = {
+      outDir: String, copies: Int, markerName: String,
+      off: Long = 10000000000L): Unit = {
     // marker is generator-versioned: a layout change (v2 = 32-file facts,
     // v3 = single-file dims)
     // must invalidate a cached tier built by an older generator
@@ -488,7 +509,9 @@ object Bench {
     if (marker.exists() && marker.lastModified() >= srcMtime) return
     marker.delete()
     val t = Tables(spark, sf01Dir)
-    val off = 10000000000L // far above any sf0.1 key; 100 copies stay < 2^40
+    // default off (1e10) sits far above any sf0.1 key (100 copies stay
+    // < 2^40); the sf100 derivation passes 1e12 — above the sf10 tier's
+    // own bumped-key ceiling (see ensureSf100)
     def replicate(df: DataFrame): DataFrame =
       df.withColumn("__c", explode(sequence(lit(0L), lit(copies - 1L))))
     def bump(c: String): org.apache.spark.sql.Column =
