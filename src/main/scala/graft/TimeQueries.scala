@@ -65,6 +65,7 @@ object TimeQueries {
       samples((q.name, dir)) = t :: samples((q.name, dir))
       if (t >= 0) System.err.println(f"[time] pass $pass ${q.name} $dir $t%.2f s")
     }
+    val record = new StringBuilder
     for (q <- defs) {
       val mins = dirs.map { d =>
         val ok = samples((q.name, d)).filter(_ >= 0)
@@ -77,6 +78,25 @@ object TimeQueries {
           f" ratio=${mins.last._2 / mins.head._2}%.2f"
         else ""
       println(s"TIME ${q.name} $cells$ratio")
+      if (record.nonEmpty) record.append(",\n")
+      record.append(s" ${Verify.jsonStr(q.name)}: {")
+        .append(mins.map { case (d, t) =>
+          s"${Verify.jsonStr(d)}: $t" }.mkString(", "))
+        .append(s""", "passes": {""")
+        .append(dirs.map(d => s"${Verify.jsonStr(d)}: [" +
+          samples((q.name, d)).reverse.map(t => f"$t%.3f").mkString(",") + "]")
+          .mkString(", "))
+        .append("}}")
+    }
+    // SPARK_GRAFT_TIME_OUT: write the min-of-N record (plus every raw
+    // pass) as a committed-artifact JSON — measured numbers quoted in
+    // SURVEY should have an in-repo, diffable provenance file, the same
+    // discipline as BENCH_r{N}.json / SF10_SWEEP.json (r16)
+    sys.env.get("SPARK_GRAFT_TIME_OUT").foreach { out =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+        s"""{"probe": "timequeries", "passes": $nPasses,""" + "\n" +
+          s""" "queries": {""" + "\n" + record.toString + "\n}}\n")
+      System.err.println(s"[time] record -> $out")
     }
     if (dump) defs.foreach(q =>
       Bench.dumpDiagnostic(spark, q, dirs.last, "dump",

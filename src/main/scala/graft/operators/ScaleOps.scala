@@ -239,7 +239,11 @@ object ScaleOps {
     * checkpointed per iteration to truncate lineage — `localCheckpoint`
     * by default, or the fault-tolerant path when
     * `spark.graft.checkpointDir` is set (the cluster-scale config: local
-    * checkpoint blocks die with their executor). Convergence is
+    * checkpoint blocks die with their executor, and MEASURED at the
+    * sf100 probe they also OOM a 64 GB single-box heap at ~150M edges —
+    * past the second decade, set the conf; SURVEY §6.13 records the
+    * adjudication, including the single-box transient-disk bound the
+    * reliable path then hits at that scale). Convergence is
     * detected on the materialized frame (any label lowered?); the
     * driver-side loop is bounded by `maxIter`, the same bounded-action
     * posture as the IVF centroid build. Throws if `maxIter` is hit
