@@ -479,7 +479,9 @@ object Bench {
     * so replica key ranges cannot collide — and 9 × 1e12 stays inside
     * every Long-keyed kernel's envelope. */
   def ensureSf100(spark: SparkSession, sf01Dir: String, outDir: String,
-      sf10Dir: String = "/tmp/graft-sf10"): Unit = {
+      // same env the sf10 sweep honors — a host whose sf10 cache lives
+      // elsewhere must not get a drifting duplicate built under /tmp
+      sf10Dir: String = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/graft-sf10")): Unit = {
     ensureSf10(spark, sf01Dir, sf10Dir)
     ensureScaled(spark, sf10Dir, outDir, copies = 10,
       "_GRAFT_SF100_READY_v2", off = 1000000000000L)

@@ -2,9 +2,10 @@ package graft
 
 /** On-demand scale-tier synthesis — the [[Bench]] generators behind a
   * standalone main, for tiers the per-round bench must never pay for
-  * inline (sf100 generation is ~40 min of write I/O; the driver's wall
-  * budget cannot absorb it). Idempotent via the generators' own
-  * marker/staleness discipline.
+  * inline (sf100 derives from the cached sf10 tier in ~5 min — 302 s
+  * measured — but that is still far outside the driver's per-round
+  * wall budget). Idempotent via the generators' own marker/staleness
+  * discipline.
   *
   * Usage:
   * {{{

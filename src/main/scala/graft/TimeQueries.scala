@@ -84,7 +84,10 @@ object TimeQueries {
           s"${Verify.jsonStr(d)}: $t" }.mkString(", "))
         .append(s""", "passes": {""")
         .append(dirs.map(d => s"${Verify.jsonStr(d)}: [" +
-          samples((q.name, d)).reverse.map(t => f"$t%.3f").mkString(",") + "]")
+          // Locale.ROOT: the default-locale f"" interpolator writes
+          // comma decimals under e.g. de_DE — invalid JSON (review r16)
+          samples((q.name, d)).reverse.map(t =>
+            "%.3f".formatLocal(java.util.Locale.ROOT, t)).mkString(",") + "]")
           .mkString(", "))
         .append("}}")
     }

@@ -115,15 +115,45 @@ object RestSource {
     val marker = new java.io.File(s"$dir/_GRAFT_READY")
     if (sfDir.startsWith("jdbc:")) {
       val t = graft.Tables(spark, sfDir).byName(table)
-      val cnt = t.count()
-      val prior =
-        if (!marker.isFile) -1L
-        else scala.util.Try(java.nio.file.Files.readString(marker.toPath)
-          .trim.toLong).getOrElse(-1L)
-      if (cnt != prior) {
-        t.write.mode("overwrite").json(dir)
-        java.nio.file.Files.writeString(marker.toPath, cnt.toString)
+      // freshness token = (row count, max of the first integral column)
+      // — the full `_incr` (split, count) discipline, one aggregate per
+      // snapshot check: count alone would serve a STALE snapshot after
+      // a same-cardinality regeneration whose id range moved (review
+      // r16); a same-count same-max in-place mutation remains out of
+      // contract, the same granularity limit the index families state.
+      val idCol = t.schema.fields.collectFirst {
+        case f if f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType => f.name
       }
+      import org.apache.spark.sql.functions.{count, lit, max}
+      val aggs = count(lit(1)) +: idCol.map(c => max(c)).toSeq
+      val r = t.agg(aggs.head, aggs.tail: _*).head()
+      val token = s"${r.getLong(0)}:" +
+        (if (idCol.isEmpty || r.isNullAt(1)) "-" else r.get(1).toString)
+      val prior =
+        if (!marker.isFile) ""
+        else scala.util.Try(java.nio.file.Files.readString(marker.toPath)
+          .trim).getOrElse("")
+      if (token != prior) {
+        t.write.mode("overwrite").json(dir)
+        java.nio.file.Files.writeString(marker.toPath, token)
+      }
+      // each distinct jdbc URL mints its own snapshot key (test runs use
+      // fresh per-run Derby paths), and nothing else ever deletes them —
+      // reap SIBLING snapshot dirs quiet for > 7 days so /tmp cannot
+      // grow without bound across rounds (review r16; the age gate
+      // spares anything a concurrent long-lived session could still be
+      // reading, the minhash-reap grace discipline)
+      val parent = new java.io.File(dir).getParentFile
+      Option(parent.listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName != new java.io.File(dir).getName)
+        .filter { d =>
+          val newest = Option(d.listFiles()).toSeq.flatten
+            .map(_.lastModified).foldLeft(d.lastModified)(math.max)
+          System.currentTimeMillis() - newest > 7L * 24 * 3600 * 1000
+        }
+        .foreach(d => scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(d)))
     } else {
       val src = new java.io.File(s"$sfDir/$table.parquet")
       def newestMtime(f: java.io.File): Long =

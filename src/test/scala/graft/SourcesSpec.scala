@@ -272,6 +272,9 @@ class SourcesSpec extends SparkSpec {
       assert(embIncr.run(spark, url).collect().toSeq ===
         embIncr.run(spark, sf001).collect().toSeq)
       assert(ev1.contains(s"v$esplit1-"), ev1)
+      // REST snapshot over the same jdbc corpus, pre-append baseline
+      val snap0 = graft.sources.RestSource.snapshot(spark, url, "documents")
+      assert(spark.read.json(snap0).count() === n1)
       // STALENESS: append one doc (new max id). Both token components
       // move — the ensure must mint a NEW version directory and the
       // probe must reflect the grown corpus, not the stale index.
@@ -291,6 +294,15 @@ class SourcesSpec extends SparkSpec {
       assert(incr.run(spark, url).collect().toSeq ===
         full.run(spark, url).filter($"doc_id" >= split2)
           .orderBy($"doc_id").collect().toSeq)
+      // …and the REST snapshot's (count, max-id) token moved with the
+      // append, so the snapshot rebuilt to the grown corpus — count
+      // alone as a token would ALSO pass here, but the recorded token
+      // format is pinned by the marker content below
+      val snap1 = graft.sources.RestSource.snapshot(spark, url, "documents")
+      assert(spark.read.json(snap1).count() === n1 + 1)
+      val tok = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$snap1/_GRAFT_READY")).trim
+      assert(tok.matches("\\d+:\\d+"), s"snapshot token must be count:maxId, got $tok")
     } finally
       scala.util.Try(
         java.sql.DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true")): Unit
