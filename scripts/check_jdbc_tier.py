@@ -13,10 +13,12 @@ Usage:
   python3 scripts/check_jdbc_tier.py <parquetVerifyDir> <jdbcVerifyDir> \
       <jdbcVerifyStderrLog> <outJson> [roundN] [expectedNonRunners]
 
-expectedNonRunners (default 0) is the number of KNOWN structural
-non-runners (the REST-fixture queries); any count above it fails the
-exit code, so a regression that silently turns comparable queries into
-non-runners cannot read as green coverage.
+expectedNonRunners (default empty) is a comma-separated list of the
+NAMES of known structural non-runners; ANY non-runner outside that set
+fails the exit code. Name-based rather than count-based (review r17): a
+count allowance could mask a swap where a declared non-runner starts
+running while a previously comparable query silently stops. Since r16
+closed the REST non-runners the expected set is empty.
 """
 import json, math, os, re, sys
 import pyarrow.parquet as pq
@@ -40,7 +42,7 @@ def rows_of(path):
     return cols, sorted(rows)
 
 
-def main(pq_dir, jdbc_dir, err_log, out_json, round_n, expected_nonrunners=0):
+def main(pq_dir, jdbc_dir, err_log, out_json, round_n, expected_nonrunners=""):
     # Verify's per-query failure lines name the non-runners and why
     reasons = {}
     if os.path.exists(err_log):
@@ -129,9 +131,13 @@ def main(pq_dir, jdbc_dir, err_log, out_json, round_n, expected_nonrunners=0):
     # INCLUDING non-runners beyond the declared structural allowance
     # (review r16: a run where every query crashed used to exit 0,
     # since only mismatch/nopq/unread tripped the code)
-    n_nonrun = len(names) - n_equal - n_mismatch - n_nopq - n_unread
-    return 1 if (n_mismatch or n_nopq or n_unread
-                 or n_nonrun > expected_nonrunners) else 0
+    expected = {n for n in (expected_nonrunners or "").split(",") if n}
+    actual_nonrun = {n for n, r in per_query.items()
+                     if r["status"] == "non-runner"}
+    unexpected = sorted(actual_nonrun - expected)
+    if unexpected:
+        print(f"UNEXPECTED non-runners (not in declared set): {unexpected}")
+    return 1 if (n_mismatch or n_nopq or n_unread or unexpected) else 0
 
 
 if __name__ == "__main__":
@@ -139,4 +145,4 @@ if __name__ == "__main__":
         sys.exit(__doc__)
     sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4],
                   int(sys.argv[5]) if len(sys.argv) > 5 else None,
-                  int(sys.argv[6]) if len(sys.argv) > 6 else 0))
+                  sys.argv[6] if len(sys.argv) > 6 else ""))

@@ -81,7 +81,12 @@ object TimeQueries {
       if (record.nonEmpty) record.append(",\n")
       record.append(s" ${Verify.jsonStr(q.name)}: {")
         .append(mins.map { case (d, t) =>
-          s"${Verify.jsonStr(d)}: $t" }.mkString(", "))
+          // a (query, dir) whose EVERY pass failed serializes its min as
+          // null, not -1.0 — a consumer of the committed artifact must
+          // not mistake the failure sentinel for a measured time; the
+          // raw -1 markers stay visible in the passes array (review r17)
+          s"${Verify.jsonStr(d)}: ${if (t < 0) "null" else t.toString}" }
+          .mkString(", "))
         .append(s""", "passes": {""")
         .append(dirs.map(d => s"${Verify.jsonStr(d)}: [" +
           // Locale.ROOT: the default-locale f"" interpolator writes

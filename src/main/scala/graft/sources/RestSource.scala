@@ -137,13 +137,20 @@ object RestSource {
       if (token != prior) {
         t.write.mode("overwrite").json(dir)
         java.nio.file.Files.writeString(marker.toPath, token)
+      } else {
+        // cache HIT: refresh the marker mtime so the sibling reap below
+        // reads "quiet for 7 days" as "UNUSED for 7 days" — without the
+        // touch a still-valid snapshot served daily from a long-lived
+        // session would age past the gate and be deleted out from under
+        // a concurrently-executing query (review r17)
+        marker.setLastModified(System.currentTimeMillis())
       }
       // each distinct jdbc URL mints its own snapshot key (test runs use
       // fresh per-run Derby paths), and nothing else ever deletes them —
-      // reap SIBLING snapshot dirs quiet for > 7 days so /tmp cannot
-      // grow without bound across rounds (review r16; the age gate
-      // spares anything a concurrent long-lived session could still be
-      // reading, the minhash-reap grace discipline)
+      // reap SIBLING snapshot dirs UNUSED for > 7 days so /tmp cannot
+      // grow without bound across rounds (review r16; both branches
+      // touch their marker on every snapshot() call, so quiet == unused
+      // and a live session's snapshot can never age into the reap)
       val parent = new java.io.File(dir).getParentFile
       Option(parent.listFiles()).toSeq.flatten
         .filter(d => d.isDirectory && d.getName != new java.io.File(dir).getName)
@@ -160,10 +167,24 @@ object RestSource {
         if (f.isDirectory) (f.lastModified +: f.listFiles().map(_.lastModified).toSeq).max
         else f.lastModified
       if (!marker.exists() || newestMtime(src) > marker.lastModified()) {
-        spark.read.parquet(src.getPath)
-          .write.mode("overwrite").json(dir)
+        // route CATALOG tables through the Tables facade (NOT a raw
+        // parquet read) so both tiers snapshot the SAME schema: byName
+        // applies the events ts-normalization and the embeddings vector
+        // decode identically on either store, closing the latent
+        // cross-tier divergence a raw read here would create if such a
+        // fixture is ever added (review r17; for today's snapshotted
+        // tables byName == raw load). Non-catalog names (synthetic test
+        // fixtures) keep the raw read — they have no normalized form.
+        val t =
+          if (graft.Tables.catalogTables.contains(table))
+            graft.Tables(spark, sfDir).byName(table)
+          else spark.read.parquet(src.getPath)
+        t.write.mode("overwrite").json(dir)
         marker.delete()
         marker.createNewFile()
+      } else {
+        // cache HIT: same unused-vs-quiet touch as the jdbc branch
+        marker.setLastModified(System.currentTimeMillis())
       }
     }
     dir

@@ -848,7 +848,13 @@ object StreamOps {
         // stream whose trigger was left unbounded (r15 verdict #6).
         val leaves = batch
           .select(col("leaf_index").cast("long"), col("leaf"))
-          .limit(maxBatchLeaves + 1)
+          // saturating +1: maxBatchLeaves = Int.MaxValue passes the
+          // positivity require, and a bare +1 would overflow to a
+          // NEGATIVE limit — killing the stream with an unrelated
+          // analysis error instead of this guard's named diagnostic
+          // (review r17). At MaxValue the over-cap detection degrades
+          // to exact-cap (a 2^31-row micro-batch has bigger problems).
+          .limit(math.min(maxBatchLeaves.toLong + 1, Int.MaxValue).toInt)
           .collect()
         require(leaves.length <= maxBatchLeaves,
           s"merkleAppend: micro-batch $batchId exceeds maxBatchLeaves=" +
