@@ -65,6 +65,15 @@ object Engine {
       // the defaults are the cluster-scaled version of these numbers.
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+      // reliable RDD checkpoints (the CC fixpoint's cluster posture via
+      // spark.graft.checkpointDir) are written UNCOMPRESSED by default;
+      // at the sf100 probe the per-iteration label snapshots plus the
+      // 270M-edge sym checkpoint were a first-order part of the ~90 GB
+      // transient-disk exhaustion (SURVEY §6.13). lz4-compressing them
+      // is a pure win (core conf, must be set before the context —
+      // runtime spark.conf.set cannot reach it), and it only affects
+      // reliable checkpoints, which nothing else in the engine uses.
+      .config("spark.checkpoint.compress", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -236,7 +236,14 @@ object ScaleOps {
     * short-circuits long chains: a path of diameter d converges in
     * O(log d) iterations, not O(d). Every iteration is a fixed set of
     * hash shuffles over (V+E) rows — no driver collect; the frame is
-    * checkpointed per iteration to truncate lineage — `localCheckpoint`
+    * checkpointed per iteration to truncate lineage — bare (node, label)
+    * pairs only, with the changed-count folded into the cache-filling
+    * scan and the converged confirmation pass writing no snapshot at all
+    * (round 17: the r16 sf100 probe adjudicated transient DISK as the
+    * binding constraint, so each iteration now holds the minimum —
+    * compressed 2-long snapshots, eagerly-freed predecessor state, and
+    * in reliable mode an explicit GC nudge per iteration so dead shuffle
+    * files are reclaimed promptly) — `localCheckpoint`
     * by default, or the fault-tolerant path when
     * `spark.graft.checkpointDir` is set (the cluster-scale config: local
     * checkpoint blocks die with their executor, and MEASURED at the
@@ -257,8 +264,30 @@ object ScaleOps {
     * the fault-tolerant checkpoint path instead (files under the dir;
     * first set wins per SparkContext). Locally the default stays
     * localCheckpoint — no filesystem churn in tests/bench. */
+  /** The fixpoint checkpoint-dir conf, with the forked-harness env
+    * fallback (same pattern as SPARK_GRAFT_CCALGO: sbt `run` forks, so a
+    * -D on the sbt command line never reaches the run JVM). */
+  private def ckptDirConf(spark: SparkSession): Option[String] =
+    spark.conf.getOption("spark.graft.checkpointDir")
+      .orElse(sys.env.get("SPARK_GRAFT_CKPT_DIR"))
+
+  private def reliableCkpt(spark: SparkSession): Boolean =
+    ckptDirConf(spark).isDefined
+
+  /** Eager checkpoint of a frame whose source is ALREADY cached by the
+    * caller — skips [[iterCkpt]]'s internal persist (which would double-
+    * cache) while keeping the reliable/local routing. */
+  private def ckptCached(spark: SparkSession, df: DataFrame): DataFrame =
+    if (reliableCkpt(spark)) {
+      ckptDirConf(spark).foreach { d =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(d)
+      }
+      df.checkpoint()
+    } else df.localCheckpoint()
+
   private def iterCkpt(spark: SparkSession): DataFrame => DataFrame = {
-    val reliable = spark.conf.getOption("spark.graft.checkpointDir")
+    val reliable = ckptDirConf(spark)
     reliable.foreach { d =>
       if (spark.sparkContext.getCheckpointDir.isEmpty)
         spark.sparkContext.setCheckpointDir(d)
@@ -314,17 +343,41 @@ object ScaleOps {
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("l1"))
       // pointer jump: follow the new label to ITS new label
       val jump = stepped.select(col("node").as("l1"), col("l1").as("l2"))
-      val next = ckpt(stepped.join(jump, Seq("l1"), "left")
+      // the iteration pipeline lands in a TRANSIENT cache (columnar,
+      // compressed), and the changed-count scan doubles as the job that
+      // fills it — the r16 shape checkpointed the 3-column frame first
+      // and then ran a separate scan for the count, so every iteration
+      // wrote `old` (dead weight after the count) into its snapshot and
+      // paid an extra read job over it (sf100 adjudication, SURVEY
+      // §6.13: transient DISK was the binding constraint)
+      val stepped3 = stepped.join(jump, Seq("l1"), "left")
         .select(col("node"), col("old"),
           least(col("l1"), coalesce(col("l2"), col("l1"))).as("label"))
-      ) // eager: one materialization feeds both uses below
-      changed = next.filter(col("label") < col("old")).limit(1).count()
-      // `next` is materialized (eager checkpoint), so the previous
-      // iteration's blocks are dead — free them NOW instead of waiting
-      // for driver GC to trigger ContextCleaner (on a big-heap driver
-      // that may be never; same leak class the Bloom memo guards)
-      unpersistCheckpoint(labels)
-      labels = next.select(col("node"), col("label"))
+      stepped3.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = stepped3.filter(col("label") < col("old")).count()
+      if (changed > 0L) {
+        // only a CHANGED iteration earns a checkpoint, and it snapshots
+        // the bare (node, label) pairs — 2/3 of the r16 row width; the
+        // converged confirmation pass writes nothing (labels already IS
+        // the fixpoint, materialized by the previous iteration)
+        val next = ckptCached(spark, stepped3.select(col("node"), col("label")))
+        stepped3.unpersist(blocking = false)
+        // `next` is materialized (eager checkpoint), so the previous
+        // iteration's blocks are dead — free them NOW instead of waiting
+        // for driver GC to trigger ContextCleaner (on a big-heap driver
+        // that may be never; same leak class the Bloom memo guards)
+        unpersistCheckpoint(labels)
+        labels = next
+        // reliable mode = the disk-bound posture: nudge the driver GC so
+        // ContextCleaner reclaims the superseded iteration's shuffle
+        // files NOW — on a big heap the collector may otherwise not run
+        // for many iterations while dead shuffles hold the scratch disk
+        // (the sf100 failure's second ingredient next to uncompressed
+        // checkpoints; §6.13)
+        if (reliableCkpt(spark)) System.gc()
+      } else {
+        stepped3.unpersist(blocking = false)
+      }
       iter += 1
     }
     unpersistCheckpoint(sym)

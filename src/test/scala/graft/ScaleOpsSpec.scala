@@ -354,8 +354,19 @@ class ScaleOpsSpec extends SparkSpec {
         if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
       val sc = spark.sparkContext
       assert(sc.getCheckpointDir.isDefined, "checkpoint dir was never set")
-      assert(files(new java.io.File(new java.net.URI(sc.getCheckpointDir.get).getPath))
-        .nonEmpty, "no reliable checkpoint files were written")
+      val ckptRoot = new java.io.File(new java.net.URI(sc.getCheckpointDir.get).getPath)
+      assert(files(ckptRoot).nonEmpty, "no reliable checkpoint files were written")
+      // EAGER per-iteration file reclaim (r17, the sf100 transient-disk
+      // adjudication): a 100-node chain converges over several
+      // iterations, and every superseded iteration's snapshot files must
+      // be deleted the moment its successor materializes — only the sym
+      // edge set and the final converged labels may remain on disk
+      val liveRddDirs = files(ckptRoot).map(_.getParentFile).distinct
+        .filter(_.getName.startsWith("rdd-"))
+      assert(liveRddDirs.size <= 2,
+        s"superseded iteration checkpoints were not reclaimed eagerly: " +
+          s"${liveRddDirs.size} rdd snapshot dirs remain " +
+          s"(${liveRddDirs.map(_.getName).sorted.mkString(", ")})")
     } finally {
       spark.conf.unset("spark.graft.checkpointDir")
       graft.operators.ScaleOps.clearCcCheckpoints()
