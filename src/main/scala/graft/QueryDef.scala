@@ -31,5 +31,6 @@ object QueryDef {
       graft.operators.RestQueries.defs ++
       graft.operators.Crypto.defs ++
       graft.operators.StreamingTwins.defs ++
-      graft.operators.ScaleOps.defs
+      graft.operators.ScaleOps.defs ++
+      Seq(graft.operators.PipelineE2E.pipeE2e)
 }

@@ -1030,7 +1030,7 @@ object ScaleOps {
     * documented composition (a stratum's mixture prefix IS the sampler's
     * subset) drift-proof on the Scala side; the SQL oracles necessarily
     * restate them. */
-  private val sampKey = md5(col("doc_id").cast("string"))
+  private[operators] val sampKey = md5(col("doc_id").cast("string"))
 
   /** Even-parity source test shared by [[smpStratified]] (rate choice) and
     * [[pipeMixInterleave]] (stride choice). substr-to-end + TRY_CAST on
@@ -1038,7 +1038,7 @@ object ScaleOps {
     * odd branch in Spark (try_cast → null → otherwise) and does the same
     * in DuckDB (TRY_CAST → NULL → ELSE). A plain .cast would THROW under
     * the engine's default ANSI mode instead of yielding null. */
-  private val evenSource = (expr("try_cast(substr(source, 4) as int)") % 2) === 0
+  private[operators] val evenSource = (expr("try_cast(substr(source, 4) as int)") % 2) === 0
 
   /** Deterministic stratified sampler for corpus mixing: keep a document
     * iff the first 4 hex chars of md5(doc_id) fall below the stratum's

@@ -762,12 +762,17 @@ object Similarity {
     * the SQL twin of the fused kernel above; the `ve` CTE is the
     * verified (doc_id, keeper, jaccard_pct) row set the batch query
     * returns, which the incr/cc variants filter or close over. */
-  private[operators] val mhOracleCtes = """
+  /** [[mhOracleCtes]] with the corpus source parameterized — the
+    * composed-pipeline oracle (`pipe_e2e`) recomputes the SAME election
+    * over its decontaminated survivor CTE instead of raw `documents`;
+    * one generator, so the two can never drift on a kernel expression
+    * (r17). `src` must expose (doc_id, text). */
+  private[operators] def mhOracleCtesOver(src: String): String = s"""
       tok AS (
         SELECT doc_id,
           unnest(list_distinct(list_filter(string_split(lower(text), ' '),
             x -> length(x) > 3))) AS t
-        FROM documents),
+        FROM $src),
       th AS (SELECT doc_id, md5(t) AS h FROM tok),
       mh AS (
         SELECT doc_id, i,
@@ -789,9 +794,11 @@ object Similarity {
         SELECT doc_id,
           list_distinct(list_filter(string_split(lower(text), ' '),
             x -> length(x) > 3)) AS toks
-        FROM documents
+        FROM $src
         WHERE toks IS NOT NULL AND length(toks) > 0),
       """ + mhVerifyCtes("cand", "vr", "ve", withJaccardCol = true)
+
+  private[operators] val mhOracleCtes = mhOracleCtesOver("documents")
 
   val ddMinhash = QueryDef(
     "dd_minhash",

@@ -257,6 +257,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), "hit count lost map-side combine")
   }
 
+  test("pipe_e2e: one corpus scan feeds every stage through the memo chain") {
+    // the composed pipeline's whole point (r17 verdict #3): clean →
+    // decontam → near-dup → gate → sample → mix → pack must run off ONE
+    // parquet read of documents, with each expensive stage a cached
+    // frame. Same audit arithmetic as the dedup family: every
+    // InMemoryTableScan re-prints its cached plan (whose FileScan runs
+    // only at first materialization), so a stage bypassing the memo
+    // chain shows up as more documents FileScan prints than cached-plan
+    // prints; and the five stage memos must actually be present.
+    // the mix/pack tails run on the eager strata kernels (ExistingRDD in
+    // the catalog query's final plan — the documented plan-sweep caveat),
+    // so the audit reads the PRE-KERNEL sampled frame: stages 1–5 and the
+    // whole memo chain are visible there
+    val p = operators.PipelineE2E.sampled(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet"))
+    val cached = p.linesIterator.count(_.contains("InMemoryRelation"))
+    assert(cached >= 4,
+      s"pipe_e2e: expected the stage memos (base/gated/surv1/mhfeat) " +
+        s"under the sampled frame, saw $cached InMemoryRelation prints")
+    assert(scans <= cached,
+      s"pipe_e2e: $scans documents FileScans vs $cached cached-plan prints " +
+        "— a stage bypasses the memo chain")
+    // no OTHER source table sneaks in: documents is the flow's only input
+    assert(!p.contains("orders.parquet") && !p.contains("lineitem.parquet"),
+      "pipe_e2e must read only the documents corpus")
+  }
+
   test("catalog sweep: no CartesianProduct; BNLJ only in the bounded-side whitelist") {
     // one pass: each catalog query is planned ONCE and both join-shape
     // checks read the same plan string (planning ~130 queries is the
