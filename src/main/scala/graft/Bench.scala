@@ -151,8 +151,17 @@ object Bench {
       val line =
         if (outer.hasNonNull("parsed")) outer.get("parsed")
         else {
-          val raw = outer.get("tail").asText().linesIterator
-            .filter(_.contains("\"metric\":\"total\"")).toSeq.last
+          val tailText = outer.get("tail").asText()
+          // prefer the `[bench-json] `-marked line (r17 verdict #4): the
+          // summary object alone behind a grep-able prefix, no sbt
+          // `[info]`-framing dependency; older records without the
+          // marker fall back to last-metric-line mining
+          val marked = tailText.linesIterator
+            .filter(_.contains("[bench-json] ")).toSeq.lastOption
+            .map(l => l.substring(
+              l.indexOf("[bench-json] ") + "[bench-json] ".length))
+          val raw = marked.getOrElse(tailText.linesIterator
+            .filter(_.contains("\"metric\":\"total\"")).toSeq.last)
           mapper.readTree(raw.substring(raw.indexOf("{\"metric\"")))
         }
       // the record must come from the driver's sf0.1 run: anchors from a
@@ -1058,6 +1067,13 @@ object Bench {
       sf1Section, sf1Summary, remeasuredJson("sf01_remeasured", sf01Prelim),
       failedBoth + sf10Both + diagJson, summaryExtra)
     println(fullLine)
+    // the same summary object once more behind a grep-able marker
+    // (r17 verdict #4): consumers — including this class's own loaders —
+    // can find the machine-readable record without depending on sbt's
+    // `[info]` framing or on which line of the tail survived; printed
+    // second-to-last so the bare summary line below remains the LAST
+    // stdout line (the r9 truncation contract)
+    println(s"[bench-json] $summaryLine")
     println(summaryLine) // LAST stdout line — the driver's tail keeps the end
     spark.stop()
   }

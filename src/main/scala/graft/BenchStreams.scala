@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured throughput/state harness for the STREAMING tier — the
+  * missing twin of [[Bench]]/[[TimeQueries]] for `streaming.StreamOps`.
+  *
+  * Every ST-series live operator is equivalence-spec'd against its
+  * oracle-green batch twin and checkpoint-restart-proven, but until this
+  * harness none had a RECORDED rate: the engine's streaming posture was
+  * argued purely by spec while the reference's one hard published number
+  * is a streaming one (sub-50 ms vote ingest, `README.md:7`; the 10k-vote
+  * bounded state, `lib.rs:21-22`). This main states the engine's measured
+  * equivalents: rows/s, per-batch wall, and peak state-store rows per
+  * operator, as a committed JSON artifact.
+  *
+  * Protocol — replay, not synthesis: the sf tier's `events` table is
+  * staged once into N time-sliced parquet chunk files with ASCENDING
+  * mtimes (the file source admits files in mtime order, so micro-batches
+  * arrive in coarse event-time order — the replay contract the
+  * cross-batch-order operators document), then each operator runs as a
+  * real `readStream` file source bounded by `maxFilesPerTrigger`, through
+  * the operator under test, into the noop sink (execution cost without
+  * write cost — the [[Bench.timeOnce]] discipline). Metrics come from the
+  * engine's own `StreamingQueryProgress` (input rows, trigger wall,
+  * state-operator row counts), not wall-clock guesswork around the whole
+  * run; the reported wall additionally includes stream startup, so
+  * rows/s here is the conservative end-to-end number.
+  *
+  * Usage:
+  * {{{
+  * sbt "runMain graft.BenchStreams /tmp/graft-sf1"        // all ops
+  * sbt "runMain graft.BenchStreams chunks=24 files=2 ops=st1_deadline_tally /tmp/graft-sf1"
+  * }}}
+  * `SPARK_GRAFT_STREAM_OUT=<path>` writes the JSON artifact
+  * (BENCH_STREAM_r{N}.json is the committed form). Like every timing
+  * main: never run concurrently with other Spark work.
+  */
+object BenchStreams {
+
+  /** One operator under measurement: name, output mode, and the
+    * stream-plan constructor from the staged source. */
+  private final case class StreamOp(
+      name: String, mode: String, build: DataFrame => DataFrame)
+
+  private def ops(spark: SparkSession): Seq[StreamOp] = {
+    import spark.implicits._
+    Seq(
+      // windowed agg state: one row per open 1 h window
+      StreamOp("st1_deadline_tally", "update",
+        src => graft.streaming.StreamOps.deadlineTally(src)),
+      // per-key flatMapGroupsWithState: seven scalars per user
+      StreamOp("st12_rapid_reversal", "append",
+        src => graft.streaming.StreamOps.rapidReversal(
+          src.select($"event_id", $"user_id", $"event_type", $"value",
+            $"ts_ms").as[graft.streaming.Ev]).toDF()),
+      // stream-stream interval join: views retained for band + watermark
+      StreamOp("st_range_attr", "append",
+        src => graft.streaming.StreamOps.rangeAttr(src)),
+      // watermarked exact dedup: one state row per live event_id
+      StreamOp("st4_dedup", "append",
+        src => graft.streaming.StreamOps.dedup(src)))
+  }
+
+  /** Stages the tier's events as `nChunks` time-sliced parquet files with
+    * ascending mtimes under one flat dir; returns (dir, totalRows). A
+    * `_STAGED_<rows>_<chunks>` marker memoizes the layout per (tier,
+    * chunk-count) so repeated harness runs re-stage only when the source
+    * row count moved — the snapshot-token discipline. */
+  private def stageEvents(spark: SparkSession, sfDir: String,
+      nChunks: Int): (String, Long) = {
+    val key = (sfDir + s"#$nChunks").replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$sfDir#$nChunks".getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString
+    val stage = s"${System.getProperty("java.io.tmpdir")}/graft-stream-stage/$key"
+    val ev = Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts_ms"))
+    val total = ev.count()
+    val markerName = s"_STAGED_${total}_$nChunks"
+    val marker = new java.io.File(s"$stage/$markerName")
+    if (marker.isFile) return (stage, total)
+
+    // one shuffle-free-ish job: chunk = uniform ts slice, written
+    // partitioned, then flattened into mtime-ordered files
+    val mm = ev.agg(min(col("ts_ms")), max(col("ts_ms"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(1L, mx - mn + 1)
+    val tmp = s"$stage.build"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    ev.withColumn("chunk",
+        least(lit(nChunks - 1),
+          ((col("ts_ms") - lit(mn)) * lit(nChunks.toLong) / lit(span))
+            .cast("int")))
+      // one file per chunk: the trigger cadence is files, so each chunk
+      // must be exactly one admission unit
+      .repartition(col("chunk"))
+      .sortWithinPartitions(col("ts_ms"))
+      .write.partitionBy("chunk").mode("overwrite").parquet(tmp)
+    val out = new java.io.File(stage)
+    out.mkdirs()
+    val base = System.currentTimeMillis() - (nChunks + 1) * 60000L
+    for (i <- 0 until nChunks) {
+      val cdir = new java.io.File(s"$tmp/chunk=$i")
+      val parts = Option(cdir.listFiles()).toSeq.flatten
+        .filter(f => f.getName.endsWith(".parquet"))
+      parts.zipWithIndex.foreach { case (f, j) =>
+        val dest = new java.io.File(out, f"chunk-$i%04d-$j.parquet")
+        java.nio.file.Files.move(f.toPath, dest.toPath)
+        dest.setLastModified(base + i * 60000L)
+      }
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    marker.createNewFile()
+    (stage, total)
+  }
+
+  private def pct(xs: Seq[Double], q: Double): Double =
+    if (xs.isEmpty) 0.0
+    else xs.sorted.apply(math.min(xs.size - 1, (q * xs.size).toInt))
+
+  def main(args: Array[String]): Unit = {
+    val usage = "usage: BenchStreams [chunks=N] [files=K] [ops=a,b,...] <sfDir>"
+    var nChunks = 24
+    var filesPerTrigger = 2
+    var only: Option[Set[String]] = None
+    val rest = args.dropWhile {
+      case a if a.startsWith("chunks=") => nChunks = a.stripPrefix("chunks=").toInt; true
+      case a if a.startsWith("files=") => filesPerTrigger = a.stripPrefix("files=").toInt; true
+      case a if a.startsWith("ops=") =>
+        only = Some(a.stripPrefix("ops=").split(",").map(_.trim).toSet); true
+      case _ => false
+    }
+    require(rest.length == 1, usage)
+    val sfDir = rest(0)
+    val spark = Engine.session(appName = "graft-bench-streams")
+    import scala.jdk.CollectionConverters._
+
+    val (stage, totalRows) = stageEvents(spark, sfDir, nChunks)
+    System.err.println(s"[bench-stream] staged $totalRows rows in $nChunks chunks at $stage")
+    val schema = spark.read.parquet(stage).schema
+
+    val selected = ops(spark).filter(o => only.forall(_.contains(o.name)))
+    require(selected.nonEmpty, s"no ops matched; $usage")
+    val records = selected.map { op =>
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft-stream-ckpt-${op.name}").toString
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(stage)
+      val t0 = System.nanoTime()
+      val q = op.build(src).writeStream
+        .format("noop").outputMode(op.mode)
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // progress AFTER completion: every batch's metrics are final
+      val progress = q.recentProgress.toSeq
+      q.stop()
+      // best-effort, retried: the state-store MAINTENANCE thread can
+      // still be flushing snapshot files after stop() returns, and a
+      // delete racing it either throws DirectoryNotEmpty or leaves a
+      // recreated half-dir — neither may abort the measurement run
+      // (the artifact print is what matters; /tmp reaps the husk)
+      var attempts = 0
+      while (attempts < 3 && new java.io.File(ckpt).exists()) {
+        attempts += 1
+        scala.util.Try(org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(ckpt)))
+        if (new java.io.File(ckpt).exists()) Thread.sleep(1000)
+      }
+      val batches = progress.filter(_.numInputRows > 0)
+      val rows = batches.map(_.numInputRows).sum
+      val trigSec = batches.map(_.durationMs.asScala
+        .getOrElse("triggerExecution", java.lang.Long.valueOf(0L))
+        .longValue() / 1e3)
+      val stateMax = progress.flatMap(_.stateOperators.toSeq
+        .map(_.numRowsTotal)).foldLeft(0L)(math.max)
+      val rec =
+        s"""{"op": ${Verify.jsonStr(op.name)}, "rows": $rows, """ +
+          s""""batches": ${batches.size}, """ +
+          f""""wall_sec": $wall%.3f, """ +
+          f""""rows_per_sec": ${if (wall > 0) rows / wall else 0.0}%.0f, """ +
+          f""""trigger_sec_p50": ${pct(trigSec, 0.50)}%.3f, """ +
+          f""""trigger_sec_p95": ${pct(trigSec, 0.95)}%.3f, """ +
+          f""""us_per_event": ${if (rows > 0) trigSec.sum * 1e6 / rows else 0.0}%.2f, """ +
+          s""""state_rows_max": $stateMax}"""
+      System.err.println(s"[bench-stream] ${op.name}: $rec")
+      rec
+    }
+    val record = s"""{"probe": "bench-streams", "sf": ${Verify.jsonStr(sfDir)}, """ +
+      s""""total_rows": $totalRows, "chunks": $nChunks, """ +
+      s""""files_per_trigger": $filesPerTrigger, """ +
+      s""""ops": [${records.mkString(",\n  ")}]}"""
+    // marker-line discipline (r17 verdict #4): the machine-readable
+    // record on ONE stdout line behind a grep-able prefix, no sbt
+    // framing dependency
+    println(s"[bench-stream-json] $record")
+    sys.env.get("SPARK_GRAFT_STREAM_OUT").foreach { out =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), record + "\n")
+    }
+    spark.stop()
+  }
+}

@@ -143,6 +143,17 @@ class CatalogSpec extends SparkSpec {
     assert(Bench.loadPrevDriverRecord(dir) ===
       ((Map("q1_agg" -> 1.5), Map("q1_agg" -> 8.67))),
       "summary alone carries every headline field the loader needs")
+    // r17: the `[bench-json] `-marked line is PREFERRED over
+    // last-metric-line mining — a tail whose last metric-bearing line is
+    // broken garbage must still yield the marked record (distinct value
+    // 2.5 proves the marker path was taken: the mining path would throw
+    // on the garbage line and walk back to r02's 1.5)
+    val summary3 = summary.replace("\"q1_agg\":1.5", "\"q1_agg\":2.5")
+    write("BENCH_r03.json", rec(
+      s"[bench-json] $summary3\n" +
+        "late garbage {\"metric\":\"total\" broken\n"))
+    assert(Bench.loadPrevDriverRecord(dir)._1 === Map("q1_agg" -> 2.5),
+      "the marked line must win over metric-line mining")
   }
 
   test("summary line carries the attribution fields inside the tail window") {
