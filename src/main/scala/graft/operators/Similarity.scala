@@ -1231,9 +1231,19 @@ object Similarity {
         transform(col("pm"), x => x.getField("m").cast("float")).as("cv")))
   }
 
+  /** (vec_id, v, norm) over the corpus — MEMOIZED (r17): the IVF tier
+    * reads this frame four times per run (quantizer seeds, the Lloyd
+    * assign, corpus cell assignment, query cell probes), and unmemoized
+    * each read re-scanned the parquet and re-ran the O(dim) norm kernel
+    * over every vector — the whole reason `sim_ivf_topk` sat at ~2-3×
+    * its LSH sibling in the sf10 sweep (adjudicated via the stage dump:
+    * two saturated full-width corpus passes, no skew, no window). Same
+    * one-scan discipline as the dd_* feature frames. */
   private def embeddingFrame(s: SparkSession, dir: String): DataFrame =
-    T(s, dir).embeddings.select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("norm", sqrt(dotDouble(col("v"), col("v"))))
+    cachedFeature(s, s"emb_frame:$dir", srcVersion(s, dir, "embeddings.parquet")) {
+      T(s, dir).embeddings.select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("norm", sqrt(dotDouble(col("v"), col("v"))))
+    }
 
   /** Exact re-rank of cell-joined (corpus ⨝ query) candidates through the
     * bounded heap — shared by the in-memory query and the persisted-index
