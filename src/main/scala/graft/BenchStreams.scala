@@ -78,8 +78,14 @@ object BenchStreams {
     val ev = Tables(spark, sfDir).events
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("ts_ms"))
-    val total = ev.count()
-    val markerName = s"_STAGED_${total}_$nChunks"
+    // freshness token = (count, max event_id, max ts_ms) — count alone
+    // would replay STALE chunks after a same-cardinality regeneration
+    // (r17 review; the RestSource.snapshot token discipline, for real)
+    val tk = ev.agg(count(lit(1)), max(col("event_id")), max(col("ts_ms"))).head()
+    val total = tk.getLong(0)
+    val markerName = s"_STAGED_${total}_" +
+      s"${if (tk.isNullAt(1)) "-" else tk.get(1)}_" +
+      s"${if (tk.isNullAt(2)) "-" else tk.get(2)}_$nChunks"
     val marker = new java.io.File(s"$stage/$markerName")
     if (marker.isFile) return (stage, total)
 
@@ -138,6 +144,13 @@ object BenchStreams {
     val sfDir = rest(0)
     val spark = Engine.session(appName = "graft-bench-streams")
     import scala.jdk.CollectionConverters._
+    // recentProgress retains only the last N progress updates (default
+    // 100) — a fine-cadence run (chunks/files > ~100 triggers) would
+    // silently drop early batches from the rows/throughput sums while
+    // wall_sec covered the whole run (r17 review). Size the buffer to
+    // the run, and cross-check completeness per op below.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      (nChunks + 64).toString)
 
     val (stage, totalRows) = stageEvents(spark, sfDir, nChunks)
     System.err.println(s"[bench-stream] staged $totalRows rows in $nChunks chunks at $stage")
@@ -175,6 +188,17 @@ object BenchStreams {
       }
       val batches = progress.filter(_.numInputRows > 0)
       val rows = batches.map(_.numInputRows).sum
+      // completeness: every admitted row must be accounted for — a
+      // multi-source op (the interval join reads the stream once per
+      // side) legitimately admits sources × totalRows; anything LESS
+      // means progress entries were dropped and the rates are wrong
+      val nSources = progress.map(_.sources.length).foldLeft(1)(math.max)
+      val expected = totalRows * nSources
+      if (rows != expected)
+        System.err.println(s"[bench-stream] WARNING ${op.name}: summed " +
+          s"$rows input rows but expected $expected ($nSources source(s) × " +
+          s"$totalRows) — progress buffer too small or rows dropped; " +
+          "rates below are UNRELIABLE")
       val trigSec = batches.map(_.durationMs.asScala
         .getOrElse("triggerExecution", java.lang.Long.valueOf(0L))
         .longValue() / 1e3)
@@ -188,7 +212,7 @@ object BenchStreams {
           f""""trigger_sec_p50": ${pct(trigSec, 0.50)}%.3f, """ +
           f""""trigger_sec_p95": ${pct(trigSec, 0.95)}%.3f, """ +
           f""""us_per_event": ${if (rows > 0) trigSec.sum * 1e6 / rows else 0.0}%.2f, """ +
-          s""""state_rows_max": $stateMax}"""
+          s""""state_rows_max": $stateMax, "complete": ${rows == expected}}"""
       System.err.println(s"[bench-stream] ${op.name}: $rec")
       rec
     }

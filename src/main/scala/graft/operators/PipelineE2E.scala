@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The LLM-training-data pipeline composed END-TO-END as one catalog
@@ -77,8 +76,7 @@ object PipelineE2E {
     val gated = Similarity.cachedFeature(s, s"pipe_e2e_gated:$dir", ver) {
       Text.corpusGates(base)
     }
-    val keepers = gated.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-    val cleaned = gated.join(keepers, Seq("fp", "doc_id"))
+    val cleaned = Text.keeperDedup(gated)
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
         col("n_chars"), col("quality_score"))
     // stage 2 — decontamination against the RAW held-out stratum (the
@@ -103,17 +101,16 @@ object PipelineE2E {
       Similarity.minhashFeatOf(surv1.select(col("doc_id"), col("text")))
     }
     val nearDup = Similarity.minhashDedupOf(feat).select(col("doc_id"))
-    val surv2 = surv1.join(nearDup, Seq("doc_id"), "left_anti")
+    // memoized (r17 review): surv2 feeds TWO plan branches inside the
+    // median gate (thresholds + join-back), and Spark shares no subplans
+    // across DataFrame branches — unmemoized, the whole near-dup
+    // election subplan executed twice per cold run
+    val surv2 = Similarity.cachedFeature(s, s"pipe_e2e_surv2:$dir", ver) {
+      surv1.join(nearDup, Seq("doc_id"), "left_anti")
+    }
     // stage 4 — per-language median gate over the SURVIVING population
-    val wOrd = Window.partitionBy("lang").orderBy(col("quality_score"), col("doc_id"))
-    val wAll = Window.partitionBy("lang")
-    val thresholds = surv2
-      .withColumn("rn0", row_number().over(wOrd).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .filter(col("rn0") === expr("(n + 1) div 2"))
-      .select(col("lang").as("t_lang"), col("quality_score").as("lang_median"))
-    val gatedQ = surv2.join(broadcast(thresholds), col("lang") <=> col("t_lang"))
-      .filter(col("quality_score") >= col("lang_median"))
+    // (the pipe_quality_gate kernel, shared definition)
+    val gatedQ = Text.medianGate(surv2, "lang", "quality_score", "doc_id")
     // stage 5 — deterministic stratified sample (the smp_stratified rule)
     Similarity.cachedFeature(s, s"pipe_e2e_samp:$dir", ver) {
       gatedQ

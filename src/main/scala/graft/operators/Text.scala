@@ -411,6 +411,41 @@ object Text {
       .filter(col("quality_score") >= lit(60L))
       .withColumn("fp", md5(col("text")))
 
+  /** Exact-dup keeper election on a fingerprint column: keep each fp's
+    * min-doc_id row, via a partial-aggregating groupBy + join — the same
+    * scale-safe shape as the LSH keeper election (no window over
+    * potentially huge duplicate clusters). ONE definition shared by
+    * `pipe_corpus_clean` and the composed `pipe_e2e` (r17 review: an
+    * election fix landing in only one of the two would silently diverge
+    * the composed flow from the twin its oracle pins). */
+  private[operators] def keeperDedup(gated: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    val keepers = gated.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    gated.join(keepers, Seq("fp", "doc_id"))
+  }
+
+  /** Per-stratum integer-rank MEDIAN gate: keep rows whose `score` is at
+    * or above their `stratum`'s median, computed by the
+    * `a15_percentile_disc` rank rule `(n+1) div 2` over (score, tiebreak)
+    * and joined back NULL-SAFELY (`<=>`) — a plain equi-join would drop
+    * the null stratum entirely (r13 sweep; oracle joins IS NOT DISTINCT
+    * FROM to match). Adds `lang_median`. ONE definition shared by
+    * `pipe_quality_gate` and the composed `pipe_e2e` (r17 review). */
+  private[operators] def medianGate(df: org.apache.spark.sql.DataFrame,
+      stratum: String, score: String, tiebreak: String):
+      org.apache.spark.sql.DataFrame = {
+    val wOrd = Window.partitionBy(stratum).orderBy(col(score), col(tiebreak))
+    val wAll = Window.partitionBy(stratum)
+    val thresholds = df
+      .withColumn("__mg_rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__mg_n", count(lit(1)).over(wAll))
+      .filter(col("__mg_rn") === expr("(__mg_n + 1) div 2"))
+      .select(col(stratum).as("__mg_stratum"), col(score).as("lang_median"))
+    df.join(broadcast(thresholds), col(stratum) <=> col("__mg_stratum"))
+      .filter(col(score) >= col("lang_median"))
+      .drop("__mg_stratum")
+  }
+
   val pipeCorpusClean = QueryDef(
     "pipe_corpus_clean",
     (s, dir) => {
@@ -421,11 +456,7 @@ object Text {
           Similarity.srcVersion(s, dir, "documents.parquet")) {
         corpusGates(T(s, dir).documents)
       }
-      // keeper per fingerprint via partial-aggregating groupBy + join —
-      // same scale-safe shape as the LSH keeper election (no window over
-      // potentially huge duplicate clusters)
-      val keepers = gated.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-      gated.join(keepers, Seq("fp", "doc_id"))
+      keeperDedup(gated)
         .select(col("doc_id"), col("quality_score"),
           col("n_words").as("tokens"), col("fp"))
         .orderBy(col("doc_id"))
@@ -487,20 +518,7 @@ object Text {
     "pipe_quality_gate",
     (s, dir) => {
       val scored = qualityScored(s, dir)
-      val wOrd = Window.partitionBy("lang").orderBy(col("quality_score"), col("doc_id"))
-      val wAll = Window.partitionBy("lang")
-      val thresholds = scored
-        .withColumn("rn", row_number().over(wOrd).cast("long"))
-        .withColumn("n", count(lit(1)).over(wAll))
-        .filter(col("rn") === expr("(n + 1) div 2"))
-        .select(col("lang").as("t_lang"), col("quality_score").as("lang_median"))
-      // NULL-SAFE join back (<=>): the window above computes a median
-      // for the null-lang stratum, but a plain equi-join would drop it
-      // (NULL != NULL) — silently deleting an entire stratum from a
-      // gate whose whole purpose is per-stratum retention; the oracle
-      // joins IS NOT DISTINCT FROM to match (r13 sweep)
-      scored.join(broadcast(thresholds), col("lang") <=> col("t_lang"))
-        .filter(col("quality_score") >= col("lang_median"))
+      medianGate(scored, "lang", "quality_score", "doc_id")
         .select(col("doc_id"), col("lang"), col("quality_score"), col("lang_median"))
         .orderBy(col("doc_id"))
     },

@@ -166,7 +166,19 @@ object RestSource {
       def newestMtime(f: java.io.File): Long =
         if (f.isDirectory) (f.lastModified +: f.listFiles().map(_.lastModified).toSeq).max
         else f.lastModified
-      if (!marker.exists() || newestMtime(src) > marker.lastModified()) {
+      // staleness compares the OBSERVED source mtime stored in the
+      // marker's CONTENTS, not the marker's own mtime (r17 review): the
+      // reap-liveness touch below advances the marker's mtime on every
+      // hit, and an mtime-preserving source replacement (Files.move,
+      // rsync -a) older than the last touch would otherwise serve the
+      // stale snapshot forever. Same explicit-token discipline as the
+      // jdbc branch; a legacy EMPTY marker reads as token-less → rebuild.
+      val srcToken = newestMtime(src).toString
+      val priorToken =
+        if (!marker.isFile) ""
+        else scala.util.Try(java.nio.file.Files.readString(marker.toPath)
+          .trim).getOrElse("")
+      if (srcToken != priorToken) {
         // route CATALOG tables through the Tables facade (NOT a raw
         // parquet read) so both tiers snapshot the SAME schema: byName
         // applies the events ts-normalization and the embeddings vector
@@ -180,10 +192,10 @@ object RestSource {
             graft.Tables(spark, sfDir).byName(table)
           else spark.read.parquet(src.getPath)
         t.write.mode("overwrite").json(dir)
-        marker.delete()
-        marker.createNewFile()
+        java.nio.file.Files.writeString(marker.toPath, srcToken)
       } else {
         // cache HIT: same unused-vs-quiet touch as the jdbc branch
+        // (safe now that staleness reads the token, not this mtime)
         marker.setLastModified(System.currentTimeMillis())
       }
     }
