@@ -80,19 +80,22 @@ object BenchStreams {
         col("value"), col("ts_ms"))
     // freshness token = (count, max event_id, max ts_ms) — count alone
     // would replay STALE chunks after a same-cardinality regeneration
-    // (r17 review; the RestSource.snapshot token discipline, for real)
-    val tk = ev.agg(count(lit(1)), max(col("event_id")), max(col("ts_ms"))).head()
+    // (r17 review; the RestSource.snapshot token discipline, for real).
+    // min(ts_ms) rides along so the chunk-slicing bounds below don't
+    // re-scan the table a second time on a staging miss (r17 review 2).
+    val tk = ev.agg(count(lit(1)), max(col("event_id")),
+      max(col("ts_ms")), min(col("ts_ms"))).head()
     val total = tk.getLong(0)
-    val markerName = s"_STAGED_${total}_" +
-      s"${if (tk.isNullAt(1)) "-" else tk.get(1)}_" +
-      s"${if (tk.isNullAt(2)) "-" else tk.get(2)}_$nChunks"
+    // loud empty-tier diagnostic, not an NPE at getLong on a null max
+    // (r17 review 2): nothing downstream can replay zero events anyway
+    require(total > 0, s"BenchStreams: $sfDir/events is empty — nothing to replay")
+    val markerName = s"_STAGED_${total}_${tk.get(1)}_${tk.get(2)}_$nChunks"
     val marker = new java.io.File(s"$stage/$markerName")
     if (marker.isFile) return (stage, total)
 
-    // one shuffle-free-ish job: chunk = uniform ts slice, written
-    // partitioned, then flattened into mtime-ordered files
-    val mm = ev.agg(min(col("ts_ms")), max(col("ts_ms"))).head()
-    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    // chunk = uniform ts slice, written partitioned, then flattened
+    // into mtime-ordered files
+    val (mn, mx) = (tk.getLong(3), tk.getLong(2))
     val span = math.max(1L, mx - mn + 1)
     val tmp = s"$stage.build"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))

@@ -432,17 +432,24 @@ object Text {
     * FROM to match). Adds `lang_median`. ONE definition shared by
     * `pipe_quality_gate` and the composed `pipe_e2e` (r17 review). */
   private[operators] def medianGate(df: org.apache.spark.sql.DataFrame,
-      stratum: String, score: String, tiebreak: String):
-      org.apache.spark.sql.DataFrame = {
+      stratum: String, score: String, tiebreak: String,
+      outName: String = "lang_median"): org.apache.spark.sql.DataFrame = {
+    // the output name is a parameter (default keeps both callers'
+    // catalog schema): a hardcoded name would mislabel a non-language
+    // stratum and collide (ambiguous-reference AnalysisException) on a
+    // frame that already carries it — e.g. composing two gates (r17
+    // review 2)
+    require(!df.columns.exists(_.equalsIgnoreCase(outName)),
+      s"medianGate output column $outName already exists (any case) — pass outName")
     val wOrd = Window.partitionBy(stratum).orderBy(col(score), col(tiebreak))
     val wAll = Window.partitionBy(stratum)
     val thresholds = df
       .withColumn("__mg_rn", row_number().over(wOrd).cast("long"))
       .withColumn("__mg_n", count(lit(1)).over(wAll))
       .filter(col("__mg_rn") === expr("(__mg_n + 1) div 2"))
-      .select(col(stratum).as("__mg_stratum"), col(score).as("lang_median"))
+      .select(col(stratum).as("__mg_stratum"), col(score).as(outName))
     df.join(broadcast(thresholds), col(stratum) <=> col("__mg_stratum"))
-      .filter(col(score) >= col("lang_median"))
+      .filter(col(score) >= col(outName))
       .drop("__mg_stratum")
   }
 

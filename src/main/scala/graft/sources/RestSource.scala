@@ -101,6 +101,29 @@ object RestSource {
     * relational primary, closing the jdbc artifact's last non-runners).
     * Either way a stale snapshot would silently serve old data while
     * the oracle reads the fresh store. */
+  /** The ONE marker-token discipline both snapshot branches share (r17
+    * review 2 — the triplet was duplicated verbatim per branch):
+    * staleness compares `token` against the marker's CONTENTS (the
+    * marker's own mtime is repurposed as reap-liveness and advances on
+    * every call), `build` runs only when the token moved (then the new
+    * token is committed strictly AFTER the data), and a cache hit
+    * touches the marker so the sibling reap's 7-day window means
+    * UNUSED, not merely old. A legacy/empty marker reads token-less →
+    * rebuild once. */
+  private def refreshIfTokenMoved(marker: java.io.File, token: String)(
+      build: => Unit): Unit = {
+    val prior =
+      if (!marker.isFile) ""
+      else scala.util.Try(java.nio.file.Files.readString(marker.toPath)
+        .trim).getOrElse("")
+    if (token != prior) {
+      build
+      java.nio.file.Files.writeString(marker.toPath, token)
+    } else {
+      marker.setLastModified(System.currentTimeMillis())
+    }
+  }
+
   def snapshot(spark: SparkSession, sfDir: String, table: String): String = {
     val raw = s"$sfDir/$table"
     // readable sanitized prefix + an md5 of the RAW pair: sanitization
@@ -130,20 +153,8 @@ object RestSource {
       val r = t.agg(aggs.head, aggs.tail: _*).head()
       val token = s"${r.getLong(0)}:" +
         (if (idCol.isEmpty || r.isNullAt(1)) "-" else r.get(1).toString)
-      val prior =
-        if (!marker.isFile) ""
-        else scala.util.Try(java.nio.file.Files.readString(marker.toPath)
-          .trim).getOrElse("")
-      if (token != prior) {
+      refreshIfTokenMoved(marker, token) {
         t.write.mode("overwrite").json(dir)
-        java.nio.file.Files.writeString(marker.toPath, token)
-      } else {
-        // cache HIT: refresh the marker mtime so the sibling reap below
-        // reads "quiet for 7 days" as "UNUSED for 7 days" — without the
-        // touch a still-valid snapshot served daily from a long-lived
-        // session would age past the gate and be deleted out from under
-        // a concurrently-executing query (review r17)
-        marker.setLastModified(System.currentTimeMillis())
       }
       // each distinct jdbc URL mints its own snapshot key (test runs use
       // fresh per-run Derby paths), and nothing else ever deletes them —
@@ -173,12 +184,7 @@ object RestSource {
       // rsync -a) older than the last touch would otherwise serve the
       // stale snapshot forever. Same explicit-token discipline as the
       // jdbc branch; a legacy EMPTY marker reads as token-less → rebuild.
-      val srcToken = newestMtime(src).toString
-      val priorToken =
-        if (!marker.isFile) ""
-        else scala.util.Try(java.nio.file.Files.readString(marker.toPath)
-          .trim).getOrElse("")
-      if (srcToken != priorToken) {
+      refreshIfTokenMoved(marker, newestMtime(src).toString) {
         // route CATALOG tables through the Tables facade (NOT a raw
         // parquet read) so both tiers snapshot the SAME schema: byName
         // applies the events ts-normalization and the embeddings vector
@@ -192,11 +198,6 @@ object RestSource {
             graft.Tables(spark, sfDir).byName(table)
           else spark.read.parquet(src.getPath)
         t.write.mode("overwrite").json(dir)
-        java.nio.file.Files.writeString(marker.toPath, srcToken)
-      } else {
-        // cache HIT: same unused-vs-quiet touch as the jdbc branch
-        // (safe now that staleness reads the token, not this mtime)
-        marker.setLastModified(System.currentTimeMillis())
       }
     }
     dir
