@@ -60,7 +60,13 @@ object BenchStreams {
         src => graft.streaming.StreamOps.rangeAttr(src)),
       // watermarked exact dedup: one state row per live event_id
       StreamOp("st4_dedup", "append",
-        src => graft.streaming.StreamOps.dedup(src)))
+        src => graft.streaming.StreamOps.dedup(src)),
+      // per-(user, day) windowed counters — the rolling-limit state shape
+      StreamOp("st9_daily_limit", "update",
+        src => graft.streaming.StreamOps.dailyLimit(src)),
+      // NATIVE session windows: merge-on-arrival state, evict-on-watermark
+      StreamOp("st11_gap_sessions", "append",
+        src => graft.streaming.StreamOps.gapSessions(src)))
   }
 
   /** Stages the tier's events as `nChunks` time-sliced parquet files with
