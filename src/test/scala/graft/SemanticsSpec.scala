@@ -1052,4 +1052,61 @@ class SemanticsSpec extends SparkSpec {
     assert(stored === (0L until 20L).toSet,
       s"index must hold exactly the 20 well-formed vectors, got $stored")
   }
+
+  test("pipe_e2e composition invariants hold stage by stage (r17)") {
+    // the DuckDB oracle proves exact equality at gate time; these
+    // invariants guard the COMPOSITION between gate runs — a refactor
+    // that breaks a stage's contract fails here without an oracle.
+    val out = operators.PipelineE2E.pipeE2e.run(spark, sf001).collect()
+    assert(out.nonEmpty, "sf0.001 fixture must keep at least one survivor")
+    val clean = operators.Text.pipeCorpusClean.run(spark, sf001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val docs = graft.Tables(spark, sf001).documents
+      .select("doc_id", "source", "lang", "n_chars").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    val byLang = out.groupBy(_.getString(2))
+    for (r <- out) {
+      val (id, src, lang) = (r.getLong(0), r.getString(1), r.getString(2))
+      // stage 1: every survivor passed cleaning (subset of the standalone twin)
+      assert(clean.contains(id), s"doc $id skipped the cleaning gate")
+      // stage 2: the held-out stratum never reaches the training flow
+      assert(src != "src0", s"held-out doc $id leaked through decontamination")
+      assert(docs(id)._1 == src && docs(id)._2 == lang,
+        s"doc $id carries columns that disagree with the corpus")
+      // stage 4: score >= its own row's stated per-language median
+      assert(r.getLong(3) >= r.getLong(4),
+        s"doc $id scored ${r.getLong(3)} below its lang_median ${r.getLong(4)}")
+      // stage 5: the deterministic sample rule is a pure row predicate
+      val key4 = org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(4)
+      val even = scala.util.Try(src.drop(3).toInt % 2 == 0).getOrElse(false)
+      assert(key4 < (if (even) "4000" else "8000"),
+        s"doc $id violates the stratified keep rule")
+      // stage 6: position = rank x stride for the row's source parity
+      val stride = if (even) 3L else 1L
+      assert(r.getLong(6) == r.getLong(5) * stride,
+        s"doc $id position != rn x stride")
+      // stage 7: tokens and bin assignment restate the packing rule
+      assert(r.getLong(7) == docs(id)._3 / 4, s"doc $id tokens != n_chars div 4")
+      assert(r.getLong(9) == r.getLong(8) / 2048L, s"doc $id bin != start_off div 2048")
+    }
+    for ((lang, rows) <- byLang) {
+      // stage 4 medians are one value per surviving language stratum
+      assert(rows.map(_.getLong(4)).distinct.length == 1,
+        s"stratum $lang carries multiple medians")
+      // stage 7: within a language, start offsets are the exclusive
+      // prefix sum of tokens in doc_id order
+      val sorted = rows.sortBy(_.getLong(0))
+      var acc = 0L
+      for (r <- sorted) {
+        assert(r.getLong(8) == acc,
+          s"doc ${r.getLong(0)} start_off ${r.getLong(8)} != running sum $acc")
+        acc += r.getLong(7)
+      }
+    }
+    // stage 6: per-source ranks are dense 1..n (the mix contract that
+    // makes every prefix composition-exact)
+    for ((_, rows) <- out.groupBy(_.getString(1)))
+      assert(rows.map(_.getLong(5)).sorted.toSeq == (1L to rows.length).toSeq,
+        "per-source ranks are not dense 1..n")
+  }
 }
