@@ -897,7 +897,12 @@ object Relational {
     * SwarmEvent.data Json). */
   val fJsonExtract = QueryDef(
     "f_json_extract",
+    // raw-key sort BELOW the parse projection (the s2_decode_fast_action
+    // rule, r14/r17): sorted above, the range sampler parsed every
+    // props JSON twice
     (s, dir) => T(s, dir).events
+      .select(col("event_id"), col("props"))
+      .orderBy(col("event_id"))
       .withColumn("k_str", get_json_object(col("props"), "$.k"))
       // STRICT integer-string parse, identical on both engines: DuckDB's
       // CAST('1.5' AS BIGINT) ROUNDS where Spark's string cast does not,
@@ -910,8 +915,7 @@ object Relational {
       // of folding to null — Spark's ANSI cast throws overflow, DuckDB's
       // CAST errors the whole oracle query (ADVICE r12).
       .select(col("event_id"),
-        when(col("k_str").rlike("^-?[0-9]{1,18}$"), col("k_str").cast("long")).as("k"))
-      .orderBy(col("event_id")),
+        when(col("k_str").rlike("^-?[0-9]{1,18}$"), col("k_str").cast("long")).as("k")),
     oracle = Some("""
       SELECT event_id,
         -- json_valid gate first (nested CASE, not AND — SQL does not
