@@ -71,10 +71,12 @@ object BenchStreams {
 
   /** Stages the tier's events as `nChunks` time-sliced parquet files with
     * ascending mtimes under one flat dir; returns (dir, totalRows). A
-    * `_STAGED_<rows>_<chunks>` marker memoizes the layout per (tier,
-    * chunk-count) so repeated harness runs re-stage only when the source
-    * row count moved — the snapshot-token discipline. */
-  private def stageEvents(spark: SparkSession, sfDir: String,
+    * `_STAGED_<rows>_<maxId>_<maxTs>_<chunks>` marker memoizes the layout
+    * per (tier, chunk-count) so repeated harness runs re-stage whenever
+    * the source token moved — count alone would replay stale chunks
+    * after a same-cardinality regeneration (spec-pinned in
+    * StreamingSpec; the snapshot-token discipline). */
+  private[graft] def stageEvents(spark: SparkSession, sfDir: String,
       nChunks: Int): (String, Long) = {
     val key = (sfDir + s"#$nChunks").replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
       java.security.MessageDigest.getInstance("MD5")

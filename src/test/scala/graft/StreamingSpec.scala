@@ -1021,4 +1021,38 @@ class StreamingSpec extends SparkSpec {
       .orderBy($"user_id")
     assert(latest.collect().map(_.toSeq).toSeq === want.collect().map(_.toSeq).toSeq)
   }
+
+  test("BenchStreams staging token restages on same-count regeneration (r17)") {
+    // the staging memo must key on (count, max id, max ts), not count
+    // alone: a regenerated events table with the SAME cardinality but
+    // new content previously replayed the stale chunks (r17 review)
+    val dir = tempDir("graft-stage-tok").toString
+    val ev = spark.read.parquet(s"$sf001/events.parquet").limit(200).cache()
+    ev.write.parquet(s"$dir/events.parquet")
+    def markers(stage: String): Set[String] =
+      Option(new java.io.File(stage).listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.startsWith("_STAGED_")).toSet
+    val (stage1, n1) = graft.BenchStreams.stageEvents(spark, dir, 4)
+    val m1 = markers(stage1)
+    assert(n1 === 200 && m1.size === 1)
+    // memo hit: same source, same marker, nothing restaged
+    val (stage2, _) = graft.BenchStreams.stageEvents(spark, dir, 4)
+    assert(stage2 === stage1 && markers(stage1) === m1)
+    // same-count regeneration: shift every event_id — count unchanged,
+    // max id moved → the ensure must mint a NEW token and restage
+    ev.withColumn("event_id", $"event_id" + 1000000L)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val (stage3, n3) = graft.BenchStreams.stageEvents(spark, dir, 4)
+    assert(n3 === 200)
+    val m3 = markers(stage3)
+    assert(m3.size === 1 && m3 != m1,
+      "same-cardinality regeneration must move the staging token")
+    // and the restaged chunks carry the NEW ids, not the stale corpus
+    val staged = spark.read.parquet(stage3)
+    assert(staged.count() === 200)
+    assert(staged.agg(org.apache.spark.sql.functions.min($"event_id"))
+      .head().getLong(0) >= 1000000L,
+      "restaged chunks still carry the pre-regeneration ids")
+    ev.unpersist()
+  }
 }
