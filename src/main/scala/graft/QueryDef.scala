@@ -19,6 +19,23 @@ final case class QueryDef(
     headline: Boolean = false)
 
 object QueryDef {
+  /** The kernel-once presentation sort (ONE definition of the
+    * s2_decode_fast_action rule, r14/r17): a global `orderBy` is a range
+    * exchange whose boundary sampler EXECUTES its child before the sort
+    * job executes it again — so a query whose final sort sits above an
+    * expensive per-row kernel (regex, JSON parse, hash, binary codec)
+    * runs that kernel twice. This combinator sorts the RAW key columns
+    * first and applies the kernel projection ABOVE the sort (a narrow
+    * projection preserves the global order), so the sampler touches only
+    * the cheap pre-projection frame and the kernel runs once,
+    * post-exchange. Use whenever the sort key is (or is determined by) a
+    * raw input column; when the sort key is itself kernel-derived, or
+    * the child contains a join/agg, the fix is the j1_fk_join
+    * memoization instead. */
+  def kernelSorted(df: DataFrame, sortCols: org.apache.spark.sql.Column*)(
+      project: DataFrame => DataFrame): DataFrame =
+    project(df.orderBy(sortCols: _*))
+
   /** All operator catalogs, merged for SparkEntry / Bench / Verify. */
   def catalogs: Seq[QueryDef] =
     graft.operators.Relational.defs ++

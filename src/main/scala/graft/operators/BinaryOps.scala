@@ -34,21 +34,20 @@ object BinaryOps {
     * parsers skip the 8-byte Anchor tag (client.ts:539-545). */
   val s2DecodeFixed = QueryDef(
     "s2_decode_fixed",
-    // raw-key sort BELOW the encode+decode projection (the
-    // s2_decode_fast_action rule, r14/r17): dec_orderkey decodes to
-    // exactly o_orderkey, so sorting the raw key first gives the same
-    // order while the range sampler touches only the scan
-    (s, dir) => T(s, dir).orders
-      .select(col("o_orderkey"), col("o_custkey"))
-      .orderBy(col("o_orderkey"))
-      .withColumn("rec",
+    // kernelSorted: dec_orderkey decodes to exactly o_orderkey, so the
+    // raw-key sort gives the same order with the codec run once
+    (s, dir) => graft.QueryDef.kernelSorted(
+      T(s, dir).orders.select(col("o_orderkey"), col("o_custkey")),
+      col("o_orderkey")) {
+      _.withColumn("rec",
         concat(
           unhex(lit("6772616674616363")), // 8-byte tag
           unhex(lpad(hex(col("o_orderkey")), 16, "0")),
           unhex(lpad(hex(col("o_custkey")), 16, "0"))))
-      .select(
-        be64("rec", 8).as("dec_orderkey"),
-        be64("rec", 16).as("dec_custkey")),
+        .select(
+          be64("rec", 8).as("dec_orderkey"),
+          be64("rec", 16).as("dec_custkey"))
+    },
     oracle = Some("""
       SELECT o_orderkey AS dec_orderkey, o_custkey AS dec_custkey
       FROM orders ORDER BY dec_orderkey"""))

@@ -267,8 +267,14 @@ object Relational {
       // memo level conf (spark.graft.featureMemoLevel) steers the
       // persist tier or disables it, trading the second evaluation back
       // for zero storage — the documented relief valve.
+      // versioned on BOTH sources (r17 review 3): the catalog's first
+      // two-source memo — keyed on lineitem alone, an in-place
+      // regeneration of orders.parquet would version-match and serve
+      // the stale pre-regeneration join, the exact hazard srcVersion
+      // exists to prevent
       val joined = Similarity.cachedFeature(s, s"j1_joined:$dir",
-          Similarity.srcVersion(s, dir, "lineitem.parquet")) {
+          math.max(Similarity.srcVersion(s, dir, "orders.parquet"),
+            Similarity.srcVersion(s, dir, "lineitem.parquet"))) {
         t.orders.hint("merge")
           .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
           .select(
@@ -897,13 +903,10 @@ object Relational {
     * SwarmEvent.data Json). */
   val fJsonExtract = QueryDef(
     "f_json_extract",
-    // raw-key sort BELOW the parse projection (the s2_decode_fast_action
-    // rule, r14/r17): sorted above, the range sampler parsed every
-    // props JSON twice
-    (s, dir) => T(s, dir).events
-      .select(col("event_id"), col("props"))
-      .orderBy(col("event_id"))
-      .withColumn("k_str", get_json_object(col("props"), "$.k"))
+    (s, dir) => graft.QueryDef.kernelSorted(
+      T(s, dir).events.select(col("event_id"), col("props")),
+      col("event_id")) {
+      _.withColumn("k_str", get_json_object(col("props"), "$.k"))
       // STRICT integer-string parse, identical on both engines: DuckDB's
       // CAST('1.5' AS BIGINT) ROUNDS where Spark's string cast does not,
       // so a bare cast twins only because the pinned corpora always
@@ -914,8 +917,9 @@ object Relational {
       // token passing an unbounded regexp CRASHES both engines instead
       // of folding to null — Spark's ANSI cast throws overflow, DuckDB's
       // CAST errors the whole oracle query (ADVICE r12).
-      .select(col("event_id"),
-        when(col("k_str").rlike("^-?[0-9]{1,18}$"), col("k_str").cast("long")).as("k")),
+        .select(col("event_id"),
+          when(col("k_str").rlike("^-?[0-9]{1,18}$"), col("k_str").cast("long")).as("k"))
+    },
     oracle = Some("""
       SELECT event_id,
         -- json_valid gate first (nested CASE, not AND — SQL does not

@@ -228,15 +228,13 @@ object Relational2 {
     // integer token (e.g. 20 digits) passes the shape test but
     // permissive from_json nulls it → -1, while a plain CAST would
     // error the whole oracle query (ADVICE r12)
-    // sort on the RAW key BELOW the parse projection (the
-    // s2_decode_fast_action rule, r14/r17): sorted above, the range
-    // sampler parsed every props JSON twice
-    (s, dir) => T(s, dir).events
-      .select(col("event_id"), col("props"))
-      .orderBy(col("event_id"))
-      .withColumn("j", from_json(col("props"), lit("struct<k: bigint>")))
-      .select(col("event_id"),
-        coalesce(col("j.k"), lit(-1L)).as("k_or_default")),
+    (s, dir) => graft.QueryDef.kernelSorted(
+      T(s, dir).events.select(col("event_id"), col("props")),
+      col("event_id")) {
+      _.withColumn("j", from_json(col("props"), lit("struct<k: bigint>")))
+        .select(col("event_id"),
+          coalesce(col("j.k"), lit(-1L)).as("k_or_default"))
+    },
     oracle = Some("""
       SELECT event_id,
         COALESCE(CASE WHEN json_valid(props) THEN
@@ -265,22 +263,20 @@ object Relational2 {
           col("props"), lit("\nHope that helps.")))
         .when(m === 2L, lit("Sorry, I cannot produce structured output."))
         .otherwise(concat(lit("Result: {oops "), col("props"), lit(" trailing }")))
-      // raw-key sort BELOW the scan+parse projection (the
-      // s2_decode_fast_action rule, r14/r17) — the sampler otherwise
-      // ran the recovery scan and JSON parse twice per row
-      T(s, dir).events
-        .select(col("event_id"), col("props"))
-        .orderBy(col("event_id"))
-        .withColumn("json_out", graft.functions.Udfs.jsonScanUdf(dirty))
-        // same bounded integer-shape guard as f_json_extract: a bare
-        // ANSI cast would throw on a non-integral or out-of-range token
-        // under the arbitrary-store tier (DuckDB's bare CAST errors the
-        // oracle in the same scenario), where integer-or-null is the
-        // semantics both engines express exactly (ADVICE r12 sibling)
-        .withColumn("k_str", get_json_object(col("json_out"), "$.k"))
-        .select(col("event_id"), col("json_out"),
-          when(col("k_str").rlike("^-?[0-9]{1,18}$"),
-            col("k_str").cast("long")).as("k"))
+      graft.QueryDef.kernelSorted(
+        T(s, dir).events.select(col("event_id"), col("props")),
+        col("event_id")) {
+        _.withColumn("json_out", graft.functions.Udfs.jsonScanUdf(dirty))
+          // same bounded integer-shape guard as f_json_extract: a bare
+          // ANSI cast would throw on a non-integral or out-of-range token
+          // under the arbitrary-store tier (DuckDB's bare CAST errors the
+          // oracle in the same scenario), where integer-or-null is the
+          // semantics both engines express exactly (ADVICE r12 sibling)
+          .withColumn("k_str", get_json_object(col("json_out"), "$.k"))
+          .select(col("event_id"), col("json_out"),
+            when(col("k_str").rlike("^-?[0-9]{1,18}$"),
+              col("k_str").cast("long")).as("k"))
+      }
     },
     oracle = Some("""
       WITH d AS (

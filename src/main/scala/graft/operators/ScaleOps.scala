@@ -1239,19 +1239,15 @@ object ScaleOps {
     * patterns drop in without changing the plan shape. */
   val txtRedactNums = QueryDef(
     "txt_redact_nums",
-    (s, dir) => {
-      // sort on the RAW key BELOW the regex projection (the
-      // s2_decode_fast_action rule, r14/r17): sorted above, the range
-      // exchange's boundary sampler evaluates every regex twice per row
-      T(s, dir).events
-        .select(col("event_id"), col("props"))
-        .orderBy(col("event_id"))
-        .select(
-          col("event_id"),
-          regexp_replace(col("props"), "[0-9]+", "#").as("props_redacted"),
-          (length(col("props")) -
-            length(regexp_replace(col("props"), "[0-9]", "")))
-            .cast("long").as("n_digits"))
+    (s, dir) => graft.QueryDef.kernelSorted(
+      T(s, dir).events.select(col("event_id"), col("props")),
+      col("event_id")) {
+      _.select(
+        col("event_id"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("props_redacted"),
+        (length(col("props")) -
+          length(regexp_replace(col("props"), "[0-9]", "")))
+          .cast("long").as("n_digits"))
     },
     oracle = Some("""
       SELECT event_id,
@@ -1285,21 +1281,19 @@ object ScaleOps {
       val raw = concat(col("props"), lit(" contact user"),
         col("user_id").cast("string"), lit("@example.com ref "),
         lpad(col("event_id").cast("string"), 9, "0"))
-      // sort on the RAW key BELOW the 5-regex projection (the
-      // s2_decode_fast_action rule, r14/r17): sorted above, the range
-      // sampler ran the whole mask+count pipeline twice per row
-      T(s, dir).events
-        .select(col("event_id"), raw.as("raw"))
-        .orderBy(col("event_id"))
-        .withColumn("s1", regexp_replace(col("raw"), emailPat, "<EMAIL>"))
-        .select(
-          col("event_id"),
-          regexp_replace(regexp_replace(col("s1"), "[0-9]{6,}", "<ID>"),
-            "[0-9]+", "#").as("redacted"),
-          size(regexp_extract_all(col("raw"), lit(emailPat), lit(0)))
-            .cast("long").as("n_emails"),
-          size(regexp_extract_all(col("s1"), lit("[0-9]{6,}"), lit(0)))
-            .cast("long").as("n_ids"))
+      graft.QueryDef.kernelSorted(
+        T(s, dir).events.select(col("event_id"), raw.as("raw")),
+        col("event_id")) {
+        _.withColumn("s1", regexp_replace(col("raw"), emailPat, "<EMAIL>"))
+          .select(
+            col("event_id"),
+            regexp_replace(regexp_replace(col("s1"), "[0-9]{6,}", "<ID>"),
+              "[0-9]+", "#").as("redacted"),
+            size(regexp_extract_all(col("raw"), lit(emailPat), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(col("s1"), lit("[0-9]{6,}"), lit(0)))
+              .cast("long").as("n_ids"))
+      }
     },
     oracle = Some("""
       WITH r AS (

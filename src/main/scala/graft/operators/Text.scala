@@ -324,13 +324,10 @@ object Text {
     * (driver-requested). */
   val txtTokens = QueryDef(
     "txt_tokens",
-    // sort on the RAW key BELOW the tokenize projection (the
-    // s2_decode_fast_action rule, r14/r17): sorted above, the range
-    // sampler split+counted every document's text twice
-    (s, dir) => T(s, dir).documents
-      .select(col("doc_id"), col("text"))
-      .orderBy(col("doc_id"))
-      .select(
+    (s, dir) => graft.QueryDef.kernelSorted(
+      T(s, dir).documents.select(col("doc_id"), col("text")),
+      col("doc_id")) {
+      _.select(
         col("doc_id"),
         // the ONE shared word-count rule — an inline copy here is the
         // exact silent-de-sync hazard nWordsCol was consolidated for
@@ -339,7 +336,8 @@ object Text {
         // vertical tab where DuckDB's RE2 \s does not — the classes
         // must be spelled out to agree (ddExactNorm's rule)
         regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\f\\r]"))
-          .cast("long").as("tok_re")),
+          .cast("long").as("tok_re"))
+    },
     oracle = Some("""
       SELECT doc_id,
         CAST(length(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS BIGINT) AS tok_ws,

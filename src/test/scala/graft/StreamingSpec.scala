@@ -1054,5 +1054,10 @@ class StreamingSpec extends SparkSpec {
       .head().getLong(0) >= 1000000L,
       "restaged chunks still carry the pre-regeneration ids")
     ev.unpersist()
+    // the stage dir is keyed on the md5 of THIS run's random temp source
+    // dir — outside the tempDir tracker, so without explicit cleanup
+    // every test run would leave a new staged copy under /tmp forever
+    // (r17 review 3)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage1))
   }
 }
