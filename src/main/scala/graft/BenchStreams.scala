@@ -86,18 +86,20 @@ object BenchStreams {
     val ev = Tables(spark, sfDir).events
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("ts_ms"))
-    // freshness token = (count, max event_id, max ts_ms) — count alone
-    // would replay STALE chunks after a same-cardinality regeneration
-    // (r17 review; the RestSource.snapshot token discipline, for real).
-    // min(ts_ms) rides along so the chunk-slicing bounds below don't
-    // re-scan the table a second time on a staging miss (r17 review 2).
+    // freshness token = (count, max event_id, max ts_ms, min ts_ms) —
+    // count alone would replay STALE chunks after a same-cardinality
+    // regeneration (r17 review; the RestSource.snapshot token
+    // discipline, for real). min(ts_ms) is in the TOKEN, not just the
+    // slicing bounds (r17 advice): a regeneration that moves only the
+    // lower ts bound changes the chunk slicing this marker claims to
+    // pin, and it is already computed in the same single-pass aggregate.
     val tk = ev.agg(count(lit(1)), max(col("event_id")),
       max(col("ts_ms")), min(col("ts_ms"))).head()
     val total = tk.getLong(0)
     // loud empty-tier diagnostic, not an NPE at getLong on a null max
     // (r17 review 2): nothing downstream can replay zero events anyway
     require(total > 0, s"BenchStreams: $sfDir/events is empty — nothing to replay")
-    val markerName = s"_STAGED_${total}_${tk.get(1)}_${tk.get(2)}_$nChunks"
+    val markerName = s"_STAGED_${total}_${tk.get(1)}_${tk.get(2)}_${tk.get(3)}_$nChunks"
     val marker = new java.io.File(s"$stage/$markerName")
     if (marker.isFile) return (stage, total)
 

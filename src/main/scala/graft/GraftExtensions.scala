@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BinaryToFloats, DotFloat, DotLong, FloatsToBinary}
+import graft.functions.{BinaryToFloats, DotFloat, DotLong, FloatsToBinary, PiiRedact}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the native Catalyst expressions as SQL functions, so both
@@ -66,7 +66,11 @@ object GraftExtensions {
       (FunctionIdentifier("binary_to_float_vec"),
         info(classOf[BinaryToFloats], "binary_to_float_vec",
           "binary_to_float_vec(b) - decode the fixed-width LE float-vector codec; null on null input or a length not divisible by 4"),
-        unary("binary_to_float_vec")(BinaryToFloats(_))))
+        unary("binary_to_float_vec")(BinaryToFloats(_))),
+      (FunctionIdentifier("pii_redact"),
+        info(classOf[PiiRedact], "pii_redact",
+          "pii_redact(s) - fused PII mask (emails -> <EMAIL>, 6+-digit runs -> <ID>, residual digits -> #) with match counts as struct<redacted, n_emails, n_ids>; null on null input"),
+        unary("pii_redact")(PiiRedact(_))))
 
   /** Registers the graft functions into an ALREADY-RUNNING session's
     * registry — the path for sessions the library does not own (the

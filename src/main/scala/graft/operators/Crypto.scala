@@ -28,21 +28,18 @@ object Crypto {
     * inputs already ARE non-negative longs (user_id, epoch_day): the
     * byte-array form forced every row through hex → lpad(64) → unhex —
     * three string allocations per argument — purely to re-encode a long
-    * as a field element, and BigInt(long) is the identical value
-    * (nullifier digests unchanged; DeterminismSpec/CryptoSpec pin them).
-    * java.lang.Long params so a null key still surfaces as a null
-    * nullifier (primitive Long would zero-fill it — a phantom key). */
+    * as a field element. Routed through
+    * [[graft.functions.Poseidon.hash2LongsBytes]] (r18): the limb form
+    * of an unsigned long is [x,0,0,0], so the hot path constructs no
+    * BigInt at all; the unsigned reading matches the byte path's
+    * hex-render bit-for-bit even on inputs the corpus never produces
+    * (pre-1970 epoch days), and the digests are unchanged
+    * (DeterminismSpec/CryptoSpec pin them). java.lang.Long params so a
+    * null key still surfaces as a null nullifier (primitive Long would
+    * zero-fill it — a phantom key). */
   private def poseidon2LongUdf = udf((a: java.lang.Long, b: java.lang.Long) =>
     if (a == null || b == null) Option.empty[Array[Byte]]
-    else Some(graft.functions.Poseidon.toBytes32(graft.functions.Poseidon.hash2(
-      unsignedBig(a.longValue), unsignedBig(b.longValue)))))
-
-  /** Long → BigInt under the byte path's UNSIGNED reading: hex(long)
-    * renders two's complement, so a negative long decoded as 2^64+x —
-    * the twin must agree bit-for-bit even on inputs the corpus never
-    * produces (pre-1970 epoch days). */
-  private def unsignedBig(x: Long): BigInt =
-    (BigInt(x >>> 1) << 1) | BigInt(x & 1L)
+    else Some(graft.functions.Poseidon.hash2LongsBytes(a.longValue, b.longValue)))
 
   /** Poseidon commitment per row (client.ts:147-173 commitment =
     * Poseidon(owner, agent, …)): commit customer ids with an md5-derived
@@ -71,7 +68,17 @@ object Crypto {
     "crypto_nullifier_dedup",
     (s, dir) => {
       val f = poseidon2LongUdf
-      T(s, dir).events
+      // DISTINCT-FIRST (r18): the nullifier is a pure function of
+      // (user_id, epoch_day), so the Poseidon kernel — the single most
+      // expensive per-row computation in the catalog — runs once per
+      // DISTINCT key pair, not once per event: a cheap long-pair
+      // pre-aggregation (map-side combining) collapses the 10M-event
+      // sf10 tier to its ~4M live pairs before any field arithmetic.
+      // The re-aggregation by nullifier below keeps the semantics
+      // EXACTLY the original even in the cryptographically-impossible
+      // collision case (two pairs, one digest): min-of-min first_use and
+      // sum(cnt)−1 replays are what the per-event groupBy computed.
+      val pairs = T(s, dir).events
         // floor form, not bare `div` (truncation): the reference derives
         // the epoch with JS Math.floor (client.ts:1753-1762), which
         // floors a pre-1970 timestamp to the previous day where
@@ -80,19 +87,31 @@ object Crypto {
         // SF); same rule as st1/st2's pmod floor forms (r13 sweep).
         .withColumn("epoch_day",
           FloorTime.floorDiv("ts", 86400000000000L))
-        // long-keyed UDF: the byte form re-encoded two longs through
-        // hex/lpad/unhex per row — six string allocations ahead of
-        // every hash on the catalog's highest-volume Poseidon path
-        .withColumn("nullifier", lower(hex(f(
-          col("user_id"), col("epoch_day")))))
-        // a NULL user_id yields a null nullifier — an unattributable event
-        // cannot claim a one-use slot, mirroring the reference's invalid-
-        // commitment rejection (lib.rs:105)
-        .filter(col("nullifier").isNotNull)
-        .groupBy(col("nullifier"))
-        .agg(min(col("event_id")).as("first_use"),
-          (count(lit(1)) - lit(1)).as("replays_rejected"))
-        .orderBy(col("nullifier"))
+        // a NULL user_id (or null ts → null epoch) yields a null
+        // nullifier — an unattributable event cannot claim a one-use
+        // slot, mirroring the reference's invalid-commitment rejection
+        // (lib.rs:105); filtered BEFORE the hash, same frontier as the
+        // old post-hash isNotNull
+        .filter(col("user_id").isNotNull && col("epoch_day").isNotNull)
+        .groupBy(col("user_id"), col("epoch_day"))
+        .agg(min(col("event_id")).as("first_use"), count(lit(1)).as("cnt"))
+      // the oracle-mandated global sort sits above this aggregation, and
+      // orderBy's range sampler EXECUTES its child once before the sort
+      // job does — the j1_fk_join memo rule (QueryDef.scala): memoize
+      // the aggregated frame so the kernel+agg subtree evaluates once
+      // (single source → single-version token)
+      val agg = Similarity.cachedFeature(s, s"crypto_nullifier:$dir",
+          Similarity.srcVersion(s, dir, "events.parquet")) {
+        pairs
+          // long-keyed UDF on the DISTINCT frame: no BigInt, no string
+          // re-encode — see poseidon2LongUdf
+          .withColumn("nullifier", lower(hex(f(
+            col("user_id"), col("epoch_day")))))
+          .groupBy(col("nullifier"))
+          .agg(min(col("first_use")).as("first_use"),
+            (sum(col("cnt")) - lit(1)).as("replays_rejected"))
+      }
+      agg.orderBy(col("nullifier"))
     },
     oracle = None)
 

@@ -76,9 +76,17 @@ object PipelineE2E {
     val gated = Similarity.cachedFeature(s, s"pipe_e2e_gated:$dir", ver) {
       Text.corpusGates(base)
     }
-    val cleaned = Text.keeperDedup(gated)
-      .select(col("doc_id"), col("source"), col("lang"), col("text"),
-        col("n_chars"), col("quality_score"))
+    // memoized (r17 advice): cleaned appears in TWO branches of the
+    // surv1 plan — the anti-join's left side (via train) and inside
+    // flagged's shingle explode — and Spark shares no subplans across
+    // DataFrame branches, so unmemoized the keeper-election groupBy+join
+    // executed twice per cold run (no extra FileScan, so the scan-count
+    // plan audit could not see it)
+    val cleaned = Similarity.cachedFeature(s, s"pipe_e2e_cleaned:$dir", ver) {
+      Text.keeperDedup(gated)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          col("n_chars"), col("quality_score"))
+    }
     // stage 2 — decontamination against the RAW held-out stratum (the
     // benchmark set is not subject to cleaning; src0 leaves the flow)
     val bench = base.filter(col("source") === "src0")

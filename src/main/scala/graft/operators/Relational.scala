@@ -271,10 +271,19 @@ object Relational {
       // two-source memo — keyed on lineitem alone, an in-place
       // regeneration of orders.parquet would version-match and serve
       // the stale pre-regeneration join, the exact hazard srcVersion
-      // exists to prevent
+      // exists to prevent. SUM, not max (r17 advice): under max, a
+      // regeneration of whichever source holds the LOWER mtime that
+      // stays below the other's leaves the token unchanged and serves
+      // the stale join; the sum moves whenever either mtime moves
+      // forward, and stays ORDERED (the memo's latest-wins compare
+      // needs ordering — an mtime going BACKWARD, e.g. a restored
+      // backup, falls through to the correct-but-unmemoized build path
+      // by design). Key-embedding both versions would be fully
+      // injective but leaks one pinned frame per regeneration; the sum
+      // closes the monotone-update hazard class leak-free.
       val joined = Similarity.cachedFeature(s, s"j1_joined:$dir",
-          math.max(Similarity.srcVersion(s, dir, "orders.parquet"),
-            Similarity.srcVersion(s, dir, "lineitem.parquet"))) {
+          Similarity.srcVersion(s, dir, "orders.parquet") +
+            Similarity.srcVersion(s, dir, "lineitem.parquet")) {
         t.orders.hint("merge")
           .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
           .select(

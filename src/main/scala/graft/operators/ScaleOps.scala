@@ -1256,17 +1256,12 @@ object ScaleOps {
              AS BIGINT) AS n_digits
       FROM events ORDER BY event_id"""))
 
-  /** Email pattern shared by the Spark and DuckDB sides of
-    * [[txtRedactPii]] — the portable regex core (char classes + bounded
-    * repetition) identical under Java regex and RE2. */
-  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-
   /** Real-pattern PII redaction — [[txtRedactNums]]'s docstring claim
     * ("address/email patterns drop in without changing the plan shape")
     * made good: a three-stage mask (emails → `<EMAIL>`, then 6+-digit id
     * runs → `<ID>`, then residual digit runs → `#`) with per-row match
-    * counts, still one pure per-row projection — no extra shuffle, no
-    * UDF, survives any partitioning (PlanSpec locks the shape). The
+    * counts, still one pure per-row projection — no extra shuffle,
+    * survives any partitioning (PlanSpec locks the shape). The
     * corpus carries no natural PII, so the redacted string is a
     * deterministic synthetic "support log" built from the row (props +
     * an email derived from user_id + a 9-digit zero-padded ref id) — the
@@ -1274,25 +1269,33 @@ object ScaleOps {
     * which keeps every pattern branch exercised AND the oracle exact.
     * Stage order matters and is pinned by the oracle: emails first (an
     * email's local part may contain digit runs that must become part of
-    * `<EMAIL>`, not `<ID>`), id runs second, residual digits last. */
+    * `<EMAIL>`, not `<ID>`), id runs second, residual digits last.
+    *
+    * The Spark side runs the fused two-pass kernel
+    * ([[graft.functions.PiiRedact]], r18): the staged declarative form
+    * walked the same string five times per row (9.7 s at sf10); the
+    * kernel struct is projected ONCE and its fields extracted above it
+    * — the struct's 3 references are non-cheap, so CollapseProject
+    * keeps the boundary and the kernel evaluates once per row. The
+    * oracle still states the staged form; the kernel's docstring
+    * carries the structural-equivalence argument. */
   val txtRedactPii = QueryDef(
     "txt_redact_pii",
     (s, dir) => {
+      graft.GraftExtensions.ensureRegistered(s)
       val raw = concat(col("props"), lit(" contact user"),
         col("user_id").cast("string"), lit("@example.com ref "),
         lpad(col("event_id").cast("string"), 9, "0"))
       graft.QueryDef.kernelSorted(
         T(s, dir).events.select(col("event_id"), raw.as("raw")),
         col("event_id")) {
-        _.withColumn("s1", regexp_replace(col("raw"), emailPat, "<EMAIL>"))
+        _.select(col("event_id"),
+            call_function("pii_redact", col("raw")).as("k"))
           .select(
             col("event_id"),
-            regexp_replace(regexp_replace(col("s1"), "[0-9]{6,}", "<ID>"),
-              "[0-9]+", "#").as("redacted"),
-            size(regexp_extract_all(col("raw"), lit(emailPat), lit(0)))
-              .cast("long").as("n_emails"),
-            size(regexp_extract_all(col("s1"), lit("[0-9]{6,}"), lit(0)))
-              .cast("long").as("n_ids"))
+            col("k.redacted").as("redacted"),
+            col("k.n_emails").as("n_emails"),
+            col("k.n_ids").as("n_ids"))
       }
     },
     oracle = Some("""

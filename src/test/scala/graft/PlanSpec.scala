@@ -28,6 +28,33 @@ class PlanSpec extends SparkSpec {
     // sf1 estimate-boundary flip) is the plan that falls over at 100×
     assert(p.contains("SortMergeJoin"), p.linesIterator.take(8).mkString("\n"))
     assert(!p.contains("BroadcastHashJoin"))
+    // the joined frame is memoized below the mandated global sort (r17):
+    // without it the range sampler executes the fact-fact join twice
+    assert(p.contains("InMemoryRelation"), "j1 join memo lost")
+  }
+
+  test("crypto_nullifier_dedup: hash runs once per DISTINCT pair, agg memoized below the sort") {
+    // cold memo: a prior suite's warm frame would make the plan print
+    // the cached relation's stored (possibly truncated/adaptive) tree
+    // instead of the build shape this test audits
+    operators.RunCaches.clearAll()
+    val p = plan("crypto_nullifier_dedup")
+    // distinct-first (r18): the Poseidon kernel must sit ABOVE a
+    // (user_id, epoch_day) pre-aggregation — losing this re-hashes every
+    // EVENT (2.5× the field-arithmetic at sf10, the catalog's most
+    // expensive kernel) instead of every live pair
+    assert(p.contains("hashpartitioning(user_id"),
+      "no (user_id, epoch_day) pre-aggregation below the hash:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    // and the aggregated frame is memoized below the mandated global
+    // sort (the j1 rule): the range sampler must hit the cache, not
+    // re-run the kernel+agg subtree
+    assert(p.contains("InMemoryRelation"), "nullifier agg memo lost")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("events"))
+    val cached = p.linesIterator.count(_.contains("InMemoryRelation"))
+    assert(scans <= cached,
+      s"$scans events FileScans vs $cached cached-plan prints — a consumer bypasses the memo")
   }
 
   test("st12_rapid_reversal: one owner shuffle feeds every window (lag, running, per-window counters)") {

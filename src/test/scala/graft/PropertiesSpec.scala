@@ -462,4 +462,40 @@ class PropertiesSpec extends SparkSpec {
       assert(Fr.toBigInt(Fr.fromMont(Fr.toMont(Fr.fromBigInt(a)))) === a)
     }
   }
+
+  test("PiiRedact fused kernel equals the staged three-regex reference on adversarial strings") {
+    // the kernel's single alternation pass claims structural equivalence
+    // to the oracle's staged form (emails → <EMAIL> over raw, then
+    // [0-9]{6,} → <ID>, then [0-9]+ → # over s1, counts from the first
+    // two stages) — this pins it on generated strings biased toward the
+    // argued edge cases: digit-initial emails, 5/6/7-digit runs, runs
+    // abutting email matches, '@'/'.' debris that makes email attempts
+    // fail late
+    val emailPat = graft.functions.PiiRedact.emailPattern
+    def staged(raw: String): (String, Long, Long) = {
+      val s1 = raw.replaceAll(emailPat, "<EMAIL>")
+      val redacted = s1.replaceAll("[0-9]{6,}", "<ID>").replaceAll("[0-9]+", "#")
+      def count(p: String, s: String): Long = {
+        val m = java.util.regex.Pattern.compile(p).matcher(s)
+        var n = 0L; while (m.find()) n += 1; n
+      }
+      (redacted, count(emailPat, raw), count("[0-9]{6,}", s1))
+    }
+    val token = Gen.oneOf(
+      Gen.oneOf("user@example.com", "12user@x.co", "1234567a@b.cc",
+        "999912345@mail.example.org", "a@b.c", "@nolocal.com", "trail@dot.",
+        "x@y..zz", "no.at.sign"),
+      Gen.chooseNum(1, 9).flatMap(n => Gen.listOfN(n, Gen.numChar).map(_.mkString)),
+      Gen.oneOf("12345", "123456", "1234567", "00000000012"),
+      Gen.oneOf(" ", "", ".", "@", "-", "_", "%", "+", "ref", "#", "<ID>"),
+      Gen.listOfN(6, Gen.alphaNumChar).map(_.mkString))
+    val rawGen = Gen.chooseNum(0, 12)
+      .flatMap(n => Gen.listOfN(n, token).map(_.mkString))
+    samples(rawGen, 400, seed = 431L).foreach { raw =>
+      val row = graft.functions.PiiRedact.kernel(
+        org.apache.spark.unsafe.types.UTF8String.fromString(raw))
+      val got = (row.getUTF8String(0).toString, row.getLong(1), row.getLong(2))
+      assert(got === staged(raw), s"raw=<$raw>")
+    }
+  }
 }

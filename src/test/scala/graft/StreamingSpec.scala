@@ -1053,6 +1053,31 @@ class StreamingSpec extends SparkSpec {
     assert(staged.agg(org.apache.spark.sql.functions.min($"event_id"))
       .head().getLong(0) >= 1000000L,
       "restaged chunks still carry the pre-regeneration ids")
+    // min-ts-only regeneration (r17 advice → r18): count, max id and max
+    // ts all preserved, only the LOWER ts bound moves — the chunk
+    // slicing changes, so the token must move too. Regenerated through
+    // the Tables view (raw ts may be any of the three supported types;
+    // ts_ms is the normalized form the token reads) and written back as
+    // epoch-nanos BIGINT, one of the contract's accepted arrivals.
+    import org.apache.spark.sql.functions.{greatest, lit, min => fmin, max => fmax}
+    // materialized OFF the source path (localCheckpoint) so the
+    // overwrite below never races its own input
+    val cur = graft.Tables(spark, dir).events
+      .select($"event_id", $"user_id", $"event_type", $"value", $"props", $"ts_ms")
+      .localCheckpoint(true)
+    val Array(lo, hi) = cur.agg(fmin($"ts_ms"), fmax($"ts_ms"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(lo < hi, "fixture needs a non-degenerate ts span")
+    cur.withColumn("ts",
+        greatest($"ts_ms", lit(lo + (hi - lo) / 2)) * lit(1000000L))
+      .drop("ts_ms")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    cur.unpersist()
+    val (stage4, n4) = graft.BenchStreams.stageEvents(spark, dir, 4)
+    assert(n4 === 200)
+    val m4 = markers(stage4)
+    assert(m4.size === 1 && m4 != m3,
+      "a min-ts-only regeneration must move the staging token")
     ev.unpersist()
     // the stage dir is keyed on the md5 of THIS run's random temp source
     // dir — outside the tempDir tracker, so without explicit cleanup
