@@ -141,6 +141,136 @@ object BenchStreams {
     if (xs.isEmpty) 0.0
     else xs.sorted.apply(math.min(xs.size - 1, (q * xs.size).toInt))
 
+  /** Stages the tier's events as an ordered (leaf_index, leaf)
+    * commitment stream for the [[graft.streaming.StreamOps.merkleAppend]]
+    * measurement: leaf_index = the event's dense position in event_id
+    * order (the same [[graft.operators.ScaleOps.strataPrefixSum]]
+    * derivation crypto_merkle_root uses — the maintainer's contiguity
+    * contract wants positions, not keys), leaf = md5(event_id) bytes.
+    * Chunked by index range with ascending mtimes so appends replay in
+    * order; same marker-token discipline as [[stageEvents]]. */
+  private[graft] def stageMerkleLeaves(spark: SparkSession, sfDir: String,
+      nChunks: Int): (String, Long) = {
+    val key = (sfDir + s"#mk$nChunks").replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$sfDir#mk$nChunks".getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString
+    val stage = s"${System.getProperty("java.io.tmpdir")}/graft-stream-stage/$key"
+    val ev = Tables(spark, sfDir).events.select(col("event_id"))
+    val tk = ev.agg(count(lit(1)), max(col("event_id")), min(col("event_id"))).head()
+    val total = tk.getLong(0)
+    require(total > 0, s"BenchStreams: $sfDir/events is empty — nothing to replay")
+    val markerName = s"_STAGED_${total}_${tk.get(1)}_${tk.get(2)}_$nChunks"
+    val marker = new java.io.File(s"$stage/$markerName")
+    if (marker.isFile) return (stage, total)
+
+    val leaves = graft.operators.ScaleOps.strataPrefixSum(
+        ev, Seq.empty, Seq("event_id"), lit(1L), "leaf_index")
+      .select(col("leaf_index"),
+        unhex(md5(col("event_id").cast("string"))).as("leaf"))
+    val tmp = s"$stage.build"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    leaves.withColumn("chunk",
+        least(lit(nChunks - 1),
+          (col("leaf_index") * lit(nChunks.toLong) / lit(total)).cast("int")))
+      .repartition(col("chunk"))
+      .sortWithinPartitions(col("leaf_index"))
+      .write.partitionBy("chunk").mode("overwrite").parquet(tmp)
+    val out = new java.io.File(stage)
+    out.mkdirs()
+    val base = System.currentTimeMillis() - (nChunks + 1) * 60000L
+    for (i <- 0 until nChunks) {
+      val cdir = new java.io.File(s"$tmp/chunk=$i")
+      val parts = Option(cdir.listFiles()).toSeq.flatten
+        .filter(f => f.getName.endsWith(".parquet"))
+      parts.zipWithIndex.foreach { case (f, j) =>
+        val dest = new java.io.File(out, f"chunk-$i%04d-$j.parquet")
+        java.nio.file.Files.move(f.toPath, dest.toPath)
+        dest.setLastModified(base + i * 60000L)
+      }
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    marker.createNewFile()
+    (stage, total)
+  }
+
+  /** Measures [[graft.streaming.StreamOps.merkleAppend]] — the engine's
+    * one deliberately driver-serial streaming op (the O(depth)-state
+    * registry maintainer) and, until r18, the only stateful stream with
+    * no recorded rate. Two records: the throughput run over the whole
+    * staged commitment stream at the reference's registry depth (20,
+    * auto-widened only if the tier outgrows it), and a deliberate
+    * CAP-TRIP run (maxBatchLeaves below the chunk size) pinning that an
+    * unbounded-trigger ingest burst dies with the named diagnostic
+    * before rows land on the driver. */
+  private def measureMerkle(spark: SparkSession, sfDir: String,
+      nChunks: Int, filesPerTrigger: Int): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val (stage, total) = stageMerkleLeaves(spark, sfDir, nChunks)
+    val depth = math.max(20,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, total - 1)))
+    val schema = spark.read.parquet(stage).schema
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt-merkle").toString
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(stage)
+    val t0 = System.nanoTime()
+    val h = graft.streaming.StreamOps.merkleAppend(src, depth,
+      checkpoint = Some(ckpt))
+    h.query.processAllAvailable()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val progress = h.query.recentProgress.toSeq
+    h.query.stop()
+    scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(ckpt)))
+    val batches = progress.filter(_.numInputRows > 0)
+    val rows = batches.map(_.numInputRows).sum
+    val trigSec = batches.map(_.durationMs.asScala
+      .getOrElse("triggerExecution", java.lang.Long.valueOf(0L))
+      .longValue() / 1e3)
+    require(h.tree.count == total,
+      s"merkle bench integrity: folded ${h.tree.count} of $total leaves")
+    val rootHex = graft.functions.Poseidon.toBytes32(h.tree.root)
+      .map("%02x".format(_)).mkString
+    val rec =
+      s"""{"op": "merkle_append", "rows": $rows, "batches": ${batches.size}, """ +
+        f""""wall_sec": $wall%.3f, """ +
+        f""""rows_per_sec": ${if (wall > 0) rows / wall else 0.0}%.0f, """ +
+        f""""trigger_sec_p50": ${pct(trigSec, 0.50)}%.3f, """ +
+        f""""trigger_sec_p95": ${pct(trigSec, 0.95)}%.3f, """ +
+        f""""us_per_append": ${if (rows > 0) trigSec.sum * 1e6 / rows else 0.0}%.2f, """ +
+        s""""depth": $depth, "tree_count": ${h.tree.count}, """ +
+        s""""unchecked_replays": ${h.uncheckedReplays}, """ +
+        s""""root_prefix": "${rootHex.take(16)}", "complete": ${rows == total}}"""
+    System.err.println(s"[bench-stream] merkle_append: $rec")
+
+    // cap-trip: a cap below the per-trigger row count must kill the
+    // stream with the named guard, not collect rows to the driver
+    val cap = math.max(1, (total / nChunks / 4).toInt)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-stream-ckpt-merkletrip").toString
+    val src2 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(stage)
+    val trip = try {
+      val h2 = graft.streaming.StreamOps.merkleAppend(src2, depth,
+        checkpoint = Some(ckpt2), maxBatchLeaves = cap)
+      h2.query.processAllAvailable()
+      h2.query.stop()
+      "NO-TRIP"
+    } catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+        if (msg != null && msg.contains("exceeds maxBatchLeaves")) "named-error"
+        else s"WRONG-ERROR: ${Option(msg).getOrElse("null").take(80)}"
+    } finally {
+      scala.util.Try(org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(ckpt2)))
+    }
+    val tripRec = s"""{"op": "merkle_append_cap_trip", "max_batch_leaves": $cap, """ +
+      s""""outcome": ${Verify.jsonStr(trip)}}"""
+    System.err.println(s"[bench-stream] merkle_append_cap_trip: $tripRec")
+    Seq(rec, tripRec)
+  }
+
   def main(args: Array[String]): Unit = {
     val usage = "usage: BenchStreams [chunks=N] [files=K] [ops=a,b,...] <sfDir>"
     var nChunks = 24
@@ -169,8 +299,16 @@ object BenchStreams {
     System.err.println(s"[bench-stream] staged $totalRows rows in $nChunks chunks at $stage")
     val schema = spark.read.parquet(stage).schema
 
+    // merkle_append is measured through its own harness (foreachBatch
+    // maintainer, not a DataFrame→noop transform). Included by default
+    // up to 20M rows; past that the serial fold dominates the run, so it
+    // wants an explicit ops= opt-in — logged, never silently dropped.
+    val wantMerkle = only.fold(totalRows <= 20_000_000L)(_.contains("merkle_append"))
+    if (only.isEmpty && totalRows > 20_000_000L)
+      System.err.println(s"[bench-stream] merkle_append SKIPPED at $totalRows rows " +
+        "(serial fold; pass ops=merkle_append to force)")
     val selected = ops(spark).filter(o => only.forall(_.contains(o.name)))
-    require(selected.nonEmpty, s"no ops matched; $usage")
+    require(selected.nonEmpty || wantMerkle, s"no ops matched; $usage")
     val records = selected.map { op =>
       val ckpt = java.nio.file.Files
         .createTempDirectory(s"graft-stream-ckpt-${op.name}").toString
@@ -233,10 +371,13 @@ object BenchStreams {
       System.err.println(s"[bench-stream] ${op.name}: $rec")
       rec
     }
+    val merkleRecs =
+      if (wantMerkle) measureMerkle(spark, sfDir, nChunks, filesPerTrigger)
+      else Seq.empty
     val record = s"""{"probe": "bench-streams", "sf": ${Verify.jsonStr(sfDir)}, """ +
       s""""total_rows": $totalRows, "chunks": $nChunks, """ +
       s""""files_per_trigger": $filesPerTrigger, """ +
-      s""""ops": [${records.mkString(",\n  ")}]}"""
+      s""""ops": [${(records ++ merkleRecs).mkString(",\n  ")}]}"""
     // marker-line discipline (r17 verdict #4): the machine-readable
     // record on ONE stdout line behind a grep-able prefix, no sbt
     // framing dependency

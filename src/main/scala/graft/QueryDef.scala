@@ -49,5 +49,6 @@ object QueryDef {
       graft.operators.Crypto.defs ++
       graft.operators.StreamingTwins.defs ++
       graft.operators.ScaleOps.defs ++
-      Seq(graft.operators.PipelineE2E.pipeE2e)
+      Seq(graft.operators.PipelineE2E.pipeE2e,
+        graft.operators.PipelineE2E.pipeE2eWide)
 }

@@ -264,6 +264,75 @@ object Merkle {
       cur = h
       n += 1
     }
+    /** Appends `leaves` (in order) with the BATCHED fold: a k-leaf batch
+      * costs ~2k + 2·depth hashes instead of [[append]]'s k·depth —
+      * contiguous appends share every interior-node recomputation, so
+      * only the ~k/2^d nodes a batch actually changes at level d are
+      * hashed, plus one depth-long fold for the final root. Final
+      * (count, frontier, root) are BIT-IDENTICAL to k sequential
+      * [[append]] calls (CryptoSpec pins equality on random batch
+      * splits); only the intermediate roots between the k appends are
+      * never materialized — which is exactly the streaming maintainer's
+      * contract (the root is read per micro-batch, merkle.ts:116-125).
+      *
+      * Level-d bookkeeping: the batch's new node values span indices
+      * [n>>d, (n+k−1)>>d]; a left-boundary pair whose left child
+      * predates the batch reads it from the (pre-update) frontier, a
+      * right-boundary pair missing its right child pairs with the zero
+      * subtree; the new frontier at level d is the value of node
+      * ((n+k)>>d)−1 when (n+k)>>d is odd and that node is batch-touched
+      * (untouched ⇒ the stored frontier is already it). The final root
+      * folds the empty slot at the new count up the frontier — the same
+      * derivation [[restore]] validates against — or, on a now-full
+      * tree, is the single level-`depth` node the fold produced. */
+    def appendBatch(leaves: IndexedSeq[BigInt]): Unit = synchronized {
+      if (leaves.nonEmpty) {
+        require(n <= (1L << depth) - leaves.length, "tree is full (merkle.ts:118-120)")
+        val nPrime = n + leaves.length
+        var lvl: IndexedSeq[BigInt] = leaves
+        var a = n
+        var d = 0
+        while (d < depth) {
+          val b = a + lvl.length - 1
+          val a2 = a >> 1
+          val b2 = b >> 1
+          val next = new Array[BigInt]((b2 - a2 + 1).toInt)
+          // li < a only at the first pair with a odd — the completed
+          // left sibling the per-append path stored in the frontier
+          // (read BEFORE this level's frontier update below)
+          def pair(i: Long): BigInt = {
+            val li = 2 * i
+            val ri = li + 1
+            val lv = if (li < a) filled(d) else lvl((li - a).toInt)
+            val rv = if (ri > b) z(d) else lvl((ri - a).toInt)
+            Poseidon.hash2(lv, rv)
+          }
+          if (next.length >= 64) {
+            // wide levels hash in parallel: each slot is an independent
+            // pure hash over immutable inputs — the maintainer stays
+            // driver-SIDE (no cluster work) but uses local cores, which
+            // is what makes a 1M-leaf replay minutes, not hours
+            java.util.stream.IntStream.range(0, next.length).parallel()
+              .forEach(k => next(k) = pair(a2 + k))
+          } else {
+            var i = a2
+            while (i <= b2) { next((i - a2).toInt) = pair(i); i += 1 }
+          }
+          val m = nPrime >> d
+          if ((m & 1L) == 1L && m - 1 >= a) filled(d) = lvl((m - 1 - a).toInt)
+          lvl = scala.collection.immutable.ArraySeq.unsafeWrapArray(next)
+          a = a2
+          d += 1
+        }
+        n = nPrime
+        // lvl is now the single changed node at level `depth` — but the
+        // tree is zero-padded PAST the count, and that node already
+        // folded the padding in (rv = z(d) at every right boundary), so
+        // it IS the root
+        cur = lvl(0)
+      }
+    }
+
     def snapshot: (Long, BigInt, Seq[BigInt]) = synchronized((n, cur, filled.toSeq))
 
     /** Restores a [[snapshot]] triple — after VALIDATING it: the root is

@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
   * same fragments (the minhash election CTEs come from
   * [[Similarity.mhOracleCtesOver]] parameterized over the survivor set).
   *
+  * TWO catalog entries share this flow (r18, r17 verdict #4):
+  * `pipe_e2e` runs the reference policy (drop on ANY benchmark-shingle
+  * hit, 50% near-dup bar, 25/50% sample), whose funnel at the oracle SF
+  * collapses to 2 rows — real composition evidence but a thin
+  * end-to-end certificate; `pipe_e2e_wide` runs the SAME kernels under
+  * a wide policy ([[PipeCfg.wide]]: flag only at ≥8 shingle hits, 90%
+  * near-dup bar, 75/100% sample) so the composed hash covers 160+ rows
+  * at sf0.01. The policy knobs are the ones a real pipeline exposes
+  * (decontamination strictness, near-dup threshold, sample rate), each
+  * parameterized inside the ONE shared kernel definition on both the
+  * Spark and oracle sides — the twins cannot drift on an expression.
+  *
   * Scale/scan discipline (the point of composing): the corpus is read
   * from parquet EXACTLY ONCE — a memoized base frame feeds both the
   * cleaning gates and the benchmark (held-out `src0`) shingle set, and
@@ -27,21 +39,24 @@ import org.apache.spark.sql.functions._
   * banded minhash features, the sampled mixture) is itself memoized via
   * [[Similarity.cachedFeature]], so no stage re-executes an upstream
   * stage's work — including across the strata kernels' internal bounded
-  * offset jobs. PlanSpec asserts the executed plan touches no file scan
-  * of `documents` outside the one cache fill. At 100 TB the same shape
-  * holds with `spark.graft.featureMemoLevel` steering the persist tier
-  * (or NONE to trade re-scans for storage, the documented relief valve).
+  * offset jobs. The policy-independent frames (base, gated, cleaned)
+  * share ONE memo entry across both variants; policy-dependent frames
+  * carry the config's key suffix. PlanSpec asserts the executed plan
+  * touches no file scan of `documents` outside the one cache fill. At
+  * 100 TB the same shape holds with `spark.graft.featureMemoLevel`
+  * steering the persist tier (or NONE to trade re-scans for storage,
+  * the documented relief valve).
   *
   * Stage semantics (each pinned by its standalone twin's oracle):
   *  1. clean: language/length/quality gates + exact-dup keeper election
   *     on md5(text) (pipe_corpus_clean's `corpusGates`).
-  *  2. decontam: drop survivors sharing ANY 3-token shingle with the
-  *     raw held-out `src0` stratum; `src0` docs leave the training flow
-  *     (pipe_decontam's shingle equi-join — never doc×doc).
+  *  2. decontam: drop survivors whose 3-token-shingle hit count against
+  *     the raw held-out `src0` stratum reaches `decontamMinHits` (the
+  *     pipe_decontam join+count kernel; ≥1 ≡ the any-hit rule); `src0`
+  *     docs leave the training flow (shingle equi-join — never doc×doc).
   *  3. near-dup: the md5-window MinHash banding + keeper election +
-  *     exact-Jaccard verify over the survivors; docs with a verified
-  *     keeper are dropped (dd_minhash's election, so only true ≥50%
-  *     near-dups leave).
+  *     exact-Jaccard verify over the survivors; docs with a keeper
+  *     verified at ≥ `jaccardMinPct` are dropped (dd_minhash's election).
   *  4. quality gate: keep docs at/above their LANGUAGE's median score,
   *     medians computed over the surviving population — a composed
   *     pipeline thresholds what survived, not the raw corpus
@@ -56,6 +71,26 @@ object PipelineE2E {
 
   private def T(s: SparkSession, dir: String) = Tables(s, dir)
 
+  /** The composed flow's policy knobs — the parameters a production
+    * pipeline exposes, threaded into the SAME shared kernels on both
+    * engines. `suffix` disambiguates the policy-dependent memo keys. */
+  final case class PipeCfg(
+      suffix: String,
+      decontamMinHits: Long,
+      jaccardMinPct: Long,
+      sampEven: String,
+      sampOdd: String)
+
+  object PipeCfg {
+    /** The reference policy: any benchmark hit flags, family-default
+      * 50% near-dup bar, the smp_stratified 25/50% keep. */
+    val default: PipeCfg = PipeCfg("", 1L, 50L, "4000", "8000")
+    /** The wide-funnel policy (oracle-evidence twin): only heavy
+      * contamination (≥8 shared shingles) and heavy near-dups (≥90%)
+      * leave the flow; 75/100% sample. */
+    val wide: PipeCfg = PipeCfg(":w", 8L, 90L, "c000", "ffff")
+  }
+
   /** Stages 1–5 (clean → decontam → near-dup → gate → sample) as the
     * memoized pre-kernel frame. Package-visible because this is where
     * the memo chain is PLAN-AUDITABLE: the mix/pack tails run on the
@@ -64,9 +99,12 @@ object PipelineE2E {
     * g1_components/strataPrefixSum plan-sweep caveat) — so the
     * one-corpus-scan assertion must read this frame's plan, not the
     * catalog query's. */
-  private[graft] def sampled(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def sampled(s: SparkSession, dir: String,
+      cfg: PipeCfg = PipeCfg.default): DataFrame = {
     val ver = Similarity.srcVersion(s, dir, "documents.parquet")
+    val w = cfg.suffix
     // ONE parquet scan: every stage derives from this frame
+    // (policy-independent — both variants share the entry)
     val base = Similarity.cachedFeature(s, s"pipe_e2e_base:$dir", ver) {
       T(s, dir).documents
         .select(col("doc_id"), col("source"), col("lang"), col("text"),
@@ -88,7 +126,9 @@ object PipelineE2E {
           col("n_chars"), col("quality_score"))
     }
     // stage 2 — decontamination against the RAW held-out stratum (the
-    // benchmark set is not subject to cleaning; src0 leaves the flow)
+    // benchmark set is not subject to cleaning; src0 leaves the flow):
+    // the pipe_decontam join+count kernel, thresholded at the policy's
+    // minimum hit count (≥1 ≡ the old DISTINCT any-hit form)
     val bench = base.filter(col("source") === "src0")
       .select(Text.shingles3(col("text")).as("sh"))
       .filter(col("sh").isNotNull)
@@ -99,32 +139,36 @@ object PipelineE2E {
       .filter(col("sh").isNotNull)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .join(bench, "shingle")
-      .select(col("doc_id")).distinct()
-    val surv1 = Similarity.cachedFeature(s, s"pipe_e2e_surv1:$dir", ver) {
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= lit(cfg.decontamMinHits))
+      .select(col("doc_id"))
+    val surv1 = Similarity.cachedFeature(s, s"pipe_e2e_surv1:$dir$w", ver) {
       train.join(flagged, Seq("doc_id"), "left_anti")
     }
     // stage 3 — near-dup election over survivors (the dd_minhash kernel;
     // feature frame memoized like the standalone query's)
-    val feat = Similarity.cachedFeature(s, s"pipe_e2e_mhfeat:$dir", ver) {
+    val feat = Similarity.cachedFeature(s, s"pipe_e2e_mhfeat:$dir$w", ver) {
       Similarity.minhashFeatOf(surv1.select(col("doc_id"), col("text")))
     }
-    val nearDup = Similarity.minhashDedupOf(feat).select(col("doc_id"))
+    val nearDup = Similarity.minhashDedupOf(feat, cfg.jaccardMinPct)
+      .select(col("doc_id"))
     // memoized (r17 review): surv2 feeds TWO plan branches inside the
     // median gate (thresholds + join-back), and Spark shares no subplans
     // across DataFrame branches — unmemoized, the whole near-dup
     // election subplan executed twice per cold run
-    val surv2 = Similarity.cachedFeature(s, s"pipe_e2e_surv2:$dir", ver) {
+    val surv2 = Similarity.cachedFeature(s, s"pipe_e2e_surv2:$dir$w", ver) {
       surv1.join(nearDup, Seq("doc_id"), "left_anti")
     }
     // stage 4 — per-language median gate over the SURVIVING population
     // (the pipe_quality_gate kernel, shared definition)
     val gatedQ = Text.medianGate(surv2, "lang", "quality_score", "doc_id")
     // stage 5 — deterministic stratified sample (the smp_stratified rule)
-    Similarity.cachedFeature(s, s"pipe_e2e_samp:$dir", ver) {
+    Similarity.cachedFeature(s, s"pipe_e2e_samp:$dir$w", ver) {
       gatedQ
         .withColumn("samp_key", ScaleOps.sampKey)
         .filter(substring(col("samp_key"), 1, 4) <
-          when(ScaleOps.evenSource, lit("4000")).otherwise(lit("8000")))
+          when(ScaleOps.evenSource, lit(cfg.sampEven))
+            .otherwise(lit(cfg.sampOdd)))
         .select(col("doc_id"), col("source"), col("lang"),
           col("quality_score"), col("lang_median"), col("n_chars"),
           col("samp_key"))
@@ -133,8 +177,9 @@ object PipelineE2E {
 
   /** The full composed flow: [[sampled]] plus the mix and pack kernel
     * tails. */
-  private[operators] def stages(s: SparkSession, dir: String): DataFrame = {
-    val samp = sampled(s, dir)
+  private[operators] def stages(s: SparkSession, dir: String,
+      cfg: PipeCfg = PipeCfg.default): DataFrame = {
+    val samp = sampled(s, dir, cfg)
     // stage 6 — weighted interleave position (the pipe_mix_interleave rule)
     val mixed = ScaleOps.strataRank(samp, Seq("source"),
         Seq("samp_key", "doc_id"), "rn")
@@ -150,10 +195,9 @@ object PipelineE2E {
         col("position"), col("tokens"), col("start_off"), col("bin_id"))
   }
 
-  val pipeE2e = QueryDef(
-    "pipe_e2e",
-    (s, dir) => stages(s, dir).orderBy(col("doc_id")),
-    oracle = Some(s"""
+  /** The whole-flow oracle as ONE parameterized template — both catalog
+    * entries interpolate their policy into the identical CTE chain. */
+  private def oracleFor(cfg: PipeCfg): String = s"""
       WITH g AS (
         SELECT doc_id, source, lang, text, n_chars,
           CAST(length(list_filter(string_split(lower(text), ' '),
@@ -186,12 +230,14 @@ object PipelineE2E {
         SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
           i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
         FROM ttoks WHERE len(toks) >= 3),
-      flagged AS (SELECT DISTINCT tsh.doc_id FROM tsh JOIN bsh USING (shingle)),
+      flagged AS (
+        SELECT tsh.doc_id FROM tsh JOIN bsh USING (shingle)
+        GROUP BY tsh.doc_id HAVING count(*) >= ${cfg.decontamMinHits}),
       surv1 AS (
         SELECT c.* FROM cleaned c
         WHERE c.source <> 'src0'
           AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = c.doc_id)),
-      ${Similarity.mhOracleCtesOver("surv1")},
+      ${Similarity.mhOracleCtesOver("surv1", cfg.jaccardMinPct)},
       surv2 AS (
         SELECT s1.* FROM surv1 s1
         WHERE NOT EXISTS (SELECT 1 FROM ve v WHERE v.doc_id = s1.doc_id)),
@@ -209,7 +255,7 @@ object PipelineE2E {
         SELECT *, md5(CAST(doc_id AS VARCHAR)) AS samp_key FROM gated2
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
           CASE WHEN TRY_CAST(substr(source, 4) AS INTEGER) % 2 = 0
-               THEN '4000' ELSE '8000' END),
+               THEN '${cfg.sampEven}' ELSE '${cfg.sampOdd}' END),
       mx AS (
         SELECT *, row_number() OVER (PARTITION BY source
             ORDER BY samp_key, doc_id) AS rn,
@@ -226,5 +272,19 @@ object PipelineE2E {
         FROM pk)
       SELECT doc_id, source, lang, quality_score, lang_median, rn, position,
         tokens, start_off, start_off // 2048 AS bin_id
-      FROM pk2 ORDER BY doc_id"""))
+      FROM pk2 ORDER BY doc_id"""
+
+  val pipeE2e = QueryDef(
+    "pipe_e2e",
+    (s, dir) => stages(s, dir).orderBy(col("doc_id")),
+    oracle = Some(oracleFor(PipeCfg.default)))
+
+  /** The wide-funnel twin: same kernels, wide policy — exists so the
+    * END-TO-END oracle hash certifies 160+ survivors at the gate SF
+    * instead of pipe_e2e's 2 (r17 verdict #4: a stage-ordering bug that
+    * happened to preserve two rows would pass the narrow check). */
+  val pipeE2eWide = QueryDef(
+    "pipe_e2e_wide",
+    (s, dir) => stages(s, dir, PipeCfg.wide).orderBy(col("doc_id")),
+    oracle = Some(oracleFor(PipeCfg.wide)))
 }

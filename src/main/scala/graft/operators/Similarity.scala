@@ -681,7 +681,7 @@ object Similarity {
     * probe==batch equality contract rests on the threshold and the
     * integer-div expression never diverging between the two callers. */
   private def jaccardVerifyRaw(cand: DataFrame, d: DataFrame,
-      keeperToks: DataFrame): DataFrame =
+      keeperToks: DataFrame, minPct: Long = 50L): DataFrame =
     cand
       .join(d, Seq("doc_id"))
       .join(keeperToks, Seq("keeper"))
@@ -694,9 +694,14 @@ object Similarity {
       // (r14 sf10 profile). Spark and DuckDB agree on the identity for
       // duplicate-free arrays; the family's probe≡batch specs run both
       // paths through this one definition.
+      //
+      // `minPct` (r18): the verify bar, default the family's 50. The
+      // composed pipeline's wide twin raises it (only heavy near-dups
+      // leave the flow) — parameterized HERE, the one definition, so the
+      // variants share every expression of the verify tail.
       .withColumn("uni",
         (size(col("toks")) + size(col("k_toks"))).cast("long") - col("inter"))
-      .filter(col("uni") > lit(0L) && expr("(inter * 100) div uni") >= lit(50L))
+      .filter(col("uni") > lit(0L) && expr("(inter * 100) div uni") >= lit(minPct))
       .select(col("doc_id"), col("keeper"), expr("(inter * 100) div uni").as("jaccard_pct"))
 
   /** Presentation form: the raw verify plus the catalog ordering. The
@@ -705,14 +710,14 @@ object Similarity {
     * global range-sort exchange of the edge set would be pure waste
     * there (r13 third sweep). */
   private def jaccardVerify(cand: DataFrame, d: DataFrame,
-      keeperToks: DataFrame): DataFrame =
-    jaccardVerifyRaw(cand, d, keeperToks).orderBy(col("doc_id"))
+      keeperToks: DataFrame, minPct: Long = 50L): DataFrame =
+    jaccardVerifyRaw(cand, d, keeperToks, minPct).orderBy(col("doc_id"))
 
   /** [[ddMinhash]]'s whole election + verify pipeline over a
     * (doc_id, bands, toks) feature frame — factored so the incremental
     * probe's equality spec can recompute the batch answer over any
     * corpus slice through the exact code the catalog query runs. */
-  private[graft] def minhashDedupOf(feat: DataFrame): DataFrame = {
+  private[graft] def minhashDedupOf(feat: DataFrame, minPct: Long = 50L): DataFrame = {
     val d = feat.select(col("doc_id"), col("toks"))
       .filter(size(col("toks")) > lit(0))
     val banded = bandedOf(feat)
@@ -727,21 +732,23 @@ object Similarity {
       .groupBy(col("doc_id")).agg(min(col("keeper")).as("keeper"))
     // exact verify: fetch token sets for both sides (linear joins on id)
     jaccardVerify(cand, d,
-      d.select(col("doc_id").as("keeper"), col("toks").as("k_toks")))
+      d.select(col("doc_id").as("keeper"), col("toks").as("k_toks")), minPct)
   }
 
   /** Oracle-side exact-Jaccard verify tail — ONE definition for every
     * pair source, mirroring the Scala side's jaccardVerifyRaw
-    * discipline: the 50% bar and the integer-division expression must
-    * never fork between the keeper-election oracles (`ve` over the
-    * per-doc min-keeper `cand`) and the cc oracle (`vec` over the full
-    * star-edge set `cande`) — a threshold edited in one CTE but not the
-    * other would silently diverge one family's oracle (review r16).
+    * discipline: the bar (`minPct`, default the family's 50; the
+    * composed pipeline's wide twin raises it) and the integer-division
+    * expression must never fork between the keeper-election oracles
+    * (`ve` over the per-doc min-keeper `cand`) and the cc oracle (`vec`
+    * over the full star-edge set `cande`) — a threshold edited in one
+    * CTE but not the other would silently diverge one family's oracle
+    * (review r16).
     * Declared BEFORE [[mhOracleCtes]]: object vals initialize in order,
     * and a forward reference here would bake a null into the SQL. */
   private val mhJacPct = "(inter * 100) // (sz - inter)"
   private def mhVerifyCtes(pairCte: String, vrName: String, veName: String,
-      withJaccardCol: Boolean): String = s"""
+      withJaccardCol: Boolean, minPct: Long = 50L): String = s"""
       $vrName AS (
         SELECT c.doc_id AS doc_id, c.keeper AS keeper,
           CAST(length(list_intersect(a.toks, k.toks)) AS BIGINT) AS inter,
@@ -753,7 +760,7 @@ object Similarity {
       $veName AS (
         SELECT doc_id, keeper${if (withJaccardCol) s", $mhJacPct AS jaccard_pct" else ""}
         FROM $vrName
-        WHERE sz - inter > 0 AND $mhJacPct >= 50)"""
+        WHERE sz - inter > 0 AND $mhJacPct >= $minPct)"""
 
   /** DuckDB re-derivation of the ENTIRE minhash pipeline — tokenize,
     * per-token md5, 32 circular 15-hex windows, per-window mins, band
@@ -767,7 +774,7 @@ object Similarity {
     * over its decontaminated survivor CTE instead of raw `documents`;
     * one generator, so the two can never drift on a kernel expression
     * (r17). `src` must expose (doc_id, text). */
-  private[operators] def mhOracleCtesOver(src: String): String = s"""
+  private[operators] def mhOracleCtesOver(src: String, minPct: Long = 50L): String = s"""
       tok AS (
         SELECT doc_id,
           unnest(list_distinct(list_filter(string_split(lower(text), ' '),
@@ -796,7 +803,7 @@ object Similarity {
             x -> length(x) > 3)) AS toks
         FROM $src
         WHERE toks IS NOT NULL AND length(toks) > 0),
-      """ + mhVerifyCtes("cand", "vr", "ve", withJaccardCol = true)
+      """ + mhVerifyCtes("cand", "vr", "ve", withJaccardCol = true, minPct)
 
   private[operators] val mhOracleCtes = mhOracleCtesOver("documents")
 

@@ -195,6 +195,48 @@ class CryptoSpec extends SparkSpec {
       graft.functions.Merkle.rootLocal(leaves :+ BigInt(4242), depth))
   }
 
+  test("appendBatch equals sequential appends on every split: count, root AND frontier") {
+    // the batched fold (r18, ~2k + 2·depth hashes per k-leaf batch) must
+    // be state-indistinguishable from k per-leaf appends at every batch
+    // boundary — including k=1, odd/even starts, a batch crossing a
+    // power-of-two boundary, and the batch that fills the tree exactly
+    val depth = 6
+    val leaves = (1 to 64).map(i => BigInt(i * 977 + 13))
+    val splitsets = Seq(
+      Seq(1, 1, 1, 61), Seq(3, 5, 8, 48), Seq(40, 24), Seq(64),
+      Seq(7, 1, 9, 2, 45), Seq(31, 1, 32))
+    for (splits <- splitsets) {
+      assert(splits.sum === 64)
+      val seq = new graft.functions.Merkle.Incremental(depth)
+      val bat = new graft.functions.Merkle.Incremental(depth)
+      var off = 0
+      for (k <- splits) {
+        val chunk = leaves.slice(off, off + k)
+        chunk.foreach(seq.append)
+        bat.appendBatch(chunk)
+        off += k
+        assert(bat.count === seq.count, s"splits=$splits off=$off count")
+        assert(bat.root === seq.root, s"splits=$splits off=$off root")
+        // LIVE frontier levels only (bit d of count set): dead levels
+        // are documented-unspecified state (restore's docstring) — the
+        // per-append path eagerly writes partial values there, the batch
+        // fold doesn't, and both overwrite before any read
+        val live = (0 until depth).filter(d => ((off.toLong >> d) & 1L) == 1L)
+        assert(live.map(bat.snapshot._3) === live.map(seq.snapshot._3),
+          s"splits=$splits off=$off live frontier")
+      }
+      // both are now full; both refuse another leaf the same way
+      intercept[IllegalArgumentException](bat.appendBatch(IndexedSeq(BigInt(1))))
+      intercept[IllegalArgumentException](seq.append(BigInt(1)))
+    }
+    // empty batch is a no-op even on a full tree
+    val full = new graft.functions.Merkle.Incremental(2)
+    (1 to 4).foreach(i => full.append(BigInt(i)))
+    val r0 = full.root
+    full.appendBatch(IndexedSeq.empty)
+    assert(full.count === 4L && full.root === r0)
+  }
+
   test("restore rejects torn snapshots: root must be derivable from (count, frontier)") {
     // a torn external store (count from one snapshot, root or frontier
     // from another) must fail at restore, not silently corrupt every
