@@ -69,55 +69,31 @@ object BenchStreams {
         src => graft.streaming.StreamOps.gapSessions(src)))
   }
 
-  /** Stages the tier's events as `nChunks` time-sliced parquet files with
-    * ascending mtimes under one flat dir; returns (dir, totalRows). A
-    * `_STAGED_<rows>_<maxId>_<maxTs>_<chunks>` marker memoizes the layout
-    * per (tier, chunk-count) so repeated harness runs re-stage whenever
-    * the source token moved — count alone would replay stale chunks
-    * after a same-cardinality regeneration (spec-pinned in
-    * StreamingSpec; the snapshot-token discipline). */
-  private[graft] def stageEvents(spark: SparkSession, sfDir: String,
-      nChunks: Int): (String, Long) = {
-    val key = (sfDir + s"#$nChunks").replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
+  /** The ONE chunk-staging implementation both stagers run (r18 review:
+    * the merkle stager had copy-pasted this contract, and the two copies
+    * had already drifted on token strength). Resolves the stage dir for
+    * `tag`, and — unless `markerName` is already present — writes
+    * `chunked` (must carry a `chunk` column in [0, nChunks)) as one
+    * mtime-ascending parquet file ladder per chunk, then drops the
+    * marker. The marker name IS the freshness token: callers put every
+    * source-identity component in it. */
+  private def ensureStaged(tag: String, markerName: String, nChunks: Int,
+      orderCol: String)(chunked: => org.apache.spark.sql.DataFrame): String = {
+    val key = tag.replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
       java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$sfDir#$nChunks".getBytes("UTF-8"))
+        .digest(tag.getBytes("UTF-8"))
         .take(8).map(b => f"$b%02x").mkString
     val stage = s"${System.getProperty("java.io.tmpdir")}/graft-stream-stage/$key"
-    val ev = Tables(spark, sfDir).events
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), col("ts_ms"))
-    // freshness token = (count, max event_id, max ts_ms, min ts_ms) —
-    // count alone would replay STALE chunks after a same-cardinality
-    // regeneration (r17 review; the RestSource.snapshot token
-    // discipline, for real). min(ts_ms) is in the TOKEN, not just the
-    // slicing bounds (r17 advice): a regeneration that moves only the
-    // lower ts bound changes the chunk slicing this marker claims to
-    // pin, and it is already computed in the same single-pass aggregate.
-    val tk = ev.agg(count(lit(1)), max(col("event_id")),
-      max(col("ts_ms")), min(col("ts_ms"))).head()
-    val total = tk.getLong(0)
-    // loud empty-tier diagnostic, not an NPE at getLong on a null max
-    // (r17 review 2): nothing downstream can replay zero events anyway
-    require(total > 0, s"BenchStreams: $sfDir/events is empty — nothing to replay")
-    val markerName = s"_STAGED_${total}_${tk.get(1)}_${tk.get(2)}_${tk.get(3)}_$nChunks"
     val marker = new java.io.File(s"$stage/$markerName")
-    if (marker.isFile) return (stage, total)
-
-    // chunk = uniform ts slice, written partitioned, then flattened
-    // into mtime-ordered files
-    val (mn, mx) = (tk.getLong(3), tk.getLong(2))
-    val span = math.max(1L, mx - mn + 1)
+    if (marker.isFile) return stage
     val tmp = s"$stage.build"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
-    ev.withColumn("chunk",
-        least(lit(nChunks - 1),
-          ((col("ts_ms") - lit(mn)) * lit(nChunks.toLong) / lit(span))
-            .cast("int")))
+    chunked
       // one file per chunk: the trigger cadence is files, so each chunk
       // must be exactly one admission unit
       .repartition(col("chunk"))
-      .sortWithinPartitions(col("ts_ms"))
+      .sortWithinPartitions(col(orderCol))
       .write.partitionBy("chunk").mode("overwrite").parquet(tmp)
     val out = new java.io.File(stage)
     out.mkdirs()
@@ -134,6 +110,45 @@ object BenchStreams {
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     marker.createNewFile()
+    stage
+  }
+
+  /** Stages the tier's events as `nChunks` time-sliced parquet files with
+    * ascending mtimes under one flat dir; returns (dir, totalRows). A
+    * `_STAGED_<rows>_<maxId>_<maxTs>_<minTs>_<chunks>` marker memoizes
+    * the layout per (tier, chunk-count) so repeated harness runs
+    * re-stage whenever the source token moved — count alone would replay
+    * stale chunks after a same-cardinality regeneration (spec-pinned in
+    * StreamingSpec; the snapshot-token discipline). */
+  private[graft] def stageEvents(spark: SparkSession, sfDir: String,
+      nChunks: Int): (String, Long) = {
+    val ev = Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts_ms"))
+    // freshness token = (count, max event_id, max ts_ms, min ts_ms) —
+    // count alone would replay STALE chunks after a same-cardinality
+    // regeneration (r17 review; the RestSource.snapshot token
+    // discipline, for real). min(ts_ms) is in the TOKEN, not just the
+    // slicing bounds (r17 advice): a regeneration that moves only the
+    // lower ts bound changes the chunk slicing this marker claims to
+    // pin, and it is already computed in the same single-pass aggregate.
+    val tk = ev.agg(count(lit(1)), max(col("event_id")),
+      max(col("ts_ms")), min(col("ts_ms"))).head()
+    val total = tk.getLong(0)
+    // loud empty-tier diagnostic, not an NPE at getLong on a null max
+    // (r17 review 2): nothing downstream can replay zero events anyway
+    require(total > 0, s"BenchStreams: $sfDir/events is empty — nothing to replay")
+    val (mn, mx) = (tk.getLong(3), tk.getLong(2))
+    val span = math.max(1L, mx - mn + 1)
+    val stage = ensureStaged(s"$sfDir#$nChunks",
+      s"_STAGED_${total}_${tk.get(1)}_${tk.get(2)}_${tk.get(3)}_$nChunks",
+      nChunks, "ts_ms") {
+      // chunk = uniform ts slice
+      ev.withColumn("chunk",
+        least(lit(nChunks - 1),
+          ((col("ts_ms") - lit(mn)) * lit(nChunks.toLong) / lit(span))
+            .cast("int")))
+    }
     (stage, total)
   }
 
@@ -151,47 +166,28 @@ object BenchStreams {
     * order; same marker-token discipline as [[stageEvents]]. */
   private[graft] def stageMerkleLeaves(spark: SparkSession, sfDir: String,
       nChunks: Int): (String, Long) = {
-    val key = (sfDir + s"#mk$nChunks").replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$sfDir#mk$nChunks".getBytes("UTF-8"))
-        .take(8).map(b => f"$b%02x").mkString
-    val stage = s"${System.getProperty("java.io.tmpdir")}/graft-stream-stage/$key"
     val ev = Tables(spark, sfDir).events.select(col("event_id"))
-    val tk = ev.agg(count(lit(1)), max(col("event_id")), min(col("event_id"))).head()
+    // token carries sum(event_id) besides (count, max, min): the staged
+    // leaves are a pure function of the event_id MULTISET, and a
+    // same-cardinality regeneration can re-key interior rows while
+    // preserving count and both extremes (r18 review — the exact hazard
+    // class the events token closed); the sum rides in the same
+    // single-pass aggregate for free
+    val tk = ev.agg(count(lit(1)), max(col("event_id")), min(col("event_id")),
+      sum(col("event_id"))).head()
     val total = tk.getLong(0)
     require(total > 0, s"BenchStreams: $sfDir/events is empty — nothing to replay")
-    val markerName = s"_STAGED_${total}_${tk.get(1)}_${tk.get(2)}_$nChunks"
-    val marker = new java.io.File(s"$stage/$markerName")
-    if (marker.isFile) return (stage, total)
-
-    val leaves = graft.operators.ScaleOps.strataPrefixSum(
-        ev, Seq.empty, Seq("event_id"), lit(1L), "leaf_index")
-      .select(col("leaf_index"),
-        unhex(md5(col("event_id").cast("string"))).as("leaf"))
-    val tmp = s"$stage.build"
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
-    leaves.withColumn("chunk",
-        least(lit(nChunks - 1),
-          (col("leaf_index") * lit(nChunks.toLong) / lit(total)).cast("int")))
-      .repartition(col("chunk"))
-      .sortWithinPartitions(col("leaf_index"))
-      .write.partitionBy("chunk").mode("overwrite").parquet(tmp)
-    val out = new java.io.File(stage)
-    out.mkdirs()
-    val base = System.currentTimeMillis() - (nChunks + 1) * 60000L
-    for (i <- 0 until nChunks) {
-      val cdir = new java.io.File(s"$tmp/chunk=$i")
-      val parts = Option(cdir.listFiles()).toSeq.flatten
-        .filter(f => f.getName.endsWith(".parquet"))
-      parts.zipWithIndex.foreach { case (f, j) =>
-        val dest = new java.io.File(out, f"chunk-$i%04d-$j.parquet")
-        java.nio.file.Files.move(f.toPath, dest.toPath)
-        dest.setLastModified(base + i * 60000L)
-      }
+    val stage = ensureStaged(s"$sfDir#mk$nChunks",
+      s"_STAGED_${total}_${tk.get(1)}_${tk.get(2)}_${tk.get(3)}_$nChunks",
+      nChunks, "leaf_index") {
+      graft.operators.ScaleOps.strataPrefixSum(
+          ev, Seq.empty, Seq("event_id"), lit(1L), "leaf_index")
+        .select(col("leaf_index"),
+          unhex(md5(col("event_id").cast("string"))).as("leaf"))
+        .withColumn("chunk",
+          least(lit(nChunks - 1),
+            (col("leaf_index") * lit(nChunks.toLong) / lit(total)).cast("int")))
     }
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-    marker.createNewFile()
     (stage, total)
   }
 
@@ -205,7 +201,7 @@ object BenchStreams {
     * unbounded-trigger ingest burst dies with the named diagnostic
     * before rows land on the driver. */
   private def measureMerkle(spark: SparkSession, sfDir: String,
-      nChunks: Int, filesPerTrigger: Int): Seq[String] = {
+      nChunks: Int, filesPerTrigger: Int): (Seq[String], Long) = {
     import scala.jdk.CollectionConverters._
     val (stage, total) = stageMerkleLeaves(spark, sfDir, nChunks)
     val depth = math.max(20,
@@ -214,9 +210,17 @@ object BenchStreams {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt-merkle").toString
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(stage)
+    // the throughput run's cap is SIZED TO THE STAGE (2× the worst-case
+    // trigger: filesPerTrigger one-chunk files), not merkleAppend's
+    // default — a tier past ~12.6M rows at default args exceeds the
+    // default 2^20 and the measurement would die in its own guard
+    // (r18 review #1); the deliberate cap-trip run below is where the
+    // guard is exercised
+    val batchCap = math.min(Int.MaxValue.toLong,
+      math.max(1L, 2L * filesPerTrigger * ((total + nChunks - 1) / nChunks))).toInt
     val t0 = System.nanoTime()
     val h = graft.streaming.StreamOps.merkleAppend(src, depth,
-      checkpoint = Some(ckpt))
+      checkpoint = Some(ckpt), maxBatchLeaves = batchCap)
     h.query.processAllAvailable()
     val wall = (System.nanoTime() - t0) / 1e9
     val progress = h.query.recentProgress.toSeq
@@ -268,7 +272,7 @@ object BenchStreams {
     val tripRec = s"""{"op": "merkle_append_cap_trip", "max_batch_leaves": $cap, """ +
       s""""outcome": ${Verify.jsonStr(trip)}}"""
     System.err.println(s"[bench-stream] merkle_append_cap_trip: $tripRec")
-    Seq(rec, tripRec)
+    (Seq(rec, tripRec), total)
   }
 
   def main(args: Array[String]): Unit = {
@@ -295,20 +299,30 @@ object BenchStreams {
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
       (nChunks + 64).toString)
 
-    val (stage, totalRows) = stageEvents(spark, sfDir, nChunks)
-    System.err.println(s"[bench-stream] staged $totalRows rows in $nChunks chunks at $stage")
-    val schema = spark.read.parquet(stage).schema
-
     // merkle_append is measured through its own harness (foreachBatch
-    // maintainer, not a DataFrame→noop transform). Included by default
-    // up to 20M rows; past that the serial fold dominates the run, so it
-    // wants an explicit ops= opt-in — logged, never silently dropped.
-    val wantMerkle = only.fold(totalRows <= 20_000_000L)(_.contains("merkle_append"))
-    if (only.isEmpty && totalRows > 20_000_000L)
-      System.err.println(s"[bench-stream] merkle_append SKIPPED at $totalRows rows " +
-        "(serial fold; pass ops=merkle_append to force)")
+    // maintainer over its OWN staged leaf stream, not a DataFrame→noop
+    // transform) — an ops=merkle_append run therefore skips the events
+    // staging entirely (r18 review #4: it staged the whole tier for an
+    // unused schema). Included by default up to 20M rows; past that the
+    // serial fold dominates the run, so it wants an explicit ops=
+    // opt-in — logged, never silently dropped.
     val selected = ops(spark).filter(o => only.forall(_.contains(o.name)))
-    require(selected.nonEmpty || wantMerkle, s"no ops matched; $usage")
+    val merkleExplicit = only.exists(_.contains("merkle_append"))
+    require(selected.nonEmpty || merkleExplicit, s"no ops matched; $usage")
+    val staged =
+      if (selected.nonEmpty) Some(stageEvents(spark, sfDir, nChunks)) else None
+    staged.foreach { case (stage, totalRows) =>
+      System.err.println(s"[bench-stream] staged $totalRows rows in $nChunks chunks at $stage")
+    }
+    val wantMerkle = merkleExplicit || staged.exists(_._2 <= 20_000_000L)
+    if (only.isEmpty && staged.exists(_._2 > 20_000_000L))
+      System.err.println(s"[bench-stream] merkle_append SKIPPED at ${staged.get._2} rows " +
+        "(serial fold; pass ops=merkle_append to force)")
+    lazy val (stage, schema) = {
+      val s0 = staged.get._1
+      (s0, spark.read.parquet(s0).schema)
+    }
+    val evTotal = staged.map(_._2).getOrElse(0L)
     val records = selected.map { op =>
       val ckpt = java.nio.file.Files
         .createTempDirectory(s"graft-stream-ckpt-${op.name}").toString
@@ -347,10 +361,10 @@ object BenchStreams {
       // anything else means progress entries were dropped from the
       // bounded buffer and the rates are wrong (r17 review, amended —
       // sources.length undercounts a self-join on one path)
-      val complete = rows > 0 && rows % totalRows == 0
+      val complete = rows > 0 && rows % evTotal == 0
       if (!complete)
         System.err.println(s"[bench-stream] WARNING ${op.name}: summed " +
-          s"$rows input rows, not a whole multiple of $totalRows — " +
+          s"$rows input rows, not a whole multiple of $evTotal — " +
           "progress buffer too small or rows dropped; rates UNRELIABLE")
       val trigSec = batches.map(_.durationMs.asScala
         .getOrElse("triggerExecution", java.lang.Long.valueOf(0L))
@@ -366,14 +380,15 @@ object BenchStreams {
           f""""trigger_sec_p95": ${pct(trigSec, 0.95)}%.3f, """ +
           f""""us_per_event": ${if (rows > 0) trigSec.sum * 1e6 / rows else 0.0}%.2f, """ +
           s""""state_rows_max": $stateMax, """ +
-          s""""admission_multiple": ${if (totalRows > 0) rows / totalRows else 0}, """ +
+          s""""admission_multiple": ${if (evTotal > 0) rows / evTotal else 0}, """ +
           s""""complete": $complete}"""
       System.err.println(s"[bench-stream] ${op.name}: $rec")
       rec
     }
-    val merkleRecs =
+    val (merkleRecs, merkleTotal) =
       if (wantMerkle) measureMerkle(spark, sfDir, nChunks, filesPerTrigger)
-      else Seq.empty
+      else (Seq.empty[String], -1L)
+    val totalRows = staged.map(_._2).getOrElse(merkleTotal)
     val record = s"""{"probe": "bench-streams", "sf": ${Verify.jsonStr(sfDir)}, """ +
       s""""total_rows": $totalRows, "chunks": $nChunks, """ +
       s""""files_per_trigger": $filesPerTrigger, """ +
