@@ -50,5 +50,6 @@ object QueryDef {
       graft.operators.StreamingTwins.defs ++
       graft.operators.ScaleOps.defs ++
       Seq(graft.operators.PipelineE2E.pipeE2e,
-        graft.operators.PipelineE2E.pipeE2eWide)
+        graft.operators.PipelineE2E.pipeE2eWide,
+        graft.operators.IngestIncr.pipeIngestIncr)
 }

@@ -1,0 +1,319 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed pipeline's INGEST path — admission of a new corpus
+  * increment against PERSISTED state, never a corpus re-scan.
+  *
+  * [[PipelineE2E]] is the batch flow: the whole corpus in, the training
+  * mixture out. A production ingest runs the same front half of that
+  * flow per arriving increment (the reference moderates/ranks each
+  * incoming submission against standing state, `oracle.ts:146-175`,
+  * not the whole history per event): gates are stateless, and every
+  * stateful stage probes state persisted at index-build time —
+  *
+  *  - exact-dup: a persisted `(fp → keeper)` fingerprint table over the
+  *    base corpus' gate survivors (`fps`, shard-partitioned on a hash
+  *    of the fingerprint so a probe prunes to the partitions its own
+  *    fingerprints touch);
+  *  - decontamination: the benchmark 3-token shingle set PINNED at
+  *    index time (`bsh` — a held-out suite is a fixed artifact, so the
+  *    declared semantics freeze it at the base slice's `src0` stratum;
+  *    incoming `src0` rows are simply never admitted to training);
+  *  - near-dup: the minhash (bands, toks) index of
+  *    [[Similarity.writeIncrIndex]] built over the base slice's
+  *    PIPELINE SURVIVORS (stages 1–2 output, the election population
+  *    the batch flow uses), probed with the family's partition-pruned
+  *    least-merge ([[Similarity.probeIncrIndex]]) so intra-increment
+  *    duplicates and increment-vs-corpus duplicates fall out of one
+  *    election.
+  *
+  * Output: EVERY incoming document with a verdict —
+  * `held_out | gate | exact_dup | contaminated | near_dup | admitted`
+  * (first matching rule in that order) — so the oracle hash certifies
+  * the whole admission decision surface, not just the survivor set.
+  *
+  * Batch-equivalence contract (the incr family's): with append-only ids
+  * (every increment id > every base id) each per-stage election over
+  * base ∪ increment restricted to the increment equals the probe's
+  * merged election, so the verdicts equal the BATCH pipeline recompute
+  * over the full corpus (with the pinned benchmark set) restricted to
+  * `doc_id >= split` — which is exactly what the DuckDB oracle states,
+  * from raw text, through an independent engine.
+  *
+  * Every kernel is the composed pipeline's own single definition:
+  * [[Text.corpusGates]], [[Text.keeperDedup]]'s election shape,
+  * [[Text.benchShinglesOf]] / [[Text.decontamFlagged]],
+  * [[Similarity.minhashFeatOf]] and the family build/probe halves — the
+  * ingest path cannot drift from the batch flow on an expression.
+  *
+  * Scale posture: probe-time reads are the increment slice (`doc_id >=
+  * split` pushed to the source) plus index files — fps pruned to the
+  * fingerprint shards the increment touches, bands pruned to the
+  * (band, bshard) partitions its banding touches, verify side-table
+  * pruned to elected-keeper shards; the pinned benchmark set is
+  * index-scale (a held-out suite), joined broadcast. Every shuffle is
+  * increment-sized. The corpus proper is read once, at index build.
+  */
+object IngestIncr {
+
+  private def T(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** Builds/adopts the composed-ingest index for `dir`'s base slice and
+    * returns (versionPath, split) — [[Similarity.ensureVersionedIndex]]
+    * with this family's four layout parts. famPrefix "mhp1": the
+    * version identity does not cover the PIPELINE kernels (gates,
+    * shingle rule, banding), so a kernel change must bump this prefix —
+    * the mh2/sh2 discipline. */
+  def ensurePipeIngestIndex(s: SparkSession, dir: String): (String, Long) =
+    Similarity.ensureVersionedIndex(s, dir, "mhp1", "minhash",
+      Seq("bands", "toks", "fps", "bsh"),
+      (staging, split, shards) =>
+        buildPipeIngestIndex(s, dir, staging, split, shards))
+
+  /** Ingest-time half: ONE scan of the base corpus slice (`doc_id <
+    * split`, pushed) feeds all four persisted parts. */
+  private def buildPipeIngestIndex(s: SparkSession, dir: String,
+      staging: String, split: Long, shards: Int): Unit = {
+    val ver = Similarity.srcVersion(s, dir, "documents.parquet")
+    val baseDocs = T(s, dir).documents.filter(col("doc_id") < lit(split))
+      .select(col("doc_id"), col("source"), col("text"))
+    // gate population of the base slice — with append-only ids its
+    // keeper election equals the full-corpus election restricted to the
+    // base, so persisting (fp → min doc_id) over THIS population is
+    // exactly the state the batch dc election implies
+    val gatedBase = Similarity.cachedFeature(s,
+        s"pipe_ingest:$dir:gated$split", ver) {
+      Text.corpusGates(baseDocs)
+        .select(col("doc_id"), col("source"), col("text"), col("fp"))
+    }
+    gatedBase.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+      .withColumn("fshard",
+        pmod(xxhash64(col("fp")), lit(shards.toLong)))
+      .write.mode("overwrite").partitionBy("fshard")
+      .parquet(s"$staging/fps")
+    // the pinned benchmark set: RAW base-slice src0 shingles (the batch
+    // flow decontaminates against the raw held-out stratum, never the
+    // cleaned one). sshard exists for layout symmetry; probes read the
+    // whole set (it is suite-sized) and broadcast it.
+    Text.benchShinglesOf(baseDocs.filter(col("source") === "src0"))
+      .withColumn("sshard",
+        pmod(xxhash64(col("shingle")), lit(shards.toLong)))
+      .write.mode("overwrite").partitionBy("sshard")
+      .parquet(s"$staging/bsh")
+    // near-dup index over the base slice's PIPELINE SURVIVORS: cleaned
+    // (keeper-elected) train docs not flagged against the pinned
+    // benchmark — the stage-3 election population of the batch flow
+    val bench = s.read.parquet(s"$staging/bsh").select(col("shingle"))
+    val trainBase = Text.keeperDedup(gatedBase)
+      .filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("text"))
+    val surv1Base = trainBase
+      .join(Text.decontamFlagged(trainBase, bench, 1L),
+        Seq("doc_id"), "left_anti")
+    Similarity.writeMinhashIndexOf(s, staging, shards,
+      Similarity.minhashFeatOf(surv1Base))
+  }
+
+  /** Query-time half: verdicts for every `doc_id >= split` document.
+    * See the object doc for the per-stage probe discipline. */
+  def probePipeIngest(s: SparkSession, dir: String, idx: String,
+      split: Long): DataFrame = {
+    val shards =
+      Similarity.effShardsOf(idx, Similarity.minhashIndexShards,
+        "probePipeIngest")
+    val ver = Similarity.srcVersion(s, dir, "documents.parquet")
+    // increment-only scan (doc_id >= split pushed); memoized — it feeds
+    // the gate projection and the final verdict assembly
+    val incoming = Similarity.cachedFeature(s,
+        s"pipe_ingest:$dir:incr$split", ver) {
+      T(s, dir).documents.filter(col("doc_id") >= lit(split))
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    }
+    // memoized: the gate projection (split/regex-heavy per-row exprs)
+    // feeds FOUR branches below (intra-increment election, fps probe,
+    // train slice, verdict flag) and Spark shares no subplans across
+    // DataFrame branches
+    val gatePop = Similarity.cachedFeature(s,
+        s"pipe_ingest:$dir:gate$split", ver) {
+      Text.corpusGates(incoming)
+        .select(col("doc_id"), col("source"), col("text"), col("fp"))
+    }
+    // exact-dup: persisted keepers for the fingerprint shards this
+    // increment touches (bounded collect, ≤ shards values) merged with
+    // the intra-increment election — least() over append-only ids is
+    // the full-population keeper
+    val touched = gatePop
+      .select(pmod(xxhash64(col("fp")), lit(shards.toLong)).as("fs"))
+      .distinct().collect().map(_.getLong(0)) // bounded: ≤ shards
+    val fps = s.read.parquet(s"$idx/fps")
+      .filter(col("fshard").isin(touched.map(x => x: Any): _*))
+      .select(col("fp"), col("keeper"))
+    val iMin = gatePop.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("ikeeper"))
+    // a base-keeper hit marks EVERY increment holder of that fp (base
+    // ids are all smaller); otherwise the increment's own min keeps
+    val exactDup = Similarity.cachedFeature(s,
+        s"pipe_ingest:$dir:xdup$split", ver) {
+      gatePop.select(col("doc_id"), col("fp"))
+        .join(iMin, Seq("fp"))
+        .join(fps, Seq("fp"), "left")
+        .filter(col("keeper").isNotNull || col("doc_id") > col("ikeeper"))
+        .select(col("doc_id"))
+    }
+    val train = gatePop
+      .join(exactDup, Seq("doc_id"), "left_anti")
+      .filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("text"))
+    // decontamination against the PINNED benchmark set — memoized: the
+    // shingle explode+join feeds both the survivor anti-join and the
+    // verdict flag
+    val contaminated = Similarity.cachedFeature(s,
+        s"pipe_ingest:$dir:flag$split", ver) {
+      Text.decontamFlagged(train,
+        s.read.parquet(s"$idx/bsh").select(col("shingle")), 1L)
+    }
+    val survDecontam = train.join(contaminated, Seq("doc_id"), "left_anti")
+    // near-dup: the family probe over the increment's own survivors —
+    // intra-increment pairs and increment-vs-corpus pairs fall out of
+    // the one least-merged election
+    val feat = Similarity.cachedFeature(s,
+        s"pipe_ingest:$dir:mhfeat$split", ver) {
+      Similarity.minhashFeatOf(survDecontam)
+    }
+    val nearDup = Similarity
+      .probeMinhashIndexOf(s, idx, split, shards, feat, ver)
+      .select(col("doc_id"))
+    // verdict assembly: increment-sized left joins, first rule wins
+    incoming.select(col("doc_id"), col("source"), col("lang"))
+      .join(gatePop.select(col("doc_id"), lit(true).as("__g")),
+        Seq("doc_id"), "left")
+      .join(exactDup.select(col("doc_id"), lit(true).as("__xd")),
+        Seq("doc_id"), "left")
+      .join(contaminated.select(col("doc_id"), lit(true).as("__ct")),
+        Seq("doc_id"), "left")
+      .join(nearDup.select(col("doc_id"), lit(true).as("__nd")),
+        Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("source") === "src0", lit("held_out"))
+          .when(col("__g").isNull, lit("gate"))
+          .when(col("__xd").isNotNull, lit("exact_dup"))
+          .when(col("__ct").isNotNull, lit("contaminated"))
+          .when(col("__nd").isNotNull, lit("near_dup"))
+          .otherwise(lit("admitted")))
+      .select(col("doc_id"), col("source"), col("lang"), col("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The BATCH recompute of the verdict surface — full-corpus election
+    * through the SAME shared kernels, no index — restricted to
+    * `doc_id >= split`. Exists so the equality spec can state the
+    * incremental contract (probe ≡ batch, bit for bit) through the
+    * exact code the catalog query runs, the [[Similarity.minhashDedupOf]]
+    * discipline (a test-side copy would test itself). */
+  private[graft] def batchVerdictsFor(s: SparkSession, dir: String,
+      split: Long): DataFrame = {
+    val docs = T(s, dir).documents
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val gated = Text.corpusGates(docs)
+      .select(col("doc_id"), col("source"), col("text"), col("fp"))
+    val cleaned = Text.keeperDedup(gated)
+    val bench = Text.benchShinglesOf(
+      docs.filter(col("source") === "src0" && col("doc_id") < lit(split)))
+    val train = cleaned.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("text"))
+    val flagged = Text.decontamFlagged(train, bench, 1L)
+    val surv1 = train.join(flagged, Seq("doc_id"), "left_anti")
+    val ve = Similarity.minhashDedupOf(Similarity.minhashFeatOf(surv1))
+      .select(col("doc_id"))
+    docs.filter(col("doc_id") >= lit(split))
+      .select(col("doc_id"), col("source"), col("lang"))
+      .join(gated.select(col("doc_id"), lit(true).as("__g")),
+        Seq("doc_id"), "left")
+      .join(cleaned.select(col("doc_id"), lit(true).as("__cl")),
+        Seq("doc_id"), "left")
+      .join(flagged.select(col("doc_id"), lit(true).as("__ct")),
+        Seq("doc_id"), "left")
+      .join(ve.select(col("doc_id"), lit(true).as("__nd")),
+        Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("source") === "src0", lit("held_out"))
+          .when(col("__g").isNull, lit("gate"))
+          .when(col("__cl").isNull, lit("exact_dup"))
+          .when(col("__ct").isNotNull, lit("contaminated"))
+          .when(col("__nd").isNotNull, lit("near_dup"))
+          .otherwise(lit("admitted")))
+      .select(col("doc_id"), col("source"), col("lang"), col("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The catalog entry. The oracle recomputes the BATCH pipeline over
+    * the full corpus (pinned benchmark: `src0` below the split) and
+    * reads the increment's verdicts off it — the incremental machinery
+    * checked against an independent engine, end to end. */
+  val pipeIngestIncr = QueryDef(
+    "pipe_ingest_incr",
+    (s, dir) => {
+      val (idx, split) = ensurePipeIngestIndex(s, dir)
+      probePipeIngest(s, dir, idx, split)
+    },
+    oracle = Some(s"""
+      WITH sp AS (
+        SELECT MAX(doc_id) - MAX(doc_id) // 5 AS split FROM documents),
+      g AS (
+        SELECT doc_id, source, lang, text,
+          CAST(length(list_filter(string_split(lower(text), ' '),
+            x -> x IN ('the','and','of','to','a','in','is','for'))) AS BIGINT) AS en_hits,
+          CAST(length(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS BIGINT) AS n_words,
+          CAST(length(list_filter(string_split(lower(text), ' '),
+            x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS stop_cnt
+        FROM documents),
+      q AS (
+        SELECT doc_id, source, lang, text,
+          LEAST(100, n_words * 2) + LEAST(50, stop_cnt * 5) AS quality_score
+        FROM g WHERE en_hits >= 2 AND n_words > 0),
+      dc AS (
+        SELECT doc_id, source, lang, text,
+          MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM q WHERE quality_score >= 60),
+      cleaned AS (
+        SELECT doc_id, source, lang, text FROM dc WHERE doc_id = keeper),
+      btoks AS (
+        SELECT list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+        FROM documents
+        WHERE source = 'src0' AND doc_id < (SELECT split FROM sp)),
+      bsh AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+          i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        FROM btoks WHERE len(toks) >= 3),
+      ttoks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+        FROM cleaned WHERE source <> 'src0'),
+      tsh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+          i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        FROM ttoks WHERE len(toks) >= 3),
+      flagged AS (
+        SELECT tsh.doc_id FROM tsh JOIN bsh USING (shingle)
+        GROUP BY tsh.doc_id HAVING count(*) >= 1),
+      surv1 AS (
+        SELECT c.doc_id, c.text FROM cleaned c
+        WHERE c.source <> 'src0'
+          AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = c.doc_id)),
+      ${Similarity.mhOracleCtesOver("surv1")}
+      SELECT d.doc_id, d.source, d.lang,
+        CASE WHEN d.source = 'src0' THEN 'held_out'
+             WHEN dc2.doc_id IS NULL THEN 'gate'
+             WHEN dc2.doc_id <> dc2.keeper THEN 'exact_dup'
+             WHEN fl.doc_id IS NOT NULL THEN 'contaminated'
+             WHEN nv.doc_id IS NOT NULL THEN 'near_dup'
+             ELSE 'admitted' END AS verdict
+      FROM documents d
+      LEFT JOIN dc dc2 ON dc2.doc_id = d.doc_id
+      LEFT JOIN flagged fl ON fl.doc_id = d.doc_id
+      LEFT JOIN (SELECT DISTINCT doc_id FROM ve) nv ON nv.doc_id = d.doc_id
+      WHERE d.doc_id >= (SELECT split FROM sp)
+      ORDER BY d.doc_id"""))
+}

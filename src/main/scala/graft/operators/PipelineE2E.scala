@@ -129,19 +129,9 @@ object PipelineE2E {
     // benchmark set is not subject to cleaning; src0 leaves the flow):
     // the pipe_decontam join+count kernel, thresholded at the policy's
     // minimum hit count (≥1 ≡ the old DISTINCT any-hit form)
-    val bench = base.filter(col("source") === "src0")
-      .select(Text.shingles3(col("text")).as("sh"))
-      .filter(col("sh").isNotNull)
-      .select(explode(col("sh")).as("shingle")).distinct()
+    val bench = Text.benchShinglesOf(base.filter(col("source") === "src0"))
     val train = cleaned.filter(col("source") =!= "src0")
-    val flagged = train
-      .select(col("doc_id"), Text.shingles3(col("text")).as("sh"))
-      .filter(col("sh").isNotNull)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .join(bench, "shingle")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-      .filter(col("n_hits") >= lit(cfg.decontamMinHits))
-      .select(col("doc_id"))
+    val flagged = Text.decontamFlagged(train, bench, cfg.decontamMinHits)
     val surv1 = Similarity.cachedFeature(s, s"pipe_e2e_surv1:$dir$w", ver) {
       train.join(flagged, Seq("doc_id"), "left_anti")
     }

@@ -1650,6 +1650,25 @@ object Similarity {
       }, srcVer)
   }
 
+  /** [[writeIncrIndex]] over the minhash family with a CALLER-OWNED
+    * feature frame — the composed ingest pipeline ([[IngestIncr]])
+    * builds its index over the pipeline's own survivor population, not
+    * the raw corpus slice, so the population is a parameter while the
+    * banding / election / verify kernels stay this family's single
+    * definitions (the probe≡batch equality rests on that sharing). */
+  private[operators] def writeMinhashIndexOf(s: SparkSession,
+      indexPath: String, shards: Int, feat: DataFrame): Unit =
+    writeIncrIndex(s, indexPath, shards, mhFamily, feat)
+
+  /** [[probeIncrIndex]] over the minhash family with a caller-owned
+    * increment feature frame — the probe half of
+    * [[writeMinhashIndexOf]]. `srcVer` is the caller's corpus
+    * fingerprint (see probeIncrIndex's memo-version contract). */
+  private[operators] def probeMinhashIndexOf(s: SparkSession,
+      indexPath: String, split: Long, shards: Int, feat: DataFrame,
+      srcVer: Long): DataFrame =
+    probeIncrIndex(s, indexPath, split, shards, mhFamily, feat, srcVer)
+
   /** Root under which versioned index directories are published.
     * Defaults to the local tmpdir; a production deploy points it at a
     * shared `hdfs:`/`s3a:` prefix — every filesystem touch below goes

@@ -426,6 +426,38 @@ object Text {
     gated.join(keepers, Seq("fp", "doc_id"))
   }
 
+  /** Distinct 3-token shingles of a `(…, text)` frame — the held-out
+    * (benchmark) half of the decontamination kernel. ONE definition
+    * shared by the composed pipeline ([[PipelineE2E]]) and the
+    * incremental ingest probe ([[IngestIncr]] — which also PERSISTS
+    * this frame as the index's pinned benchmark set): a shingle rule
+    * edited in one caller but not the other would silently diverge the
+    * ingest verdicts from the batch flow their oracle recomputes. */
+  private[operators] def benchShinglesOf(df: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame =
+    df.select(shingles3(col("text")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .select(explode(col("sh")).as("shingle")).distinct()
+
+  /** Decontamination flag set: `doc_id`s of `train` (`doc_id`, `text`)
+    * whose 3-token-shingle hit count against `bench` (`shingle`) reaches
+    * `minHits` (≥ 1 ≡ the any-hit rule). Shingle-explode + equi-join on
+    * the shingle — hash-partitioned, linear in total shingles, never
+    * doc×doc; the benchmark side is small so Catalyst broadcasts it (at
+    * 100 TB: broadcast a Bloom of the same set, keep this join as the
+    * exact confirmation pass — the pipe_decontam_bloom pattern). ONE
+    * definition shared by [[PipelineE2E]] and [[IngestIncr]]. */
+  private[operators] def decontamFlagged(train: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame, minHits: Long):
+      org.apache.spark.sql.DataFrame =
+    train.select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(bench, "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= lit(minHits))
+      .select(col("doc_id"))
+
   /** Per-stratum integer-rank MEDIAN gate: keep rows whose `score` is at
     * or above their `stratum`'s median, computed by the
     * `a15_percentile_disc` rank rule `(n+1) div 2` over (score, tiebreak)

@@ -142,6 +142,7 @@ class PlanSpec extends SparkSpec {
         // r8: the incremental probe's increment-slice frame is cached too
         "dd_minhash_incr" -> "documents.parquet",
         "dd_simhash_incr" -> "documents.parquet",
+        "pipe_ingest_incr" -> "documents.parquet",
         "mm_phash_incr" -> "documents.parquet",
         "dd_embedding_incr" -> "embeddings.parquet")) {
       val p = plan(n)
@@ -190,6 +191,23 @@ class PlanSpec extends SparkSpec {
 
   test("dd_simhash_incr: index read is partition-pruned, increment scan pushes doc_id") {
     assertIncrProbePlan(plan("dd_simhash_incr"), "sshard")
+  }
+
+  test("pipe_ingest_incr: every index read is pruned, increment scan pushes doc_id") {
+    val p = plan("pipe_ingest_incr")
+    // the minhash-family halves carry the family contract…
+    assertIncrProbePlan(p, "tshard")
+    // …and the composed probe's OWN state read — the exact-dup
+    // fingerprint table — must be fshard-pruned too, or every ingest
+    // pays a full fps scan and the probe is index-scale only by luck
+    val fpsScan = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("fshard"))
+      .getOrElse("")
+    assert(fpsScan.nonEmpty, "no fps scan in the plan:\n" +
+      p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+    assert(fpsScan.contains("PartitionFilters: [") &&
+      !fpsScan.contains("PartitionFilters: []"),
+      s"fps read is not partition-pruned: $fpsScan")
   }
 
   test("mm_phash_incr: index read is partition-pruned, increment scan pushes doc_id") {

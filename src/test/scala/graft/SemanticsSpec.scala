@@ -218,6 +218,88 @@ class SemanticsSpec extends SparkSpec {
     assert(corpus === full.filter(_.getAs[Long]("doc_id") < split))
   }
 
+  test("pipe_ingest_incr: probe verdicts == batch pipeline recompute restricted to the increment") {
+    import graft.operators.IngestIncr
+    // the composed ingest contract: every stateful stage probes
+    // PERSISTED state (fps / pinned benchmark shingles / minhash index),
+    // and the verdict surface must equal one batch run of the pipeline
+    // front half over corpus ∪ increment (benchmark pinned below the
+    // split), restricted to the increment — bit for bit, through the
+    // same shared kernels the batch flow runs
+    val (_, split) = IngestIncr.ensurePipeIngestIndex(spark, sf001)
+    val probe = IngestIncr.pipeIngestIncr.run(spark, sf001).collect().toSeq
+    val batch = IngestIncr.batchVerdictsFor(spark, sf001, split).collect().toSeq
+    assert(probe === batch)
+    // non-vacuity: the increment must actually exercise the stateful
+    // probes — an all-'admitted' (or all-'gate') verdict column would
+    // pass the equality while testing nothing. (exact_dup does not occur
+    // in the natural corpus across this split — the planted-fixture test
+    // below covers that path, plus intra-increment elections.)
+    val byVerdict = probe.groupBy(_.getAs[String]("verdict")).view.mapValues(_.size).toMap
+    assert(byVerdict.getOrElse("admitted", 0) > 0, s"no admissions: $byVerdict")
+    assert(byVerdict.getOrElse("near_dup", 0) > 0, s"near-dup probe unexercised: $byVerdict")
+    assert(byVerdict.getOrElse("contaminated", 0) > 0, s"decontam probe unexercised: $byVerdict")
+    assert(byVerdict.getOrElse("gate", 0) > 0, s"gate unexercised: $byVerdict")
+  }
+
+  test("pipe_ingest_incr: planted fixture hits every verdict, hand-computed") {
+    import graft.operators.IngestIncr
+    // a corpus engineered so each admission rule fires deterministically,
+    // including the paths the natural corpus never exercises (exact-dup
+    // vs the persisted fps table; INTRA-increment exact/near elections).
+    // Near-dup pairs are TOKEN-IDENTICAL (same >3-char words) but differ
+    // in the ≤3-char filler arrangement: md5 differs (not exact dups)
+    // while the minhash signature is bit-equal, so banding collides by
+    // construction, not by hash luck, and the exact-Jaccard verify sees
+    // 100%. Accidental band collisions between distinct docs are
+    // harmless either way: the verify stage rejects disjoint token sets.
+    val tail = "the a of to in is and for"  // gates: en_hits 8, stop_cnt 7
+    val tail2 = "a the of to in is and for" // md5-different, token-identical
+    def doc(id: Long, src: String, words: String, t: String = tail) =
+      (id, s"$words $t", "en", src, 0L)
+    val uniq = (3 to 39).map(i => doc(i, s"src${1 + i % 3}",
+      s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i hotel$i"))
+    val rows = Seq(
+      // base (doc_id < split=40)
+      (0L, "quixotic zephyr labyrinth obsidian paradox nebula", "en", "src0", 0L),
+      doc(1, "src1", "keystone granite monsoon typhoon caravan sextant quarry lagoon"),
+      doc(2, "src2", "brooklyn cathedral dormitory elephant firmament glacier harmonica insulator")
+    ) ++ uniq ++ Seq(
+      // increment (doc_id >= 40)
+      (40L, "meridian solstice equinox aurora zenith nadir", "en", "src0", 0L), // held_out
+      doc(41, "src1", "keystone granite monsoon typhoon caravan sextant quarry lagoon"), // exact_dup of 1 (fps)
+      doc(42, "src2", "brooklyn cathedral dormitory elephant firmament glacier harmonica insulator", tail2), // near_dup of 2 (index)
+      doc(43, "src1", "innocuous preamble quixotic zephyr labyrinth postscript trailing remainder"), // contaminated (bench shingle)
+      (44L, "zz", "en", "src2", 0L), // gate (en_hits 0)
+      doc(45, "src1", "juniper kumquat lavender marigold nasturtium oleander peony quince"), // admitted
+      doc(46, "src1", "juniper kumquat lavender marigold nasturtium oleander peony quince"), // exact_dup of 45 (intra-increment)
+      doc(47, "src2", "juniper kumquat lavender marigold nasturtium oleander peony quince", tail2), // near_dup of 45 (intra-increment)
+      doc(48, "src2", "rosemary saffron tamarind verbena wisteria yarrow zinnia basilisk"), // admitted
+      doc(49, "src1", "asteroid binary comet dwarf exoplanet galaxy heliopause ionosphere")) // admitted
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-fixture").toString
+    try {
+      rows.map { case (id, text, lang, src, _) =>
+          (id, text, lang, src, text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val (_, split) = IngestIncr.ensurePipeIngestIndex(spark, dir)
+      assert(split === 40L, s"fixture split moved: $split")
+      val got = IngestIncr.pipeIngestIncr.run(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toSeq
+      val want = Seq(40L -> "held_out", 41L -> "exact_dup", 42L -> "near_dup",
+        43L -> "contaminated", 44L -> "gate", 45L -> "admitted",
+        46L -> "exact_dup", 47L -> "near_dup", 48L -> "admitted",
+        49L -> "admitted")
+      assert(got === want)
+      // and the batch twin agrees on the same fixture (the equality
+      // contract on a corpus where every rule is live)
+      val batch = IngestIncr.batchVerdictsFor(spark, dir, split).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toSeq
+      assert(batch === want)
+    } finally deleteAll(new java.io.File(dir))
+  }
+
   test("dd_simhash_incr: index probe == full dd_simhash recompute restricted to the increment") {
     import graft.operators.Similarity
     // second instantiation of the incremental contract: the probe's
