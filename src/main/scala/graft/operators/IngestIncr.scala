@@ -73,6 +73,43 @@ object IngestIncr {
       (staging, split, shards) =>
         buildPipeIngestIndex(s, dir, staging, split, shards))
 
+  /** Marker file naming an index part that is legitimately EMPTY.
+    * A 0-row partitionBy parquet write produces NO data files and the
+    * probe's later read dies on schema inference — but unlike the raw
+    * dedup families (where an empty corpus slice means the caller
+    * mis-split and the loud `writeIncrIndex` require is right), every
+    * part of THIS index can be empty on a legitimate corpus: a base
+    * slice whose train docs are all contaminated leaves no near-dup
+    * election population (the any-hit policy over a dense benchmark
+    * does exactly that at sf10), no src0 below the split leaves no
+    * benchmark set, and a gate-failing base slice leaves no
+    * fingerprints. Ingest must keep admitting increments against the
+    * state that IS there, so the build marks empty parts and the probe
+    * substitutes the matching empty frame / intra-increment election. */
+  private[graft] val emptyMarker = "_GRAFT_EMPTY"
+
+  private def fsOf(s: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def markEmpty(s: SparkSession, part: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(part, emptyMarker)
+    val fs = fsOf(s, part)
+    fs.mkdirs(p.getParent)
+    fs.create(p, true).close()
+  }
+
+  private def isMarkedEmpty(s: SparkSession, part: String): Boolean =
+    fsOf(s, part)
+      .exists(new org.apache.hadoop.fs.Path(part, emptyMarker))
+
+  /** Partitioned write, or the empty marker when the frame has no rows
+    * — `probeRead`'s build-side half. */
+  private def writeOrMark(s: SparkSession, df: DataFrame, part: String,
+      shardCol: String): Unit =
+    if (df.isEmpty) markEmpty(s, part)
+    else df.write.mode("overwrite").partitionBy(shardCol).parquet(part)
+
   /** Ingest-time half: ONE scan of the base corpus slice (`doc_id <
     * split`, pushed) feeds all four persisted parts. */
   private def buildPipeIngestIndex(s: SparkSession, dir: String,
@@ -89,33 +126,46 @@ object IngestIncr {
       Text.corpusGates(baseDocs)
         .select(col("doc_id"), col("source"), col("text"), col("fp"))
     }
-    gatedBase.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
-      .withColumn("fshard",
-        pmod(xxhash64(col("fp")), lit(shards.toLong)))
-      .write.mode("overwrite").partitionBy("fshard")
-      .parquet(s"$staging/fps")
+    writeOrMark(s,
+      gatedBase.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+        .withColumn("fshard",
+          pmod(xxhash64(col("fp")), lit(shards.toLong))),
+      s"$staging/fps", "fshard")
     // the pinned benchmark set: RAW base-slice src0 shingles (the batch
     // flow decontaminates against the raw held-out stratum, never the
     // cleaned one). sshard exists for layout symmetry; probes read the
     // whole set (it is suite-sized) and broadcast it.
-    Text.benchShinglesOf(baseDocs.filter(col("source") === "src0"))
-      .withColumn("sshard",
-        pmod(xxhash64(col("shingle")), lit(shards.toLong)))
-      .write.mode("overwrite").partitionBy("sshard")
-      .parquet(s"$staging/bsh")
+    writeOrMark(s,
+      Text.benchShinglesOf(baseDocs.filter(col("source") === "src0"))
+        .withColumn("sshard",
+          pmod(xxhash64(col("shingle")), lit(shards.toLong))),
+      s"$staging/bsh", "sshard")
     // near-dup index over the base slice's PIPELINE SURVIVORS: cleaned
     // (keeper-elected) train docs not flagged against the pinned
     // benchmark — the stage-3 election population of the batch flow
-    val bench = s.read.parquet(s"$staging/bsh").select(col("shingle"))
+    val bench = probeRead(s, s"$staging/bsh",
+      "shingle STRING").select(col("shingle"))
     val trainBase = Text.keeperDedup(gatedBase)
       .filter(col("source") =!= "src0")
       .select(col("doc_id"), col("text"))
     val surv1Base = trainBase
       .join(Text.decontamFlagged(trainBase, bench, 1L),
         Seq("doc_id"), "left_anti")
-    Similarity.writeMinhashIndexOf(s, staging, shards,
-      Similarity.minhashFeatOf(surv1Base))
+    val feat = Similarity.minhashFeatOf(surv1Base)
+    if (feat.filter(size(col("bands")) > lit(0)).isEmpty) {
+      markEmpty(s, s"$staging/bands"); markEmpty(s, s"$staging/toks")
+    } else Similarity.writeMinhashIndexOf(s, staging, shards, feat)
   }
+
+  /** Pruned-or-empty index-part read — `writeOrMark`'s probe-side half.
+    * `ddl` is the part's data schema (what an empty frame must expose;
+    * the partition column is layout-only and never consumed). */
+  private def probeRead(s: SparkSession, part: String, ddl: String)
+      : DataFrame =
+    if (isMarkedEmpty(s, part))
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    else s.read.parquet(part)
 
   /** Query-time half: verdicts for every `doc_id >= split` document.
     * See the object doc for the per-stage probe discipline. */
@@ -144,13 +194,19 @@ object IngestIncr {
     // exact-dup: persisted keepers for the fingerprint shards this
     // increment touches (bounded collect, ≤ shards values) merged with
     // the intra-increment election — least() over append-only ids is
-    // the full-population keeper
-    val touched = gatePop
-      .select(pmod(xxhash64(col("fp")), lit(shards.toLong)).as("fs"))
-      .distinct().collect().map(_.getLong(0)) // bounded: ≤ shards
-    val fps = s.read.parquet(s"$idx/fps")
-      .filter(col("fshard").isin(touched.map(x => x: Any): _*))
-      .select(col("fp"), col("keeper"))
+    // the full-population keeper. An empty-marked fps (no base doc
+    // passed the gates) degrades to the intra-increment election alone.
+    val fps =
+      if (isMarkedEmpty(s, s"$idx/fps"))
+        probeRead(s, s"$idx/fps", "fp STRING, keeper BIGINT")
+      else {
+        val touched = gatePop
+          .select(pmod(xxhash64(col("fp")), lit(shards.toLong)).as("fs"))
+          .distinct().collect().map(_.getLong(0)) // bounded: ≤ shards
+        s.read.parquet(s"$idx/fps")
+          .filter(col("fshard").isin(touched.map(x => x: Any): _*))
+          .select(col("fp"), col("keeper"))
+      }
     val iMin = gatePop.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("ikeeper"))
     // a base-keeper hit marks EVERY increment holder of that fp (base
@@ -173,7 +229,8 @@ object IngestIncr {
     val contaminated = Similarity.cachedFeature(s,
         s"pipe_ingest:$dir:flag$split", ver) {
       Text.decontamFlagged(train,
-        s.read.parquet(s"$idx/bsh").select(col("shingle")), 1L)
+        probeRead(s, s"$idx/bsh", "shingle STRING")
+          .select(col("shingle")), 1L)
     }
     val survDecontam = train.join(contaminated, Seq("doc_id"), "left_anti")
     // near-dup: the family probe over the increment's own survivors —
@@ -183,9 +240,14 @@ object IngestIncr {
         s"pipe_ingest:$dir:mhfeat$split", ver) {
       Similarity.minhashFeatOf(survDecontam)
     }
-    val nearDup = Similarity
-      .probeMinhashIndexOf(s, idx, split, shards, feat, ver)
-      .select(col("doc_id"))
+    // an empty-marked bands part (no base-slice pipeline survivor
+    // banded) leaves only intra-increment pairs — the batch election
+    // via the SAME kernel, restricted to the increment's own features
+    val nearDup =
+      (if (isMarkedEmpty(s, s"$idx/bands"))
+         Similarity.minhashDedupOf(feat)
+       else Similarity.probeMinhashIndexOf(s, idx, split, shards, feat, ver))
+        .select(col("doc_id"))
     // verdict assembly: increment-sized left joins, first rule wins
     incoming.select(col("doc_id"), col("source"), col("lang"))
       .join(gatePop.select(col("doc_id"), lit(true).as("__g")),

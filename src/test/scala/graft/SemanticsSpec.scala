@@ -300,6 +300,47 @@ class SemanticsSpec extends SparkSpec {
     } finally deleteAll(new java.io.File(dir))
   }
 
+  test("pipe_ingest_incr: an all-contaminated base slice (empty near-dup index) still admits") {
+    import graft.operators.IngestIncr
+    // at sf10 the any-hit decontam policy over a dense benchmark leaves
+    // ZERO base-slice pipeline survivors — a legitimate corpus state
+    // that must not crash the index build (a 0-row partitionBy write
+    // leaves an unreadable part): the build marks the part empty and
+    // the probe falls back to the intra-increment election through the
+    // same batch kernel
+    val tail = "the a of to in is and for"
+    val tail2 = "a the of to in is and for"
+    val bench = "quixotic zephyr labyrinth"
+    val rows = Seq(
+      (0L, s"$bench nebula", "en", "src0"),
+      // base train docs ALL carry a benchmark shingle → all contaminated
+    ) ++ (1 to 15).map(i =>
+      (i.toLong, s"$bench alpha$i bravo$i charlie$i delta$i echo$i $tail", "en", s"src${1 + i % 3}")
+    ) ++ Seq( // increment: split = 19 - 19/5 = 16
+      (16L, s"juniper kumquat lavender marigold nasturtium oleander $tail", "en", "src1"), // admitted
+      (17L, s"juniper kumquat lavender marigold nasturtium oleander $tail2", "en", "src2"), // near_dup (intra)
+      (18L, s"innocuous preamble $bench postscript trailing $tail", "en", "src1"), // contaminated
+      (19L, s"$bench alpha1 bravo1 charlie1 delta1 echo1 $tail", "en", "src2")) // exact_dup of 1
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-empty").toString
+    try {
+      rows.map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val (idx, split) = IngestIncr.ensurePipeIngestIndex(spark, dir)
+      assert(split === 16L, s"fixture split moved: $split")
+      assert(new java.io.File(s"$idx/bands/${IngestIncr.emptyMarker}").exists(),
+        "fixture did not produce an empty near-dup index — the fallback path is untested")
+      val got = IngestIncr.pipeIngestIncr.run(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toSeq
+      val want = Seq(16L -> "admitted", 17L -> "near_dup",
+        18L -> "contaminated", 19L -> "exact_dup")
+      assert(got === want)
+      val batch = IngestIncr.batchVerdictsFor(spark, dir, split).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toSeq
+      assert(batch === want)
+    } finally deleteAll(new java.io.File(dir))
+  }
+
   test("dd_simhash_incr: index probe == full dd_simhash recompute restricted to the increment") {
     import graft.operators.Similarity
     // second instantiation of the incremental contract: the probe's
