@@ -314,7 +314,11 @@ object BenchStreams {
     staged.foreach { case (stage, totalRows) =>
       System.err.println(s"[bench-stream] staged $totalRows rows in $nChunks chunks at $stage")
     }
-    val wantMerkle = merkleExplicit || staged.exists(_._2 <= 20_000_000L)
+    // "by default" means NO ops= filter: an explicit list that leaves
+    // merkle_append out must not have the ~minute-scale serial fold (and
+    // its whole-tier leaf staging) bolted onto it anyway (r18 review)
+    val wantMerkle = merkleExplicit ||
+      (only.isEmpty && staged.exists(_._2 <= 20_000_000L))
     if (only.isEmpty && staged.exists(_._2 > 20_000_000L))
       System.err.println(s"[bench-stream] merkle_append SKIPPED at ${staged.get._2} rows " +
         "(serial fold; pass ops=merkle_append to force)")

@@ -103,12 +103,21 @@ object IngestIncr {
     fsOf(s, part)
       .exists(new org.apache.hadoop.fs.Path(part, emptyMarker))
 
-  /** Partitioned write, or the empty marker when the frame has no rows
-    * — `probeRead`'s build-side half. */
+  /** Partitioned write, marking the part empty when the write produced
+    * no data files — `probeRead`'s build-side half. Write-then-inspect,
+    * not isEmpty-then-write: a pre-probe would execute the frame's full
+    * lineage twice per build (r18 review), while the post-write file
+    * listing is metadata-only. */
   private def writeOrMark(s: SparkSession, df: DataFrame, part: String,
-      shardCol: String): Unit =
-    if (df.isEmpty) markEmpty(s, part)
-    else df.write.mode("overwrite").partitionBy(shardCol).parquet(part)
+      shardCol: String): Unit = {
+    df.write.mode("overwrite").partitionBy(shardCol).parquet(part)
+    val fs = fsOf(s, part)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(part), true)
+    var hasData = false
+    while (!hasData && it.hasNext)
+      hasData = it.next().getPath.getName.endsWith(".parquet")
+    if (!hasData) markEmpty(s, part)
+  }
 
   /** Ingest-time half: ONE scan of the base corpus slice (`doc_id <
     * split`, pushed) feeds all four persisted parts. */
@@ -151,7 +160,16 @@ object IngestIncr {
     val surv1Base = trainBase
       .join(Text.decontamFlagged(trainBase, bench, 1L),
         Seq("doc_id"), "left_anti")
-    val feat = Similarity.minhashFeatOf(surv1Base)
+    // memoized: the survivor-pipeline lineage (keeper election,
+    // decontam explode+join, minhash features) feeds the emptiness
+    // probe plus writeIncrIndex's three consumers (require, bands
+    // election write, keeper side join) — Spark shares no subplans
+    // across actions, so unmemoized it would execute up to 4× per
+    // build (r18 review)
+    val feat = Similarity.cachedFeature(s,
+        s"pipe_ingest:$dir:basemh$split", ver) {
+      Similarity.minhashFeatOf(surv1Base)
+    }
     if (feat.filter(size(col("bands")) > lit(0)).isEmpty) {
       markEmpty(s, s"$staging/bands"); markEmpty(s, s"$staging/toks")
     } else Similarity.writeMinhashIndexOf(s, staging, shards, feat)

@@ -10,6 +10,24 @@ class CryptoSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("hash2LongsBytes == toBytes32(hash2(unsigned)) on random and negative longs") {
+    // the nullifier UDF's hot path builds field limbs straight from the
+    // two longs (no BigInt boundary) — the docstring promises
+    // bit-identity with the general path under the UNSIGNED reading;
+    // this is the pin (r18 review: the swap shipped without one, and
+    // crypto_nullifier_dedup has no oracle to catch a limb/byte slip)
+    def unsigned(x: Long) = (BigInt(x >>> 1) << 1) | BigInt(x & 1L)
+    val rnd = new scala.util.Random(18)
+    val edges = Seq(0L, 1L, -1L, Long.MinValue, Long.MaxValue, -42L)
+    for (a <- edges ++ Seq.fill(20)(rnd.nextLong());
+         b <- edges.take(3) ++ Seq(rnd.nextLong())) {
+      val fast = Poseidon.hash2LongsBytes(a, b)
+      val slow = Poseidon.toBytes32(Poseidon.hash2(unsigned(a), unsigned(b)))
+      assert(java.util.Arrays.equals(fast, slow),
+        s"hash2LongsBytes($a, $b) diverges from the general path")
+    }
+  }
+
   test("poseidon hash2 is deterministic, field-closed, and input-sensitive") {
     val a = Poseidon.hash2(BigInt(1), BigInt(2))
     assert(a === Poseidon.hash2(BigInt(1), BigInt(2)))
