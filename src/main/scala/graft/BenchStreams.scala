@@ -167,18 +167,22 @@ object BenchStreams {
   private[graft] def stageMerkleLeaves(spark: SparkSession, sfDir: String,
       nChunks: Int): (String, Long) = {
     val ev = Tables(spark, sfDir).events.select(col("event_id"))
-    // token carries sum(event_id) besides (count, max, min): the staged
-    // leaves are a pure function of the event_id MULTISET, and a
-    // same-cardinality regeneration can re-key interior rows while
-    // preserving count and both extremes (r18 review — the exact hazard
-    // class the events token closed); the sum rides in the same
-    // single-pass aggregate for free
+    // token pins the event_id MULTISET (the staged leaves are a pure
+    // function of it): alongside (count, max, min, sum), a sum of
+    // per-id xxhash64 values — order-independent, and a regeneration
+    // that re-keys interior rows while preserving the four arithmetic
+    // terms (second r18 review: (4,4)→(3,5) preserves count/extremes/
+    // sum) cannot realistically also preserve a sum of 64-bit hashes.
+    // All five terms ride in the same single-pass aggregate
     val tk = ev.agg(count(lit(1)), max(col("event_id")), min(col("event_id")),
-      sum(col("event_id"))).head()
+      sum(col("event_id")),
+      // DECIMAL(38,0), not LONG: full-range 64-bit hashes overflow a
+      // LONG sum within rows under ANSI; 2^63 × 10^12 rows < 10^38
+      sum(xxhash64(col("event_id")).cast("decimal(38,0)"))).head()
     val total = tk.getLong(0)
     require(total > 0, s"BenchStreams: $sfDir/events is empty — nothing to replay")
     val stage = ensureStaged(s"$sfDir#mk$nChunks",
-      s"_STAGED_${total}_${tk.get(1)}_${tk.get(2)}_${tk.get(3)}_$nChunks",
+      s"_STAGED_${total}_${tk.get(1)}_${tk.get(2)}_${tk.get(3)}_${tk.get(4)}_$nChunks",
       nChunks, "leaf_index") {
       graft.operators.ScaleOps.strataPrefixSum(
           ev, Seq.empty, Seq("event_id"), lit(1L), "leaf_index")

@@ -178,10 +178,10 @@ private[graft] object Fr {
     val t2 = s1 + c
     c = c1 + carry(s1, c, t2)
     s1 = a3 + b3i
-    c1 = carry(a3, b3i, s1)
     val t3 = s1 + c
-    // p < 2^254 and both inputs < p, so the 256-bit sum never truly
-    // overflows — the selected subtract below restores [0, p)
+    // no carry computed out of limb 3: p < 2^254 and both inputs < p,
+    // so the 256-bit sum never overflows — the selected subtract below
+    // restores [0, p) (the dangling carry was dead, second r18 review)
     val d0 = t0 - P0
     val bb0 = borrow(t0, P0, 0L, d0)
     val d1 = t1 - P1 - bb0

@@ -271,19 +271,22 @@ object Relational {
       // two-source memo — keyed on lineitem alone, an in-place
       // regeneration of orders.parquet would version-match and serve
       // the stale pre-regeneration join, the exact hazard srcVersion
-      // exists to prevent. SUM, not max (r17 advice): under max, a
-      // regeneration of whichever source holds the LOWER mtime that
-      // stays below the other's leaves the token unchanged and serves
-      // the stale join; the sum moves whenever either mtime moves
-      // forward, and stays ORDERED (the memo's latest-wins compare
-      // needs ordering — an mtime going BACKWARD, e.g. a restored
-      // backup, falls through to the correct-but-unmemoized build path
-      // by design). Key-embedding both versions would be fully
-      // injective but leaks one pinned frame per regeneration; the sum
-      // closes the monotone-update hazard class leak-free.
-      val joined = Similarity.cachedFeature(s, s"j1_joined:$dir",
-          Similarity.srcVersion(s, dir, "orders.parquet") +
-            Similarity.srcVersion(s, dir, "lineitem.parquet")) {
+      // exists to prevent. Both mtimes are embedded in the KEY, not
+      // combined into the version Long: max-combining let a
+      // lower-mtime regeneration version-match (r17 advice), the sum
+      // replacement still collided on offsetting forward/backward
+      // movements (second r18 review: backup-restore of one source
+      // next to a regeneration of the other), and a HASH of the pair
+      // would break cachedFeature's ORDERED latest-wins publish (the
+      // r13 xor hazard). A per-pair key is fully injective; the
+      // one-stranded-frame-per-regeneration leak that made r17 reject
+      // key-embedding is closed the way incrcand closed it — evict
+      // this query's sibling entries before building.
+      val vOrders = Similarity.srcVersion(s, dir, "orders.parquet")
+      val vLineitem = Similarity.srcVersion(s, dir, "lineitem.parquet")
+      val j1Key = s"j1_joined:$dir:$vOrders:$vLineitem"
+      Similarity.evictFeaturePrefix(s, s"j1_joined:$dir:", except = j1Key)
+      val joined = Similarity.cachedFeature(s, j1Key) {
         t.orders.hint("merge")
           .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
           .select(

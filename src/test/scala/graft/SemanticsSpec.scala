@@ -218,6 +218,49 @@ class SemanticsSpec extends SparkSpec {
     assert(corpus === full.filter(_.getAs[Long]("doc_id") < split))
   }
 
+  test("j1 memo: offsetting mtime movements on the two sources still mint a fresh entry") {
+    import graft.operators.Similarity
+    // the two-source memo's staleness contract (second r18 review): a
+    // backup-restore of one source (mtime backward by X) next to a
+    // regeneration of the other (forward by X) collides under any
+    // arithmetic combination of the two mtimes — the per-pair KEY must
+    // change so the stale pre-regeneration join can never be served
+    val dir = java.nio.file.Files.createTempDirectory("graft-j1-token").toString
+    def copyTbl(name: String): Unit =
+      spark.read.parquet(s"$sf001/$name.parquet")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    def setTreeMtime(name: String, t: Long): Unit = {
+      val root = new java.io.File(s"$dir/$name.parquet")
+      (root +: Option(root.listFiles()).getOrElse(Array.empty).toSeq)
+        .foreach(f => assert(f.setLastModified(t), s"cannot set mtime on $f"))
+    }
+    try {
+      copyTbl("orders"); copyTbl("lineitem")
+      val t0 = 1_700_000_000_000L
+      setTreeMtime("orders", t0); setTreeMtime("lineitem", t0)
+      val q = QueryDef.catalogs.find(_.name == "j1_fk_join").get
+      val full = q.run(spark, dir).count()
+      // "regenerate" lineitem to HALF its rows while restoring orders
+      // from a backup: mtimes move in offsetting directions, so
+      // max/sum/any-arithmetic token is unchanged
+      val half = spark.read.parquet(s"$dir/lineitem.parquet")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit((full / 2).toInt).collect()
+      val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
+      spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(half: _*)),
+          schema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      setTreeMtime("orders", t0 - 5000); setTreeMtime("lineitem", t0 + 5000)
+      val rerun = q.run(spark, dir).count()
+      assert(rerun === full / 2,
+        s"stale memoized join served after an offsetting mtime change: $rerun vs expected ${full / 2}")
+    } finally {
+      Similarity.clearFeatureCache()
+      deleteAll(new java.io.File(dir))
+    }
+  }
+
   test("pipe_ingest_incr: probe verdicts == batch pipeline recompute restricted to the increment") {
     import graft.operators.IngestIncr
     // the composed ingest contract: every stateful stage probes

@@ -1085,4 +1085,52 @@ class StreamingSpec extends SparkSpec {
     // (r17 review 3)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage1))
   }
+
+  test("BenchStreams merkle staging token restages on a sum-preserving re-key (r18)") {
+    // the merkle leaf stage is a pure function of the event_id MULTISET,
+    // and (count, max, min, sum) does not pin it: re-keying ids
+    // {10, 20} → {9, 21} preserves all four arithmetic terms (second
+    // r18 review). The token's fifth term — sum of per-id xxhash64 —
+    // must move, restaging leaves that reflect the NEW ids.
+    val dir = tempDir("graft-mk-tok").toString
+    // remap ids to a dense 0..199 so the interior re-key below is
+    // guaranteed valid regardless of which 200 rows limit() picked
+    val ev = spark.read.parquet(s"$sf001/events.parquet").limit(200)
+      .withColumn("event_id",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"event_id"))
+          .cast("long") - 1L)
+      .localCheckpoint(true)
+    ev.write.parquet(s"$dir/events.parquet")
+    def markers(stage: String): Set[String] =
+      Option(new java.io.File(stage).listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.startsWith("_STAGED_")).toSet
+    val (stage1, n1) = graft.BenchStreams.stageMerkleLeaves(spark, dir, 4)
+    assert(n1 === 200)
+    val m1 = markers(stage1)
+    assert(m1.size === 1)
+    // re-key {10, 20} → {9, 21}: count, min (0), max (199) and sum all
+    // preserved (9 and 21 become interior duplicates — multisets, not
+    // sets, which is exactly what the arithmetic terms cannot see)
+    ev.withColumn("event_id",
+        org.apache.spark.sql.functions.when($"event_id" === 10L, 9L)
+          .when($"event_id" === 20L, 21L)
+          .otherwise($"event_id"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val (stage2, n2) = graft.BenchStreams.stageMerkleLeaves(spark, dir, 4)
+    assert(n2 === 200)
+    val m2 = markers(stage2)
+    assert(m2.size === 1 && m2 != m1,
+      "a sum-preserving re-key must move the merkle staging token")
+    // and the restaged leaves are the NEW multiset's digests
+    val leaves = spark.read.parquet(stage2)
+      .select(org.apache.spark.sql.functions.hex($"leaf").as("h"))
+      .collect().map(_.getString(0).toLowerCase).toSet
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(!leaves.contains(md5hex("10")) && !leaves.contains(md5hex("20")),
+      "restaged merkle leaves still carry the pre-re-key ids")
+    assert(leaves.contains(md5hex("9")) && leaves.contains(md5hex("21")))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage1))
+  }
 }
