@@ -48,12 +48,22 @@ object Crypto {
     "crypto_commitment",
     (s, dir) => {
       val f = poseidon2Udf
+      // sort on the RAW key below the Poseidon projection (the
+      // s2_decode_fast_action rule, r14): sorted above, the range
+      // exchange's sampling pass evaluates the field-arithmetic UDF
+      // twice per row. The sort is an EXPLICIT repartitionByRange at
+      // the session's shuffle parallelism + within-partition sort
+      // (same global order), NOT orderBy: AQE coalesces an orderBy's
+      // range exchange for the SORT's output bytes — blind to the
+      // expensive kernel projection sitting above it — and at sf10 it
+      // merged the post-sort stage to 16 tasks, idling half the box
+      // under the catalog's densest per-row kernel (r18 stage dump:
+      // maxTask 10.1 s over 16 tasks, sumTask 147 s). An explicit
+      // partition count is exempt from AQE coalescing by contract.
+      val shufP = s.conf.get("spark.sql.shuffle.partitions").toInt
       T(s, dir).customer
-        // sort on the RAW key below the Poseidon projection (the
-        // s2_decode_fast_action rule, r14): sorted above, the range
-        // exchange's sampling pass evaluates the field-arithmetic UDF
-        // twice per row
-        .orderBy(col("c_custkey"))
+        .repartitionByRange(shufP, col("c_custkey"))
+        .sortWithinPartitions(col("c_custkey"))
         .select(col("c_custkey"),
           lower(hex(f(
             unhex(lpad(hex(col("c_custkey")), 64, "0")),
