@@ -259,18 +259,25 @@ object Similarity {
         System.nanoTime()
     }
 
-  /** Evicts (unpersist + drop) this session's memoized frames whose key
-    * starts with `prefix`, sparing `except` — the dead-key reclaim for
-    * families whose cache keys embed a version-named path: when the
-    * path moves, the old key can never be matched again and its
-    * persisted frame would otherwise stay pinned until a harness clear
-    * ([[graft.operators.Similarity.probeIncrIndex]]'s incrcand
-    * entries). */
+  /** Evicts (unpersist + drop) memoized frames whose key starts with
+    * `prefix`, sparing `except` — the dead-key reclaim for families
+    * whose cache keys embed a version identity: when the version moves,
+    * the old key can never be matched again and its persisted frame
+    * would otherwise stay pinned until a harness clear
+    * ([[graft.operators.Similarity.probeIncrIndex]]'s incrcand entries,
+    * j1_fk_join's per-pair memo). ALL sessions' prefix-matched entries
+    * are reclaimed, not just the caller's (third r18 review): cycled
+    * sessions share one SparkContext, so a session-scoped sweep left an
+    * abandoned session's superseded-version frame pinned forever — the
+    * cross-session half of cachedFeature's one-frame-per-logical-key
+    * rule, extended to one-live-version-per-family. A concurrent
+    * same-version session's entry lives under the `except` key itself
+    * and is spared. */
   private[operators] def evictFeaturePrefix(
-      s: SparkSession, prefix: String, except: String): Unit =
+      prefix: String, except: String): Unit =
     featCache.synchronized {
-      featCache.filterInPlace { case ((sess, k), (_, df)) =>
-        val drop = (sess eq s) && k.startsWith(prefix) && k != except
+      featCache.filterInPlace { case ((_, k), (_, df)) =>
+        val drop = k.startsWith(prefix) && k != except
         if (drop) scala.util.Try(df.unpersist())
         !drop
       }
@@ -1566,7 +1573,7 @@ object Similarity {
     // the dead-sibling reclaim silently never fired (ADVICE r14).
     val idxTrim = indexPath.stripSuffix("/")
     val idxCut = idxTrim.lastIndexOf('/')
-    evictFeaturePrefix(s,
+    evictFeaturePrefix(
       if (idxCut >= 0) s"incrcand:${fam.what}:${idxTrim.substring(0, idxCut + 1)}"
       else s"incrcand:${fam.what}:",
       except = candKey)

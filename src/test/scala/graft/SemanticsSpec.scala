@@ -247,14 +247,50 @@ class SemanticsSpec extends SparkSpec {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
         .limit((full / 2).toInt).collect()
       val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
-      spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(half: _*)),
-          schema)
+      spark.createDataFrame(java.util.Arrays.asList(half: _*), schema)
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       setTreeMtime("orders", t0 - 5000); setTreeMtime("lineitem", t0 + 5000)
       val rerun = q.run(spark, dir).count()
       assert(rerun === full / 2,
         s"stale memoized join served after an offsetting mtime change: $rerun vs expected ${full / 2}")
+    } finally {
+      Similarity.clearFeatureCache()
+      deleteAll(new java.io.File(dir))
+    }
+  }
+
+  test("j1 memo: a superseded-version frame from ANOTHER session is reclaimed (r18)") {
+    import graft.operators.Similarity
+    // cycled sessions share one SparkContext, so the isStopped sweep
+    // never fires for them — and with version-embedded keys the
+    // same-key cross-session yield rule never matches either. The
+    // prefix reclaim must therefore work across sessions, or every
+    // regeneration strands the abandoned session's fact-sized join
+    // frame in the cache manager forever (third r18 review).
+    val dir = java.nio.file.Files.createTempDirectory("graft-j1-xsess").toString
+    def copyTbl(name: String): Unit =
+      spark.read.parquet(s"$sf001/$name.parquet")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    def setTreeMtime(name: String, t: Long): Unit = {
+      val root = new java.io.File(s"$dir/$name.parquet")
+      (root +: Option(root.listFiles()).getOrElse(Array.empty).toSeq)
+        .foreach(f => assert(f.setLastModified(t), s"cannot set mtime on $f"))
+    }
+    try {
+      copyTbl("orders"); copyTbl("lineitem")
+      val t0 = 1_700_000_000_000L
+      setTreeMtime("orders", t0); setTreeMtime("lineitem", t0)
+      val q = QueryDef.catalogs.find(_.name == "j1_fk_join").get
+      Similarity.clearFeatureCache()
+      val other = spark.newSession()
+      assert(q.run(other, dir).count() > 0)
+      assert(Similarity.featureCacheSize === 1)
+      // regenerate: both mtimes move forward → new per-pair key; the
+      // abandoned session's old-key entry must be reclaimed, not pinned
+      setTreeMtime("orders", t0 + 60000); setTreeMtime("lineitem", t0 + 60000)
+      assert(q.run(spark, dir).count() > 0)
+      assert(Similarity.featureCacheSize === 1,
+        "the other session's superseded j1 frame was stranded in the cache")
     } finally {
       Similarity.clearFeatureCache()
       deleteAll(new java.io.File(dir))
