@@ -60,7 +60,14 @@ object Crypto {
       // under the catalog's densest per-row kernel (r18 stage dump:
       // maxTask 10.1 s over 16 tasks, sumTask 147 s). An explicit
       // partition count is exempt from AQE coalescing by contract.
-      val shufP = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // max(defaultParallelism, shuffle.partitions), not shuffle.partitions
+      // alone: an AQE deployment that tunes initialPartitionNum and leaves
+      // shuffle.partitions at a small default would otherwise pin this
+      // explicit exchange BELOW the box's core count — the exact
+      // half-idle-kernel stage the explicit count exists to prevent
+      // (ADVICE r18).
+      val shufP = math.max(s.sparkContext.defaultParallelism,
+        s.conf.get("spark.sql.shuffle.partitions").toInt)
       T(s, dir).customer
         .repartitionByRange(shufP, col("c_custkey"))
         .sortWithinPartitions(col("c_custkey"))

@@ -61,15 +61,36 @@ object IngestIncr {
 
   private def T(s: SparkSession, dir: String) = Tables(s, dir)
 
+  /** The decontamination hit bar shared by this flow's batch and probe
+    * halves (any-hit policy) — a [[pipeIngestKernelId]] component. */
+  private[operators] val decontamMinHits = 1L
+
+  /** The composed-ingest family's kernel identity: every pipeline
+    * constant whose change invalidates the four persisted parts — the
+    * gate kernel (fps population + fingerprints), the shingle rule and
+    * hit bar (bsh + contamination), the fps shard hash, and the whole
+    * minhash banding/verify kernel (bands + toks). */
+  private[graft] def pipeIngestKernelId: Seq[(String, Any)] = Seq(
+    "gates" -> Similarity.kernelFp(Text.gatesKernelId: _*),
+    "bench" -> "shingle3-distinct-src0-below-split",
+    "decontamMinHits" -> decontamMinHits,
+    "fpsHash" -> "xxhash64-pmod",
+    "mh" -> Similarity.minhashKernelFp)
+  private[graft] def pipeIngestKernelFp: String =
+    Similarity.kernelFp(pipeIngestKernelId: _*)
+
   /** Builds/adopts the composed-ingest index for `dir`'s base slice and
     * returns (versionPath, split) — [[Similarity.ensureVersionedIndex]]
-    * with this family's four layout parts. famPrefix "mhp1": the
-    * version identity does not cover the PIPELINE kernels (gates,
-    * shingle rule, banding), so a kernel change must bump this prefix —
-    * the mh2/sh2 discipline. */
+    * with this family's four layout parts. famPrefix "mhp1" + the
+    * KERNEL FINGERPRINT (r19): the version identity does not cover the
+    * PIPELINE kernels (gates, shingle rule, banding), so a kernel knob
+    * change must move the index base — previously a remembered hand
+    * bump (the mh2/sh2 discipline, flagged by the r18 verdict as a
+    * lossy-token hazard), now folded in mechanically via
+    * [[pipeIngestKernelFp]]. */
   def ensurePipeIngestIndex(s: SparkSession, dir: String): (String, Long) =
-    Similarity.ensureVersionedIndex(s, dir, "mhp1", "minhash",
-      Seq("bands", "toks", "fps", "bsh"),
+    Similarity.ensureVersionedIndex(s, dir, s"mhp1-$pipeIngestKernelFp",
+      "minhash", Seq("bands", "toks", "fps", "bsh"),
       (staging, split, shards) =>
         buildPipeIngestIndex(s, dir, staging, split, shards))
 
@@ -116,13 +137,39 @@ object IngestIncr {
     var hasData = false
     while (!hasData && it.hasNext)
       hasData = it.next().getPath.getName.endsWith(".parquet")
-    if (!hasData) markEmpty(s, part)
+    // loud mismatch guard (ADVICE r18): the ".parquet" name scan is the
+    // emptiness detector, and a committer/output config that names data
+    // files differently would mis-mark a POPULATED part as empty — the
+    // probe would then silently substitute an empty frame (wrong
+    // verdicts, no error). Before marking, re-check the frame itself:
+    // isEmpty is a limit-1 action, cheap against the memoized build
+    // frames this path writes.
+    if (!hasData) {
+      require(df.isEmpty,
+        s"pipe-ingest index build: the write at $part produced no " +
+          "'.parquet'-named data files but the source frame is NOT empty " +
+          "— a committer or output-format config is naming data files " +
+          "this emptiness detector cannot see; refusing to mark the part " +
+          "empty (the probe would silently serve an empty frame)")
+      markEmpty(s, part)
+    }
   }
 
   /** Ingest-time half: ONE scan of the base corpus slice (`doc_id <
     * split`, pushed) feeds all four persisted parts. */
+  /** Dead-key reclaim for this family's memo entries (ADVICE r18): the
+    * keys embed `split`, so a corpus regeneration that moves maxId mints
+    * NEW keys and would strand every old-split persisted frame until a
+    * harness clear — the same leak class the j1/incrcand reclaims close.
+    * All `pipe_ingest:$dir:` entries NOT under the current split are
+    * evicted; the current split's whole key family is spared. */
+  private def reclaimStaleSplit(dir: String, split: Long): Unit =
+    Similarity.evictFeaturePrefix(s"pipe_ingest:$dir:",
+      spare = _.startsWith(s"pipe_ingest:$dir:$split:"))
+
   private def buildPipeIngestIndex(s: SparkSession, dir: String,
       staging: String, split: Long, shards: Int): Unit = {
+    reclaimStaleSplit(dir, split)
     val ver = Similarity.srcVersion(s, dir, "documents.parquet")
     val baseDocs = T(s, dir).documents.filter(col("doc_id") < lit(split))
       .select(col("doc_id"), col("source"), col("text"))
@@ -131,7 +178,7 @@ object IngestIncr {
     // base, so persisting (fp → min doc_id) over THIS population is
     // exactly the state the batch dc election implies
     val gatedBase = Similarity.cachedFeature(s,
-        s"pipe_ingest:$dir:gated$split", ver) {
+        s"pipe_ingest:$dir:$split:gated", ver) {
       Text.corpusGates(baseDocs)
         .select(col("doc_id"), col("source"), col("text"), col("fp"))
     }
@@ -158,7 +205,7 @@ object IngestIncr {
       .filter(col("source") =!= "src0")
       .select(col("doc_id"), col("text"))
     val surv1Base = trainBase
-      .join(Text.decontamFlagged(trainBase, bench, 1L),
+      .join(Text.decontamFlagged(trainBase, bench, decontamMinHits),
         Seq("doc_id"), "left_anti")
     // memoized: the survivor-pipeline lineage (keeper election,
     // decontam explode+join, minhash features) feeds the emptiness
@@ -167,7 +214,7 @@ object IngestIncr {
     // across actions, so unmemoized it would execute up to 4× per
     // build (r18 review)
     val feat = Similarity.cachedFeature(s,
-        s"pipe_ingest:$dir:basemh$split", ver) {
+        s"pipe_ingest:$dir:$split:basemh", ver) {
       Similarity.minhashFeatOf(surv1Base)
     }
     if (feat.filter(size(col("bands")) > lit(0)).isEmpty) {
@@ -189,6 +236,7 @@ object IngestIncr {
     * See the object doc for the per-stage probe discipline. */
   def probePipeIngest(s: SparkSession, dir: String, idx: String,
       split: Long): DataFrame = {
+    reclaimStaleSplit(dir, split)
     val shards =
       Similarity.effShardsOf(idx, Similarity.minhashIndexShards,
         "probePipeIngest")
@@ -196,7 +244,7 @@ object IngestIncr {
     // increment-only scan (doc_id >= split pushed); memoized — it feeds
     // the gate projection and the final verdict assembly
     val incoming = Similarity.cachedFeature(s,
-        s"pipe_ingest:$dir:incr$split", ver) {
+        s"pipe_ingest:$dir:$split:incr", ver) {
       T(s, dir).documents.filter(col("doc_id") >= lit(split))
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
     }
@@ -205,7 +253,7 @@ object IngestIncr {
     // train slice, verdict flag) and Spark shares no subplans across
     // DataFrame branches
     val gatePop = Similarity.cachedFeature(s,
-        s"pipe_ingest:$dir:gate$split", ver) {
+        s"pipe_ingest:$dir:$split:gate", ver) {
       Text.corpusGates(incoming)
         .select(col("doc_id"), col("source"), col("text"), col("fp"))
     }
@@ -230,7 +278,7 @@ object IngestIncr {
     // a base-keeper hit marks EVERY increment holder of that fp (base
     // ids are all smaller); otherwise the increment's own min keeps
     val exactDup = Similarity.cachedFeature(s,
-        s"pipe_ingest:$dir:xdup$split", ver) {
+        s"pipe_ingest:$dir:$split:xdup", ver) {
       gatePop.select(col("doc_id"), col("fp"))
         .join(iMin, Seq("fp"))
         .join(fps, Seq("fp"), "left")
@@ -245,17 +293,17 @@ object IngestIncr {
     // shingle explode+join feeds both the survivor anti-join and the
     // verdict flag
     val contaminated = Similarity.cachedFeature(s,
-        s"pipe_ingest:$dir:flag$split", ver) {
+        s"pipe_ingest:$dir:$split:flag", ver) {
       Text.decontamFlagged(train,
         probeRead(s, s"$idx/bsh", "shingle STRING")
-          .select(col("shingle")), 1L)
+          .select(col("shingle")), decontamMinHits)
     }
     val survDecontam = train.join(contaminated, Seq("doc_id"), "left_anti")
     // near-dup: the family probe over the increment's own survivors —
     // intra-increment pairs and increment-vs-corpus pairs fall out of
     // the one least-merged election
     val feat = Similarity.cachedFeature(s,
-        s"pipe_ingest:$dir:mhfeat$split", ver) {
+        s"pipe_ingest:$dir:$split:mhfeat", ver) {
       Similarity.minhashFeatOf(survDecontam)
     }
     // an empty-marked bands part (no base-slice pipeline survivor
@@ -304,7 +352,7 @@ object IngestIncr {
       docs.filter(col("source") === "src0" && col("doc_id") < lit(split)))
     val train = cleaned.filter(col("source") =!= "src0")
       .select(col("doc_id"), col("text"))
-    val flagged = Text.decontamFlagged(train, bench, 1L)
+    val flagged = Text.decontamFlagged(train, bench, decontamMinHits)
     val surv1 = train.join(flagged, Seq("doc_id"), "left_anti")
     val ve = Similarity.minhashDedupOf(Similarity.minhashFeatOf(surv1))
       .select(col("doc_id"))

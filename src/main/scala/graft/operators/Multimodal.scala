@@ -528,9 +528,20 @@ object Multimodal {
       .withColumn("hamming",
         expr("aggregate(zip_with(d_ph, k_ph, (x, y) -> bit_count(x ^ y)), " +
           "0, (a, x) -> a + x)").cast("long"))
-      .withColumn("is_dup", col("hamming") <= lit(6L))
+      .withColumn("is_dup", col("hamming") <= lit(phHamMax))
       .select(col("media_id"), col("keeper"), col("hamming"), col("is_dup"))
       .orderBy(col("media_id"))
+
+  private val phHamMax = 6L
+  /** pHash family kernel identity — see [[Similarity.minhashKernelId]]
+    * for the labeling convention. */
+  private[operators] def phashKernelId: Seq[(String, Any)] = Seq(
+    "hashfam" -> "avg-hash-8x8-nearest-gray-mean",
+    "bands" -> 8,
+    "bandBits" -> 8,
+    "verify" -> s"hamming<=$phHamMax")
+  private[operators] def phashKernelFp: String =
+    Similarity.kernelFp(phashKernelId: _*)
 
   /** [[mmPhashDedup]]'s whole election + verify pipeline over a
     * (media_id, ph) frame — factored so the incremental probe's
@@ -665,7 +676,8 @@ object Multimodal {
 
   /** pHash instantiation of [[Similarity.ensureVersionedIndex]]. */
   def ensurePhashIndex(s: SparkSession, dir: String): (String, Long) =
-    Similarity.ensureVersionedIndex(s, dir, "ph", "phash", Seq("bands", "phs"),
+    Similarity.ensureVersionedIndex(s, dir, s"ph-$phashKernelFp", "phash",
+      Seq("bands", "phs"),
       (staging, split, shards) => writePhashIndex(s, dir, staging, split, shards))
 
   /** mm_phash_incr: incremental image dedup against the persisted phash

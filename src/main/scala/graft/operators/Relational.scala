@@ -285,7 +285,7 @@ object Relational {
       val vOrders = Similarity.srcVersion(s, dir, "orders.parquet")
       val vLineitem = Similarity.srcVersion(s, dir, "lineitem.parquet")
       val j1Key = s"j1_joined:$dir:$vOrders:$vLineitem"
-      Similarity.evictFeaturePrefix(s"j1_joined:$dir:", except = j1Key)
+      Similarity.evictFeaturePrefix(s"j1_joined:$dir:", spare = _ == j1Key)
       val joined = Similarity.cachedFeature(s, j1Key) {
         t.orders.hint("merge")
           .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))

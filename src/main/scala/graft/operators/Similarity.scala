@@ -271,13 +271,26 @@ object Similarity {
     * abandoned session's superseded-version frame pinned forever — the
     * cross-session half of cachedFeature's one-frame-per-logical-key
     * rule, extended to one-live-version-per-family. A concurrent
-    * same-version session's entry lives under the `except` key itself
-    * and is spared. */
+    * same-version session's entry lives under a spared key and is kept.
+    *
+    * CONCURRENCY CONTRACT: a concurrent LIVE session mid-query on a
+    * superseded-version key has its frame unpersisted here and silently
+    * recomputed against the regenerated source — a torn read for that
+    * session. Acceptable because the engine is single-driver by design
+    * (SURVEY §6: one Verify/Bench/test driver at a time); live
+    * concurrent-session reads DURING a source regeneration are
+    * undefined, exactly as they are for the underlying parquet files
+    * themselves (ADVICE r19 — stated, not worked around).
+    *
+    * `spare(key)` decides survival among prefix-matched entries — a
+    * predicate, not a single key, because a family can keep SEVERAL
+    * live keys per version (IngestIncr's per-stage memos all share one
+    * split suffix). */
   private[operators] def evictFeaturePrefix(
-      prefix: String, except: String): Unit =
+      prefix: String, spare: String => Boolean): Unit =
     featCache.synchronized {
       featCache.filterInPlace { case ((_, k), (_, df)) =>
-        val drop = k.startsWith(prefix) && k != except
+        val drop = k.startsWith(prefix) && !spare(k)
         if (drop) scala.util.Try(df.unpersist())
         !drop
       }
@@ -586,6 +599,62 @@ object Similarity {
     * branch. */
   private val mhHashes = 32
   private val mhBands = 8
+  /** Minhash token gate: only tokens LONGER than this enter the
+    * signature (the `t.length > mhTokMinLen` fast path below — shared
+    * by the simhash kernel). Part of [[minhashKernelId]]. */
+  private val mhTokMinLen = 3
+  /** The exact-Jaccard verify bar (integer percent) — the default every
+    * verify/oracle path shares, and a [[minhashKernelId]] component. */
+  private[graft] val mhVerifyPct = 50L
+
+  /** Deterministic 8-hex fingerprint of a kernel's defining constants —
+    * the canonical `k=v;…` string under MurmurHash3 (stable across JVMs
+    * and runs, unlike Any.hashCode on case classes with arrays). Folded
+    * into every `_incr` family's famPrefix so a KERNEL change moves the
+    * index base automatically (r19): the version identity (split, src
+    * mtime, shards) pins the corpus, this pins the code — previously a
+    * hand-bump discipline (mh→mh2, sh→sh2) that a forgotten edit would
+    * silently violate, serving a stale index whose bands the new kernel
+    * can never hit. */
+  private[graft] def kernelFp(parts: (String, Any)*): String = {
+    val canon = parts.map { case (k, v) => s"$k=$v" }.mkString(";")
+    f"${scala.util.hashing.MurmurHash3.stringHash(canon).toLong & 0xffffffffL}%08x"
+  }
+
+  /** The minhash family's kernel identity: every constant whose change
+    * invalidates a persisted (bands, toks) index. The string-valued
+    * entries label rule-shaped knobs (tokenizer, hash family) that have
+    * no single numeric constant; a structural rewrite of one of those
+    * must update its label — a far smaller discipline than remembering
+    * a whole famPrefix bump, and the numeric knobs are now mechanical. */
+  private[graft] def minhashKernelId: Seq[(String, Any)] = Seq(
+    "tok" -> s"lower-space-len>$mhTokMinLen",
+    "hashfam" -> "md5-window60-circular",
+    "hashes" -> mhHashes,
+    "bands" -> mhBands,
+    "bucket" -> "md5-top60-of-joined-mins",
+    "verify" -> s"jaccardPct>=$mhVerifyPct")
+  private[graft] def minhashKernelFp: String = kernelFp(minhashKernelId: _*)
+
+  /** SimHash family kernel identity — see [[minhashKernelId]]. */
+  private[graft] def simhashKernelId: Seq[(String, Any)] = Seq(
+    "tok" -> s"lower-space-len>$mhTokMinLen-distinct",
+    "hashfam" -> "md5-hi64",
+    "bits" -> 64,
+    "bands" -> 8,
+    "bandBits" -> 8,
+    "verify" -> s"hamming<=$shHamMax")
+  private[graft] def simhashKernelFp: String = kernelFp(simhashKernelId: _*)
+
+  /** Embedding-LSH family kernel identity — see [[minhashKernelId]]. */
+  private[graft] def embKernelId: Seq[(String, Any)] = Seq(
+    "hashfam" -> "gaussian-hyperplane-sign",
+    "dim" -> embDim,
+    "planes" -> embPlanes,
+    "bands" -> embBandsN,
+    "seed" -> embSeed,
+    "verify" -> s"cos>=$embCosMin")
+  private[graft] def embKernelFp: String = kernelFp(embKernelId: _*)
   /** MessageDigest is stateful and not thread-safe; per-token
     * getInstance would dominate the kernel. One instance per executor
     * thread. */
@@ -635,7 +704,7 @@ object Similarity {
     else {
       val mins = Array.fill(mhHashes)(Long.MaxValue)
       Text.lowerLikeSpark(text).split(" ").foreach { t =>
-        if (t.length > 3) {
+        if (t.length > mhTokMinLen) {
           val d = md5Bytes(t)
           val hi = longBE(d, 0)
           val lo = longBE(d, 8)
@@ -688,7 +757,7 @@ object Similarity {
     * probe==batch equality contract rests on the threshold and the
     * integer-div expression never diverging between the two callers. */
   private def jaccardVerifyRaw(cand: DataFrame, d: DataFrame,
-      keeperToks: DataFrame, minPct: Long = 50L): DataFrame =
+      keeperToks: DataFrame, minPct: Long = mhVerifyPct): DataFrame =
     cand
       .join(d, Seq("doc_id"))
       .join(keeperToks, Seq("keeper"))
@@ -717,14 +786,14 @@ object Similarity {
     * global range-sort exchange of the edge set would be pure waste
     * there (r13 third sweep). */
   private def jaccardVerify(cand: DataFrame, d: DataFrame,
-      keeperToks: DataFrame, minPct: Long = 50L): DataFrame =
+      keeperToks: DataFrame, minPct: Long = mhVerifyPct): DataFrame =
     jaccardVerifyRaw(cand, d, keeperToks, minPct).orderBy(col("doc_id"))
 
   /** [[ddMinhash]]'s whole election + verify pipeline over a
     * (doc_id, bands, toks) feature frame — factored so the incremental
     * probe's equality spec can recompute the batch answer over any
     * corpus slice through the exact code the catalog query runs. */
-  private[graft] def minhashDedupOf(feat: DataFrame, minPct: Long = 50L): DataFrame = {
+  private[graft] def minhashDedupOf(feat: DataFrame, minPct: Long = mhVerifyPct): DataFrame = {
     val d = feat.select(col("doc_id"), col("toks"))
       .filter(size(col("toks")) > lit(0))
     val banded = bandedOf(feat)
@@ -755,7 +824,7 @@ object Similarity {
     * and a forward reference here would bake a null into the SQL. */
   private val mhJacPct = "(inter * 100) // (sz - inter)"
   private def mhVerifyCtes(pairCte: String, vrName: String, veName: String,
-      withJaccardCol: Boolean, minPct: Long = 50L): String = s"""
+      withJaccardCol: Boolean, minPct: Long = mhVerifyPct): String = s"""
       $vrName AS (
         SELECT c.doc_id AS doc_id, c.keeper AS keeper,
           CAST(length(list_intersect(a.toks, k.toks)) AS BIGINT) AS inter,
@@ -781,7 +850,7 @@ object Similarity {
     * over its decontaminated survivor CTE instead of raw `documents`;
     * one generator, so the two can never drift on a kernel expression
     * (r17). `src` must expose (doc_id, text). */
-  private[operators] def mhOracleCtesOver(src: String, minPct: Long = 50L): String = s"""
+  private[operators] def mhOracleCtesOver(src: String, minPct: Long = mhVerifyPct): String = s"""
       tok AS (
         SELECT doc_id,
           unnest(list_distinct(list_filter(string_split(lower(text), ' '),
@@ -947,7 +1016,7 @@ object Similarity {
       val counts = new Array[Int](64)
       var any = false
       Text.lowerLikeSpark(text).split(" ").foreach { t =>
-        if (t.length > 3 && seen.add(t)) {
+        if (t.length > mhTokMinLen && seen.add(t)) {
           any = true
           // == parseUnsignedLong(first 16 hex chars): byte k holds hex
           // chars 2k..2k+1, so the first 8 bytes big-endian ARE them
@@ -993,7 +1062,7 @@ object Similarity {
       kSim: DataFrame): DataFrame =
     cand.join(dSim, Seq("doc_id")).join(kSim, Seq("keeper"))
       .withColumn("hamming", bit_count(col("d_sim").bitwiseXOR(col("k_sim"))).cast("long"))
-      .withColumn("is_dup", col("hamming") <= lit(6L))
+      .withColumn("is_dup", col("hamming") <= lit(shHamMax))
       .select(col("doc_id"), col("keeper"), col("hamming"), col("is_dup"))
       .orderBy(col("doc_id"))
 
@@ -1088,8 +1157,15 @@ object Similarity {
     * at low-cosine pairs) shared by the batch dedup, the index build
     * and the increment probe. A stable val: the hyperplanes are drawn
     * once from the fixed seed, so every consumer bands identically. */
+  private[graft] val shHamMax = 6L
+  private val embDim = 64
+  private val embPlanes = 16
+  private val embBandsN = 8
+  private val embSeed = 1337L
+  private val embCosMin = 0.40
   private val embBandsUdf =
-    hyperplaneBandsUdf(dim = 64, nPlanes = 16, nBands = 8, seed = 1337L)
+    hyperplaneBandsUdf(dim = embDim, nPlanes = embPlanes,
+      nBands = embBandsN, seed = embSeed)
 
   /** (vec_id, v, bands, norm) over an arbitrary embeddings frame. */
   private[graft] def embFeatOf(embs: DataFrame): DataFrame =
@@ -1120,7 +1196,7 @@ object Similarity {
       .withColumn("cos", when(col("norm") > lit(0.0) && col("kn") > lit(0.0),
         dotDouble(col("v"), col("kv")) / (col("norm") * col("kn"))))
       .filter(col("cos").isNotNull && !isnan(col("cos")))
-      .withColumn("is_dup", col("cos") >= lit(0.40))
+      .withColumn("is_dup", col("cos") >= lit(embCosMin))
       .select(col("vec_id"), col("keeper"),
         round(col("cos") * lit(1000000), 0).cast("long").as("cos_q6"),
         col("is_dup"))
@@ -1576,7 +1652,7 @@ object Similarity {
     evictFeaturePrefix(
       if (idxCut >= 0) s"incrcand:${fam.what}:${idxTrim.substring(0, idxCut + 1)}"
       else s"incrcand:${fam.what}:",
-      except = candKey)
+      spare = _ == candKey)
     val cand = cachedFeature(s, candKey, mixedVer) {
       banded.join(merged, Seq("band", "bucket"))
         .filter(col("keeper") < col(fam.idCol))
@@ -2021,15 +2097,19 @@ object Similarity {
     * the (bands, toks) layout for `dir`'s corpus slice and returns
     * (versionPath, split). */
   def ensureMinhashIndex(s: SparkSession, dir: String): (String, Long) =
-    // famPrefix "mh2", not "mh": the version identity (split, src mtime,
-    // shards) does NOT cover the banding kernel, and r15 replaced the
-    // seeded-fmix kernel with the md5-window family — a pre-switch index
-    // under the old base would otherwise version-match a post-switch
-    // probe and serve bands the probe's banding can never hit (silent
-    // empty dedup). A kernel change must bump this prefix; the old base
-    // simply ages out (tmpdir locally; one dead tree on a shared store,
-    // reclaimed by pointing a cleanup at the old prefix).
-    ensureVersionedIndex(s, dir, "mh2", "minhash", Seq("bands", "toks"),
+    // famPrefix "mh2" + the KERNEL FINGERPRINT (r19): the version
+    // identity (split, src mtime, shards) does NOT cover the banding
+    // kernel — r15 replaced the seeded-fmix kernel with the md5-window
+    // family, and a pre-switch index under the old base would otherwise
+    // version-match a post-switch probe and serve bands the probe's
+    // banding can never hit (silent empty dedup). That bump used to be
+    // a hand discipline; [[minhashKernelFp]] now folds the defining
+    // constants into the prefix, so a knob change moves the base
+    // automatically and the old base simply ages out (tmpdir locally;
+    // one dead tree on a shared store, reclaimed by pointing a cleanup
+    // at the old prefix).
+    ensureVersionedIndex(s, dir, s"mh2-$minhashKernelFp", "minhash",
+      Seq("bands", "toks"),
       (staging, split, shards) =>
         writeMinhashIndex(s, dir, staging, split, shards))
 
@@ -2121,8 +2201,10 @@ object Similarity {
   def ensureSimhashIndex(s: SparkSession, dir: String): (String, Long) =
     // "sh2", not "sh": the r15 md5 token hash changed the fingerprint
     // kernel, and the version identity does not cover it — same
-    // prefix-bump rule as ensureMinhashIndex's mh2
-    ensureVersionedIndex(s, dir, "sh2", "simhash", Seq("bands", "sims"),
+    // prefix-bump rule as ensureMinhashIndex's mh2 — now automated: the
+    // kernel fingerprint is folded into the prefix (r19)
+    ensureVersionedIndex(s, dir, s"sh2-$simhashKernelFp", "simhash",
+      Seq("bands", "sims"),
       (staging, split, shards) =>
         writeSimhashIndex(s, dir, staging, split, shards))
 
@@ -2199,7 +2281,8 @@ object Similarity {
   /** Embedding instantiation of [[ensureVersionedIndex]] — versioned by
     * the EMBEDDINGS table's max id and mtime. */
   def ensureEmbeddingIndex(s: SparkSession, dir: String): (String, Long) =
-    ensureVersionedIndex(s, dir, "emb", "embedding", Seq("bands", "vecs"),
+    ensureVersionedIndex(s, dir, s"emb-$embKernelFp", "embedding",
+      Seq("bands", "vecs"),
       (staging, split, shards) =>
         writeEmbeddingIndex(s, dir, staging, split, shards),
       srcFile = "embeddings.parquet",

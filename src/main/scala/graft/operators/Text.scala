@@ -263,6 +263,22 @@ object Text {
     * compile-time signal — the Tiers.scala rationale, applied here. */
   private[operators] val enStopwords = Seq("the", "and", "of", "to", "a", "in", "is", "for")
   private[operators] val qualityStopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+  /** Corpus-gate thresholds — named so [[corpusGates]] and the
+    * pipe-ingest kernel fingerprint ([[IngestIncr]]) read the SAME
+    * value: a threshold edit must move the persisted-index family
+    * prefix automatically, not by a remembered hand-bump (r19). */
+  private[operators] val gateEnHitsMin = 2L
+  private[operators] val gateQualityMin = 60L
+  /** The gate kernel's identity components, for
+    * [[Similarity.kernelFp]] — every constant whose change invalidates
+    * an index built over the gate population. */
+  private[graft] def gatesKernelId: Seq[(String, Any)] = Seq(
+    "enStop" -> enStopwords.mkString(","),
+    "qStop" -> qualityStopwords.mkString(","),
+    "enHitsMin" -> gateEnHitsMin,
+    "qualityMin" -> gateQualityMin,
+    "score" -> "min(100,2w)+min(50,5s)",
+    "fp" -> "md5(text)")
   private def nWordsCol =
     size(filter(split(col("text"), " "), w => length(w) > lit(0))).cast("long")
   private def stopCntCol = size(filter(split(lower(col("text")), " "),
@@ -407,10 +423,10 @@ object Text {
       .withColumn("en_hits", enHitsCol)
       .withColumn("n_words", nWordsCol)
       .withColumn("stop_cnt", stopCntCol)
-      .filter(col("en_hits") >= lit(2L) && col("n_words") > lit(0L))
+      .filter(col("en_hits") >= lit(gateEnHitsMin) && col("n_words") > lit(0L))
       .withColumn("quality_score",
         qualityScoreCol(col("n_words"), col("stop_cnt")))
-      .filter(col("quality_score") >= lit(60L))
+      .filter(col("quality_score") >= lit(gateQualityMin))
       .withColumn("fp", md5(col("text")))
 
   /** Exact-dup keeper election on a fingerprint column: keep each fp's

@@ -1311,4 +1311,64 @@ class SemanticsSpec extends SparkSpec {
       assert(rows.map(_.getLong(5)).sorted.toSeq == (1L to rows.length).toSeq,
         "per-source ranks are not dense 1..n")
   }
+
+  test("kernel fingerprint: deterministic, knob-sensitive, embedded in every family prefix") {
+    import graft.operators.{IngestIncr, Similarity}
+    // pure fp properties: stable across calls, 8-hex, one knob moves it
+    val a = Similarity.kernelFp("bands" -> 8, "hashes" -> 32)
+    assert(a === Similarity.kernelFp("bands" -> 8, "hashes" -> 32))
+    assert(a.matches("[0-9a-f]{8}"), s"fp shape: $a")
+    assert(a !== Similarity.kernelFp("bands" -> 16, "hashes" -> 32))
+    assert(a !== Similarity.kernelFp("bands" -> 8, "hashes" -> 64))
+    // the published index paths embed the CURRENT kernel fp — the
+    // mechanism that retires the mh2/sh2 hand-bump discipline (r19):
+    // editing a banding/gate/threshold constant changes the fp, which
+    // moves the whole index base, so a stale-kernel index can never
+    // version-match a post-change probe
+    val (pm, _) = Similarity.ensureMinhashIndex(spark, sf001)
+    assert(pm.contains(s"mh2-${Similarity.minhashKernelFp}"),
+      s"minhash index path $pm must carry the kernel fp")
+    val (pp, _) = IngestIncr.ensurePipeIngestIndex(spark, sf001)
+    assert(pp.contains(s"mhp1-${IngestIncr.pipeIngestKernelFp}"),
+      s"pipe-ingest index path $pp must carry the composed kernel fp")
+    // the composed fp transitively covers the gate and minhash kernels:
+    // its id embeds their fps, so a change there moves this family too
+    val ids = IngestIncr.pipeIngestKernelId.toMap
+    assert(ids("gates") === Similarity.kernelFp(graft.operators.Text.gatesKernelId: _*))
+    assert(ids("mh") === Similarity.minhashKernelFp)
+  }
+
+  test("kernel fingerprint: a knob change rebuilds exactly once; the stale index is never served") {
+    import graft.operators.Similarity
+    // isolated base so the planted families can't interact with the
+    // shared published-index tests
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.minhash.indexBase",
+      tempDir("graft-kfp-itest").toString)
+    var builds = 0
+    def ensure(fp: String): (String, Long) =
+      Similarity.ensureVersionedIndex(s2, sf001, s"kfp-$fp", "minhash",
+        Seq("part"), (staging, _, _) => {
+          builds += 1
+          s2.range(1).toDF("x").write.parquet(s"$staging/part")
+        })
+    val fpA = Similarity.kernelFp("knob" -> 1)
+    val fpB = Similarity.kernelFp("knob" -> 2)
+    val (pa1, _) = ensure(fpA)
+    val (pa2, _) = ensure(fpA)
+    assert(pa1 === pa2, "same kernel must adopt the published index")
+    assert(builds === 1, "same kernel must not rebuild")
+    // ONE knob changes → ONE rebuild under a NEW base; further probes
+    // adopt it (invalidated exactly once, the r18 verdict's bar)
+    val (pb1, _) = ensure(fpB)
+    assert(builds === 2, "a kernel change must force a rebuild")
+    assert(pb1 !== pa1, "the new kernel's index must live under a new base")
+    val (pb2, _) = ensure(fpB)
+    assert(pb1 === pb2)
+    assert(builds === 2, "the post-change index must be adopted, not rebuilt again")
+    // the stale index still exists (a dead tree that ages out) but its
+    // base name can never match the new kernel's probe
+    assert(new java.io.File(pa1, "_PUBLISHED").isFile,
+      "the stale-kernel index survives as an orphaned tree (never served)")
+  }
 }
