@@ -650,17 +650,36 @@ object Bench {
       else healthy.filter(q => needsRemeasureSf01(
         bufs(q.name).take(3).tail.toSeq, bestSf01.getOrElse(q.name, -1.0)))
     val sf01Prelim = sf01Suspects.map(q => q.name -> prelimOf(q))
+    // SELF-HEALING escalation (r19 verdict #4): three consecutive
+    // binding records landed inside multi-minute throttle windows that
+    // outlasted even the two spaced extra rounds — r18's record carried
+    // its own 5× remeasure contradiction. The two extra rounds stay
+    // unconditional (the r12 contract); after them, suspects whose min
+    // STILL reads > 1.2× the best anchor earn up to TWO MORE spaced
+    // rounds, and whatever stays inflated after four is stamped
+    // retry-exhausted in the record — the reader sees "window never
+    // cleared" as data, not as a silent noisy binding number.
+    var sf01RetryRounds = 0
+    var sf01RetryExhausted = Seq.empty[String]
     if (sf01Suspects.nonEmpty) {
       System.err.println("[bench] sf0.1 adaptive re-measure" +
         (if (totalInflated) " (suite-wide: total inflated >1.15x vs best-anchor sum)"
          else "") + ": " + sf01Suspects.map(_.name).mkString(", "))
+      def stillInflated(q: QueryDef): Boolean = {
+        val best = bestSf01.getOrElse(q.name, -1.0)
+        val ss = (bufs(q.name).take(3).tail ++ bufs(q.name).drop(3))
+          .filter(_ >= 0)
+        best > 0 && ss.nonEmpty && ss.min / best > 1.2
+      }
       // each extras pass is SPACED ([[extrasGapMs]]) so the new samples
       // actually sit outside the contested window even when the suspect
       // set is small enough to run in seconds
+      var pending = sf01Suspects
       var lastPassEnd = System.nanoTime()
-      for (p <- 3 until 5) {
+      while (pending.nonEmpty && sf01RetryRounds < 4) {
         pauseForWindowEscape(lastPassEnd)
-        for (q <- sf01Suspects) {
+        val p = 3 + sf01RetryRounds
+        for (q <- pending) {
           val buf = bufs(q.name)
           try buf += time(q, sfDir)
           catch { case e: Throwable =>
@@ -669,7 +688,20 @@ object Bench {
           }
         }
         lastPassEnd = System.nanoTime()
+        sf01RetryRounds += 1
+        if (sf01RetryRounds >= 2) {
+          pending = pending.filter(stillInflated)
+          if (pending.nonEmpty && sf01RetryRounds < 4)
+            System.err.println("[bench] sf0.1 retry escalation round " +
+              s"${sf01RetryRounds + 1}: still inflated: " +
+              pending.map(_.name).mkString(", "))
+        }
       }
+      sf01RetryExhausted = sf01Suspects.filter(stillInflated).map(_.name)
+      if (sf01RetryExhausted.nonEmpty)
+        System.err.println("[bench] sf0.1 RETRY-EXHAUSTED (min still > " +
+          s"1.2x best anchor after $sf01RetryRounds extra rounds): " +
+          sf01RetryExhausted.mkString(", "))
     }
     val results = headline.map { q =>
       val buf = bufs(q.name)
@@ -1054,7 +1086,16 @@ object Bench {
         if (sf1RemTriples.isEmpty) ""
         else s""","sf1_remeasured_prelim":${r3(sf1RemTriples.map(_._2).sum)}""" +
           s""","sf1_remeasured_final":${r3(sf1RemTriples.map(_._3).filter(_ >= 0).sum)}"""
-      wall + sp + rem01 + rem1
+      // retry stamp (r19 verdict #4): how many escalation rounds ran and
+      // which suspects never escaped the window — "retry-exhausted" in
+      // the record beats a silently noisy binding number
+      val retries =
+        if (sf01RetryRounds == 0) ""
+        else s""","sf01_retry_rounds":$sf01RetryRounds""" +
+          (if (sf01RetryExhausted.isEmpty) ""
+           else sf01RetryExhausted.map(Verify.jsonStr)
+             .mkString(""","sf01_retry_exhausted":[""", ",", "]"))
+      wall + sp + rem01 + rem1 + retries
     }
     // re-execution walls of every diagnostic dump this run fired, on
     // BOTH lines (the summary is the surviving tail; the full line keeps

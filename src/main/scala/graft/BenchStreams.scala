@@ -279,6 +279,99 @@ object BenchStreams {
     (Seq(rec, tripRec), total)
   }
 
+  /** Measures the LIVE composed-admission stream
+    * ([[graft.streaming.StreamOps.ingestAdmission]], r19) — the
+    * continuous form of `pipe_ingest_incr`: the tier's documents
+    * INCREMENT (doc_id ≥ split) staged as id-ordered chunk files (the
+    * replay contract: ids ascend across micro-batches), streamed through
+    * the shared admission core against the persisted mhp1 index + the
+    * stream's own accumulated delta state. Reported next to rows/s and
+    * per-trigger wall: the one-time index-build seconds (adopt = ~0),
+    * the final verdict distribution (read back from the batch outputs —
+    * also the completeness check), and the accumulated STATE size in
+    * rows (fps/bands/toks deltas summed) — the number that must scale
+    * with the stream's survivors, never the corpus. */
+  private def measureIngestAdmission(spark: SparkSession, sfDir: String,
+      nChunks: Int, filesPerTrigger: Int): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val tIdx0 = System.nanoTime()
+    val (idx, split) = graft.operators.IngestIncr.ensurePipeIngestIndex(spark, sfDir)
+    val idxSec = (System.nanoTime() - tIdx0) / 1e9
+    val docs = Tables(spark, sfDir).documents
+      .filter(col("doc_id") >= lit(split))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val tk = docs.agg(count(lit(1)), max(col("doc_id")), min(col("doc_id"))).head()
+    val total = tk.getLong(0)
+    require(total > 0, s"BenchStreams: $sfDir documents increment is empty")
+    val (mn, mx) = (tk.getLong(2), tk.getLong(1))
+    val span = math.max(1L, mx - mn + 1)
+    // id-range slicing: chunk boundaries monotone in doc_id — the
+    // ascending-ids replay contract the admission state rests on
+    val stage = ensureStaged(s"$sfDir#ing$nChunks",
+      s"_STAGED_${total}_${mx}_${mn}_${split}_$nChunks", nChunks, "doc_id") {
+      docs.withColumn("chunk",
+        least(lit(nChunks - 1),
+          ((col("doc_id") - lit(mn)) * lit(nChunks.toLong) / lit(span))
+            .cast("int")))
+    }
+    val stateRoot = java.nio.file.Files
+      .createTempDirectory("graft-ingadm-bench-state").toString
+    val outRoot = java.nio.file.Files
+      .createTempDirectory("graft-ingadm-bench-out").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-ckpt-ingadm").toString
+    val statePath = s"$stateRoot/state"
+    val outPath = s"$outRoot/out"
+    val schema = spark.read.parquet(stage).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(stage)
+    val t0 = System.nanoTime()
+    val q = graft.streaming.StreamOps.ingestAdmission(
+      src, idx, split, statePath, outPath, checkpoint = Some(ckpt))
+    q.processAllAvailable()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.toSeq
+    q.stop()
+    val batches = progress.filter(_.numInputRows > 0)
+    val rows = batches.map(_.numInputRows).sum
+    val trigSec = batches.map(_.durationMs.asScala
+      .getOrElse("triggerExecution", java.lang.Long.valueOf(0L))
+      .longValue() / 1e3)
+    // verdict surface read back from the batch outputs — the
+    // completeness check (every staged doc verdicted exactly once)
+    val verdicts = spark.read.parquet(outPath)
+      .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val verdictSum = verdicts.map(_._2).sum
+    // accumulated state = the delta-file union, in rows per part
+    def stateRows(part: String): Long = {
+      val dirs = Option(new java.io.File(statePath).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+        .map(f => s"${f.getAbsolutePath}/$part")
+      if (dirs.isEmpty) 0L else spark.read.parquet(dirs: _*).count()
+    }
+    val (stFps, stBands, stToks) =
+      (stateRows("fps"), stateRows("bands"), stateRows("toks"))
+    Seq(stateRoot, outRoot, ckpt).foreach(p => scala.util.Try(
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))))
+    val rec =
+      s"""{"op": "pipe_ingest_admission", "rows": $rows, """ +
+        s""""batches": ${batches.size}, """ +
+        f""""wall_sec": $wall%.3f, """ +
+        f""""rows_per_sec": ${if (wall > 0) rows / wall else 0.0}%.0f, """ +
+        f""""trigger_sec_p50": ${pct(trigSec, 0.50)}%.3f, """ +
+        f""""trigger_sec_p95": ${pct(trigSec, 0.95)}%.3f, """ +
+        f""""us_per_doc": ${if (rows > 0) trigSec.sum * 1e6 / rows else 0.0}%.2f, """ +
+        f""""index_build_sec": $idxSec%.3f, """ +
+        s""""state_rows_fps": $stFps, "state_rows_bands": $stBands, """ +
+        s""""state_rows_toks": $stToks, """ +
+        s""""verdicts": {${verdicts.map { case (k, v) =>
+          s"${Verify.jsonStr(k)}: $v" }.mkString(", ")}}, """ +
+        s""""complete": ${rows == total && verdictSum == total}}"""
+    System.err.println(s"[bench-stream] pipe_ingest_admission: $rec")
+    Seq(rec)
+  }
+
   def main(args: Array[String]): Unit = {
     val usage = "usage: BenchStreams [chunks=N] [files=K] [ops=a,b,...] <sfDir>"
     var nChunks = 24
@@ -312,7 +405,13 @@ object BenchStreams {
     // opt-in — logged, never silently dropped.
     val selected = ops(spark).filter(o => only.forall(_.contains(o.name)))
     val merkleExplicit = only.exists(_.contains("merkle_append"))
-    require(selected.nonEmpty || merkleExplicit, s"no ops matched; $usage")
+    // the composed-admission stream has its own staging (documents
+    // increment, not events) and harness — default-on like the ST ops,
+    // explicit via ops=pipe_ingest_admission
+    val wantIngest =
+      only.isEmpty || only.exists(_.contains("pipe_ingest_admission"))
+    require(selected.nonEmpty || merkleExplicit || wantIngest,
+      s"no ops matched; $usage")
     val staged =
       if (selected.nonEmpty) Some(stageEvents(spark, sfDir, nChunks)) else None
     staged.foreach { case (stage, totalRows) =>
@@ -396,11 +495,14 @@ object BenchStreams {
     val (merkleRecs, merkleTotal) =
       if (wantMerkle) measureMerkle(spark, sfDir, nChunks, filesPerTrigger)
       else (Seq.empty[String], -1L)
+    val ingestRecs =
+      if (wantIngest) measureIngestAdmission(spark, sfDir, nChunks, filesPerTrigger)
+      else Seq.empty[String]
     val totalRows = staged.map(_._2).getOrElse(merkleTotal)
     val record = s"""{"probe": "bench-streams", "sf": ${Verify.jsonStr(sfDir)}, """ +
       s""""total_rows": $totalRows, "chunks": $nChunks, """ +
       s""""files_per_trigger": $filesPerTrigger, """ +
-      s""""ops": [${(records ++ merkleRecs).mkString(",\n  ")}]}"""
+      s""""ops": [${(records ++ merkleRecs ++ ingestRecs).mkString(",\n  ")}]}"""
     // marker-line discipline (r17 verdict #4): the machine-readable
     // record on ONE stdout line behind a grep-able prefix, no sbt
     // framing dependency

@@ -31,10 +31,29 @@ object QueryDef {
     * post-exchange. Use whenever the sort key is (or is determined by) a
     * raw input column; when the sort key is itself kernel-derived, or
     * the child contains a join/agg, the fix is the j1_fk_join
-    * memoization instead. */
+    * memoization instead.
+    *
+    * The sort is an EXPLICIT `repartitionByRange` at the session's
+    * parallelism + a within-partition sort — the same global order as
+    * `orderBy` — NOT `orderBy` itself (r19, the crypto_commitment find
+    * generalized to the family): AQE coalesces an orderBy's range
+    * exchange for the SORT's output bytes, blind to the expensive
+    * kernel projection this combinator deliberately places above it —
+    * at sf10 that ran crypto_commitment's Poseidon stage on 16 of 32
+    * cores. An explicit partition count is exempt from AQE coalescing
+    * by contract; PlanSpec locks the resulting task count so a future
+    * revert to bare orderBy fails loudly. max(defaultParallelism,
+    * shuffle.partitions), not shuffle.partitions alone — the
+    * crypto_commitment ADVICE-r18 rule: an AQE deployment tuning
+    * initialPartitionNum would otherwise pin this below the box. */
   def kernelSorted(df: DataFrame, sortCols: org.apache.spark.sql.Column*)(
-      project: DataFrame => DataFrame): DataFrame =
-    project(df.orderBy(sortCols: _*))
+      project: DataFrame => DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val shufP = math.max(s.sparkContext.defaultParallelism,
+      s.conf.get("spark.sql.shuffle.partitions").toInt)
+    project(df.repartitionByRange(shufP, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*))
+  }
 
   /** All operator catalogs, merged for SparkEntry / Bench / Verify. */
   def catalogs: Seq[QueryDef] =

@@ -48,33 +48,24 @@ object Crypto {
     "crypto_commitment",
     (s, dir) => {
       val f = poseidon2Udf
-      // sort on the RAW key below the Poseidon projection (the
-      // s2_decode_fast_action rule, r14): sorted above, the range
-      // exchange's sampling pass evaluates the field-arithmetic UDF
-      // twice per row. The sort is an EXPLICIT repartitionByRange at
-      // the session's shuffle parallelism + within-partition sort
-      // (same global order), NOT orderBy: AQE coalesces an orderBy's
-      // range exchange for the SORT's output bytes — blind to the
-      // expensive kernel projection sitting above it — and at sf10 it
-      // merged the post-sort stage to 16 tasks, idling half the box
-      // under the catalog's densest per-row kernel (r18 stage dump:
-      // maxTask 10.1 s over 16 tasks, sumTask 147 s). An explicit
-      // partition count is exempt from AQE coalescing by contract.
-      // max(defaultParallelism, shuffle.partitions), not shuffle.partitions
-      // alone: an AQE deployment that tunes initialPartitionNum and leaves
-      // shuffle.partitions at a small default would otherwise pin this
-      // explicit exchange BELOW the box's core count — the exact
-      // half-idle-kernel stage the explicit count exists to prevent
-      // (ADVICE r18).
-      val shufP = math.max(s.sparkContext.defaultParallelism,
-        s.conf.get("spark.sql.shuffle.partitions").toInt)
-      T(s, dir).customer
-        .repartitionByRange(shufP, col("c_custkey"))
-        .sortWithinPartitions(col("c_custkey"))
-        .select(col("c_custkey"),
+      // sort on the RAW key below the Poseidon projection via the
+      // shared kernelSorted (the s2_decode_fast_action rule, r14):
+      // sorted above, the range exchange's sampling pass evaluates the
+      // field-arithmetic UDF twice per row. This query is where the
+      // family's AQE-coalesce exemption was found (r18 stage dump: AQE
+      // merged the post-sort stage to 16 of 32 tasks under the
+      // catalog's densest per-row kernel, maxTask 10.1 s / sumTask
+      // 147 s; the explicit-count exchange restored 32 tasks, 9.90 →
+      // 6.43 s) — kernelSorted now carries the explicit
+      // max(defaultParallelism, shuffle.partitions) count for the
+      // whole family (r19).
+      graft.QueryDef.kernelSorted(
+        T(s, dir).customer, col("c_custkey")) { sorted =>
+        sorted.select(col("c_custkey"),
           lower(hex(f(
             unhex(lpad(hex(col("c_custkey")), 64, "0")),
             unhex(md5(col("c_name")))))).as("commitment"))
+      }
     },
     oracle = None)
 
@@ -193,12 +184,13 @@ object Crypto {
         concat(lit("0x"), sha2(concat(
           lit("commitment:"), amount.cast("string"),
           lit(":"), blinding.cast("string")), 256))
-      Tables(s, dir).events
-        // global sort on the RAW key BELOW the hash projection (the
-        // s2_decode_fast_action rule, r14): sorted above, the range
-        // exchange's boundary-sampling pass would evaluate the 3×sha256
-        // per-row projection twice
-        .orderBy(col("event_id"))
+      // global sort on the RAW key BELOW the hash projection via the
+      // shared kernelSorted (the s2_decode_fast_action rule, r14; the
+      // explicit-count AQE-coalesce exemption, r19): sorted above, the
+      // range exchange's boundary-sampling pass would evaluate the
+      // 3×sha256 per-row projection twice
+      graft.QueryDef.kernelSorted(
+        Tables(s, dir).events, col("event_id")) { sorted => sorted
         // guarded lamports fold, the events.value family rule: NaN/Inf
         // or |amount| past 2^63 folds to null instead of an ANSI throw
         .withColumn("amt", expr("""case
@@ -211,7 +203,7 @@ object Crypto {
           col("commitment"),
           (commit(col("amt"), col("blinding")) === col("commitment")).as("verify_ok"),
           (commit(col("amt") + lit(1L), col("blinding")) === col("commitment"))
-            .as("verify_tampered"))
+            .as("verify_tampered")) }
     },
     oracle = Some("""
       WITH c AS (

@@ -160,9 +160,12 @@ object Governance {
     // pass; the r14 sf10 profile measured two identical ~300
     // task-second stages). Sorted-then-projected, the sampler touches
     // only the scan and the decode runs once, post-exchange: sf10
-    // 21.6 → ~11 s, same rows, same order, same oracle.
-    (s, dir) => T(s, dir).orders
-      .orderBy(col("o_orderkey"))
+    // 21.6 → ~11 s, same rows, same order, same oracle. Via the shared
+    // kernelSorted (r19): the explicit-count range exchange is exempt
+    // from the AQE coalesce that would otherwise narrow the decode
+    // stage (the crypto_commitment find, applied family-wide).
+    (s, dir) => graft.QueryDef.kernelSorted(
+      T(s, dir).orders, col("o_orderkey")) { sorted => sorted
       .withColumn("threshold_u8", pmod(col("o_orderkey"), lit(100L)) + lit(1L))
       .withColumn("vfor_u32", pmod(col("o_custkey"), lit(1000L)))
       .withColumn("vagainst_u32", pmod(col("o_orderkey"), lit(997L)))
@@ -186,7 +189,7 @@ object Governance {
         ${encLE("result_u8", 1)},
         unhex('00'),
         ${encLE("bump_u8", 1)})"""))
-      .select(fastActionFields("rec"): _*),
+      .select(fastActionFields("rec"): _*) },
     oracle = Some("""
       SELECT CAST(145 AS BIGINT) AS rec_len,
         o_orderkey AS action_id,

@@ -232,6 +232,24 @@ object IngestIncr {
         org.apache.spark.sql.types.StructType.fromDDL(ddl))
     else s.read.parquet(part)
 
+  /** Stream-side admission state, accumulated across micro-batches by
+    * the LIVE twin ([[graft.streaming.StreamOps.ingestAdmission]]):
+    * `fps` (fp, keeper) — first stream holder per NEW fingerprint (fps
+    * the corpus already fingerprints are not stored: the corpus probe
+    * dominates them forever); `bands` (band, bucket, keeper) — first
+    * stream survivor per NEW minhash bucket (under ascending ids a
+    * bucket's keeper never changes once set, so the state is an
+    * append-only disjoint union of per-batch deltas); `toks` (doc_id,
+    * toks) — verify features for exactly the stream docs that keep a
+    * bucket in `bands`. All three are stream-survivor-sized — the same
+    * population the batch flow would persist if the stream's docs were
+    * folded into the index. */
+  private[graft] final case class IngestState(
+      fps: DataFrame, bands: DataFrame, toks: DataFrame)
+
+  private[graft] final case class IngestAdmitResult(
+      verdicts: DataFrame, deltas: Option[IngestState])
+
   /** Query-time half: verdicts for every `doc_id >= split` document.
     * See the object doc for the per-stage probe discipline. */
   def probePipeIngest(s: SparkSession, dir: String, idx: String,
@@ -248,12 +266,40 @@ object IngestIncr {
       T(s, dir).documents.filter(col("doc_id") >= lit(split))
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
     }
+    admitAgainst(s, idx, split, shards, incoming,
+      name => s"pipe_ingest:$dir:$split:$name", ver, None).verdicts
+  }
+
+  /** The admission CORE shared by the batch probe ([[probePipeIngest]],
+    * `state = None` — byte-identical to its committed r18 plan) and the
+    * LIVE stream (`state = Some(accumulated deltas)`): one definition of
+    * the per-stage probes and the verdict assembly, so the two surfaces
+    * cannot drift on an expression — the same no-drift rule that puts
+    * the batch flow and this probe through one kernel set.
+    *
+    * With `state`, every stateful stage becomes a THREE-way election —
+    * persisted corpus index, stream state, this increment — and under
+    * append-only ids (corpus < stream history < this batch, the replay
+    * contract) each least()/any-hit merge IS the batch election over
+    * corpus ∪ everything-seen-so-far restricted to this batch, which is
+    * what makes the stream's verdict union equal [[batchVerdictsFor]]
+    * (StreamingSpec asserts it bit for bit).
+    *
+    * `memoKey` names the shared-feature-memo entries: the batch caller
+    * keys by (dir, split) and versions by source mtime; the stream
+    * caller keys by its state location and versions by a per-batch
+    * monotonic stamp, so each micro-batch's frames supersede (and
+    * unpersist) the previous batch's — bounded memo, no per-batch key
+    * growth. */
+  private[graft] def admitAgainst(s: SparkSession, idx: String,
+      split: Long, shards: Int, incoming: DataFrame,
+      memoKey: String => String, ver: Long,
+      state: Option[IngestState]): IngestAdmitResult = {
     // memoized: the gate projection (split/regex-heavy per-row exprs)
     // feeds FOUR branches below (intra-increment election, fps probe,
     // train slice, verdict flag) and Spark shares no subplans across
     // DataFrame branches
-    val gatePop = Similarity.cachedFeature(s,
-        s"pipe_ingest:$dir:$split:gate", ver) {
+    val gatePop = Similarity.cachedFeature(s, memoKey("gate"), ver) {
       Text.corpusGates(incoming)
         .select(col("doc_id"), col("source"), col("text"), col("fp"))
     }
@@ -269,21 +315,34 @@ object IngestIncr {
         val touched = gatePop
           .select(pmod(xxhash64(col("fp")), lit(shards.toLong)).as("fs"))
           .distinct().collect().map(_.getLong(0)) // bounded: ≤ shards
-        s.read.parquet(s"$idx/fps")
+        // a gate-empty batch (reachable per micro-batch on the stream
+        // path) touches no shard — skip the read, not an empty isin()
+        if (touched.isEmpty) emptyDf(s, "fp STRING, keeper BIGINT")
+        else s.read.parquet(s"$idx/fps")
           .filter(col("fshard").isin(touched.map(x => x: Any): _*))
           .select(col("fp"), col("keeper"))
       }
     val iMin = gatePop.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("ikeeper"))
     // a base-keeper hit marks EVERY increment holder of that fp (base
-    // ids are all smaller); otherwise the increment's own min keeps
-    val exactDup = Similarity.cachedFeature(s,
-        s"pipe_ingest:$dir:$split:xdup", ver) {
-      gatePop.select(col("doc_id"), col("fp"))
+    // ids are all smaller); otherwise the increment's own min keeps —
+    // and with stream state, any EARLIER stream holder (skeeper) also
+    // marks this batch's holders (stream ids all smaller than batch ids)
+    val exactDup = Similarity.cachedFeature(s, memoKey("xdup"), ver) {
+      val dupBase = gatePop.select(col("doc_id"), col("fp"))
         .join(iMin, Seq("fp"))
         .join(fps, Seq("fp"), "left")
-        .filter(col("keeper").isNotNull || col("doc_id") > col("ikeeper"))
-        .select(col("doc_id"))
+      (state match {
+        case None =>
+          dupBase.filter(
+            col("keeper").isNotNull || col("doc_id") > col("ikeeper"))
+        case Some(st) =>
+          dupBase
+            .join(st.fps.select(col("fp"), col("keeper").as("skeeper")),
+              Seq("fp"), "left")
+            .filter(col("keeper").isNotNull || col("skeeper").isNotNull ||
+              col("doc_id") > col("ikeeper"))
+      }).select(col("doc_id"))
     }
     val train = gatePop
       .join(exactDup, Seq("doc_id"), "left_anti")
@@ -291,9 +350,8 @@ object IngestIncr {
       .select(col("doc_id"), col("text"))
     // decontamination against the PINNED benchmark set — memoized: the
     // shingle explode+join feeds both the survivor anti-join and the
-    // verdict flag
-    val contaminated = Similarity.cachedFeature(s,
-        s"pipe_ingest:$dir:$split:flag", ver) {
+    // verdict flag. Stateless vs the pinned set on both surfaces.
+    val contaminated = Similarity.cachedFeature(s, memoKey("flag"), ver) {
       Text.decontamFlagged(train,
         probeRead(s, s"$idx/bsh", "shingle STRING")
           .select(col("shingle")), decontamMinHits)
@@ -302,20 +360,30 @@ object IngestIncr {
     // near-dup: the family probe over the increment's own survivors —
     // intra-increment pairs and increment-vs-corpus pairs fall out of
     // the one least-merged election
-    val feat = Similarity.cachedFeature(s,
-        s"pipe_ingest:$dir:$split:mhfeat", ver) {
+    val feat = Similarity.cachedFeature(s, memoKey("mhfeat"), ver) {
       Similarity.minhashFeatOf(survDecontam)
     }
     // an empty-marked bands part (no base-slice pipeline survivor
     // banded) leaves only intra-increment pairs — the batch election
-    // via the SAME kernel, restricted to the increment's own features
+    // via the SAME kernel, restricted to the increment's own features.
+    // The stream path routes through the shared probe body always: the
+    // injected marker-aware reader substitutes the empty frame, and the
+    // `extra` state frames join the three-way election inside the ONE
+    // probeIncrIndex definition.
     val nearDup =
-      (if (isMarkedEmpty(s, s"$idx/bands"))
-         Similarity.minhashDedupOf(feat)
-       else Similarity.probeMinhashIndexOf(s, idx, split, shards, feat, ver))
-        .select(col("doc_id"))
+      (state match {
+        case None =>
+          if (isMarkedEmpty(s, s"$idx/bands"))
+            Similarity.minhashDedupOf(feat)
+          else Similarity.probeMinhashIndexOf(s, idx, split, shards, feat, ver)
+        case Some(st) =>
+          Similarity.probeMinhashIndexOf(s, idx, split, shards, feat, ver,
+            readPart = (p, ddl) => probeRead(s, p, ddl),
+            extra = Some((st.bands, st.toks)),
+            memoSuffix = ":stream")
+      }).select(col("doc_id"))
     // verdict assembly: increment-sized left joins, first rule wins
-    incoming.select(col("doc_id"), col("source"), col("lang"))
+    val verdicts = incoming.select(col("doc_id"), col("source"), col("lang"))
       .join(gatePop.select(col("doc_id"), lit(true).as("__g")),
         Seq("doc_id"), "left")
       .join(exactDup.select(col("doc_id"), lit(true).as("__xd")),
@@ -333,6 +401,124 @@ object IngestIncr {
           .otherwise(lit("admitted")))
       .select(col("doc_id"), col("source"), col("lang"), col("verdict"))
       .orderBy(col("doc_id"))
+    // per-batch state DELTAS (stream callers only): disjoint from the
+    // accumulated state by construction, so state maintenance is pure
+    // append — increment-sized writes, never a state rewrite.
+    //  - fps: fingerprints FIRST seen by this batch (not in the corpus
+    //    table, not in stream state), keeper = the batch's own min.
+    //  - bands: buckets first banded by this batch's survivors, keeper
+    //    = batch min (ascending ids make it final). Buckets the CORPUS
+    //    already keeps are not filtered out — their state rows are
+    //    election-harmless (the corpus keeper is always smaller) and
+    //    filtering would need a second pruned index read per batch.
+    //  - toks: verify features for exactly the new buckets' keepers.
+    val deltas = state.map { st =>
+      val deltaFps = iMin
+        .join(fps, Seq("fp"), "left_anti")
+        .join(st.fps, Seq("fp"), "left_anti")
+        .select(col("fp"), col("ikeeper").as("keeper"))
+      val deltaBands = Similarity.bandedOf(feat)
+        .groupBy(col("band"), col("bucket"))
+        .agg(min(col("doc_id")).as("keeper"))
+        .join(st.bands, Seq("band", "bucket"), "left_anti")
+      val deltaToks = feat.select(col("doc_id"), col("toks"))
+        .filter(size(col("toks")) > lit(0))
+        .join(deltaBands.select(col("keeper").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi")
+      IngestState(deltaFps, deltaBands, deltaToks)
+    }
+    IngestAdmitResult(verdicts, deltas)
+  }
+
+  // ---------- LIVE streaming admission (r19) ----------
+
+  private def emptyDf(s: SparkSession, ddl: String): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
+  /** Committed state-delta batch ids under `statePath` STRICTLY below
+    * `before` — dirs `b<id>` carrying the `_COMMIT` marker (written
+    * strictly after the delta data, the publish-order rule). */
+  private def committedDeltas(s: SparkSession, statePath: String,
+      before: Long): Seq[Long] = {
+    val fs = fsOf(s, statePath)
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .collect { case n
+          if n.length > 1 && n.startsWith("b") &&
+            n.drop(1).forall(_.isDigit) =>
+        n.drop(1).toLong }
+      .filter(id => id < before &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/b$id/_COMMIT")))
+      .sorted
+  }
+
+  /** The accumulated stream state = the UNION of all committed per-batch
+    * deltas (disjoint by construction — see [[admitAgainst]]'s delta
+    * contract), read fresh per micro-batch so a restart reconstructs the
+    * exact state from disk with no in-memory hand-off. */
+  private def loadState(s: SparkSession, statePath: String,
+      ids: Seq[Long]): IngestState =
+    if (ids.isEmpty) IngestState(
+      emptyDf(s, "fp STRING, keeper BIGINT"),
+      emptyDf(s, "band INT, bucket BIGINT, keeper BIGINT"),
+      emptyDf(s, "doc_id BIGINT, toks ARRAY<STRING>"))
+    else IngestState(
+      s.read.parquet(ids.map(i => s"$statePath/b$i/fps"): _*),
+      s.read.parquet(ids.map(i => s"$statePath/b$i/bands"): _*),
+      s.read.parquet(ids.map(i => s"$statePath/b$i/toks"): _*))
+
+  /** foreachBatch body of the LIVE admission stream
+    * ([[graft.streaming.StreamOps.ingestAdmission]]): probes this
+    * micro-batch through [[admitAgainst]] against the persisted index
+    * PLUS the accumulated stream state, writes the verdicts to
+    * `outPath/batch=<id>` and this batch's state DELTAS to
+    * `statePath/b<id>/{fps,bands,toks}` + `_COMMIT`.
+    *
+    * Replay-idempotent: foreachBatch is at-least-once, and a re-delivery
+    * of batch b loads only deltas with id STRICTLY below b — its own
+    * possibly-committed delta is excluded — so the re-run sees exactly
+    * the state the first run saw, recomputes identical verdicts, and
+    * overwrites both outputs byte-for-byte. Per-batch cost: the batch's
+    * own docs (gates, banding) + pruned index partitions + one read of
+    * the accumulated delta set — increment + stream-state sized, never
+    * corpus-sized. */
+  private[graft] def admitMicroBatch(s: SparkSession, batch: DataFrame,
+      batchId: Long, idx: String, split: Long, statePath: String,
+      outPath: String): Unit = {
+    val shards = Similarity.effShardsOf(idx, Similarity.minhashIndexShards,
+      "ingestAdmission")
+    val prior = committedDeltas(s, statePath, batchId)
+    val state = loadState(s, statePath, prior)
+    // dead-stream memo reclaim: a PREVIOUS stream's entries (other
+    // statePath) can never be matched again once that query stopped —
+    // sweep them here so each new stream's first batch reclaims its
+    // predecessors' persisted frames (the j1/incrcand rule; within one
+    // stream the per-batch version supersede below is the bound)
+    Similarity.evictFeaturePrefix("pipe_ingest_stream:",
+      spare = _.startsWith(s"pipe_ingest_stream:$statePath:"))
+    // per-batch memo stamp: monotone, so each batch's memoized frames
+    // SUPERSEDE (and unpersist) the previous batch's under the same
+    // logical keys — the memo stays bounded at one frame per stage
+    val ver = System.nanoTime()
+    val incoming = Similarity.cachedFeature(s,
+        s"pipe_ingest_stream:$statePath:incoming", ver) {
+      batch.select(col("doc_id"), col("source"), col("lang"), col("text"))
+    }
+    val res = admitAgainst(s, idx, split, shards, incoming,
+      name => s"pipe_ingest_stream:$statePath:$name", ver, Some(state))
+    res.verdicts.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    val d = res.deltas.get
+    val bDir = s"$statePath/b$batchId"
+    d.fps.write.mode("overwrite").parquet(s"$bDir/fps")
+    d.bands.write.mode("overwrite").parquet(s"$bDir/bands")
+    d.toks.write.mode("overwrite").parquet(s"$bDir/toks")
+    // commit marker strictly after the data — a crash mid-write leaves
+    // an uncommitted husk the next run overwrites, never half-reads
+    fsOf(s, bDir)
+      .create(new org.apache.hadoop.fs.Path(bDir, "_COMMIT"), true).close()
   }
 
   /** The BATCH recompute of the verdict surface — full-corpus election

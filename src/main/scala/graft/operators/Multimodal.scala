@@ -644,6 +644,7 @@ object Multimodal {
   private val phFamily = Similarity.IncrFamily(
     what = "probePhashIndex",
     idCol = "media_id", featSubdir = "phs", featShardCol = "pshard",
+    sideDdl = "media_id BIGINT, ph ARRAY<INT>, pshard BIGINT",
     bandedOf = phashBandedOf,
     sideOf = identity,
     kRename = d => d.select(col("media_id").as("keeper"), col("ph").as("k_ph")),

@@ -747,7 +747,7 @@ object Similarity {
   /** (doc_id, band, bucket) exploded banding of a feature frame — the
     * one banding expansion shared by the batch dedup, the index build
     * and the increment probe. */
-  private def bandedOf(feat: DataFrame): DataFrame =
+  private[operators] def bandedOf(feat: DataFrame): DataFrame =
     feat.select(col("doc_id"), posexplode(col("bands")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
@@ -1512,7 +1512,12 @@ object Similarity {
     * verify features), applied identically at build and probe time so
     * both paths drop degenerate rows at the SAME stage. `kRename` — a
     * side frame → keeper-join names (keeper, k_*). `verify` —
-    * (candidates, increment feature frame, keeper side) → result. */
+    * (candidates, increment feature frame, keeper side) → result.
+    * `bandsDdl`/`sideDdl` — the DATA schemas of the two persisted parts
+    * (partition column included), what an injected part reader must
+    * expose when it substitutes an empty frame for a legitimately-empty
+    * part ([[IngestIncr]]'s marker protocol; unused under the default
+    * parquet reader). */
   private[operators] final case class IncrFamily(
       what: String,
       idCol: String,
@@ -1521,7 +1526,9 @@ object Similarity {
       bandedOf: DataFrame => DataFrame,
       sideOf: DataFrame => DataFrame,
       kRename: DataFrame => DataFrame,
-      verify: (DataFrame, DataFrame, DataFrame) => DataFrame)
+      verify: (DataFrame, DataFrame, DataFrame) => DataFrame,
+      bandsDdl: String = "band INT, bucket BIGINT, keeper BIGINT, bshard BIGINT",
+      sideDdl: String = "")
 
   /** Ingest-time half shared by every family: persists the corpus's
     * (band, bucket, keeper) frame partitioned by (band, bshard), plus
@@ -1587,7 +1594,29 @@ object Similarity {
     * increments like the test's 20% slice. */
   private[operators] def probeIncrIndex(s: SparkSession, indexPath: String,
       split: Long, shards: Int, fam: IncrFamily, feat: DataFrame,
-      srcVer: Long = 0L): DataFrame = {
+      srcVer: Long = 0L,
+      readPart: (String, String) => DataFrame = null,
+      extra: Option[(DataFrame, DataFrame)] = None,
+      memoSuffix: String = ""): DataFrame = {
+    // `readPart(path, ddl)` — injectable part reader (r19): the default
+    // is a plain parquet read; IngestIncr injects its empty-marker-aware
+    // reader so a legitimately-empty part substitutes an empty frame of
+    // the part's declared schema instead of dying on schema inference.
+    // `extra` — an OPTIONAL second election source next to the persisted
+    // index: (bands frame (band, bucket, keeper), side feature frame in
+    // this family's feature shape). The LIVE admission stream passes its
+    // accumulated stream-state here, so the three-way election
+    // least(corpus, stream state, this increment) runs through this ONE
+    // shared body — the same no-drift rule as the batch/probe halves.
+    // `memoSuffix` discriminates the candidate memo key for callers that
+    // probe the same index repeatedly with DIFFERENT feature frames
+    // (per-micro-batch probes): same suffix + newer srcVer supersedes,
+    // so at most one candidate frame per caller stream stays live.
+    val rp: (String, String) => DataFrame =
+      if (readPart == null) (p, _) => s.read.parquet(p) else readPart
+    def emptyOf(ddl: String): DataFrame =
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
     val effShards = effShardsOf(indexPath, shards, fam.what)
     val banded = fam.bandedOf(feat)
     val incrKeepers = banded.groupBy(col("band"), col("bucket"))
@@ -1596,15 +1625,32 @@ object Similarity {
       .select(mhPartKey(col("band"),
         pmod(col("bucket"), lit(effShards.toLong)), effShards).as("pk"))
       .distinct().collect().map(_.getLong(0)) // bounded: ≤ nBands × shards
-    val idx = s.read.parquet(s"$indexPath/bands")
-      .filter(mhPartKey(col("band"), col("bshard"), effShards)
-        .isin(touched.map(x => x: Any): _*))
+    // an increment that bands to NOTHING (every row band-degenerate —
+    // reachable per micro-batch on the streaming path) must not build
+    // an empty `isin()` filter; the index contributes nothing anyway
+    val idx = (if (touched.isEmpty) emptyOf(fam.bandsDdl)
+      else rp(s"$indexPath/bands", fam.bandsDdl)
+        .filter(mhPartKey(col("band"), col("bshard"), effShards)
+          .isin(touched.map(x => x: Any): _*)))
       .select(col("band").cast("int").as("band"), col("bucket"), col("keeper"))
     // least() skips nulls: unseen-by-corpus buckets fall to the
-    // increment's own minimum, known buckets to the true merged min
-    val merged = incrKeepers.join(idx, Seq("band", "bucket"), "left")
-      .select(col("band"), col("bucket"),
-        least(col("keeper"), col("ikeeper")).as("keeper"))
+    // increment's own minimum, known buckets to the true merged min —
+    // and with `extra` state, to the three-way minimum (stream ids sit
+    // between corpus ids and this increment's, so least() IS the bucket
+    // minimum over corpus ∪ state ∪ increment under append-only ids)
+    val mergedBase = incrKeepers.join(idx, Seq("band", "bucket"), "left")
+    val merged = extra match {
+      case None =>
+        mergedBase.select(col("band"), col("bucket"),
+          least(col("keeper"), col("ikeeper")).as("keeper"))
+      case Some((xBands, _)) =>
+        mergedBase.join(
+          xBands.select(col("band").cast("int").as("band"), col("bucket"),
+            col("keeper").as("xkeeper")),
+          Seq("band", "bucket"), "left")
+          .select(col("band"), col("bucket"),
+            least(col("keeper"), col("xkeeper"), col("ikeeper")).as("keeper"))
+    }
     // registered in the shared feature memo: the candidate frame feeds
     // TWO consumers — the bounded candShards collect below and the
     // returned verify plan — and its lineage (banding, pruned index
@@ -1632,7 +1678,7 @@ object Similarity {
     // entries first or each regeneration strands one persisted frame
     // until a harness clear (one live candidate frame per family is
     // the steady state)
-    val candKey = s"incrcand:${fam.what}:$indexPath:$split"
+    val candKey = s"incrcand:${fam.what}:$indexPath:$split$memoSuffix"
     // the dead-key reclaim is scoped to SIBLINGS of this index location
     // (same parent dir = superseded versions under the managed base),
     // not the whole family: evicting family-wide unpersisted every
@@ -1666,11 +1712,23 @@ object Similarity {
     val candShards = cand.filter(col("keeper") < lit(split))
       .select(pmod(col("keeper"), lit(effShards.toLong)).as("cs"))
       .distinct().collect().map(_.getLong(0)) // bounded: ≤ shards
-    val idxSide = s.read.parquet(s"$indexPath/${fam.featSubdir}")
-      .filter(col(fam.featShardCol).isin(candShards.map(x => x: Any): _*))
+    // the sideDdl fallback covers families that never injected a ddl
+    // (the empty-candShards frame only needs the shard column to drop)
+    val sideDdl =
+      if (fam.sideDdl.nonEmpty) fam.sideDdl
+      else s"${fam.featShardCol} BIGINT"
+    val idxSide = (if (candShards.isEmpty) emptyOf(sideDdl)
+      else rp(s"$indexPath/${fam.featSubdir}", sideDdl)
+        .filter(col(fam.featShardCol).isin(candShards.map(x => x: Any): _*)))
       .drop(fam.featShardCol)
-    val kSide = fam.kRename(fam.sideOf(feat))
+    // stream-state keepers (split ≤ keeper < this increment) verify from
+    // the extra side frame — state-sized, never pruned (it is the
+    // stream's own accumulated survivors, already in memory)
+    val kSide0 = fam.kRename(fam.sideOf(feat))
       .unionByName(fam.kRename(idxSide))
+    val kSide = extra.fold(kSide0) { case (_, xSide) =>
+      kSide0.unionByName(fam.kRename(fam.sideOf(xSide)))
+    }
     fam.verify(cand, feat, kSide)
   }
 
@@ -1681,6 +1739,7 @@ object Similarity {
   private val mhFamily = IncrFamily(
     what = "probeMinhashIndex",
     idCol = "doc_id", featSubdir = "toks", featShardCol = "tshard",
+    sideDdl = "doc_id BIGINT, toks ARRAY<STRING>, tshard BIGINT",
     bandedOf = bandedOf,
     sideOf = f => f.select(col("doc_id"), col("toks"))
       .filter(size(col("toks")) > lit(0)),
@@ -1749,8 +1808,12 @@ object Similarity {
     * fingerprint (see probeIncrIndex's memo-version contract). */
   private[operators] def probeMinhashIndexOf(s: SparkSession,
       indexPath: String, split: Long, shards: Int, feat: DataFrame,
-      srcVer: Long): DataFrame =
-    probeIncrIndex(s, indexPath, split, shards, mhFamily, feat, srcVer)
+      srcVer: Long,
+      readPart: (String, String) => DataFrame = null,
+      extra: Option[(DataFrame, DataFrame)] = None,
+      memoSuffix: String = ""): DataFrame =
+    probeIncrIndex(s, indexPath, split, shards, mhFamily, feat, srcVer,
+      readPart, extra, memoSuffix)
 
   /** Root under which versioned index directories are published.
     * Defaults to the local tmpdir; a production deploy points it at a
@@ -2150,6 +2213,7 @@ object Similarity {
   private val shFamily = IncrFamily(
     what = "probeSimhashIndex",
     idCol = "doc_id", featSubdir = "sims", featShardCol = "sshard",
+    sideDdl = "doc_id BIGINT, simhash BIGINT, sshard BIGINT",
     bandedOf = simhashBandedOf,
     sideOf = identity,
     kRename = d => d.select(col("doc_id").as("keeper"),
@@ -2237,6 +2301,7 @@ object Similarity {
   private val embFamily = IncrFamily(
     what = "probeEmbeddingIndex",
     idCol = "vec_id", featSubdir = "vecs", featShardCol = "vshard",
+    sideDdl = "vec_id BIGINT, v ARRAY<FLOAT>, norm DOUBLE, vshard BIGINT",
     bandedOf = embBandedOf,
     sideOf = f => f.select(col("vec_id"), col("v"), col("norm")),
     kRename = d => d.select(col("vec_id").as("keeper"), col("v").as("kv"),

@@ -669,6 +669,54 @@ object StreamOps {
       .select(col("doc_id"), col("quality_score"),
         col("n_words").as("tokens"), col("fp"))
 
+  /** LIVE twin of the composed admission path (`pipe_ingest_incr`) —
+    * the engine's flagship composition run CONTINUOUSLY: a production
+    * ingest does not admit one bulk increment, it moderates every
+    * arriving document against standing state (the reference's own
+    * ingest surface is per-submission scoring against the standing
+    * oracle, oracle.ts:146-175, delivered per event over the channel
+    * server, ws-server.ts:120-156). Each micro-batch of (doc_id,
+    * source, lang, text) rows is probed through the SAME
+    * [[graft.operators.IngestIncr.admitAgainst]] core the batch query
+    * runs — one kernel set, one verdict assembly — against
+    *
+    *  1. the PERSISTED `mhp1` index parts (fps / bsh / bands / toks),
+    *     partition-pruned exactly as the batch probe prunes them, and
+    *  2. the stream's own accumulated state: per-batch DELTA files
+    *     (new fingerprints, new minhash buckets, their keepers' verify
+    *     features) under `statePath/b<id>/` — disjoint by construction,
+    *     so maintenance is pure append and a batch's writes are
+    *     increment-sized, never a state rewrite.
+    *
+    * Verdicts land at `outPath/batch=<id>` (read the root to union).
+    * Cross-batch doc_id order is the caller's replay contract (ids
+    * ascend across batches — the append-only-ids premise every
+    * incremental election in this engine rests on); under it the
+    * verdict union is BIT-EQUAL to the batch
+    * [[graft.operators.IngestIncr.batchVerdictsFor]] over the same
+    * docs (StreamingSpec asserts it on the natural corpus and on the
+    * planted all-verdicts fixture).
+    *
+    * Restart/replay: state is reconstructed from committed deltas on
+    * disk (no in-memory hand-off), a re-delivered batch reads only
+    * deltas STRICTLY below its id and overwrites its own outputs
+    * byte-for-byte — at-least-once delivery degrades to exactly-once
+    * results. Pass `checkpoint` in production for resumable offsets
+    * (the partitionedFanout rationale); tests drive both paths. */
+  def ingestAdmission(docs: DataFrame, indexPath: String, split: Long,
+      statePath: String, outPath: String,
+      checkpoint: Option[String] = None):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val base = docs.writeStream.outputMode("append")
+    checkpoint.fold(base)(c => base.option("checkpointLocation", c))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.IngestIncr.admitMicroBatch(
+          batch.sparkSession, batch.toDF(), batchId, indexPath, split,
+          statePath, outPath)
+      }
+      .start()
+  }
+
   /** ST7 live: TTL state eviction (message-store.ts:47-64, 7-day TTL,
     * hourly prune). Per-user running count with an event-time timeout at
     * last_seen + ttl: when the watermark passes it, the state is removed

@@ -372,4 +372,31 @@ class PlanSpec extends SparkSpec {
     assert((bounded -- bnlj).isEmpty,
       s"whitelisted queries no longer plan a BNLJ (remove them): ${bounded -- bnlj}")
   }
+
+  test("kernelSorted pins an explicit-count range exchange AQE cannot coalesce (r19)") {
+    // the crypto_commitment find generalized to the family: AQE
+    // coalesces a bare orderBy's range exchange for the SORT's output
+    // bytes, blind to the expensive kernel projection kernelSorted
+    // deliberately places above it — at sf10 that ran the Poseidon
+    // stage on 16 of 32 cores. kernelSorted therefore partitions by an
+    // EXPLICIT count (AQE-coalesce-exempt by contract); on this tiny
+    // tier a bare orderBy under AQE coalesces to ONE partition, so the
+    // count below is a discriminating lock against a revert.
+    val expected = math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    for (q <- Seq(graft.operators.Text.txtTokens,
+        graft.operators.Crypto.cryptoCommitment)) {
+      val out = q.run(spark, sf001)
+      assert(out.rdd.getNumPartitions === expected,
+        s"${q.name}: kernel stage runs on ${out.rdd.getNumPartitions} " +
+          s"tasks, not the explicit $expected — the range exchange was " +
+          "coalesced (bare orderBy reverted?)")
+      // and the explicit exchange preserves the bare-orderBy TOTAL order
+      // (the oracle contract): partition-concatenated keys are sorted
+      val keyCol = out.columns.head
+      val keys = out.select(org.apache.spark.sql.functions.col(keyCol))
+        .collect().map(_.getLong(0)).toSeq
+      assert(keys === keys.sorted, s"${q.name}: global order broken")
+    }
+  }
 }

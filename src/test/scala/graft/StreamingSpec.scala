@@ -1133,4 +1133,168 @@ class StreamingSpec extends SparkSpec {
     assert(leaves.contains(md5hex("9")) && leaves.contains(md5hex("21")))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage1))
   }
+
+  // ---------- LIVE ingest admission (r19) ----------
+
+  /** Drives [[StreamOps.ingestAdmission]] over `chunks` (one micro-batch
+    * per chunk, doc_id-ascending across chunks — the replay contract)
+    * against the `dir` corpus's persisted mhp1 index; returns the
+    * verdict union read back from the batch output dirs. */
+  private def runIngestAdmission(
+      dir: String, idx: String, split: Long,
+      chunks: Seq[Seq[(Long, String, String, String)]],
+      statePath: String, outPath: String): Seq[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String)]
+    val q = StreamOps.ingestAdmission(
+      mem.toDF().toDF("doc_id", "source", "lang", "text"),
+      idx, split, statePath, outPath)
+    try chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    spark.read.parquet(outPath)
+      .select($"doc_id", $"source", $"lang", $"verdict")
+      .orderBy($"doc_id").collect().toSeq
+  }
+
+  test("LIVE ingest admission: chunked stream verdicts == batch pipeline recompute (natural corpus)") {
+    import graft.operators.IngestIncr
+    val (idx, split) = IngestIncr.ensurePipeIngestIndex(spark, sf001)
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter($"doc_id" >= split)
+      .select($"doc_id", $"source", $"lang", $"text")
+      .orderBy($"doc_id")
+      .as[(Long, String, String, String)].collect().toSeq
+    assert(docs.size >= 9, s"increment too small to chunk: ${docs.size}")
+    val chunks = docs.grouped(docs.size / 3 + 1).toSeq
+    assert(chunks.size === 3)
+    val statePath = tempDir("graft-ingadm-st").toString + "/state"
+    val outPath = tempDir("graft-ingadm-out").toString + "/out"
+    val got = runIngestAdmission(sf001, idx, split, chunks, statePath, outPath)
+    val want = IngestIncr.batchVerdictsFor(spark, sf001, split).collect().toSeq
+    assert(got === want)
+    // non-vacuity: the stream exercised the stateful probes, and the
+    // state deltas actually accumulated on disk across batches
+    val byVerdict = got.groupBy(_.getAs[String]("verdict")).view.mapValues(_.size).toMap
+    assert(byVerdict.getOrElse("near_dup", 0) > 0, s"near-dup unexercised: $byVerdict")
+    assert(byVerdict.getOrElse("admitted", 0) > 0, s"no admissions: $byVerdict")
+    for (b <- 0 until 3)
+      assert(new java.io.File(s"$statePath/b$b/_COMMIT").isFile,
+        s"batch $b committed no state delta")
+    // deltas are DISJOINT unions (pure append): no fp or bucket appears
+    // in two batches' deltas
+    val fpsAll = spark.read.parquet((0 until 3).map(i => s"$statePath/b$i/fps"): _*)
+    assert(fpsAll.count() === fpsAll.select($"fp").distinct().count(),
+      "a fingerprint landed in two batches' deltas — state is not append-only")
+    val bandsAll = spark.read.parquet((0 until 3).map(i => s"$statePath/b$i/bands"): _*)
+    assert(bandsAll.count() === bandsAll.select($"band", $"bucket").distinct().count(),
+      "a bucket landed in two batches' deltas — state is not append-only")
+  }
+
+  test("LIVE ingest admission: one-doc micro-batches — every cross-batch election runs through state") {
+    import graft.operators.IngestIncr
+    // the planted all-verdicts fixture (SemanticsSpec's), streamed ONE
+    // DOC PER MICRO-BATCH: the intra-increment exact-dup (46 of 45) and
+    // near-dup (47 of 45) pairs now straddle batch boundaries, so they
+    // can ONLY be caught by the accumulated stream state — the batch
+    // probe's intra-increment election never sees both sides at once
+    val tail = "the a of to in is and for"
+    val tail2 = "a the of to in is and for"
+    def doc(id: Long, src: String, words: String, t: String = tail) =
+      (id, s"$words $t", "en", src)
+    val uniq = (3 to 39).map(i => doc(i, s"src${1 + i % 3}",
+      s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i hotel$i"))
+    val base = Seq(
+      (0L, "quixotic zephyr labyrinth obsidian paradox nebula", "en", "src0"),
+      doc(1, "src1", "keystone granite monsoon typhoon caravan sextant quarry lagoon"),
+      doc(2, "src2", "brooklyn cathedral dormitory elephant firmament glacier harmonica insulator")
+    ) ++ uniq
+    val incr = Seq(
+      (40L, "meridian solstice equinox aurora zenith nadir", "en", "src0"), // held_out
+      doc(41, "src1", "keystone granite monsoon typhoon caravan sextant quarry lagoon"), // exact_dup of 1 (fps)
+      doc(42, "src2", "brooklyn cathedral dormitory elephant firmament glacier harmonica insulator", tail2), // near_dup of 2 (index)
+      doc(43, "src1", "innocuous preamble quixotic zephyr labyrinth postscript trailing remainder"), // contaminated
+      (44L, "zz", "en", "src2"), // gate
+      doc(45, "src1", "juniper kumquat lavender marigold nasturtium oleander peony quince"), // admitted
+      doc(46, "src1", "juniper kumquat lavender marigold nasturtium oleander peony quince"), // exact_dup of 45 — CROSS-BATCH via state.fps
+      doc(47, "src2", "juniper kumquat lavender marigold nasturtium oleander peony quince", tail2), // near_dup of 45 — CROSS-BATCH via state.bands/toks
+      doc(48, "src2", "rosemary saffron tamarind verbena wisteria yarrow zinnia basilisk"), // admitted
+      doc(49, "src1", "asteroid binary comet dwarf exoplanet galaxy heliopause ionosphere")) // admitted
+    val dir = tempDir("graft-ingadm-fix").toString
+    (base ++ incr).map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (idx, split) = IngestIncr.ensurePipeIngestIndex(spark, dir)
+    assert(split === 40L, s"fixture split moved: $split")
+    val statePath = tempDir("graft-ingadm-fix-st").toString + "/state"
+    val outPath = tempDir("graft-ingadm-fix-out").toString + "/out"
+    val got = runIngestAdmission(dir, idx, split,
+      // fixture tuples are (id, text, lang, source); the stream's
+      // positional columns are (doc_id, source, lang, text)
+      incr.map { case (id, text, lang, src) => Seq((id, src, lang, text)) },
+      statePath, outPath)
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
+    val want = Seq(40L -> "held_out", 41L -> "exact_dup", 42L -> "near_dup",
+      43L -> "contaminated", 44L -> "gate", 45L -> "admitted",
+      46L -> "exact_dup", 47L -> "near_dup", 48L -> "admitted",
+      49L -> "admitted")
+    assert(got === want)
+    // and the stream's union equals the batch recompute bit for bit
+    val batch = IngestIncr.batchVerdictsFor(spark, dir, split).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toSeq
+    assert(batch === want)
+  }
+
+  test("LIVE ingest admission: checkpointed restart resumes without recount; re-delivery is idempotent") {
+    import graft.operators.IngestIncr
+    val (idx, split) = IngestIncr.ensurePipeIngestIndex(spark, sf001)
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter($"doc_id" >= split)
+      .select($"doc_id", $"source", $"lang", $"text")
+      .orderBy($"doc_id")
+    val n = docs.count()
+    val mid = docs.select($"doc_id").orderBy($"doc_id")
+      .collect()(n.toInt / 2).getLong(0)
+    // file-source staging: two chunk files with ascending mtimes — the
+    // replay contract, and real durable offsets for the restart
+    val in = tempDir("graft-ingadm-ck-in").toString
+    val statePath = tempDir("graft-ingadm-ck-st").toString + "/state"
+    val outPath = tempDir("graft-ingadm-ck-out").toString + "/out"
+    val ckpt = tempDir("graft-ingadm-ck").toString + "/ck"
+    docs.filter($"doc_id" < mid).coalesce(1)
+      .write.parquet(s"$in/c0.parquet")
+    def start() = StreamOps.ingestAdmission(
+      spark.readStream
+        .schema(spark.read.parquet(s"$in/c0.parquet").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$in/*.parquet"),
+      idx, split, statePath, outPath, checkpoint = Some(ckpt))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // simulated crash/stop
+    val firstCount = spark.read.parquet(outPath).count()
+    assert(firstCount > 0)
+    docs.filter($"doc_id" >= mid).coalesce(1)
+      .write.parquet(s"$in/c1.parquet")
+    val q2 = start() // restart from the same checkpoint
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outPath)
+      .select($"doc_id", $"source", $"lang", $"verdict")
+      .orderBy($"doc_id").collect().toSeq
+    // exactly-once results: every doc verdicted once, equal to batch
+    assert(got.map(_.getLong(0)).distinct.size === got.size,
+      "restart re-emitted verdicts for already-processed docs")
+    val want = IngestIncr.batchVerdictsFor(spark, sf001, split).collect().toSeq
+    assert(got === want)
+    // at-least-once RE-DELIVERY: re-run the LAST batch id against the
+    // same state/out dirs — the strictly-below state rule must make it
+    // byte-idempotent (same verdicts, same deltas), not double-count
+    val lastBatch = new java.io.File(statePath).listFiles()
+      .map(_.getName).filter(_.matches("b\\d+")).map(_.drop(1).toLong).max
+    val redelivered = spark.read.parquet(s"$in/c1.parquet")
+    IngestIncr.admitMicroBatch(spark, redelivered, lastBatch, idx, split,
+      statePath, outPath)
+    val after = spark.read.parquet(outPath)
+      .select($"doc_id", $"source", $"lang", $"verdict")
+      .orderBy($"doc_id").collect().toSeq
+    assert(after === got, "a re-delivered micro-batch changed the verdict surface")
+  }
 }
