@@ -140,49 +140,70 @@ object Merkle {
     // table (at the blockDepth-4 cryptoMerkleVerify call that was ~13%
     // of the block's hash work) — plain BigInts, serializes fine
     val zbShared = zeroHashes(blockDepth)
-    // one distributed pass: per block, subtree root + local target paths
+    // one distributed pass: per block, subtree root + local target paths.
+    // An EXPLICIT-count hash repartition on the block id + an in-partition
+    // (block, index) sort, folded as consecutive runs in mapPartitions —
+    // NOT groupByKey/mapGroups (r19 stage dump): the typed groupByKey's
+    // exchange gets AQE-coalesced for its shuffle BYTES, blind to the
+    // Poseidon fold above it — at sf10 the fold stage ran as 34 tasks
+    // (one full wave + a 2-task straggler wave, wall 11.2 s vs maxTask
+    // 6.4 s). The explicit count is AQE-coalesce-exempt (the
+    // kernelSorted/crypto_commitment rule applied to a hash exchange),
+    // and the sorted-run fold also drops the per-block toSeq+sortBy.
+    val shufP = math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
     val perBlock: Seq[(Long, Long, Array[Byte], Seq[(Long, Seq[Array[Byte]], Seq[Int])])] =
       leaves
         .select(expr(s"leaf_index div $blockSize").as("block"),
           col("leaf_index"), col("leaf"))
+        .repartition(shufP, col("block"))
+        .sortWithinPartitions(col("block"), col("leaf_index"))
         .as[(Long, Long, Array[Byte])]
-        .groupByKey(_._1)
-        .mapGroups { (block, rows) =>
+        .mapPartitions { it =>
           val zb = zbShared
-          val all = rows.toSeq
-          // per-row range guard HERE, not just on the collected block ids:
-          // a negative leaf_index truncates into block 0 under `div` and
-          // would otherwise displace leaf 0 silently; an over-capacity one
-          // fails the same way Incremental.append refuses a full tree
-          all.foreach(r => require(r._2 >= 0 && r._2 < (1L << depth),
-            s"leaf_index ${r._2} outside [0, 2^$depth) (merkle.ts:118-120)"))
-          val sorted = all.sortBy(_._2)
-          val base = block * blockSize
-          // positions are assigned by sort ORDER, so a gap inside the
-          // block would silently shift every later leaf one slot left
-          // and hash a DIFFERENT tree — the left-filled contract is
-          // loud here like every other malformed input (the silent-
-          // truncation class Crypto.scala:82-85 records shipping once)
-          // this contiguity check also catches every DUPLICATE index (two
-          // equal sorted values cannot both equal base+offset), so no
-          // separate distinct-size pass is needed
-          sorted.iterator.zipWithIndex.foreach { case (r, i) =>
-            require(r._2 == base + i,
-              s"leaves not left-filled (or duplicated): block $block expects " +
-                s"contiguous unique indices from $base, found ${r._2} at offset $i")
-          }
-          val vec = sorted.map(r => Poseidon.fromBytes32(r._3)).toVector
-          val levels = pyramid(vec, blockDepth, zb, 0)
-          val local = targetsByBlock.getOrElse(block, Seq.empty).flatMap { t =>
-            val li = (t - base).toInt
-            if (li >= vec.size) Seq.empty
-            else {
-              val (sibs, bits) = pathFromPyramid(levels, li, blockDepth, zb, 0)
-              Seq((t, sibs.map(Poseidon.toBytes32), bits))
+          val buf = it.buffered
+          new Iterator[(Long, Long, Array[Byte], Seq[(Long, Seq[Array[Byte]], Seq[Int])])] {
+            def hasNext: Boolean = buf.hasNext
+            def next(): (Long, Long, Array[Byte], Seq[(Long, Seq[Array[Byte]], Seq[Int])]) = {
+              val block = buf.head._1
+              val base = block * blockSize
+              val leafBuf = Vector.newBuilder[BigInt]
+              var i = 0
+              // rows of one block are CONSECUTIVE (hash-partitioned on the
+              // block id, sorted by (block, index) within the partition)
+              // and already index-ordered, so the left-filled contiguity
+              // guard runs inline — it also catches every DUPLICATE index
+              // (two equal sorted values cannot both equal base+offset).
+              // A gap would silently shift every later leaf one slot left
+              // and hash a DIFFERENT tree — loud here like every other
+              // malformed input (the silent-truncation class
+              // Crypto.scala:82-85 records shipping once). The per-row
+              // range guard stays: a negative leaf_index truncates into
+              // block 0 under `div` and would displace leaf 0 silently.
+              while (buf.hasNext && buf.head._1 == block) {
+                val r = buf.next()
+                require(r._2 >= 0 && r._2 < (1L << depth),
+                  s"leaf_index ${r._2} outside [0, 2^$depth) (merkle.ts:118-120)")
+                require(r._2 == base + i,
+                  s"leaves not left-filled (or duplicated): block $block expects " +
+                    s"contiguous unique indices from $base, found ${r._2} at offset $i")
+                leafBuf += Poseidon.fromBytes32(r._3)
+                i += 1
+              }
+              val vec = leafBuf.result()
+              val levels = pyramid(vec, blockDepth, zb, 0)
+              val local = targetsByBlock.getOrElse(block, Seq.empty).flatMap { t =>
+                val li = (t - base).toInt
+                if (li >= vec.size) Seq.empty
+                else {
+                  val (sibs, bits) = pathFromPyramid(levels, li, blockDepth, zb, 0)
+                  Seq((t, sibs.map(Poseidon.toBytes32), bits))
+                }
+              }
+              val broot = levels.last.headOption.getOrElse(zb(blockDepth))
+              (block, vec.size.toLong, Poseidon.toBytes32(broot), local)
             }
           }
-          val broot = levels.last.headOption.getOrElse(zb(blockDepth))
-          (block, vec.size.toLong, Poseidon.toBytes32(broot), local)
         }
         .collect().toSeq // bounded: ≤ 2^(depth-blockDepth) rows
     val byBlock = perBlock.map { case (b, _, r, _) => b -> Poseidon.fromBytes32(r) }.toMap

@@ -157,7 +157,16 @@ object Crypto {
       val n = keyed.count()
       val depth = math.max(12,
         64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
-      val root = graft.functions.Merkle.rootDistributed(s, leaves, depth, blockDepth = 6)
+      // blockDepth sized to the CORPUS like depth is (r19 stage dump): a
+      // fixed 6 left 2^(depth-6) block tops for the DRIVER fold — 23k
+      // serial Poseidon hashes ≈ 1.7 s at sf10 (75 µs/hash measured,
+      // HashBench) for zero distributed win. depth-11 keeps ≥ ~2^11
+      // block tops only when the corpus is big enough to amortize them,
+      // floors at 6 so the small tiers keep enough blocks to parallelize
+      // (the root is blockDepth-INDEPENDENT — MerkleSpec pins
+      // bit-identity with the local fold at several blockDepths).
+      val blockDepth = math.min(depth - 1, math.max(6, depth - 11))
+      val root = graft.functions.Merkle.rootDistributed(s, leaves, depth, blockDepth)
       Seq((depth, n, graft.functions.Poseidon.toBytes32(root)
         .map("%02x".format(_)).mkString))
         .toDF("depth", "n_leaves", "root_hex")
