@@ -304,15 +304,26 @@ object BenchStreams {
     val total = tk.getLong(0)
     require(total > 0, s"BenchStreams: $sfDir documents increment is empty")
     val (mn, mx) = (tk.getLong(2), tk.getLong(1))
-    val span = math.max(1L, mx - mn + 1)
-    // id-range slicing: chunk boundaries monotone in doc_id — the
-    // ascending-ids replay contract the admission state rests on
+    // QUANTILE slicing, not id-range: boundaries stay monotone in
+    // doc_id (the ascending-ids replay contract the admission state
+    // rests on) but chunk sizes follow the doc DISTRIBUTION. The
+    // replicated /tmp tiers cluster increment ids into a few narrow
+    // copy-offset bands (sf1: [8e10, 9e10+5e3]), so the r19 id-RANGE
+    // slice put every doc in chunks {0, 23} — two files, ONE trigger,
+    // and the "live" measurement never exercised a cross-batch state
+    // probe. approxQuantile is a bounded driver read (nChunks-1
+    // doubles over one increment-sized scan).
+    val cuts = docs.stat.approxQuantile("doc_id",
+        (1 until nChunks).map(_.toDouble / nChunks).toArray, 1.0 / (64 * nChunks))
+      .map(_.toLong).distinct.sorted
     val stage = ensureStaged(s"$sfDir#ing$nChunks",
-      s"_STAGED_${total}_${mx}_${mn}_${split}_$nChunks", nChunks, "doc_id") {
+      s"_STAGED_Q${cuts.length}_${total}_${mx}_${mn}_${split}_$nChunks",
+      nChunks, "doc_id") {
+      // chunk = #cuts at or below doc_id — a codegen'd fold over the
+      // (≤ nChunks-1)-element literal, no join, no window
       docs.withColumn("chunk",
-        least(lit(nChunks - 1),
-          ((col("doc_id") - lit(mn)) * lit(nChunks.toLong) / lit(span))
-            .cast("int")))
+        aggregate(typedLit(cuts), lit(0),
+          (acc, c) => acc + when(col("doc_id") >= c, 1).otherwise(0)))
     }
     val stateRoot = java.nio.file.Files
       .createTempDirectory("graft-ingadm-bench-state").toString
