@@ -660,7 +660,7 @@ object Bench {
     // retry-exhausted in the record — the reader sees "window never
     // cleared" as data, not as a silent noisy binding number.
     var sf01RetryRounds = 0
-    var sf01RetryExhausted = Seq.empty[String]
+    var sf01RetryExhausted = Seq.empty[(String, Double)]
     if (sf01Suspects.nonEmpty) {
       System.err.println("[bench] sf0.1 adaptive re-measure" +
         (if (totalInflated) " (suite-wide: total inflated >1.15x vs best-anchor sum)"
@@ -697,11 +697,25 @@ object Bench {
               pending.map(_.name).mkString(", "))
         }
       }
-      sf01RetryExhausted = sf01Suspects.filter(stillInflated).map(_.name)
+      // the stamp carries the residual RATIO vs the best anchor, not a
+      // bare name: a reader must be able to tell "host running a
+      // uniform 1.2-1.4x above its all-time best window" (ordinary
+      // ±25-30% load variance — all-time mins are by construction the
+      // luckiest windows ever recorded) from the 3-5x inflation of the
+      // documented throttle signature. The first committed r19 self-run
+      // stamped 7 of 11 names while spread_sf01 read a quiet 1.47 —
+      // binary exhaustion over-fires on slow-but-stable hosts
+      sf01RetryExhausted = sf01Suspects.filter(stillInflated).map { q =>
+        val best = bestSf01(q.name)
+        val mn = (bufs(q.name).take(3).tail ++ bufs(q.name).drop(3))
+          .filter(_ >= 0).min
+        q.name -> BigDecimal(mn / best).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
       if (sf01RetryExhausted.nonEmpty)
         System.err.println("[bench] sf0.1 RETRY-EXHAUSTED (min still > " +
           s"1.2x best anchor after $sf01RetryRounds extra rounds): " +
-          sf01RetryExhausted.mkString(", "))
+          sf01RetryExhausted.map { case (n, r) => s"$n ($r x)" }.mkString(", "))
     }
     val results = headline.map { q =>
       val buf = bufs(q.name)
@@ -1093,8 +1107,9 @@ object Bench {
         if (sf01RetryRounds == 0) ""
         else s""","sf01_retry_rounds":$sf01RetryRounds""" +
           (if (sf01RetryExhausted.isEmpty) ""
-           else sf01RetryExhausted.map(Verify.jsonStr)
-             .mkString(""","sf01_retry_exhausted":[""", ",", "]"))
+           else sf01RetryExhausted
+             .map { case (n, r) => s"${Verify.jsonStr(n)}: $r" }
+             .mkString(""","sf01_retry_exhausted":{""", ",", "}"))
       wall + sp + rem01 + rem1 + retries
     }
     // re-execution walls of every diagnostic dump this run fired, on

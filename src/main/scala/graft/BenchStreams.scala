@@ -279,6 +279,31 @@ object BenchStreams {
     (Seq(rec, tripRec), total)
   }
 
+  /** QUANTILE chunk slicing, not value-range: boundaries stay monotone
+    * in `idCol` (the ascending-ids replay contract the admission state
+    * rests on) but chunk sizes follow the row DISTRIBUTION. The
+    * replicated /tmp tiers cluster increment doc_ids into a few narrow
+    * copy-offset bands (sf1: [8e10, 9e10+5e3]), so a value-RANGE slice
+    * put every doc in chunks {0, 23} — two files, ONE trigger, and the
+    * "live" measurement never exercised a cross-batch state probe
+    * (first r19 BENCH_STREAM cut). approxQuantile is a bounded driver
+    * read (≤ nChunks−1 doubles over one increment-sized scan); the
+    * chunk column is a codegen'd fold over that literal array — no
+    * join, no window. Returns the chunked frame and the distinct cut
+    * count (embedded in the stage marker so a layout change
+    * self-invalidates). */
+  private[graft] def quantileChunks(df: org.apache.spark.sql.DataFrame,
+      idCol: String, nChunks: Int):
+      (org.apache.spark.sql.DataFrame, Int) = {
+    val cuts = df.stat.approxQuantile(idCol,
+        (1 until nChunks).map(_.toDouble / nChunks).toArray,
+        1.0 / (64 * nChunks))
+      .map(_.toLong).distinct.sorted
+    (df.withColumn("chunk",
+      aggregate(typedLit(cuts), lit(0),
+        (acc, c) => acc + when(col(idCol) >= c, 1).otherwise(0))), cuts.length)
+  }
+
   /** Measures the LIVE composed-admission stream
     * ([[graft.streaming.StreamOps.ingestAdmission]], r19) — the
     * continuous form of `pipe_ingest_incr`: the tier's documents
@@ -304,27 +329,10 @@ object BenchStreams {
     val total = tk.getLong(0)
     require(total > 0, s"BenchStreams: $sfDir documents increment is empty")
     val (mn, mx) = (tk.getLong(2), tk.getLong(1))
-    // QUANTILE slicing, not id-range: boundaries stay monotone in
-    // doc_id (the ascending-ids replay contract the admission state
-    // rests on) but chunk sizes follow the doc DISTRIBUTION. The
-    // replicated /tmp tiers cluster increment ids into a few narrow
-    // copy-offset bands (sf1: [8e10, 9e10+5e3]), so the r19 id-RANGE
-    // slice put every doc in chunks {0, 23} — two files, ONE trigger,
-    // and the "live" measurement never exercised a cross-batch state
-    // probe. approxQuantile is a bounded driver read (nChunks-1
-    // doubles over one increment-sized scan).
-    val cuts = docs.stat.approxQuantile("doc_id",
-        (1 until nChunks).map(_.toDouble / nChunks).toArray, 1.0 / (64 * nChunks))
-      .map(_.toLong).distinct.sorted
+    val (chunked, nCuts) = quantileChunks(docs, "doc_id", nChunks)
     val stage = ensureStaged(s"$sfDir#ing$nChunks",
-      s"_STAGED_Q${cuts.length}_${total}_${mx}_${mn}_${split}_$nChunks",
-      nChunks, "doc_id") {
-      // chunk = #cuts at or below doc_id — a codegen'd fold over the
-      // (≤ nChunks-1)-element literal, no join, no window
-      docs.withColumn("chunk",
-        aggregate(typedLit(cuts), lit(0),
-          (acc, c) => acc + when(col("doc_id") >= c, 1).otherwise(0)))
-    }
+      s"_STAGED_Q${nCuts}_${total}_${mx}_${mn}_${split}_$nChunks",
+      nChunks, "doc_id") { chunked }
     val stateRoot = java.nio.file.Files
       .createTempDirectory("graft-ingadm-bench-state").toString
     val outRoot = java.nio.file.Files

@@ -1086,6 +1086,40 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage1))
   }
 
+  test("BenchStreams quantile chunking: clustered ids still spread over chunks, boundaries monotone (r19)") {
+    // the replica tiers cluster increment doc_ids into a few narrow
+    // copy-offset bands; a value-RANGE slice collapsed 24 chunks into
+    // {0, 23} — one trigger, no cross-batch probe measured (the first
+    // r19 BENCH_STREAM cut). Reproduce that id shape and assert the
+    // quantile slicing (a) yields enough distinct chunks to drive a
+    // multi-trigger stream and (b) keeps chunk boundaries monotone in
+    // doc_id — the ascending-ids replay contract.
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    val ids = ((0 until 500).map(i => 80000000000L + i) ++
+      (0 until 500).map(i => 90000000000L + i)).toDF("doc_id")
+    val (chunked, nCuts) = graft.BenchStreams.quantileChunks(ids, "doc_id", 24)
+    assert(nCuts >= 16, s"clustered ids produced only $nCuts cuts")
+    val perChunk = chunked.groupBy($"chunk")
+      .agg(fmin($"doc_id").as("lo"), fmax($"doc_id").as("hi"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .orderBy($"chunk").collect()
+    assert(perChunk.length >= 16,
+      s"value-range collapse regressed: only ${perChunk.length} chunks")
+    assert(perChunk.map(_.getAs[Long]("n")).sum === 1000L)
+    // monotone: chunk i's max id strictly below chunk i+1's min id
+    perChunk.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"),
+          s"chunk boundaries not monotone in doc_id: $a vs $b")
+      case _ =>
+    }
+    // and no chunk hogs the stream: with 24 target chunks over 1000
+    // uniform-rank rows, the biggest chunk stays a small multiple of
+    // the ideal slice (approxQuantile tolerance), never half the input
+    assert(perChunk.map(_.getAs[Long]("n")).max <= 250,
+      "a single chunk holds >25% of the rows — slicing degenerated")
+  }
+
   test("BenchStreams merkle staging token restages on a sum-preserving re-key (r18)") {
     // the merkle leaf stage is a pure function of the event_id MULTISET,
     // and (count, max, min, sum) does not pin it: re-keying ids
