@@ -317,7 +317,7 @@ object BenchStreams {
     * rows (fps/bands/toks deltas summed) — the number that must scale
     * with the stream's survivors, never the corpus. */
   private def measureIngestAdmission(spark: SparkSession, sfDir: String,
-      nChunks: Int, filesPerTrigger: Int): Seq[String] = {
+      nChunks: Int, filesPerTrigger: Int): (Seq[String], Long) = {
     import scala.jdk.CollectionConverters._
     val tIdx0 = System.nanoTime()
     val (idx, split) = graft.operators.IngestIncr.ensurePipeIngestIndex(spark, sfDir)
@@ -325,13 +325,23 @@ object BenchStreams {
     val docs = Tables(spark, sfDir).documents
       .filter(col("doc_id") >= lit(split))
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
-    val tk = docs.agg(count(lit(1)), max(col("doc_id")), min(col("doc_id"))).head()
+    // token pins the CONTENT multiset alongside the id layout: a
+    // same-seed-shape regeneration preserves count/extremes/split (the
+    // generated ids are a deterministic layout), so layout terms alone
+    // replayed STALE staged text against the freshly-rebuilt index
+    // (review r19 — the same class stageMerkleLeaves closed in r18).
+    // Sum of per-row xxhash64 over all four columns, DECIMAL(38,0) so
+    // full-range 64-bit hashes cannot overflow; rides the same
+    // single-pass aggregate as the layout terms
+    val tk = docs.agg(count(lit(1)), max(col("doc_id")), min(col("doc_id")),
+      sum(xxhash64(col("doc_id"), col("source"), col("lang"), col("text"))
+        .cast("decimal(38,0)"))).head()
     val total = tk.getLong(0)
     require(total > 0, s"BenchStreams: $sfDir documents increment is empty")
     val (mn, mx) = (tk.getLong(2), tk.getLong(1))
     val (chunked, nCuts) = quantileChunks(docs, "doc_id", nChunks)
     val stage = ensureStaged(s"$sfDir#ing$nChunks",
-      s"_STAGED_Q${nCuts}_${total}_${mx}_${mn}_${split}_$nChunks",
+      s"_STAGED_Q${nCuts}_${total}_${mx}_${mn}_${tk.get(3)}_${split}_$nChunks",
       nChunks, "doc_id") { chunked }
     val stateRoot = java.nio.file.Files
       .createTempDirectory("graft-ingadm-bench-state").toString
@@ -388,7 +398,7 @@ object BenchStreams {
           s"${Verify.jsonStr(k)}: $v" }.mkString(", ")}}, """ +
         s""""complete": ${rows == total && verdictSum == total}}"""
     System.err.println(s"[bench-stream] pipe_ingest_admission: $rec")
-    Seq(rec)
+    (Seq(rec), total)
   }
 
   def main(args: Array[String]): Unit = {
@@ -514,10 +524,15 @@ object BenchStreams {
     val (merkleRecs, merkleTotal) =
       if (wantMerkle) measureMerkle(spark, sfDir, nChunks, filesPerTrigger)
       else (Seq.empty[String], -1L)
-    val ingestRecs =
+    val (ingestRecs, ingestTotal) =
       if (wantIngest) measureIngestAdmission(spark, sfDir, nChunks, filesPerTrigger)
-      else Seq.empty[String]
-    val totalRows = staged.map(_._2).getOrElse(merkleTotal)
+      else (Seq.empty[String], -1L)
+    // top-level total_rows: staged events if any op replayed them, else
+    // the merkle leaf total, else the ingest doc total — an ops=
+    // pipe_ingest_admission-only run must not record the -1 sentinel
+    // for a run that processed `ingestTotal` docs (review r19)
+    val totalRows = staged.map(_._2)
+      .getOrElse(if (merkleTotal >= 0) merkleTotal else ingestTotal)
     val record = s"""{"probe": "bench-streams", "sf": ${Verify.jsonStr(sfDir)}, """ +
       s""""total_rows": $totalRows, "chunks": $nChunks, """ +
       s""""files_per_trigger": $filesPerTrigger, """ +

@@ -227,9 +227,7 @@ object IngestIncr {
     * the partition column is layout-only and never consumed). */
   private def probeRead(s: SparkSession, part: String, ddl: String)
       : DataFrame =
-    if (isMarkedEmpty(s, part))
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    if (isMarkedEmpty(s, part)) Similarity.emptyFromDdl(s, ddl)
     else s.read.parquet(part)
 
   /** Stream-side admission state, accumulated across micro-batches by
@@ -433,8 +431,7 @@ object IngestIncr {
   // ---------- LIVE streaming admission (r19) ----------
 
   private def emptyDf(s: SparkSession, ddl: String): DataFrame =
-    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    Similarity.emptyFromDdl(s, ddl)
 
   /** Committed state-delta batch ids under `statePath` STRICTLY below
     * `before` — dirs `b<id>` carrying the `_COMMIT` marker (written
@@ -453,6 +450,25 @@ object IngestIncr {
       .filter(id => id < before &&
         fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/b$id/_COMMIT")))
       .sorted
+  }
+
+  /** Highest doc_id admitted through the committed deltas `ids` — read
+    * from the `_COMMIT` markers' content (each carries the running max
+    * at its commit, so the latest marker alone bounds the stream; the
+    * max over all is taken for robustness). Markers with no parseable
+    * content (none are written by this code) yield None — the
+    * ascending-ids guard then has nothing to check against. */
+  private def committedMaxId(s: SparkSession, statePath: String,
+      ids: Seq[Long]): Option[Long] = {
+    val fs = fsOf(s, statePath)
+    val maxes = ids.flatMap { id =>
+      scala.util.Try {
+        val in = fs.open(new org.apache.hadoop.fs.Path(s"$statePath/b$id/_COMMIT"))
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong
+        finally in.close()
+      }.toOption
+    }
+    if (maxes.isEmpty) None else Some(maxes.max)
   }
 
   /** The accumulated stream state = the UNION of all committed per-batch
@@ -507,6 +523,27 @@ object IngestIncr {
         s"pipe_ingest_stream:$statePath:incoming", ver) {
       batch.select(col("doc_id"), col("source"), col("lang"), col("text"))
     }
+    // the ascending-ids replay contract, VALIDATED (review r19): every
+    // stateful election (least-merged keepers, final-once buckets,
+    // strictly-below re-delivery) rests on batch ids arriving in
+    // doc_id order — a source violating it (two producers, colliding
+    // file mtimes) would produce wrong verdicts and permanently wrong
+    // state with no error. Each `_COMMIT` carries the running max
+    // doc_id, so the check is one tiny marker read per batch, and the
+    // failure is loud and names the contract, matching the Merkle
+    // left-filled / writeOrMark discipline.
+    val bk = incoming.agg(count(lit(1)), min(col("doc_id")),
+      max(col("doc_id"))).head()
+    val nB = bk.getLong(0)
+    val priorMax = committedMaxId(s, statePath, prior)
+    if (nB > 0) priorMax.foreach { pm =>
+      require(bk.getLong(1) > pm,
+        s"ingestAdmission: batch $batchId carries doc_id ${bk.getLong(1)} " +
+          s"<= already-admitted max $pm — the stream violated the " +
+          "ascending-ids replay contract (out-of-order delivery?); " +
+          "stateful elections would silently diverge from the batch " +
+          "pipeline, refusing the batch instead")
+    }
     val res = admitAgainst(s, idx, split, shards, incoming,
       name => s"pipe_ingest_stream:$statePath:$name", ver, Some(state))
     res.verdicts.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
@@ -516,9 +553,15 @@ object IngestIncr {
     d.bands.write.mode("overwrite").parquet(s"$bDir/bands")
     d.toks.write.mode("overwrite").parquet(s"$bDir/toks")
     // commit marker strictly after the data — a crash mid-write leaves
-    // an uncommitted husk the next run overwrites, never half-reads
-    fsOf(s, bDir)
-      .create(new org.apache.hadoop.fs.Path(bDir, "_COMMIT"), true).close()
+    // an uncommitted husk the next run overwrites, never half-reads.
+    // Content = the running max doc_id through this batch (carried
+    // forward over empty/gate-only batches so the bound never regresses)
+    val runningMax = (priorMax.toSeq ++
+      (if (nB > 0) Seq(bk.getLong(2)) else Seq.empty)).maxOption
+    val out = fsOf(s, bDir)
+      .create(new org.apache.hadoop.fs.Path(bDir, "_COMMIT"), true)
+    try out.write(runningMax.map(_.toString).getOrElse("").getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** The BATCH recompute of the verdict surface — full-corpus election

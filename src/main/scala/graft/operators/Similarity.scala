@@ -109,6 +109,16 @@ object Similarity {
   // has the identical consumed-by-three-branches shape and must share the
   // one registry clearFeatureCache/Bench resets already manage.
   //
+  /** Schema-true empty frame from a DDL string — the ONE definition of
+    * the empty-part/empty-state substitution rule (probe-side empty
+    * markers, zero-delta stream state, band-degenerate increments).
+    * Review r19: three inline copies had grown across the probe and
+    * ingest paths; a drift in one (nullability, metadata) would have
+    * silently diverged the empty case from the populated one. */
+  private[operators] def emptyFromDdl(s: SparkSession, ddl: String): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
   // `key` is the LOGICAL identity (query family + source dir + any split
   // suffix); `version` is the source fingerprint (max mtime) as its OWN
   // field, never embedded in the key string. The r11 shape folded the
@@ -1614,9 +1624,7 @@ object Similarity {
     // so at most one candidate frame per caller stream stays live.
     val rp: (String, String) => DataFrame =
       if (readPart == null) (p, _) => s.read.parquet(p) else readPart
-    def emptyOf(ddl: String): DataFrame =
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    def emptyOf(ddl: String): DataFrame = emptyFromDdl(s, ddl)
     val effShards = effShardsOf(indexPath, shards, fam.what)
     val banded = fam.bandedOf(feat)
     val incrKeepers = banded.groupBy(col("band"), col("bucket"))
@@ -1712,11 +1720,16 @@ object Similarity {
     val candShards = cand.filter(col("keeper") < lit(split))
       .select(pmod(col("keeper"), lit(effShards.toLong)).as("cs"))
       .distinct().collect().map(_.getLong(0)) // bounded: ≤ shards
-    // the sideDdl fallback covers families that never injected a ddl
-    // (the empty-candShards frame only needs the shard column to drop)
-    val sideDdl =
-      if (fam.sideDdl.nonEmpty) fam.sideDdl
-      else s"${fam.featShardCol} BIGINT"
+    // sideDdl is a hard family contract, not a fallback (review r19):
+    // the old shard-col-only fallback built a ZERO-column frame after
+    // the drop below whenever candShards was empty, and kRename then
+    // failed on it — silently wrong for exactly the families it claimed
+    // to cover. All four families declare a full ddl; a new one that
+    // forgets fails loudly here instead of in a downstream resolve.
+    require(fam.sideDdl.nonEmpty,
+      s"IncrFamily ${fam.what}: sideDdl must declare the feature part's " +
+        "data schema — the empty-candShards probe frame is built from it")
+    val sideDdl = fam.sideDdl
     val idxSide = (if (candShards.isEmpty) emptyOf(sideDdl)
       else rp(s"$indexPath/${fam.featSubdir}", sideDdl)
         .filter(col(fam.featShardCol).isin(candShards.map(x => x: Any): _*)))

@@ -1278,6 +1278,38 @@ class StreamingSpec extends SparkSpec {
     assert(batch === want)
   }
 
+  test("LIVE ingest admission: out-of-order batch ids are refused loudly (r19 review)") {
+    import graft.operators.IngestIncr
+    // every stateful election rests on batch ids arriving in doc_id
+    // order; a source violating that (two producers, colliding staged
+    // mtimes) used to diverge from the batch pipeline SILENTLY. The
+    // _COMMIT markers now carry the running max doc_id and a batch
+    // below it is refused by name, before any state or output lands.
+    val (idx, split) = IngestIncr.ensurePipeIngestIndex(spark, sf001)
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter($"doc_id" >= split)
+      .select($"doc_id", $"source", $"lang", $"text").orderBy($"doc_id")
+      .as[(Long, String, String, String)].collect().toSeq
+    val statePath = tempDir("graft-ingadm-ooo-st").toString + "/state"
+    val outPath = tempDir("graft-ingadm-ooo-out").toString + "/out"
+    def df(rows: Seq[(Long, String, String, String)]) =
+      rows.toDF("doc_id", "source", "lang", "text")
+    val (lo, hi) = (docs.take(2), docs.takeRight(2))
+    IngestIncr.admitMicroBatch(spark, df(hi), 0L, idx, split, statePath, outPath)
+    val e = intercept[IllegalArgumentException] {
+      IngestIncr.admitMicroBatch(spark, df(lo), 1L, idx, split, statePath, outPath)
+    }
+    assert(e.getMessage.contains("ascending-ids replay contract"))
+    // the refused batch left no husk: no b1 dir, no batch=1 output
+    assert(!new java.io.File(s"$statePath/b1").exists(),
+      "a refused batch must not write state deltas")
+    assert(!new java.io.File(s"$outPath/batch=1").exists(),
+      "a refused batch must not write verdicts")
+    // and a RE-DELIVERY of batch 0 (same id, same rows) is still
+    // accepted — its own committed marker is strictly-below-excluded
+    IngestIncr.admitMicroBatch(spark, df(hi), 0L, idx, split, statePath, outPath)
+  }
+
   test("LIVE ingest admission: checkpointed restart resumes without recount; re-delivery is idempotent") {
     import graft.operators.IngestIncr
     val (idx, split) = IngestIncr.ensurePipeIngestIndex(spark, sf001)
