@@ -453,22 +453,25 @@ object IngestIncr {
   }
 
   /** Highest doc_id admitted through the committed deltas `ids` — read
-    * from the `_COMMIT` markers' content (each carries the running max
-    * at its commit, so the latest marker alone bounds the stream; the
-    * max over all is taken for robustness). Markers with no parseable
-    * content (none are written by this code) yield None — the
-    * ascending-ids guard then has nothing to check against. */
+    * from the `_COMMIT` markers' content. Each marker carries the
+    * running max THROUGH its batch (carried forward across empty
+    * batches), so the LATEST marker alone bounds the stream — one tiny
+    * read per trigger, not one per prior batch (second r19 review: the
+    * all-markers scan was O(n²) filesystem reads over a stream's
+    * lifetime). A marker parses empty only when NO doc had been seen
+    * through its batch (a leading run of empty batches — runningMax
+    * None → "" content); the backward walk then correctly finds
+    * nothing newer and yields None, and the guard has nothing to bound
+    * against, which is also the legacy-empty-marker behavior. */
   private def committedMaxId(s: SparkSession, statePath: String,
       ids: Seq[Long]): Option[Long] = {
     val fs = fsOf(s, statePath)
-    val maxes = ids.flatMap { id =>
-      scala.util.Try {
-        val in = fs.open(new org.apache.hadoop.fs.Path(s"$statePath/b$id/_COMMIT"))
-        try new String(in.readAllBytes(), "UTF-8").trim.toLong
-        finally in.close()
-      }.toOption
-    }
-    if (maxes.isEmpty) None else Some(maxes.max)
+    def read(id: Long): Option[Long] = scala.util.Try {
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$statePath/b$id/_COMMIT"))
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }.toOption
+    ids.reverseIterator.flatMap(read(_)).nextOption()
   }
 
   /** The accumulated stream state = the UNION of all committed per-batch

@@ -1537,8 +1537,12 @@ object Similarity {
       sideOf: DataFrame => DataFrame,
       kRename: DataFrame => DataFrame,
       verify: (DataFrame, DataFrame, DataFrame) => DataFrame,
-      bandsDdl: String = "band INT, bucket BIGINT, keeper BIGINT, bshard BIGINT",
-      sideDdl: String = "")
+      // sideDdl has NO default (second r19 review): the probe builds
+      // the empty-candShards frame from it, so a family without one is
+      // wrong by construction — a compile error beats the mid-probe
+      // require the first fix used
+      sideDdl: String,
+      bandsDdl: String = "band INT, bucket BIGINT, keeper BIGINT, bshard BIGINT")
 
   /** Ingest-time half shared by every family: persists the corpus's
     * (band, bucket, keeper) frame partitioned by (band, bshard), plus
@@ -1720,15 +1724,12 @@ object Similarity {
     val candShards = cand.filter(col("keeper") < lit(split))
       .select(pmod(col("keeper"), lit(effShards.toLong)).as("cs"))
       .distinct().collect().map(_.getLong(0)) // bounded: ≤ shards
-    // sideDdl is a hard family contract, not a fallback (review r19):
-    // the old shard-col-only fallback built a ZERO-column frame after
-    // the drop below whenever candShards was empty, and kRename then
-    // failed on it — silently wrong for exactly the families it claimed
-    // to cover. All four families declare a full ddl; a new one that
-    // forgets fails loudly here instead of in a downstream resolve.
-    require(fam.sideDdl.nonEmpty,
-      s"IncrFamily ${fam.what}: sideDdl must declare the feature part's " +
-        "data schema — the empty-candShards probe frame is built from it")
+    // sideDdl is a hard family contract (review r19): the old
+    // shard-col-only fallback built a ZERO-column frame after the drop
+    // below whenever candShards was empty, and kRename then failed on
+    // it — silently wrong for exactly the families it claimed to
+    // cover. The case class now has no default, so a family without a
+    // ddl is a compile error, not a mid-probe failure.
     val sideDdl = fam.sideDdl
     val idxSide = (if (candShards.isEmpty) emptyOf(sideDdl)
       else rp(s"$indexPath/${fam.featSubdir}", sideDdl)
