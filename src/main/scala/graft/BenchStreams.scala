@@ -295,10 +295,15 @@ object BenchStreams {
   private[graft] def quantileChunks(df: org.apache.spark.sql.DataFrame,
       idCol: String, nChunks: Int):
       (org.apache.spark.sql.DataFrame, Int) = {
-    val cuts = df.stat.approxQuantile(idCol,
-        (1 until nChunks).map(_.toDouble / nChunks).toArray,
-        1.0 / (64 * nChunks))
-      .map(_.toLong).distinct.sorted
+    // nChunks=1 needs no cuts — and approxQuantile NPEs on an empty
+    // probabilities array (spec-locked), so the degenerate case the
+    // old id-range slicing handled must skip the call entirely
+    val cuts =
+      if (nChunks <= 1) Array.empty[Long]
+      else df.stat.approxQuantile(idCol,
+          (1 until nChunks).map(_.toDouble / nChunks).toArray,
+          1.0 / (64 * nChunks))
+        .map(_.toLong).distinct.sorted
     (df.withColumn("chunk",
       aggregate(typedLit(cuts), lit(0),
         (acc, c) => acc + when(col(idCol) >= c, 1).otherwise(0))), cuts.length)

@@ -1118,6 +1118,12 @@ class StreamingSpec extends SparkSpec {
     // the ideal slice (approxQuantile tolerance), never half the input
     assert(perChunk.map(_.getAs[Long]("n")).max <= 250,
       "a single chunk holds >25% of the rows — slicing degenerated")
+    // degenerate chunks=1: zero cuts, one chunk, nothing thrown (the
+    // pre-quantile id-range form handled this; the quantile form must
+    // keep it — empty probabilities array, empty literal fold)
+    val (one, zeroCuts) = graft.BenchStreams.quantileChunks(ids, "doc_id", 1)
+    assert(zeroCuts === 0)
+    assert(one.select($"chunk").distinct().collect().map(_.getInt(0)).toSeq === Seq(0))
   }
 
   test("BenchStreams merkle staging token restages on a sum-preserving re-key (r18)") {
