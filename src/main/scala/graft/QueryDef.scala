@@ -49,8 +49,16 @@ object QueryDef {
   def kernelSorted(df: DataFrame, sortCols: org.apache.spark.sql.Column*)(
       project: DataFrame => DataFrame): DataFrame = {
     val s = df.sparkSession
+    // the TYPED conf entry, not conf.get(...).toInt: the raw string can
+    // be non-numeric on platforms that support "auto" (ADVICE r19).
+    // Deliberately NOT sessionState.conf.numShufflePartitions (Merkle's
+    // resolution): under AQE that returns initialPartitionNum — 8× the
+    // core count in Engine.session — which would 8× this family's task
+    // count; the contract here is the SESSION's shuffle.partitions
+    // value, exactly what the old parse read (PlanSpec locks the count).
     val shufP = math.max(s.sparkContext.defaultParallelism,
-      s.conf.get("spark.sql.shuffle.partitions").toInt)
+      s.sessionState.conf.getConf(
+        org.apache.spark.sql.internal.SQLConf.SHUFFLE_PARTITIONS))
     project(df.repartitionByRange(shufP, sortCols: _*)
       .sortWithinPartitions(sortCols: _*))
   }

@@ -453,25 +453,39 @@ object IngestIncr {
   }
 
   /** Highest doc_id admitted through the committed deltas `ids` — read
-    * from the `_COMMIT` markers' content. Each marker carries the
+    * from the NEWEST `_COMMIT` marker's content. Each marker carries the
     * running max THROUGH its batch (carried forward across empty
-    * batches), so the LATEST marker alone bounds the stream — one tiny
+    * batches), so the latest marker alone bounds the stream — one tiny
     * read per trigger, not one per prior batch (second r19 review: the
     * all-markers scan was O(n²) filesystem reads over a stream's
-    * lifetime). A marker parses empty only when NO doc had been seen
+    * lifetime). A marker's body is empty only when NO doc had been seen
     * through its batch (a leading run of empty batches — runningMax
-    * None → "" content); the backward walk then correctly finds
-    * nothing newer and yields None, and the guard has nothing to bound
-    * against, which is also the legacy-empty-marker behavior. */
+    * None → empty body), and carry-forward means an empty newest marker
+    * implies nothing older either, so newest-only is exact.
+    *
+    * Markers are `;`-terminated and VALIDATED (ADVICE r19): the old
+    * bare-decimal read trusted content after only an existence check, so
+    * a torn write whose truncated body still parsed ('12' of '1234')
+    * yielded a falsely LOW running max — quietly weakening the
+    * ascending-ids guard — and an unparseable newest marker silently
+    * fell back to an older one, same weakening. Now a marker without its
+    * terminator, or with a non-numeric body, refuses the batch with a
+    * named error like the rest of the marker protocol. */
   private def committedMaxId(s: SparkSession, statePath: String,
       ids: Seq[Long]): Option[Long] = {
     val fs = fsOf(s, statePath)
-    def read(id: Long): Option[Long] = scala.util.Try {
-      val in = fs.open(new org.apache.hadoop.fs.Path(s"$statePath/b$id/_COMMIT"))
-      try new String(in.readAllBytes(), "UTF-8").trim.toLong
-      finally in.close()
-    }.toOption
-    ids.reverseIterator.flatMap(read(_)).nextOption()
+    ids.lastOption.flatMap { id =>
+      val p = new org.apache.hadoop.fs.Path(s"$statePath/b$id/_COMMIT")
+      val in = fs.open(p)
+      val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      require(raw.endsWith(";") && raw.dropRight(1).forall(_.isDigit),
+        s"ingestAdmission: commit marker $p failed validation " +
+          s"(content '${raw.take(32)}'): expected '<running-max-digits>;' " +
+          "or the bare ';' — a torn or foreign marker must refuse the " +
+          "batch, not silently weaken the ascending-ids bound")
+      val body = raw.dropRight(1)
+      if (body.isEmpty) None else Some(body.toLong)
+    }
   }
 
   /** The accumulated stream state = the UNION of all committed per-batch
@@ -513,11 +527,17 @@ object IngestIncr {
     val state = loadState(s, statePath, prior)
     // dead-stream memo reclaim: a PREVIOUS stream's entries (other
     // statePath) can never be matched again once that query stopped —
-    // sweep them here so each new stream's first batch reclaims its
-    // predecessors' persisted frames (the j1/incrcand rule; within one
-    // stream the per-batch version supersede below is the bound)
-    Similarity.evictFeaturePrefix("pipe_ingest_stream:",
-      spare = _.startsWith(s"pipe_ingest_stream:$statePath:"))
+    // sweep them on this stream's FIRST processed batch only (ADVICE
+    // r19: an every-batch sweep let two concurrently-running admission
+    // streams unpersist each other's cached frames every trigger —
+    // correct via recompute, but persist/recompute thrash that defeats
+    // the memo). At batch 0 / empty-prior the sweeping stream is new;
+    // anything it reclaims belongs to streams that published state
+    // before it existed (the j1/incrcand rule; within one stream the
+    // per-batch version supersede below is the bound)
+    if (prior.isEmpty)
+      Similarity.evictFeaturePrefix("pipe_ingest_stream:",
+        spare = _.startsWith(s"pipe_ingest_stream:$statePath:"))
     // per-batch memo stamp: monotone, so each batch's memoized frames
     // SUPERSEDE (and unpersist) the previous batch's under the same
     // logical keys — the memo stays bounded at one frame per stage
@@ -563,7 +583,10 @@ object IngestIncr {
       (if (nB > 0) Seq(bk.getLong(2)) else Seq.empty)).maxOption
     val out = fsOf(s, bDir)
       .create(new org.apache.hadoop.fs.Path(bDir, "_COMMIT"), true)
-    try out.write(runningMax.map(_.toString).getOrElse("").getBytes("UTF-8"))
+    // ';'-terminated so the reader can tell a complete marker from a
+    // torn one (committedMaxId validates and refuses otherwise)
+    try out.write(
+      (runningMax.map(_.toString).getOrElse("") + ";").getBytes("UTF-8"))
     finally out.close()
   }
 

@@ -1154,12 +1154,22 @@ object ScaleOps {
   val pipeDecontam = QueryDef(
     "pipe_decontam",
     (s, dir) => {
-      val sh = T(s, dir).documents
-        .select(col("doc_id"), col("source"), Text.shingles3(col("text")).as("sh"))
+      // source filters FIRST, shingle projection (single-evaluation
+      // shingles3Once) per branch (r20): the shared-frame form let
+      // Catalyst push `sh IS NOT NULL` + the generator's size(sh) > 0
+      // below the projection, duplicating the shingle kernel 2-3× per
+      // row on both branches (sf10 stage dump); with the ND mark the
+      // kernel runs once, and pre-filtering by source keeps each branch
+      // shingling only its own rows — same rows, same join, ~⅓ the
+      // kernel invocations.
+      val docs = T(s, dir).documents
+        .select(col("doc_id"), col("source"), col("text"))
+      def shOf(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), Text.shingles3Once(col("text")).as("sh"))
         .filter(col("sh").isNotNull)
-      val bench = sh.filter(col("source") === "src0")
+      val bench = shOf(docs.filter(col("source") === "src0"))
         .select(explode(col("sh")).as("shingle")).distinct()
-      val train = sh.filter(col("source") =!= "src0")
+      val train = shOf(docs.filter(col("source") =!= "src0"))
         .select(col("doc_id"), explode(col("sh")).as("shingle"))
       train.join(bench, "shingle")
         .groupBy(col("doc_id"))
@@ -1197,8 +1207,12 @@ object ScaleOps {
   val pipeDecontamBloom = QueryDef(
     "pipe_decontam_bloom",
     (s, dir) => {
-      val sh = T(s, dir).documents
-        .select(col("doc_id"), col("source"), Text.shingles3(col("text")).as("sh"))
+      // same source-filter-first + single-evaluation shingling as
+      // pipe_decontam (r20) — see the rationale there
+      val docs = T(s, dir).documents
+        .select(col("doc_id"), col("source"), col("text"))
+      def shOf(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), Text.shingles3Once(col("text")).as("sh"))
         .filter(col("sh").isNotNull)
       val fp = docsFingerprint(s, dir)
       // the distinct benchmark-shingle frame feeds THREE consumers on a
@@ -1208,7 +1222,7 @@ object ScaleOps {
       // persisted copy through the shared feature memo (fingerprint-
       // keyed like every entry there) serves all three
       val bench = Similarity.cachedFeature(s, s"decontam_bench:$dir", fp) {
-        sh.filter(col("source") === "src0")
+        shOf(docs.filter(col("source") === "src0"))
           .select(explode(col("sh")).as("shingle")).distinct()
       }
       // capacity from the ACTUAL benchmark shingle count (a bounded
@@ -1220,7 +1234,7 @@ object ScaleOps {
         bench.stat.bloomFilter("shingle", n, 0.01)
       }
       val mightContain = udf((x: String) => x != null && bc.value.mightContain(x))
-      val train = sh.filter(col("source") =!= "src0")
+      val train = shOf(docs.filter(col("source") =!= "src0"))
         .select(col("doc_id"), explode(col("sh")).as("shingle"))
         .filter(mightContain(col("shingle")))
       train.join(bench, "shingle")

@@ -617,18 +617,24 @@ object Similarity {
     * verify/oracle path shares, and a [[minhashKernelId]] component. */
   private[graft] val mhVerifyPct = 50L
 
-  /** Deterministic 8-hex fingerprint of a kernel's defining constants —
-    * the canonical `k=v;…` string under MurmurHash3 (stable across JVMs
-    * and runs, unlike Any.hashCode on case classes with arrays). Folded
-    * into every `_incr` family's famPrefix so a KERNEL change moves the
-    * index base automatically (r19): the version identity (split, src
-    * mtime, shards) pins the corpus, this pins the code — previously a
-    * hand-bump discipline (mh→mh2, sh→sh2) that a forgotten edit would
-    * silently violate, serving a stale index whose bands the new kernel
-    * can never hit. */
+  /** Deterministic 16-hex fingerprint of a kernel's defining constants —
+    * the canonical `k=v;…` string under an MD5 prefix (stable across
+    * JVMs and runs, unlike Any.hashCode on case classes with arrays).
+    * Folded into every `_incr` family's famPrefix so a KERNEL change
+    * moves the index base automatically (r19): the version identity
+    * (split, src mtime, shards) pins the corpus, this pins the code —
+    * previously a hand-bump discipline (mh→mh2, sh→sh2) that a
+    * forgotten edit would silently violate, serving a stale index whose
+    * bands the new kernel can never hit. 64 bits, not the original
+    * 32-bit MurmurHash3 (ADVICE r19): at 32 bits a kernel-knob edit had
+    * a ~2^-32 chance of colliding with the prior fingerprint and
+    * silently adopting a stale index — the exact failure the mechanism
+    * exists to eliminate, and undetectable when it hits. */
   private[graft] def kernelFp(parts: (String, Any)*): String = {
     val canon = parts.map { case (k, v) => s"$k=$v" }.mkString(";")
-    f"${scala.util.hashing.MurmurHash3.stringHash(canon).toLong & 0xffffffffL}%08x"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).take(8)
+      .map(b => f"${b & 0xff}%02x").mkString
   }
 
   /** The minhash family's kernel identity: every constant whose change
@@ -1048,11 +1054,19 @@ object Similarity {
     }
   })
 
+  /** [[simhashUdf]] marked non-deterministic — the pure function is
+    * unchanged; the mark stops Catalyst duplicating the kernel when it
+    * pushes `simhash IS NOT NULL` below the projection (guide §4.4; the
+    * same r20 fix as Text.shingles3Once). Every caller pre-filters its
+    * frame (doc_id splits are written upstream of the projection), so
+    * nothing useful is blocked from pushing down. */
+  private val simhashUdfOnce = simhashUdf.asNondeterministic()
+
   /** (doc_id, simhash) over an arbitrary `(doc_id, text)` frame — the
     * one simhash rule shared by the batch dedup, the index build and
     * the increment probe, so their fingerprints can never drift. */
   private[graft] def simhashFeatOf(docs: DataFrame): DataFrame =
-    docs.withColumn("simhash", simhashUdf(col("text")))
+    docs.withColumn("simhash", simhashUdfOnce(col("text")))
       .filter(col("simhash").isNotNull)
       .select(col("doc_id"), col("simhash"))
 
@@ -1311,11 +1325,17 @@ object Similarity {
     val seeds = collectCentroids(
       e.filter(col("vec_id") < lit(nCells.toLong)).select(col("vec_id"), col("v")))
     // Lloyd step: assign to seed cells (kernel, zero shuffle), recompute
-    // element-wise means over narrow (cell, pos) rows
+    // element-wise means over narrow (cell, pos) rows.
+    // explode, not get(..,0)+filter(isNotNull) (r20): the filter form
+    // pushed `isnotnull(UDF(v,norm)[0])` below the projection, so the
+    // O(nCells × dim) scoring kernel ran TWICE per row (guide §4.4
+    // duplication, attributed in the r20 sf10 stage dump); a Generate
+    // evaluates its generator exactly once, and explode drops the
+    // empty-array degenerate rows the filter used to drop — identical
+    // rows out, half the kernel cost.
     val assigned0 = e
-      .withColumn("cell", get(nearestCells(seeds, 1)(col("v"), col("norm")), lit(0)))
-      .filter(col("cell").isNotNull)
-      .select(col("cell"), col("v"))
+      .select(explode(nearestCells(seeds, 1)(col("v"), col("norm"))).as("cell"),
+        col("v"))
     collectCentroids(assigned0
       .select(col("cell"), posexplode(col("v")))
       // decimal-sum mean, not avg(double): decimal addition is exact and
@@ -1368,11 +1388,13 @@ object Similarity {
       val nProbe = 4
       val e = embeddingFrame(s, dir)
       val centroids = trainCentroids(e, nCells)
-      // corpus → nearest refined centroid; queries → nProbe nearest cells
+      // corpus → nearest refined centroid; queries → nProbe nearest
+      // cells. explode form for the same single-evaluation reason as
+      // the Lloyd assign (the get+filter form ran the scoring kernel
+      // twice per corpus row — r20 stage dump).
       val corpusCells = e
-        .withColumn("cell",
-          get(nearestCells(centroids, 1)(col("v"), col("norm")), lit(0)))
-        .filter(col("cell").isNotNull)
+        .select(col("vec_id"), col("v"), col("norm"),
+          explode(nearestCells(centroids, 1)(col("v"), col("norm"))).as("cell"))
       val queryCells = e.filter(col("vec_id") < lit(5L))
         .withColumn("cell",
           explode(nearestCells(centroids, nProbe)(col("v"), col("norm"))))
@@ -1392,9 +1414,10 @@ object Similarity {
       nCells: Int = 16): Array[(Long, Array[Float], Double)] = {
     val e = embeddingFrame(s, dir)
     val centroids = trainCentroids(e, nCells)
-    e.withColumn("cell",
-        get(nearestCells(centroids, 1)(col("v"), col("norm")), lit(0)))
-      .filter(col("cell").isNotNull)
+    // explode form — single kernel evaluation per row, same rows as the
+    // old get+filter (see simIvfTopk)
+    e.select(col("vec_id"), col("v"), col("norm"),
+        explode(nearestCells(centroids, 1)(col("v"), col("norm"))).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
     centroids
   }

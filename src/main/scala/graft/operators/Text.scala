@@ -219,6 +219,19 @@ object Text {
     }
   })
 
+  /** [[shingles3]] marked non-deterministic — the guide-§4.4 single-
+    * evaluation form for the hot projection sites (r20). The function is
+    * pure (same mark-only trick as the guide's example: values are
+    * unchanged); the mark forbids Catalyst from duplicating the kernel
+    * when it pushes the `sh IS NOT NULL` / implicit generator
+    * constraints below the projection — the r20 sf10 stage dump showed
+    * `UDF(text)` evaluated 2-3× per row on BOTH decontam branches
+    * (isnotnull(UDF), size(UDF) > 0, and the Project itself). Because
+    * predicates no longer push past this projection, callers MUST apply
+    * their cheap column filters (source = …) BEFORE projecting the
+    * shingles — each site does, explicitly. */
+  private[operators] val shingles3Once = shingles3.asNondeterministic()
+
   /** True n-gram (3-token shingle) Jaccard near-dup — the classic
     * shingling formulation (the basis dd_minhash approximates): contiguous
     * 3-token windows, distinct shingle sets, adjacent-pair integer-pct
@@ -232,7 +245,7 @@ object Text {
       // it once, not once per join branch (see a12's rationale)
       val d = Similarity.cachedFeature(s, s"txt_shingles:$dir", Similarity.srcVersion(s, dir, "documents.parquet")) {
         T(s, dir).documents
-          .select(col("doc_id"), shingles3(col("text")).as("sh"))
+          .select(col("doc_id"), shingles3Once(col("text")).as("sh"))
           .filter(col("sh").isNotNull)
       }
       adjacentJaccardPct(d, "sh")
@@ -451,7 +464,9 @@ object Text {
     * ingest verdicts from the batch flow their oracle recomputes. */
   private[operators] def benchShinglesOf(df: org.apache.spark.sql.DataFrame):
       org.apache.spark.sql.DataFrame =
-    df.select(shingles3(col("text")).as("sh"))
+    // shingles3Once: callers pass an already-filtered frame, so the ND
+    // mark costs nothing and saves the 2-3× kernel duplication (r20)
+    df.select(shingles3Once(col("text")).as("sh"))
       .filter(col("sh").isNotNull)
       .select(explode(col("sh")).as("shingle")).distinct()
 
@@ -466,7 +481,7 @@ object Text {
   private[operators] def decontamFlagged(train: org.apache.spark.sql.DataFrame,
       bench: org.apache.spark.sql.DataFrame, minHits: Long):
       org.apache.spark.sql.DataFrame =
-    train.select(col("doc_id"), shingles3(col("text")).as("sh"))
+    train.select(col("doc_id"), shingles3Once(col("text")).as("sh"))
       .filter(col("sh").isNotNull)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .join(bench, "shingle")

@@ -1314,10 +1314,12 @@ class SemanticsSpec extends SparkSpec {
 
   test("kernel fingerprint: deterministic, knob-sensitive, embedded in every family prefix") {
     import graft.operators.{IngestIncr, Similarity}
-    // pure fp properties: stable across calls, 8-hex, one knob moves it
+    // pure fp properties: stable across calls, 16-hex (64-bit — ADVICE
+    // r19: 32 bits left a ~2^-32 silent stale-index collision), one
+    // knob moves it
     val a = Similarity.kernelFp("bands" -> 8, "hashes" -> 32)
     assert(a === Similarity.kernelFp("bands" -> 8, "hashes" -> 32))
-    assert(a.matches("[0-9a-f]{8}"), s"fp shape: $a")
+    assert(a.matches("[0-9a-f]{16}"), s"fp shape: $a")
     assert(a !== Similarity.kernelFp("bands" -> 16, "hashes" -> 32))
     assert(a !== Similarity.kernelFp("bands" -> 8, "hashes" -> 64))
     // the published index paths embed the CURRENT kernel fp — the

@@ -1316,6 +1316,43 @@ class StreamingSpec extends SparkSpec {
     IngestIncr.admitMicroBatch(spark, df(hi), 0L, idx, split, statePath, outPath)
   }
 
+  test("LIVE ingest admission: a torn commit marker is refused, never parsed as a lower bound (r20)") {
+    import graft.operators.IngestIncr
+    // ADVICE r19: the old read trusted marker content after an existence
+    // check, so a torn write whose truncated body still parsed ('12' of
+    // '1234') yielded a falsely LOW running max — silently weakening the
+    // ascending-ids guard. Markers are now ';'-terminated; a marker
+    // missing its terminator must refuse the next batch by name.
+    val (idx, split) = IngestIncr.ensurePipeIngestIndex(spark, sf001)
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter($"doc_id" >= split)
+      .select($"doc_id", $"source", $"lang", $"text").orderBy($"doc_id")
+      .as[(Long, String, String, String)].collect().toSeq
+    val statePath = tempDir("graft-ingadm-torn-st").toString + "/state"
+    val outPath = tempDir("graft-ingadm-torn-out").toString + "/out"
+    def df(rows: Seq[(Long, String, String, String)]) =
+      rows.toDF("doc_id", "source", "lang", "text")
+    IngestIncr.admitMicroBatch(spark, df(docs.take(2)), 0L, idx, split,
+      statePath, outPath)
+    val m = java.nio.file.Paths.get(s"$statePath/b0/_COMMIT")
+    val raw = new String(java.nio.file.Files.readAllBytes(m), "UTF-8")
+    assert(raw.endsWith(";"), s"marker must be terminator-written, got '$raw'")
+    // tear it: drop the terminator AND the last digit — the truncated
+    // body still parses as a (wrong, lower) number, the exact hazard.
+    // The local-FS checksum sidecar is removed too: rewriting the file
+    // out-of-band would otherwise fail the NEXT read on the stale .crc
+    // (a LocalFileSystem artifact; a torn write on a real store leaves
+    // no such tripwire — the validation below is what must catch it)
+    java.nio.file.Files.write(m, raw.dropRight(2).getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      m.getParent.resolve("." + m.getFileName.toString + ".crc"))
+    val e = intercept[IllegalArgumentException] {
+      IngestIncr.admitMicroBatch(spark, df(docs.takeRight(2)), 1L, idx, split,
+        statePath, outPath)
+    }
+    assert(e.getMessage.contains("failed validation"))
+  }
+
   test("LIVE ingest admission: checkpointed restart resumes without recount; re-delivery is idempotent") {
     import graft.operators.IngestIncr
     val (idx, split) = IngestIncr.ensurePipeIngestIndex(spark, sf001)
