@@ -321,8 +321,61 @@ object BenchStreams {
     * also the completeness check), and the accumulated STATE size in
     * rows (fps/bands/toks deltas summed) — the number that must scale
     * with the stream's survivors, never the corpus. */
+  /** Deterministic synthetic near-dup corpus (VERDICT r19 #2): no
+    * measured admission row had ever exercised the band/near-dup STATE
+    * path — replica increments are all exact dups, and the natural
+    * sf0.1 increment is mostly contaminated/gated. This corpus plants,
+    * in the increment (the last 20% of the id range, matching the
+    * index's split rule), per 10 docs: 3 near-dups of base docs
+    * (index-band elections), 1 exact dup of a base doc, 1 near-dup of
+    * an EARLIER increment fresh doc at a ~2-chunk id distance (an
+    * election that can ONLY resolve through accumulated stream
+    * band/tok state when chunk-staged), and 5 fresh admitted docs (the
+    * band-state producers). Near-dup = token multiset preserved, order
+    * perturbed: jaccard 1.0 under the minhash kernel, distinct md5 —
+    * the planted-fixture trick at scale. Pure function of `total`; the
+    * staging marker makes re-runs adopt. */
+  private def ensureNearDupCorpus(spark: SparkSession, total: Int): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-neardup-$total"
+    val marker = new java.io.File(dir, "_STAGED_ND1")
+    if (marker.isFile) return dir
+    val maxId = total - 1L
+    val split = maxId - maxId / 5
+    val stop = "the and of to a in is for the and of to"
+    def fresh(id: Long): String =
+      (0 until 12).map(j => s"w${id}x$j").mkString(" ") + " " + stop
+    def perm(t: String): String = {
+      val w = t.split(" "); val tmp = w(0); w(0) = w(1); w(1) = tmp
+      w.mkString(" ")
+    }
+    val gap0 = math.max(50L, (total - split) / 20)
+    val rows = (0L to maxId).map { id =>
+      val text =
+        if (id < split) fresh(id)
+        else (id - split) % 10 match {
+          case 0 | 1 | 2 => perm(fresh((id * 2654435761L) % split))
+          case 3 => fresh((id * 40503L) % split)
+          case 4 =>
+            // nearest earlier FRESH-role increment doc ((k % 10) == 5)
+            // at ~2-chunk distance; below the floor, fall back to fresh
+            val t0 = id - gap0
+            val t = t0 - (((t0 - split - 5) % 10 + 10) % 10)
+            if (t >= split + 5) perm(fresh(t)) else fresh(id)
+          case _ => fresh(id)
+        }
+      (id, text, "en", s"src${1 + (id % 3)}", text.length.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(8).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    new java.io.FileOutputStream(marker).close()
+    dir
+  }
+
   private def measureIngestAdmission(spark: SparkSession, sfDir: String,
-      nChunks: Int, filesPerTrigger: Int): (Seq[String], Long) = {
+      nChunks: Int, filesPerTrigger: Int,
+      opName: String = "pipe_ingest_admission"): (Seq[String], Long) = {
     import scala.jdk.CollectionConverters._
     val tIdx0 = System.nanoTime()
     val (idx, split) = graft.operators.IngestIncr.ensurePipeIngestIndex(spark, sfDir)
@@ -377,43 +430,55 @@ object BenchStreams {
       .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     val verdictSum = verdicts.map(_._2).sum
-    // accumulated state = the delta-file union, in rows per part
-    def stateRows(part: String): Long = {
-      val dirs = Option(new java.io.File(statePath).listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
-        .map(f => s"${f.getAbsolutePath}/$part")
-      if (dirs.isEmpty) 0L else spark.read.parquet(dirs: _*).count()
-    }
+    // accumulated state = the COMMITTED snapshot (compacted generation
+    // + live delta tail, r20) in rows per part, plus the layout census
+    // — the bounded-dir-count evidence the compaction exists to produce
+    val (stSnap, stGen, stDeltaDirs) =
+      graft.operators.IngestIncr.stateSnapshot(spark, statePath)
     val (stFps, stBands, stToks) =
-      (stateRows("fps"), stateRows("bands"), stateRows("toks"))
+      (stSnap.fps.count(), stSnap.bands.count(), stSnap.toks.count())
     Seq(stateRoot, outRoot, ckpt).foreach(p => scala.util.Try(
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))))
     val rec =
-      s"""{"op": "pipe_ingest_admission", "rows": $rows, """ +
+      s"""{"op": ${Verify.jsonStr(opName)}, "rows": $rows, """ +
         s""""batches": ${batches.size}, """ +
         f""""wall_sec": $wall%.3f, """ +
         f""""rows_per_sec": ${if (wall > 0) rows / wall else 0.0}%.0f, """ +
         f""""trigger_sec_p50": ${pct(trigSec, 0.50)}%.3f, """ +
         f""""trigger_sec_p95": ${pct(trigSec, 0.95)}%.3f, """ +
         f""""us_per_doc": ${if (rows > 0) trigSec.sum * 1e6 / rows else 0.0}%.2f, """ +
+        // lifetime-flatness evidence (VERDICT r19 #1): mean trigger wall
+        // over the first vs last 10 data batches — without compaction
+        // the tail mean grows with the batch count, never the data
+        f""""trigger_sec_mean_head10": ${
+          if (trigSec.isEmpty) 0.0
+          else trigSec.take(10).sum / math.min(10, trigSec.size)}%.3f, """ +
+        f""""trigger_sec_mean_tail10": ${
+          if (trigSec.isEmpty) 0.0
+          else trigSec.takeRight(10).sum / math.min(10, trigSec.size)}%.3f, """ +
         f""""index_build_sec": $idxSec%.3f, """ +
         s""""state_rows_fps": $stFps, "state_rows_bands": $stBands, """ +
         s""""state_rows_toks": $stToks, """ +
+        s""""state_gen_through": ${stGen.getOrElse(-1L)}, """ +
+        s""""state_delta_dirs": $stDeltaDirs, """ +
         s""""verdicts": {${verdicts.map { case (k, v) =>
           s"${Verify.jsonStr(k)}: $v" }.mkString(", ")}}, """ +
         s""""complete": ${rows == total && verdictSum == total}}"""
-    System.err.println(s"[bench-stream] pipe_ingest_admission: $rec")
+    System.err.println(s"[bench-stream] $opName: $rec")
     (Seq(rec), total)
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: BenchStreams [chunks=N] [files=K] [ops=a,b,...] <sfDir>"
+    val usage =
+      "usage: BenchStreams [chunks=N] [files=K] [near=DOCS] [ops=a,b,...] <sfDir>"
     var nChunks = 24
     var filesPerTrigger = 2
+    var nearTotal = 0
     var only: Option[Set[String]] = None
     val rest = args.dropWhile {
       case a if a.startsWith("chunks=") => nChunks = a.stripPrefix("chunks=").toInt; true
       case a if a.startsWith("files=") => filesPerTrigger = a.stripPrefix("files=").toInt; true
+      case a if a.startsWith("near=") => nearTotal = a.stripPrefix("near=").toInt; true
       case a if a.startsWith("ops=") =>
         only = Some(a.stripPrefix("ops=").split(",").map(_.trim).toSet); true
       case _ => false
@@ -444,7 +509,13 @@ object BenchStreams {
     // explicit via ops=pipe_ingest_admission
     val wantIngest =
       only.isEmpty || only.exists(_.contains("pipe_ingest_admission"))
-    require(selected.nonEmpty || merkleExplicit || wantIngest,
+    // the synthetic near-dup tier (VERDICT r19 #2) is OPT-IN by size:
+    // near=DOCS stages the deterministic planted corpus and runs the
+    // admission stream over its increment under the op name
+    // pipe_ingest_admission_near
+    val wantNear = nearTotal > 0 &&
+      (only.isEmpty || only.exists(_.contains("pipe_ingest_admission_near")))
+    require(selected.nonEmpty || merkleExplicit || wantIngest || wantNear,
       s"no ops matched; $usage")
     val staged =
       if (selected.nonEmpty) Some(stageEvents(spark, sfDir, nChunks)) else None
@@ -532,16 +603,22 @@ object BenchStreams {
     val (ingestRecs, ingestTotal) =
       if (wantIngest) measureIngestAdmission(spark, sfDir, nChunks, filesPerTrigger)
       else (Seq.empty[String], -1L)
+    val (nearRecs, nearRows) =
+      if (wantNear)
+        measureIngestAdmission(spark, ensureNearDupCorpus(spark, nearTotal),
+          nChunks, filesPerTrigger, opName = "pipe_ingest_admission_near")
+      else (Seq.empty[String], -1L)
     // top-level total_rows: staged events if any op replayed them, else
     // the merkle leaf total, else the ingest doc total — an ops=
     // pipe_ingest_admission-only run must not record the -1 sentinel
     // for a run that processed `ingestTotal` docs (review r19)
     val totalRows = staged.map(_._2)
-      .getOrElse(if (merkleTotal >= 0) merkleTotal else ingestTotal)
+      .getOrElse(if (merkleTotal >= 0) merkleTotal
+        else if (ingestTotal >= 0) ingestTotal else nearRows)
     val record = s"""{"probe": "bench-streams", "sf": ${Verify.jsonStr(sfDir)}, """ +
       s""""total_rows": $totalRows, "chunks": $nChunks, """ +
       s""""files_per_trigger": $filesPerTrigger, """ +
-      s""""ops": [${(records ++ merkleRecs ++ ingestRecs).mkString(",\n  ")}]}"""
+      s""""ops": [${(records ++ merkleRecs ++ ingestRecs ++ nearRecs).mkString(",\n  ")}]}"""
     // marker-line discipline (r17 verdict #4): the machine-readable
     // record on ONE stdout line behind a grep-able prefix, no sbt
     // framing dependency

@@ -311,6 +311,15 @@ object Similarity {
   private[graft] def featureCacheSize: Int =
     featCache.synchronized(featCache.size)
 
+  /** The live memo entry's version stamp for `key` in session `s` —
+    * spec surface for the stream path's batch-keyed memo stamps (a
+    * re-delivered batch must mint a strictly larger stamp, proving it
+    * reuses no frame of its first delivery). */
+  private[graft] def featureVersionOf(s: SparkSession, key: String)
+      : Option[Long] =
+    featCache.synchronized(featCache.collectFirst {
+      case ((sess, k), (ver, _)) if (sess eq s) && k == key => ver })
+
   /** Unpersists and forgets every memoized feature frame. Bench calls
     * this before each timed run so headline dedup numbers measure the
     * full cold pipeline (tokenize + signatures + verify), not a warm

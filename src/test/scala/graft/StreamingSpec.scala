@@ -1230,13 +1230,14 @@ class StreamingSpec extends SparkSpec {
       "a bucket landed in two batches' deltas — state is not append-only")
   }
 
-  test("LIVE ingest admission: one-doc micro-batches — every cross-batch election runs through state") {
-    import graft.operators.IngestIncr
-    // the planted all-verdicts fixture (SemanticsSpec's), streamed ONE
-    // DOC PER MICRO-BATCH: the intra-increment exact-dup (46 of 45) and
-    // near-dup (47 of 45) pairs now straddle batch boundaries, so they
-    // can ONLY be caught by the accumulated stream state — the batch
-    // probe's intra-increment election never sees both sides at once
+  /** The planted all-verdicts fixture (SemanticsSpec's) written as a
+    * corpus under a fresh dir: returns (dir, increment rows in STREAM
+    * column order (doc_id, source, lang, text), expected verdicts).
+    * The intra-increment exact-dup (46 of 45) and near-dup (47 of 45)
+    * pairs straddle batch boundaries when streamed one doc per
+    * micro-batch, so they can ONLY be caught by accumulated state. */
+  private def plantedAdmissionFixture(tag: String)
+      : (String, Seq[(Long, String, String, String)], Seq[(Long, String)]) = {
     val tail = "the a of to in is and for"
     val tail2 = "a the of to in is and for"
     def doc(id: Long, src: String, words: String, t: String = tail) =
@@ -1259,29 +1260,121 @@ class StreamingSpec extends SparkSpec {
       doc(47, "src2", "juniper kumquat lavender marigold nasturtium oleander peony quince", tail2), // near_dup of 45 — CROSS-BATCH via state.bands/toks
       doc(48, "src2", "rosemary saffron tamarind verbena wisteria yarrow zinnia basilisk"), // admitted
       doc(49, "src1", "asteroid binary comet dwarf exoplanet galaxy heliopause ionosphere")) // admitted
-    val dir = tempDir("graft-ingadm-fix").toString
+    val dir = tempDir(s"graft-ingadm-$tag").toString
     (base ++ incr).map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val (idx, split) = IngestIncr.ensurePipeIngestIndex(spark, dir)
-    assert(split === 40L, s"fixture split moved: $split")
-    val statePath = tempDir("graft-ingadm-fix-st").toString + "/state"
-    val outPath = tempDir("graft-ingadm-fix-out").toString + "/out"
-    val got = runIngestAdmission(dir, idx, split,
-      // fixture tuples are (id, text, lang, source); the stream's
-      // positional columns are (doc_id, source, lang, text)
-      incr.map { case (id, text, lang, src) => Seq((id, src, lang, text)) },
-      statePath, outPath)
-      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
     val want = Seq(40L -> "held_out", 41L -> "exact_dup", 42L -> "near_dup",
       43L -> "contaminated", 44L -> "gate", 45L -> "admitted",
       46L -> "exact_dup", 47L -> "near_dup", 48L -> "admitted",
       49L -> "admitted")
+    // fixture tuples are (id, text, lang, source); the stream's
+    // positional columns are (doc_id, source, lang, text)
+    (dir, incr.map { case (id, text, lang, src) => (id, src, lang, text) },
+      want)
+  }
+
+  test("LIVE ingest admission: one-doc micro-batches — every cross-batch election runs through state") {
+    import graft.operators.IngestIncr
+    // the planted all-verdicts fixture, streamed ONE DOC PER MICRO-BATCH
+    val (dir, incr, want) = plantedAdmissionFixture("fix")
+    val (idx, split) = IngestIncr.ensurePipeIngestIndex(spark, dir)
+    assert(split === 40L, s"fixture split moved: $split")
+    val statePath = tempDir("graft-ingadm-fix-st").toString + "/state"
+    val outPath = tempDir("graft-ingadm-fix-out").toString + "/out"
+    val got = runIngestAdmission(dir, idx, split, incr.map(Seq(_)),
+      statePath, outPath)
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
     assert(got === want)
     // and the stream's union equals the batch recompute bit for bit
     val batch = IngestIncr.batchVerdictsFor(spark, dir, split).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toSeq
     assert(batch === want)
+  }
+
+  test("LIVE ingest admission: state compaction — verdicts bit-equal and re-delivery idempotent across the boundary; dir count bounded (r20)") {
+    import graft.operators.IngestIncr
+    // compactEvery=2 over the one-doc-per-batch planted fixture: the
+    // stream compacts repeatedly MID-RUN, so the cross-batch elections
+    // (46/47 against 45's state) read folded generation state — the
+    // strongest form of the boundary, and the verdicts must still equal
+    // the batch recompute bit for bit.
+    spark.conf.set("spark.graft.admissionCompactEvery", "2")
+    try {
+      val (dir, incr, want) = plantedAdmissionFixture("cmp")
+      val (idx, split) = IngestIncr.ensurePipeIngestIndex(spark, dir)
+      val statePath = tempDir("graft-ingadm-cmp-st").toString + "/state"
+      val outPath = tempDir("graft-ingadm-cmp-out").toString + "/out"
+      val got = runIngestAdmission(dir, idx, split, incr.map(Seq(_)),
+        statePath, outPath)
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
+      assert(got === want)
+      // dir census: exactly ONE committed generation survives (superseded
+      // generations reclaimed) and the delta tail is bounded by the
+      // cadence — 10 one-doc batches must NOT leave 10 delta dirs
+      def names() = Option(new java.io.File(statePath).listFiles())
+        .toSeq.flatten.map(_.getName)
+      val gens = names().filter(_.matches("gen\\d+"))
+      assert(gens.size === 1, s"generation census wrong: ${names()}")
+      assert(new java.io.File(s"$statePath/${gens.head}/_COMMIT").isFile,
+        "generation missing its commit marker")
+      assert(names().count(_.matches("b\\d+")) <= 2,
+        s"delta tail unbounded after compaction: ${names()}")
+      // re-delivery of the LAST batch id ACROSS the boundary (state =
+      // generation + tail): byte-idempotent, no state-layout change
+      val lastBatch = names().filter(_.matches("b\\d+"))
+        .map(_.drop(1).toLong).max
+      val (lid, lsrc, llang, ltext) = incr.last
+      IngestIncr.admitMicroBatch(spark,
+        Seq((lid, lsrc, llang, ltext)).toDF("doc_id", "source", "lang", "text"),
+        lastBatch, idx, split, statePath, outPath)
+      val after = spark.read.parquet(outPath)
+        .select($"doc_id", $"verdict").orderBy($"doc_id").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSeq
+      assert(after === want,
+        "a re-delivered batch changed the verdict surface across a compaction")
+      // the ascending-ids bound survives folding: the next batch triggers
+      // a fold that deletes the delta markers, and the guard must then
+      // fire from the GENERATION's carried running-max marker
+      val e = intercept[IllegalArgumentException] {
+        IngestIncr.admitMicroBatch(spark,
+          Seq((incr.head._1, "src1", "en", "low-id replay violation"))
+            .toDF("doc_id", "source", "lang", "text"),
+          lastBatch + 1, idx, split, statePath, outPath)
+      }
+      assert(e.getMessage.contains("ascending-ids replay contract"))
+      assert(names().count(_.matches("b\\d+")) === 0 &&
+        names().filter(_.matches("gen\\d+")) ===
+          Seq(s"gen$lastBatch"),
+        s"the pre-refusal fold should leave only gen$lastBatch: ${names()}")
+    } finally spark.conf.unset("spark.graft.admissionCompactEvery")
+  }
+
+  test("LIVE ingest admission: a re-delivered batch reuses no live memo from its first delivery (r20)") {
+    import graft.operators.{IngestIncr, Similarity}
+    // VERDICT r19 #3: the memo stamp is keyed to (statePath, batchId)
+    // with a per-delivery attempt — attributable (ver >>> 20 = batchId)
+    // and strictly larger on re-delivery, so cachedFeature supersedes
+    // (recomputes) rather than serving the first delivery's frames.
+    val (idx, split) = IngestIncr.ensurePipeIngestIndex(spark, sf001)
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter($"doc_id" >= split)
+      .select($"doc_id", $"source", $"lang", $"text").orderBy($"doc_id")
+      .as[(Long, String, String, String)].collect().toSeq
+    val statePath = tempDir("graft-ingadm-memo-st").toString + "/state"
+    val outPath = tempDir("graft-ingadm-memo-out").toString + "/out"
+    val df = docs.take(2).toDF("doc_id", "source", "lang", "text")
+    IngestIncr.admitMicroBatch(spark, df, 0L, idx, split, statePath, outPath)
+    val key = s"pipe_ingest_stream:$statePath:gate"
+    val v1 = Similarity.featureVersionOf(spark, key)
+    assert(v1.nonEmpty, "gate memo not live after first delivery")
+    assert((v1.get >>> 20) === 0L,
+      s"stamp ${v1.get} does not attribute to batch 0")
+    IngestIncr.admitMicroBatch(spark, df, 0L, idx, split, statePath, outPath)
+    val v2 = Similarity.featureVersionOf(spark, key)
+    assert(v2.nonEmpty && v2.get > v1.get,
+      s"re-delivery must mint a strictly larger stamp (got $v1 then $v2) " +
+        "— a reused live memo would mask state drift between deliveries")
   }
 
   test("LIVE ingest admission: out-of-order batch ids are refused loudly (r19 review)") {
