@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BinaryToFloats, DotFloat, DotLong, FloatsToBinary, PiiRedact}
+import graft.functions.{BinaryToFloats, DotFloat, DotLong, FloatsToBinary, LEDecode, LEEncode, PiiRedact}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the native Catalyst expressions as SQL functions, so both
@@ -49,6 +49,20 @@ object GraftExtensions {
       build(children(0))
     }
 
+  /** Ternary twin of [[binary]] — same named-AnalysisException arity guard. */
+  private def ternary(name: String)(
+      build: (Expression, Expression, Expression) => Expression)
+      : Seq[Expression] => Expression =
+    children => {
+      if (children.length != 3)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> "3",
+            "actualNum" -> children.length.toString, "docroot" -> ""))
+      build(children(0), children(1), children(2))
+    }
+
   private val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("dot_long"),
@@ -70,7 +84,15 @@ object GraftExtensions {
       (FunctionIdentifier("pii_redact"),
         info(classOf[PiiRedact], "pii_redact",
           "pii_redact(s) - fused PII mask (emails -> <EMAIL>, 6+-digit runs -> <ID>, residual digits -> #) with match counts as struct<redacted, n_emails, n_ids>; null on null input"),
-        unary("pii_redact")(PiiRedact(_))))
+        unary("pii_redact")(PiiRedact(_))),
+      (FunctionIdentifier("le_decode"),
+        info(classOf[LEDecode], "le_decode",
+          "le_decode(bin, off, n) - decode n little-endian bytes at 1-based off as bigint; null on null input, no byte in range, or an 8-byte value past bigint range"),
+        ternary("le_decode")(LEDecode(_, _, _))),
+      (FunctionIdentifier("le_encode"),
+        info(classOf[LEEncode], "le_encode",
+          "le_encode(v, n) - encode v's low n bytes little-endian as binary; null on null input"),
+        binary("le_encode")(LEEncode(_, _))))
 
   /** Registers the graft functions into an ALREADY-RUNNING session's
     * registry — the path for sessions the library does not own (the

@@ -68,38 +68,43 @@ private[graft] object Fr {
     * the Poseidon digests are pinned by CryptoSpec/VECTORS.md. */
   def montMul(a: Array[Long], b: Array[Long], out: Array[Long]): Unit = {
     val a0 = a(0); val a1 = a(1); val a2 = a(2); val a3 = a(3)
+    // UNROLLED ×4 (r21): the rolled `while (i < 4)` form reloaded b(i)
+    // (bounds check + load) per iteration and kept a loop counter whose
+    // compare/branch sat on the critical carry chain; with ~620 montMul
+    // calls per Poseidon permutation the loop control itself was
+    // measurable. All four b limbs load once into locals and the body is
+    // repeated — identical arithmetic, same digests (CryptoSpec pins the
+    // VECTORS.md values; PropertiesSpec cross-checks against BigInt).
+    val bl0 = b(0); val bl1 = b(1); val bl2 = b(2); val bl3 = b(3)
     var t0 = 0L; var t1 = 0L; var t2 = 0L; var t3 = 0L
-    var i = 0
-    while (i < 4) {
-      val bi = b(i)
-      // t += a * bi (t4 tracks the iteration's overflow limb)
-      var lo = a0 * bi
-      var s = t0 + lo
-      var cc = uhi(a0, bi) + carry(t0, lo, s)
+    var lo = 0L; var s = 0L; var cc = 0L; var c2 = 0L; var s2 = 0L
+    var m = 0L; var t4 = 0L
+      // ---- b limb 0 ----
+      lo = a0 * bl0
+      s = t0 + lo
+      cc = uhi(a0, bl0) + carry(t0, lo, s)
       t0 = s
-      lo = a1 * bi
+      lo = a1 * bl0
       s = t1 + lo
-      var c2 = carry(t1, lo, s)
-      var s2 = s + cc
+      c2 = carry(t1, lo, s)
+      s2 = s + cc
       c2 += carry(s, cc, s2)
-      t1 = s2; cc = uhi(a1, bi) + c2
-      lo = a2 * bi
+      t1 = s2; cc = uhi(a1, bl0) + c2
+      lo = a2 * bl0
       s = t2 + lo
       c2 = carry(t2, lo, s)
       s2 = s + cc
       c2 += carry(s, cc, s2)
-      t2 = s2; cc = uhi(a2, bi) + c2
-      lo = a3 * bi
+      t2 = s2; cc = uhi(a2, bl0) + c2
+      lo = a3 * bl0
       s = t3 + lo
       c2 = carry(t3, lo, s)
       s2 = s + cc
       c2 += carry(s, cc, s2)
-      t3 = s2; cc = uhi(a3, bi) + c2
-      val t4 = cc // < 2^63: CIOS bound for 4-limb p < 2^255
-
-      // Montgomery reduction: m = t0 * INV; t = (t + m*P) >> 64, the
-      // final carry folding straight into the new limb 3
-      val m = t0 * INV
+      t3 = s2; cc = uhi(a3, bl0) + c2
+      t4 = cc // < 2^63: CIOS bound for 4-limb p < 2^255
+      // Montgomery reduction: m = t0 * INV; t = (t + m*P) >> 64
+      m = t0 * INV
       lo = m * P0
       s = t0 + lo // becomes 0 by construction; keep its carry
       cc = uhi(m, P0) + carry(t0, lo, s)
@@ -122,8 +127,153 @@ private[graft] object Fr {
       c2 += carry(s, cc, s2)
       t2 = s2; cc = uhi(m, P3) + c2
       t3 = t4 + cc
-      i += 1
-    }
+
+      // ---- b limb 1 ----
+      lo = a0 * bl1
+      s = t0 + lo
+      cc = uhi(a0, bl1) + carry(t0, lo, s)
+      t0 = s
+      lo = a1 * bl1
+      s = t1 + lo
+      c2 = carry(t1, lo, s)
+      s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t1 = s2; cc = uhi(a1, bl1) + c2
+      lo = a2 * bl1
+      s = t2 + lo
+      c2 = carry(t2, lo, s)
+      s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t2 = s2; cc = uhi(a2, bl1) + c2
+      lo = a3 * bl1
+      s = t3 + lo
+      c2 = carry(t3, lo, s)
+      s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t3 = s2; cc = uhi(a3, bl1) + c2
+      t4 = cc // < 2^63: CIOS bound for 4-limb p < 2^255
+      // Montgomery reduction: m = t0 * INV; t = (t + m*P) >> 64
+      m = t0 * INV
+      lo = m * P0
+      s = t0 + lo // becomes 0 by construction; keep its carry
+      cc = uhi(m, P0) + carry(t0, lo, s)
+      lo = m * P1
+      s = t1 + lo
+      c2 = carry(t1, lo, s)
+      s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t0 = s2; cc = uhi(m, P1) + c2
+      lo = m * P2
+      s = t2 + lo
+      c2 = carry(t2, lo, s)
+      s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t1 = s2; cc = uhi(m, P2) + c2
+      lo = m * P3
+      s = t3 + lo
+      c2 = carry(t3, lo, s)
+      s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t2 = s2; cc = uhi(m, P3) + c2
+      t3 = t4 + cc
+
+      // ---- b limb 2 ----
+      lo = a0 * bl2
+      s = t0 + lo
+      cc = uhi(a0, bl2) + carry(t0, lo, s)
+      t0 = s
+      lo = a1 * bl2
+      s = t1 + lo
+      c2 = carry(t1, lo, s)
+      s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t1 = s2; cc = uhi(a1, bl2) + c2
+      lo = a2 * bl2
+      s = t2 + lo
+      c2 = carry(t2, lo, s)
+      s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t2 = s2; cc = uhi(a2, bl2) + c2
+      lo = a3 * bl2
+      s = t3 + lo
+      c2 = carry(t3, lo, s)
+      s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t3 = s2; cc = uhi(a3, bl2) + c2
+      t4 = cc // < 2^63: CIOS bound for 4-limb p < 2^255
+      // Montgomery reduction: m = t0 * INV; t = (t + m*P) >> 64
+      m = t0 * INV
+      lo = m * P0
+      s = t0 + lo // becomes 0 by construction; keep its carry
+      cc = uhi(m, P0) + carry(t0, lo, s)
+      lo = m * P1
+      s = t1 + lo
+      c2 = carry(t1, lo, s)
+      s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t0 = s2; cc = uhi(m, P1) + c2
+      lo = m * P2
+      s = t2 + lo
+      c2 = carry(t2, lo, s)
+      s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t1 = s2; cc = uhi(m, P2) + c2
+      lo = m * P3
+      s = t3 + lo
+      c2 = carry(t3, lo, s)
+      s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t2 = s2; cc = uhi(m, P3) + c2
+      t3 = t4 + cc
+
+      // ---- b limb 3 ----
+      lo = a0 * bl3
+      s = t0 + lo
+      cc = uhi(a0, bl3) + carry(t0, lo, s)
+      t0 = s
+      lo = a1 * bl3
+      s = t1 + lo
+      c2 = carry(t1, lo, s)
+      s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t1 = s2; cc = uhi(a1, bl3) + c2
+      lo = a2 * bl3
+      s = t2 + lo
+      c2 = carry(t2, lo, s)
+      s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t2 = s2; cc = uhi(a2, bl3) + c2
+      lo = a3 * bl3
+      s = t3 + lo
+      c2 = carry(t3, lo, s)
+      s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t3 = s2; cc = uhi(a3, bl3) + c2
+      t4 = cc // < 2^63: CIOS bound for 4-limb p < 2^255
+      // Montgomery reduction: m = t0 * INV; t = (t + m*P) >> 64
+      m = t0 * INV
+      lo = m * P0
+      s = t0 + lo // becomes 0 by construction; keep its carry
+      cc = uhi(m, P0) + carry(t0, lo, s)
+      lo = m * P1
+      s = t1 + lo
+      c2 = carry(t1, lo, s)
+      s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t0 = s2; cc = uhi(m, P1) + c2
+      lo = m * P2
+      s = t2 + lo
+      c2 = carry(t2, lo, s)
+      s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t1 = s2; cc = uhi(m, P2) + c2
+      lo = m * P3
+      s = t3 + lo
+      c2 = carry(t3, lo, s)
+      s2 = s + cc
+      c2 += carry(s, cc, s2)
+      t2 = s2; cc = uhi(m, P3) + c2
+      t3 = t4 + cc
     // branchless conditional subtract: d = t - p with a borrow chain;
     // keep t when the subtraction borrows out (t < p)
     val d0 = t0 - P0

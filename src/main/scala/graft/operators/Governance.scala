@@ -37,19 +37,15 @@ object Governance {
 
   // --- little-endian fixed-width codec (expression-level, codegen'd) ---
 
-  /** Encode a non-negative long as `nBytes` little-endian bytes. Values
-    * wider than the field wrap to their low bytes (u8/u32 record
-    * semantics) — without the mask, lpad would silently truncate to the
-    * HIGH hex digits, corrupting the record. */
-  private def encLE(colExpr: String, nBytes: Int): String = {
-    val masked =
-      if (nBytes >= 8) colExpr
-      else s"pmod($colExpr, ${1L << (8 * nBytes)}L)"
-    val hexE = s"lpad(hex($masked), ${2 * nBytes}, '0')"
-    // BE hex pairs emitted in reverse order = LE byte sequence
-    val pairs = (nBytes - 1) to 0 by -1 map (i => s"substring($hexE, ${2 * i + 1}, 2)")
-    s"unhex(concat(${pairs.mkString(",")}))"
-  }
+  /** Encode a long as `nBytes` little-endian bytes. Values wider than
+    * the field wrap to their low bytes (u8/u32 record semantics). Since
+    * r21 this is the native [[graft.functions.LEEncode]] expression —
+    * the old builtin chain (`unhex(concat(substring(lpad(hex(pmod(…)))…`)
+    * built ~2n intermediate strings per field per row; the native
+    * expression emits the bytes in one codegen'd loop, bit-identical
+    * (ExpressionsSpec pins it against the old chain). */
+  private def encLE(colExpr: String, nBytes: Int): String =
+    s"le_encode($colExpr, $nBytes)"
 
   /** Decode `nBytes` little-endian bytes at 1-based `off` into a long.
     *
@@ -73,11 +69,17 @@ object Governance {
 
   /** SQL-text form of [[decLEAt]] — for layouts whose later offsets
     * embed an earlier decoded field (the pubkey list's count-driven
-    * tail), where the sub-expression must be INLINED into the offset. */
-  private def decLESql(recCol: String, offExpr: String, nBytes: Int): String = {
-    val bytes = (nBytes - 1) to 0 by -1 map (i => s"substring($recCol, ($offExpr) + $i, 1)")
-    s"try_cast(conv(hex(concat(${bytes.mkString(",")})), 16, 10) AS bigint)"
-  }
+    * tail), where the sub-expression must be INLINED into the offset.
+    * Since r21 the native [[graft.functions.LEDecode]] expression: the
+    * old per-byte builtin chain (`try_cast(conv(hex(concat(substring ×
+    * n)), 16, 10) AS bigint)`) allocated ~3n+3 intermediate objects per
+    * field per row — the s2 decode family's dominant per-row cost (a
+    * 14-field record paid it 14×). Bit-identical semantics including
+    * the null edges (truncated record → low bytes; no byte → null;
+    * high-bit u64 → null), pinned by ExpressionsSpec against the old
+    * chain and by the unchanged AccountsSpec round-trips + oracle. */
+  private def decLESql(recCol: String, offExpr: String, nBytes: Int): String =
+    s"le_decode($recCol, ($offExpr), $nBytes)"
 
   /** 32-byte field at `off`, rendered lowercase hex for comparison. */
   private def dec32hex(recCol: String, off: Int): Column =

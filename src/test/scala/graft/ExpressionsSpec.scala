@@ -150,6 +150,62 @@ class ExpressionsSpec extends SparkSpec {
     assert(one.toSeq === Seq(0x00, 0x00, 0x80, 0x3f).map(_.toByte))
   }
 
+  test("le codec: bit-identical to the replaced builtin chains on random + edge records (both paths)") {
+    // the r21 native LE codec replaced the per-byte builtin plumbing in
+    // the S2 account codecs; this pins the new expressions against the
+    // OLD expression trees themselves — encode chain
+    // unhex(concat(substring(lpad(hex(pmod(v, 2^8n)), 2n, '0') pairs
+    // reversed))) and decode chain try_cast(conv(hex(concat(per-byte
+    // substrings)), 16, 10) AS bigint) — over random values/records,
+    // widths 1/2/4/8, plus the null edges (truncated record, offset past
+    // the end, 8-byte value with the top bit set)
+    def oldEnc(colExpr: String, nBytes: Int): String = {
+      val masked =
+        if (nBytes >= 8) colExpr
+        else s"pmod($colExpr, ${1L << (8 * nBytes)}L)"
+      val hexE = s"lpad(hex($masked), ${2 * nBytes}, '0')"
+      val pairs = (nBytes - 1) to 0 by -1 map (i => s"substring($hexE, ${2 * i + 1}, 2)")
+      s"unhex(concat(${pairs.mkString(",")}))"
+    }
+    def oldDec(recCol: String, off: String, nBytes: Int): String = {
+      val bytes = (nBytes - 1) to 0 by -1 map (i => s"substring($recCol, ($off) + $i, 1)")
+      s"try_cast(conv(hex(concat(${bytes.mkString(",")})), 16, 10) AS bigint)"
+    }
+    val rng = new scala.util.Random(21L)
+    val vals = Seq(0L, 1L, -1L, 255L, 256L, Long.MaxValue, Long.MinValue,
+      0x7fL << 56, 0x80L << 55) ++ Seq.fill(40)(rng.nextLong())
+    val vdf = vals.toDF("v")
+    for (n <- Seq(1, 2, 4, 8)) {
+      def encs(d: org.apache.spark.sql.DataFrame) = d.select(
+        expr(oldEnc("v", n)).as("o"), expr(s"le_encode(v, $n)").as("g"))
+        .collect().map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq))
+      for (rows <- Seq(encs(vdf), withInterpreted(encs(vdf))); (o, g) <- rows)
+        assert(o === g, s"le_encode width $n")
+    }
+    // decode over random records, all widths, every offset incl. past-end
+    val recs = Seq.fill(12)(Array.fill(rng.nextInt(20))(rng.nextInt(256).toByte)) :+
+      Array.fill(16)(0xff.toByte) // 8-byte reads with the top bit set → null
+    val rdf = recs.map(Tuple1(_)).toDF("rec")
+    for (n <- Seq(1, 2, 4, 8); off <- Seq(1, 2, 5, 13, 18, 25)) {
+      def decs(d: org.apache.spark.sql.DataFrame) = d.select(
+        expr(oldDec("rec", off.toString, n)).as("o"),
+        expr(s"le_decode(rec, $off, $n)").as("g"))
+        .collect().map(r =>
+          (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+           if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      for (rows <- Seq(decs(rdf), withInterpreted(decs(rdf))); (o, g) <- rows)
+        assert(o === g, s"le_decode width $n off $off")
+    }
+    // null input propagates
+    val nulls = Seq((None: Option[Array[Byte]], None: Option[Long])).toDF("rec", "v")
+    val r = nulls.select(expr("le_decode(rec, 1, 4)"), expr("le_encode(v, 4)")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    // a non-literal width is an analysis error, not a wrong decode
+    val e = intercept[Exception](
+      spark.sql("SELECT le_decode(X'00', 1, CAST(id AS INT)) FROM range(1)").collect())
+    assert(e.getMessage.contains("le_decode"), e.getMessage)
+  }
+
   test("float-vec codec null contracts: null input, null element, undecodable length") {
     val df = Seq(
       (1, Some(Seq(Some(1.0f), Some(2.0f)))), // fine
