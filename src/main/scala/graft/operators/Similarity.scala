@@ -1665,10 +1665,10 @@ object Similarity {
     val banded = fam.bandedOf(feat)
     val incrKeepers = banded.groupBy(col("band"), col("bucket"))
       .agg(min(col(fam.idCol)).as("ikeeper"))
-    val touched = banded
+    val touched = IngestIncr.labeledJob(s, s"${fam.what}: band prune")(banded
       .select(mhPartKey(col("band"),
         pmod(col("bucket"), lit(effShards.toLong)), effShards).as("pk"))
-      .distinct().collect().map(_.getLong(0)) // bounded: ≤ nBands × shards
+      .distinct().collect()).map(_.getLong(0)) // bounded: ≤ nBands × shards
     // an increment that bands to NOTHING (every row band-degenerate —
     // reachable per micro-batch on the streaming path) must not build
     // an empty `isin()` filter; the index contributes nothing anyway
@@ -1753,9 +1753,10 @@ object Similarity {
     // not the index) — without this the verify join would re-read
     // features for ~every corpus row, and the probe would be
     // corpus-scale I/O after all
-    val candShards = cand.filter(col("keeper") < lit(split))
-      .select(pmod(col("keeper"), lit(effShards.toLong)).as("cs"))
-      .distinct().collect().map(_.getLong(0)) // bounded: ≤ shards
+    val candShards = IngestIncr.labeledJob(s, s"${fam.what}: cand shard prune")(
+      cand.filter(col("keeper") < lit(split))
+        .select(pmod(col("keeper"), lit(effShards.toLong)).as("cs"))
+        .distinct().collect()).map(_.getLong(0)) // bounded: ≤ shards
     // sideDdl is a hard family contract (review r19): the old
     // shard-col-only fallback built a ZERO-column frame after the drop
     // below whenever candShards was empty, and kRename then failed on
