@@ -576,6 +576,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session(appName = "graft-bench")
     val runStart = System.nanoTime()
+    // read the scheduler-granted core count NOW: the opt-in sweep below
+    // cycles SparkContexts, and a stopped context cannot answer
+    val cpusCount = spark.sparkContext.defaultParallelism
 
     val headline = QueryDef.catalogs.filter(_.headline)
     // ONE listing+parse pass over the BENCH_r*.json records feeds both
@@ -1041,10 +1044,29 @@ object Bench {
         ensureSf10(spark, sfDir, sf10Dir)
         resetBetweenTiers()
         val out = sys.env.getOrElse("SPARK_GRAFT_SF10_SWEEP_OUT", "SF10_SWEEP.json")
-        val secs = QueryDef.catalogs.map { q =>
+        // FRESH SESSION every `sweepCycle` queries (VERDICT r20 #3): the
+        // sweep's long-lived local-mode JVM accumulates block-manager /
+        // ContextCleaner debris across 140 queries, and iteration-heavy
+        // LATE entries paid for it — g1_components read 99.7 s at sweep
+        // position 124 vs 64.2 s isolated (r20), a 55% position-dependent
+        // error that generated fake regressions to adjudicate every
+        // round. A per-query System.gc() doesn't clear it (the cleaner
+        // drains asynchronously while the next query runs); cycling the
+        // SparkContext does — a cluster's per-query-driver posture,
+        // reproduced in the sweep. ~2 s per cycle, 7 cycles: noise
+        // against a ~450 s sweep. The per-query caches are already
+        // session-safe (timeOnce clears RunCaches; the feature memo
+        // drops stopped sessions' entries).
+        val sweepCycle = 20
+        var sw = spark
+        val secs = QueryDef.catalogs.zipWithIndex.map { case (q, i) =>
+          if (i > 0 && i % sweepCycle == 0) {
+            sw.stop()
+            sw = Engine.session(appName = "graft-bench-sweep")
+          }
           val t = try {
             System.gc()
-            math.round(time(q, sf10Dir) * 1000) / 1000.0
+            math.round(timeOnce(sw)(q, sf10Dir) * 1000) / 1000.0
           } catch { case e: Throwable =>
             System.err.println(s"[bench] sf10 sweep ${q.name} failed: ${e.getMessage}")
             -1.0
@@ -1054,12 +1076,16 @@ object Bench {
         }
         val failed = secs.filter(_._2 < 0).map(_._1)
         val body = s"""{"sweep":"sf10","dir":${Verify.jsonStr(sf10Dir)},""" +
+          s""""fresh_session_every":$sweepCycle,""" +
           secs.map { case (k, v) => "\"" + k + "\":" + v }
             .mkString(""""sec":{""", ",", "},") +
           failed.map("\"" + _ + "\"").mkString(""""failed":[""", ",", "]}")
         java.nio.file.Files.writeString(java.nio.file.Paths.get(out), body)
         System.err.println(s"[bench] sf10 sweep written to $out " +
           s"(${secs.count(_._2 >= 0)} timed, ${failed.size} failed)")
+        // the sweep is the run's last Spark work; nothing below needs a
+        // live context (record lines are pre-rendered strings)
+        sw.stop()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf10 sweep skipped: ${e.getMessage}")
       }
@@ -1119,9 +1145,18 @@ object Bench {
       if (diagWalls.isEmpty) ""
       else diagWalls.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString(""","diag_wall":{""", ",", "}")
+    // the core count the run actually used, on BOTH record lines (VERDICT
+    // r20 #2): Engine derives the master AND shuffle width from
+    // SPARK_GRAFT_CPUS, but the record never said so — the driver's
+    // scaling comparison had to GUESS whether a lower-core run honored
+    // the knob, and `suspect_cpus_ignored` false-fired on overhead-bound
+    // small tiers. With the count in the artifact the check is a read,
+    // not an inference. defaultParallelism, not the env string: the
+    // recorded number is what the scheduler actually gave us.
+    val cpusJson = s""","cpus":$cpusCount"""
     val (fullLine, summaryLine) = recordLines(total, qs, qSamples, sfDir,
       sf1Section, sf1Summary, remeasuredJson("sf01_remeasured", sf01Prelim),
-      failedBoth + sf10Both + diagJson, summaryExtra)
+      cpusJson + failedBoth + sf10Both + diagJson, summaryExtra)
     println(fullLine)
     // the same summary object once more behind a grep-able marker
     // (r17 verdict #4): consumers — including this class's own loaders —

@@ -412,6 +412,37 @@ object BenchStreams {
     val schema = spark.read.parquet(stage).schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(stage)
+    // Spark-action evidence (VERDICT r20 #1): the admission trigger floor
+    // is a fixed count of jobs per micro-batch, so the record carries the
+    // run's total job/stage counts and the per-data-batch average — the
+    // "action count per trigger" a floor optimization must move. Counted
+    // from the scheduler's own events over exactly the streaming window.
+    val jobCount = new java.util.concurrent.atomic.AtomicLong()
+    val stageCount = new java.util.concurrent.atomic.AtomicLong()
+    // SPARK_GRAFT_STREAM_JOBS=1: per-job attribution to stderr (job
+    // description + wall) — the floor-hunting diagnostic behind the
+    // jobs_per_batch record field
+    val dumpJobs = sys.env.get("SPARK_GRAFT_STREAM_JOBS").contains("1")
+    val jobStarts =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobListener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          ev: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet()
+        stageCount.addAndGet(ev.stageInfos.size.toLong)
+        if (dumpJobs) jobStarts.put(ev.jobId, (System.nanoTime(),
+          Option(ev.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("(unlabeled)")))
+      }
+      override def onJobEnd(
+          ev: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (dumpJobs) Option(jobStarts.remove(ev.jobId)).foreach {
+          case (t0, desc) => System.err.println(
+            f"[stream-job] ${(System.nanoTime() - t0) / 1e3}%9.0f us  job ${ev.jobId}  ${desc.take(90)}")
+        }
+    }
+    spark.sparkContext.addSparkListener(jobListener)
     val t0 = System.nanoTime()
     val q = graft.streaming.StreamOps.ingestAdmission(
       src, idx, split, statePath, outPath, checkpoint = Some(ckpt))
@@ -419,6 +450,9 @@ object BenchStreams {
     val wall = (System.nanoTime() - t0) / 1e9
     val progress = q.recentProgress.toSeq
     q.stop()
+    // listener bus is async; give it a moment to drain before reading
+    Thread.sleep(500)
+    spark.sparkContext.removeSparkListener(jobListener)
     val batches = progress.filter(_.numInputRows > 0)
     val rows = batches.map(_.numInputRows).sum
     val trigSec = batches.map(_.durationMs.asScala
@@ -457,6 +491,10 @@ object BenchStreams {
           if (trigSec.isEmpty) 0.0
           else trigSec.takeRight(10).sum / math.min(10, trigSec.size)}%.3f, """ +
         f""""index_build_sec": $idxSec%.3f, """ +
+        s""""jobs_total": ${jobCount.get}, """ +
+        s""""stages_total": ${stageCount.get}, """ +
+        f""""jobs_per_batch": ${
+          if (batches.nonEmpty) jobCount.get.toDouble / batches.size else 0.0}%.1f, """ +
         s""""state_rows_fps": $stFps, "state_rows_bands": $stBands, """ +
         s""""state_rows_toks": $stToks, """ +
         s""""state_gen_through": ${stGen.getOrElse(-1L)}, """ +
