@@ -27,9 +27,12 @@ import org.apache.spark.sql.functions._
   * digests for hash/pubkey fields), then decodes it back at fixed offsets;
   * the DuckDB oracle selects the original values, so any encode/decode
   * asymmetry — wrong offset, wrong endianness, wrong width — fails the
-  * hash check. Encode and decode are all codegen'd builtins
-  * (`hex`/`unhex`/`conv`/`substring`/`concat`) — no UDF, so at 100 TB the
-  * decode stage fuses into whole-stage codegen over the scan.
+  * hash check. The integer codec is the native
+  * [[graft.functions.LEDecode]]/[[graft.functions.LEEncode]] expression
+  * pair (r21; previously per-byte `hex`/`unhex`/`conv`/`substring`
+  * builtin chains), the 32-byte fields stay single-slice builtins — no
+  * UDF anywhere, so at 100 TB the decode stage fuses into whole-stage
+  * codegen over the scan.
   */
 object Governance {
 
